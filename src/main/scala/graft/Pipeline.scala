@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/** The full reference-equivalent pipeline: `HybridDataMerger.run()`
+  * (`hybrid_merger.py:175-251`), composed from the §2 operators in exact
+  * stage order (SURVEY §3):
+  *
+  * {{{
+  * ticks --TickPrep(F1,F2,P6,P7)--> Resample(G1-G3) --> tick candles
+  * tick candles × m1 --consensus(J1,P9,F7,F8,A1)--> cleaned tick candles
+  * cleaned × m1 --combineFirst(J2)--> fused
+  * fused --SpreadOps(G5,U3,W1)--> spread-recovered
+  * --CleanOps(F5,U1,W3,F6,A1)--> validated
+  * --GridOps(T1,J4,W4,U2,F4)--> gap-free 1-min series
+  * --finalCast(P12)--> float32/int8 output
+  * }}}
+  *
+  * Everything is one lazy Catalyst plan except two deliberate driver
+  * actions: the min/max timestamp bounds for the grid and G5's scalar
+  * median (the reference's own two-pass shape, SURVEY §3).
+  */
+object Pipeline {
+
+  case class Result(candles: DataFrame, audit: DataFrame)
+
+  /** @param ticks canonical tick frame: datetime, tick_id, ask, bid
+    * @param m1 optional legacy candle frame: datetime, open..close,
+    *           volume, spread (NULL ok)
+    * @param partitionBy optional symbol-style keys present in BOTH inputs;
+    *                    generalizes every window/groupBy (SURVEY §2.12)
+    */
+  def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
+          spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
+          partitionBy: Seq[String] = Nil): Result = {
+
+    // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles")
+    val prepped = TickPrep(ticks)
+    val tickCandles = Resample.ohlc1min(prepped, partitionBy)
+
+    // Stage 3: consensus cross-check against the legacy feed
+    val keys = partitionBy :+ "datetime"
+    val (cleanedTicks, fused, cataAudit) = m1 match {
+      case Some(m1df) =>
+        val cata = FusionOps.catastrophes(tickCandles, m1df,
+          consensusThreshold, keys)
+        val cleaned = FusionOps.rejectCatastrophes(tickCandles, cata, keys)
+        val fusedDf = FusionOps.combineFirst(cleaned, m1df, keys)
+        (cleaned, fusedDf,
+          Some(AuditOps.tag(
+            cata.withColumnRenamed("tick_close", "close"),
+            AuditOps.ReasonRejectedCatastrophe)))
+      case None => (tickCandles, tickCandles, None)
+    }
+
+    // Stage 4: spread recovery — scalar median fill + rolling smoothing
+    val spreadDone = SpreadOps(fused, partitionBy)
+
+    // Stage 5: validation & repair (audit complements computed explicitly)
+    val inverted = CleanOps.invertedRows(spreadDone)
+    val noInverted = CleanOps.dropInverted(spreadDone)
+    val structBad = CleanOps.structuralBadRows(noInverted)
+    val repaired = CleanOps.structuralRepair(noInverted, partitionBy)
+    val spikes = CleanOps.spikeRows(repaired, spikeThreshold, partitionBy)
+    val validated = CleanOps.spikeFilter(repaired, spikeThreshold,
+      partitionBy)
+
+    // Stage 6: immutable time grid + flat-candle gap bridging
+    val bounds = validated.agg(min(col("datetime")), max(col("datetime")))
+      .head()
+    val result =
+      if (bounds.isNullAt(0)) GridOps.finalCast(validated
+        .withColumn("is_flat", lit(0)))
+      else {
+        val grid0 = GridOps.minuteGrid(spark,
+          bounds.getTimestamp(0), bounds.getTimestamp(1))
+        val grid =
+          if (partitionBy.isEmpty) grid0
+          else grid0.crossJoin(
+            validated.select(partitionBy.map(col): _*).distinct())
+        GridOps.finalCast(
+          GridOps.flatCandleBridge(validated, grid, partitionBy))
+      }
+
+    val audit = AuditOps.union(Seq(
+      AuditOps.tag(inverted, AuditOps.ReasonDroppedInverted),
+      AuditOps.tag(structBad, AuditOps.ReasonFixedStructure),
+      AuditOps.tag(spikes, AuditOps.ReasonDroppedSpike)) ++
+      cataAudit.toSeq ++
+      Seq(AuditOps.tag(
+        result.filter(col("is_flat") === 1), AuditOps.ReasonGapBridged)))
+
+    Result(result, audit)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus the
+  * canonical "tick frame" adapter used by the FX-pipeline queries.
+  *
+  * The reference pipeline (`/root/reference/src/hybrid_merger.py`) operates on
+  * two feeds: a raw bid/ask tick stream and a legacy 1-minute OHLC ("M1")
+  * history. The driver's `events` table plays the tick-feed role:
+  * `ts` = tick datetime, `value` = price, `event_id` = unique arrival id
+  * (the deterministic tie-break the reference gets for free from pandas'
+  * stable ordering), `user_id`/`event_type` = partition/subset keys.
+  */
+object Tables {
+  /** Load a driver parquet table. `events.ts` is parquet TIMESTAMP(NANOS),
+    * which Spark only reads via the `nanosAsLong` legacy conf; we convert
+    * to microsecond TimestampType by integer division — the same
+    * truncation DuckDB applies reading nanos into its µs timestamps, so
+    * oracle comparisons stay exact.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (df.schema.fields.exists(f =>
+        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Canonical tick frame: datetime, tick_id, ask, bid.
+    *
+    * Bid/ask are derived deterministically from `value` with a synthetic,
+    * varying spread (0.010..0.019 keyed on event_id) so that the reference's
+    * spread operators (G2/G5/U3/W1, `hybrid_merger.py:98-102,204-211`) have
+    * non-trivial input. Pure arithmetic — identical in Spark and DuckDB.
+    */
+  def ticks(spark: SparkSession, sfDir: String): DataFrame = {
+    val halfSpread = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
+    load(spark, sfDir, "events").select(
+      col("ts").as("datetime"),
+      col("event_id").as("tick_id"),
+      (col("value") + halfSpread).as("ask"),
+      (col("value") - halfSpread).as("bid"))
+  }
+
+  /** SQL twin of [[ticks]] as a DuckDB CTE body (oracle side).
+    * Literals are cast to DOUBLE: DuckDB parses bare `0.01` as DECIMAL,
+    * whose arithmetic rounds differently from Spark's double literals. */
+  def ticksSql(sfDir: String = ""): String =
+    """SELECT ts AS datetime, event_id AS tick_id,
+      |       value + (CAST(0.01 AS DOUBLE)
+      |                + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS ask,
+      |       value - (CAST(0.01 AS DOUBLE)
+      |                + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS bid
+      |FROM events""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Candle validation & repair: F5, U1, W3, P8, P10, F6 from SURVEY.md §2 —
+  * the reference's `validate_and_clean()` (`hybrid_merger.py:145-173`).
+  *
+  * ⚠ Stage order is semantic (SURVEY §7 hard-part #1): the volatility
+  * filter's lag (P10) runs over rows that SURVIVED the inverted-candle drop
+  * and structural repair. A naive single select would compute the lag on the
+  * raw frame and silently diverge. Each step here materializes its own plan
+  * stage in order, exactly like the reference's sequential mutations.
+  */
+object CleanOps {
+
+  private def invertedCond = col("low") > col("high")
+
+  private def structuralBadCond =
+    col("open") > col("high") || col("open") < col("low") ||
+      col("close") > col("high") || col("close") < col("low")
+
+  /** F5: drop inverted candles (`low > high`, `hybrid_merger.py:149-152`). */
+  def dropInverted(candles: DataFrame): DataFrame =
+    candles.filter(!invertedCond)
+
+  /** Complement of F5 for the audit log (A1, reason `dropped_inverted`). */
+  def invertedRows(candles: DataFrame): DataFrame =
+    candles.filter(invertedCond)
+
+  /** U1: structural-integrity repair (`hybrid_merger.py:154-161`):
+    * where open/close escape [low, high], widen the candle —
+    * `high := max(open, close, high)`, `low := min(open, close, low)` —
+    * and void the spread (it gets forward-filled by W3).
+    */
+  def structuralRepair(candles: DataFrame,
+                       partitionBy: Seq[String] = Nil): DataFrame = {
+    val bad = structuralBadCond
+    val repaired = candles
+      .withColumn("was_repaired", bad)
+      .withColumn("high",
+        when(bad, greatest(col("open"), col("close"), col("high")))
+          .otherwise(col("high")))
+      .withColumn("low",
+        when(bad, least(col("open"), col("close"), col("low")))
+          .otherwise(col("low")))
+      .withColumn("spread",
+        when(col("was_repaired"), lit(null)).otherwise(col("spread")))
+    // W3: ffill spread over the holes just punched (`hybrid_merger.py:161`)
+    repaired
+      .withColumn("spread", WindowOps.ffill(col("spread"), partitionBy))
+      .drop("was_repaired")
+  }
+
+  /** Rows U1 repaired, for the audit log (reason
+    * `fixed_structure_integrity`). */
+  def structuralBadRows(candles: DataFrame): DataFrame =
+    candles.filter(structuralBadCond)
+
+  /** F6 (+P8, P10): volatility-spike filter (`hybrid_merger.py:163-171`).
+    * Drop candles whose amplitude `(high-low)/open` or absolute close
+    * pct-change exceeds `threshold` (reference default 0.005).
+    * The first row's pct_change is NULL → predicate NULL → row kept,
+    * matching pandas' NaN comparison semantics.
+    */
+  def spikeFilter(candles: DataFrame, threshold: Double = 0.005,
+                  partitionBy: Seq[String] = Nil): DataFrame = {
+    val withPct = candles.withColumn("_pct",
+      abs(col("close") / WindowOps.lag1(col("close"), partitionBy) - 1))
+    withPct
+      .filter(!((col("high") - col("low")) / col("open") > threshold ||
+        col("_pct") > threshold))
+      .drop("_pct")
+  }
+
+  /** Complement of F6 for the audit log (reason
+    * `dropped_volatility_spike`). */
+  def spikeRows(candles: DataFrame, threshold: Double = 0.005,
+                partitionBy: Seq[String] = Nil): DataFrame = {
+    val withPct = candles.withColumn("_pct",
+      abs(col("close") / WindowOps.lag1(col("close"), partitionBy) - 1))
+    withPct
+      .filter((col("high") - col("low")) / col("open") > threshold ||
+        col("_pct") > threshold)
+      .drop("_pct")
+  }
+
+  /** The full validate-and-clean stage in reference order:
+    * F5 → U1(+W3) → F6. */
+  def apply(candles: DataFrame, threshold: Double = 0.005,
+            partitionBy: Seq[String] = Nil): DataFrame =
+    spikeFilter(structuralRepair(dropInverted(candles), partitionBy),
+      threshold, partitionBy)
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, FloatType}
+
+/** The "Immutable Time Grid": T1, J4, W4, U2, F4 from SURVEY.md §2 —
+  * `hybrid_merger.py:215-241` and `README.md:81-85`. Gap minutes become
+  * synthetic flat candles (`open=high=low=close=ffill(close)`, `volume=0`,
+  * `is_flat=1`).
+  *
+  * Scale design: the grid is generated with `spark.range` over minute
+  * ordinals — distributed from birth, no driver-side materialization, no
+  * single-partition `sequence` array. 15 years is only ~7.9M minutes, so
+  * the grid side of J4 is always the small, broadcastable side relative to
+  * tick-derived data; per-symbol grids just cross-join the symbol dim.
+  */
+object GridOps {
+
+  /** T1: dense 1-minute calendar spanning [minTs, maxTs], both inclusive,
+    * on minute boundaries (`pd.date_range(freq='1min')`,
+    * `hybrid_merger.py:217`). */
+  def minuteGrid(spark: SparkSession, minTs: Timestamp,
+                 maxTs: Timestamp): DataFrame = {
+    val startMin = Math.floorDiv(minTs.getTime, 60000L)
+    val endMin = Math.floorDiv(maxTs.getTime, 60000L)
+    spark.range(startMin, endMin + 1)
+      .select(timestamp_millis(col("id") * 60000L).as("datetime"))
+  }
+
+  /** J4 + W4 + U2 + F4: align candles onto the dense grid and bridge gaps
+    * with flat candles. Steps, in reference order
+    * (`hybrid_merger.py:215-241`):
+    *   1. grid LEFT JOIN candles on the minute (J4; gap rows all-NULL);
+    *   2. ffill close and spread down the grid (W4/W5);
+    *   3. gap rows: `open=high=low=close`, `volume=0`, `is_flat=1` (U2);
+    *   4. drop leading rows before the first real close (F4, `:241`).
+    */
+  def flatCandleBridge(candles: DataFrame, grid: DataFrame,
+                       partitionBy: Seq[String] = Nil): DataFrame = {
+    val keys = partitionBy :+ "datetime"
+    val joined = grid.join(candles, keys.toSeq, "left")
+    val isGap = col("close").isNull
+    joined
+      .withColumn("is_flat", when(isGap, lit(1)).otherwise(lit(0)))
+      .withColumn("close", WindowOps.ffill(col("close"), partitionBy))
+      .withColumn("spread", WindowOps.ffill(col("spread"), partitionBy))
+      .withColumn("open",
+        when(col("is_flat") === 1, col("close")).otherwise(col("open")))
+      .withColumn("high",
+        when(col("is_flat") === 1, col("close")).otherwise(col("high")))
+      .withColumn("low",
+        when(col("is_flat") === 1, col("close")).otherwise(col("low")))
+      .withColumn("volume",
+        when(col("is_flat") === 1, lit(0L)).otherwise(col("volume")))
+      .filter(col("close").isNotNull) // F4: leading pre-history gap rows
+  }
+
+  /** P12: the reference's final precision contract — prices/volume/spread
+    * to float32, flag to int8 (`hybrid_merger.py:244-246`). */
+  def finalCast(df: DataFrame): DataFrame = {
+    val f32 = Seq("open", "high", "low", "close", "volume", "spread")
+    val casted = f32.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(FloatType))
+      else d)
+    if (casted.columns.contains("is_flat"))
+      casted.withColumn("is_flat", col("is_flat").cast(ByteType))
+    else casted
+  }
+}

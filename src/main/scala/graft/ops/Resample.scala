@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** G1–G3: 1-minute OHLC resampling (`hybrid_merger.py:100-112`) and the
+  * cross-chunk re-aggregation G4 (`:127-133`) it subsumes.
+  *
+  * pandas: `resample('1min', label='left', closed='left')` then
+  * `.ohlc()` + `spread.mean()` + `ask.count()`. The left-label/left-closed
+  * bucket is exactly `date_trunc('minute', ts)` floor semantics.
+  *
+  * Spark design: ONE hash aggregate. open/close are *ordered* first/last
+  * within the minute — expressed as `min(struct(ts, tick_id, price))` /
+  * `max(struct(...))` so ties on the timestamp break deterministically on
+  * `tick_id` (pandas gets determinism from stable row order; `min_by` alone
+  * would leave ties arbitrary — SURVEY §7).
+  *
+  * Scale: this is a single shuffle on the minute key with map-side partial
+  * aggregation — Spark's native two-phase hash agg IS the reference's
+  * chunk-then-reaggregate loop (G4, `hybrid_merger.py:127-133`) done
+  * correctly: no mean-of-chunk-means artifact on spread, no dependence on
+  * chunk boundaries. Adding `keyCols` (e.g. symbol) spreads the shuffle and
+  * keeps every downstream window partition-parallel.
+  */
+object Resample {
+
+  /** Ordered-first aggregate: value of `value` at the smallest
+    * (orderCol, tieCol). */
+  def firstBy(value: Column, orderCol: Column, tieCol: Column): Column =
+    min(struct(orderCol.as("o"), tieCol.as("t"), value.as("v"))).getField("v")
+
+  /** Ordered-last aggregate. */
+  def lastBy(value: Column, orderCol: Column, tieCol: Column): Column =
+    max(struct(orderCol.as("o"), tieCol.as("t"), value.as("v"))).getField("v")
+
+  /** Resample ticks (datetime, tick_id, mid, spread) to 1-minute candles
+    * (datetime, open, high, low, close, volume, spread), optionally keyed.
+    *
+    * volume is G3's "True Tick Volume" — the count of quote updates per
+    * minute, not broker-reported volume (`hybrid_merger.py:103`,
+    * `README.md:69-73`).
+    */
+  def ohlc1min(ticks: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val minute = date_trunc("minute", col("datetime")).as("datetime")
+    ticks
+      .groupBy((keyCols.map(col) :+ minute): _*)
+      .agg(
+        firstBy(col("mid"), col("datetime"), col("tick_id")).as("open"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        lastBy(col("mid"), col("datetime"), col("tick_id")).as("close"),
+        count(col("mid")).as("volume"),
+        avg(col("spread")).as("spread"))
+  }
+
+  /** F4: drop empty buckets — minutes with no close
+    * (`hybrid_merger.py:115, :134, :241`). With a groupBy-based resample
+    * empty minutes never materialize, so this only matters after grid
+    * alignment (GridOps); kept for pipeline-shape parity.
+    */
+  def dropnaClose(candles: DataFrame): DataFrame =
+    candles.filter(col("close").isNotNull)
+}

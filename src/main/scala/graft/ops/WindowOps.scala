@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-order window helpers: W1–W5 from SURVEY.md §2.6.
+  *
+  * The reference assumes one global time order (its pandas DatetimeIndex).
+  * A Spark window without `partitionBy` collapses to a single task — fine
+  * for a bounded 1-minute candle grid (rows scale with the time span, not
+  * tick volume: 15 years ≈ 7.9M minutes), wrong for raw-tick-scale data.
+  * Every helper therefore takes `partitionBy` keys; the candle pipeline
+  * passes the symbol key when present (SURVEY §2.12) and callers operating
+  * on raw ticks should partition by day and patch boundaries.
+  */
+object WindowOps {
+
+  def timeWindow(partitionBy: Seq[String], orderBy: Seq[String]): WindowSpec = {
+    val base =
+      if (partitionBy.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionBy.map(col): _*)
+    base.orderBy(orderBy.map(col): _*)
+  }
+
+  /** W3/W4/W5: forward-fill — `last(col, ignoreNulls)` over an
+    * unbounded-preceding frame (pandas `ffill`, `hybrid_merger.py:161,
+    * :231, :239`). */
+  def ffill(c: Column, partitionBy: Seq[String] = Nil,
+            orderBy: Seq[String] = Seq("datetime")): Column =
+    last(c, ignoreNulls = true)
+      .over(timeWindow(partitionBy, orderBy)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W2: previous-row value (pandas `shift(1)` inside `pct_change`,
+    * `hybrid_merger.py:165`). */
+  def lag1(c: Column, partitionBy: Seq[String] = Nil,
+           orderBy: Seq[String] = Seq("datetime")): Column =
+    lag(c, 1).over(timeWindow(partitionBy, orderBy))
+
+  /** W1: centered rolling median, window=5, min_periods=1
+    * (`hybrid_merger.py:210-211`). Spark's shrinking frame at partition
+    * edges matches `min_periods=1` exactly; exact `median` (Spark ≥3.4)
+    * matches pandas' exact rolling median.
+    */
+  def rollingMedian5(c: Column, partitionBy: Seq[String] = Nil,
+                     orderBy: Seq[String] = Seq("datetime")): Column =
+    median(c).over(timeWindow(partitionBy, orderBy).rowsBetween(-2, 2))
+}
