@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops._
@@ -9,15 +10,73 @@ import graft.ops._
   * SURVEY.md §2 (see COVERAGE.md for the §2-id → query-name map), each with
   * a DuckDB oracle twin in [[oracleSql]].
   *
-  * Convention: floating-point results that involve accumulation-order-
-  * dependent arithmetic (sums/averages/medians) are rounded to 6 decimals
-  * on BOTH sides so the driver's hash compare is robust to last-ulp
-  * differences between Spark's partial-aggregate tree and DuckDB's
-  * single-node order. Values produced by identical scalar expression trees
-  * (projections, min/max) are bit-identical and need no rounding.
+  * Conventions for exact cross-engine parity:
+  *  - floating-point results of accumulation-order-dependent arithmetic
+  *    (sums/averages/medians) are rounded to 6 decimals on BOTH sides;
+  *    identical scalar expression trees are bit-identical and need none;
+  *  - oracle literals are CAST to DOUBLE (DuckDB parses bare `0.01` as
+  *    DECIMAL, which rounds differently from Spark's double literals);
+  *  - two synthetic feeds stand in for the reference's two inputs
+  *    (`hybrid_merger.py:42-74`): the full event stream as the tick feed
+  *    and a click/view-only per-minute aggregate as the legacy "M1" feed.
   */
 object SparkEntry {
 
+  // ---------------------------------------------------------------- Spark
+  private def tickCandles(s: SparkSession, dir: String): DataFrame =
+    Resample.ohlc1min(TickPrep(Tables.ticks(s, dir)))
+
+  /** Legacy "M1" feed: per-minute candles over click/view events only —
+    * no weekend filter (a legacy history covers hours the live tick feed
+    * drops), no spread (the reference's M1 has `spread = NaN`,
+    * `hybrid_merger.py:52`). */
+  private def m1Candles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("ts").as("datetime"), col("event_id").as("tick_id"),
+        col("value").as("mid"), lit(null).cast("double").as("spread"))
+    Resample.ohlc1min(ev)
+  }
+
+  /** Candles with deliberately mismatched high/low (high from clicks,
+    * low from views) so the structural-integrity operators F5/U1 have
+    * real violations to act on. */
+  private def mixedCandles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("minute", col("ts")).as("datetime"))
+      .agg(
+        Resample.firstBy(col("value"), col("ts"), col("event_id")).as("open"),
+        max(when(col("event_type") === "click", col("value"))).as("high"),
+        min(when(col("event_type") === "view", col("value"))).as("low"),
+        Resample.lastBy(col("value"), col("ts"), col("event_id")).as("close"),
+        count(lit(1)).as("volume"))
+      .filter(col("high").isNotNull && col("low").isNotNull)
+
+  private def gridOf(s: SparkSession, candles: DataFrame): DataFrame = {
+    val b = candles.agg(min(col("datetime")), max(col("datetime"))).head()
+    GridOps.minuteGrid(s, b.getTimestamp(0), b.getTimestamp(1))
+  }
+
+  /** Events with a spread that is NULL on 'error' rows — input for the
+    * null-handling operators (W3 ffill, U3 median fill). */
+  private def eventsWithNullableSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").withColumn("spread",
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(lit(0.01) + (col("event_id") % 10) * lit(0.001)))
+
+  private def roundedOhlc(candles: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val sel = keyCols.map(col) ++ Seq(
+      col("datetime"),
+      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+      col("volume"), round(col("spread"), 6).as("spread"))
+    candles.select(sel: _*)
+  }
+
+  private val SpikeThreshold = 2.0
+  private val ConsensusThreshold = 50.0
+
+  // ------------------------------------------------------------ oracle SQL
   /** The canonical tick frame (Tables.ticks) as a DuckDB CTE. */
   private val ticksCte =
     """ticks AS (
@@ -39,6 +98,46 @@ object SparkEntry {
       |          OR (dayofweek(datetime) = 5 AND hour(datetime) >= 22)
       |          OR (dayofweek(datetime) = 0 AND hour(datetime) < 21)))""".stripMargin
 
+  private val tickCandlesCte =
+    """tick_candles AS (
+      |  SELECT date_trunc('minute', datetime) AS datetime,
+      |    first(mid ORDER BY datetime, tick_id) AS open,
+      |    max(mid) AS high, min(mid) AS low,
+      |    last(mid ORDER BY datetime, tick_id) AS close,
+      |    count(mid) AS volume, avg(spread) AS spread
+      |  FROM prepped GROUP BY 1)""".stripMargin
+
+  private val m1CandlesCte =
+    """m1_candles AS (
+      |  SELECT date_trunc('minute', ts) AS datetime,
+      |    first(value ORDER BY ts, event_id) AS open,
+      |    max(value) AS high, min(value) AS low,
+      |    last(value ORDER BY ts, event_id) AS close,
+      |    count(*) AS volume, CAST(NULL AS DOUBLE) AS spread
+      |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1)""".stripMargin
+
+  private val mixedCte =
+    """mixed AS (
+      |  SELECT * FROM (
+      |    SELECT date_trunc('minute', ts) AS datetime,
+      |      first(value ORDER BY ts, event_id) AS open,
+      |      max(CASE WHEN event_type = 'click' THEN value END) AS high,
+      |      min(CASE WHEN event_type = 'view' THEN value END) AS low,
+      |      last(value ORDER BY ts, event_id) AS close,
+      |      count(*) AS volume
+      |    FROM events GROUP BY 1)
+      |  WHERE high IS NOT NULL AND low IS NOT NULL)""".stripMargin
+
+  private val gridCte =
+    """bounds AS (
+      |  SELECT min(datetime) AS mn, max(datetime) AS mx FROM tick_candles),
+      |grid AS (
+      |  SELECT unnest(generate_series((SELECT mn FROM bounds),
+      |    (SELECT mx FROM bounds), INTERVAL 1 minute)) AS datetime)""".stripMargin
+
+  private val fusionWith =
+    s"WITH $ticksCte, $preppedCte, $tickCandlesCte, $m1CandlesCte"
+
   /** OHLC candle select-list over a prepped tick relation (G1–G3). */
   private def ohlcSelectSql(extraKey: String = ""): String = {
     val key = if (extraKey.isEmpty) "" else s"$extraKey, "
@@ -53,15 +152,7 @@ object SparkEntry {
        |GROUP BY ${if (extraKey.isEmpty) "1" else "1, 2"}""".stripMargin
   }
 
-  private def roundedOhlc(candles: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val sel = keyCols.map(col) ++ Seq(
-      col("datetime"),
-      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
-      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
-      col("volume"), round(col("spread"), 6).as("spread"))
-    candles.select(sel: _*)
-  }
-
+  // ---------------------------------------------------------------- entry
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("g1_g2_g3_ohlc_resample")(spark, "/root/testdata/sf0.001")
@@ -118,7 +209,7 @@ object SparkEntry {
 
     // G1+G2+G3: the flagship 1-minute OHLC+spread+tick-volume resample
     "g1_g2_g3_ohlc_resample" -> ((s, dir) =>
-      roundedOhlc(Resample.ohlc1min(TickPrep(Tables.ticks(s, dir))), Nil)),
+      roundedOhlc(tickCandles(s, dir), Nil)),
 
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
     "g1_ohlc_by_key" -> ((s, dir) => {
@@ -151,7 +242,184 @@ object SparkEntry {
           col("l_linenumber"))
         .limit(5)
         .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice")))
+          col("l_extendedprice"))),
+
+    // J1: reindex-align — left join of tick candles against the M1 feed
+    "j1_reindex_left_join" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+        .select(col("datetime"), col("close").as("tick_close"))
+      val m = m1Candles(s, dir)
+        .select(col("datetime"), col("close").as("m1_close"))
+      FusionOps.reindexAlign(t, m).select(col("datetime"),
+        round(col("tick_close"), 6).as("tick_close"),
+        round(col("m1_close"), 6).as("m1_close"))
+    }),
+
+    // J2: combine_first — full outer + per-column coalesce (hybrid fusion)
+    "j2_combine_first" -> ((s, dir) => {
+      val fused = FusionOps.combineFirst(tickCandles(s, dir),
+        m1Candles(s, dir))
+      fused.select(col("datetime"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("volume"), round(col("spread"), 6).as("spread"))
+    }),
+
+    // J3 (+P9): index intersection — the validator's forensic inner join
+    "j3_index_intersection" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+        .select(col("datetime"), col("close").as("tick_close"))
+      val m = m1Candles(s, dir)
+        .select(col("datetime"), col("close").as("m1_close"))
+      FusionOps.intersectAlign(t, m)
+        .withColumn("close_diff", abs(col("tick_close") - col("m1_close")))
+        .select(col("datetime"),
+          round(col("tick_close"), 6).as("tick_close"),
+          round(col("m1_close"), 6).as("m1_close"),
+          round(col("close_diff"), 6).as("close_diff"))
+    }),
+
+    // F7+F8: consensus catastrophe detection + anti-join rejection
+    "f7_f8_consensus_reject" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+      val cata = FusionOps.catastrophes(t, m1Candles(s, dir),
+        ConsensusThreshold)
+      FusionOps.rejectCatastrophes(t, cata)
+        .select(col("datetime"), round(col("close"), 6).as("close"))
+    }),
+
+    // F5: inverted-candle drop (low > high)
+    "f5_drop_inverted" -> ((s, dir) =>
+      CleanOps.dropInverted(mixedCandles(s, dir)).select(col("datetime"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("volume"))),
+
+    // U1: structural-integrity repair (widen candle to contain open/close)
+    "u1_structural_repair" -> ((s, dir) =>
+      CleanOps.structuralRepair(
+        CleanOps.dropInverted(mixedCandles(s, dir))
+          .withColumn("spread", lit(null).cast("double")))
+        .select(col("datetime"),
+          round(col("open"), 6).as("open"),
+          round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"),
+          round(col("close"), 6).as("close"),
+          col("volume"))),
+
+    // F6 (+P8+P10): volatility-spike filter with lag over survivors
+    "f6_spike_filter" -> ((s, dir) =>
+      CleanOps.spikeFilter(tickCandles(s, dir), SpikeThreshold)
+        .select(col("datetime"),
+          round(col("open"), 6).as("open"),
+          round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"),
+          round(col("close"), 6).as("close"),
+          col("volume"))),
+
+    // U0+A1: audit-log union of anomaly complements with reason literals
+    "u0_union_audit" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+      val audit = AuditOps.union(Seq(
+        AuditOps.tag(CleanOps.invertedRows(mixedCandles(s, dir)),
+          AuditOps.ReasonDroppedInverted),
+        AuditOps.tag(CleanOps.spikeRows(t, SpikeThreshold),
+          AuditOps.ReasonDroppedSpike),
+        AuditOps.tag(
+          FusionOps.catastrophes(t, m1Candles(s, dir), ConsensusThreshold)
+            .withColumnRenamed("tick_close", "close"),
+          AuditOps.ReasonRejectedCatastrophe)))
+      audit.select(col("datetime"),
+        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
+        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        col("volume"), col("reason"))
+    }),
+
+    // W2 (+P10): lag / pct_change, partitioned by key for scale
+    "w2_lag_pct_change" -> ((s, dir) =>
+      Tables.load(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(abs(col("value") /
+          WindowOps.lag1(col("value"), Seq("user_id"),
+            Seq("ts", "event_id")) - 1), 6).as("pct"))),
+
+    // W3: forward-fill over nulls, partitioned by key
+    "w3_ffill_spread" -> ((s, dir) =>
+      eventsWithNullableSpread(s, dir).select(
+        col("user_id"), col("event_id"),
+        round(WindowOps.ffill(col("spread"), Seq("user_id"),
+          Seq("ts", "event_id")), 6).as("spread"))),
+
+    // W1: centered rolling median (window 5, min_periods 1)
+    "w1_rolling_median" -> ((s, dir) =>
+      Tables.load(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        round(WindowOps.rollingMedian5(col("value"), Seq("user_id"),
+          Seq("ts", "event_id")), 6).as("med5"))),
+
+    // U3 (+G5): scalar fillna with the global median (two-job shape)
+    "u3_median_fill_spread" -> ((s, dir) => {
+      val ev = eventsWithNullableSpread(s, dir)
+      SpreadOps.fillSpread(ev, SpreadOps.medianSpread(ev))
+        .select(col("event_id"), round(col("spread"), 6).as("spread"))
+    }),
+
+    // T1: dense 1-minute calendar (distributed range, not sequence())
+    "t1_minute_grid" -> ((s, dir) =>
+      gridOf(s, tickCandles(s, dir))),
+
+    // J4: grid reindex — align candles onto the dense calendar
+    "j4_grid_reindex" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+      gridOf(s, t).join(t.select(col("datetime"), col("close")),
+        Seq("datetime"), "left")
+        .select(col("datetime"), round(col("close"), 6).as("close"))
+    }),
+
+    // U2 (+W4+W5+P11+F4): flat-candle gap bridging on the immutable grid
+    "u2_flat_candle_bridge" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+      GridOps.flatCandleBridge(t, gridOf(s, t))
+        .select(col("datetime"),
+          round(col("open"), 6).as("open"),
+          round(col("high"), 6).as("high"),
+          round(col("low"), 6).as("low"),
+          round(col("close"), 6).as("close"),
+          col("volume"), round(col("spread"), 6).as("spread"),
+          col("is_flat"))
+    }),
+
+    // Full composed pipeline (§3): the reference's run() end-to-end,
+    // including P12's float32 cast (values re-widened for comparison)
+    "pipeline_hybrid_full" -> ((s, dir) => {
+      val out = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold).candles
+      out.select(col("datetime"),
+        round(col("open").cast("double"), 5).as("open"),
+        round(col("high").cast("double"), 5).as("high"),
+        round(col("low").cast("double"), 5).as("low"),
+        round(col("close").cast("double"), 5).as("close"),
+        col("volume").cast("double").as("volume"),
+        round(col("spread").cast("double"), 5).as("spread"),
+        col("is_flat").cast("int").as("is_flat"))
+    }),
+
+    // Validator entry point (validator.py): mismatch report, first 5 by time
+    "validator_report" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+        .select(col("datetime"), col("close").as("new_close"))
+      val m = m1Candles(s, dir)
+        .select(col("datetime"), col("close").as("old_close"))
+      FusionOps.intersectAlign(t, m)
+        .withColumn("diff", abs(col("new_close") - col("old_close")))
+        .filter(col("diff") > ConsensusThreshold)
+        .orderBy(col("datetime"))
+        .limit(5)
+        .select(col("datetime"),
+          round(col("new_close"), 6).as("new_close"),
+          round(col("old_close"), 6).as("old_close"),
+          round(col("diff"), 6).as("diff"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +487,256 @@ object SparkEntry {
 
     "o2_top5_offenders" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
-        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5")
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 5"),
+
+    "j1_reindex_left_join" ->
+      s"""$fusionWith
+         |SELECT t.datetime, round(t.close, 6) AS tick_close,
+         |       round(m.close, 6) AS m1_close
+         |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)""".stripMargin,
+
+    "j2_combine_first" ->
+      s"""$fusionWith
+         |SELECT COALESCE(t.datetime, m.datetime) AS datetime,
+         |  round(coalesce(t.open, m.open), 6) AS open,
+         |  round(coalesce(t.high, m.high), 6) AS high,
+         |  round(coalesce(t.low, m.low), 6) AS low,
+         |  round(coalesce(t.close, m.close), 6) AS close,
+         |  coalesce(t.volume, m.volume) AS volume,
+         |  round(coalesce(t.spread, m.spread), 6) AS spread
+         |FROM tick_candles t FULL OUTER JOIN m1_candles m
+         |  ON t.datetime = m.datetime""".stripMargin,
+
+    "j3_index_intersection" ->
+      s"""$fusionWith
+         |SELECT t.datetime, round(t.close, 6) AS tick_close,
+         |  round(m.close, 6) AS m1_close,
+         |  round(abs(t.close - m.close), 6) AS close_diff
+         |FROM tick_candles t JOIN m1_candles m USING (datetime)""".stripMargin,
+
+    "f7_f8_consensus_reject" ->
+      s"""$fusionWith
+         |SELECT datetime, round(close, 6) AS close FROM tick_candles
+         |WHERE datetime NOT IN (
+         |  SELECT t.datetime FROM tick_candles t
+         |  LEFT JOIN m1_candles m USING (datetime)
+         |  WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE))""".stripMargin,
+
+    "f5_drop_inverted" ->
+      s"""WITH $mixedCte
+         |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
+         |  round(low, 6) AS low, round(close, 6) AS close, volume
+         |FROM mixed WHERE NOT (low > high)""".stripMargin,
+
+    "u1_structural_repair" ->
+      s"""WITH $mixedCte
+         |SELECT datetime, round(open, 6) AS open,
+         |  round(CASE WHEN bad THEN greatest(open, close, high)
+         |             ELSE high END, 6) AS high,
+         |  round(CASE WHEN bad THEN least(open, close, low)
+         |             ELSE low END, 6) AS low,
+         |  round(close, 6) AS close, volume
+         |FROM (
+         |  SELECT *, (open > high OR open < low
+         |          OR close > high OR close < low) AS bad
+         |  FROM mixed WHERE NOT (low > high)) t""".stripMargin,
+
+    "f6_spike_filter" ->
+      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte,
+         |pct AS (
+         |  SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1) AS p
+         |  FROM tick_candles)
+         |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
+         |  round(low, 6) AS low, round(close, 6) AS close, volume
+         |FROM pct
+         |WHERE NOT ((high - low) / open > CAST(2.0 AS DOUBLE)
+         |        OR p > CAST(2.0 AS DOUBLE))""".stripMargin,
+
+    "u0_union_audit" ->
+      s"""$fusionWith, $mixedCte,
+         |pct AS (
+         |  SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1) AS p
+         |  FROM tick_candles)
+         |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
+         |  round(low, 6) AS low, round(close, 6) AS close,
+         |  CAST(volume AS DOUBLE) AS volume,
+         |  'dropped_inverted' AS reason
+         |FROM mixed WHERE low > high
+         |UNION ALL
+         |SELECT datetime, round(open, 6), round(high, 6), round(low, 6),
+         |  round(close, 6), CAST(volume AS DOUBLE),
+         |  'dropped_volatility_spike'
+         |FROM pct
+         |WHERE (high - low) / open > CAST(2.0 AS DOUBLE)
+         |   OR p > CAST(2.0 AS DOUBLE)
+         |UNION ALL
+         |SELECT t.datetime, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  CAST(NULL AS DOUBLE), round(t.close, 6), CAST(NULL AS DOUBLE),
+         |  'rejected_tick_catastrophe'
+         |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)
+         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)""".stripMargin,
+
+    "w2_lag_pct_change" ->
+      """SELECT user_id, event_id,
+        |  round(abs(value / lag(value) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) - 1), 6) AS pct
+        |FROM events""".stripMargin,
+
+    "w3_ffill_spread" ->
+      """WITH s0 AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE CAST(0.01 AS DOUBLE)
+        |              + (event_id % 10) * CAST(0.001 AS DOUBLE)
+        |    END AS spread
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  round(last_value(spread IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS spread
+        |FROM s0""".stripMargin,
+
+    "w1_rolling_median" ->
+      """SELECT user_id, event_id,
+        |  round(median(value) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS med5
+        |FROM events""".stripMargin,
+
+    "u3_median_fill_spread" ->
+      """WITH s0 AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |         ELSE CAST(0.01 AS DOUBLE)
+        |              + (event_id % 10) * CAST(0.001 AS DOUBLE)
+        |    END AS spread
+        |  FROM events)
+        |SELECT event_id,
+        |  round(coalesce(spread, (SELECT median(spread) FROM s0)), 6)
+        |    AS spread
+        |FROM s0""".stripMargin,
+
+    "t1_minute_grid" ->
+      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte
+         |SELECT datetime FROM grid""".stripMargin,
+
+    "j4_grid_reindex" ->
+      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte
+         |SELECT g.datetime, round(c.close, 6) AS close
+         |FROM grid g LEFT JOIN tick_candles c USING (datetime)""".stripMargin,
+
+    "u2_flat_candle_bridge" ->
+      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte,
+         |joined AS (
+         |  SELECT g.datetime, c.open, c.high, c.low, c.close, c.volume,
+         |         c.spread
+         |  FROM grid g LEFT JOIN tick_candles c USING (datetime)),
+         |bridged AS (
+         |  SELECT datetime, open, high, low, volume, spread,
+         |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+         |    last_value(close IGNORE NULLS) OVER w AS fclose,
+         |    last_value(spread IGNORE NULLS) OVER w AS fspread
+         |  FROM joined
+         |  WINDOW w AS (ORDER BY datetime
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT datetime,
+         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE open END, 6) AS open,
+         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE high END, 6) AS high,
+         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE low END, 6) AS low,
+         |  round(fclose, 6) AS close,
+         |  CASE WHEN is_flat = 1 THEN 0 ELSE volume END AS volume,
+         |  round(fspread, 6) AS spread, is_flat
+         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+
+    "pipeline_hybrid_full" ->
+      s"""$fusionWith,
+         |cata AS (
+         |  SELECT t.datetime FROM tick_candles t
+         |  LEFT JOIN m1_candles m USING (datetime)
+         |  WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)),
+         |cleaned AS (
+         |  SELECT * FROM tick_candles
+         |  WHERE datetime NOT IN (SELECT datetime FROM cata)),
+         |fused AS (
+         |  SELECT COALESCE(t.datetime, m.datetime) AS datetime,
+         |    coalesce(t.open, m.open) AS open,
+         |    coalesce(t.high, m.high) AS high,
+         |    coalesce(t.low, m.low) AS low,
+         |    coalesce(t.close, m.close) AS close,
+         |    coalesce(t.volume, m.volume) AS volume,
+         |    coalesce(t.spread, m.spread) AS spread
+         |  FROM cleaned t FULL OUTER JOIN m1_candles m
+         |    ON t.datetime = m.datetime),
+         |spreadfill AS (
+         |  SELECT datetime, open, high, low, close, volume,
+         |    coalesce(spread, (SELECT median(spread) FROM fused)) AS spread
+         |  FROM fused),
+         |smoothed AS (
+         |  SELECT datetime, open, high, low, close, volume,
+         |    median(spread) OVER (ORDER BY datetime
+         |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS spread
+         |  FROM spreadfill),
+         |norminv AS (SELECT * FROM smoothed WHERE NOT (low > high)),
+         |marked AS (
+         |  SELECT *, (open > high OR open < low
+         |          OR close > high OR close < low) AS bad
+         |  FROM norminv),
+         |repaired AS (
+         |  SELECT datetime, open,
+         |    CASE WHEN bad THEN greatest(open, close, high)
+         |         ELSE high END AS high,
+         |    CASE WHEN bad THEN least(open, close, low)
+         |         ELSE low END AS low,
+         |    close, volume,
+         |    last_value(CASE WHEN bad THEN NULL ELSE spread END
+         |      IGNORE NULLS) OVER (ORDER BY datetime
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spread
+         |  FROM marked),
+         |spiked AS (
+         |  SELECT datetime, open, high, low, close, volume, spread FROM (
+         |    SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1)
+         |      AS p
+         |    FROM repaired) t
+         |  WHERE NOT ((high - low) / open > CAST(2.0 AS DOUBLE)
+         |          OR p > CAST(2.0 AS DOUBLE))),
+         |pbounds AS (SELECT min(datetime) AS mn, max(datetime) AS mx
+         |            FROM spiked),
+         |pgrid AS (
+         |  SELECT unnest(generate_series((SELECT mn FROM pbounds),
+         |    (SELECT mx FROM pbounds), INTERVAL 1 minute)) AS datetime),
+         |joined AS (
+         |  SELECT g.datetime, s.open, s.high, s.low, s.close, s.volume,
+         |         s.spread
+         |  FROM pgrid g LEFT JOIN spiked s USING (datetime)),
+         |bridged AS (
+         |  SELECT datetime, open, high, low, volume, spread,
+         |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+         |    last_value(close IGNORE NULLS) OVER w AS fclose,
+         |    last_value(spread IGNORE NULLS) OVER w AS fspread
+         |  FROM joined
+         |  WINDOW w AS (ORDER BY datetime
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT datetime,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
+         |    AS REAL) AS DOUBLE), 5) AS open,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
+         |    AS REAL) AS DOUBLE), 5) AS high,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
+         |    AS REAL) AS DOUBLE), 5) AS low,
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
+         |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
+         |    AS REAL) AS DOUBLE) AS volume,
+         |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
+         |  is_flat
+         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+
+    "validator_report" ->
+      s"""$fusionWith
+         |SELECT t.datetime, round(t.close, 6) AS new_close,
+         |  round(m.close, 6) AS old_close,
+         |  round(abs(t.close - m.close), 6) AS diff
+         |FROM tick_candles t JOIN m1_candles m USING (datetime)
+         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
+         |ORDER BY t.datetime LIMIT 5""".stripMargin
   )
 }

@@ -23,12 +23,14 @@ object AuditOps {
     Seq("datetime", "open", "high", "low", "close", "volume")
 
   /** Tag a snapshot of offending rows with its reason (A1). Missing audit
-    * columns (e.g. OHLC on a catastrophe frame) become NULL so every
-    * stage's snapshot unions cleanly. */
+    * columns (e.g. OHLC on a catastrophe frame) become NULL, and all value
+    * columns are cast to double, so every stage's snapshot unions cleanly
+    * regardless of origin (long counts, float prices). */
   def tag(rows: DataFrame, reason: String): DataFrame = {
     val present = rows.columns.toSet
-    val sel = auditCols.map(c =>
-      if (present(c)) col(c) else lit(null).cast("double").as(c))
+    val sel = col("datetime") +: auditCols.tail.map(c =>
+      if (present(c)) col(c).cast("double").as(c)
+      else lit(null).cast("double").as(c))
     rows.select(sel: _*).withColumn("reason", lit(reason))
   }
 

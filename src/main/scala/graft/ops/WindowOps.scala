@@ -40,10 +40,12 @@ object WindowOps {
 
   /** W1: centered rolling median, window=5, min_periods=1
     * (`hybrid_merger.py:210-211`). Spark's shrinking frame at partition
-    * edges matches `min_periods=1` exactly; exact `median` (Spark ≥3.4)
-    * matches pandas' exact rolling median.
+    * edges matches `min_periods=1` exactly. Spark's `median` rejects window
+    * frames, but exact `percentile(c, 0.5)` is frame-capable and uses the
+    * same linear interpolation as pandas/DuckDB median.
     */
   def rollingMedian5(c: Column, partitionBy: Seq[String] = Nil,
                      orderBy: Seq[String] = Seq("datetime")): Column =
-    median(c).over(timeWindow(partitionBy, orderBy).rowsBetween(-2, 2))
+    percentile(c, lit(0.5))
+      .over(timeWindow(partitionBy, orderBy).rowsBetween(-2, 2))
 }
