@@ -1,0 +1,326 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** North-star extension queries (SURVEY §7 E-ops): dedup, similarity
+  * search, text analysis, multimodal plumbing — each oracle-checked where
+  * DuckDB can express the twin (all hashing is md5-derived for exact
+  * cross-engine parity; see graft.ext.Dedup).
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Distinct 5-word shingles as a DuckDB CTE (1-based list indexing;
+    * shingle SETS equal Spark's 0-based construction). */
+  private val shinglesCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(w) - 3, 1)),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents) t
+      |    WHERE len(w) >= 5))""".stripMargin
+
+  private val jaccardTailSql =
+    """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b
+      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // E1: exact dedup by content fingerprint
+    "e1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+
+    // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs)
+    "e2_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), 5, 0.5)),
+
+    // E3: MinHash + LSH banding, exact-Jaccard verified
+    "e3_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5)),
+
+    // E4: SimHash near-dup pairs via 8-bit chunk banding
+    "e4_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), 3)),
+
+    // E5: brute-force cosine top-3 neighbors for query vectors
+    "e5_knn_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceKnn(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
+    // E6: IVF-pruned k-NN — search only the query's coarse cell
+    "e6_ivf_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfKnn(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
+    // E7: text quality scoring
+    "e7_text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))),
+
+    // E8: language-ID heuristic (marker stopword argmax)
+    "e8_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+
+    // E9: token counting (whitespace + BPE-ish regex)
+    "e9_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+
+    // E10: winnowing document fingerprints
+    "e10_fingerprint_winnow" -> ((s, dir) =>
+      TextAnalysis.fingerprints(docs(s, dir), 5, 4)),
+
+    // E11: multimodal blob plumbing — binary payload + frame features
+    "e11_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameFeatures(Multimodal.asBlobTable(docs(s, dir)))),
+
+    // E12: exact distinct counts per group
+    "e12_distinct_users" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))),
+
+    // E13: approximate distinct (HLL) — engine-specific sketch, no SQL
+    // oracle (driver records rows-only); the scalable form of E12
+    "e13_approx_distinct_users" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "e1_dedup_exact" ->
+      ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM documents GROUP BY 1"),
+
+    "e2_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte, $jaccardTailSql
+         |SELECT doc_a, doc_b,
+         |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
+         |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    "e3_dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte, $jaccardTailSql,
+         |mh AS (
+         |  SELECT doc_id, seed,
+         |    min(('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT)
+         |      AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+         |  GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key
+         |   AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+         |FROM cand
+         |JOIN inter USING (doc_a, doc_b)
+         |JOIN cnt ca ON doc_a = ca.doc_id
+         |JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
+         |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    "e4_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |        AS tok
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |th AS (
+        |  SELECT doc_id, n,
+        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, i, sum(n * (2 * ((h >> i) & 1) - 1)) AS v
+        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) bits
+        |  GROUP BY 1, 2),
+        |simh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+        |      AS simhash
+        |  FROM votes GROUP BY 1),
+        |chunks AS (
+        |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS chunk
+        |  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa,
+        |         y.doc_id AS doc_b, y.simhash AS sb
+        |  FROM chunks x JOIN chunks y
+        |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    "e5_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS n_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS ce
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id, round(
+        |    list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+        |       i -> qe[i] * qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+        |       i -> ce[i] * ce[i])))), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> n_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, n_id, sim, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "e6_ivf_knn" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, label AS cell,
+        |    list_transform(embedding, x -> x::DOUBLE) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT vec_id AS n_id, label AS cell,
+        |    list_transform(embedding, x -> x::DOUBLE) AS ce
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, q.cell AS cell, n_id, round(
+        |    list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> qe[i] * ce[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+        |       i -> qe[i] * qe[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+        |       i -> ce[i] * ce[i])))), 6) AS sim
+        |  FROM q JOIN c ON q.cell = c.cell WHERE q_id <> n_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+        |  FROM scored)
+        |SELECT q_id, cell, n_id, sim, rank FROM ranked
+        |WHERE rank <= 3""".stripMargin,
+
+    "e7_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, len(w) AS n_words,
+        |    length(replace(text, ' ', ''))::DOUBLE / len(w)
+        |      AS avg_word_len,
+        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+        |      'g')))::DOUBLE / length(text) AS punct_ratio,
+        |    len(list_filter(w,
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE
+        |      / len(w) AS stopword_ratio
+        |  FROM base)
+        |SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(CAST(0.4 AS DOUBLE)
+        |          * least(n_words / CAST(100 AS DOUBLE),
+        |                  CAST(1.0 AS DOUBLE))
+        |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+        |      + CAST(0.3 AS DOUBLE) * stopword_ratio, 6) AS quality
+        |FROM stats""".stripMargin,
+
+    "e8_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang AS actual_lang,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, actual_lang,
+        |    len(list_filter(w,
+        |      x -> x IN ('der', 'und', 'die', 'nicht', 'das'))) AS s_de,
+        |    len(list_filter(w,
+        |      x -> x IN ('the', 'and', 'of', 'is', 'that'))) AS s_en,
+        |    len(list_filter(w,
+        |      x -> x IN ('el', 'y', 'los', 'que', 'de'))) AS s_es,
+        |    len(list_filter(w,
+        |      x -> x IN ('le', 'et', 'les', 'que', 'des'))) AS s_fr,
+        |    len(list_filter(w,
+        |      x -> x IN ('的', '了', '是', '在', '我'))) AS s_zh
+        |  FROM base)
+        |SELECT doc_id, actual_lang, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |    WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |    ELSE 'und' END AS pred_lang
+        |FROM s""".stripMargin,
+
+    "e9_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x != ''))
+        |    AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "e10_fingerprint_winnow" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 1)),
+        |      i -> {'pos': i - 1,
+        |            's': concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+        |                           w[i+4])})) AS u
+        |    FROM toks WHERE len(w) >= 5) t),
+        |hashed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM sh),
+        |winm AS (
+        |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh
+        |  FROM hashed)
+        |SELECT DISTINCT doc_id, minh AS fingerprint
+        |FROM winm WHERE pos >= 3""".stripMargin,
+
+    "e11_multimodal_frames" ->
+      """WITH b AS (
+        |  SELECT doc_id, text::BLOB AS payload, lang FROM documents),
+        |f AS (
+        |  SELECT doc_id, octet_length(payload) AS byte_len,
+        |    CAST(ceil(octet_length(payload) / CAST(64 AS DOUBLE))
+        |      AS BIGINT) AS n_frames,
+        |    payload, lang
+        |  FROM b)
+        |SELECT doc_id, byte_len, n_frames,
+        |  least(64, byte_len - ((n_frames - 1) // 2) * 64)
+        |    AS mid_frame_len,
+        |  'text/plain' AS mime, lang
+        |FROM f""".stripMargin,
+
+    "e12_distinct_users" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS n_users " +
+        "FROM events GROUP BY 1")
+  )
+}

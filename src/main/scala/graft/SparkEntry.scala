@@ -157,8 +157,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("g1_g2_g3_ohlc_resample")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * E-op extensions from [[ExtQueries]]. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S2: schema'd scan + column pruning + filter pushdown
     "s2_scan_prune" -> ((s, dir) =>
@@ -424,7 +428,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
 
     "s2_scan_prune" ->
       "SELECT event_id, ts, value FROM events WHERE value >= 0.0001",

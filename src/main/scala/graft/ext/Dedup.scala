@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators: exact, n-gram
+  * Jaccard, MinHash+LSH, and SimHash (SURVEY §7 E-ops; no counterpart in
+  * the reference, which is single-feed time-series).
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB) with hex-prefix → integer parsing, never from
+  * engine-specific hash functions (`xxhash64`, DuckDB `hash`). That makes
+  * each operator fully oracle-checkable.
+  *
+  * Scale design: everything is shuffle-on-key relational algebra —
+  * shingle/band joins instead of all-pairs comparison. The only quadratic
+  * step is per-bucket pair expansion, which LSH banding keeps tiny; at
+  * 100 TB the band-bucket join is the standard MinHash dedup topology
+  * (map-side shingling → shuffle on band key → per-bucket pairs).
+  */
+object Dedup {
+
+  /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact dedup via content fingerprint: groups by md5(text), keeps the
+    * smallest doc_id as canonical (deterministic survivor pick). */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles per document: (doc_id, shingle).
+    * Documents shorter than k words produce no shingles. */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
+    * shingle (the shingle join prunes the quadratic all-pairs space);
+    * jaccard = |∩| / |∪| over distinct shingle sets. */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for seeds 0..k-1,
+    * `mh(seed) = min over shingles of md5Long(seed || ':' || shingle)`.
+    * Returns (doc_id, seed, minhash). */
+  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
+    sh.select(col("doc_id"), col("shingle"),
+      explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
+      .select(col("doc_id"), col("seed"),
+        md5Long(concat_ws(":", col("seed"), col("shingle"))).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH band keys: signature split into bands of `rowsPerBand` minhashes;
+    * band key = comma-joined minhash values in seed order.
+    * Returns (doc_id, band, band_key). */
+  def lshBands(mh: DataFrame, rowsPerBand: Int = 2): DataFrame =
+    mh.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(seed, mh)))," +
+          " x -> cast(x.mh as string))"), ",").as("band_key"))
+
+  /** MinHash+LSH near-dup pairs: candidates share ≥1 band bucket, then
+    * exact Jaccard verification ≥ `minJaccard`. With k=16, r=2 (8 bands),
+    * P[candidate] = 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈1 at j≥0.8. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
+                      rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, k).cache()
+    val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    candidates
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per document: token-frequency-weighted bit voting.
+    * bit_i(simhash) = 1 iff Σ_tokens n(t) · (2·bit_i(md5₃₂(t)) − 1) > 0. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x != '')")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    toks
+      .select(col("doc_id"), col("n"), col("h"),
+        explode(expr("sequence(0, 31)")).as("i"))
+      .withColumn("vote",
+        col("n") * (expr("shiftright(h, i) & 1") * 2 - 1))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded by the four 8-bit chunks (two docs
+    * within hamming distance 3 of each other share ≥1 chunk), verified by
+    * `bit_count(xor) <= maxHamming`. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("c"))
+      .withColumn("chunk", expr("shiftright(simhash, c * 8) & 255"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

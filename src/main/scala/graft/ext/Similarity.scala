@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — SURVEY §7 E-ops.
+  *
+  * All vector math uses higher-order functions (`zip_with`/`aggregate`)
+  * over double-cast arrays — codegen-friendly, no UDFs. Similarities are
+  * rounded to 6 decimals BEFORE ranking so top-k ties break identically
+  * across engines (then by neighbor id).
+  *
+  * Scale path: brute force is O(Q·N) — fine when Q is small or as a
+  * per-cell step. The IVF variant prunes the corpus to the query's coarse
+  * cell (here the `label` column as quantizer cell): the join key carries
+  * the cell, so the shuffle co-locates each query with only its cell's
+  * vectors — the standard IVF-Flat topology. The LSH variant buckets by
+  * deterministic hyperplane sign bits, pruning to same-bucket candidates.
+  */
+object Similarity {
+
+  /** Cosine similarity between two `array<float>` columns, computed in
+    * double precision with sequential folds (matches a single-node
+    * accumulation order). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = expr(
+      s"aggregate(zip_with(${x}, ${y}, (p, q) -> cast(p as double) * " +
+        s"cast(q as double)), cast(0 as double), (acc, v) -> acc + v)")
+    val ab = dot(a, b)
+    val aa = dot(a, a)
+    val bb = dot(b, b)
+    ab / (sqrt(aa) * sqrt(bb))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector (self
+    * excluded). `queries`/`corpus`: (vec_id, embedding). */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
+                    k: Int = 3): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
+  /** IVF-style pruned k-NN: search only the query's coarse cell
+    * (`label` as the quantizer assignment). Equi-join on the cell key
+    * replaces the cross join — the scalable ANN shape. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 3): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("label").as("cell"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col("label").as("cell"))
+    q.join(c, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cell"), col("n_id"), col("sim"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component: integer arithmetic
+    * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3. */
+  private def hyperplaneDot(emb: Column, j: Int): Column = expr(
+    s"""aggregate(zip_with($emb, sequence(0, size($emb) - 1),
+       |  (v, i) -> cast(v as double) * (((i * 31 + $j * 17) % 7) - 3)),
+       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  /** LSH bucket id from `nBits` hyperplane sign bits. */
+  def lshBucket(emb: Column, nBits: Int = 8): Column =
+    (0 until nBits).map(j =>
+      when(hyperplaneDot(emb, j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** LSH-bucketed ANN: same-bucket candidate pairs with cosine ≥
+    * `minSim`. The bucket key prunes the all-pairs space exactly like
+    * MinHash banding does for Jaccard. */
+  def lshPairs(vectors: DataFrame, nBits: Int = 8,
+               minSim: Double = 0.9): DataFrame = {
+    val b = vectors.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nBits).as("bucket"))
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7 E-ops):
+  * quality scoring, language identification, token counting, and
+  * winnowing-style document fingerprinting. All pure Column expressions —
+  * codegen'd, no UDFs — and every regex sticks to constructs with
+  * identical semantics in Java (Spark) and RE2 (DuckDB) so the oracle
+  * twin is exact.
+  */
+object TextAnalysis {
+
+  private def words(text: Column): Column =
+    expr(s"filter(split($text, ' '), x -> x != '')")
+
+  /** Per-document quality statistics and a deterministic composite score:
+    * word count, average word length, punctuation ratio, stopword ratio.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val nChars = length(col("text"))
+    val punct = (nChars -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+      nChars
+    val stopRatio = expr(
+      """size(filter(filter(split(text, ' '), x -> x != ''),
+        |  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))""".stripMargin)
+      .cast("double") / nWords
+    val avgWlen =
+      length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
+    val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stopRatio
+    docs.select(col("doc_id"), nWords.as("n_words"),
+      round(avgWlen, 6).as("avg_word_len"),
+      round(punct, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality"))
+  }
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "nicht", "das"),
+    "en" -> Seq("the", "and", "of", "is", "that"),
+    "es" -> Seq("el", "y", "los", "que", "de"),
+    "fr" -> Seq("le", "et", "les", "que", "des"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  /** Language-ID heuristic: marker-token counts per language; prediction
+    * is the first language (alphabetical) achieving the maximum score —
+    * a deterministic argmax identical to the oracle's CASE chain. */
+  def languageId(docs: DataFrame): DataFrame = {
+    def score(markers: Seq[String]): Column = expr(
+      s"""size(filter(filter(split(text, ' '), x -> x != ''),
+         |  x -> x IN (${markers.map(m => s"'$m'").mkString(", ")})))"""
+        .stripMargin)
+    val scored = langMarkers.foldLeft(docs) { case (d, (lang, ms)) =>
+      d.withColumn(s"s_$lang", score(ms))
+    }
+    val scoreCols = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val best = greatest(scoreCols: _*)
+    // alphabetical first-wins tie-break: de, en, es, fr, zh
+    val predAlpha = langMarkers.map(_._1).reverse
+      .foldLeft(lit("und"): Column) { case (acc, lang) =>
+        when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+      }
+    scored.select((col("doc_id") +: col("lang").as("actual_lang") +:
+      langMarkers.map { case (l, _) => col(s"s_$l") }) :+
+      predAlpha.as("pred_lang"): _*)
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs, digit runs, single non-alphanumerics). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(words(col("text"))).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+
+  /** Winnowing document fingerprints: k-word shingles in document order,
+    * md5-derived 60-bit hashes, rolling minimum over windows of `w`
+    * consecutive shingles; the distinct window-minima are the
+    * fingerprints (Schleimer et al., SIGMOD'03 — standard winnowing). */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("wds"))
+      .filter(size(col("wds")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(wds) - $k),
+           |  i -> array_join(slice(wds, i + 1, $k), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "shingle")
+      .withColumn("h", Dedup.md5Long(col("shingle")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    sh.withColumn("minh", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1)
+      .select(col("doc_id"), col("minh").as("fingerprint"))
+      .distinct()
+  }
+}
