@@ -116,11 +116,15 @@ object ExtQueries {
 
     "e3_dedup_minhash_lsh" ->
       s"""WITH $shinglesCte, $jaccardTailSql,
+         |h0s AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h0
+         |  FROM sh),
          |mh AS (
          |  SELECT doc_id, seed,
-         |    min(('0x' || substr(md5(seed || ':' || s), 1, 15))::BIGINT)
+         |    min((h0 * (seed * 2 + 1) + seed * 7919 + 13) % 2147483647)
          |      AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+         |  FROM h0s CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
          |  GROUP BY 1, 2),
          |bands AS (
          |  SELECT doc_id, seed // 2 AS band,

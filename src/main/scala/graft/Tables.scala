@@ -22,6 +22,9 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ANSI division-by-zero raises in Spark 4; the reference (pandas) and
+    // the DuckDB oracle both yield NULL/NaN instead — match them.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (df.schema.fields.exists(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))

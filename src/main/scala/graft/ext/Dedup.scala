@@ -68,14 +68,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for seeds 0..k-1,
-    * `mh(seed) = min over shingles of md5Long(seed || ':' || shingle)`.
-    * Returns (doc_id, seed, minhash). */
+  /** Modulus for the per-seed universal-hash family: 2³¹−1 (prime).
+    * Intermediate products stay < 2⁶³, so the arithmetic is overflow-free
+    * in both Spark longs and DuckDB BIGINT (which raises on overflow). */
+  val MinhashP = 2147483647L
+
+  /** MinHash signatures: one md5 per shingle (h0), then a cheap
+    * universal-hash family per seed —
+    * `h(seed) = ((h0 mod P) · (2·seed+1) + seed·7919 + 13) mod P` —
+    * instead of `numHashes` md5 invocations per shingle. Returns
+    * (doc_id, seed, minhash). */
   def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc_id"), col("shingle"),
+    sh.select(col("doc_id"),
+      (md5Long(col("shingle")) % MinhashP).as("h0"),
       explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
       .select(col("doc_id"), col("seed"),
-        md5Long(concat_ws(":", col("seed"), col("shingle"))).as("h"))
+        ((col("h0") * (col("seed") * 2 + 1) + col("seed") * 7919 + 13)
+          % MinhashP).as("h"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("mh"))
 
