@@ -550,18 +550,22 @@ object SparkEntry {
     "f6_spike_filter" ->
       s"""WITH $ticksCte, $preppedCte, $tickCandlesCte,
          |pct AS (
-         |  SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1) AS p
+         |  SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
          |  FROM tick_candles)
          |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
          |  round(low, 6) AS low, round(close, 6) AS close, volume
          |FROM pct
-         |WHERE NOT ((high - low) / open > CAST(2.0 AS DOUBLE)
-         |        OR p > CAST(2.0 AS DOUBLE))""".stripMargin,
+         |WHERE NOT (
+         |  CASE WHEN open = 0 THEN high <> low
+         |       ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+         |  OR CASE WHEN lc IS NULL THEN false
+         |          WHEN lc = 0 THEN close <> 0
+         |          ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)""".stripMargin,
 
     "u0_union_audit" ->
       s"""$fusionWith, $mixedCte,
          |pct AS (
-         |  SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1) AS p
+         |  SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
          |  FROM tick_candles)
          |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
          |  round(low, 6) AS low, round(close, 6) AS close,
@@ -573,8 +577,11 @@ object SparkEntry {
          |  round(close, 6), CAST(volume AS DOUBLE),
          |  'dropped_volatility_spike'
          |FROM pct
-         |WHERE (high - low) / open > CAST(2.0 AS DOUBLE)
-         |   OR p > CAST(2.0 AS DOUBLE)
+         |WHERE CASE WHEN open = 0 THEN high <> low
+         |           ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+         |   OR CASE WHEN lc IS NULL THEN false
+         |           WHEN lc = 0 THEN close <> 0
+         |           ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END
          |UNION ALL
          |SELECT t.datetime, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
          |  CAST(NULL AS DOUBLE), round(t.close, 6), CAST(NULL AS DOUBLE),
@@ -700,11 +707,14 @@ object SparkEntry {
          |  FROM marked),
          |spiked AS (
          |  SELECT datetime, open, high, low, close, volume, spread FROM (
-         |    SELECT *, abs(close / lag(close) OVER (ORDER BY datetime) - 1)
-         |      AS p
+         |    SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
          |    FROM repaired) t
-         |  WHERE NOT ((high - low) / open > CAST(2.0 AS DOUBLE)
-         |          OR p > CAST(2.0 AS DOUBLE))),
+         |  WHERE NOT (
+         |    CASE WHEN open = 0 THEN high <> low
+         |         ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+         |    OR CASE WHEN lc IS NULL THEN false
+         |            WHEN lc = 0 THEN close <> 0
+         |            ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)),
          |pbounds AS (SELECT min(datetime) AS mn, max(datetime) AS mx
          |            FROM spiked),
          |pgrid AS (

@@ -63,26 +63,36 @@ object CleanOps {
     * The first row's pct_change is NULL → predicate NULL → row kept,
     * matching pandas' NaN comparison semantics.
     */
+  /** The F6 drop condition with pandas/IEEE division semantics. Spark's
+    * non-ANSI `x/0` is NULL, but pandas yields ±inf (breach) for `x≠0`
+    * and NaN (no breach: `NaN > t` is False) for `0/0`; a first-row NULL
+    * lag is NaN in pandas → no breach. Spelled out as CASEs so the plan
+    * is NULL-free and matches the reference bit-for-bit. */
+  private def spikeDropCond(threshold: Double,
+                            partitionBy: Seq[String]) = {
+    val lagClose = WindowOps.lag1(col("close"), partitionBy)
+    val ampBreach = when(col("open") === 0, col("high") =!= col("low"))
+      .otherwise((col("high") - col("low")) / col("open") > threshold)
+    val pctBreach = when(lagClose.isNull, lit(false))
+      .otherwise(when(lagClose === 0, col("close") =!= 0)
+        .otherwise(abs(col("close") / lagClose - 1) > threshold))
+    (ampBreach, pctBreach)
+  }
+
   def spikeFilter(candles: DataFrame, threshold: Double = 0.005,
                   partitionBy: Seq[String] = Nil): DataFrame = {
-    val withPct = candles.withColumn("_pct",
-      abs(col("close") / WindowOps.lag1(col("close"), partitionBy) - 1))
-    withPct
-      .filter(!((col("high") - col("low")) / col("open") > threshold ||
-        col("_pct") > threshold))
-      .drop("_pct")
+    val (amp, pct) = spikeDropCond(threshold, partitionBy)
+    candles.withColumn("_drop", amp || pct)
+      .filter(!col("_drop")).drop("_drop")
   }
 
   /** Complement of F6 for the audit log (reason
     * `dropped_volatility_spike`). */
   def spikeRows(candles: DataFrame, threshold: Double = 0.005,
                 partitionBy: Seq[String] = Nil): DataFrame = {
-    val withPct = candles.withColumn("_pct",
-      abs(col("close") / WindowOps.lag1(col("close"), partitionBy) - 1))
-    withPct
-      .filter((col("high") - col("low")) / col("open") > threshold ||
-        col("_pct") > threshold)
-      .drop("_pct")
+    val (amp, pct) = spikeDropCond(threshold, partitionBy)
+    candles.withColumn("_drop", amp || pct)
+      .filter(col("_drop")).drop("_drop")
   }
 
   /** The full validate-and-clean stage in reference order:

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Resample
+
+/** Structured-Streaming form of the candle resampler (SURVEY §2.12):
+  * the reference's batch `resample('1min')` (G1–G3) becomes a watermarked
+  * tumbling window over the tick stream.
+  *
+  * Semantics: identical bucket boundaries to the batch `date_trunc`
+  * (tumbling `window($"datetime", "1 minute")` starts are minute floors);
+  * open/close use the same ordered-min/max-of-struct trick, so a replayed
+  * stream converges to exactly the batch result. The watermark bounds
+  * state: ticks later than `watermark` behind the max event time are
+  * dropped, and closed windows emit once in append mode.
+  *
+  * Scale: this is the streaming topology the 100 TB design wants —
+  * shuffle on (key, window), partial aggregation before the exchange,
+  * state store per window key. Flat-candle gap bridging (U2) would need
+  * `transformWithState` timers to emit synthetic candles on event-time
+  * progress; documented follow-on (SURVEY §2.12), not required for batch
+  * parity.
+  */
+object StreamingOhlc {
+
+  /** @param ticks streaming frame: datetime, tick_id, mid, spread
+    * @param watermark max event-time lateness, e.g. "2 minutes"
+    */
+  def ohlc1min(ticks: DataFrame, watermark: String = "2 minutes",
+               keyCols: Seq[String] = Nil): DataFrame = {
+    val keys = keyCols.map(col) :+ window(col("datetime"), "1 minute")
+    ticks
+      .withWatermark("datetime", watermark)
+      .groupBy(keys: _*)
+      .agg(
+        Resample.firstBy(col("mid"), col("datetime"), col("tick_id"))
+          .as("open"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        Resample.lastBy(col("mid"), col("datetime"), col("tick_id"))
+          .as("close"),
+        count(col("mid")).as("volume"),
+        avg(col("spread")).as("spread"))
+      .select((keyCols.map(col) :+ col("window.start").as("datetime")) ++
+        Seq(col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("spread")): _*)
+  }
+}

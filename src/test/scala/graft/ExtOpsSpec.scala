@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** E-op unit tests: dedup family, similarity, text analysis, multimodal
+  * plumbing — small hand-checkable inputs. */
+class ExtOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "a b c d e f g h"),            // base
+    (2L, "a b c d e f g h"),            // exact duplicate of 1
+    (3L, "a b c d e f g x"),            // near-duplicate of 1
+    (4L, "p q r s t u v w"))            // unrelated
+    .toDF("doc_id", "text")
+
+  test("E1: exact dedup groups identical texts, keeps min doc_id") {
+    val d = Dedup.exact(docsDf).collect()
+    assert(d.length == 3)
+    val dup = d.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("E2: n-gram jaccard — identical docs 1.0; near-dup in (0,1); " +
+    "unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, k = 3, minJaccard = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("E3: minhash LSH finds identical and near-identical docs") {
+    val pairs = Dedup.minhashLshPairs(docsDf, k = 3, numHashes = 16,
+      rowsPerBand = 2, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    // identical docs share every band → always candidates; verified 1.0
+  }
+
+  test("E4: simhash is identical for identical docs (hamming 0)") {
+    val pairs = Dedup.simhashPairs(docsDf, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int](2))
+    assert(pairs.exists(_._1 == (1L, 2L)))
+  }
+
+  test("E5: cosine and brute-force knn rank by similarity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),   // query
+      (1L, Array(2.0f, 0.0f)),   // parallel → sim 1.0
+      (2L, Array(1.0f, 1.0f)),   // 45° → ~0.707
+      (3L, Array(0.0f, 1.0f)))   // orthogonal → 0.0
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs.filter($"vec_id" === 0L),
+      vecs, 3).orderBy("rank").collect()
+    assert(knn.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(knn(0).getAs[Double]("sim") == 1.0)
+    assert(math.abs(knn(1).getAs[Double]("sim") - 0.707107) < 1e-6)
+    assert(knn(2).getAs[Double]("sim") == 0.0)
+  }
+
+  test("E6: IVF knn searches only the query's cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(1.0f, 0.1f), 7),
+      (2L, Array(1.0f, 0.0f), 8)) // same direction, different cell
+      .toDF("vec_id", "embedding", "label")
+    val knn = Similarity.ivfKnn(vecs.filter($"vec_id" === 0L), vecs, 5)
+      .collect()
+    assert(knn.map(_.getAs[Long]("n_id")).toSet == Set(1L))
+  }
+
+  test("E7/E9: quality stats and token counts are hand-checkable") {
+    val d = Seq((1L, "the cat, sat!")).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(d).head()
+    assert(q.getAs[Int]("n_words") == 3)
+    // "thecat,sat!" = 11 chars / 3 words
+    assert(math.abs(q.getAs[Double]("avg_word_len") - 11.0 / 3) < 1e-4)
+    // 2 punct chars of 13 total
+    assert(math.abs(q.getAs[Double]("punct_ratio") - 2.0 / 13) < 1e-4)
+    val t = TextAnalysis.tokenCounts(d).head()
+    assert(t.getAs[Int]("n_ws_tokens") == 3)
+    // BPE-ish: the, ' '×0, cat, ',', sat, '!' → [a-z]+ ×3 + punct ×2 = 5
+    assert(t.getAs[Int]("n_bpe_tokens") == 5)
+  }
+
+  test("E8: language id picks the marker-richest language, " +
+    "alphabetical tie-break") {
+    val d = Seq(
+      (1L, "the cat and the dog of it", "en"),
+      (2L, "der hund und die katze", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.languageId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang"))
+      .toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+  }
+
+  test("E10: winnowing emits one fingerprint per window position, " +
+    "deduplicated") {
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    // 10 words, k=5 → 6 shingles; w=4 → positions 3..5 → ≤3 fingerprints
+    val fp = TextAnalysis.fingerprints(d, k = 5, w = 4)
+    assert(fp.count() <= 3 && fp.count() >= 1)
+  }
+
+  test("E11: multimodal plumbing — byte lengths, frame counts, stub decode") {
+    val d = Seq((1L, "x" * 150, "en", "src", 150L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.frameFeatures(Multimodal.asBlobTable(d)).head()
+    assert(feats.getAs[Int]("byte_len") == 150)
+    assert(feats.getAs[Long]("n_frames") == 3L)  // ceil(150/64)
+    assert(feats.getAs[Int]("mid_frame_len") == 64) // middle frame full
+    val frames = Multimodal.decodeFrames(Multimodal.asBlobTable(d))
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3)
+    assert(frames.map(_.n_bytes).toSeq == Seq(64, 64, 22))
+    assert(frames(0).checksum == 64L * 'x'.toInt)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, FloatType}
+
+/** End-to-end Pipeline.run on a hand-built two-feed scenario covering
+  * consensus rejection, fusion fallback, gap bridging, and the float32
+  * output contract. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pipeline fuses feeds, bridges gaps, rejects catastrophes, and " +
+    "casts to the reference's output schema") {
+    // Tick feed: Wed 2024-01-03, minutes 10:00, 10:01, 10:04
+    //  - 10:01 will be a catastrophe (tick close 9.0 vs m1 close 1.0)
+    val ticks = Seq(
+      (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
+      (ts("2024-01-03 10:00:50"), 2L, 1.015, 1.005),
+      (ts("2024-01-03 10:01:10"), 3L, 9.005, 8.995),
+      (ts("2024-01-03 10:04:30"), 4L, 1.025, 1.015))
+      .toDF("datetime", "tick_id", "ask", "bid")
+    // M1 feed: has 10:01 (sane) and 10:02 (tick-missing minute)
+    val m1 = Seq(
+      (ts("2024-01-03 10:01:00"), 1.0, 1.01, 0.99, 1.0, 5L,
+        null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-03 10:02:00"), 1.01, 1.02, 1.0, 1.01, 4L,
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+
+    val r = Pipeline.run(spark, ticks, Some(m1),
+      spikeThreshold = 0.5, consensusThreshold = 0.5)
+    val out = r.candles.orderBy("datetime").collect()
+
+    // dense minutes 10:00..10:04, all present
+    assert(out.map(_.getTimestamp(0)).toSeq ==
+      (0 to 4).map(m => ts(f"2024-01-03 10:0$m%d:00")))
+    // catastrophe minute 10:01 lost its tick candle; M1 filled it
+    val m01 = out(1)
+    assert(math.abs(m01.getAs[Float]("close") - 1.0f) < 1e-6)
+    // 10:02 came from M1 (tick feed had nothing)
+    assert(math.abs(out(2).getAs[Float]("close") - 1.01f) < 1e-6)
+    // 10:03 is a bridged flat candle inheriting 10:02's close
+    val m03 = out(3)
+    assert(m03.getAs[Byte]("is_flat") == 1.toByte)
+    assert(m03.getAs[Float]("volume") == 0f)
+    assert(m03.getAs[Float]("open") == m03.getAs[Float]("close"))
+    // output schema: float32 prices/volume/spread, int8 flag
+    assert(r.candles.schema("close").dataType == FloatType)
+    assert(r.candles.schema("is_flat").dataType == ByteType)
+    // spread is fully recovered (non-null everywhere)
+    assert(out.forall(!_.isNullAt(r.candles.columns.indexOf("spread"))))
+
+    // audit log carries the catastrophe rejection and the flat bridge
+    val reasons = r.audit.select("reason").as[String].collect().toSet
+    assert(reasons.contains("rejected_tick_catastrophe"))
+    assert(reasons.contains("gap_bridged_flat"))
+  }
+
+  test("pipeline without an M1 feed degrades to the pure tick path") {
+    val ticks = Seq(
+      (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
+      (ts("2024-01-03 10:02:30"), 2L, 1.015, 1.005))
+      .toDF("datetime", "tick_id", "ask", "bid")
+    val out = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5)
+      .candles.orderBy("datetime").collect()
+    assert(out.length == 3)
+    assert(out(1).getAs[Byte]("is_flat") == 1.toByte)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.Resample
+import graft.streaming.StreamingOhlc
+
+/** Streaming resampler converges to the batch OHLC result. */
+class StreamingOhlcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming 1-min OHLC over a replayed tick stream equals the " +
+    "batch resample") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
+    val ticks = mem.toDF()
+      .toDF("datetime", "tick_id", "mid", "spread")
+
+    val q = StreamingOhlc.ohlc1min(ticks, watermark = "2 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+
+    val data = Seq(
+      (ts("2024-01-03 10:00:05"), 1L, 1.0, 0.01),
+      (ts("2024-01-03 10:00:40"), 2L, 1.2, 0.03),
+      (ts("2024-01-03 10:01:10"), 3L, 1.1, 0.02))
+    mem.addData(data)
+    q.processAllAvailable()
+    val streamed = spark.table("ohlc_out").orderBy("datetime").collect()
+    q.stop()
+
+    val batch = Resample.ohlc1min(
+      data.toDF("datetime", "tick_id", "mid", "spread"))
+      .orderBy("datetime").collect()
+
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+}
