@@ -17,24 +17,27 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** Distinct 5-word shingles as a DuckDB CTE (1-based list indexing;
-    * shingle SETS equal Spark's 0-based construction). */
+  /** Distinct 60-bit hashes of 5-word shingles as a DuckDB CTE (1-based
+    * list indexing; shingle SETS equal Spark's 0-based construction; the
+    * hash mirrors graft.ext.Dedup.md5Long exactly). */
   private val shinglesCte =
     """sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (
       |    SELECT doc_id, unnest(list_transform(
       |      range(1, greatest(len(w) - 3, 1)),
       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
       |          FROM documents) t
-      |    WHERE len(w) >= 5))""".stripMargin
+      |    WHERE len(w) >= 5) u)""".stripMargin
 
   private val jaccardTailSql =
     """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
       |  FROM sh a JOIN sh b
-      |    ON a.s = b.s AND a.doc_id < b.doc_id
+      |    ON a.h = b.h AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -117,8 +120,7 @@ object ExtQueries {
     "e3_dedup_minhash_lsh" ->
       s"""WITH $shinglesCte, $jaccardTailSql,
          |h0s AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h0
+         |  SELECT doc_id, h % 2147483647 AS h0
          |  FROM sh),
          |mh AS (
          |  SELECT doc_id, seed,

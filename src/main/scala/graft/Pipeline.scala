@@ -37,9 +37,15 @@ object Pipeline {
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
           partitionBy: Seq[String] = Nil): Result = {
 
-    // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles")
+    // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles").
+    // Cached: the candle frame feeds three join branches (consensus,
+    // anti-join, fusion) — without caching each branch re-runs the full
+    // scan+aggregate. Candle cardinality is time-span-bounded, so the
+    // cache is small even when the tick input is 100 TB.
     val prepped = TickPrep(ticks)
-    val tickCandles = Resample.ohlc1min(prepped, partitionBy)
+    val tickCandles = Resample.ohlc1min(prepped, partitionBy).cache()
+    tickCandles.count() // eager: unmaterialized caches rebuild per branch
+    m1.foreach { df => df.cache(); df.count() }
 
     // Stage 3: consensus cross-check against the legacy feed
     val keys = partitionBy :+ "datetime"

@@ -43,17 +43,36 @@ object Dedup {
         .as("shingle"))
       .distinct()
 
+  /** Distinct 60-bit shingle hashes per document: (doc_id, h). All
+    * downstream joins/groupings run on the long hash, not the shingle
+    * string — an 8-byte shuffle key instead of ~30-byte text. The oracle
+    * mirrors the identical hash, so results agree even on the (≈2⁻⁶⁰)
+    * collision. */
+  def shingleHashes(docs: DataFrame, k: Int = 5): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
+        .as("shingle"))
+      .select(col("doc_id"), md5Long(col("shingle")).as("h"))
+      .distinct()
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * shingle (the shingle join prunes the quadratic all-pairs space);
     * jaccard = |∩| / |∪| over distinct shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
                         minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    // Eagerly materialized: an unmaterialized cache consumed by several
+    // branches of one job is rebuilt concurrently by every branch
+    // (measured 5x slower). One small action fixes the topology.
+    val sh = shingleHashes(docs, k).cache()
+    sh.count()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -73,14 +92,13 @@ object Dedup {
     * in both Spark longs and DuckDB BIGINT (which raises on overflow). */
   val MinhashP = 2147483647L
 
-  /** MinHash signatures: one md5 per shingle (h0), then a cheap
+  /** MinHash signatures over hashed shingles (doc_id, h): a cheap
     * universal-hash family per seed —
-    * `h(seed) = ((h0 mod P) · (2·seed+1) + seed·7919 + 13) mod P` —
-    * instead of `numHashes` md5 invocations per shingle. Returns
+    * `h(seed) = ((h mod P) · (2·seed+1) + seed·7919 + 13) mod P` —
+    * one md5 per shingle total, not per (seed, shingle). Returns
     * (doc_id, seed, minhash). */
   def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc_id"),
-      (md5Long(col("shingle")) % MinhashP).as("h0"),
+    sh.select(col("doc_id"), (col("h") % MinhashP).as("h0"),
       explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
       .select(col("doc_id"), col("seed"),
         ((col("h0") * (col("seed") * 2 + 1) + col("seed") * 7919 + 13)
@@ -104,7 +122,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
                       rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, k).cache()
+    val sh = shingleHashes(docs, k).cache()
+    sh.count() // eager materialization — see ngramJaccardPairs
     val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -116,8 +135,7 @@ object Dedup {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     candidates
