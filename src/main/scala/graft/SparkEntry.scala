@@ -393,6 +393,30 @@ object SparkEntry {
           col("is_flat"))
     }),
 
+    // U2 keyed variant: per-symbol grids + partition-parallel ffill —
+    // the multi-key generalization (SURVEY §2.12) that removes the
+    // single-partition window constraint at scale. Per-user bounds
+    // range-join against one global distributed grid (broadcast bounds).
+    "u2_bridge_by_key" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 10)
+      val candles = Resample.ohlc1min(
+        ev.select(col("ts").as("datetime"), col("event_id").as("tick_id"),
+          col("user_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread")),
+        Seq("user_id"))
+      val bounds = candles.groupBy(col("user_id"))
+        .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
+      val g = bounds.agg(min(col("mn")), max(col("mx"))).head()
+      val userGrid = GridOps.minuteGrid(s, g.getTimestamp(0),
+        g.getTimestamp(1))
+        .join(broadcast(bounds),
+          col("datetime") >= col("mn") && col("datetime") <= col("mx"))
+        .select(col("user_id"), col("datetime"))
+      GridOps.flatCandleBridge(candles, userGrid, Seq("user_id"))
+        .select(col("user_id"), col("datetime"),
+          round(col("close"), 6).as("close"), col("is_flat"))
+    }),
+
     // Full composed pipeline (§3): the reference's run() end-to-end,
     // including P12's float32 cast (values re-widened for comparison)
     "pipeline_hybrid_full" -> ((s, dir) => {
@@ -660,6 +684,32 @@ object SparkEntry {
          |  CASE WHEN is_flat = 1 THEN 0 ELSE volume END AS volume,
          |  round(fspread, 6) AS spread, is_flat
          |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+
+    "u2_bridge_by_key" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+        |candles AS (
+        |  SELECT user_id, date_trunc('minute', ts) AS datetime,
+        |    last(value ORDER BY ts, event_id) AS close
+        |  FROM ev GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(datetime) AS mn, max(datetime) AS mx
+        |      FROM candles GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS datetime
+        |  FROM b),
+        |joined AS (
+        |  SELECT g.user_id, g.datetime, c.close
+        |  FROM grid g LEFT JOIN candles c
+        |    ON g.user_id = c.user_id AND g.datetime = c.datetime),
+        |bridged AS (
+        |  SELECT user_id, datetime,
+        |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+        |    last_value(close IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY datetime
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fclose
+        |  FROM joined)
+        |SELECT user_id, datetime, round(fclose, 6) AS close, is_flat
+        |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
 
     "pipeline_hybrid_full" ->
       s"""$fusionWith,

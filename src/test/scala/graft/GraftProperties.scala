@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.ops.{CleanOps, GridOps, Resample}
+
+/** ScalaCheck property tests for the pipeline invariants the reference
+  * asserts by construction (SURVEY §5): OHLC vs an in-memory reference
+  * fold, post-repair candle containment, and dense-grid/flat-candle
+  * invariants — over randomized tick streams. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val base = Timestamp.valueOf("2024-01-03 10:00:00").getTime
+
+  private val tickGen: Gen[List[(Long, Double)]] = Gen.nonEmptyListOf(
+    for {
+      offsetSec <- Gen.choose(0, 600) // ten minutes of stream
+      price <- Gen.choose(1.0, 100.0)
+    } yield (offsetSec.toLong, price))
+
+  private def toDf(ticks: List[(Long, Double)]) = {
+    import spark.implicits._
+    ticks.zipWithIndex.map { case ((off, p), i) =>
+      (new Timestamp(base + off * 1000), i.toLong, p, 0.01)
+    }.toDF("datetime", "tick_id", "mid", "spread")
+  }
+
+  property("ohlc1min equals an in-memory reference fold") =
+    Prop.forAll(tickGen) { ticks =>
+      val got = Resample.ohlc1min(toDf(ticks)).collect().map { r =>
+        r.getTimestamp(0).getTime ->
+          ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getLong(5)))
+      }.toMap
+      val expected = ticks.zipWithIndex
+        .map { case ((off, p), i) => (off, i.toLong, p) }
+        .groupBy { case (off, _, _) => base + (off / 60) * 60000 }
+        .map { case (minute, ts) =>
+          val byTime = ts.sortBy { case (off, id, _) => (off, id) }
+          minute -> ((byTime.head._3,
+            ts.map(_._3).max, ts.map(_._3).min,
+            byTime.last._3, ts.size.toLong))
+        }
+      got == expected
+    }
+
+  private val candleGen = Gen.nonEmptyListOf(
+    for {
+      minute <- Gen.choose(0, 30)
+      o <- Gen.choose(1.0, 10.0); h <- Gen.choose(1.0, 10.0)
+      l <- Gen.choose(1.0, 10.0); c <- Gen.choose(1.0, 10.0)
+    } yield (minute, o, h, l, c))
+
+  property("structuralRepair restores low<=min(o,c)<=max(o,c)<=high on " +
+    "arbitrary candles") = Prop.forAll(candleGen) { cs =>
+    import spark.implicits._
+    val df = cs.groupBy(_._1).map(_._2.head).toSeq.map {
+      case (m, o, h, l, c) =>
+        (new Timestamp(base + m * 60000L), o, h, l, c, 1L, 0.01)
+    }.toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+    val repaired = CleanOps.structuralRepair(CleanOps.dropInverted(df))
+    repaired.collect().forall { r =>
+      val (o, h, l, c) = (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+      l <= math.min(o, c) && math.max(o, c) <= h
+    }
+  }
+
+  property("flatCandleBridge yields a dense unique minute grid with " +
+    "flat-candle invariants") = Prop.forAll(tickGen) { ticks =>
+    val candles = Resample.ohlc1min(toDf(ticks))
+    val b = candles.agg(min(col("datetime")), max(col("datetime"))).head()
+    val grid = GridOps.minuteGrid(spark, b.getTimestamp(0),
+      b.getTimestamp(1))
+    val out = GridOps.flatCandleBridge(candles, grid)
+      .orderBy("datetime").collect()
+    val minutes = out.map(_.getTimestamp(0).getTime)
+    val dense = minutes.zip(minutes.drop(1))
+      .forall { case (a, bb) => bb - a == 60000L }
+    val flatsOk = out.filter(_.getAs[Int]("is_flat") == 1).forall { r =>
+      r.getAs[Long]("volume") == 0L &&
+        r.getAs[Double]("open") == r.getAs[Double]("close") &&
+        r.getAs[Double]("high") == r.getAs[Double]("close") &&
+        r.getAs[Double]("low") == r.getAs[Double]("close")
+    }
+    val noLeadingNull = out.forall(!_.isNullAt(4))
+    dense && flatsOk && noLeadingNull && minutes.distinct.length ==
+      minutes.length
+  }
+}

@@ -56,6 +56,30 @@ class PipelineSpec extends SparkSpec {
     assert(reasons.contains("gap_bridged_flat"))
   }
 
+  test("pipeline generalizes to multi-symbol inputs via partitionBy " +
+    "(per-key grids, windows, and joins)") {
+    val ticks = Seq(
+      ("EURUSD", ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
+      ("EURUSD", ts("2024-01-03 10:02:30"), 2L, 1.015, 1.005),
+      ("GBPUSD", ts("2024-01-03 10:01:05"), 3L, 2.005, 1.995),
+      ("GBPUSD", ts("2024-01-03 10:03:40"), 4L, 2.015, 2.005))
+      .toDF("sym", "datetime", "tick_id", "ask", "bid")
+    val out = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      partitionBy = Seq("sym")).candles
+    val bySym = out.collect().groupBy(_.getAs[String]("sym"))
+    // each symbol gets the full shared grid span (10:00..10:03), with
+    // leading pre-history rows dropped per symbol
+    assert(bySym("EURUSD").map(_.getTimestamp(1)).sorted.toSeq ==
+      (0 to 3).map(m => ts(s"2024-01-03 10:0$m:00")))
+    assert(bySym("GBPUSD").map(_.getTimestamp(1)).sorted.toSeq ==
+      (1 to 3).map(m => ts(s"2024-01-03 10:0$m:00")))
+    // ffill never crosses symbols: GBPUSD's flats inherit GBPUSD closes
+    val gbpFlat = bySym("GBPUSD")
+      .filter(_.getAs[Byte]("is_flat") == 1.toByte)
+    assert(gbpFlat.forall(r =>
+      math.abs(r.getAs[Float]("close") - 2.0f) < 0.01f))
+  }
+
   test("pipeline without an M1 feed degrades to the pure tick path") {
     val ticks = Seq(
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
