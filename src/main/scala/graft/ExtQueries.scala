@@ -87,6 +87,25 @@ object ExtQueries {
     "e11_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameFeatures(Multimodal.asBlobTable(docs(s, dir)))),
 
+    // E14: embedding-cosine near-dup pairs, IVF-pruned by label cell
+    // (testdata plants no true embedding dups — threshold 0.4 keeps the
+    // operator's output non-trivial; at 0.95 it is correctly empty)
+    "e14_dedup_embedding_cosine" -> ((s, dir) => {
+      val v = emb(s, dir).select(col("vec_id"), col("label"),
+        col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+      v.as("x").join(v.as("y"),
+          col("x.label") === col("y.label") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+          round(Similarity.cosineWithNorms(col("x.embedding"),
+            col("y.embedding"), col("x.nrm"), col("y.nrm")), 6).as("sim"))
+        .filter(col("sim") >= 0.4)
+    }),
+
+    // E15: LSH-bucketed ANN — deterministic integer hyperplane sign bits
+    "e15_lsh_ann_pairs" -> ((s, dir) =>
+      Similarity.lshPairs(emb(s, dir), nBits = 8, minSim = 0.3)),
+
     // E12: exact distinct counts per group
     "e12_distinct_users" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -327,6 +346,52 @@ object ExtQueries {
 
     "e12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users " +
-        "FROM events GROUP BY 1")
+        "FROM events GROUP BY 1"),
+
+    "e14_dedup_embedding_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+        |    list_sum(list_transform(range(1, len(a.e) + 1),
+        |      i -> a.e[i] * b.e[i])) /
+        |    (sqrt(list_sum(list_transform(range(1, len(a.e) + 1),
+        |       i -> a.e[i] * a.e[i]))) *
+        |     sqrt(list_sum(list_transform(range(1, len(b.e) + 1),
+        |       i -> b.e[i] * b.e[i])))), 6) AS sim
+        |  FROM v a JOIN v b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id) t
+        |WHERE sim >= CAST(0.4 AS DOUBLE)""".stripMargin,
+
+    "e15_lsh_ann_pairs" -> {
+      val dots = (0 until 8).map(j =>
+        s"""list_sum(list_transform(range(0, len(e)),
+           |      i -> e[i + 1] * (((i * 31 + $j * 17) % 7) - 3))) AS d$j"""
+          .stripMargin).mkString(",\n    ")
+      val bucket = (0 until 8).map(j =>
+        s"(CASE WHEN d$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+         |  FROM embeddings),
+         |dotted AS (
+         |  SELECT vec_id, e,
+         |    $dots
+         |  FROM v),
+         |bucketed AS (
+         |  SELECT vec_id, e, $bucket AS bucket FROM dotted)
+         |SELECT * FROM (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, round(
+         |    list_sum(list_transform(range(1, len(x.e) + 1),
+         |      i -> x.e[i] * y.e[i])) /
+         |    (sqrt(list_sum(list_transform(range(1, len(x.e) + 1),
+         |       i -> x.e[i] * x.e[i]))) *
+         |     sqrt(list_sum(list_transform(range(1, len(y.e) + 1),
+         |       i -> y.e[i] * y.e[i])))), 6) AS sim
+         |  FROM bucketed x JOIN bucketed y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id) t
+         |WHERE sim >= CAST(0.3 AS DOUBLE)""".stripMargin
+    }
   )
 }

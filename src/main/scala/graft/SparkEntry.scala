@@ -432,6 +432,17 @@ object SparkEntry {
         col("is_flat").cast("int").as("is_flat"))
     }),
 
+    // A1/S5 over the composed pipeline: the full audit log (all five
+    // anomaly classes) as one query
+    "pipeline_audit" -> ((s, dir) => {
+      val audit = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold).audit
+      audit.select(col("datetime"),
+        round(col("open"), 5).as("open"), round(col("high"), 5).as("high"),
+        round(col("low"), 5).as("low"), round(col("close"), 5).as("close"),
+        round(col("volume"), 5).as("volume"), col("reason"))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -712,6 +723,76 @@ object SparkEntry {
         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
 
     "pipeline_hybrid_full" ->
+      s"""$pipelineCtes
+         |SELECT datetime,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
+         |    AS REAL) AS DOUBLE), 5) AS open,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
+         |    AS REAL) AS DOUBLE), 5) AS high,
+         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
+         |    AS REAL) AS DOUBLE), 5) AS low,
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
+         |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
+         |    AS REAL) AS DOUBLE) AS volume,
+         |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
+         |  is_flat
+         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+
+    "pipeline_audit" ->
+      s"""$pipelineCtes,
+         |spike_rows AS (
+         |  SELECT datetime, open, high, low, close, volume FROM (
+         |    SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
+         |    FROM repaired) t
+         |  WHERE CASE WHEN open = 0 THEN high <> low
+         |             ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+         |     OR CASE WHEN lc IS NULL THEN false
+         |             WHEN lc = 0 THEN close <> 0
+         |             ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)
+         |SELECT datetime, round(open, 5) AS open, round(high, 5) AS high,
+         |  round(low, 5) AS low, round(close, 5) AS close,
+         |  round(CAST(volume AS DOUBLE), 5) AS volume,
+         |  'dropped_inverted' AS reason
+         |FROM smoothed WHERE low > high
+         |UNION ALL
+         |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
+         |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
+         |  'fixed_structure_integrity'
+         |FROM marked WHERE bad
+         |UNION ALL
+         |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
+         |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
+         |  'dropped_volatility_spike'
+         |FROM spike_rows
+         |UNION ALL
+         |SELECT t.datetime, NULL, NULL, NULL, round(t.close, 5), NULL,
+         |  'rejected_tick_catastrophe'
+         |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)
+         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
+         |UNION ALL
+         |SELECT datetime,
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+         |  CAST(CAST(0 AS REAL) AS DOUBLE),
+         |  'gap_bridged_flat'
+         |FROM bridged WHERE fclose IS NOT NULL AND is_flat = 1""".stripMargin,
+
+    "validator_report" ->
+      s"""$fusionWith
+         |SELECT t.datetime, round(t.close, 6) AS new_close,
+         |  round(m.close, 6) AS old_close,
+         |  round(abs(t.close - m.close), 6) AS diff
+         |FROM tick_candles t JOIN m1_candles m USING (datetime)
+         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
+         |ORDER BY t.datetime LIMIT 5""".stripMargin
+  )
+
+  /** Shared CTE chain of the composed pipeline oracle (through
+    * `bridged`); finals select either the candle output
+    * (pipeline_hybrid_full) or the audit log (pipeline_audit). */
+  private lazy val pipelineCtes: String =
       s"""$fusionWith,
          |cata AS (
          |  SELECT t.datetime FROM tick_candles t
@@ -781,28 +862,6 @@ object SparkEntry {
          |    last_value(spread IGNORE NULLS) OVER w AS fspread
          |  FROM joined
          |  WINDOW w AS (ORDER BY datetime
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT datetime,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
-         |    AS REAL) AS DOUBLE), 5) AS open,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
-         |    AS REAL) AS DOUBLE), 5) AS high,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
-         |    AS REAL) AS DOUBLE), 5) AS low,
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
-         |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
-         |    AS REAL) AS DOUBLE) AS volume,
-         |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
-         |  is_flat
-         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
-
-    "validator_report" ->
-      s"""$fusionWith
-         |SELECT t.datetime, round(t.close, 6) AS new_close,
-         |  round(m.close, 6) AS old_close,
-         |  round(abs(t.close - m.close), 6) AS diff
-         |FROM tick_candles t JOIN m1_candles m USING (datetime)
-         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
-         |ORDER BY t.datetime LIMIT 5""".stripMargin
-  )
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"""
+        .stripMargin
 }

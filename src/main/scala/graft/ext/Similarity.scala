@@ -21,30 +21,39 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two `array<float>` columns, computed in
-    * double precision with sequential folds (matches a single-node
-    * accumulation order). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = expr(
-      s"aggregate(zip_with(${x}, ${y}, (p, q) -> cast(p as double) * " +
-        s"cast(q as double)), cast(0 as double), (acc, v) -> acc + v)")
-    val ab = dot(a, b)
-    val aa = dot(a, a)
-    val bb = dot(b, b)
-    ab / (sqrt(aa) * sqrt(bb))
-  }
+  /** Double-precision dot product of two `array<float>` columns via a
+    * sequential fold (matches a single-node accumulation order). */
+  def dot(x: Column, y: Column): Column = expr(
+    s"aggregate(zip_with(${x}, ${y}, (p, q) -> cast(p as double) * " +
+      s"cast(q as double)), cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Cosine similarity between two `array<float>` columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Cosine given precomputed norms: higher-order-function lambdas are
+    * not codegen'd, so evaluating each vector's norm once (instead of
+    * per pair) cuts the pairwise work by 3x. sqrt(dot(v,v)) is the same
+    * expression either way — values stay bit-identical to [[cosine]]. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column,
+                      normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Norm column for precomputation. */
+  def norm(e: Column): Column = sqrt(dot(e, e))
 
   /** Brute-force top-k cosine neighbors for each query vector (self
     * excluded). `queries`/`corpus`: (vec_id, embedding). */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
                     k: Int = 3): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"))
     val c = corpus.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_emb"))
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_n"))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", round(cosineWithNorms(col("q_emb"), col("n_emb"),
+        col("q_n"), col("n_n")), 6))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -58,12 +67,15 @@ object Similarity {
     * replaces the cross join — the scalable ANN shape. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 3): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"), col("label").as("cell"))
+      col("embedding").as("q_emb"), col("label").as("cell"),
+      norm(col("embedding")).as("q_n"))
     val c = corpus.select(col("vec_id").as("n_id"),
-      col("embedding").as("n_emb"), col("label").as("cell"))
+      col("embedding").as("n_emb"), col("label").as("cell"),
+      norm(col("embedding")).as("n_n"))
     q.join(c, "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 6))
+      .withColumn("sim", round(cosineWithNorms(col("q_emb"), col("n_emb"),
+        col("q_n"), col("n_n")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("sim").desc, col("n_id"))))
@@ -91,12 +103,14 @@ object Similarity {
   def lshPairs(vectors: DataFrame, nBits: Int = 8,
                minSim: Double = 0.9): DataFrame = {
     val b = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), nBits).as("bucket"))
     b.as("x").join(b.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("sim"))
+        round(cosineWithNorms(col("x.embedding"), col("y.embedding"),
+          col("x.nrm"), col("y.nrm")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }
