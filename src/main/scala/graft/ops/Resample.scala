@@ -54,6 +54,44 @@ object Resample {
         avg(col("spread")).as("spread"))
   }
 
+  /** Skew-resistant variant: two-phase aggregation through an explicit
+    * salt. A hot minute (FX news spike: millions of ticks in one bucket)
+    * lands on one reducer under plain groupBy; salting spreads it over
+    * `salts` reducers, then a second (tiny) aggregate merges the salted
+    * partials. Every G1–G3 aggregate decomposes exactly:
+    * ordered-first/last re-minimize, min/max re-extremize, count sums,
+    * and avg splits into sum+count. Equivalent output to [[ohlc1min]]
+    * (verified by test); use when the minute-key distribution is skewed
+    * and AQE skew handling isn't enough.
+    */
+  def ohlc1minSalted(ticks: DataFrame, salts: Int = 16,
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val minute = date_trunc("minute", col("datetime")).as("datetime")
+    val salted = ticks.withColumn("_salt",
+      pmod(col("tick_id"), lit(salts)))
+    val partial = salted
+      .groupBy((keyCols.map(col) ++ Seq(minute, col("_salt"))): _*)
+      .agg(
+        min(struct(col("datetime").as("o"), col("tick_id").as("t"),
+          col("mid").as("v"))).as("omin"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        max(struct(col("datetime").as("o"), col("tick_id").as("t"),
+          col("mid").as("v"))).as("cmax"),
+        count(col("mid")).as("volume"),
+        sum(col("spread")).as("spread_sum"),
+        count(col("spread")).as("spread_n"))
+    partial
+      .groupBy((keyCols :+ "datetime").map(col): _*)
+      .agg(
+        min(col("omin")).getField("v").as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col("cmax")).getField("v").as("close"),
+        sum(col("volume")).as("volume"),
+        (sum(col("spread_sum")) / sum(col("spread_n"))).as("spread"))
+  }
+
   /** F4: drop empty buckets — minutes with no close
     * (`hybrid_merger.py:115, :134, :241`). With a groupBy-based resample
     * empty minutes never materialize, so this only matters after grid

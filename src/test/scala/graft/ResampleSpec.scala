@@ -55,6 +55,26 @@ class ResampleSpec extends SparkSpec {
     assert(kept == Set(1L, 6L))
   }
 
+  test("salted two-phase OHLC equals the plain aggregate (skew path)") {
+    val many = (0 until 500).map { i =>
+      (ts(s"2015-03-02 14:0${i % 3}:${10 + i % 40}"), i.toLong,
+        1.0 + (i % 97) * 0.01, 0.01 + (i % 7) * 0.001)
+    }.toDF("datetime", "tick_id", "mid", "spread")
+    val plain = Resample.ohlc1min(many).orderBy("datetime").collect()
+    val salted = Resample.ohlc1minSalted(many, salts = 8)
+      .orderBy("datetime").collect()
+    assert(plain.length == salted.length)
+    plain.zip(salted).foreach { case (p, s) =>
+      assert(p.getTimestamp(0) == s.getTimestamp(0))
+      assert(p.getDouble(1) == s.getDouble(1)) // open
+      assert(p.getDouble(2) == s.getDouble(2)) // high
+      assert(p.getDouble(3) == s.getDouble(3)) // low
+      assert(p.getDouble(4) == s.getDouble(4)) // close
+      assert(p.getLong(5) == s.getLong(5))     // volume
+      assert(math.abs(p.getDouble(6) - s.getDouble(6)) < 1e-9) // spread
+    }
+  }
+
   test("P6/P7: mid and spread derivation") {
     val one = Seq((ts("2024-01-03 10:00:00"), 1L, 1.6, 1.4))
       .toDF("datetime", "tick_id", "ask", "bid")
