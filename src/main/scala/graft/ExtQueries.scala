@@ -194,7 +194,8 @@ object ExtQueries {
         |         y.doc_id AS doc_b, y.simhash AS sb
         |  FROM chunks x JOIN chunks y
         |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
     "e5_knn_cosine" ->

@@ -185,13 +185,15 @@ object SparkEntry {
         round(col("mid"), 6).as("mid"),
         round(col("spread"), 6).as("spread"))),
 
-    // P13: date-part extraction (the dayofweek numbering trap)
+    // P13: date-part extraction (the dayofweek numbering trap).
+    // Int results are widened to long: the DuckDB twin yields BIGINT, and
+    // a dtype-sensitive hash compare must see identical widths.
     "p13_date_parts" -> ((s, dir) =>
       Tables.load(s, dir, "events").select(
         col("event_id"),
-        dayofweek(col("ts")).as("dow_sun1"),
-        weekday(col("ts")).as("dow_mon0"),
-        hour(col("ts")).as("hr"))),
+        dayofweek(col("ts")).cast("long").as("dow_sun1"),
+        weekday(col("ts")).cast("long").as("dow_mon0"),
+        hour(col("ts")).cast("long").as("hr"))),
 
     // F1: bad-tick (zero/garbage quote) filter
     "f1_bad_tick_filter" -> ((s, dir) =>

@@ -185,7 +185,8 @@ object Dedup {
         col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        expr("cast(bit_count(x.simhash ^ y.simhash) as long)")
+          .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

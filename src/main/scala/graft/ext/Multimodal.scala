@@ -40,11 +40,12 @@ object Multimodal {
     val nFrames = ceil(byteLen.cast("double") / fb).cast("long")
     blobs.select(
       col("doc_id"),
-      byteLen.as("byte_len"),
+      byteLen.cast("long").as("byte_len"),
       nFrames.as("n_frames"),
       length(expr(s"substring(payload, " +
         s"cast(((cast(ceil(length(payload) / cast($fb as double)) as long)" +
-        s" - 1) div 2) * $fb + 1 as int), $fb)")).as("mid_frame_len"),
+        s" - 1) div 2) * $fb + 1 as int), $fb)")).cast("long")
+        .as("mid_frame_len"),
       col("meta.mime").as("mime"),
       col("meta.lang").as("lang"))
   }

@@ -57,7 +57,7 @@ object Similarity {
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id"))))
+          .orderBy(col("sim").desc, col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
@@ -78,7 +78,7 @@ object Similarity {
         col("q_n"), col("n_n")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
-          .orderBy(col("sim").desc, col("n_id"))))
+          .orderBy(col("sim").desc, col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("cell"), col("n_id"), col("sim"),
         col("rank"))

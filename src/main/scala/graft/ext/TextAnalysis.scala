@@ -34,7 +34,7 @@ object TextAnalysis {
       length(regexp_replace(col("text"), " ", "")).cast("double") / nWords
     val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
       lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stopRatio
-    docs.select(col("doc_id"), nWords.as("n_words"),
+    docs.select(col("doc_id"), nWords.cast("long").as("n_words"),
       round(avgWlen, 6).as("avg_word_len"),
       round(punct, 6).as("punct_ratio"),
       round(stopRatio, 6).as("stopword_ratio"),
@@ -69,7 +69,8 @@ object TextAnalysis {
         when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
       }
     scored.select((col("doc_id") +: col("lang").as("actual_lang") +:
-      langMarkers.map { case (l, _) => col(s"s_$l") }) :+
+      langMarkers.map { case (l, _) =>
+        col(s"s_$l").cast("long").as(s"s_$l") }) :+
       predAlpha.as("pred_lang"): _*)
   }
 
@@ -77,9 +78,10 @@ object TextAnalysis {
     * (letter runs, digit runs, single non-alphanumerics). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(words(col("text"))).as("n_ws_tokens"),
+      size(words(col("text"))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"),
-        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"))
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+        .as("n_bpe_tokens"))
 
   /** Winnowing document fingerprints: k-word shingles in document order,
     * md5-derived 60-bit hashes, rolling minimum over windows of `w`

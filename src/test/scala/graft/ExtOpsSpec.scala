@@ -43,7 +43,7 @@ class ExtOpsSpec extends SparkSpec {
 
   test("E4: simhash is identical for identical docs (hamming 0)") {
     val pairs = Dedup.simhashPairs(docsDf, maxHamming = 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int](2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long](2))
     assert(pairs.exists(_._1 == (1L, 2L)))
   }
 
@@ -76,15 +76,15 @@ class ExtOpsSpec extends SparkSpec {
   test("E7/E9: quality stats and token counts are hand-checkable") {
     val d = Seq((1L, "the cat, sat!")).toDF("doc_id", "text")
     val q = TextAnalysis.qualityScore(d).head()
-    assert(q.getAs[Int]("n_words") == 3)
+    assert(q.getAs[Long]("n_words") == 3L)
     // "thecat,sat!" = 11 chars / 3 words
     assert(math.abs(q.getAs[Double]("avg_word_len") - 11.0 / 3) < 1e-4)
     // 2 punct chars of 13 total
     assert(math.abs(q.getAs[Double]("punct_ratio") - 2.0 / 13) < 1e-4)
     val t = TextAnalysis.tokenCounts(d).head()
-    assert(t.getAs[Int]("n_ws_tokens") == 3)
+    assert(t.getAs[Long]("n_ws_tokens") == 3L)
     // BPE-ish: the, ' '×0, cat, ',', sat, '!' → [a-z]+ ×3 + punct ×2 = 5
-    assert(t.getAs[Int]("n_bpe_tokens") == 5)
+    assert(t.getAs[Long]("n_bpe_tokens") == 5L)
   }
 
   test("E8: language id picks the marker-richest language, " +
@@ -112,9 +112,9 @@ class ExtOpsSpec extends SparkSpec {
     val d = Seq((1L, "x" * 150, "en", "src", 150L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val feats = Multimodal.frameFeatures(Multimodal.asBlobTable(d)).head()
-    assert(feats.getAs[Int]("byte_len") == 150)
+    assert(feats.getAs[Long]("byte_len") == 150L)
     assert(feats.getAs[Long]("n_frames") == 3L)  // ceil(150/64)
-    assert(feats.getAs[Int]("mid_frame_len") == 64) // middle frame full
+    assert(feats.getAs[Long]("mid_frame_len") == 64L) // middle frame full
     val frames = Multimodal.decodeFrames(Multimodal.asBlobTable(d))
       .collect().sortBy(_.frame_idx)
     assert(frames.length == 3)
