@@ -39,11 +39,19 @@ object Bench {
     // warmup: run the flagship once to absorb JVM/codegen startup
     runOne("g1_g2_g3_ohlc_resample")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOne(n))
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val t = runOne(n)
+      // release caches a query pinned (pipeline candles, dedup shingles)
+      spark.sharedState.cacheManager.clearCache()
+      n -> t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are listed explicitly so a crashing query can never make
+    // the headline total look faster
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":[${failed.mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -340,8 +340,9 @@ object ExtQueries {
         |    payload, lang
         |  FROM b)
         |SELECT doc_id, byte_len, n_frames,
-        |  least(64, byte_len - ((n_frames - 1) // 2) * 64)
-        |    AS mid_frame_len,
+        |  CASE WHEN byte_len = 0 THEN 0
+        |       ELSE least(64, byte_len - ((n_frames - 1) // 2) * 64)
+        |  END AS mid_frame_len,
         |  'text/plain' AS mime, lang
         |FROM f""".stripMargin,
 

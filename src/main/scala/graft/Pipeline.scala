@@ -49,17 +49,16 @@ object Pipeline {
 
     // Stage 3: consensus cross-check against the legacy feed
     val keys = partitionBy :+ "datetime"
-    val (cleanedTicks, fused, cataAudit) = m1 match {
+    val (fused, cataAudit) = m1 match {
       case Some(m1df) =>
         val cata = FusionOps.catastrophes(tickCandles, m1df,
           consensusThreshold, keys)
         val cleaned = FusionOps.rejectCatastrophes(tickCandles, cata, keys)
-        val fusedDf = FusionOps.combineFirst(cleaned, m1df, keys)
-        (cleaned, fusedDf,
+        (FusionOps.combineFirst(cleaned, m1df, keys),
           Some(AuditOps.tag(
             cata.withColumnRenamed("tick_close", "close"),
             AuditOps.ReasonRejectedCatastrophe)))
-      case None => (tickCandles, tickCandles, None)
+      case None => (tickCandles, None)
     }
 
     // Stage 4: spread recovery — scalar median fill + rolling smoothing

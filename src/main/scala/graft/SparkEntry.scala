@@ -341,13 +341,17 @@ object SparkEntry {
         col("volume"), col("reason"))
     }),
 
-    // W2 (+P10): lag / pct_change, partitioned by key for scale
-    "w2_lag_pct_change" -> ((s, dir) =>
+    // W2 (+P10): lag / pct_change, partitioned by key for scale.
+    // Zero/absent lag → NULL explicitly on both sides: engines disagree
+    // on float x/0 (NULL vs IEEE inf depending on version/settings).
+    "w2_lag_pct_change" -> ((s, dir) => {
+      val lagV = WindowOps.lag1(col("value"), Seq("user_id"),
+        Seq("ts", "event_id"))
       Tables.load(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        round(abs(col("value") /
-          WindowOps.lag1(col("value"), Seq("user_id"),
-            Seq("ts", "event_id")) - 1), 6).as("pct"))),
+        when(lagV.isNull || lagV === 0, lit(null))
+          .otherwise(round(abs(col("value") / lagV - 1), 6)).as("pct"))
+    }),
 
     // W3: forward-fill over nulls, partitioned by key
     "w3_ffill_spread" -> ((s, dir) =>
@@ -628,9 +632,12 @@ object SparkEntry {
 
     "w2_lag_pct_change" ->
       """SELECT user_id, event_id,
-        |  round(abs(value / lag(value) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id) - 1), 6) AS pct
-        |FROM events""".stripMargin,
+        |  CASE WHEN lv IS NULL OR lv = 0 THEN NULL
+        |       ELSE round(abs(value / lv - 1), 6) END AS pct
+        |FROM (
+        |  SELECT user_id, event_id, value, lag(value) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS lv
+        |  FROM events) t""".stripMargin,
 
     "w3_ffill_spread" ->
       """WITH s0 AS (

@@ -31,9 +31,8 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word k-shingles per document: (doc_id, shingle).
-    * Documents shorter than k words produce no shingles. */
-  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+  /** Word k-shingles per document (with duplicates): (doc_id, shingle). */
+  private def rawShingles(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
@@ -41,7 +40,11 @@ object Dedup {
         s"""transform(sequence(0, size(w) - $k),
            |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
         .as("shingle"))
-      .distinct()
+
+  /** Distinct word k-shingles per document: (doc_id, shingle).
+    * Documents shorter than k words produce no shingles. */
+  def shingles(docs: DataFrame, k: Int = 5): DataFrame =
+    rawShingles(docs, k).distinct()
 
   /** Distinct 60-bit shingle hashes per document: (doc_id, h). All
     * downstream joins/groupings run on the long hash, not the shingle
@@ -49,13 +52,7 @@ object Dedup {
     * mirrors the identical hash, so results agree even on the (≈2⁻⁶⁰)
     * collision. */
   def shingleHashes(docs: DataFrame, k: Int = 5): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, size(w) - $k),
-           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
-        .as("shingle"))
+    rawShingles(docs, k)
       .select(col("doc_id"), md5Long(col("shingle")).as("h"))
       .distinct()
 
@@ -132,9 +129,17 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .cache()
+    candidates.count() // eager — consumed by semi-join AND final join
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // The exact-Jaccard verification intersects shingles ONLY for docs
+    // that appear in a candidate pair — this is the point of LSH: the
+    // quadratic intersection never runs over the full corpus.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = shCand.as("a")
+      .join(shCand.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))

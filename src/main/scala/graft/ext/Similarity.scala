@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Double-precision dot product of two `array<float>` columns via a
-    * sequential fold (matches a single-node accumulation order). */
-  def dot(x: Column, y: Column): Column = expr(
-    s"aggregate(zip_with(${x}, ${y}, (p, q) -> cast(p as double) * " +
-      s"cast(q as double)), cast(0 as double), (acc, v) -> acc + v)")
+    * sequential fold (matches a single-node accumulation order). Built
+    * with the Column-lambda API, not an expr() string splice — robust to
+    * arbitrary column expressions and names. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
 
   /** Cosine similarity between two `array<float>` columns. */
   def cosine(a: Column, b: Column): Column =
@@ -86,10 +90,13 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component: integer arithmetic
     * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3. */
-  private def hyperplaneDot(emb: Column, j: Int): Column = expr(
-    s"""aggregate(zip_with($emb, sequence(0, size($emb) - 1),
-       |  (v, i) -> cast(v as double) * (((i * 31 + $j * 17) % 7) - 3)),
-       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+  private def hyperplaneDot(emb: Column, j: Int): Column =
+    aggregate(
+      zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (v, i) => v.cast("double") *
+          ((i * 31 + j * 17) % 7 - 3).cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
 
   /** LSH bucket id from `nBits` hyperplane sign bits. */
   def lshBucket(emb: Column, nBits: Int = 8): Column =

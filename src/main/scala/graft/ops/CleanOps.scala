@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object CleanOps {
 
-  private def invertedCond = col("low") > col("high")
+  // Conditions are NULL-coalesced to false: pandas NaN comparisons are
+  // False, so a candle with a missing field passes every validation
+  // filter unchanged. A bare NULL predicate would make BOTH a filter and
+  // its audit complement drop the row — it would silently vanish.
+  private def invertedCond = coalesce(col("low") > col("high"), lit(false))
 
-  private def structuralBadCond =
+  private def structuralBadCond = coalesce(
     col("open") > col("high") || col("open") < col("low") ||
-      col("close") > col("high") || col("close") < col("low")
+      col("close") > col("high") || col("close") < col("low"), lit(false))
 
   /** F5: drop inverted candles (`low > high`, `hybrid_merger.py:149-152`). */
   def dropInverted(candles: DataFrame): DataFrame =
@@ -71,11 +75,15 @@ object CleanOps {
   private def spikeDropCond(threshold: Double,
                             partitionBy: Seq[String]) = {
     val lagClose = WindowOps.lag1(col("close"), partitionBy)
-    val ampBreach = when(col("open") === 0, col("high") =!= col("low"))
-      .otherwise((col("high") - col("low")) / col("open") > threshold)
-    val pctBreach = when(lagClose.isNull, lit(false))
-      .otherwise(when(lagClose === 0, col("close") =!= 0)
-        .otherwise(abs(col("close") / lagClose - 1) > threshold))
+    val ampBreach = coalesce(
+      when(col("open") === 0, col("high") =!= col("low"))
+        .otherwise((col("high") - col("low")) / col("open") > threshold),
+      lit(false))
+    val pctBreach = coalesce(
+      when(lagClose.isNull, lit(false))
+        .otherwise(when(lagClose === 0, col("close") =!= 0)
+          .otherwise(abs(col("close") / lagClose - 1) > threshold)),
+      lit(false))
     (ampBreach, pctBreach)
   }
 

@@ -61,6 +61,22 @@ class CleanOpsSpec extends SparkSpec {
     assert(CleanOps.spikeFilter(candles, 0.005).count() == 1)
   }
 
+  test("candles with NULL fields pass every validation filter unchanged " +
+    "(pandas NaN-comparison semantics) instead of silently vanishing") {
+    val D = (d: Double) => java.lang.Double.valueOf(d)
+    val candles = Seq(
+      (ts("2024-01-01 00:00:00"), null.asInstanceOf[java.lang.Double],
+        D(1.2), D(0.8), D(1.1), 1L, D(0.05)), // NULL open
+      (ts("2024-01-01 00:01:00"), D(1.0), D(1.001), D(0.999), D(1.0),
+        1L, D(0.05)))
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+    val out = CleanOps(candles, threshold = 0.5)
+    assert(out.count() == 2) // NULL-field row kept, not dropped
+    assert(CleanOps.invertedRows(candles).count() == 0)
+    assert(CleanOps.structuralBadRows(candles).count() == 0)
+    assert(CleanOps.spikeRows(candles, 0.5).count() == 0)
+  }
+
   test("F6: amplitude breach alone drops a row") {
     val candles = Seq(
       (ts("2024-01-01 00:00:00"), 1.0, 1.1, 0.9, 1.0, 1L, 0.01))
