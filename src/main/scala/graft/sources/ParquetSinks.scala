@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet layout for the candle store at scale.
+  *
+  * The reference writes one flat CSV (`hybrid_merger.py:249`) — fine for
+  * 8M rows, wrong at 100 TB. The scalable layout is hive-style
+  * date-partitioned parquet (plus a symbol partition when multi-asset):
+  * time-range queries prune whole directories before any IO, and each
+  * day's candles form a compact, independently-rewritable unit.
+  */
+object ParquetSinks {
+
+  /** Write candles partitioned by calendar day (and optional extra
+    * keys). The repartition by the partition columns gives one file per
+    * (day[, key]) instead of one file per task per day — the classic
+    * small-files fix. */
+  def writeDayPartitioned(df: DataFrame, path: String,
+                          extraKeys: Seq[String] = Nil): Unit = {
+    val cols = extraKeys :+ "date"
+    df.withColumn("date", to_date(col("datetime")))
+      .repartition(cols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(cols: _*)
+      .parquet(path)
+  }
+
+  /** Read the partitioned store; date filters prune partitions before
+    * the scan (verify `PartitionFilters` in the plan). */
+  def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.ParquetSinks
+
+/** Day-partitioned candle store: round-trip plus partition pruning. */
+class ParquetSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("day-partitioned write round-trips and date filters prune " +
+    "partitions before the scan") {
+    val out = Paths.get("target", "test-fixtures", "daystore").toString
+    val candles = Seq(
+      (ts("2024-01-03 10:00:00"), 1.0, 1.1, 0.9, 1.05, 3L, 0.01),
+      (ts("2024-01-03 11:00:00"), 1.05, 1.2, 1.0, 1.1, 2L, 0.01),
+      (ts("2024-01-04 09:30:00"), 1.1, 1.3, 1.05, 1.2, 5L, 0.02))
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+    ParquetSinks.writeDayPartitioned(candles, out)
+
+    val back = ParquetSinks.readDayPartitioned(spark, out)
+    assert(back.count() == 3)
+
+    val oneDay = back.filter(col("date") === "2024-01-04")
+    assert(oneDay.count() == 1)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-04"), s"no partition pruning in:\n$plan")
+    // exactly one physical partition directory is read
+    val scanned = oneDay.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(scanned.length == 1 && scanned.head.contains("date=2024-01-04"))
+  }
+}
