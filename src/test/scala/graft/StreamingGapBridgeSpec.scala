@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingGapBridge
+import graft.streaming.StreamingGapBridge.{CandleIn, CandleOut}
+
+/** Stateful streaming gap bridge: flats across batches, per-key state,
+  * immutable-grid late-arrival handling. */
+class StreamingGapBridgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gaps are bridged with flat candles across micro-batches, " +
+    "per key, and late candles never rewrite bridged history") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CandleIn]
+    val q = StreamingGapBridge.bridge(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bridge_out").start()
+
+    def candle(key: String, t: String, close: Double) =
+      CandleIn(key, ts(t), close, close + 0.1, close - 0.1, close, 5L,
+        0.02)
+
+    // batch 1: two keys, EURUSD has a 2-minute gap
+    mem.addData(
+      candle("EURUSD", "2024-01-03 10:00:00", 1.0),
+      candle("EURUSD", "2024-01-03 10:03:00", 1.3),
+      candle("GBPUSD", "2024-01-03 10:01:00", 2.0))
+    q.processAllAvailable()
+    // batch 2: gap continues across the batch boundary (state carries);
+    // plus a LATE candle behind EURUSD's frontier — must be ignored
+    mem.addData(
+      candle("EURUSD", "2024-01-03 10:05:00", 1.5),
+      candle("EURUSD", "2024-01-03 10:01:00", 9.9), // late, pre-frontier
+      candle("GBPUSD", "2024-01-03 10:02:00", 2.1))
+    q.processAllAvailable()
+    val rows = spark.table("bridge_out").as[CandleOut].collect()
+    q.stop()
+
+    val eur = rows.filter(_.key == "EURUSD")
+      .sortBy(_.datetime.getTime)
+    assert(eur.map(c => (c.datetime, c.is_flat, c.close)).toSeq == Seq(
+      (ts("2024-01-03 10:00:00"), 0, 1.0),
+      (ts("2024-01-03 10:01:00"), 1, 1.0), // flat, NOT the late 9.9
+      (ts("2024-01-03 10:02:00"), 1, 1.0),
+      (ts("2024-01-03 10:03:00"), 0, 1.3),
+      (ts("2024-01-03 10:04:00"), 1, 1.3), // bridged across batches
+      (ts("2024-01-03 10:05:00"), 0, 1.5)))
+    eur.filter(_.is_flat == 1).foreach { f =>
+      assert(f.volume == 0L && f.open == f.close && f.high == f.close &&
+        f.low == f.close)
+    }
+    // per-key isolation: GBPUSD saw no flats (consecutive minutes)
+    val gbp = rows.filter(_.key == "GBPUSD").sortBy(_.datetime.getTime)
+    assert(gbp.map(_.is_flat).toSeq == Seq(0, 0))
+  }
+}
