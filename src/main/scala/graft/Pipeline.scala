@@ -25,7 +25,12 @@ import graft.ops._
   */
 object Pipeline {
 
-  case class Result(candles: DataFrame, audit: DataFrame)
+  /** @param release unpersists the frames `run` cached; call once every
+    *                 action on `candles`/`audit` has completed (library
+    *                 callers invoking `run` repeatedly in one session
+    *                 must release, or caches accumulate). */
+  case class Result(candles: DataFrame, audit: DataFrame,
+                    release: () => Unit)
 
   /** @param ticks canonical tick frame: datetime, tick_id, ask, bid
     * @param m1 optional legacy candle frame: datetime, open..close,
@@ -57,7 +62,7 @@ object Pipeline {
         (FusionOps.combineFirst(cleaned, m1df, keys),
           Some(AuditOps.tag(
             cata.withColumnRenamed("tick_close", "close"),
-            AuditOps.ReasonRejectedCatastrophe)))
+            AuditOps.ReasonRejectedCatastrophe, partitionBy)))
       case None => (tickCandles, None)
     }
 
@@ -91,13 +96,16 @@ object Pipeline {
       }
 
     val audit = AuditOps.union(Seq(
-      AuditOps.tag(inverted, AuditOps.ReasonDroppedInverted),
-      AuditOps.tag(structBad, AuditOps.ReasonFixedStructure),
-      AuditOps.tag(spikes, AuditOps.ReasonDroppedSpike)) ++
+      AuditOps.tag(inverted, AuditOps.ReasonDroppedInverted, partitionBy),
+      AuditOps.tag(structBad, AuditOps.ReasonFixedStructure, partitionBy),
+      AuditOps.tag(spikes, AuditOps.ReasonDroppedSpike, partitionBy)) ++
       cataAudit.toSeq ++
-      Seq(AuditOps.tag(
-        result.filter(col("is_flat") === 1), AuditOps.ReasonGapBridged)))
+      Seq(AuditOps.tag(result.filter(col("is_flat") === 1),
+        AuditOps.ReasonGapBridged, partitionBy)))
 
-    Result(result, audit)
+    Result(result, audit, () => {
+      tickCandles.unpersist()
+      m1.foreach(_.unpersist())
+    })
   }
 }

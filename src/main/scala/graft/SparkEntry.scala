@@ -54,7 +54,9 @@ object SparkEntry {
 
   private def gridOf(s: SparkSession, candles: DataFrame): DataFrame = {
     val b = candles.agg(min(col("datetime")), max(col("datetime"))).head()
-    GridOps.minuteGrid(s, b.getTimestamp(0), b.getTimestamp(1))
+    if (b.isNullAt(0)) // empty candle frame → empty grid, not an NPE
+      s.range(0).select(timestamp_millis(col("id")).as("datetime"))
+    else GridOps.minuteGrid(s, b.getTimestamp(0), b.getTimestamp(1))
   }
 
   /** Events with a spread that is NULL on 'error' rows — input for the
@@ -413,11 +415,14 @@ object SparkEntry {
       val bounds = candles.groupBy(col("user_id"))
         .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
       val g = bounds.agg(min(col("mn")), max(col("mx"))).head()
-      val userGrid = GridOps.minuteGrid(s, g.getTimestamp(0),
-        g.getTimestamp(1))
-        .join(broadcast(bounds),
-          col("datetime") >= col("mn") && col("datetime") <= col("mx"))
-        .select(col("user_id"), col("datetime"))
+      val userGrid =
+        if (g.isNullAt(0)) // no matching users → empty grid, not an NPE
+          s.range(0).select(col("id").as("user_id"),
+            timestamp_millis(col("id")).as("datetime"))
+        else GridOps.minuteGrid(s, g.getTimestamp(0), g.getTimestamp(1))
+          .join(broadcast(bounds),
+            col("datetime") >= col("mn") && col("datetime") <= col("mx"))
+          .select(col("user_id"), col("datetime"))
       GridOps.flatCandleBridge(candles, userGrid, Seq("user_id"))
         .select(col("user_id"), col("datetime"),
           round(col("close"), 6).as("close"), col("is_flat"))

@@ -94,7 +94,7 @@ object TextAnalysis {
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(wds) - $k),
            |  i -> array_join(slice(wds, i + 1, $k), ' '))""".stripMargin)))
-      .withColumnRenamed("pos", "pos").withColumnRenamed("col", "shingle")
+      .withColumnRenamed("col", "shingle")
       .withColumn("h", Dedup.md5Long(col("shingle")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)

@@ -25,12 +25,16 @@ object AuditOps {
   /** Tag a snapshot of offending rows with its reason (A1). Missing audit
     * columns (e.g. OHLC on a catastrophe frame) become NULL, and all value
     * columns are cast to double, so every stage's snapshot unions cleanly
-    * regardless of origin (long counts, float prices). */
-  def tag(rows: DataFrame, reason: String): DataFrame = {
+    * regardless of origin (long counts, float prices). `keyCols` carries
+    * the pipeline's partition keys (symbol) so keyed runs can attribute
+    * every anomaly. */
+  def tag(rows: DataFrame, reason: String,
+          keyCols: Seq[String] = Nil): DataFrame = {
     val present = rows.columns.toSet
-    val sel = col("datetime") +: auditCols.tail.map(c =>
-      if (present(c)) col(c).cast("double").as(c)
-      else lit(null).cast("double").as(c))
+    val sel = keyCols.map(col) ++ (col("datetime") +: auditCols.tail.map(
+      c =>
+        if (present(c)) col(c).cast("double").as(c)
+        else lit(null).cast("double").as(c)))
     rows.select(sel: _*).withColumn("reason", lit(reason))
   }
 

@@ -39,14 +39,18 @@ object CleanOps {
     */
   def structuralRepair(candles: DataFrame,
                        partitionBy: Seq[String] = Nil): DataFrame = {
-    val bad = structuralBadCond
+    // The condition is materialized ONCE before any column is overwritten:
+    // re-evaluating it inside the low-repair would resolve against the
+    // already-widened high and silently change the predicate.
     val repaired = candles
-      .withColumn("was_repaired", bad)
+      .withColumn("was_repaired", structuralBadCond)
       .withColumn("high",
-        when(bad, greatest(col("open"), col("close"), col("high")))
+        when(col("was_repaired"),
+          greatest(col("open"), col("close"), col("high")))
           .otherwise(col("high")))
       .withColumn("low",
-        when(bad, least(col("open"), col("close"), col("low")))
+        when(col("was_repaired"),
+          least(col("open"), col("close"), col("low")))
           .otherwise(col("low")))
       .withColumn("spread",
         when(col("was_repaired"), lit(null)).otherwise(col("spread")))

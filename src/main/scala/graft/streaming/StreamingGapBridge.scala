@@ -35,37 +35,57 @@ object StreamingGapBridge {
 
   private val MinuteMs = 60000L
 
-  def bridge(candles: Dataset[CandleIn]): Dataset[CandleOut] = {
+  /** @param idleTtlMinutes event-time TTL after which a quiescent key's
+    *                 state is dropped — bounds state by ACTIVE keys, not
+    *                 all keys ever seen (delisted symbols, churned
+    *                 users). Requires a watermark on the input stream
+    *                 (event-time timeouts fire as the watermark passes).
+    *                 A key resuming after expiry restarts its grid
+    *                 rather than bridging across the idle span. None →
+    *                 no expiry (only for bounded key domains). */
+  def bridge(candles: Dataset[CandleIn],
+             idleTtlMinutes: Option[Long] = None): Dataset[CandleOut] = {
     implicit val outEnc = Encoders.product[CandleOut]
     implicit val keyEnc = Encoders.STRING
     implicit val stateEnc = Encoders.product[BridgeState]
+    val timeoutConf =
+      if (idleTtlMinutes.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     candles.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, batch: Iterator[CandleIn],
          state: GroupState[BridgeState]) =>
-          val out = scala.collection.mutable.ListBuffer.empty[CandleOut]
-          var st = state.getOption
-          batch.toSeq.sortBy(_.datetime.getTime).foreach { c =>
-            val minute = c.datetime.getTime / MinuteMs
-            st match {
-              case Some(s) if minute <= s.lastMinute =>
-              // late arrival behind the bridged frontier: grid immutable
-              case cur =>
-                cur.foreach { s =>
-                  ((s.lastMinute + 1) until minute).foreach { g =>
-                    out += CandleOut(key, new Timestamp(g * MinuteMs),
-                      s.lastClose, s.lastClose, s.lastClose, s.lastClose,
-                      0L, s.lastSpread, is_flat = 1)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer.empty[CandleOut]
+            var st = state.getOption
+            batch.toSeq.sortBy(_.datetime.getTime).foreach { c =>
+              val minute = c.datetime.getTime / MinuteMs
+              st match {
+                case Some(s) if minute <= s.lastMinute =>
+                // late arrival behind the bridged frontier: grid immutable
+                case cur =>
+                  cur.foreach { s =>
+                    ((s.lastMinute + 1) until minute).foreach { g =>
+                      out += CandleOut(key, new Timestamp(g * MinuteMs),
+                        s.lastClose, s.lastClose, s.lastClose, s.lastClose,
+                        0L, s.lastSpread, is_flat = 1)
+                    }
                   }
-                }
-                out += CandleOut(key, c.datetime, c.open, c.high, c.low,
-                  c.close, c.volume, c.spread, is_flat = 0)
-                st = Some(BridgeState(minute, c.close, c.spread))
+                  out += CandleOut(key, c.datetime, c.open, c.high, c.low,
+                    c.close, c.volume, c.spread, is_flat = 0)
+                  st = Some(BridgeState(minute, c.close, c.spread))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              idleTtlMinutes.foreach(ttl => state.setTimeoutTimestamp(
+                (s.lastMinute + ttl) * MinuteMs))
+            }
+            out.iterator
           }
-          st.foreach(state.update)
-          out.iterator
       }
   }
 }

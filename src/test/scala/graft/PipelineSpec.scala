@@ -64,8 +64,13 @@ class PipelineSpec extends SparkSpec {
       ("GBPUSD", ts("2024-01-03 10:01:05"), 3L, 2.005, 1.995),
       ("GBPUSD", ts("2024-01-03 10:03:40"), 4L, 2.015, 2.005))
       .toDF("sym", "datetime", "tick_id", "ask", "bid")
-    val out = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
-      partitionBy = Seq("sym")).candles
+    val r = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      partitionBy = Seq("sym"))
+    val out = r.candles
+    // keyed audit rows carry the symbol so anomalies are attributable
+    assert(r.audit.columns.contains("sym"))
+    assert(r.audit.filter(col("reason") === "gap_bridged_flat")
+      .select("sym").distinct().count() == 2)
     val bySym = out.collect().groupBy(_.getAs[String]("sym"))
     // each symbol gets the full shared grid span (10:00..10:03), with
     // leading pre-history rows dropped per symbol

@@ -55,4 +55,39 @@ class StreamingGapBridgeSpec extends SparkSpec {
     val gbp = rows.filter(_.key == "GBPUSD").sortBy(_.datetime.getTime)
     assert(gbp.map(_.is_flat).toSeq == Seq(0, 0))
   }
+
+  test("event-time TTL expires quiescent keys; a resumed key restarts " +
+    "its grid instead of bridging across the idle span") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CandleIn]
+    val q = StreamingGapBridge.bridge(
+        mem.toDS().withWatermark("datetime", "0 seconds"),
+        idleTtlMinutes = Some(30))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttl_out").start()
+
+    def candle(key: String, t: String, close: Double) =
+      CandleIn(key, ts(t), close, close, close, close, 1L, 0.01)
+
+    mem.addData(candle("A", "2024-01-03 10:00:00", 1.0),
+      candle("B", "2024-01-03 10:00:00", 2.0))
+    q.processAllAvailable()
+    mem.addData(candle("B", "2024-01-03 11:00:00", 2.5))
+    q.processAllAvailable() // watermark → 11:00, past A's 10:30 timeout
+    mem.addData(candle("B", "2024-01-03 11:05:00", 2.6))
+    q.processAllAvailable() // A has no data this batch → state expires
+    mem.addData(candle("A", "2024-01-03 11:30:00", 1.2))
+    q.processAllAvailable() // A resumes with fresh state
+    val rows = spark.table("ttl_out").as[CandleOut].collect()
+    q.stop()
+
+    val a = rows.filter(_.key == "A").sortBy(_.datetime.getTime)
+    // no flat candles bridged across A's expired idle span
+    assert(a.map(c => (c.datetime, c.is_flat)).toSeq == Seq(
+      (ts("2024-01-03 10:00:00"), 0), (ts("2024-01-03 11:30:00"), 0)))
+    // B stayed active: its gaps are fully bridged (59 + 4 flats)
+    val b = rows.filter(_.key == "B")
+    assert(b.count(_.is_flat == 1) == 63)
+    assert(b.count(_.is_flat == 0) == 3)
+  }
 }
