@@ -97,7 +97,7 @@ object ExtQueries {
           col("x.label") === col("y.label") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-          round(Similarity.cosineWithNorms(col("x.embedding"),
+          Rounding.duckRound(Similarity.cosineWithNorms(col("x.embedding"),
             col("y.embedding"), col("x.nrm"), col("y.nrm")), 6).as("sim"))
         .filter(col("sim") >= 0.4)
     }),

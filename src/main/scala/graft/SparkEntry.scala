@@ -69,9 +69,9 @@ object SparkEntry {
   private def roundedOhlc(candles: DataFrame, keyCols: Seq[String]): DataFrame = {
     val sel = keyCols.map(col) ++ Seq(
       col("datetime"),
-      round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
-      round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
-      col("volume"), round(col("spread"), 6).as("spread"))
+      Rounding.duckRound(col("open"), 6).as("open"), Rounding.duckRound(col("high"), 6).as("high"),
+      Rounding.duckRound(col("low"), 6).as("low"), Rounding.duckRound(col("close"), 6).as("close"),
+      col("volume"), Rounding.duckRound(col("spread"), 6).as("spread"))
     candles.select(sel: _*)
   }
 
@@ -80,14 +80,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
   /** The canonical tick frame (Tables.ticks) as a DuckDB CTE. */
-  private val ticksCte =
-    """ticks AS (
-      |  SELECT ts AS datetime, event_id AS tick_id,
-      |         value + (CAST(0.01 AS DOUBLE)
-      |                  + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS ask,
-      |         value - (CAST(0.01 AS DOUBLE)
-      |                  + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS bid
-      |  FROM events)""".stripMargin
+  private val ticksCte = s"ticks AS (${Tables.ticksSql})"
 
   /** TickPrep (F1+F2+P6/P7) as a DuckDB CTE chained after [[ticksCte]].
     * DuckDB dayofweek is Sun=0..Sat=6 (Spark: Sun=1..Sat=7). */
@@ -184,8 +177,8 @@ object SparkEntry {
     "p6_p7_mid_spread" -> ((s, dir) =>
       TickPrep.deriveMidSpread(Tables.ticks(s, dir)).select(
         col("tick_id"), col("datetime"),
-        round(col("mid"), 6).as("mid"),
-        round(col("spread"), 6).as("spread"))),
+        Rounding.duckRound(col("mid"), 6).as("mid"),
+        Rounding.duckRound(col("spread"), 6).as("spread"))),
 
     // P13: date-part extraction (the dayofweek numbering trap).
     // Int results are widened to long: the DuckDB twin yields BIGINT, and
@@ -233,7 +226,7 @@ object SparkEntry {
     "g5_median_spread" -> ((s, dir) =>
       TickPrep.deriveMidSpread(Tables.ticks(s, dir))
         .groupBy()
-        .agg(round(percentile(col("spread"), lit(0.5)), 6)
+        .agg(Rounding.duckRound(percentile(col("spread"), lit(0.5)), 6)
           .as("median_spread"))),
 
     // G6: count-style reductions
@@ -259,8 +252,8 @@ object SparkEntry {
       val m = m1Candles(s, dir)
         .select(col("datetime"), col("close").as("m1_close"))
       FusionOps.reindexAlign(t, m).select(col("datetime"),
-        round(col("tick_close"), 6).as("tick_close"),
-        round(col("m1_close"), 6).as("m1_close"))
+        Rounding.duckRound(col("tick_close"), 6).as("tick_close"),
+        Rounding.duckRound(col("m1_close"), 6).as("m1_close"))
     }),
 
     // J2: combine_first — full outer + per-column coalesce (hybrid fusion)
@@ -268,9 +261,9 @@ object SparkEntry {
       val fused = FusionOps.combineFirst(tickCandles(s, dir),
         m1Candles(s, dir))
       fused.select(col("datetime"),
-        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
-        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
-        col("volume"), round(col("spread"), 6).as("spread"))
+        Rounding.duckRound(col("open"), 6).as("open"), Rounding.duckRound(col("high"), 6).as("high"),
+        Rounding.duckRound(col("low"), 6).as("low"), Rounding.duckRound(col("close"), 6).as("close"),
+        col("volume"), Rounding.duckRound(col("spread"), 6).as("spread"))
     }),
 
     // J3 (+P9): index intersection — the validator's forensic inner join
@@ -282,9 +275,9 @@ object SparkEntry {
       FusionOps.intersectAlign(t, m)
         .withColumn("close_diff", abs(col("tick_close") - col("m1_close")))
         .select(col("datetime"),
-          round(col("tick_close"), 6).as("tick_close"),
-          round(col("m1_close"), 6).as("m1_close"),
-          round(col("close_diff"), 6).as("close_diff"))
+          Rounding.duckRound(col("tick_close"), 6).as("tick_close"),
+          Rounding.duckRound(col("m1_close"), 6).as("m1_close"),
+          Rounding.duckRound(col("close_diff"), 6).as("close_diff"))
     }),
 
     // F7+F8: consensus catastrophe detection + anti-join rejection
@@ -293,14 +286,14 @@ object SparkEntry {
       val cata = FusionOps.catastrophes(t, m1Candles(s, dir),
         ConsensusThreshold)
       FusionOps.rejectCatastrophes(t, cata)
-        .select(col("datetime"), round(col("close"), 6).as("close"))
+        .select(col("datetime"), Rounding.duckRound(col("close"), 6).as("close"))
     }),
 
     // F5: inverted-candle drop (low > high)
     "f5_drop_inverted" -> ((s, dir) =>
       CleanOps.dropInverted(mixedCandles(s, dir)).select(col("datetime"),
-        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
-        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        Rounding.duckRound(col("open"), 6).as("open"), Rounding.duckRound(col("high"), 6).as("high"),
+        Rounding.duckRound(col("low"), 6).as("low"), Rounding.duckRound(col("close"), 6).as("close"),
         col("volume"))),
 
     // U1: structural-integrity repair (widen candle to contain open/close)
@@ -309,20 +302,20 @@ object SparkEntry {
         CleanOps.dropInverted(mixedCandles(s, dir))
           .withColumn("spread", lit(null).cast("double")))
         .select(col("datetime"),
-          round(col("open"), 6).as("open"),
-          round(col("high"), 6).as("high"),
-          round(col("low"), 6).as("low"),
-          round(col("close"), 6).as("close"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
           col("volume"))),
 
     // F6 (+P8+P10): volatility-spike filter with lag over survivors
     "f6_spike_filter" -> ((s, dir) =>
       CleanOps.spikeFilter(tickCandles(s, dir), SpikeThreshold)
         .select(col("datetime"),
-          round(col("open"), 6).as("open"),
-          round(col("high"), 6).as("high"),
-          round(col("low"), 6).as("low"),
-          round(col("close"), 6).as("close"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
           col("volume"))),
 
     // U0+A1: audit-log union of anomaly complements with reason literals
@@ -338,8 +331,8 @@ object SparkEntry {
             .withColumnRenamed("tick_close", "close"),
           AuditOps.ReasonRejectedCatastrophe)))
       audit.select(col("datetime"),
-        round(col("open"), 6).as("open"), round(col("high"), 6).as("high"),
-        round(col("low"), 6).as("low"), round(col("close"), 6).as("close"),
+        Rounding.duckRound(col("open"), 6).as("open"), Rounding.duckRound(col("high"), 6).as("high"),
+        Rounding.duckRound(col("low"), 6).as("low"), Rounding.duckRound(col("close"), 6).as("close"),
         col("volume"), col("reason"))
     }),
 
@@ -352,28 +345,28 @@ object SparkEntry {
       Tables.load(s, dir, "events").select(
         col("user_id"), col("event_id"),
         when(lagV.isNull || lagV === 0, lit(null))
-          .otherwise(round(abs(col("value") / lagV - 1), 6)).as("pct"))
+          .otherwise(Rounding.duckRound(abs(col("value") / lagV - 1), 6)).as("pct"))
     }),
 
     // W3: forward-fill over nulls, partitioned by key
     "w3_ffill_spread" -> ((s, dir) =>
       eventsWithNullableSpread(s, dir).select(
         col("user_id"), col("event_id"),
-        round(WindowOps.ffill(col("spread"), Seq("user_id"),
+        Rounding.duckRound(WindowOps.ffill(col("spread"), Seq("user_id"),
           Seq("ts", "event_id")), 6).as("spread"))),
 
     // W1: centered rolling median (window 5, min_periods 1)
     "w1_rolling_median" -> ((s, dir) =>
       Tables.load(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        round(WindowOps.rollingMedian5(col("value"), Seq("user_id"),
+        Rounding.duckRound(WindowOps.rollingMedian5(col("value"), Seq("user_id"),
           Seq("ts", "event_id")), 6).as("med5"))),
 
     // U3 (+G5): scalar fillna with the global median (two-job shape)
     "u3_median_fill_spread" -> ((s, dir) => {
       val ev = eventsWithNullableSpread(s, dir)
       SpreadOps.fillSpread(ev, SpreadOps.medianSpread(ev))
-        .select(col("event_id"), round(col("spread"), 6).as("spread"))
+        .select(col("event_id"), Rounding.duckRound(col("spread"), 6).as("spread"))
     }),
 
     // T1: dense 1-minute calendar (distributed range, not sequence())
@@ -385,7 +378,7 @@ object SparkEntry {
       val t = tickCandles(s, dir)
       gridOf(s, t).join(t.select(col("datetime"), col("close")),
         Seq("datetime"), "left")
-        .select(col("datetime"), round(col("close"), 6).as("close"))
+        .select(col("datetime"), Rounding.duckRound(col("close"), 6).as("close"))
     }),
 
     // U2 (+W4+W5+P11+F4): flat-candle gap bridging on the immutable grid
@@ -393,11 +386,11 @@ object SparkEntry {
       val t = tickCandles(s, dir)
       GridOps.flatCandleBridge(t, gridOf(s, t))
         .select(col("datetime"),
-          round(col("open"), 6).as("open"),
-          round(col("high"), 6).as("high"),
-          round(col("low"), 6).as("low"),
-          round(col("close"), 6).as("close"),
-          col("volume"), round(col("spread"), 6).as("spread"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"), Rounding.duckRound(col("spread"), 6).as("spread"),
           col("is_flat"))
     }),
 
@@ -425,7 +418,7 @@ object SparkEntry {
           .select(col("user_id"), col("datetime"))
       GridOps.flatCandleBridge(candles, userGrid, Seq("user_id"))
         .select(col("user_id"), col("datetime"),
-          round(col("close"), 6).as("close"), col("is_flat"))
+          Rounding.duckRound(col("close"), 6).as("close"), col("is_flat"))
     }),
 
     // Full composed pipeline (§3): the reference's run() end-to-end,
@@ -434,12 +427,12 @@ object SparkEntry {
       val out = Pipeline.run(s, Tables.ticks(s, dir),
         Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold).candles
       out.select(col("datetime"),
-        round(col("open").cast("double"), 5).as("open"),
-        round(col("high").cast("double"), 5).as("high"),
-        round(col("low").cast("double"), 5).as("low"),
-        round(col("close").cast("double"), 5).as("close"),
+        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
         col("volume").cast("double").as("volume"),
-        round(col("spread").cast("double"), 5).as("spread"),
+        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
         col("is_flat").cast("int").as("is_flat"))
     }),
 
@@ -449,9 +442,9 @@ object SparkEntry {
       val audit = Pipeline.run(s, Tables.ticks(s, dir),
         Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold).audit
       audit.select(col("datetime"),
-        round(col("open"), 5).as("open"), round(col("high"), 5).as("high"),
-        round(col("low"), 5).as("low"), round(col("close"), 5).as("close"),
-        round(col("volume"), 5).as("volume"), col("reason"))
+        Rounding.duckRound(col("open"), 5).as("open"), Rounding.duckRound(col("high"), 5).as("high"),
+        Rounding.duckRound(col("low"), 5).as("low"), Rounding.duckRound(col("close"), 5).as("close"),
+        Rounding.duckRound(col("volume"), 5).as("volume"), col("reason"))
     }),
 
     // Validator entry point (validator.py): mismatch report, first 5 by time
@@ -466,9 +459,9 @@ object SparkEntry {
         .orderBy(col("datetime"))
         .limit(5)
         .select(col("datetime"),
-          round(col("new_close"), 6).as("new_close"),
-          round(col("old_close"), 6).as("old_close"),
-          round(col("diff"), 6).as("diff"))
+          Rounding.duckRound(col("new_close"), 6).as("new_close"),
+          Rounding.duckRound(col("old_close"), 6).as("old_close"),
+          Rounding.duckRound(col("diff"), 6).as("diff"))
     })
   )
 

@@ -48,10 +48,11 @@ object Tables {
       (col("value") - halfSpread).as("bid"))
   }
 
-  /** SQL twin of [[ticks]] as a DuckDB CTE body (oracle side).
+  /** SQL twin of [[ticks]] as a DuckDB CTE body (oracle side; wrapped by
+    * SparkEntry's `ticksCte` — single source of truth for the formula).
     * Literals are cast to DOUBLE: DuckDB parses bare `0.01` as DECIMAL,
     * whose arithmetic rounds differently from Spark's double literals. */
-  def ticksSql(sfDir: String = ""): String =
+  def ticksSql: String =
     """SELECT ts AS datetime, event_id AS tick_id,
       |       value + (CAST(0.01 AS DOUBLE)
       |                + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS ask,

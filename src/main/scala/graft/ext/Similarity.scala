@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Rounding
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`) — SURVEY §7 E-ops.
   *
@@ -56,7 +58,7 @@ object Similarity {
       col("embedding").as("n_emb"), norm(col("embedding")).as("n_n"))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosineWithNorms(col("q_emb"), col("n_emb"),
+      .withColumn("sim", Rounding.duckRound(cosineWithNorms(col("q_emb"), col("n_emb"),
         col("q_n"), col("n_n")), 6))
     scored
       .withColumn("rank", row_number().over(
@@ -78,7 +80,7 @@ object Similarity {
       norm(col("embedding")).as("n_n"))
     q.join(c, "cell")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", round(cosineWithNorms(col("q_emb"), col("n_emb"),
+      .withColumn("sim", Rounding.duckRound(cosineWithNorms(col("q_emb"), col("n_emb"),
         col("q_n"), col("n_n")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -116,7 +118,7 @@ object Similarity {
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(cosineWithNorms(col("x.embedding"), col("y.embedding"),
+        Rounding.duckRound(cosineWithNorms(col("x.embedding"), col("y.embedding"),
           col("x.nrm"), col("y.nrm")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }

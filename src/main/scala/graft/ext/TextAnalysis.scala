@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Rounding
+
 /** Text-analysis operators for training-data pipelines (SURVEY §7 E-ops):
   * quality scoring, language identification, token counting, and
   * winnowing-style document fingerprinting. All pure Column expressions —
@@ -35,10 +37,10 @@ object TextAnalysis {
     val score = lit(0.4) * least(nWords.cast("double") / 100, lit(1.0)) +
       lit(0.3) * (lit(1.0) - punct) + lit(0.3) * stopRatio
     docs.select(col("doc_id"), nWords.cast("long").as("n_words"),
-      round(avgWlen, 6).as("avg_word_len"),
-      round(punct, 6).as("punct_ratio"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 6).as("quality"))
+      Rounding.duckRound(avgWlen, 6).as("avg_word_len"),
+      Rounding.duckRound(punct, 6).as("punct_ratio"),
+      Rounding.duckRound(stopRatio, 6).as("stopword_ratio"),
+      Rounding.duckRound(score, 6).as("quality"))
   }
 
   /** Marker stopwords per language for the n-gram/stopword language-ID
