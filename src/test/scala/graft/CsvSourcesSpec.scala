@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.types._
 
@@ -11,13 +11,8 @@ import graft.sources.CsvSources
   * skipping, two-field timestamp parse. */
 class CsvSourcesSpec extends SparkSpec {
 
-  private def writeFixture(name: String, content: String): String = {
-    val dir = Paths.get("target", "test-fixtures")
-    Files.createDirectories(dir)
-    val p = dir.resolve(name)
-    Files.writeString(p, content)
-    p.toString
-  }
+  private def writeFixture(name: String, content: String): String =
+    writeFixture("csv", name, content)
 
   test("S1: M1 CSV loads with declared schema, parsed timestamp, " +
     "null spread") {

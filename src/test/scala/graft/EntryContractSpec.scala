@@ -16,8 +16,11 @@ class EntryContractSpec extends SparkSpec {
   test("all queries run at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        try { fn(spark, "/root/testdata/sf0.001").count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        val r = try {
+          fn(spark, "/root/testdata/sf0.001").count(); None
+        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+        spark.sharedState.cacheManager.clearCache()
+        r
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -54,6 +54,7 @@ class PipelineSpec extends SparkSpec {
     val reasons = r.audit.select("reason").as[String].collect().toSet
     assert(reasons.contains("rejected_tick_catastrophe"))
     assert(reasons.contains("gap_bridged_flat"))
+    r.release()
   }
 
   test("pipeline generalizes to multi-symbol inputs via partitionBy " +
@@ -83,6 +84,7 @@ class PipelineSpec extends SparkSpec {
       .filter(_.getAs[Byte]("is_flat") == 1.toByte)
     assert(gbpFlat.forall(r =>
       math.abs(r.getAs[Float]("close") - 2.0f) < 0.01f))
+    r.release()
   }
 
   test("pipeline without an M1 feed degrades to the pure tick path") {
@@ -90,9 +92,10 @@ class PipelineSpec extends SparkSpec {
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
       (ts("2024-01-03 10:02:30"), 2L, 1.015, 1.005))
       .toDF("datetime", "tick_id", "ask", "bid")
-    val out = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5)
-      .candles.orderBy("datetime").collect()
+    val res = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5)
+    val out = res.candles.orderBy("datetime").collect()
     assert(out.length == 3)
     assert(out(1).getAs[Byte]("is_flat") == 1.toByte)
+    res.release()
   }
 }

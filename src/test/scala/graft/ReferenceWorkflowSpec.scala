@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Paths
 
 import org.apache.spark.sql.functions._
 
@@ -13,13 +13,8 @@ import graft.sources.CsvSources
   * library by swapping file paths. */
 class ReferenceWorkflowSpec extends SparkSpec {
 
-  private def fixture(name: String, content: String): String = {
-    val dir = Paths.get("target", "test-fixtures", "workflow")
-    Files.createDirectories(dir)
-    val p = dir.resolve(name)
-    Files.writeString(p, content)
-    p.toString
-  }
+  private def fixture(name: String, content: String): String =
+    writeFixture("workflow", name, content)
 
   test("CSV-to-CSV reference workflow: load, fuse, bridge, sink, validate") {
     // M1 history (reference format: Date,Time + OHLC + TickVol) —
@@ -84,5 +79,6 @@ class ReferenceWorkflowSpec extends SparkSpec {
       .withColumn("diff", abs(col("new_close") - col("old_close")))
       .filter(col("diff") > 0.5)
     assert(validator.count() == 0)
+    result.release()
   }
 }

@@ -20,4 +20,13 @@ trait SparkSpec extends AnyFunSuite {
 
   def rows(df: DataFrame): Seq[Seq[Any]] =
     df.collect().toSeq.map(_.toSeq)
+
+  /** Write a test-input file under target/test-fixtures/<subdir>/. */
+  def writeFixture(subdir: String, name: String, content: String): String = {
+    val dir = java.nio.file.Paths.get("target", "test-fixtures", subdir)
+    java.nio.file.Files.createDirectories(dir)
+    val p = dir.resolve(name)
+    java.nio.file.Files.writeString(p, content)
+    p.toString
+  }
 }

@@ -36,4 +36,31 @@ class StreamingOhlcSpec extends SparkSpec {
 
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
+
+  test("append mode emits a window exactly once, only after the " +
+    "watermark closes it — the mode the gap bridge consumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double, Double)]
+    val ticks = mem.toDF().toDF("datetime", "tick_id", "mid", "spread")
+    val q = StreamingOhlc.ohlc1min(ticks, watermark = "2 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ohlc_append").start()
+
+    mem.addData(
+      (ts("2024-01-03 10:00:05"), 1L, 1.0, 0.01),
+      (ts("2024-01-03 10:01:10"), 2L, 1.2, 0.02))
+    q.processAllAvailable()
+    // watermark = 10:01:10 - 2min → neither window is closed yet
+    assert(spark.table("ohlc_append").count() == 0)
+
+    mem.addData((ts("2024-01-03 10:05:00"), 3L, 1.4, 0.03))
+    q.processAllAvailable()
+    // watermark = 10:03 → 10:00 and 10:01 windows emit; 10:05 still open
+    val emitted = spark.table("ohlc_append").orderBy("datetime").collect()
+    q.stop()
+    assert(emitted.map(_.getTimestamp(0)).toSeq ==
+      Seq(ts("2024-01-03 10:00:00"), ts("2024-01-03 10:01:00")))
+    assert(emitted(0).getAs[Double]("close") == 1.0)
+    assert(emitted(1).getAs[Double]("open") == 1.2)
+  }
 }

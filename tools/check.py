@@ -29,7 +29,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("datetime64[ns]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith(("float", "int", "uint", "Int")):
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            # ints stay integral: float64 would quantize 60-bit hash
+            # fingerprints (> 2^53) and silently pass unequal values
+            df[c] = pd.to_numeric(df[c]).astype("int64")
+        elif str(df[c].dtype).startswith("float"):
             df[c] = pd.to_numeric(df[c]).astype("float64")
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
@@ -46,6 +50,16 @@ def main():
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
+    dirs = {d.name for d in Path(out_dir).iterdir() if d.is_dir()}
+    # a query that crashed in Verify leaves no output dir — that is a
+    # FAIL, not a silent omission; ditto a typo'd filter argument
+    expected = set(oracle) & only if only else set(oracle)
+    for missing in sorted(expected - dirs):
+        print(f"[FAIL] {missing}: no query output written by Verify")
+        n_fail += 1
+    for typo in sorted(only - (dirs | set(oracle))):
+        print(f"[FAIL] {typo}: unknown query name")
+        n_fail += 1
     for qdir in sorted(Path(out_dir).iterdir()):
         if not qdir.is_dir():
             continue
