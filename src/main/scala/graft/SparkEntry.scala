@@ -318,6 +318,33 @@ object SparkEntry {
           Rounding.duckRound(col("close"), 6).as("close"),
           col("volume"))),
 
+    // P14: semi-structured props extraction (events.props is a JSON
+    // string) — JSON path on the Spark side, json_extract in the oracle
+    "p14_json_props_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // W6: gap-based sessionization — 30-minute inactivity starts a new
+    // session; microsecond-epoch arithmetic is exact in both engines
+    "w6_sessionize" -> ((s, dir) => {
+      val w = WindowOps.timeWindow(Seq("user_id"), Seq("ts", "event_id"))
+      val tus = unix_micros(col("ts"))
+      val newSession = when(
+        lag(tus, 1).over(w).isNull ||
+          tus - lag(tus, 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L)
+      Tables.load(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        sum(newSession).over(w.rowsBetween(Long.MinValue, 0))
+          .as("session_id"))
+    }),
+
+    // G7: bucketed histogram — portable floor-division bucketing
+    "g7_value_histogram" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Rounding.duckRound(avg(col("value")), 6).as("avg_value"))),
+
     // U0+A1: audit-log union of anomaly complements with reason literals
     "u0_union_audit" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -627,6 +654,30 @@ object SparkEntry {
          |  'rejected_tick_catastrophe'
          |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)""".stripMargin,
+
+    "p14_json_props_extract" ->
+      ("SELECT event_id, " +
+        "json_extract_string(props, '$.k')::BIGINT AS k FROM events"),
+
+    "w6_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS ltus
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN ltus IS NULL OR tus - ltus > 1800000000
+        |                THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |FROM l""".stripMargin,
+
+    "g7_value_histogram" ->
+      """SELECT CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     "w2_lag_pct_change" ->
       """SELECT user_id, event_id,
