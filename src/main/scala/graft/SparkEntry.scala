@@ -329,19 +329,21 @@ object SparkEntry {
     "w6_sessionize" -> ((s, dir) => {
       val w = WindowOps.timeWindow(Seq("user_id"), Seq("ts", "event_id"))
       val tus = unix_micros(col("ts"))
+      val lagTus = WindowOps.lag1(tus, Seq("user_id"), Seq("ts", "event_id"))
       val newSession = when(
-        lag(tus, 1).over(w).isNull ||
-          tus - lag(tus, 1).over(w) > 1800L * 1000000L, 1L).otherwise(0L)
+        lagTus.isNull || tus - lagTus > 1800L * 1000000L, 1L).otherwise(0L)
       Tables.load(s, dir, "events").select(
         col("user_id"), col("event_id"),
-        sum(newSession).over(w.rowsBetween(Long.MinValue, 0))
+        sum(newSession).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
           .as("session_id"))
     }),
 
     // G7: bucketed histogram — portable floor-division bucketing
     "g7_value_histogram" -> ((s, dir) =>
       Tables.load(s, dir, "events")
-        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .groupBy(floor(col("value") / 50.0).as("bucket"))
         .agg(count(lit(1)).as("n"),
           Rounding.duckRound(avg(col("value")), 6).as("avg_value"))),
 
@@ -656,8 +658,9 @@ object SparkEntry {
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)""".stripMargin,
 
     "p14_json_props_extract" ->
-      ("SELECT event_id, " +
-        "json_extract_string(props, '$.k')::BIGINT AS k FROM events"),
+      ("SELECT event_id, " + // TRY_CAST: Spark's cast yields NULL on junk
+        "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events"),
 
     "w6_sessionize" ->
       """WITH l AS (
