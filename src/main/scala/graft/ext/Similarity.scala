@@ -23,11 +23,17 @@ import graft.Rounding
   */
 object Similarity {
 
-  /** Double-precision dot product of two `array<float>` columns via a
-    * sequential fold (matches a single-node accumulation order). Built
-    * with the Column-lambda API, not an expr() string splice — robust to
-    * arbitrary column expressions and names. */
+  /** Double-precision dot product of two numeric-array columns.
+    * Backed by the native codegen'd [[graft.functions.DoubleDot]]
+    * expression — same sequential accumulation order as the portable
+    * `zip_with`+`aggregate` fold in [[dotPortable]] (bit-identical
+    * results, verified by the oracle gate) without per-element lambda
+    * interpretation. */
   def dot(x: Column, y: Column): Column =
+    graft.functions.DoubleDot(x, y)
+
+  /** Built-ins-only fold form of [[dot]] (reference semantics). */
+  def dotPortable(x: Column, y: Column): Column =
     aggregate(
       zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
       lit(0.0),
