@@ -119,8 +119,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
                       rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5): DataFrame = {
+    // sh needs no eager count of its own: the candidates job below
+    // consumes it through a single path (minhash → bands), which
+    // populates the cache before the multi-consumer verification job.
     val sh = shingleHashes(docs, k).cache()
-    sh.count() // eager materialization — see ngramJaccardPairs
     val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
