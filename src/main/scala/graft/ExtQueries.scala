@@ -19,9 +19,10 @@ object ExtQueries {
 
   /** Distinct 60-bit hashes of 5-word shingles as a DuckDB CTE (1-based
     * list indexing; shingle SETS equal Spark's 0-based construction; the
-    * hash mirrors graft.ext.Dedup.md5Long exactly). */
+    * hash mirrors graft.ext.Dedup.md5Long exactly), document-frequency
+    * capped at 100 — the twin of Dedup.cappedShingleHashes. */
   private val shinglesCte =
-    """sh AS (
+    """sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
       |  FROM (
@@ -30,7 +31,9 @@ object ExtQueries {
       |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
       |          FROM documents) t
-      |    WHERE len(w) >= 5) u)""".stripMargin
+      |    WHERE len(w) >= 5) u),
+      |rare AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 100),
+      |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare USING (h))""".stripMargin
 
   private val jaccardTailSql =
     """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -45,13 +48,14 @@ object ExtQueries {
     // E1: exact dedup by content fingerprint
     "e1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs)
+    // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs;
+    // df cap bounds the per-shingle-key join blowup)
     "e2_dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), 5, 0.5)),
+      Dedup.ngramJaccardPairs(docs(s, dir), 5, 0.5, 100)),
 
     // E3: MinHash + LSH banding, exact-Jaccard verified
     "e3_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5)),
+      Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5, 100)),
 
     // E4: SimHash near-dup pairs via 8-bit chunk banding
     "e4_dedup_simhash" -> ((s, dir) =>
@@ -149,7 +153,9 @@ object ExtQueries {
          |  GROUP BY 1, 2),
          |bands AS (
          |  SELECT doc_id, seed // 2 AS band,
-         |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+         |    ('0x' || substr(md5(
+         |      string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)
+         |    ), 1, 15))::BIGINT AS band_key
          |  FROM mh GROUP BY 1, 2),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

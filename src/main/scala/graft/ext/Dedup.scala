@@ -56,15 +56,36 @@ object Dedup {
       .select(col("doc_id"), md5Long(col("shingle")).as("h"))
       .distinct()
 
+  /** Document-frequency-capped shingle hashes: drops shingles occurring in
+    * more than `maxDf` documents, corpus-wide, BEFORE any candidate join.
+    *
+    * This is the scale guard for web-scale corpora: a boilerplate shingle
+    * shared by N documents ("all rights reserved ...") otherwise lands N
+    * rows on one shuffle key and expands to N² candidate pairs in the
+    * self-join. Capping df bounds per-key join work at maxDf² and is
+    * standard near-dup practice — ultra-common shingles carry no
+    * near-duplicate signal anyway. The capped set defines the operator's
+    * semantics end-to-end (signatures, intersections, Jaccard), so the
+    * DuckDB oracle mirrors the same cap and results stay hash-identical.
+    */
+  def cappedShingleHashes(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
+    val sh = shingleHashes(docs, k)
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    sh.join(rare, Seq("h"), "left_semi")
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * shingle (the shingle join prunes the quadratic all-pairs space);
     * jaccard = |∩| / |∪| over distinct shingle sets. */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
-                        minJaccard: Double = 0.5): DataFrame = {
+                        minJaccard: Double = 0.5,
+                        maxDf: Int = 100): DataFrame = {
     // Eagerly materialized: an unmaterialized cache consumed by several
     // branches of one job is rebuilt concurrently by every branch
     // (measured 5x slower). One small action fixes the topology.
-    val sh = shingleHashes(docs, k).cache()
+    val sh = cappedShingleHashes(docs, k, maxDf).cache()
     sh.count()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
@@ -104,25 +125,29 @@ object Dedup {
       .agg(min(col("h")).as("mh"))
 
   /** LSH band keys: signature split into bands of `rowsPerBand` minhashes;
-    * band key = comma-joined minhash values in seed order.
+    * band key = md5Long of the comma-joined minhash values in seed order —
+    * an 8-byte shuffle/join key instead of a wide decimal string (the
+    * band join at corpus scale moves one row per (doc, band); key width
+    * is the dominant shuffle cost). md5 keeps cross-engine parity.
     * Returns (doc_id, band, band_key). */
   def lshBands(mh: DataFrame, rowsPerBand: Int = 2): DataFrame =
     mh.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
       .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(
+      .agg(md5Long(array_join(
         expr("transform(array_sort(collect_list(struct(seed, mh)))," +
-          " x -> cast(x.mh as string))"), ",").as("band_key"))
+          " x -> cast(x.mh as string))"), ",")).as("band_key"))
 
   /** MinHash+LSH near-dup pairs: candidates share ≥1 band bucket, then
     * exact Jaccard verification ≥ `minJaccard`. With k=16, r=2 (8 bands),
     * P[candidate] = 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈1 at j≥0.8. */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
                       rowsPerBand: Int = 2,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5,
+                      maxDf: Int = 100): DataFrame = {
     // sh needs no eager count of its own: the candidates job below
     // consumes it through a single path (minhash → bands), which
     // populates the cache before the multi-consumer verification job.
-    val sh = shingleHashes(docs, k).cache()
+    val sh = cappedShingleHashes(docs, k, maxDf).cache()
     val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
