@@ -212,6 +212,13 @@ object SparkEntry {
     "g1_g2_g3_ohlc_resample" -> ((s, dir) =>
       roundedOhlc(tickCandles(s, dir), Nil)),
 
+    // G1 salted variant: the skew-resistant two-phase OHLC (hot-minute
+    // mitigation) — exact decomposition of every G1–G3 aggregate, so it
+    // shares the plain resample's oracle
+    "g1_ohlc_salted" -> ((s, dir) =>
+      roundedOhlc(
+        Resample.ohlc1minSalted(TickPrep(Tables.ticks(s, dir)), 16), Nil)),
+
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
     "g1_ohlc_by_key" -> ((s, dir) => {
       val ticks = Tables.load(s, dir, "events").select(
@@ -536,6 +543,12 @@ object SparkEntry {
         "WHERE NOT event_type = 'error'"),
 
     "g1_g2_g3_ohlc_resample" ->
+      s"""WITH $ticksCte, $preppedCte
+         |${ohlcSelectSql()}""".stripMargin,
+
+    // identical oracle to the plain resample: salting is an internal
+    // two-phase decomposition, not a semantic change
+    "g1_ohlc_salted" ->
       s"""WITH $ticksCte, $preppedCte
          |${ohlcSelectSql()}""".stripMargin,
 

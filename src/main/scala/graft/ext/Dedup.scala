@@ -184,7 +184,14 @@ object Dedup {
   }
 
   /** 32-bit SimHash per document: token-frequency-weighted bit voting.
-    * bit_i(simhash) = 1 iff Σ_tokens n(t) · (2·bit_i(md5₃₂(t)) − 1) > 0. */
+    * bit_i(simhash) = 1 iff Σ_tokens n(t) · (2·bit_i(md5₃₂(t)) − 1) > 0.
+    *
+    * The 32 per-bit votes are carried as ONE 32-element array per
+    * (doc, token) and summed element-wise in a single aggregation —
+    * not exploded into 32 rows per token (32× less shuffled data, one
+    * shuffle instead of two). Long arithmetic is order-independent, so
+    * the fold is exactly the per-bit sum the oracle computes.
+    */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"),
@@ -193,15 +200,18 @@ object Dedup {
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     toks
-      .select(col("doc_id"), col("n"), col("h"),
-        explode(expr("sequence(0, 31)")).as("i"))
-      .withColumn("vote",
-        col("n") * (expr("shiftright(h, i) & 1") * 2 - 1))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("vote")).as("v"))
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 31), i -> n * ((shiftright(h, i) & 1) * 2 - 1))")
+        .as("v"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(1L, i)")).otherwise(0L)).as("simhash"))
+      .agg(expr(
+        """aggregate(collect_list(v), array_repeat(0L, 32),
+          |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""".stripMargin)
+        .as("votes"))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 31), 0L,
+          |  (acc, i) -> acc + IF(votes[i] > 0, shiftleft(1L, i), 0L))"""
+          .stripMargin).as("simhash"))
   }
 
   /** SimHash near-dup pairs: banded by the four 8-bit chunks (two docs

@@ -40,12 +40,27 @@ object WindowOps {
 
   /** W1: centered rolling median, window=5, min_periods=1
     * (`hybrid_merger.py:210-211`). Spark's shrinking frame at partition
-    * edges matches `min_periods=1` exactly. Spark's `median` rejects window
-    * frames, but exact `percentile(c, 0.5)` is frame-capable and uses the
-    * same linear interpolation as pandas/DuckDB median.
+    * edges matches `min_periods=1` exactly.
+    *
+    * Computed as the interpolated middle of `sort_array(collect_list)`
+    * over the 5-row frame instead of `percentile(c, 0.5)`: sorting ≤5
+    * elements per frame is cheaper than percentile's per-frame counts
+    * map, and the whole expression stays codegen-friendly.
     */
   def rollingMedian5(c: Column, partitionBy: Seq[String] = Nil,
                      orderBy: Seq[String] = Seq("datetime")): Column =
-    percentile(c, lit(0.5))
-      .over(timeWindow(partitionBy, orderBy).rowsBetween(-2, 2))
+    median5FromSorted(sort_array(collect_list(c)
+      .over(timeWindow(partitionBy, orderBy).rowsBetween(-2, 2))))
+
+  /** Exact 0.5-percentile of a small sorted array with linear
+    * interpolation — `lo + (hi − lo) · 0.5`, the SAME formula Spark's
+    * `percentile` and DuckDB's window `median` evaluate, so results stay
+    * bit-identical with both (odd n: lo == hi, exact). collect_list skips
+    * NULLs exactly like percentile, so the shrink semantics agree too. */
+  private[ops] def median5FromSorted(arr: Column): Column = {
+    val n = size(arr)
+    val lo = element_at(arr, floor((n + lit(1)) / lit(2)).cast("int"))
+    val hi = element_at(arr, floor(n / lit(2)).cast("int") + lit(1))
+    when(n === 0, lit(null)).otherwise(lo + (hi - lo) * lit(0.5))
+  }
 }
