@@ -457,6 +457,32 @@ object SparkEntry {
           Rounding.duckRound(col("close"), 6).as("close"), col("is_flat"))
     }),
 
+    // U2 day-partitioned backend: identical semantics to
+    // u2_flat_candle_bridge with NO single-partition window — the
+    // SCALE.md escape hatch for single-key frames, proven at the oracle
+    "u2_bridge_day_part" -> ((s, dir) => {
+      val t = tickCandles(s, dir)
+      GridOps.flatCandleBridgeByDay(t, gridOf(s, t))
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"), Rounding.duckRound(col("spread"), 6).as("spread"),
+          col("is_flat"))
+    }),
+
+    // F6 day-partitioned backend: identical semantics to f6_spike_filter,
+    // lag carried across day boundaries by a broadcast patch table
+    "f6_spike_day_part" -> ((s, dir) =>
+      CleanOps.spikeFilterByDay(tickCandles(s, dir), SpikeThreshold)
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"))),
+
     // Full composed pipeline (§3): the reference's run() end-to-end,
     // including P12's float32 cast (values re-widened for comparison)
     "pipeline_hybrid_full" -> ((s, dir) => {
@@ -628,20 +654,10 @@ object SparkEntry {
          |          OR close > high OR close < low) AS bad
          |  FROM mixed WHERE NOT (low > high)) t""".stripMargin,
 
-    "f6_spike_filter" ->
-      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte,
-         |pct AS (
-         |  SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
-         |  FROM tick_candles)
-         |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
-         |  round(low, 6) AS low, round(close, 6) AS close, volume
-         |FROM pct
-         |WHERE NOT (
-         |  CASE WHEN open = 0 THEN high <> low
-         |       ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
-         |  OR CASE WHEN lc IS NULL THEN false
-         |          WHEN lc = 0 THEN close <> 0
-         |          ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)""".stripMargin,
+    "f6_spike_filter" -> f6SpikeOracle,
+
+    // day-partitioned backend — same semantics, same oracle
+    "f6_spike_day_part" -> f6SpikeOracle,
 
     "u0_union_audit" ->
       s"""$fusionWith, $mixedCte,
@@ -747,28 +763,10 @@ object SparkEntry {
          |SELECT g.datetime, round(c.close, 6) AS close
          |FROM grid g LEFT JOIN tick_candles c USING (datetime)""".stripMargin,
 
-    "u2_flat_candle_bridge" ->
-      s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte,
-         |joined AS (
-         |  SELECT g.datetime, c.open, c.high, c.low, c.close, c.volume,
-         |         c.spread
-         |  FROM grid g LEFT JOIN tick_candles c USING (datetime)),
-         |bridged AS (
-         |  SELECT datetime, open, high, low, volume, spread,
-         |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
-         |    last_value(close IGNORE NULLS) OVER w AS fclose,
-         |    last_value(spread IGNORE NULLS) OVER w AS fspread
-         |  FROM joined
-         |  WINDOW w AS (ORDER BY datetime
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT datetime,
-         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE open END, 6) AS open,
-         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE high END, 6) AS high,
-         |  round(CASE WHEN is_flat = 1 THEN fclose ELSE low END, 6) AS low,
-         |  round(fclose, 6) AS close,
-         |  CASE WHEN is_flat = 1 THEN 0 ELSE volume END AS volume,
-         |  round(fspread, 6) AS spread, is_flat
-         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+    "u2_flat_candle_bridge" -> u2BridgeOracle,
+
+    // day-partitioned backend — same semantics, same oracle
+    "u2_bridge_day_part" -> u2BridgeOracle,
 
     "u2_bridge_by_key" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
@@ -862,6 +860,48 @@ object SparkEntry {
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
          |ORDER BY t.datetime LIMIT 5""".stripMargin
   )
+
+  /** F6 oracle, shared by the global-window and day-partitioned
+    * backends (identical semantics by construction). */
+  private lazy val f6SpikeOracle: String =
+    s"""WITH $ticksCte, $preppedCte, $tickCandlesCte,
+       |pct AS (
+       |  SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
+       |  FROM tick_candles)
+       |SELECT datetime, round(open, 6) AS open, round(high, 6) AS high,
+       |  round(low, 6) AS low, round(close, 6) AS close, volume
+       |FROM pct
+       |WHERE NOT (
+       |  CASE WHEN open = 0 THEN high <> low
+       |       ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+       |  OR CASE WHEN lc IS NULL THEN false
+       |          WHEN lc = 0 THEN close <> 0
+       |          ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)""".stripMargin
+
+  /** U2 oracle, shared by the global-window and day-partitioned
+    * backends (identical semantics by construction). */
+  private lazy val u2BridgeOracle: String =
+    s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte,
+       |joined AS (
+       |  SELECT g.datetime, c.open, c.high, c.low, c.close, c.volume,
+       |         c.spread
+       |  FROM grid g LEFT JOIN tick_candles c USING (datetime)),
+       |bridged AS (
+       |  SELECT datetime, open, high, low, volume, spread,
+       |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+       |    last_value(close IGNORE NULLS) OVER w AS fclose,
+       |    last_value(spread IGNORE NULLS) OVER w AS fspread
+       |  FROM joined
+       |  WINDOW w AS (ORDER BY datetime
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT datetime,
+       |  round(CASE WHEN is_flat = 1 THEN fclose ELSE open END, 6) AS open,
+       |  round(CASE WHEN is_flat = 1 THEN fclose ELSE high END, 6) AS high,
+       |  round(CASE WHEN is_flat = 1 THEN fclose ELSE low END, 6) AS low,
+       |  round(fclose, 6) AS close,
+       |  CASE WHEN is_flat = 1 THEN 0 ELSE volume END AS volume,
+       |  round(fspread, 6) AS spread, is_flat
+       |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
 
   /** Shared CTE chain of the composed pipeline oracle (through
     * `bridged`); finals select either the candle output

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Candle validation & repair: F5, U1, W3, P8, P10, F6 from SURVEY.md §2 —
@@ -77,8 +77,10 @@ object CleanOps {
     * lag is NaN in pandas → no breach. Spelled out as CASEs so the plan
     * is NULL-free and matches the reference bit-for-bit. */
   private def spikeDropCond(threshold: Double,
-                            partitionBy: Seq[String]) = {
-    val lagClose = WindowOps.lag1(col("close"), partitionBy)
+                            partitionBy: Seq[String]) =
+    spikeCondsFrom(WindowOps.lag1(col("close"), partitionBy), threshold)
+
+  private def spikeCondsFrom(lagClose: Column, threshold: Double) = {
     val ampBreach = coalesce(
       when(col("open") === 0, col("high") =!= col("low"))
         .otherwise((col("high") - col("low")) / col("open") > threshold),
@@ -96,6 +98,17 @@ object CleanOps {
     val (amp, pct) = spikeDropCond(threshold, partitionBy)
     candles.withColumn("_drop", amp || pct)
       .filter(!col("_drop")).drop("_drop")
+  }
+
+  /** [[spikeFilter]] with the day-partitioned lag backend
+    * ([[DayWindows.lag1]]): identical output, no single-partition
+    * window — the scale path for single-key candle frames. */
+  def spikeFilterByDay(candles: DataFrame,
+                       threshold: Double = 0.005): DataFrame = {
+    val withLag = DayWindows.lag1(candles, "close", "_dw_lc")
+    val (amp, pct) = spikeCondsFrom(col("_dw_lc"), threshold)
+    withLag.withColumn("_drop", amp || pct)
+      .filter(!col("_drop")).drop("_drop", "_dw_lc")
   }
 
   /** Complement of F6 for the audit log (reason

@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned backends for the global-time-order windows (W1–W5,
+  * P10) — the scale escape hatch promised in SCALE.md for single-key
+  * candle frames.
+  *
+  * A Spark window with no partition keys collapses to ONE task
+  * (`hybrid_merger.py`'s implicit global DatetimeIndex order). That is
+  * bounded-safe for a minute-candle frame (rows scale with the time span,
+  * not tick volume) but it is still the engine's only serial stage. Each
+  * operator here computes the SAME result in two partition-parallel
+  * steps:
+  *
+  *   1. the window runs inside `date_trunc('day', …)` partitions
+  *      (1440 candle rows/day — thousands of parallel tasks on a year);
+  *   2. a per-day "patch" table — ONE row per present day, built with an
+  *      ordinary aggregation — carries state across day boundaries and is
+  *      broadcast-joined back.
+  *
+  * The cross-day carry itself is an as-of join on the patch table
+  * (`b.day < a.day`, argmax on day), NOT another window: a constant
+  * partition key gets folded away by Catalyst, so any "tiny" window would
+  * still plan as the unpartitioned single task this object exists to
+  * remove. The join is O(days²) pairs through a broadcast — ~5.5k days
+  * for 15 years, 30M cheap struct comparisons spread over the cluster,
+  * independent of data volume.
+  *
+  * Contract: `orderBy` columns must uniquely identify a row (the candle
+  * frames' `datetime` is unique); results are exactly equal to the
+  * corresponding [[WindowOps]] helper with no partition keys
+  * (equivalence-tested in DayWindowsSpec, oracle-checked via the
+  * `*_day_part` driver queries).
+  */
+object DayWindows {
+
+  private val Day = "_dw_day"
+
+  private def withDay(df: DataFrame, orderBy: Seq[String]): DataFrame =
+    df.withColumn(Day, date_trunc("day", col(orderBy.head)))
+
+  private def wDay(orderBy: Seq[String]) =
+    Window.partitionBy(col(Day)).orderBy(orderBy.map(col): _*)
+
+  /** As-of carry over the day patch table: for every day, the value of
+    * `valueOf` at the LATEST prior day where `anchorNonNull` is non-null
+    * (argmax via struct max; days are unique so the value field never
+    * decides the ordering, and an all-null prior range yields null). */
+  private def asofPriorDay(carries: DataFrame,
+                           picks: Seq[(String, String)]): DataFrame = {
+    val prior = carries.as("a").join(broadcast(carries.as("b")),
+      col(s"b.$Day") < col(s"a.$Day"), "left")
+    val aggs = picks.map { case (src, out) =>
+      max(struct(
+        when(col(s"b.$src").isNotNull, col(s"b.$Day")).as("o"),
+        col(s"b.$src").as("v"))).getField("v").as(out)
+    }
+    prior.groupBy(col(s"a.$Day").as(Day)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** W3/W4/W5 at scale: forward-fill `cols` in global `orderBy` order,
+    * executed day-parallel. Step 1 ffills within each day; step 2 takes
+    * each day's last non-null (an aggregate, not a window), finds the
+    * latest prior day that has one (as-of join on the tiny day table),
+    * and broadcasts it back as the carry-in for rows not yet filled
+    * within their own day. */
+  def ffill(df: DataFrame, cols: Seq[String],
+            orderBy: Seq[String] = Seq("datetime")): DataFrame = {
+    val df2 = withDay(df, orderBy)
+    val wIn = wDay(orderBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = cols.foldLeft(df2)((d, c) =>
+      d.withColumn(s"_dw_f_$c", last(col(c), ignoreNulls = true).over(wIn)))
+    // per-day carry = the within-day ffill at the day's LAST row (struct
+    // max on the unique order key; v never decides the ordering)
+    val ord = struct(orderBy.map(col): _*)
+    val aggs = cols.map(c =>
+      max(struct(ord.as("o"), col(s"_dw_f_$c").as("v"))).getField("v")
+        .as(s"_dw_c_$c"))
+    val carries = withIn.groupBy(col(Day)).agg(aggs.head, aggs.tail: _*)
+    val carryIn = asofPriorDay(carries,
+      cols.map(c => s"_dw_c_$c" -> s"_dw_in_$c"))
+    val patched = withIn.join(broadcast(carryIn), Seq(Day))
+    cols.foldLeft(patched)((d, c) =>
+        d.withColumn(c, coalesce(col(s"_dw_f_$c"), col(s"_dw_in_$c"))))
+      .drop(Day)
+      .drop(cols.flatMap(c => Seq(s"_dw_f_$c", s"_dw_in_$c")): _*)
+  }
+
+  /** W2/P10 at scale: previous-row value in global `orderBy` order,
+    * written to column `out`. Within-day lag everywhere except each
+    * day's first row, which takes the previous PRESENT day's last value
+    * (exactly the global previous row) from the broadcast patch table. */
+  def lag1(df: DataFrame, c: String, out: String,
+           orderBy: Seq[String] = Seq("datetime")): DataFrame = {
+    val df2 = withDay(df, orderBy)
+    val w = wDay(orderBy)
+    val ord = struct(orderBy.map(col): _*)
+    // the day's last VALUE (may itself be null — the global lag takes it
+    // as-is), so the as-of anchor is the day itself, not the value:
+    // every present day has a last row, hence a non-null _dw_anchor
+    val carries = df2.groupBy(col(Day)).agg(
+      max(struct(ord.as("o"), col(c).as("v"))).getField("v").as("_dw_lastv"),
+      lit(1).as("_dw_anchor"))
+    val carryIn = asofPriorDay(
+      carries.withColumn("_dw_lastv",
+        struct(col("_dw_anchor"), col("_dw_lastv"))),
+      Seq("_dw_lastv" -> "_dw_in"))
+      .withColumn("_dw_in", col("_dw_in").getField("_dw_lastv"))
+    df2.withColumn("_dw_rn", row_number().over(w))
+      .withColumn("_dw_lag", lag(col(c), 1).over(w))
+      .join(broadcast(carryIn), Seq(Day))
+      .withColumn(out,
+        when(col("_dw_rn") === 1, col("_dw_in")).otherwise(col("_dw_lag")))
+      .drop(Day, "_dw_rn", "_dw_lag", "_dw_in")
+  }
+
+  /** W1 at scale: centered rolling median (window 5, min_periods 1) in
+    * global `orderBy` order, written to column `out`.
+    *
+    * Interior rows (>2 from both day edges) get the day-partitioned
+    * frame, which equals the global frame. Rows within 2 of a day edge
+    * have frames that cross the boundary; they are recomputed exactly
+    * over the "edge strip" E = first/last 4 rows of every day, globally
+    * ordered. For any such row, all 5 global frame rows lie in E:
+    * same-day frame rows are within 4 of that day's edge, and any row
+    * within 2 global positions of a day boundary is within the last/first
+    * 2 rows of its OWN day (the positions between it and the boundary all
+    * belong to later/earlier days). The frame rows are globally
+    * consecutive, hence adjacent inside E too, so the ±2 window over E is
+    * the exact global window.
+    *
+    * The E window IS single-partition (positional neighbors can't be
+    * re-derived with an as-of join), but its input is O(8 rows/day) —
+    * bounded by the time span, not the data — so the WindowExec warning
+    * it logs is a bounded, deliberate cost. */
+  def rollingMedian5(df: DataFrame, c: String, out: String,
+                     orderBy: Seq[String] = Seq("datetime")): DataFrame = {
+    val df2 = withDay(df, orderBy)
+    val asc = wDay(orderBy)
+    val desc = Window.partitionBy(col(Day))
+      .orderBy(orderBy.map(o => col(o).desc): _*)
+    val tagged = df2
+      .withColumn("_dw_rn", row_number().over(asc))
+      .withColumn("_dw_rrn", row_number().over(desc))
+    val dayMed = WindowOps.median5FromSorted(
+      sort_array(collect_list(col(c)).over(asc.rowsBetween(-2, 2))))
+    val wE = Window.orderBy(orderBy.map(col): _*).rowsBetween(-2, 2)
+    val eMed = tagged
+      .filter(col("_dw_rn") <= 4 || col("_dw_rrn") <= 4)
+      .withColumn("_dw_emed", WindowOps.median5FromSorted(
+        sort_array(collect_list(col(c)).over(wE))))
+      .filter(col("_dw_rn") <= 2 || col("_dw_rrn") <= 2)
+      .select((orderBy.map(col) :+ col("_dw_emed")): _*)
+    tagged.withColumn(out, dayMed)
+      .join(broadcast(eMed), orderBy.toSeq, "left")
+      .withColumn(out,
+        when(col("_dw_rn") <= 2 || col("_dw_rrn") <= 2, col("_dw_emed"))
+          .otherwise(col(out)))
+      .drop(Day, "_dw_rn", "_dw_rrn", "_dw_emed")
+  }
+}

@@ -40,13 +40,31 @@ object GridOps {
     */
   def flatCandleBridge(candles: DataFrame, grid: DataFrame,
                        partitionBy: Seq[String] = Nil): DataFrame = {
-    val keys = partitionBy :+ "datetime"
-    val joined = grid.join(candles, keys.toSeq, "left")
-    val isGap = col("close").isNull
-    joined
-      .withColumn("is_flat", when(isGap, lit(1)).otherwise(lit(0)))
+    val flagged = joinAndFlag(candles, grid, partitionBy)
       .withColumn("close", WindowOps.ffill(col("close"), partitionBy))
       .withColumn("spread", WindowOps.ffill(col("spread"), partitionBy))
+    flattenGaps(flagged)
+  }
+
+  /** [[flatCandleBridge]] with the day-partitioned ffill backend
+    * ([[DayWindows.ffill]]): identical output, no single-partition
+    * window — the scale path for single-key candle frames. */
+  def flatCandleBridgeByDay(candles: DataFrame, grid: DataFrame): DataFrame =
+    flattenGaps(DayWindows.ffill(
+      joinAndFlag(candles, grid, Nil), Seq("close", "spread")))
+
+  private def joinAndFlag(candles: DataFrame, grid: DataFrame,
+                          partitionBy: Seq[String]): DataFrame = {
+    val keys = partitionBy :+ "datetime"
+    grid.join(candles, keys.toSeq, "left")
+      .withColumn("is_flat",
+        when(col("close").isNull, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Steps 3-4 of the bridge: synthesize the flat candle on gap rows and
+    * drop the pre-history (rows before the first real close). */
+  private def flattenGaps(filled: DataFrame): DataFrame =
+    filled
       .withColumn("open",
         when(col("is_flat") === 1, col("close")).otherwise(col("open")))
       .withColumn("high",
@@ -56,7 +74,6 @@ object GridOps {
       .withColumn("volume",
         when(col("is_flat") === 1, lit(0L)).otherwise(col("volume")))
       .filter(col("close").isNotNull) // F4: leading pre-history gap rows
-  }
 
   /** P12: the reference's final precision contract — prices/volume/spread
     * to float32, flag to int8 (`hybrid_merger.py:244-246`). */
