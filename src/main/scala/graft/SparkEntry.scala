@@ -78,6 +78,12 @@ object SparkEntry {
   private val SpikeThreshold = 2.0
   private val ConsensusThreshold = 50.0
 
+  /** Where s1_csv_m1_scan materializes its CSV fixture. Constant because
+    * the oracle SQL (a static string) must name the same file; fine for
+    * the driver's sequential Verify-then-DuckDB flow, but concurrent
+    * Verify runs at different SFs would race on it. */
+  private val CsvFixtureDir = "/tmp/graft_csv_fixture_m1"
+
   // ------------------------------------------------------------ oracle SQL
   /** The canonical tick frame (Tables.ticks) as a DuckDB CTE. */
   private val ticksCte = s"ticks AS (${Tables.ticksSql})"
@@ -158,6 +164,35 @@ object SparkEntry {
     coreQueries ++ ExtQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1 (+S4, P1, P3-P5): the reference's ACTUAL ingestion format, under
+    // the hash gate. The query round-trips a deterministic M1-format CSV
+    // (written from events via the S4 sink) through loadM1; the oracle
+    // re-reads the SAME file with DuckDB read_csv, so the scan path —
+    // header skip, declared float32 schema, two-string timestamp parse —
+    // is what's being compared. Fixed path: the oracle SQL is static and
+    // the driver runs Verify (which writes the fixture) before DuckDB.
+    "s1_csv_m1_scan" -> ((s, dir) => {
+      val src = Tables.load(s, dir, "events")
+        .orderBy(col("event_id")).limit(500)
+        .select(
+          date_format(col("ts"), "yyyy.MM.dd").as("Date"),
+          date_format(col("ts"), "HH:mm:ss").as("Time"),
+          col("value").cast("float").as("Open"),
+          (col("value") * 1.01).cast("float").as("High"),
+          (col("value") * 0.99).cast("float").as("Low"),
+          (col("value") + 0.5).cast("float").as("Close"),
+          (col("event_id") % 97).cast("float").as("TickVol"))
+      sources.CsvSources.writeCsv(src, CsvFixtureDir)
+      sources.CsvSources.loadM1(s, CsvFixtureDir)
+        .select(col("datetime"),
+          col("open").cast("double").as("open"),
+          col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"),
+          col("close").cast("double").as("close"),
+          col("volume").cast("double").as("volume"),
+          col("spread").cast("double").as("spread"))
+    }),
 
     // S2: schema'd scan + column pruning + filter pushdown
     "s2_scan_prune" -> ((s, dir) =>
@@ -484,7 +519,15 @@ object SparkEntry {
           col("volume"))),
 
     // Full composed pipeline (§3): the reference's run() end-to-end,
-    // including P12's float32 cast (values re-widened for comparison)
+    // including P12's float32 cast (values re-widened for comparison).
+    //
+    // Cache contract: Pipeline.run pins candle caches and returns a
+    // release() these lazy adapters cannot invoke (the caller controls
+    // materialization). Verify and Bench clearCache() after every query —
+    // that is their documented contract; a long-lived LIBRARY session
+    // should call Pipeline.run directly and invoke Result.release after
+    // its last action (same for the Dedup near-dup caches, released via
+    // clearCache or session teardown).
     "pipeline_hybrid_full" -> ((s, dir) => {
       val out = Pipeline.run(s, Tables.ticks(s, dir),
         Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold).candles
@@ -532,6 +575,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracleSql ++ ExtQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
+
+    // reads the fixture the Spark query just wrote — the compare is
+    // between the two engines' CSV scan paths, not between derivations
+    "s1_csv_m1_scan" ->
+      s"""SELECT strptime(Date || ' ' || Time, '%Y.%m.%d %H:%M:%S')
+         |    AS datetime,
+         |  CAST(Open AS DOUBLE) AS open, CAST(High AS DOUBLE) AS high,
+         |  CAST(Low AS DOUBLE) AS low, CAST(Close AS DOUBLE) AS close,
+         |  CAST(TickVol AS DOUBLE) AS volume,
+         |  CAST(NULL AS DOUBLE) AS spread
+         |FROM read_csv('$CsvFixtureDir/*.csv', header = true,
+         |  columns = {'Date': 'VARCHAR', 'Time': 'VARCHAR',
+         |             'Open': 'FLOAT', 'High': 'FLOAT', 'Low': 'FLOAT',
+         |             'Close': 'FLOAT', 'TickVol': 'FLOAT'})""".stripMargin,
 
     "s2_scan_prune" ->
       "SELECT event_id, ts, value FROM events WHERE value >= 0.0001",

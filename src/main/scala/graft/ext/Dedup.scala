@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * step is per-bucket pair expansion, which LSH banding keeps tiny; at
   * 100 TB the band-bucket join is the standard MinHash dedup topology
   * (map-side shingling → shuffle on band key → per-bucket pairs).
+  *
+  * Cache contract: [[ngramJaccardPairs]] and [[minhashLshPairs]] pin
+  * intermediate caches (shingle hashes, candidate pairs) that outlive the
+  * returned DataFrame — unpersisting before the caller's action would
+  * force recomputation mid-plan. Verify/Bench clearCache() per query;
+  * a long-lived library session calling these repeatedly should
+  * `spark.sharedState.cacheManager.clearCache()` (or drop the session)
+  * when done with the results.
   */
 object Dedup {
 

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   * for a bounded 1-minute candle grid (rows scale with the time span, not
   * tick volume: 15 years ≈ 7.9M minutes), wrong for raw-tick-scale data.
   * Every helper therefore takes `partitionBy` keys; the candle pipeline
-  * passes the symbol key when present (SURVEY §2.12) and callers operating
-  * on raw ticks should partition by day and patch boundaries.
+  * passes the symbol key when present (SURVEY §2.12), and [[DayWindows]]
+  * provides exact day-partitioned backends (day windows + broadcast
+  * boundary patch) for single-key frames.
   */
 object WindowOps {
 

@@ -81,8 +81,16 @@ object StreamingGapBridge {
             }
             st.foreach { s =>
               state.update(s)
+              // Clamp the event-time timeout to strictly beyond the
+              // current watermark: during a backfill, a key whose latest
+              // candle lags the global watermark by more than the TTL
+              // would otherwise get a timeout in the "past", which Spark
+              // rejects with IllegalArgumentException — killing the whole
+              // query. Clamped, the far-behind key simply expires on the
+              // next watermark advance.
               idleTtlMinutes.foreach(ttl => state.setTimeoutTimestamp(
-                (s.lastMinute + ttl) * MinuteMs))
+                math.max((s.lastMinute + ttl) * MinuteMs,
+                  state.getCurrentWatermarkMs() + MinuteMs)))
             }
             out.iterator
           }

@@ -17,7 +17,13 @@ class EntryContractSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val r = try {
-          fn(spark, "/root/testdata/sf0.001").count(); None
+          // noop write, NOT count(): count() lets Catalyst prune the
+          // top-level projections, so a broken select expression could
+          // pass the smoke; the noop sink evaluates every column the
+          // way Verify's parquet write does.
+          fn(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+          None
         } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
         spark.sharedState.cacheManager.clearCache()
         r

@@ -90,4 +90,39 @@ class StreamingGapBridgeSpec extends SparkSpec {
     assert(b.count(_.is_flat == 1) == 63)
     assert(b.count(_.is_flat == 0) == 3)
   }
+
+  test("timeout clamp: late re-sends behind the frontier while the " +
+    "watermark sits past the key's TTL do not kill the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CandleIn]
+    val q = StreamingGapBridge.bridge(
+        mem.toDS().withWatermark("datetime", "0 seconds"),
+        idleTtlMinutes = Some(0)) // TTL 0: timeout = frontier minute
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clamp_out").start()
+
+    def candle(t: String, close: Double) =
+      CandleIn("A", ts(t), close, close, close, close, 1L, 0.01)
+
+    mem.addData(candle("2024-01-03 10:00:00", 1.0))
+    q.processAllAvailable() // watermark → 10:00:00
+    mem.addData(candle("2024-01-03 10:00:45", 1.1)) // late vs frontier
+    q.processAllAvailable() // watermark → 10:00:45
+    // frontier minute still 10:00 → unclamped timeout (10:00:00.000)
+    // would be BEHIND the 10:00:45 watermark: without the clamp Spark
+    // rejects it with IllegalArgumentException and the query dies here
+    mem.addData(candle("2024-01-03 10:00:50", 1.15))
+    q.processAllAvailable()
+    mem.addData(candle("2024-01-03 10:02:00", 1.2))
+    q.processAllAvailable()
+    val rows = spark.table("clamp_out").as[CandleOut].collect()
+    q.stop()
+
+    // both sub-minute lates ignored; the grid continued past them
+    assert(rows.sortBy(_.datetime.getTime)
+      .map(c => (c.datetime, c.is_flat, c.close)).toSeq == Seq(
+        (ts("2024-01-03 10:00:00"), 0, 1.0),
+        (ts("2024-01-03 10:01:00"), 1, 1.0),
+        (ts("2024-01-03 10:02:00"), 0, 1.2)))
+  }
 }
