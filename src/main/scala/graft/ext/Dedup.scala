@@ -77,7 +77,18 @@ object Dedup {
     * DuckDB oracle mirrors the same cap and results stay hash-identical.
     */
   def cappedShingleHashes(docs: DataFrame, k: Int, maxDf: Int): DataFrame = {
-    val sh = shingleHashes(docs, k)
+    // Materialize the base hashes BEFORE branching: the df aggregation
+    // and the semi-join probe both consume them, and an unmaterialized
+    // cache consumed by two branches of one job is rebuilt by each
+    // branch (the shingle scan + md5 is the expensive part).
+    val sh = shingleHashes(docs, k).cache()
+    sh.count()
+    capDf(sh, maxDf)
+  }
+
+  /** The df-cap step alone, over an already-materialized (doc_id, h)
+    * frame: keeps hashes occurring in at most `maxDf` documents. */
+  def capDf(sh: DataFrame, maxDf: Int): DataFrame = {
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("h"))
@@ -92,9 +103,13 @@ object Dedup {
                         maxDf: Int = 100): DataFrame = {
     // Eagerly materialized: an unmaterialized cache consumed by several
     // branches of one job is rebuilt concurrently by every branch
-    // (measured 5x slower). One small action fixes the topology.
-    val sh = cappedShingleHashes(docs, k, maxDf).cache()
+    // (measured 5x slower). One small action fixes the topology. The
+    // base hashes are released once the capped frame is materialized.
+    val sh0 = shingleHashes(docs, k).cache()
+    sh0.count()
+    val sh = capDf(sh0, maxDf).cache()
     sh.count()
+    sh0.unpersist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -152,10 +167,14 @@ object Dedup {
                       rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5,
                       maxDf: Int = 100): DataFrame = {
-    // sh needs no eager count of its own: the candidates job below
-    // consumes it through a single path (minhash → bands), which
-    // populates the cache before the multi-consumer verification job.
-    val sh = cappedShingleHashes(docs, k, maxDf).cache()
+    // The BASE hashes need an eager count (capDf consumes them through
+    // two branches — df agg + semi-join probe — of one job); the capped
+    // frame itself does not: the candidates job consumes it through a
+    // single path (minhash → bands), populating its cache before the
+    // multi-consumer verification job.
+    val sh0 = shingleHashes(docs, k).cache()
+    sh0.count()
+    val sh = capDf(sh0, maxDf).cache()
     val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -165,7 +184,8 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .cache()
-    candidates.count() // eager — consumed by semi-join AND final join
+    candidates.count() // eager — consumed by semi-join AND final join;
+    sh0.unpersist()    // sh's cache is populated now, base releasable
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // The exact-Jaccard verification intersects shingles ONLY for docs
     // that appear in a candidate pair — this is the point of LSH: the
@@ -194,11 +214,12 @@ object Dedup {
   /** 32-bit SimHash per document: token-frequency-weighted bit voting.
     * bit_i(simhash) = 1 iff Σ_tokens n(t) · (2·bit_i(md5₃₂(t)) − 1) > 0.
     *
-    * The 32 per-bit votes are carried as ONE 32-element array per
-    * (doc, token) and summed element-wise in a single aggregation —
-    * not exploded into 32 rows per token (32× less shuffled data, one
-    * shuffle instead of two). Long arithmetic is order-independent, so
-    * the fold is exactly the per-bit sum the oracle computes.
+    * The 32 per-bit votes are 32 independent `sum` columns in ONE hash
+    * aggregate — no 32-row-per-token explode (32× shuffled data, two
+    * shuffles) and no array-typed fold (interpreted lambdas allocating a
+    * fresh array per token). Everything stays inside whole-stage codegen
+    * and the bit recombination is a plain 32-term expression. Long sums
+    * are order-independent, so results equal the oracle's per-bit sums.
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -207,19 +228,13 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
       .withColumn("h",
         conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    toks
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 31), i -> n * ((shiftright(h, i) & 1) * 2 - 1))")
-        .as("v"))
-      .groupBy(col("doc_id"))
-      .agg(expr(
-        """aggregate(collect_list(v), array_repeat(0L, 32),
-          |  (acc, x) -> zip_with(acc, x, (a, b) -> a + b))""".stripMargin)
-        .as("votes"))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 31), 0L,
-          |  (acc, i) -> acc + IF(votes[i] > 0, shiftleft(1L, i), 0L))"""
-          .stripMargin).as("simhash"))
+    val votes = (0 until 32).map(i =>
+      sum(col("n") * (expr(s"shiftright(h, $i) & 1") * 2 - 1)).as(s"v$i"))
+    toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(i =>
+            when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: banded by the four 8-bit chunks (two docs
