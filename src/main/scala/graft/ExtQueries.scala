@@ -49,11 +49,18 @@ object ExtQueries {
     "e1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
     // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs;
-    // df cap bounds the per-shingle-key join blowup)
+    // df cap bounds the per-shingle-key join blowup).
+    // NOTE capped-set semantics: with maxDf=100, shingles occurring in
+    // >100 documents are excluded BEFORE any similarity math, so the
+    // reported `jaccard` is over the df-capped shingle sets, not the raw
+    // sets — it shifts with corpus composition. Identical on both
+    // engines (the oracle mirrors the cap); consumers wanting raw-set
+    // Jaccard should call Dedup.ngramJaccardPairs with maxDf=MaxValue.
     "e2_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docs(s, dir), 5, 0.5, 100)),
 
-    // E3: MinHash + LSH banding, exact-Jaccard verified
+    // E3: MinHash + LSH banding, exact-Jaccard verified (same df-capped
+    // jaccard semantics as e2 — see the note there)
     "e3_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5, 100)),
 

@@ -78,11 +78,17 @@ object SparkEntry {
   private val SpikeThreshold = 2.0
   private val ConsensusThreshold = 50.0
 
-  /** Where s1_csv_m1_scan materializes its CSV fixture. Constant because
-    * the oracle SQL (a static string) must name the same file; fine for
-    * the driver's sequential Verify-then-DuckDB flow, but concurrent
-    * Verify runs at different SFs would race on it. */
-  private val CsvFixtureDir = "/tmp/graft_csv_fixture_m1"
+  /** Where s1_csv_m1_scan materializes its CSV fixture. The path is
+    * derived per (process, sfDir) so concurrent Verify/Bench runs — or
+    * runs at different scale factors — never read a fixture another run
+    * just overwrote, and a predictable /tmp name can't be pre-squatted.
+    * The query records the path it actually wrote in [[csvFixtureDir]];
+    * `oracleSql` is a def that Verify evaluates AFTER the query loop, so
+    * the dumped oracle SQL names the same file. */
+  private def fixtureDirFor(sfDir: String): String =
+    "/tmp/graft_csv_fixture_m1_" + ProcessHandle.current().pid() + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  @volatile private var csvFixtureDir: String = fixtureDirFor("unset")
 
   // ------------------------------------------------------------ oracle SQL
   /** The canonical tick frame (Tables.ticks) as a DuckDB CTE. */
@@ -170,9 +176,11 @@ object SparkEntry {
     // (written from events via the S4 sink) through loadM1; the oracle
     // re-reads the SAME file with DuckDB read_csv, so the scan path —
     // header skip, declared float32 schema, two-string timestamp parse —
-    // is what's being compared. Fixed path: the oracle SQL is static and
-    // the driver runs Verify (which writes the fixture) before DuckDB.
+    // is what's being compared. The fixture path is per-(process, sfDir);
+    // the driver runs Verify (which writes the fixture AND records the
+    // path for the oracle dump) before DuckDB.
     "s1_csv_m1_scan" -> ((s, dir) => {
+      csvFixtureDir = fixtureDirFor(dir)
       val src = Tables.load(s, dir, "events")
         .orderBy(col("event_id")).limit(500)
         .select(
@@ -183,8 +191,8 @@ object SparkEntry {
           (col("value") * 0.99).cast("float").as("Low"),
           (col("value") + 0.5).cast("float").as("Close"),
           (col("event_id") % 97).cast("float").as("TickVol"))
-      sources.CsvSources.writeCsv(src, CsvFixtureDir)
-      sources.CsvSources.loadM1(s, CsvFixtureDir)
+      sources.CsvSources.writeCsv(src, csvFixtureDir)
+      sources.CsvSources.loadM1(s, csvFixtureDir)
         .select(col("datetime"),
           col("open").cast("double").as("open"),
           col("high").cast("double").as("high"),
@@ -585,7 +593,7 @@ object SparkEntry {
          |  CAST(Low AS DOUBLE) AS low, CAST(Close AS DOUBLE) AS close,
          |  CAST(TickVol AS DOUBLE) AS volume,
          |  CAST(NULL AS DOUBLE) AS spread
-         |FROM read_csv('$CsvFixtureDir/*.csv', header = true,
+         |FROM read_csv('$csvFixtureDir/*.csv', header = true,
          |  columns = {'Date': 'VARCHAR', 'Time': 'VARCHAR',
          |             'Open': 'FLOAT', 'High': 'FLOAT', 'Low': 'FLOAT',
          |             'Close': 'FLOAT', 'TickVol': 'FLOAT'})""".stripMargin,

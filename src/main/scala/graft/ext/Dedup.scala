@@ -167,14 +167,17 @@ object Dedup {
                       rowsPerBand: Int = 2,
                       minJaccard: Double = 0.5,
                       maxDf: Int = 100): DataFrame = {
-    // The BASE hashes need an eager count (capDf consumes them through
-    // two branches — df agg + semi-join probe — of one job); the capped
-    // frame itself does not: the candidates job consumes it through a
-    // single path (minhash → bands), populating its cache before the
-    // multi-consumer verification job.
+    // Both caches need an eager count before multi-branch consumption:
+    // capDf consumes the base hashes through two branches (df agg +
+    // semi-join probe) of one job, and `bands` feeds BOTH sides of the
+    // candidates self-join — without materializing `sh` first, the capDf
+    // semi-join would be rebuilt concurrently by the two join branches
+    // (the multi-branch rebuild this file's comments measure at ~5x).
     val sh0 = shingleHashes(docs, k).cache()
     sh0.count()
     val sh = capDf(sh0, maxDf).cache()
+    sh.count()
+    sh0.unpersist() // sh's cache fully populated; base releasable
     val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
     val candidates = bands.as("x")
       .join(bands.as("y"),
@@ -184,8 +187,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .cache()
-    candidates.count() // eager — consumed by semi-join AND final join;
-    sh0.unpersist()    // sh's cache is populated now, base releasable
+    candidates.count() // eager — consumed by semi-join AND final join
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // The exact-Jaccard verification intersects shingles ONLY for docs
     // that appear in a candidate pair — this is the point of LSH: the

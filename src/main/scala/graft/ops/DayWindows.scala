@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   *      ordinary aggregation — carries state across day boundaries and is
   *      broadcast-joined back.
   *
-  * The cross-day carry itself is an as-of join on the patch table
-  * (`b.day < a.day`, argmax on day), NOT another window: a constant
-  * partition key gets folded away by Catalyst, so any "tiny" window would
-  * still plan as the unpartitioned single task this object exists to
-  * remove. The join is O(days²) pairs through a broadcast — ~5.5k days
-  * for 15 years, 30M cheap struct comparisons spread over the cluster,
-  * independent of data volume.
+  * The cross-day carry itself is a sorted prior-row window over the
+  * patch table (`last(_, ignoreNulls)` up to the previous day). That
+  * window IS single-task, but its input is the O(days) patch table —
+  * one row per present day, ~5.5k rows for 15 years — bounded by the
+  * calendar span, never by data volume, so it is scale-safe for any
+  * realistic span (and O(days·log days), unlike an as-of self-join's
+  * O(days²) pair space). The serial stage this object removes is the
+  * one over the FULL frame.
   *
   * Contract: `orderBy` columns must uniquely identify a row (the candle
   * frames' `datetime` is unique); results are exactly equal to the
@@ -45,20 +46,20 @@ object DayWindows {
   private def wDay(orderBy: Seq[String]) =
     Window.partitionBy(col(Day)).orderBy(orderBy.map(col): _*)
 
-  /** As-of carry over the day patch table: for every day, the value of
-    * `valueOf` at the LATEST prior day where `anchorNonNull` is non-null
-    * (argmax via struct max; days are unique so the value field never
-    * decides the ordering, and an all-null prior range yields null). */
+  /** As-of carry over the day patch table: for every day, each pick's
+    * value at the LATEST prior day where it is non-null (null when no
+    * such day). A sorted prior-row window over the O(days) patch table:
+    * single-task by construction, but bounded by the calendar span —
+    * one row per present day — so the WindowExec warning it logs is a
+    * bounded, deliberate cost (cf. [[rollingMedian5]]'s edge strip). */
   private def asofPriorDay(carries: DataFrame,
                            picks: Seq[(String, String)]): DataFrame = {
-    val prior = carries.as("a").join(broadcast(carries.as("b")),
-      col(s"b.$Day") < col(s"a.$Day"), "left")
-    val aggs = picks.map { case (src, out) =>
-      max(struct(
-        when(col(s"b.$src").isNotNull, col(s"b.$Day")).as("o"),
-        col(s"b.$src").as("v"))).getField("v").as(out)
+    val wPrior = Window.orderBy(col(Day))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val outs = picks.map { case (src, out) =>
+      last(col(src), ignoreNulls = true).over(wPrior).as(out)
     }
-    prior.groupBy(col(s"a.$Day").as(Day)).agg(aggs.head, aggs.tail: _*)
+    carries.select(col(Day) +: outs: _*)
   }
 
   /** W3/W4/W5 at scale: forward-fill `cols` in global `orderBy` order,
