@@ -35,6 +35,41 @@ object ExtQueries {
       |rare AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 100),
       |sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN rare USING (h))""".stripMargin
 
+  /** The e4 SimHash pair pipeline as a DuckDB CTE chain (tok → th →
+    * votes → simh → chunks → pairs); `pairs` carries (doc_a, sa, doc_b,
+    * sb) pre-hamming-filter. Shared by the e4 oracle and e16's
+    * connected-components closure over the same graph. */
+  private val simhashPairsCtes =
+    """tok AS (
+      |  SELECT doc_id, tok, count(*) AS n FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), x -> x != ''))
+      |        AS tok
+      |    FROM documents) t
+      |  GROUP BY 1, 2),
+      |th AS (
+      |  SELECT doc_id, n,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, i, sum(n * (2 * ((h >> i) & 1) - 1)) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) bits
+      |  GROUP BY 1, 2),
+      |simh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
+      |      AS simhash
+      |  FROM votes GROUP BY 1),
+      |chunks AS (
+      |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS chunk
+      |  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+      |pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa,
+      |         y.doc_id AS doc_b, y.simhash AS sb
+      |  FROM chunks x JOIN chunks y
+      |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)"""
+      .stripMargin
+
   private val jaccardTailSql =
     """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       |inter AS (
@@ -128,7 +163,47 @@ object ExtQueries {
     "e13_approx_distinct_users" -> ((s, dir) =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("n_users_approx")))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
+
+    // E16: duplicate clusters — connected components over the e4 SimHash
+    // pair graph, min-id per component as the deterministic cluster id;
+    // the "pick one canonical doc per dup group" step after any pairwise
+    // dedup operator
+    "e16_dup_clusters" -> ((s, dir) => {
+      val cc = Clustering.connectedComponents(
+        Dedup.simhashPairs(docs(s, dir), 3))
+      val sizes = cc.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("label"), 1L).otherwise(0L)
+            .as("is_canonical"))
+    }),
+
+    // E17: concat-and-chunk sequence packing into 2048-token windows
+    // (two-phase distributed prefix sum; see graft.ext.Packing)
+    "e17_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(
+        docs(s, dir).select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x != ''))")
+            .cast("long").as("n_tokens")),
+        seqLen = 2048, nBuckets = 64)),
+
+    // E18: deterministic stratified sampling — md5-permille buckets with
+    // per-length-stratum keep rates (downsample boilerplate-length docs,
+    // keep the long tail)
+    "e18_stratified_sample" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x != ''))")
+          .cast("long").as("n_words"))
+      val stratum = when(col("n_words") < 50, "short")
+        .when(col("n_words") < 200, "medium").otherwise(lit("long"))
+      Sampling.stratifiedSample(t, col("doc_id"), stratum,
+          Seq("short" -> 200, "medium" -> 500), defaultPermille = 800)
+        .select(col("doc_id"), col("n_words"), col("stratum"),
+          col("bucket"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -179,37 +254,71 @@ object ExtQueries {
          |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
 
     "e4_dedup_simhash" ->
-      """WITH tok AS (
-        |  SELECT doc_id, tok, count(*) AS n FROM (
-        |    SELECT doc_id,
-        |      unnest(list_filter(string_split(text, ' '), x -> x != ''))
-        |        AS tok
-        |    FROM documents) t
-        |  GROUP BY 1, 2),
-        |th AS (
-        |  SELECT doc_id, n,
-        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
-        |  FROM tok),
-        |votes AS (
-        |  SELECT doc_id, i, sum(n * (2 * ((h >> i) & 1) - 1)) AS v
-        |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS i) bits
-        |  GROUP BY 1, 2),
-        |simh AS (
+      s"""WITH $simhashPairsCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    // connected components over the e4 pair graph: DuckDB reaches the
+    // same fixpoint via a recursive transitive closure (tiny at sf0.01;
+    // the Spark side is the iterative min-label propagation that scales)
+    "e16_dup_clusters" ->
+      s"""WITH RECURSIVE $simhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.b AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
+         |  CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END
+         |    AS is_canonical
+         |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    // the window sum is CAST from DuckDB's HUGEINT back to BIGINT —
+    // pandas would otherwise read int128 as float64 and flap the hash
+    "e17_pack_sequences" ->
+      """WITH t AS (
         |  SELECT doc_id,
-        |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)
-        |      AS simhash
-        |  FROM votes GROUP BY 1),
-        |chunks AS (
-        |  SELECT doc_id, simhash, c, (simhash >> (c * 8)) & 255 AS chunk
-        |  FROM simh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
-        |pairs AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sa,
-        |         y.doc_id AS doc_b, y.simhash AS sb
-        |  FROM chunks x JOIN chunks y
-        |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+        |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS bef
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  bef // 2048 AS seq_id, bef % 2048 AS offset_in_seq
+        |FROM c""".stripMargin,
+
+    "e18_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+        |      AS n_words
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words < 50 THEN 'short'
+        |         WHEN n_words < 200 THEN 'medium'
+        |         ELSE 'long' END AS stratum,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM t)
+        |SELECT doc_id, n_words, stratum, bucket FROM s
+        |WHERE bucket < CASE stratum WHEN 'short' THEN 200
+        |               WHEN 'medium' THEN 500 ELSE 800 END""".stripMargin,
 
     "e5_knn_cosine" ->
       """WITH q AS (

@@ -448,6 +448,26 @@ object SparkEntry {
         .select(col("event_id"), Rounding.duckRound(col("spread"), 6).as("spread"))
     }),
 
+    // J5 (engine extension — SURVEY §2.4 notes the reference has no
+    // as-of join): most recent per-user checkpoint at or before each
+    // event. Checkpoints exist only for minutes divisible by 5, so most
+    // events reach back across minutes; events before their user's first
+    // checkpoint exercise the left-join NULL path; an event exactly on a
+    // checkpoint minute start exercises the inclusive (>=) bound.
+    "j5_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cp = ev
+        .groupBy(col("user_id"),
+          date_trunc("minute", col("ts")).as("cp_ts"))
+        .agg(max(col("value")).as("cp_value"))
+        .filter(minute(col("cp_ts")) % 5 === 0)
+      ops.AsofJoin.asof(
+        ev.select(col("event_id"), col("ts"), col("user_id"),
+          col("value")),
+        cp, keys = Seq("user_id"), leftTime = "ts", rightTime = "cp_ts",
+        rightVals = Seq("cp_value"))
+    }),
+
     // T1: dense 1-minute calendar (distributed range, not sequence())
     "t1_minute_grid" -> ((s, dir) =>
       gridOf(s, tickCandles(s, dir))),
@@ -818,6 +838,20 @@ object SparkEntry {
         |  round(coalesce(spread, (SELECT median(spread) FROM s0)), 6)
         |    AS spread
         |FROM s0""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union-sort-
+    // fill implementation (inclusive >= bound, NULLs for no-match)
+    "j5_asof_join" ->
+      """WITH cp AS (
+        |  SELECT user_id, cp_ts, max(value) AS cp_value
+        |  FROM (SELECT user_id, date_trunc('minute', ts) AS cp_ts, value
+        |        FROM events) t
+        |  WHERE minute(cp_ts) % 5 = 0
+        |  GROUP BY 1, 2)
+        |SELECT e.event_id, e.ts, e.user_id, e.value,
+        |       cp.cp_ts AS asof_ts, cp.cp_value AS asof_cp_value
+        |FROM events e ASOF LEFT JOIN cp
+        |  ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts""".stripMargin,
 
     "t1_minute_grid" ->
       s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte

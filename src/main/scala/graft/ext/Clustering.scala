@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turns near-dup PAIRS (the output of
+  * [[Dedup]]'s Jaccard/MinHash/SimHash operators) into connected
+  * components, so a training pipeline can pick one canonical document per
+  * cluster — the step after candidate pairs in every production dedup.
+  *
+  * Algorithm: iterative min-label propagation (Pregel-style connected
+  * components). Every vertex starts labeled with its own id; each round,
+  * a vertex takes the minimum label among itself and its neighbors; the
+  * fixpoint label is the component's minimum id — a deterministic,
+  * content-independent cluster id. Each round is one shuffle join
+  * (edges ⋈ labels on the shuffle key) plus a hash aggregate, so rounds
+  * scale exactly like any keyed join; the round count is the graph
+  * diameter, and near-dup graphs are short chains/cliques (diameter ≪ 10)
+  * — web-scale corpora with adversarially long chains would swap in the
+  * large-star/small-star contraction, which keeps this exact join shape
+  * but halves path lengths per round.
+  *
+  * Labels monotonically decrease, so convergence ("no label changed") is
+  * a simple count on the cached round result.
+  */
+object Clustering {
+
+  /** Connected components over an undirected edge list (`doc_a`,
+    * `doc_b`): returns (id, label) with `label` = min doc id reachable.
+    * Isolated documents (no pair) are not emitted — a no-edge doc is its
+    * own singleton cluster by definition.
+    *
+    * Every round ends in an eager `localCheckpoint()`, not `cache()`:
+    * round N's plan references round N−1's frame, so without lineage
+    * TRUNCATION the logical tree doubles per round (round N embeds two
+    * copies of round N−1's tree) and analysis alone OOMs after ~20
+    * rounds — the classic iterative-dataflow trap. Checkpointing
+    * materializes the round and restarts the plan from the stored
+    * partitions; on a cluster with an unreliable-executor concern,
+    * swap in reliable `checkpoint()` against the checkpoint dir. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // checkpoint the edge list too: it cuts the (possibly expensive)
+    // pair-generation plan out of every round's tree, and the loop scans
+    // it once per round
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("_prev"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint() // eager: materializes + truncates lineage
+      changed = next.filter(col("label") < col("_prev")).count()
+      labels = next.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation.
+  *
+  * Sampling here is HASH-based, never RNG-based: membership is a pure
+  * function of the row's id (md5-derived permille bucket), so a sample is
+  * (a) reproducible across runs, partitionings, and cluster topologies,
+  * (b) oracle-checkable cross-engine (the md5 parity trick from
+  * [[Dedup.md5Long]]), and (c) consistent across tables — joining two
+  * hash-sampled tables on the id keeps exactly the intersection rates.
+  * `TABLESAMPLE`/`df.sample` give none of those guarantees.
+  *
+  * Stratified form: each row's stratum chooses its keep-rate, so a
+  * pipeline can downsample over-represented strata (boilerplate-length
+  * docs, dominant languages) while keeping the rare tail intact —
+  * standard practice for pretraining-mix curation. Pure per-row
+  * expressions: fully codegen'd, no shuffle at all.
+  */
+object Sampling {
+
+  /** Stable permille bucket (0–999) of an id column. */
+  def permilleBucket(id: Column): Column =
+    Dedup.md5Long(id.cast("string")) % 1000
+
+  /** Keep rows whose permille bucket falls under their stratum's rate.
+    * @param strata  (stratumName, keepPermille), matched in order against
+    *                `stratumOf`; unmatched rows use `defaultPermille`. */
+  def stratifiedSample(df: DataFrame, id: Column, stratumOf: Column,
+                       strata: Seq[(String, Int)],
+                       defaultPermille: Int): DataFrame = {
+    val rate = strata.foldRight(lit(defaultPermille): Column) {
+      case ((name, p), acc) => when(stratumOf === name, lit(p)).otherwise(acc)
+    }
+    df.withColumn("stratum", stratumOf)
+      .withColumn("bucket", permilleBucket(id))
+      .filter(col("bucket") < rate)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ext.{Clustering, Packing, Sampling}
+
+/** Connected components, sequence packing, and deterministic sampling. */
+class ClusteringPackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain, clique and pair resolve to min ids") {
+    // chain 1-2-3-4 (diameter 3 → needs several propagation rounds),
+    // triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Clustering.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents: long chain converges within maxIter") {
+    // a 30-vertex path labels everything with vertex 0: min-label
+    // propagation moves the min one hop per round, so this exercises the
+    // full iteration loop (and the lineage truncation that keeps 29
+    // rounds from blowing up the plan)
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Clustering.connectedComponents(edges, maxIter = 40)
+    assert(labels.filter(col("label") === 0L).count() == 30)
+  }
+
+  test("packSequences: straddling docs and bucket boundaries") {
+    // seqLen 10: cumulative 0,7,12,12,29 — doc 3 straddles 10, the
+    // zero-token doc 4 sits inside seq 1, doc 5 starts in seq 2
+    val toks = Seq((1L, 7L), (3L, 5L), (4L, 0L), (5L, 17L), (9L, 4L))
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(toks, seqLen = 10, nBuckets = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (3L, 0L, 7L), (4L, 1L, 2L),
+      (5L, 1L, 2L), (9L, 2L, 9L)))
+  }
+
+  test("packSequences: two-phase prefix sum equals one global window") {
+    val toks = (0L until 500L).map(i => (i * 2, i % 13))
+      .toDF("doc_id", "n_tokens")
+    val wG = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expect = toks
+      .withColumn("bef", coalesce(sum(col("n_tokens")).over(wG), lit(0L)))
+      .select(col("doc_id"), expr("bef div 64").as("seq_id"),
+        expr("bef % 64").as("offset_in_seq"))
+    val got = Packing.packSequences(toks, seqLen = 64, nBuckets = 7)
+      .select("doc_id", "seq_id", "offset_in_seq")
+    assert(got.except(expect).count() == 0 &&
+      expect.except(got).count() == 0)
+  }
+
+  test("stratifiedSample: deterministic and rate-respecting") {
+    val df = (0L until 300L).map(i => (i, i % 3)).toDF("id", "m")
+    val stratum = when(col("m") === 0, "a").otherwise(lit("b"))
+    val s1 = Sampling.stratifiedSample(df, col("id"), stratum,
+      Seq("a" -> 100), defaultPermille = 1000)
+    val s2 = Sampling.stratifiedSample(df, col("id"), stratum,
+      Seq("a" -> 100), defaultPermille = 1000)
+    // identical across runs (hash, not RNG)
+    assert(rows(s1.orderBy("id")) == rows(s2.orderBy("id")))
+    // rate 1000 keeps everything; rate 100 keeps a strict subset
+    assert(s1.filter(col("stratum") === "b").count() == 200)
+    val aKept = s1.filter(col("stratum") === "a").count()
+    assert(aKept > 0 && aKept < 100)
+    // membership is exactly "bucket < rate"
+    assert(s1.filter(col("bucket") >= when(col("stratum") === "a", 100)
+      .otherwise(1000)).count() == 0)
+  }
+}
