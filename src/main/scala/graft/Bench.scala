@@ -39,7 +39,13 @@ object Bench {
     // warmup: run the flagship once to absorb JVM/codegen startup
     runOne("g1_g2_g3_ohlc_resample")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    // optional comma-separated query filter for local profiling; the
+    // driver never sets it and always benches the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n)).map { n =>
       val t = runOne(n)
       // release caches a query pinned (pipeline candles, dedup shingles)
       spark.sharedState.cacheManager.clearCache()

