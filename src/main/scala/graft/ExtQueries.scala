@@ -190,6 +190,11 @@ object ExtQueries {
             .cast("long").as("n_tokens")),
         seqLen = 2048, nBuckets = 64)),
 
+    // E19: BM25 query-relevance scoring (k1=1.2, b=0.75) — corpus stats
+    // stay in-plan as a broadcast 1-row aggregate, no driver scalar
+    "e19_bm25" -> ((s, dir) =>
+      Relevance.bm25(docs(s, dir), Seq("the", "data", "model"))),
+
     // E18: deterministic stratified sampling — md5-permille buckets with
     // per-length-stratum keep rates (downsample boilerplate-length docs,
     // keep the long tail)
@@ -301,6 +306,35 @@ object ExtQueries {
         |SELECT doc_id, n_tokens,
         |  bef // 2048 AS seq_id, bef % 2048 AS offset_in_seq
         |FROM c""".stripMargin,
+
+    // literal parity: the oracle COMPUTES k1+1 and 1−b from the same
+    // base literals Spark uses (CAST(1.2 AS DOUBLE) + 1), so both
+    // engines run identical IEEE operations; ln() differs by ≤1 ulp and
+    // the 6-decimal round absorbs it
+    "e19_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN ('the', 'data', 'model') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_terms_matched,
+        |  round(sum(
+        |    ln((n_docs - df + CAST(0.5 AS DOUBLE))
+        |        / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |    * (tf * (CAST(1.2 AS DOUBLE) + 1))
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |       * ((1 - CAST(0.75 AS DOUBLE))
+        |          + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
+        |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+        |CROSS JOIN stats
+        |GROUP BY doc_id""".stripMargin,
 
     "e18_stratified_sample" ->
       """WITH t AS (

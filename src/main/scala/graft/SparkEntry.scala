@@ -468,6 +468,32 @@ object SparkEntry {
         rightVals = Seq("cp_value"))
     }),
 
+    // J6 (engine extension): interval-containment join — classify each
+    // event's value into an irregular band via a broadcast range join
+    // (BroadcastNestedLoopJoin over a catalog-sized interval dimension;
+    // see ops/RangeJoin for the bin-and-equi-join scale path)
+    "j6_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (0L, 0.0, 1.0), (1L, 1.0, 5.0), (2L, 5.0, 20.0),
+        (3L, 20.0, 75.0), (4L, 75.0, 200.0), (5L, 200.0, 1000.0))
+        .toDF("band_id", "lo", "hi")
+      ops.RangeJoin.bandJoin(
+        Tables.load(s, dir, "events").select(col("event_id"), col("value")),
+        bands, "value")
+    }),
+
+    // O3: per-key top-k (deterministic value-desc, id-asc tie-break) —
+    // the grouped complement of O2's global top-5
+    "o3_topk_per_user" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+          col("event_id"), col("value"))),
+
     // T1: dense 1-minute calendar (distributed range, not sequence())
     "t1_minute_grid" -> ((s, dir) =>
       gridOf(s, tickCandles(s, dir))),
@@ -852,6 +878,28 @@ object SparkEntry {
         |       cp.cp_ts AS asof_ts, cp.cp_value AS asof_cp_value
         |FROM events e ASOF LEFT JOIN cp
         |  ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts""".stripMargin,
+
+    "j6_range_join" ->
+      """WITH bands AS (
+        |  SELECT * FROM (VALUES
+        |    (0::BIGINT, 0::DOUBLE, 1::DOUBLE),
+        |    (1::BIGINT, 1::DOUBLE, 5::DOUBLE),
+        |    (2::BIGINT, 5::DOUBLE, 20::DOUBLE),
+        |    (3::BIGINT, 20::DOUBLE, 75::DOUBLE),
+        |    (4::BIGINT, 75::DOUBLE, 200::DOUBLE),
+        |    (5::BIGINT, 200::DOUBLE, 1000::DOUBLE))
+        |    t(band_id, lo, hi))
+        |SELECT e.event_id, e.value, b.band_id, b.lo, b.hi
+        |FROM events e LEFT JOIN bands b
+        |  ON e.value >= b.lo AND e.value < b.hi""".stripMargin,
+
+    "o3_topk_per_user" ->
+      """SELECT user_id, rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) t
+        |WHERE rnk <= 3""".stripMargin,
 
     "t1_minute_grid" ->
       s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte

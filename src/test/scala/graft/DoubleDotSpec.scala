@@ -46,6 +46,40 @@ class DoubleDotSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("GraftExtensions registers graft_dot as a SQL function") {
+    import org.apache.spark.sql.SparkSession
+    spark.sparkContext // ensure the shared session exists first
+    // a SEPARATE session with the extensions conf (same SparkContext):
+    // the function must be reachable from a plain SQL string, not just
+    // the Column API. getOrCreate() returns the active session as-is,
+    // so clear it for the build and restore it after — and never
+    // close() s2, which would stop the shared context.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions is the builder-side hook behind the
+      // spark.sql.extensions STATIC conf (which only applies when set at
+      // SparkContext launch — a shared test context can't re-set it)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 0.5D)) AS d")
+        .head().getDouble(0)
+      assert(got == 4.0)
+      // length mismatch → NULL through the SQL path too
+      assert(s2.sql(
+        "SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS d")
+        .head().isNullAt(0))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("mixed float/double arrays and the interpreted (non-codegen) " +
     "path agree") {
     val df = Seq((Array(1.0f, 2.0f), Array(0.5, 0.25)))
