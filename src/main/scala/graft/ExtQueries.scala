@@ -70,6 +70,36 @@ object ExtQueries {
       |    ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)"""
       .stripMargin
 
+  /** The e7 quality pipeline as a DuckDB CTE chain ending in `qual`
+    * (doc_id, n_words, rounded ratio columns, rounded composite
+    * quality). Shared by the e7 oracle and e20's per-cluster canonical
+    * pick. */
+  private val qualityCtes =
+    """base AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS w
+      |  FROM documents),
+      |stats AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    length(replace(text, ' ', ''))::DOUBLE / len(w)
+      |      AS avg_word_len,
+      |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
+      |      'g')))::DOUBLE / length(text) AS punct_ratio,
+      |    len(list_filter(w,
+      |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE
+      |      / len(w) AS stopword_ratio
+      |  FROM base),
+      |qual AS (
+      |  SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
+      |    round(punct_ratio, 6) AS punct_ratio,
+      |    round(stopword_ratio, 6) AS stopword_ratio,
+      |    round(CAST(0.4 AS DOUBLE)
+      |            * least(n_words / CAST(100 AS DOUBLE),
+      |                    CAST(1.0 AS DOUBLE))
+      |        + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
+      |        + CAST(0.3 AS DOUBLE) * stopword_ratio, 6) AS quality
+      |  FROM stats)""".stripMargin
+
   private val jaccardTailSql =
     """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
       |inter AS (
@@ -195,6 +225,25 @@ object ExtQueries {
     "e19_bm25" -> ((s, dir) =>
       Relevance.bm25(docs(s, dir), Seq("the", "data", "model"))),
 
+    // E20: the composed dedup endgame — near-dup pairs → connected
+    // components → ONE canonical doc per cluster, picked by the e7
+    // quality score (tie-break: lowest doc_id via the negated-id struct
+    // field). What a curation pipeline actually ships: a keep-list.
+    "e20_canonical_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cc = Clustering.connectedComponents(Dedup.simhashPairs(d, 3))
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("quality"))
+      val best = max(struct(col("quality").as("q"),
+        (-col("doc_id")).as("negid")))
+      cc.join(q, cc("id") === q("doc_id"))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"), best.as("_best"))
+        .select(col("cluster_id"), col("cluster_size"),
+          (-col("_best").getField("negid")).as("canonical_doc_id"),
+          col("_best").getField("q").as("best_quality"))
+    }),
+
     // E18: deterministic stratified sampling — md5-permille buckets with
     // per-length-stratum keep rates (downsample boilerplate-length docs,
     // keep the long tail)
@@ -288,6 +337,32 @@ object ExtQueries {
          |  CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END
          |    AS is_canonical
          |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    // same component closure as e16, joined to the e7 quality CTE;
+    // struct max over ('q', 'negid') is the deterministic argmax in
+    // both engines (lexicographic struct comparison)
+    "e20_canonical_docs" ->
+      s"""WITH RECURSIVE $simhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.b AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |$qualityCtes
+         |SELECT cluster_id, count(*) AS cluster_size,
+         |  -struct_extract(max({'q': quality, 'negid': -doc_id}),
+         |                  'negid') AS canonical_doc_id,
+         |  struct_extract(max({'q': quality, 'negid': -doc_id}), 'q')
+         |    AS best_quality
+         |FROM comp JOIN qual ON comp.id = qual.doc_id
+         |GROUP BY cluster_id""".stripMargin,
 
     // the window sum is CAST from DuckDB's HUGEINT back to BIGINT —
     // pandas would otherwise read int128 as float64 and flap the hash
@@ -404,29 +479,10 @@ object ExtQueries {
         |WHERE rank <= 3""".stripMargin,
 
     "e7_text_quality" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |    list_filter(string_split(text, ' '), x -> x != '') AS w
-        |  FROM documents),
-        |stats AS (
-        |  SELECT doc_id, len(w) AS n_words,
-        |    length(replace(text, ' ', ''))::DOUBLE / len(w)
-        |      AS avg_word_len,
-        |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '',
-        |      'g')))::DOUBLE / length(text) AS punct_ratio,
-        |    len(list_filter(w,
-        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))::DOUBLE
-        |      / len(w) AS stopword_ratio
-        |  FROM base)
-        |SELECT doc_id, n_words, round(avg_word_len, 6) AS avg_word_len,
-        |  round(punct_ratio, 6) AS punct_ratio,
-        |  round(stopword_ratio, 6) AS stopword_ratio,
-        |  round(CAST(0.4 AS DOUBLE)
-        |          * least(n_words / CAST(100 AS DOUBLE),
-        |                  CAST(1.0 AS DOUBLE))
-        |      + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
-        |      + CAST(0.3 AS DOUBLE) * stopword_ratio, 6) AS quality
-        |FROM stats""".stripMargin,
+      s"""WITH $qualityCtes
+         |SELECT doc_id, n_words, avg_word_len, punct_ratio,
+         |  stopword_ratio, quality
+         |FROM qual""".stripMargin,
 
     "e8_lang_id" ->
       """WITH base AS (

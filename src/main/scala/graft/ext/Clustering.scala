@@ -42,13 +42,19 @@ object Clustering {
     // checkpoint BEFORE mirroring: the union consumes the edge frame
     // through two branches, so an unmaterialized (possibly expensive)
     // pair-generation plan would run once per branch; the checkpoint also
-    // cuts that plan out of every round's tree
+    // cuts that plan out of every round's tree. The mirrored list is NOT
+    // deduplicated — duplicate edges cannot change a min aggregate, so
+    // the distinct would be a pure extra shuffle.
     val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    // init = round 1 fused in: label(v) = min(v, direct neighbors) in the
+    // same aggregate that discovers the vertex set
+    var labels = und.groupBy(col("src"))
+      .agg(min(col("dst")).as("_m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("_m")).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
