@@ -195,6 +195,11 @@ object ExtQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))),
 
+    // E21: one-pass schema-driven dataset profile of the events table
+    // (single global aggregation; the curation-stage quality snapshot)
+    "e21_profile_events" -> ((s, dir) =>
+      DataProfile.profile(Tables.load(s, dir, "events"))),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -337,6 +342,31 @@ object ExtQueries {
          |  CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END
          |    AS is_canonical
          |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    // column list mirrors DataProfile.profile's schema walk over the
+    // events table (nulls everywhere; min/max/avg/std for numerics with
+    // rounded float stats; min/max for ts; exact distinct for strings)
+    "e21_profile_events" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) - count(event_id) AS event_id_nulls,
+        |  min(event_id) AS event_id_min, max(event_id) AS event_id_max,
+        |  round(avg(event_id), 6) AS event_id_avg,
+        |  round(stddev_samp(event_id), 6) AS event_id_std,
+        |  count(*) - count(ts) AS ts_nulls,
+        |  min(ts) AS ts_min, max(ts) AS ts_max,
+        |  count(*) - count(user_id) AS user_id_nulls,
+        |  min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+        |  round(avg(user_id), 6) AS user_id_avg,
+        |  round(stddev_samp(user_id), 6) AS user_id_std,
+        |  count(*) - count(event_type) AS event_type_nulls,
+        |  count(DISTINCT event_type) AS event_type_distinct,
+        |  count(*) - count(value) AS value_nulls,
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  round(avg(value), 6) AS value_avg,
+        |  round(stddev_samp(value), 6) AS value_std,
+        |  count(*) - count(props) AS props_nulls,
+        |  count(DISTINCT props) AS props_distinct
+        |FROM events""".stripMargin,
 
     // same component closure as e16, joined to the e7 quality CTE;
     // struct max over ('q', 'negid') is the deterministic argmax in

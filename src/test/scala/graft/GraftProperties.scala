@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ops.{CleanOps, GridOps, Resample}
+import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
   * asserts by construction (SURVEY §5): OHLC vs an in-memory reference
@@ -80,6 +80,35 @@ object GraftProperties extends Properties("graft") {
       l <= math.min(o, c) && math.max(o, c) <= h
     }
   }
+
+  private val asofGen = for {
+    lefts <- Gen.nonEmptyListOf(for {
+      k <- Gen.choose(0, 2); off <- Gen.choose(0, 300)
+    } yield (k, off))
+    rights <- Gen.listOf(for {
+      k <- Gen.choose(0, 2); off <- Gen.choose(0, 300)
+    } yield (k, off))
+  } yield (lefts, rights.distinct) // right unique per (key, time)
+
+  property("asof join equals the brute-force latest-prior lookup") =
+    Prop.forAll(asofGen) { case (lefts, rights) =>
+      import spark.implicits._
+      val l = lefts.zipWithIndex.map { case ((k, off), i) =>
+        (k, new Timestamp(base + off * 1000L), i.toLong)
+      }.toDF("k", "lt", "id")
+      val r = rights.map { case (k, off) =>
+        (k, new Timestamp(base + off * 1000L), k * 1000.0 + off)
+      }.toDF("k", "rt", "rv")
+      val got = AsofJoin.asof(l, r, Seq("k"), "lt", "rt", Seq("rv"))
+        .collect().map(x => x.getLong(2) ->
+          (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+      val expected = lefts.zipWithIndex.map { case ((k, off), i) =>
+        val prior = rights.filter(rr => rr._1 == k && rr._2 <= off)
+        i.toLong -> prior.sortBy(_._2).lastOption
+          .map { case (rk, roff) => rk * 1000.0 + roff }
+      }.toMap
+      got == expected
+    }
 
   property("flatCandleBridge yields a dense unique minute grid with " +
     "flat-candle invariants") = Prop.forAll(tickGen) { ticks =>
