@@ -200,6 +200,27 @@ object ExtQueries {
     "e21_profile_events" -> ((s, dir) =>
       DataProfile.profile(Tables.load(s, dir, "events"))),
 
+    // E22: k-means centroid training (k=8, 2 Lloyd iterations) over the
+    // embeddings table — the IVF coarse-quantizer / curation-clustering
+    // trainer; flattened (cluster_id, pos, c_val, n_members) output
+    "e22_kmeans_centroids" -> ((s, dir) =>
+      KMeans.centroidsFlat(emb(s, dir), k = 8, iters = 2)),
+
+    // E23: per-event-type exact quantile profile of `value` (drift
+    // monitoring between curation stages)
+    "e23_quantile_profile" -> ((s, dir) =>
+      DataProfile.groupedQuantiles(Tables.load(s, dir, "events"),
+        col("event_type"), col("value"))),
+
+    // E24: corpus vocabulary — top-100 tokens by frequency, the
+    // tokenizer-training frequency pass
+    "e24_vocab_top" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir))),
+
+    // E25: deterministic shuffle-shard export assignment over documents
+    "e25_shuffle_shards" -> ((s, dir) =>
+      Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
+        col("doc_id"), nShards = 16)),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -367,6 +388,79 @@ object ExtQueries {
         |  count(*) - count(props) AS props_nulls,
         |  count(DISTINCT props) AS props_distinct
         |FROM events""".stripMargin,
+
+    // two Lloyd iterations unrolled; distances rounded to 6 before the
+    // argmin (ties → lowest cluster id) and centroid components rounded
+    // to 6 per iteration — the exact contract of KMeans.centroidsFlat
+    "e22_kmeans_centroids" ->
+      """WITH emb AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cluster_id, e AS carr
+        |       FROM emb WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, e, cluster_id, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+        |  FROM (
+        |    SELECT emb.vec_id, emb.e, c0.cluster_id,
+        |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
+        |        i -> (emb.e[i] - c0.carr[i]) * (emb.e[i] - c0.carr[i]))),
+        |        6) AS d
+        |    FROM emb CROSS JOIN c0) t),
+        |f1 AS (
+        |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val
+        |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+        |        FROM a1 WHERE rn = 1) t
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
+        |       FROM f1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, e, cluster_id, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+        |  FROM (
+        |    SELECT emb.vec_id, emb.e, c1.cluster_id,
+        |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
+        |        i -> (emb.e[i] - c1.carr[i]) * (emb.e[i] - c1.carr[i]))),
+        |        6) AS d
+        |    FROM emb CROSS JOIN c1) t)
+        |SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val,
+        |  count(*) AS n_members
+        |FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+        |      FROM a2 WHERE rn = 1) t
+        |GROUP BY 1, 2""".stripMargin,
+
+    // quantile_cont == Spark's exact interpolated percentile; quantile
+    // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)
+    "e23_quantile_profile" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, CAST(0.25 AS DOUBLE)), 6) AS p25,
+        |  round(quantile_cont(value, CAST(0.5  AS DOUBLE)), 6) AS p50,
+        |  round(quantile_cont(value, CAST(0.75 AS DOUBLE)), 6) AS p75,
+        |  round(quantile_cont(value, CAST(0.9  AS DOUBLE)), 6) AS p90,
+        |  round(quantile_cont(value, CAST(0.99 AS DOUBLE)), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "e24_vocab_top" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x != '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |ranked AS (SELECT tok, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM cnt)
+        |SELECT tok, cnt, rank FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // md5-derived 60-bit hash (same parity trick as the dedup suite)
+    "e25_shuffle_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 16 AS shard,
+        |  row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id)
+        |    AS pos_in_shard
+        |FROM h""".stripMargin,
 
     // same component closure as e16, joined to the e7 quality CTE;
     // struct max over ('q', 'negid') is the deterministic argmax in

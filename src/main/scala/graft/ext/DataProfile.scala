@@ -41,4 +41,20 @@ object DataProfile {
     val all = count(lit(1)).as("n_rows") +: aggs
     df.agg(all.head, all.tail: _*)
   }
+
+  /** Per-group exact quantiles of one numeric column (p25/p50/… named by
+    * percent) — the distribution-drift snapshot between curation stages.
+    *
+    * `percentile` is the exact interpolated form (identical to DuckDB's
+    * `quantile_cont`): it buffers each group's values, so it is the right
+    * tool while per-group cardinality is bounded; at extreme group sizes
+    * swap for `percentile_approx`, which is mergeable and streams.
+    */
+  def groupedQuantiles(df: DataFrame, key: Column, value: Column,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: qs.map(q =>
+      Rounding.duckRound(percentile(value, lit(q)), 6)
+        .as(s"p${(q * 100).round}"))
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
 }

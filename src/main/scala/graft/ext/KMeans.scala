@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Rounding
+
+/** Lloyd's k-means over an embedding column — the centroid-training step
+  * behind IVF index building (Similarity.ivfKnn's coarse quantizer) and
+  * cluster-based curation (topic pruning, diversity sampling) in a
+  * training-data pipeline.
+  *
+  * Deterministic and oracle-twinned: init = the k lowest vec_ids; each
+  * assignment minimizes squared-L2 distance ROUNDED to 6 decimals with
+  * ties broken by lowest cluster id; each new centroid component is the
+  * member mean rounded to 6 decimals — so every iteration starts from
+  * doubles both engines agree on.
+  *
+  * Scale: k-means model state is O(k·dim) by definition, so centroids
+  * live on the driver between iterations (the MLlib topology) and enter
+  * the plan as literals — assignment is a NARROW per-row argmin, no
+  * join, no shuffle of the N input vectors. The only exchange per
+  * iteration is the mean aggregation: posexplode to (cluster, pos, v),
+  * map-side partial sums, k·dim final groups. A 100 TB corpus streams
+  * through each iteration once.
+  *
+  * A cluster that loses every member simply drops out of later
+  * iterations (no re-seeding) — deterministic, and mirrored exactly by
+  * the SQL twin.
+  */
+object KMeans {
+
+  /** Squared L2 distance between a double-array column and a literal
+    * centroid — same sequential fold shape as DuckDB's list_sum. */
+  private def dist2(e: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(e, typedlit(centroid), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Argmin cluster id for one row: lexicographic struct min over
+    * (rounded distance, cluster id) — codegen'd, broadcast-free. */
+  private def assign(e: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(Rounding.duckRound(dist2(e, c), 6).as("d"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Flattened centroid table after `iters` Lloyd iterations:
+    * (cluster_id, pos, c_val, n_members) — one row per centroid
+    * component, n_members = the final assignment's cluster size.
+    * `vectors`: (vec_id, embedding array<numeric>). */
+  def centroidsFlat(vectors: DataFrame, k: Int = 8,
+                    iters: Int = 2): DataFrame = {
+    require(iters >= 1, "at least one Lloyd iteration")
+    val emb = vectors.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+
+    // O(k·dim) model state: k rows — this is the one deliberate collect.
+    var centroids: Seq[(Int, Seq[Double])] =
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int"), col("e"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1))
+        .toSeq.sortBy(_._1)
+
+    var flat: DataFrame = null
+    for (iter <- 1 to iters) {
+      val assigned = emb.select(
+        assign(col("e"), centroids).as("cluster_id"), col("e"))
+      flat = assigned
+        .select(col("cluster_id"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy(col("cluster_id"), col("pos").cast("long").as("pos"))
+        .agg(Rounding.duckRound(avg(col("v")), 6).as("c_val"),
+          count(lit(1)).as("n_members"))
+      if (iter < iters)
+        centroids = flat
+          .select(col("cluster_id"), col("pos"), col("c_val"))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+          .groupBy(_._1)
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_._2).map(_._3).toSeq }
+          .toSeq.sortBy(_._1)
+    }
+    flat.select(col("cluster_id").cast("long").as("cluster_id"),
+      col("pos"), col("c_val"), col("n_members"))
+  }
+}

@@ -38,4 +38,25 @@ object Sampling {
       .withColumn("bucket", permilleBucket(id))
       .filter(col("bucket") < rate)
   }
+
+  /** Deterministic global shuffle + sharding for training export: shard
+    * = id-hash mod `nShards`, and `pos_in_shard` numbers rows in hash
+    * order within each shard — a reproducible random permutation of the
+    * corpus into n writer-sized pieces (what a pretraining export does
+    * before writing tfrecord/webdataset shards).
+    *
+    * Scale shape: one shuffle on the shard key; each shard's sort is
+    * local to its partition (`nShards` should be >= the writer
+    * parallelism you want). No RNG — re-running on any cluster layout
+    * yields byte-identical shard assignments. */
+  def shuffleShards(df: DataFrame, id: Column,
+                    nShards: Int = 16): DataFrame = {
+    val h = Dedup.md5Long(id.cast("string"))
+    df.withColumn("h", h)
+      .withColumn("shard", col("h") % nShards)
+      .withColumn("pos_in_shard", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("h"), id)).cast("long"))
+      .drop("h")
+  }
 }

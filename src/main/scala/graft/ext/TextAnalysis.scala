@@ -105,4 +105,21 @@ object TextAnalysis {
       .select(col("doc_id"), col("minh").as("fingerprint"))
       .distinct()
   }
+
+  /** Corpus vocabulary: the `n` most frequent whitespace tokens with
+    * deterministic ranking (count desc, then token) — the frequency pass
+    * a tokenizer-training step starts from.
+    *
+    * Scale shape: token counting is a partial-aggregated groupBy on the
+    * token key; the top-n is `TakeOrderedAndProject` (per-partition
+    * heaps, no global sort of the vocabulary). The row_number window
+    * after the limit orders <= n rows — single tiny partition by
+    * construction. */
+  def topTokens(docs: DataFrame, n: Int = 100): DataFrame =
+    docs.select(explode(words(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(n)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
 }
