@@ -66,18 +66,25 @@ object Clustering {
         .select(col("id"), col("label").as("_prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("_m"))
-      // hop 2 — POINTER JUMPING: a label is itself a vertex id in the
-      // same component, so resolving it through the label table again
-      // (label ← min(m, label(m))) halves every vertex's distance to
-      // the component minimum: O(log diameter) rounds instead of
-      // O(diameter) — near-dup graphs contain surprisingly long SimHash
-      // chains (13 propagation rounds on the sf0.1 pair graph; 5 with
-      // jumping)
-      val next = hop
-        .join(labels.select(col("id").as("_m"), col("label").as("_ptr")),
+      // hops 2+3 — POINTER JUMPING, twice: a label is itself a vertex id
+      // in the same component, so resolving it through the label table
+      // (label ← min(m, label(m))) halves every vertex's distance to the
+      // component minimum; doing it twice per round quarters it —
+      // O(log4 diameter) rounds. Each jump is one cheap keyed join,
+      // while a ROUND carries fixed driver cost (plan + schedule +
+      // checkpoint + convergence count), so trading a join for a round
+      // wins: the sf0.1 SimHash graph (propagation diameter 13) takes 5
+      // rounds with one jump, 3 with two.
+      val jump1 = hop
+        .join(labels.select(col("id").as("_m"), col("label").as("_p1")),
           Seq("_m"), "left")
         .select(col("id"), col("_prev"),
-          least(col("_m"), coalesce(col("_ptr"), col("_m"))).as("label"))
+          least(col("_m"), coalesce(col("_p1"), col("_m"))).as("_m2"))
+      val next = jump1
+        .join(labels.select(col("id").as("_m2"), col("label").as("_p2")),
+          Seq("_m2"), "left")
+        .select(col("id"), col("_prev"),
+          least(col("_m2"), coalesce(col("_p2"), col("_m2"))).as("label"))
         .localCheckpoint() // eager: materializes + truncates lineage
       changed = next.filter(col("label") < col("_prev")).count()
       labels = next.select(col("id"), col("label"))
