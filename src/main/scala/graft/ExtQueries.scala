@@ -221,6 +221,14 @@ object ExtQueries {
       Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
         col("doc_id"), nShards = 16)),
 
+    // E26: benchmark decontamination — corpus docs (id >= 10) sharing
+    // 5-gram shingles with the "eval set" (id < 10)
+    "e26_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminate(d.filter(col("doc_id") >= 10),
+        d.filter(col("doc_id") < 10))
+    }),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -428,6 +436,34 @@ object ExtQueries {
         |FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
         |      FROM a2 WHERE rn = 1) t
         |GROUP BY 1, 2""".stripMargin,
+
+    // uncapped shingle sets on both sides (decontamination must not drop
+    // boilerplate overlaps); same md5-60-bit hash as the dedup suite
+    "e26_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (
+        |    SELECT unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |      AS s
+        |    FROM (SELECT string_split(text, ' ') AS w
+        |          FROM documents WHERE doc_id < 10) t
+        |    WHERE len(w) >= 5) u),
+        |co AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |      AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents WHERE doc_id >= 10) t
+        |    WHERE len(w) >= 5) u)
+        |SELECT doc_id, count(*) AS n_shared_shingles
+        |FROM co JOIN ev USING (h)
+        |GROUP BY 1""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)

@@ -95,6 +95,29 @@ object Dedup {
     sh.join(rare, Seq("h"), "left_semi")
   }
 
+  /** Benchmark decontamination: per corpus document, the number of
+    * distinct k-word shingles it shares with ANY eval-set document —
+    * the standard "n-gram overlap with the benchmark" screen a training
+    * pipeline runs before a corpus ships (docs with `n_shared_shingles`
+    * over a threshold get dropped or audited).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs,
+    * not the corpus), so its distinct hash set BROADCASTS; corpus
+    * shingles stream through a broadcast semi-join — no corpus-side
+    * shuffle until after the join has pruned to actual overlaps, and the
+    * per-doc distinct+count then aggregates only matching shingles. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    k: Int = 5, minShared: Long = 1L): DataFrame = {
+    val evalH = shingleHashes(evalDocs, k).select(col("h")).distinct()
+    rawShingles(corpus, k)
+      .select(col("doc_id"), md5Long(col("shingle")).as("h"))
+      .join(broadcast(evalH), Seq("h"))
+      .distinct() // per-doc distinct AFTER pruning to eval overlaps
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .filter(col("n_shared_shingles") >= minShared)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * shingle (the shingle join prunes the quadratic all-pairs space);
     * jaccard = |∩| / |∪| over distinct shingle sets. */

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{DataProfile, KMeans, Sampling, TextAnalysis}
+import graft.ext.{DataProfile, Dedup, KMeans, Sampling, TextAnalysis}
 
 /** Dataset profiling, k-means centroid training, vocabulary top-k, and
   * shuffle-shard export (E21–E25 invariants). */
@@ -66,6 +66,18 @@ class ProfileKMeansSpec extends SparkSpec {
     val got = TextAnalysis.topTokens(docs, n = 3).orderBy("rank")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
+  }
+
+  test("decontaminate: counts distinct shared shingles per corpus doc") {
+    val ev = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "a b c d e x y z w v"), // shares "a b c d e"
+      (11L, "p q r s t u v w x y"), // no overlap
+      (12L, "a b c d e f")          // exact eval copy: both shingles
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L, 12L -> 2L))
   }
 
   test("shuffleShards: dense positions per shard, stable permutation") {
