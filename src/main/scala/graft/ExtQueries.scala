@@ -229,6 +229,10 @@ object ExtQueries {
         d.filter(col("doc_id") < 10))
     }),
 
+    // E27: Gopher-style repetition quality signals per document
+    "e27_repetition_signals" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir))),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -464,6 +468,30 @@ object ExtQueries {
         |SELECT doc_id, count(*) AS n_shared_shingles
         |FROM co JOIN ev USING (h)
         |GROUP BY 1""".stripMargin,
+
+    // fractions are single divisions of exact integer counts — no
+    // rounding needed for parity
+    "e27_repetition_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_words,
+        |    (len(grams) - len(list_distinct(grams)))::DOUBLE
+        |      / len(grams) AS dup_2gram_frac
+        |  FROM (SELECT doc_id, w, list_transform(range(1, len(w)),
+        |          i -> concat(w[i], ' ', w[i+1])) AS grams
+        |        FROM base WHERE len(w) >= 2) t),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_c FROM (
+        |    SELECT doc_id, word, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(w) AS word FROM base) t
+        |    GROUP BY 1, 2) u
+        |  GROUP BY 1)
+        |SELECT g.doc_id, n_words,
+        |  top_c::DOUBLE / n_words AS top_word_frac, dup_2gram_frac
+        |FROM g JOIN top USING (doc_id)""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)

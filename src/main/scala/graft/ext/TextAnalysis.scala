@@ -115,6 +115,41 @@ object TextAnalysis {
     * heaps, no global sort of the vocabulary). The row_number window
     * after the limit orders <= n rows — single tiny partition by
     * construction. */
+  /** Intra-document repetition signals (the Gopher-rule family): the
+    * fraction of words that are the document's single most frequent
+    * word, and the fraction of 2-gram occurrences that are repeats —
+    * the screens that catch boilerplate loops and keyword stuffing.
+    *
+    * The 2-gram fraction is a pure per-row array expression (no
+    * shuffle); the top-word count is the standard explode → per-(doc,
+    * word) count → per-doc max, all partial-aggregated. Fractions are
+    * single IEEE divisions of exact integer counts — identical across
+    * engines with no rounding. Documents under 2 words are dropped (no
+    * 2-gram exists, and a 1-word doc's repetition is meaningless). */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    val gram = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      expr("""transform(sequence(1, size(w) - 1),
+             |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+             |""".stripMargin).as("grams"))
+      .select(col("doc_id"), col("n_words"),
+        ((size(col("grams")) - size(array_distinct(col("grams"))))
+          .cast("double") / size(col("grams"))).as("dup_2gram_frac"))
+    val top = base
+      .select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    gram.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        (col("top_c").cast("double") / col("n_words"))
+          .as("top_word_frac"),
+        col("dup_2gram_frac"))
+  }
+
   def topTokens(docs: DataFrame, n: Int = 100): DataFrame =
     docs.select(explode(words(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

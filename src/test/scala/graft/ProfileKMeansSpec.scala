@@ -68,6 +68,20 @@ class ProfileKMeansSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 3L, 1L), ("b", 3L, 2L), ("c", 2L, 3L)))
   }
 
+  test("repetitionSignals: top-word and duplicate-2-gram fractions") {
+    val docs = Seq(
+      (1L, "a a a a"),      // top word 4/4; 2-grams all "a a": dup 2/3
+      (2L, "a b c d"),      // top 1/4; 3 distinct 2-grams: dup 0
+      (3L, "x")             // dropped: under 2 words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((4L, 1.0, 2.0 / 3)))
+    assert(got(2L) == ((4L, 0.25, 0.0)))
+  }
+
   test("decontaminate: counts distinct shared shingles per corpus doc") {
     val ev = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val corpus = Seq(
