@@ -233,6 +233,20 @@ object ExtQueries {
     "e27_repetition_signals" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir))),
 
+    // E28: quality-threshold selection — keep docs at or above the
+    // corpus p75 quality score; the threshold is a broadcast 1-row
+    // aggregate joined back (no driver-side collect), the pattern for
+    // any "top X% by score" curation cut
+    "e28_quality_select" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("quality"))
+      val thr = q.agg(Rounding.duckRound(
+        percentile(col("quality"), lit(0.75)), 6).as("thr"))
+      q.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("thr"))
+        .select(col("doc_id"), col("quality"))
+    }),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -492,6 +506,13 @@ object ExtQueries {
         |SELECT g.doc_id, n_words,
         |  top_c::DOUBLE / n_words AS top_word_frac, dup_2gram_frac
         |FROM g JOIN top USING (doc_id)""".stripMargin,
+
+    "e28_quality_select" ->
+      s"""WITH $qualityCtes,
+         |thr AS (SELECT round(quantile_cont(quality,
+         |  CAST(0.75 AS DOUBLE)), 6) AS thr FROM qual)
+         |SELECT doc_id, quality FROM qual, thr
+         |WHERE quality >= thr""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)

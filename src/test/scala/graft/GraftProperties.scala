@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
+import graft.ext.Dedup
 import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
@@ -107,6 +108,30 @@ object GraftProperties extends Properties("graft") {
         i.toLong -> prior.sortBy(_._2).lastOption
           .map { case (rk, roff) => rk * 1000.0 + roff }
       }.toMap
+      got == expected
+    }
+
+  private val tinyDocsGen: Gen[List[List[String]]] =
+    Gen.listOfN(6, Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+
+  property("decontaminate equals brute-force shingle-set intersection") =
+    Prop.forAll(tinyDocsGen) { wordLists =>
+      import spark.implicits._
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 2), docs.filter(col("doc_id") < 2))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def sh(ws: List[String]): Set[String] =
+        if (ws.length < 5) Set.empty
+        else ws.sliding(5).map(_.mkString(" ")).toSet
+      val evalSh = wordLists.take(2).flatMap(sh).toSet
+      val expected = wordLists.zipWithIndex.drop(2)
+        .map { case (ws, i) =>
+          i.toLong -> (sh(ws) & evalSh).size.toLong }
+        .filter(_._2 >= 1).toMap
       got == expected
     }
 
