@@ -247,6 +247,52 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // X1: warehouse star join — revenue per nation over
+    // lineitem ⋈ orders ⋈ customer ⋈ nation. The big-big join
+    // (lineitem⋈orders) shuffles on the order key; dimension joins
+    // broadcast (nation explicitly — bounded domain; customer via AQE,
+    // which at warehouse scale would flip to shuffle). Money sums
+    // accumulate in DECIMAL — exact, order-independent, so the
+    // cross-engine match needs no rounding — and cast back to double
+    // at the end.
+    "x1_star_revenue" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1.0).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)"))
+      l.join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // X2: pricing summary (the classic scan-aggregate): one pass over
+    // lineitem, all sums in exact DECIMAL, codegen'd end to end
+    "x2_pricing_summary" -> ((s, dir) => {
+      val price = col("l_extendedprice").cast("decimal(12,2)")
+      val disc1 = lit(1.0).cast("decimal(3,2)") -
+        col("l_discount").cast("decimal(3,2)")
+      val tax1 = lit(1.0).cast("decimal(3,2)") +
+        col("l_tax").cast("decimal(3,2)")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integral: exact
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * disc1).cast("double").as("sum_disc_price"),
+          sum(price * disc1 * tax1).cast("double").as("sum_charge"),
+          Rounding.duckRound(avg(col("l_quantity")), 6).as("avg_qty"),
+          Rounding.duckRound(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -513,6 +559,41 @@ object ExtQueries {
          |  CAST(0.75 AS DOUBLE)), 6) AS thr FROM qual)
          |SELECT doc_id, quality FROM qual, thr
          |WHERE quality >= thr""".stripMargin,
+
+    // DECIMAL accumulation on both engines: exact and order-independent
+    "x1_star_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "x2_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2))) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) +
+        |     CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY 1, 2""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)
