@@ -247,6 +247,16 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // E29: pretraining mix planner — per-source sampling rates/epochs
+    // hitting a 20k-token budget at 30/20/uniform-rest weights
+    "e29_mix_planner" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("source"),
+        expr("size(filter(split(text, ' '), x -> x != ''))")
+          .cast("long").as("n_toks"))
+      Sampling.mixPlan(toks, Seq("src0" -> 0.3, "src1" -> 0.2),
+        defaultWeight = 0.5 / 18.0, tokenBudget = 20000.0)
+    }),
+
     // X1: warehouse star join — revenue per nation over
     // lineitem ⋈ orders ⋈ customer ⋈ nation. The big-big join
     // (lineitem⋈orders) shuffles on the order key; dimension joins
@@ -559,6 +569,26 @@ object ExtQueries {
          |  CAST(0.75 AS DOUBLE)), 6) AS thr FROM qual)
          |SELECT doc_id, quality FROM qual, thr
          |WHERE quality >= thr""".stripMargin,
+
+    // identical scalar expression trees (weights, divisions) on exact
+    // integer aggregates — no rounding needed
+    "e29_mix_planner" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '),
+        |      x -> x != '')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT *, CASE WHEN source = 'src0' THEN CAST(0.3 AS DOUBLE)
+        |                 WHEN source = 'src1' THEN CAST(0.2 AS DOUBLE)
+        |                 ELSE CAST(0.5 AS DOUBLE) / 18.0 END AS weight
+        |  FROM t)
+        |SELECT source, n_docs, n_tokens, weight,
+        |  weight * CAST(20000.0 AS DOUBLE) AS target_tokens,
+        |  least(CAST(1.0 AS DOUBLE),
+        |    weight * CAST(20000.0 AS DOUBLE) / n_tokens) AS sample_rate,
+        |  weight * CAST(20000.0 AS DOUBLE) / n_tokens AS epochs
+        |FROM w""".stripMargin,
 
     // DECIMAL accumulation on both engines: exact and order-independent
     "x1_star_revenue" ->

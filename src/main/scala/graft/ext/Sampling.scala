@@ -39,6 +39,31 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** Pretraining mix planner: given per-row (source, n_toks) and target
+    * mix WEIGHTS, compute each source's token inventory and the sampling
+    * rate / epoch count that hits `weight · tokenBudget` tokens from it —
+    * the arithmetic behind "60% web, 30% books, 10% code" data recipes.
+    * `epochs` > 1 means the source must repeat to meet its quota (the
+    * up-sampling a mix actually implies); `sample_rate` caps at 1.
+    *
+    * One partial-aggregated groupBy on source (output cardinality =
+    * number of sources); everything after is per-row arithmetic on that
+    * tiny table. */
+  def mixPlan(docTokens: DataFrame, weights: Seq[(String, Double)],
+              defaultWeight: Double, tokenBudget: Double): DataFrame = {
+    val w = weights.foldRight(lit(defaultWeight): Column) {
+      case ((src, p), acc) => when(col("source") === src, lit(p))
+        .otherwise(acc)
+    }
+    val target = w * lit(tokenBudget)
+    docTokens.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        w.as("weight"), target.as("target_tokens"),
+        least(lit(1.0), target / col("n_tokens")).as("sample_rate"),
+        (target / col("n_tokens")).as("epochs"))
+  }
+
   /** Deterministic global shuffle + sharding for training export: shard
     * = id-hash mod `nShards`, and `pos_in_shard` numbers rows in hash
     * order within each shard — a reproducible random permutation of the
