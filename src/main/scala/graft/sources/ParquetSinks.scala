@@ -31,4 +31,18 @@ object ParquetSinks {
     * the scan (verify `PartitionFilters` in the plan). */
   def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Training-export writer: the physical counterpart of
+    * [[graft.ext.Sampling.shuffleShards]]. Rows land hive-partitioned by
+    * shard, one file per shard (repartition on the partition key — the
+    * small-files fix), ordered by the deterministic in-shard position —
+    * so a re-run on any cluster layout produces byte-identical shard
+    * files, which is what makes a 100 TB export resumable and
+    * verifiable. `df` must carry `shard` and `pos_in_shard`. */
+  def writeShards(df: DataFrame, path: String): Unit =
+    df.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos_in_shard"))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
 }

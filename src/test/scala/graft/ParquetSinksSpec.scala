@@ -33,4 +33,26 @@ class ParquetSinksSpec extends SparkSpec {
       .as[String].collect()
     assert(scanned.length == 1 && scanned.head.contains("date=2024-01-04"))
   }
+
+  test("shard export: one ordered file per shard, shard dirs prune") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val docs = (0L until 200L).toDF("doc_id")
+    ParquetSinks.writeShards(
+      graft.ext.Sampling.shuffleShards(docs, col("doc_id"), nShards = 4),
+      out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    assert(back.select(col("shard")).distinct().count() == 4)
+    // one physical file per shard partition
+    val files = back.select(col("shard"), input_file_name()).distinct()
+      .groupBy(col("shard")).count()
+      .filter(col("count") > 1).count()
+    assert(files == 0, "expected exactly one file per shard")
+    // rows inside each shard file are stored in pos_in_shard order
+    val shard0 = spark.read.parquet(s"$out/shard=0")
+      .select(col("pos_in_shard")).as[Long].collect()
+    assert(shard0.sameElements(shard0.sorted))
+  }
 }
