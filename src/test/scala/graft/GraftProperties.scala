@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ext.Dedup
+import graft.ext.{Dedup, KMeans}
 import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
@@ -132,6 +132,53 @@ object GraftProperties extends Properties("graft") {
         .map { case (ws, i) =>
           i.toLong -> (sh(ws) & evalSh).size.toLong }
         .filter(_._2 >= 1).toMap
+      got == expected
+    }
+
+  // integer-valued components keep every sum exact in both the engine
+  // and the reference, so the duckRound contract is the only rounding
+  private def dround(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  private val kmGen = for {
+    n <- Gen.choose(4, 20)
+    dim <- Gen.choose(2, 3)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(0, 10)))
+  } yield vecs
+
+  property("kmeans equals an in-memory Lloyd reference") =
+    Prop.forAll(kmGen) { vecs =>
+      import spark.implicits._
+      val k = 2
+      val df = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val got = KMeans.centroidsFlat(df, k, iters = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+
+      var cents: Seq[(Int, Seq[Double])] = vecs.zipWithIndex
+        .filter(_._2 < k).map { case (v, i) => i -> v.map(_.toDouble) }
+      var assign: Map[Int, Int] = Map.empty
+      for (_ <- 1 to 2) {
+        assign = vecs.zipWithIndex.map { case (v, i) =>
+          i -> cents.map { case (cid, c) =>
+            (dround(v.map(_.toDouble).zip(c)
+              .map { case (x, y) => (x - y) * (x - y) }.sum), cid)
+          }.min._2
+        }.toMap
+        cents = assign.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (cid, members) =>
+            val ms = members.keys.toSeq.map(vecs(_))
+            cid -> ms.head.indices
+              .map(d => dround(ms.map(_(d).toDouble).sum / ms.size))
+          }
+      }
+      val sizes = assign.groupBy(_._2).map { case (c, m) => c -> m.size }
+      val expected = cents.flatMap { case (cid, arr) =>
+        arr.zipWithIndex.map { case (v, p) =>
+          (cid.toLong, p.toLong) -> ((v, sizes(cid).toLong)) }
+      }.toMap
       got == expected
     }
 
