@@ -262,6 +262,19 @@ object SparkEntry {
       roundedOhlc(
         Resample.ohlc1minSalted(TickPrep(Tables.ticks(s, dir)), 16), Nil)),
 
+    // G8: incremental candle maintenance — ticks split into a "stored"
+    // batch and a "late" batch, aggregated separately to mergeable
+    // partials, merged, finalized; equals the full re-aggregation (same
+    // oracle as g1), proving the store absorbs late data without
+    // re-reading raw history
+    "g8_incremental_ohlc" -> ((s, dir) => {
+      val t = TickPrep(Tables.ticks(s, dir))
+      val stored = Resample.ohlcPartials(t.filter(col("tick_id") % 10 =!= 0))
+      val late = Resample.ohlcPartials(t.filter(col("tick_id") % 10 === 0))
+      roundedOhlc(
+        Resample.finishPartials(Resample.mergePartials(stored, late)), Nil)
+    }),
+
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
     "g1_ohlc_by_key" -> ((s, dir) => {
       val ticks = Tables.load(s, dir, "events").select(
@@ -686,6 +699,12 @@ object SparkEntry {
     // identical oracle to the plain resample: salting is an internal
     // two-phase decomposition, not a semantic change
     "g1_ohlc_salted" ->
+      s"""WITH $ticksCte, $preppedCte
+         |${ohlcSelectSql()}""".stripMargin,
+
+    // identical oracle again: partial-merge maintenance is an internal
+    // decomposition, not a semantic change
+    "g8_incremental_ohlc" ->
       s"""WITH $ticksCte, $preppedCte
          |${ohlcSelectSql()}""".stripMargin,
 

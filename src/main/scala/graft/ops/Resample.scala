@@ -92,6 +92,62 @@ object Resample {
         (sum(col("spread_sum")) / sum(col("spread_n"))).as("spread"))
   }
 
+  /** Mergeable per-minute partials — the STORABLE form for incremental
+    * candle maintenance. Every G1–G3 statistic is kept associative
+    * (ordered first/last as struct min/max, avg as sum+count), so a
+    * candle store persisted in this form absorbs a late-arriving tick
+    * batch by merging partials — no re-read of raw tick history, ever.
+    * The reference's append-only chunk loop (`hybrid_merger.py:127-133`)
+    * is the degenerate sequential case of exactly this decomposition.
+    */
+  def ohlcPartials(ticks: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val minute = date_trunc("minute", col("datetime")).as("datetime")
+    ticks
+      .groupBy((keyCols.map(col) :+ minute): _*)
+      .agg(
+        min(struct(col("datetime").as("o"), col("tick_id").as("t"),
+          col("mid").as("v"))).as("omin"),
+        max(col("mid")).as("high"),
+        min(col("mid")).as("low"),
+        max(struct(col("datetime").as("o"), col("tick_id").as("t"),
+          col("mid").as("v"))).as("cmax"),
+        count(col("mid")).as("volume"),
+        sum(col("spread")).as("spread_sum"),
+        count(col("spread")).as("spread_n"))
+  }
+
+  /** Merge a stored partial frame with a late batch's partials: union +
+    * one candle-cardinality aggregate. Associativity makes the result
+    * identical to re-aggregating all raw ticks (property-tested, and
+    * `g8_incremental_ohlc` proves it against the full-reaggregation
+    * oracle). At scale the store side is day-partitioned parquet
+    * ([[graft.sources.ParquetSinks.writeDayPartitioned]]), so a merge
+    * reads only the days the delta touches — the shuffle is bounded by
+    * the DELTA's minute span, not the store's history. */
+  def mergePartials(stored: DataFrame, delta: DataFrame,
+                    keyCols: Seq[String] = Nil): DataFrame =
+    stored.unionByName(delta)
+      .groupBy((keyCols :+ "datetime").map(col): _*)
+      .agg(
+        min(col("omin")).as("omin"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(col("cmax")).as("cmax"),
+        sum(col("volume")).as("volume"),
+        sum(col("spread_sum")).as("spread_sum"),
+        sum(col("spread_n")).as("spread_n"))
+
+  /** Finalize a partial frame to the [[ohlc1min]] output schema. */
+  def finishPartials(partials: DataFrame,
+                     keyCols: Seq[String] = Nil): DataFrame =
+    partials.select((keyCols.map(col) ++ Seq(
+      col("datetime"),
+      col("omin").getField("v").as("open"),
+      col("high"), col("low"),
+      col("cmax").getField("v").as("close"),
+      col("volume"),
+      (col("spread_sum") / col("spread_n")).as("spread"))): _*)
+
   /** F4: drop empty buckets — minutes with no close
     * (`hybrid_merger.py:115, :134, :241`). With a groupBy-based resample
     * empty minutes never materialize, so this only matters after grid

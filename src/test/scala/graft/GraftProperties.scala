@@ -135,6 +135,24 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  property("partial-merge maintenance equals full re-aggregation for " +
+    "any split of the tick stream") = Prop.forAll(tickGen) { ticks =>
+    val all = toDf(ticks)
+    val a = all.filter(col("tick_id") % 2 === 0)
+    val b = all.filter(col("tick_id") % 2 =!= 0)
+    // spread is an average — accumulation trees differ between the
+    // one-shot and merged forms, so compare it rounded (the same
+    // contract the oracle gate uses); everything else is exact
+    def norm(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("datetime"), col("open"), col("high"), col("low"),
+      col("close"), col("volume"),
+      Rounding.duckRound(col("spread"), 6).as("spread"))
+    val merged = norm(Resample.finishPartials(Resample.mergePartials(
+      Resample.ohlcPartials(a), Resample.ohlcPartials(b))))
+    val full = norm(Resample.ohlc1min(all))
+    merged.except(full).isEmpty && full.except(merged).isEmpty
+  }
+
   // integer-valued components keep every sum exact in both the engine
   // and the reference, so the duckRound contract is the only rounding
   private def dround(x: Double): Double =
