@@ -247,6 +247,21 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // E30: cross-source overlap matrix — distinct df-capped shingles
+    // shared per source pair, the "which corpora duplicate each other"
+    // curation diagnostic; same bucketed-join topology as e2
+    "e30_source_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ssh = Dedup.cappedShingleHashes(d, 5, 100)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("h")).distinct()
+      ssh.as("x").join(ssh.as("y"),
+          col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
+    }),
+
     // E29: pretraining mix planner — per-source sampling rates/epochs
     // hitting a 20k-token budget at 30/20/uniform-rest weights
     "e29_mix_planner" -> ((s, dir) => {
@@ -569,6 +584,16 @@ object ExtQueries {
          |  CAST(0.75 AS DOUBLE)), 6) AS thr FROM qual)
          |SELECT doc_id, quality FROM qual, thr
          |WHERE quality >= thr""".stripMargin,
+
+    "e30_source_overlap" ->
+      s"""WITH $shinglesCte,
+         |ssh AS (SELECT DISTINCT d.source, s.h FROM sh s
+         |        JOIN documents d USING (doc_id))
+         |SELECT x.source AS source_a, y.source AS source_b,
+         |  count(*) AS n_shared_shingles
+         |FROM ssh x JOIN ssh y
+         |  ON x.h = y.h AND x.source < y.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // identical scalar expression trees (weights, divisions) on exact
     // integer aggregates — no rounding needed
