@@ -63,6 +63,8 @@ object KMeans {
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1))
         .toSeq.sortBy(_._1)
+    require(centroids.nonEmpty,
+      s"k-means needs at least one vector with vec_id < k=$k to seed")
 
     var flat: DataFrame = null
     for (iter <- 1 to iters) {
