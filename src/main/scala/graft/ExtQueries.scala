@@ -247,6 +247,11 @@ object ExtQueries {
         .select(col("doc_id"), col("quality"))
     }),
 
+    // E31: per-label embedding outliers — the 3 vectors least similar
+    // to their label centroid (mislabel / off-topic screen)
+    "e31_embedding_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(emb(s, dir), k = 3)),
+
     // E30: cross-source overlap matrix — distinct df-capped shingles
     // shared per source pair, the "which corpora duplicate each other"
     // curation diagnostic; same bucketed-join topology as e2
@@ -584,6 +589,33 @@ object ExtQueries {
          |  CAST(0.75 AS DOUBLE)), 6) AS thr FROM qual)
          |SELECT doc_id, quality FROM qual, thr
          |WHERE quality >= thr""".stripMargin,
+
+    // centroid components rounded to 6 per the KMeans contract; cosine
+    // rounded before ranking, ties by vec_id
+    "e31_embedding_outliers" ->
+      """WITH emb AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |f AS (
+        |  SELECT label, i, round(avg(e[i]), 6) AS cv
+        |  FROM (SELECT label, e, unnest(range(1, len(e) + 1)) AS i
+        |        FROM emb) t
+        |  GROUP BY 1, 2),
+        |c AS (SELECT label, list(cv ORDER BY i) AS carr FROM f GROUP BY 1),
+        |s AS (
+        |  SELECT vec_id, emb.label,
+        |    round(list_sum(list_transform(range(1, len(e) + 1),
+        |        i -> e[i] * carr[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, len(e) + 1),
+        |         i -> e[i] * e[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, len(carr) + 1),
+        |         i -> carr[i] * carr[i])))), 6) AS sim
+        |  FROM emb JOIN c ON emb.label = c.label),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY label ORDER BY sim, vec_id) AS rank FROM s)
+        |SELECT vec_id, label, sim, rank FROM r
+        |WHERE rank <= 3""".stripMargin,
 
     "e30_source_overlap" ->
       s"""WITH $shinglesCte,

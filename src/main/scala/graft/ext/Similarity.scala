@@ -96,6 +96,36 @@ object Similarity {
         col("rank"))
   }
 
+  /** Embedding outliers: the `k` vectors per label LEAST similar to
+    * their label's centroid — the mislabel / off-topic screen a curation
+    * pass runs per class or cluster.
+    *
+    * Fully distributed, no driver-held state (contrast [[KMeans]], whose
+    * ITERATION forces centroids through the driver): per-label centroids
+    * are one posexplode + partial-aggregated groupBy (label·dim groups),
+    * reassembled and BROADCAST back onto the vectors — label cardinality
+    * is bounded, vectors never shuffle. Centroid components and
+    * similarities are rounded to 6 (ties → lowest vec_id) for exact
+    * cross-engine ranking. */
+  def labelOutliers(vectors: DataFrame, k: Int = 3): DataFrame = {
+    val emb = vectors.select(col("vec_id"), col("label"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val cent = emb
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(graft.Rounding.duckRound(avg(col("v")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("carr"))
+    emb.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        graft.Rounding.duckRound(cosine(col("e"), col("carr")), 6).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("sim"), col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane component: integer arithmetic
     * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3. */
   private def hyperplaneDot(emb: Column, j: Int): Column =
