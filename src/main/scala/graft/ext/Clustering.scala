@@ -86,7 +86,11 @@ object Clustering {
         .select(col("id"), col("_prev"),
           least(col("_m2"), coalesce(col("_p2"), col("_m2"))).as("label"))
         .localCheckpoint() // eager: materializes + truncates lineage
-      changed = next.filter(col("label") < col("_prev")).count()
+      // isEmpty, not count: a non-converged round (the common case)
+      // short-circuits on the first changed row instead of scanning the
+      // whole checkpointed frame
+      changed =
+        if (next.filter(col("label") < col("_prev")).isEmpty) 0L else 1L
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
