@@ -372,6 +372,38 @@ object ExtQueries {
           col("_best").getField("q").as("best_quality"))
     }),
 
+    // E32: the curation pipeline END TO END in one plan — SimHash pair
+    // graph → connected components → one canonical doc per dup cluster
+    // (plus all singleton docs) → median-quality gate over the keep-set
+    // → concat-and-chunk packing of the survivors into 2048-token
+    // sequences. The LLM-side analogue of `pipeline_hybrid_full`:
+    // proof the extension operators compose in a single lazy plan.
+    "e32_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cc = Clustering.connectedComponents(Dedup.simhashPairs(d, 3))
+      val q = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("quality"))
+      val best = max(struct(col("quality").as("q"),
+        (-col("doc_id")).as("negid")))
+      val canon = cc.join(q, cc("id") === q("doc_id"))
+        .groupBy(col("label")).agg(best.as("_b"))
+        .select((-col("_b").getField("negid")).as("doc_id"))
+      val keep = d.select(col("doc_id"))
+        .join(cc.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_anti")
+        .unionByName(canon)
+      val kq = keep.join(q, Seq("doc_id"))
+      val thr = kq.agg(Rounding.duckRound(
+        percentile(col("quality"), lit(0.5)), 6).as("thr"))
+      val survivors = kq.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("thr")).select(col("doc_id"))
+      val toks = d.select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x != ''))")
+          .cast("long").as("n_tokens"))
+      Packing.packSequences(survivors.join(toks, Seq("doc_id")),
+        seqLen = 2048, nBuckets = 64)
+    }),
+
     // E18: deterministic stratified sampling — md5-permille buckets with
     // per-length-stratum keep rates (downsample boilerplate-length docs,
     // keep the long tail)
@@ -740,6 +772,54 @@ object ExtQueries {
          |    AS best_quality
          |FROM comp JOIN qual ON comp.id = qual.doc_id
          |GROUP BY cluster_id""".stripMargin,
+
+    // e20's closure + canonical argmax, e28's quantile-gate shape, and
+    // e17's prefix-sum packing, composed as one statement
+    "e32_curation_pipeline" ->
+      s"""WITH RECURSIVE $simhashPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3
+         |  UNION
+         |  SELECT doc_b AS a, doc_a AS b FROM pairs
+         |  WHERE bit_count(xor(sa, sb)) <= 3),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.b AS id, reach.r AS r
+         |  FROM reach JOIN edges e ON e.a = reach.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |$qualityCtes,
+         |canon AS (
+         |  SELECT -struct_extract(max({'q': quality, 'negid': -doc_id}),
+         |                         'negid') AS doc_id
+         |  FROM comp JOIN qual ON comp.id = qual.doc_id
+         |  GROUP BY cluster_id),
+         |keepset AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT id FROM comp)
+         |  UNION ALL
+         |  SELECT doc_id FROM canon),
+         |kq AS (SELECT k.doc_id, quality FROM keepset k
+         |       JOIN qual USING (doc_id)),
+         |thr AS (SELECT round(quantile_cont(quality,
+         |  CAST(0.5 AS DOUBLE)), 6) AS thr FROM kq),
+         |surv AS (SELECT doc_id FROM kq, thr WHERE quality >= thr),
+         |t AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT
+         |      AS n_tokens
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM surv)),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS bef
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  bef // 2048 AS seq_id, bef % 2048 AS offset_in_seq
+         |FROM c""".stripMargin,
 
     // the window sum is CAST from DuckDB's HUGEINT back to BIGINT —
     // pandas would otherwise read int128 as float64 and flap the hash
