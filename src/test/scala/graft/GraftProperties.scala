@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ext.{Dedup, KMeans}
+import graft.ext.{Dedup, KMeans, Packing}
 import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
@@ -151,6 +151,25 @@ object GraftProperties extends Properties("graft") {
       Resample.ohlcPartials(a), Resample.ohlcPartials(b))))
     val full = norm(Resample.ohlc1min(all))
     merged.except(full).isEmpty && full.except(merged).isEmpty
+  }
+
+  property("packSequences equals the sequential prefix-sum reference " +
+    "for any doc sizes") = Prop.forAll(
+    Gen.nonEmptyListOf(Gen.choose(0L, 30L))) { sizes =>
+    import spark.implicits._
+    val toks = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong * 3, n) } // sparse, unsorted-safe ids
+      .toDF("doc_id", "n_tokens")
+    val got = Packing.packSequences(toks, seqLen = 16, nBuckets = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    var bef = 0L
+    val expected = sizes.zipWithIndex.map { case (n, i) =>
+      val e = (i.toLong * 3) -> ((bef / 16, bef % 16))
+      bef += n
+      e
+    }.toMap
+    got == expected
   }
 
   // integer-valued components keep every sum exact in both the engine
