@@ -454,6 +454,14 @@ object SparkEntry {
         Rounding.duckRound(WindowOps.rollingMedian5(col("value"), Seq("user_id"),
           Seq("ts", "event_id")), 6).as("med5"))),
 
+    // W7: trailing rolling mean (window 5, min_periods 1) — the
+    // smoothing sibling of W1, same partition-parallel window shape
+    "w7_rolling_mean" -> ((s, dir) =>
+      Tables.load(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        Rounding.duckRound(WindowOps.rollingMean5(col("value"),
+          Seq("user_id"), Seq("ts", "event_id")), 6).as("mean5"))),
+
     // U3 (+G5): scalar fillna with the global median (two-job shape)
     "u3_median_fill_spread" -> ((s, dir) => {
       val ev = eventsWithNullableSpread(s, dir)
@@ -869,6 +877,13 @@ object SparkEntry {
         |  round(median(value) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id
         |     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS med5
+        |FROM events""".stripMargin,
+
+    "w7_rolling_mean" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mean5
         |FROM events""".stripMargin,
 
     "u3_median_fill_spread" ->

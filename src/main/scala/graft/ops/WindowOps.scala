@@ -64,4 +64,13 @@ object WindowOps {
     val hi = element_at(arr, floor(n / lit(2)).cast("int") + lit(1))
     when(n === 0, lit(null)).otherwise(lo + (hi - lo) * lit(0.5))
   }
+
+  /** Trailing rolling mean, window=5, min_periods=1 — the smoothing
+    * sibling of [[rollingMedian5]] (pandas `rolling(5).mean()`). The
+    * shrinking frame at partition starts matches `min_periods=1`; the
+    * ≤5-value frame sum is order-fixed (row order), so cross-engine
+    * parity only needs the output rounding both engines already apply. */
+  def rollingMean5(c: Column, partitionBy: Seq[String] = Nil,
+                   orderBy: Seq[String] = Seq("datetime")): Column =
+    avg(c).over(timeWindow(partitionBy, orderBy).rowsBetween(-4, 0))
 }
