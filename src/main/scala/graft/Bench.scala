@@ -55,9 +55,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    // failures are listed explicitly so a crashing query can never make
-    // the headline total look faster
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // Truncation-proof artifact (VERDICT r3 #2): the compact headline —
+    // total, failures, sf, query count — goes FIRST on its own short
+    // line, so a consumer that truncates long output still parses the
+    // total; the big per-query map follows on a second line. Failures
+    // are listed explicitly so a crashing query can never make the
+    // headline total look faster.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":[${failed.mkString(",")}],"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    System.out.flush()
     spark.stop()
   }
 }

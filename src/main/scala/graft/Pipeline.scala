@@ -37,10 +37,25 @@ object Pipeline {
     *           volume, spread (NULL ok)
     * @param partitionBy optional symbol-style keys present in BOTH inputs;
     *                    generalizes every window/groupBy (SURVEY §2.12)
+    * @param dayWindows route every global-time-order window stage (W1
+    *                   smoothing, U1's W3 ffill, F6's lag, the W4/W5
+    *                   bridge) through the day-partitioned [[DayWindows]]
+    *                   backends — identical output, but no WindowExec over
+    *                   the FULL frame collapses to one task. The only
+    *                   remaining unpartitioned windows run over O(days)
+    *                   patch / edge-strip tables (bounded by the calendar
+    *                   span, never data volume). This is the scale path
+    *                   for single-key runs; with symbol keys present the
+    *                   keyed windows already parallelize, so the flag
+    *                   requires `partitionBy` to be empty.
     */
   def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
-          partitionBy: Seq[String] = Nil): Result = {
+          partitionBy: Seq[String] = Nil,
+          dayWindows: Boolean = false): Result = {
+    require(!dayWindows || partitionBy.isEmpty,
+      "dayWindows is the single-key scale backend; keyed runs already " +
+        "partition their windows by the symbol keys")
 
     // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles").
     // Cached: the candle frame feeds three join branches (consensus,
@@ -66,17 +81,31 @@ object Pipeline {
       case None => (tickCandles, None)
     }
 
-    // Stage 4: spread recovery — scalar median fill + rolling smoothing
-    val spreadDone = SpreadOps(fused, partitionBy)
+    // Stage 4: spread recovery — scalar median fill + rolling smoothing.
+    // Cached: spreadDone feeds THREE consumers (the F5 audit complement,
+    // the survivor path, and — via repaired — the F6 pair), and its plan
+    // carries the W1 window stage; without the cache every audit branch
+    // re-runs it. Like tickCandles, its cardinality is candle-bounded, so
+    // the cache stays small at any tick volume.
+    val spreadDone = (
+      if (dayWindows) SpreadOps.applyByDay(fused)
+      else SpreadOps(fused, partitionBy)).cache()
 
     // Stage 5: validation & repair (audit complements computed explicitly)
     val inverted = CleanOps.invertedRows(spreadDone)
     val noInverted = CleanOps.dropInverted(spreadDone)
     val structBad = CleanOps.structuralBadRows(noInverted)
-    val repaired = CleanOps.structuralRepair(noInverted, partitionBy)
-    val spikes = CleanOps.spikeRows(repaired, spikeThreshold, partitionBy)
-    val validated = CleanOps.spikeFilter(repaired, spikeThreshold,
-      partitionBy)
+    // Cached for the same reason: repaired feeds the F6 filter AND its
+    // audit complement, and its plan carries the U1/W3 ffill stage.
+    val repaired = (
+      if (dayWindows) CleanOps.structuralRepairByDay(noInverted)
+      else CleanOps.structuralRepair(noInverted, partitionBy)).cache()
+    val spikes =
+      if (dayWindows) CleanOps.spikeRowsByDay(repaired, spikeThreshold)
+      else CleanOps.spikeRows(repaired, spikeThreshold, partitionBy)
+    val validated =
+      if (dayWindows) CleanOps.spikeFilterByDay(repaired, spikeThreshold)
+      else CleanOps.spikeFilter(repaired, spikeThreshold, partitionBy)
 
     // Stage 6: immutable time grid + flat-candle gap bridging
     val bounds = validated.agg(min(col("datetime")), max(col("datetime")))
@@ -92,7 +121,8 @@ object Pipeline {
           else grid0.crossJoin(
             validated.select(partitionBy.map(col): _*).distinct())
         GridOps.finalCast(
-          GridOps.flatCandleBridge(validated, grid, partitionBy))
+          if (dayWindows) GridOps.flatCandleBridgeByDay(validated, grid)
+          else GridOps.flatCandleBridge(validated, grid, partitionBy))
       }
 
     val audit = AuditOps.union(Seq(
@@ -105,6 +135,8 @@ object Pipeline {
 
     Result(result, audit, () => {
       tickCandles.unpersist()
+      spreadDone.unpersist()
+      repaired.unpersist()
       m1.foreach(_.unpersist())
     })
   }

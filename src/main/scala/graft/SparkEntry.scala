@@ -165,11 +165,12 @@ object SparkEntry {
     queries("g1_g2_g3_ohlc_resample")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * E-op extensions from [[ExtQueries]]. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    * E-op extensions from [[ExtQueries]]. A `lazy val`: the 80-entry map
+    * is built once per JVM (Bench/Verify look queries up per name). */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ ExtQueries.queries
 
-  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private lazy val coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S1 (+S4, P1, P3-P5): the reference's ACTUAL ingestion format, under
     // the hash gate. The query round-trips a deterministic M1-format CSV
@@ -273,6 +274,28 @@ object SparkEntry {
       val late = Resample.ohlcPartials(t.filter(col("tick_id") % 10 === 0))
       roundedOhlc(
         Resample.finishPartials(Resample.mergePartials(stored, late)), Nil)
+    }),
+
+    // G1 streaming replay (VERDICT r3 #3): the SAME ticks pushed through
+    // the Structured-Streaming resampler (readStream parquet →
+    // StreamingOhlc.ohlc1min → Trigger.AvailableNow → memory sink) and
+    // returned as a batch frame. Shares the batch resample's oracle, so
+    // batch/stream convergence is proven at the hash level, not just in
+    // StreamingOhlcSpec.
+    "g1_streaming_replay" -> ((s, dir) => {
+      val path = s"$dir/events.parquet"
+      // raw (long-typed nanos) schema: a file stream must declare it
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(path).schema
+      // the file-stream source only accepts a DIRECTORY; the testdata
+      // tables are single files, so stream the parent dir with a glob
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ticks = Tables.ticksFromEvents(Tables.normalizeNanos(stream))
+      val candles = streaming.StreamingOhlc.replayToBatch(
+        s, streaming.StreamingOhlc.ohlc1min(TickPrep(ticks)))
+      roundedOhlc(candles, Nil)
     }),
 
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
@@ -627,6 +650,40 @@ object SparkEntry {
         Rounding.duckRound(col("volume"), 5).as("volume"), col("reason"))
     }),
 
+    // The composed pipeline on the day-partitioned window backends
+    // (VERDICT r3 #1): identical semantics — it shares
+    // pipeline_hybrid_full's oracle — but every full-frame window stage
+    // (W1 smoothing, U1's W3 ffill, F6's lag, the W4/W5 bridge) runs
+    // day-parallel via DayWindows; the only unpartitioned windows left
+    // operate on O(days) patch/edge tables. This is the plan shape a
+    // single-symbol 100 TB run would execute.
+    "pipeline_hybrid_day_part" -> ((s, dir) => {
+      val out = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold,
+        dayWindows = true).candles
+      out.select(col("datetime"),
+        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
+        col("volume").cast("double").as("volume"),
+        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
+        col("is_flat").cast("int").as("is_flat"))
+    }),
+
+    // The audit log on the day-partitioned backends — exercises the
+    // spikeRowsByDay complement and the gap-bridged class through the
+    // day-parallel plan; shares pipeline_audit's oracle.
+    "pipeline_audit_day_part" -> ((s, dir) => {
+      val audit = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold,
+        dayWindows = true).audit
+      audit.select(col("datetime"),
+        Rounding.duckRound(col("open"), 5).as("open"), Rounding.duckRound(col("high"), 5).as("high"),
+        Rounding.duckRound(col("low"), 5).as("low"), Rounding.duckRound(col("close"), 5).as("close"),
+        Rounding.duckRound(col("volume"), 5).as("volume"), col("reason"))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -713,6 +770,12 @@ object SparkEntry {
     // identical oracle again: partial-merge maintenance is an internal
     // decomposition, not a semantic change
     "g8_incremental_ohlc" ->
+      s"""WITH $ticksCte, $preppedCte
+         |${ohlcSelectSql()}""".stripMargin,
+
+    // identical oracle once more: a fully-replayed stream must converge
+    // to the batch aggregation (VERDICT r3 #3)
+    "g1_streaming_replay" ->
       s"""WITH $ticksCte, $preppedCte
          |${ohlcSelectSql()}""".stripMargin,
 
@@ -975,62 +1038,13 @@ object SparkEntry {
         |SELECT user_id, datetime, round(fclose, 6) AS close, is_flat
         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
 
-    "pipeline_hybrid_full" ->
-      s"""$pipelineCtes
-         |SELECT datetime,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
-         |    AS REAL) AS DOUBLE), 5) AS open,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
-         |    AS REAL) AS DOUBLE), 5) AS high,
-         |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
-         |    AS REAL) AS DOUBLE), 5) AS low,
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
-         |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
-         |    AS REAL) AS DOUBLE) AS volume,
-         |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
-         |  is_flat
-         |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+    "pipeline_hybrid_full" -> pipelineHybridOracle,
 
-    "pipeline_audit" ->
-      s"""$pipelineCtes,
-         |spike_rows AS (
-         |  SELECT datetime, open, high, low, close, volume FROM (
-         |    SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
-         |    FROM repaired) t
-         |  WHERE CASE WHEN open = 0 THEN high <> low
-         |             ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
-         |     OR CASE WHEN lc IS NULL THEN false
-         |             WHEN lc = 0 THEN close <> 0
-         |             ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)
-         |SELECT datetime, round(open, 5) AS open, round(high, 5) AS high,
-         |  round(low, 5) AS low, round(close, 5) AS close,
-         |  round(CAST(volume AS DOUBLE), 5) AS volume,
-         |  'dropped_inverted' AS reason
-         |FROM smoothed WHERE low > high
-         |UNION ALL
-         |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
-         |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
-         |  'fixed_structure_integrity'
-         |FROM marked WHERE bad
-         |UNION ALL
-         |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
-         |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
-         |  'dropped_volatility_spike'
-         |FROM spike_rows
-         |UNION ALL
-         |SELECT t.datetime, NULL, NULL, NULL, round(t.close, 5), NULL,
-         |  'rejected_tick_catastrophe'
-         |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)
-         |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
-         |UNION ALL
-         |SELECT datetime,
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
-         |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
-         |  CAST(CAST(0 AS REAL) AS DOUBLE),
-         |  'gap_bridged_flat'
-         |FROM bridged WHERE fclose IS NOT NULL AND is_flat = 1""".stripMargin,
+    // day-backend twins: same semantics, same oracle (VERDICT r3 #1)
+    "pipeline_hybrid_day_part" -> pipelineHybridOracle,
+    "pipeline_audit_day_part" -> pipelineAuditOracle,
+
+    "pipeline_audit" -> pipelineAuditOracle,
 
     "validator_report" ->
       s"""$fusionWith
@@ -1041,6 +1055,66 @@ object SparkEntry {
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
          |ORDER BY t.datetime LIMIT 5""".stripMargin
   )
+
+  /** Composed-pipeline candle oracle, shared by the global-window and
+    * day-partitioned backends (identical semantics by construction). */
+  private lazy val pipelineHybridOracle: String =
+    s"""$pipelineCtes
+       |SELECT datetime,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
+       |    AS REAL) AS DOUBLE), 5) AS open,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
+       |    AS REAL) AS DOUBLE), 5) AS high,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
+       |    AS REAL) AS DOUBLE), 5) AS low,
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
+       |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
+       |    AS REAL) AS DOUBLE) AS volume,
+       |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
+       |  is_flat
+       |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
+
+  /** Composed-pipeline audit oracle, shared by both backends. */
+  private lazy val pipelineAuditOracle: String =
+    s"""$pipelineCtes,
+       |spike_rows AS (
+       |  SELECT datetime, open, high, low, close, volume FROM (
+       |    SELECT *, lag(close) OVER (ORDER BY datetime) AS lc
+       |    FROM repaired) t
+       |  WHERE CASE WHEN open = 0 THEN high <> low
+       |             ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+       |     OR CASE WHEN lc IS NULL THEN false
+       |             WHEN lc = 0 THEN close <> 0
+       |             ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)
+       |SELECT datetime, round(open, 5) AS open, round(high, 5) AS high,
+       |  round(low, 5) AS low, round(close, 5) AS close,
+       |  round(CAST(volume AS DOUBLE), 5) AS volume,
+       |  'dropped_inverted' AS reason
+       |FROM smoothed WHERE low > high
+       |UNION ALL
+       |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
+       |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
+       |  'fixed_structure_integrity'
+       |FROM marked WHERE bad
+       |UNION ALL
+       |SELECT datetime, round(open, 5), round(high, 5), round(low, 5),
+       |  round(close, 5), round(CAST(volume AS DOUBLE), 5),
+       |  'dropped_volatility_spike'
+       |FROM spike_rows
+       |UNION ALL
+       |SELECT t.datetime, NULL, NULL, NULL, round(t.close, 5), NULL,
+       |  'rejected_tick_catastrophe'
+       |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)
+       |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
+       |UNION ALL
+       |SELECT datetime,
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5),
+       |  CAST(CAST(0 AS REAL) AS DOUBLE),
+       |  'gap_bridged_flat'
+       |FROM bridged WHERE fclose IS NOT NULL AND is_flat = 1""".stripMargin
 
   /** F6 oracle, shared by the global-window and day-partitioned
     * backends (identical semantics by construction). */

@@ -25,12 +25,17 @@ object Tables {
     // ANSI division-by-zero raises in Spark 4; the reference (pandas) and
     // the DuckDB oracle both yield NULL/NaN instead — match them.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNanos(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** The nanos→micros `ts` conversion of [[load]], exposed separately so
+    * a streaming scan of the same parquet (which must declare the RAW
+    * long-typed schema) can apply the identical normalization. */
+  def normalizeNanos(df: DataFrame): DataFrame =
     if (df.schema.fields.exists(f =>
         f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df
-  }
 
   /** Canonical tick frame: datetime, tick_id, ask, bid.
     *
@@ -39,9 +44,15 @@ object Tables {
     * spread operators (G2/G5/U3/W1, `hybrid_merger.py:98-102,204-211`) have
     * non-trivial input. Pure arithmetic — identical in Spark and DuckDB.
     */
-  def ticks(spark: SparkSession, sfDir: String): DataFrame = {
+  def ticks(spark: SparkSession, sfDir: String): DataFrame =
+    ticksFromEvents(load(spark, sfDir, "events"))
+
+  /** The events→ticks derivation of [[ticks]] over an already-loaded
+    * (or streaming) events frame — single source of truth for the
+    * synthetic bid/ask formula. Pure narrow projection: stream-safe. */
+  def ticksFromEvents(events: DataFrame): DataFrame = {
     val halfSpread = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
-    load(spark, sfDir, "events").select(
+    events.select(
       col("ts").as("datetime"),
       col("event_id").as("tick_id"),
       (col("value") + halfSpread).as("ask"),

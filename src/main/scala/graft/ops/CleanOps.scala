@@ -38,11 +38,24 @@ object CleanOps {
     * and void the spread (it gets forward-filled by W3).
     */
   def structuralRepair(candles: DataFrame,
-                       partitionBy: Seq[String] = Nil): DataFrame = {
+                       partitionBy: Seq[String] = Nil): DataFrame =
+    // W3: ffill spread over the holes just punched (`hybrid_merger.py:161`)
+    repairColumns(candles)
+      .withColumn("spread", WindowOps.ffill(col("spread"), partitionBy))
+      .drop("was_repaired")
+
+  /** [[structuralRepair]] with the day-partitioned ffill backend
+    * ([[DayWindows.ffill]]): identical output, no single-partition
+    * window over the full frame — the scale path for single-key frames. */
+  def structuralRepairByDay(candles: DataFrame): DataFrame =
+    DayWindows.ffill(repairColumns(candles), Seq("spread"))
+      .drop("was_repaired")
+
+  private def repairColumns(candles: DataFrame): DataFrame =
     // The condition is materialized ONCE before any column is overwritten:
     // re-evaluating it inside the low-repair would resolve against the
     // already-widened high and silently change the predicate.
-    val repaired = candles
+    candles
       .withColumn("was_repaired", structuralBadCond)
       .withColumn("high",
         when(col("was_repaired"),
@@ -54,11 +67,6 @@ object CleanOps {
           .otherwise(col("low")))
       .withColumn("spread",
         when(col("was_repaired"), lit(null)).otherwise(col("spread")))
-    // W3: ffill spread over the holes just punched (`hybrid_merger.py:161`)
-    repaired
-      .withColumn("spread", WindowOps.ffill(col("spread"), partitionBy))
-      .drop("was_repaired")
-  }
 
   /** Rows U1 repaired, for the audit log (reason
     * `fixed_structure_integrity`). */
@@ -104,12 +112,8 @@ object CleanOps {
     * ([[DayWindows.lag1]]): identical output, no single-partition
     * window — the scale path for single-key candle frames. */
   def spikeFilterByDay(candles: DataFrame,
-                       threshold: Double = 0.005): DataFrame = {
-    val withLag = DayWindows.lag1(candles, "close", "_dw_lc")
-    val (amp, pct) = spikeCondsFrom(col("_dw_lc"), threshold)
-    withLag.withColumn("_drop", amp || pct)
-      .filter(!col("_drop")).drop("_drop", "_dw_lc")
-  }
+                       threshold: Double = 0.005): DataFrame =
+    spikeSplitByDay(candles, threshold, keepBreaches = false)
 
   /** Complement of F6 for the audit log (reason
     * `dropped_volatility_spike`). */
@@ -118,6 +122,21 @@ object CleanOps {
     val (amp, pct) = spikeDropCond(threshold, partitionBy)
     candles.withColumn("_drop", amp || pct)
       .filter(col("_drop")).drop("_drop")
+  }
+
+  /** [[spikeRows]] on the day-partitioned lag backend — the audit
+    * complement of [[spikeFilterByDay]]. */
+  def spikeRowsByDay(candles: DataFrame,
+                     threshold: Double = 0.005): DataFrame =
+    spikeSplitByDay(candles, threshold, keepBreaches = true)
+
+  private def spikeSplitByDay(candles: DataFrame, threshold: Double,
+                              keepBreaches: Boolean): DataFrame = {
+    val withLag = DayWindows.lag1(candles, "close", "_dw_lc")
+    val (amp, pct) = spikeCondsFrom(col("_dw_lc"), threshold)
+    val drop = amp || pct
+    withLag.withColumn("_drop", if (keepBreaches) drop else !drop)
+      .filter(col("_drop")).drop("_drop", "_dw_lc")
   }
 
   /** The full validate-and-clean stage in reference order:

@@ -33,7 +33,18 @@ object SpreadOps {
     df.withColumn("spread",
       WindowOps.rollingMedian5(col("spread"), partitionBy))
 
+  /** [[smoothSpread]] with the day-partitioned rolling-median backend
+    * ([[DayWindows.rollingMedian5]]): identical output, no
+    * single-partition window over the full frame — the scale path for
+    * single-key candle frames. */
+  def smoothSpreadByDay(df: DataFrame): DataFrame =
+    DayWindows.rollingMedian5(df, "spread", "spread")
+
   /** The full spread stage: median fill then rolling smoothing. */
   def apply(df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame =
     smoothSpread(fillSpread(df, medianSpread(df)), partitionBy)
+
+  /** [[apply]] on the day-partitioned window backend. */
+  def applyByDay(df: DataFrame): DataFrame =
+    smoothSpreadByDay(fillSpread(df, medianSpread(df)))
 }

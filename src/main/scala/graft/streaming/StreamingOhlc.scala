@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.Resample
 
@@ -46,5 +49,35 @@ object StreamingOhlc {
       .select((keyCols.map(col) :+ col("window.start").as("datetime")) ++
         Seq(col("open"), col("high"), col("low"), col("close"),
           col("volume"), col("spread")): _*)
+  }
+
+  private val replaySeq = new AtomicInteger(0)
+
+  /** Replay a BOUNDED streaming plan to completion and return the
+    * converged result as a batch DataFrame: `Trigger.AvailableNow`
+    * processes every available input file and terminates; `complete`
+    * output mode re-emits all windows each trigger, so the final
+    * in-memory table equals the batch aggregation over the whole input
+    * — including the trailing windows an append-mode sink would hold
+    * back waiting for a watermark that never advances past end-of-data.
+    *
+    * This is the batch/stream parity harness: the driver's
+    * `g1_streaming_replay` query pushes the sf parquet ticks through
+    * [[ohlc1min]] here and hash-compares against the BATCH resample
+    * oracle. Complete mode keeps all windows in the state store, which
+    * is exactly right for a bounded replay (state = output cardinality,
+    * candle-bounded); the unbounded production topology stays append
+    * mode + watermark as documented above.
+    */
+  def replayToBatch(spark: SparkSession, streamingResult: DataFrame): DataFrame = {
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = streamingResult.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 }

@@ -87,6 +87,55 @@ class PipelineSpec extends SparkSpec {
     r.release()
   }
 
+  test("dayWindows backend composes into the pipeline: identical candles " +
+    "and audit, windows crossing day boundaries included") {
+    // ticks span THREE days with day-boundary-adjacent minutes so every
+    // DayWindows carry path (ffill, lag, rolling-median edge strip) is
+    // exercised, plus a catastrophe and a structural violation via m1
+    val ticks = Seq(
+      (ts("2024-01-02 23:57:10"), 1L, 1.005, 0.995),
+      (ts("2024-01-02 23:58:20"), 2L, 1.015, 1.005),
+      (ts("2024-01-02 23:59:30"), 3L, 1.025, 1.015),
+      (ts("2024-01-03 00:00:40"), 4L, 1.035, 1.025),
+      (ts("2024-01-03 00:01:50"), 5L, 9.005, 8.995), // catastrophe vs m1
+      (ts("2024-01-03 00:04:15"), 6L, 1.045, 1.035), // gap 00:02-00:03
+      (ts("2024-01-04 00:01:05"), 7L, 1.055, 1.045)) // next-day gap run
+      .toDF("datetime", "tick_id", "ask", "bid")
+    val m1 = Seq(
+      (ts("2024-01-03 00:01:00"), 1.03, 1.04, 1.02, 1.03, 5L,
+        null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-03 00:02:00"), 1.04, 1.03, 1.05, 1.04, 4L,
+        null.asInstanceOf[java.lang.Double])) // inverted: high<low → U1/F5
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+
+    val global = Pipeline.run(spark, ticks, Some(m1),
+      spikeThreshold = 0.5, consensusThreshold = 0.5)
+    val byDay = Pipeline.run(spark, ticks, Some(m1),
+      spikeThreshold = 0.5, consensusThreshold = 0.5, dayWindows = true)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.orderBy("datetime")
+      .collect().map(_.toSeq).toSeq
+    assert(key(byDay.candles.orderBy("datetime")) ==
+      key(global.candles.orderBy("datetime")))
+    assert(byDay.audit.orderBy("datetime", "reason").collect().map(_.toSeq)
+      .toSeq ==
+      global.audit.orderBy("datetime", "reason").collect().map(_.toSeq)
+        .toSeq)
+    // sanity: the scenario really has flats that cross a day boundary
+    assert(byDay.candles.filter(col("is_flat") === 1).count() > 1000)
+    global.release(); byDay.release()
+  }
+
+  test("dayWindows backend rejects keyed runs (keyed windows already " +
+    "parallelize)") {
+    val ticks = Seq(("X", ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995))
+      .toDF("sym", "datetime", "tick_id", "ask", "bid")
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, ticks, None, partitionBy = Seq("sym"),
+        dayWindows = true)
+    }
+  }
+
   test("pipeline without an M1 feed degrades to the pure tick path") {
     val ticks = Seq(
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),

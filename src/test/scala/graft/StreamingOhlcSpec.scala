@@ -37,6 +37,28 @@ class StreamingOhlcSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
 
+  test("replayToBatch drains a bounded file stream to exactly the batch " +
+    "resample (the driver's g1_streaming_replay harness)") {
+    val data = Seq(
+      (ts("2024-01-03 10:00:05"), 1L, 1.0, 0.01),
+      (ts("2024-01-03 10:00:40"), 2L, 1.2, 0.03),
+      (ts("2024-01-03 10:01:10"), 3L, 1.1, 0.02),
+      (ts("2024-01-03 10:07:55"), 4L, 1.3, 0.04)) // trailing window: the
+    // append-mode watermark would never close it; complete-mode replay must
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_replay_spec").toString
+    val batch = data.toDF("datetime", "tick_id", "mid", "spread")
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val replayed = StreamingOhlc.replayToBatch(
+      spark, StreamingOhlc.ohlc1min(stream))
+      .orderBy("datetime").collect()
+    val expected = Resample.ohlc1min(batch).orderBy("datetime").collect()
+    assert(replayed.map(_.toSeq).toSeq == expected.map(_.toSeq).toSeq)
+    assert(replayed.length == 3) // 10:00, 10:01, 10:07 all emitted
+  }
+
   test("append mode emits a window exactly once, only after the " +
     "watermark closes it — the mode the gap bridge consumes") {
     implicit val sqlCtx = spark.sqlContext
