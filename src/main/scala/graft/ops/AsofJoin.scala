@@ -41,7 +41,16 @@ object AsofJoin {
     val rp = struct(
       col(rightTime).as(s"${prefix}ts") +:
         rightVals.map(c => col(c).as(prefix + c)): _*)
-    val r = right.select(
+    // NULL semantics match the SQL form (`l.t >= r.t AND l.k = r.k`):
+    // a NULL right time or NULL right key never matches any left row.
+    // Without this filter a NULL right time would sort FIRST in the
+    // window and forward-fill as a bogus "match" for every left row,
+    // and NULL keys would pair up in partitionBy (SQL equality never
+    // matches NULL = NULL). Left rows with NULL keys/time still flow
+    // through and get NULL attachments, as in a SQL left join.
+    val rNonNull = (col(rightTime).isNotNull +: keys.map(col(_).isNotNull))
+      .reduce(_ && _)
+    val r = right.filter(rNonNull).select(
       keys.map(col) ++ Seq(col(rightTime).as("_at"),
         lit(0).as("_side"), rp.as("_rp")): _*)
     val l = left.select(

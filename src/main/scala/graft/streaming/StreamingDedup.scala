@@ -31,23 +31,33 @@ object StreamingDedup {
 
   case class DocIn(fp: String, doc_id: Long, ts: Timestamp)
 
+  /** `n_dropped_before`: copies of this fingerprint suppressed by the
+    * PREVIOUS incarnation of the key, surfaced on the re-admitted
+    * survivor after a TTL rollover (0 on a true first occurrence). A
+    * key whose state is garbage-collected by the idle timeout without
+    * ever being re-admitted takes its count with it — Append mode has
+    * no row to carry it on. */
   case class DocOut(fp: String, doc_id: Long, ts: Timestamp,
                     n_dropped_before: Long)
 
   /** Seen-state: first-seen doc and how many later copies were dropped
-    * (emitted with the survivor for observability — mirrors the batch
-    * operator's n_copies). */
+    * (surfaced via DocOut.n_dropped_before at the next TTL rollover —
+    * mirrors the batch operator's n_copies). */
   case class SeenState(firstDocId: Long, firstTsMs: Long, dropped: Long)
 
   /** @param idleTtlMinutes event-time TTL per fingerprint, measured from
     *                       the FIRST occurrence and NOT refreshed by
     *                       suppressed copies (fixed-window dedup — the
     *                       same contract as `dropDuplicates` within a
-    *                       watermark horizon; a key can expire in the
-    *                       same batch a fresh copy arrives, which is
-    *                       then re-admitted as a new first occurrence).
-    *                       Requires a watermark on `ts`. None → state
-    *                       never expires. */
+    *                       watermark horizon). Expiry is enforced in the
+    *                       DATA PATH: a copy whose event time lands past
+    *                       `first_ts + ttl` is re-admitted as a new
+    *                       first occurrence immediately, even on a key
+    *                       receiving a steady duplicate stream — the
+    *                       clock timeout below is only garbage
+    *                       collection for keys that go idle. Requires a
+    *                       watermark on `ts`. None → state never
+    *                       expires. */
   def dedup(docs: Dataset[DocIn],
             idleTtlMinutes: Option[Long] = None): Dataset[DocOut] = {
     implicit val outEnc = Encoders.product[DocOut]
@@ -56,6 +66,7 @@ object StreamingDedup {
     val timeoutConf =
       if (idleTtlMinutes.isDefined) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val ttlMs = idleTtlMinutes.map(_ * 60000L)
     docs.groupByKey(_.fp)
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (fp: String, batch: Iterator[DocIn], state: GroupState[SeenState]) =>
@@ -63,26 +74,41 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            // first occurrence within the batch: deterministic order
-            // (earliest ts, then lowest doc_id), matching the batch
-            // operator's min-doc_id survivor pick on ties
-            val rows = batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+            // single-pass fold to (survivor, count): earliest ts, then
+            // lowest doc_id — the batch operator's min-doc_id tie-break
+            // — in O(1) memory. A hot fingerprint with millions of
+            // in-batch copies must not be materialized as a Seq.
+            var first: DocIn = null
+            var n = 0L
+            batch.foreach { d =>
+              n += 1
+              if (first == null || d.ts.getTime < first.ts.getTime ||
+                (d.ts.getTime == first.ts.getTime && d.doc_id < first.doc_id))
+                first = d
+            }
             val out = state.getOption match {
+              // data-path TTL rollover: the batch's earliest copy lands
+              // past the fixed window → new first occurrence, carrying
+              // the count the previous incarnation suppressed
+              case Some(s) if ttlMs.exists(t => first.ts.getTime > s.firstTsMs + t) =>
+                state.update(SeenState(first.doc_id, first.ts.getTime, n - 1))
+                Iterator.single(DocOut(fp, first.doc_id, first.ts, s.dropped))
               case Some(s) =>
-                state.update(s.copy(dropped = s.dropped + rows.size))
+                state.update(s.copy(dropped = s.dropped + n))
                 Iterator.empty
               case None =>
-                val first = rows.head
-                state.update(SeenState(first.doc_id, first.ts.getTime,
-                  rows.size - 1))
+                state.update(SeenState(first.doc_id, first.ts.getTime, n - 1))
                 Iterator.single(DocOut(fp, first.doc_id, first.ts, 0L))
             }
-            idleTtlMinutes.foreach { ttl =>
+            ttlMs.foreach { ttl =>
               val s = state.get
-              // clamp beyond the current watermark (see
-              // StreamingGapBridge.bridge for the backfill rationale)
+              // GC timestamp, clamped beyond the current watermark as
+              // Spark requires (see StreamingGapBridge.bridge). Under a
+              // steady duplicate stream this keeps sliding forward —
+              // harmless, because window expiry is decided in the data
+              // path above, not by this timer.
               state.setTimeoutTimestamp(
-                math.max(s.firstTsMs + ttl * 60000L,
+                math.max(s.firstTsMs + ttl,
                   state.getCurrentWatermarkMs() + 60000L))
             }
             out

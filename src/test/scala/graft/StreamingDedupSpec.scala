@@ -51,19 +51,22 @@ class StreamingDedupSpec extends SparkSpec {
     mem.addData(DocIn("x", 1L, ts("2024-01-03 10:00:00")),
       DocIn("k", 2L, ts("2024-01-03 10:00:00")))
     q.processAllAvailable()
-    // k's copy at 11:00 arrives while the watermark is still 10:00
-    // (before k's 10:30 expiry is observable) → suppressed; it also
-    // advances the watermark to 11:00 for the next batch
+    // copies inside k's 10:00–10:30 window → suppressed, counted
+    mem.addData(DocIn("k", 6L, ts("2024-01-03 10:05:00")),
+      DocIn("k", 7L, ts("2024-01-03 10:10:00")))
+    q.processAllAvailable()
+    // k's copy at 11:00 lands PAST its 10:30 horizon → re-admitted in
+    // the data path immediately (no idle batch needed — the TTL runs
+    // from the FIRST occurrence and is NOT refreshed by suppressed
+    // copies: fixed-window dedup, the dropDuplicates-with-watermark
+    // contract), carrying the 2 copies the first incarnation dropped
     mem.addData(DocIn("k", 3L, ts("2024-01-03 11:00:00")))
     q.processAllAvailable()
-    // watermark 11:00 is now past BOTH keys' 10:30 expiry: x (idle)
-    // just drops state; k's fresh copy lands after its horizon and is
-    // re-admitted as a new first occurrence — the TTL runs from the
-    // FIRST occurrence and is NOT refreshed by suppressed copies
-    // (fixed-window dedup, the dropDuplicates-with-watermark contract)
+    // k's new window runs 11:00–11:30, so a copy at 11:01 is suppressed
     mem.addData(DocIn("k", 4L, ts("2024-01-03 11:01:00")))
     q.processAllAvailable()
-    // a copy of x after expiry is likewise re-emitted
+    // x went idle: its state was GC'd once the watermark passed 10:30,
+    // and a later copy is re-emitted as a fresh first occurrence
     mem.addData(DocIn("x", 5L, ts("2024-01-03 11:30:00")))
     q.processAllAvailable()
     val rows = spark.table("dedup_ttl_out").as[DocOut].collect()
@@ -72,6 +75,11 @@ class StreamingDedupSpec extends SparkSpec {
     assert(rows.filter(_.fp == "x").map(_.doc_id).sorted.toSeq ==
       Seq(1L, 5L))
     assert(rows.filter(_.fp == "k").map(_.doc_id).sorted.toSeq ==
-      Seq(2L, 4L))
+      Seq(2L, 3L))
+    // the re-admitted survivor surfaces the previous incarnation's
+    // suppressed-copy count; true first occurrences carry 0
+    assert(rows.find(r => r.fp == "k" && r.doc_id == 3L)
+      .map(_.n_dropped_before) == Some(2L))
+    assert(rows.filter(r => r.doc_id != 3L).forall(_.n_dropped_before == 0L))
   }
 }
