@@ -57,14 +57,19 @@ object Bench {
     // and short enough to survive a ~3 KB tail buffer — seconds rounded
     // to 3 decimals (ms precision; the raw totals are summed before
     // rounding). Failures are listed explicitly so a crashing query can
-    // never make the headline total look faster.
+    // never make the headline total look faster. Field order is
+    // TAIL-SAFE: the per-query map (the only part that grows with the
+    // registry) comes FIRST on the line and the headline fields
+    // (failures, total value) come LAST, so if the suite ever outgrows
+    // the tail buffer it is per-query entries that truncate, never the
+    // headline.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","failures":[${failed.mkString(",")}],"n_queries":${results.size},"sf":"$sfDir","queries":$qs}""")
+    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","failures":[${failed.mkString(",")}],"value":${r3(total)}}""")
     System.out.flush()
     spark.stop()
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
+import graft.streaming.{StreamingDedup, StreamingOhlc}
 
 /** North-star extension queries (SURVEY §7 E-ops): dedup, similarity
   * search, text analysis, multimodal plumbing — each oracle-checked where
@@ -113,6 +114,33 @@ object ExtQueries {
     // E1: exact dedup by content fingerprint
     "e1_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
+    // E1 streaming replay (VERDICT r5 #4): the documents pushed through
+    // the Structured-Streaming dedup (readStream parquet →
+    // StreamingDedup.dedup → Trigger.AvailableNow → memory sink) and
+    // hash-compared against the batch fingerprint-dedup oracle — the
+    // same stream-to-batch convergence gate g1_streaming_replay proved
+    // for the resampler. Event time is a constant (documents carry no
+    // timestamp), so the streaming survivor rule (earliest ts, then min
+    // doc_id) degenerates to exactly the batch min(doc_id) pick; the
+    // single-file input replays as one micro-batch, matching first-
+    // occurrence-wins to the batch grouping. n_copies is state the
+    // append-mode stream only surfaces at TTL rollovers, so the gate
+    // covers the survivor set (fp, keep_id).
+    "e1_streaming_dedup_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val ins = stream.select(md5(col("text")).as("fp"),
+          col("doc_id").cast("long").as("doc_id"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        .as[StreamingDedup.DocIn]
+      StreamingOhlc.replayToBatchAppend(s, StreamingDedup.dedup(ins).toDF())
+        .select(col("fp"), col("doc_id").as("keep_id"))
+    }),
+
     // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs;
     // df cap bounds the per-shingle-key join blowup).
     // NOTE capped-set semantics: with maxDf=100, shingles occurring in
@@ -206,10 +234,25 @@ object ExtQueries {
     "e22_kmeans_centroids" -> ((s, dir) =>
       KMeans.centroidsFlat(emb(s, dir), k = 8, iters = 2)),
 
+    // E21a: the profile with approx (HLL) string cardinalities — the
+    // extreme-cardinality swap DataProfile.profile documents. The
+    // sketch is engine-specific, so there is no oracle twin (driver
+    // records rows/schema only — same no-oracle class as e13).
+    "e21_profile_events_approx" -> ((s, dir) =>
+      DataProfile.profile(Tables.load(s, dir, "events"), approx = true)),
+
     // E23: per-event-type exact quantile profile of `value` (drift
     // monitoring between curation stages)
     "e23_quantile_profile" -> ((s, dir) =>
       DataProfile.groupedQuantiles(Tables.load(s, dir, "events"),
+        col("event_type"), col("value"))),
+
+    // E23a: the mergeable percentile_approx form (Greenwald-Khanna
+    // sketch) — per-group state is a fixed-size sketch, not a value
+    // buffer, so group cardinality no longer bounds the operator. No
+    // oracle twin (engine-specific sketch; rows/schema check only).
+    "e23_quantile_profile_approx" -> ((s, dir) =>
+      DataProfile.groupedQuantilesApprox(Tables.load(s, dir, "events"),
         col("event_type"), col("value"))),
 
     // E24: corpus vocabulary — top-100 tokens by frequency, the
@@ -339,6 +382,23 @@ object ExtQueries {
             .as("is_canonical"))
     }),
 
+    // E16 star variant: the SAME cluster output computed by the
+    // adversarial-diameter fallback — alternating large-star/small-star
+    // contraction (Clustering.connectedComponentsStar) instead of
+    // min-label propagation. Shares e16's oracle: both must reach the
+    // identical (doc_id, cluster_id) fixpoint.
+    "e16_star_dup_clusters" -> ((s, dir) => {
+      val cc = Clustering.connectedComponentsStar(
+        Dedup.simhashPairs(docs(s, dir), 3))
+      val sizes = cc.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, Seq("label"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"),
+          when(col("id") === col("label"), 1L).otherwise(0L)
+            .as("is_canonical"))
+    }),
+
     // E17: concat-and-chunk sequence packing into 2048-token windows
     // (two-phase distributed prefix sum; see graft.ext.Packing)
     "e17_pack_sequences" -> ((s, dir) =>
@@ -426,6 +486,12 @@ object ExtQueries {
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM documents GROUP BY 1"),
 
+    // the replayed stream must converge to the batch survivor set
+    // (n_copies is rollover-only state in append mode — see the query)
+    "e1_streaming_dedup_replay" ->
+      ("SELECT md5(text) AS fp, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY 1"),
+
     "e2_dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte, $jaccardTailSql
          |SELECT doc_a, doc_b,
@@ -476,7 +542,13 @@ object ExtQueries {
     // connected components over the e4 pair graph: DuckDB reaches the
     // same fixpoint via a recursive transitive closure (tiny at sf0.01;
     // the Spark side is the iterative min-label propagation that scales)
-    "e16_dup_clusters" ->
+    "e16_dup_clusters" -> e16OracleSql,
+
+    // the star-contraction backend must reach the identical fixpoint
+    "e16_star_dup_clusters" -> e16OracleSql,
+  ) ++ extraOracleSql
+
+  private lazy val e16OracleSql: String =
       s"""WITH RECURSIVE $simhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -496,7 +568,9 @@ object ExtQueries {
          |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
          |  CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END
          |    AS is_canonical
-         |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+         |FROM comp JOIN sizes USING (cluster_id)""".stripMargin
+
+  private lazy val extraOracleSql: Map[String, String] = Map(
 
     // column list mirrors DataProfile.profile's schema walk over the
     // events table (nulls everywhere; min/max/avg/std for numerics with

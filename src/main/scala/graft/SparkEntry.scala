@@ -605,6 +605,45 @@ object SparkEntry {
           col("is_flat"))
     }),
 
+    // U2 streaming replay (VERDICT r5 #4): the tick candles pushed
+    // through the Structured-Streaming gap bridge (batch candles → temp
+    // parquet → readStream → StreamingGapBridge → Trigger.AvailableNow →
+    // memory sink) and hash-compared against the BATCH bridge oracle —
+    // stream-to-batch convergence for the stateful flat-candle operator,
+    // the same gate g1_streaming_replay provides for the resampler. The
+    // candle frame is written as ONE file so the replay is one
+    // micro-batch in minute order (the bridge drops candles behind its
+    // bridged frontier — the immutable-grid contract — so a multi-batch
+    // replay would need time-ordered file arrival). The resampler itself
+    // is gated separately by g1_streaming_replay; this isolates the
+    // bridge.
+    "u2_streaming_bridge_replay" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = "/tmp/graft_bridge_replay_" +
+        ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      tickCandles(s, dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .parquet(tmp)
+      val ins = stream.select(lit("all").as("key"), col("datetime"),
+          col("open").cast("double").as("open"),
+          col("high").cast("double").as("high"),
+          col("low").cast("double").as("low"),
+          col("close").cast("double").as("close"),
+          col("volume").cast("long").as("volume"),
+          col("spread").cast("double").as("spread"))
+        .as[graft.streaming.StreamingGapBridge.CandleIn]
+      val bridged = graft.streaming.StreamingGapBridge.bridge(ins)
+      graft.streaming.StreamingOhlc.replayToBatchAppend(s, bridged.toDF())
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"), Rounding.duckRound(col("spread"), 6).as("spread"),
+          col("is_flat"))
+    }),
+
     // F6 day-partitioned backend: identical semantics to f6_spike_filter,
     // lag carried across day boundaries by a broadcast patch table
     "f6_spike_day_part" -> ((s, dir) =>
@@ -1011,6 +1050,10 @@ object SparkEntry {
 
     // day-partitioned backend — same semantics, same oracle
     "u2_bridge_day_part" -> u2BridgeOracle,
+
+    // streaming replay — a fully-replayed stream through the stateful
+    // gap bridge must converge to the batch bridge (VERDICT r5 #4)
+    "u2_streaming_bridge_replay" -> u2BridgeOracle,
 
     "u2_bridge_by_key" ->
       """WITH ev AS (SELECT * FROM events WHERE user_id < 10),

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * (edges ⋈ labels on the shuffle key) plus a hash aggregate, so rounds
   * scale exactly like any keyed join; the round count is the graph
   * diameter, and near-dup graphs are short chains/cliques (diameter ≪ 10)
-  * — web-scale corpora with adversarially long chains would swap in the
-  * large-star/small-star contraction, which keeps this exact join shape
-  * but halves path lengths per round.
+  * — web-scale corpora with adversarially long chains swap in
+  * [[connectedComponentsStar]], the large-star/small-star contraction,
+  * which keeps this exact shuffle shape but contracts path lengths
+  * geometrically per round.
   *
   * Labels monotonically decrease, so convergence ("no label changed") is
   * a simple count on the cached round result.
@@ -95,5 +96,78 @@ object Clustering {
       iter += 1
     }
     labels
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14) — the adversarial-diameter fallback to
+    * [[connectedComponents]]: min-label propagation needs O(diameter)
+    * rounds (pointer jumping reduces that to O(log diameter)), while the
+    * alternating algorithm converges in O(log² n) rounds REGARDLESS of
+    * diameter, because each round rewires edges toward component minima
+    * rather than just relaying labels. Same contract as
+    * [[connectedComponents]]: returns (id, label) with `label` = min doc
+    * id in the component; isolated vertices are not emitted.
+    *
+    *  - large-star(v): connect every neighbor u > v to
+    *    m = min(Γ(v) ∪ v);
+    *  - small-star(v): connect every neighbor u < v, and v itself, to
+    *    m = min(Γ≤(v) ∪ v).
+    *
+    * Both are one shuffle each (a per-vertex window min over the edge
+    * list — the same keyed-exchange shape as the min-label join), both
+    * preserve connectivity, and their fixpoints are exactly the star
+    * graphs rooted at component minima. Convergence is checked with one
+    * anti-join per round (`except` on the canonical edge set); each
+    * round ends in an eager `localCheckpoint()` for the same
+    * lineage-truncation reason as [[connectedComponents]].
+    */
+  def connectedComponentsStar(edges: DataFrame,
+                              maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // canonical undirected edge set: (u, v) with u < v, no self loops
+    var e = edges
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR on the undirected view: per center c, every strictly
+      // larger neighbor is rewired to m = min(neighbors ∪ c). Emitted
+      // rows are (bigger, m) with m <= c < bigger — already canonical
+      // after a flip.
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mLs = least(min(col("v")).over(Window.partitionBy("u")),
+        col("u"))
+      val ls = und.withColumn("m", mLs)
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v").as("v"))
+        .distinct()
+      // SMALL-STAR on the canonical (u < v) view: per center v, every
+      // smaller neighbor u — and v itself — is rewired to
+      // m = min(smaller neighbors), which is <= every u.
+      val mSs = min(col("u")).over(Window.partitionBy("v"))
+      val ssBase = ls.withColumn("m", mSs)
+      val ss = ssBase
+        .select(col("m").as("u"), col("u").as("v"))
+        .union(ssBase.select(col("m").as("u"), col("v")))
+        .filter(col("u") < col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixpoint: star graphs are invariant under both phases. Both
+      // sides are distinct canonical sets, so set equality is a count
+      // match plus one empty anti-join.
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      iter += 1
+    }
+    // converged edges are (root, child) stars: children label = root,
+    // roots label themselves
+    e.select(col("v").as("id"), col("u").as("label"))
+      .union(e.select(col("u").as("id"), col("u").as("label")))
+      .distinct()
   }
 }

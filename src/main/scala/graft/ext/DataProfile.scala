@@ -21,7 +21,15 @@ import graft.Rounding
   */
 object DataProfile {
 
-  def profile(df: DataFrame): DataFrame = {
+  /** @param approx swap the exact string-cardinality counts for
+    *               `approx_count_distinct` (HyperLogLog) — the
+    *               extreme-cardinality form: the sketch is mergeable
+    *               map-side, so a 100 TB profile never shuffles distinct
+    *               values, only fixed-size HLL registers. The sketch is
+    *               engine-specific (Spark HLL++ ≠ DuckDB's), so the
+    *               approx profile has no hash oracle twin — the driver
+    *               records rows/schema only, same class as e13. */
+  def profile(df: DataFrame, approx: Boolean = false): DataFrame = {
     val aggs: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
       val c = col(f.name)
       val nulls =
@@ -34,7 +42,8 @@ object DataProfile {
         case _: TimestampType => Seq(nulls,
           min(c).as(s"${f.name}_min"), max(c).as(s"${f.name}_max"))
         case _: StringType => Seq(nulls,
-          countDistinct(c).as(s"${f.name}_distinct"))
+          (if (approx) approx_count_distinct(c) else countDistinct(c))
+            .as(s"${f.name}_distinct"))
         case _ => Seq(nulls)
       }
     }
@@ -54,6 +63,22 @@ object DataProfile {
       qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
     val aggs = count(lit(1)).as("n") +: qs.map(q =>
       Rounding.duckRound(percentile(value, lit(q)), 6)
+        .as(s"p${(q * 100).round}"))
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The extreme-cardinality swap [[groupedQuantiles]] documents:
+    * `percentile_approx` (Greenwald-Khanna sketch, accuracy 1/10000) is
+    * MERGEABLE — partials combine map-side and per-group state is a
+    * fixed-size sketch instead of a buffer of every value, so group
+    * cardinality no longer bounds the operator. The sketch is
+    * engine-specific (no DuckDB twin computes the same ranks), so the
+    * approx form has no hash oracle — the driver records rows/schema
+    * only, same class as e13. */
+  def groupedQuantilesApprox(df: DataFrame, key: Column, value: Column,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: qs.map(q =>
+      Rounding.duckRound(percentile_approx(value, lit(q), lit(10000)), 6)
         .as(s"p${(q * 100).round}"))
     df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }

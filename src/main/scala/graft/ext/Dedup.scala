@@ -177,18 +177,24 @@ object Dedup {
   }
 
   /** LSH band keys from a wide signature: band b covers seeds
-    * [b·rowsPerBand, (b+1)·rowsPerBand); band key = md5Long of the
-    * comma-joined minhash values in seed order — an 8-byte shuffle/join
-    * key instead of a wide decimal string (the band join at corpus scale
-    * moves one row per (doc, band); key width is the dominant shuffle
-    * cost), identical to the oracle's `string_agg(... ORDER BY seed)`
-    * construction. Pure projection + explode of `nBands` precomputed
-    * structs — no aggregation at all. Returns (doc_id, band, band_key).
+    * [b·rowsPerBand, min((b+1)·rowsPerBand, numHashes)); band key =
+    * md5Long of the comma-joined minhash values in seed order — an 8-byte
+    * shuffle/join key instead of a wide decimal string (the band join at
+    * corpus scale moves one row per (doc, band); key width is the dominant
+    * shuffle cost), identical to the oracle's `string_agg(... ORDER BY
+    * seed)` construction. When `rowsPerBand` does not divide `numHashes`,
+    * the trailing seeds form a final PARTIAL band (narrower, so more
+    * permissive) rather than being silently dropped — dropping them would
+    * lower candidate recall for non-default parameters without warning.
+    * Pure projection + explode of `nBands` precomputed structs — no
+    * aggregation at all. Returns (doc_id, band, band_key).
     */
   def lshBands(mhWide: DataFrame, numHashes: Int = 16,
                rowsPerBand: Int = 2): DataFrame = {
-    val entries = (0 until numHashes / rowsPerBand).map { b =>
-      val ms = (b * rowsPerBand until (b + 1) * rowsPerBand)
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val entries = (0 until nBands).map { b =>
+      val ms = (b * rowsPerBand until
+          math.min((b + 1) * rowsPerBand, numHashes))
         .map(s => col(s"mh$s").cast("string"))
       struct(lit(b).as("band"),
         md5Long(concat_ws(",", ms: _*)).as("band_key"))

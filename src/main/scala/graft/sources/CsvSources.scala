@@ -58,9 +58,18 @@ object CsvSources {
   /** S2: load raw ticks with column pruning (the reference's
     * `usecols=['datetime','ask','bid']`, `hybrid_merger.py:70`) and
     * malformed-line skipping (`:73`). Covers P2 (ISO timestamp parse).
-    * A monotone `tick_id` is synthesized for deterministic first/last
-    * tie-breaks (pandas gets this from stable row order).
-    */
+    *
+    * A `tick_id` is synthesized for deterministic first/last tie-breaks
+    * on same-timestamp ticks (pandas gets this from stable row order,
+    * `hybrid_merger.py:83`). It is derived from ROW CONTENT — a 60-bit
+    * md5 of (datetime, ask, bid) — NOT from
+    * `monotonically_increasing_id()`: the monotonic id encodes the
+    * partition index, so the same file read with a different split
+    * layout (multi-part CSV, different `maxPartitionBytes`, an upstream
+    * `repartition`) would assign different ids and flip first/last
+    * tie-breaks. The content hash is identical under any partition
+    * topology; two FULLY identical tick rows share an id, which is
+    * harmless for tie-breaking — either pick yields the same mid. */
   def loadTicks(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(tickSchema)
       .option("header", "true")
@@ -70,7 +79,10 @@ object CsvSources {
       .withColumn("datetime", to_timestamp(col("datetime")))
       .filter(col("datetime").isNotNull && col("ask").isNotNull &&
         col("bid").isNotNull)
-      .withColumn("tick_id", monotonically_increasing_id())
+      .withColumn("tick_id",
+        conv(substring(md5(concat_ws("|",
+          col("datetime").cast("string"), col("ask").cast("string"),
+          col("bid").cast("string"))), 1, 15), 16, 10).cast("long"))
 
   /** S6: hybrid-output CSV scan (`validator.py:8`). */
   def loadHybrid(spark: SparkSession, path: String): DataFrame = {

@@ -55,9 +55,12 @@ object StreamingDedup {
     *                       first occurrence immediately, even on a key
     *                       receiving a steady duplicate stream — the
     *                       clock timeout below is only garbage
-    *                       collection for keys that go idle. Requires a
-    *                       watermark on `ts`. None → state never
-    *                       expires. */
+    *                       collection for keys that go idle. A single
+    *                       micro-batch straddling SEVERAL windows emits
+    *                       one survivor per window (the copies are
+    *                       folded window by window, not once per
+    *                       batch). Requires a watermark on `ts`. None →
+    *                       state never expires. */
   def dedup(docs: Dataset[DocIn],
             idleTtlMinutes: Option[Long] = None): Dataset[DocOut] = {
     implicit val outEnc = Encoders.product[DocOut]
@@ -74,31 +77,78 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            // single-pass fold to (survivor, count): earliest ts, then
-            // lowest doc_id — the batch operator's min-doc_id tie-break
-            // — in O(1) memory. A hot fingerprint with millions of
-            // in-batch copies must not be materialized as a Seq.
-            var first: DocIn = null
-            var n = 0L
-            batch.foreach { d =>
-              n += 1
-              if (first == null || d.ts.getTime < first.ts.getTime ||
-                (d.ts.getTime == first.ts.getTime && d.doc_id < first.doc_id))
-                first = d
-            }
-            val out = state.getOption match {
-              // data-path TTL rollover: the batch's earliest copy lands
-              // past the fixed window → new first occurrence, carrying
-              // the count the previous incarnation suppressed
-              case Some(s) if ttlMs.exists(t => first.ts.getTime > s.firstTsMs + t) =>
-                state.update(SeenState(first.doc_id, first.ts.getTime, n - 1))
-                Iterator.single(DocOut(fp, first.doc_id, first.ts, s.dropped))
-              case Some(s) =>
-                state.update(s.copy(dropped = s.dropped + n))
-                Iterator.empty
+            val out = ttlMs match {
               case None =>
-                state.update(SeenState(first.doc_id, first.ts.getTime, n - 1))
-                Iterator.single(DocOut(fp, first.doc_id, first.ts, 0L))
+                // single-pass fold to (survivor, count): earliest ts,
+                // then lowest doc_id — the batch operator's min-doc_id
+                // tie-break — in O(1) memory. A hot fingerprint with
+                // millions of in-batch copies must not be materialized.
+                var first: DocIn = null
+                var n = 0L
+                batch.foreach { d =>
+                  n += 1
+                  if (first == null || d.ts.getTime < first.ts.getTime ||
+                    (d.ts.getTime == first.ts.getTime &&
+                      d.doc_id < first.doc_id))
+                    first = d
+                }
+                state.getOption match {
+                  case Some(s) =>
+                    state.update(s.copy(dropped = s.dropped + n))
+                    Iterator.empty
+                  case None =>
+                    state.update(
+                      SeenState(first.doc_id, first.ts.getTime, n - 1))
+                    Iterator.single(DocOut(fp, first.doc_id, first.ts, 0L))
+                }
+              case Some(ttl) =>
+                // PER-WINDOW fold: a batch may straddle several TTL
+                // windows (each window = [first_ts, first_ts + ttl],
+                // the next one opening at the first copy past the
+                // horizon), and every window must emit its own
+                // re-admitted survivor — suppressing a past-horizon
+                // copy because an in-window copy shared its batch
+                // would drop it forever. Copies are aggregated by
+                // event time into (min doc_id, count) — memory is
+                // O(distinct timestamps in the batch), so the hot-
+                // fingerprint flood (millions of copies, few distinct
+                // times) still folds to a handful of entries; the
+                // worst case is a batch of all-distinct times, which
+                // is bounded by batch span / time granularity.
+                val byTs = new java.util.TreeMap[Long, (Long, Long)]()
+                batch.foreach { d =>
+                  val t = d.ts.getTime
+                  val prev = byTs.get(t)
+                  byTs.put(t,
+                    if (prev == null) (d.doc_id, 1L)
+                    else (math.min(prev._1, d.doc_id), prev._2 + 1L))
+                }
+                val emitted =
+                  scala.collection.mutable.ListBuffer.empty[DocOut]
+                var cur = state.getOption
+                while (!byTs.isEmpty) {
+                  cur match {
+                    case Some(s) if byTs.firstKey() <= s.firstTsMs + ttl =>
+                      // in-window copies: suppress and count
+                      val inWin = byTs.headMap(s.firstTsMs + ttl, true)
+                      var n = 0L
+                      inWin.values().forEach(v => n += v._2)
+                      inWin.clear()
+                      cur = Some(s.copy(dropped = s.dropped + n))
+                    case prev =>
+                      // next copy is past the horizon (or no state):
+                      // re-admit as the new window's first occurrence,
+                      // surfacing the closed window's suppressed count
+                      val e = byTs.pollFirstEntry()
+                      val (minDoc, cnt) = e.getValue
+                      emitted += DocOut(fp, minDoc,
+                        new Timestamp(e.getKey),
+                        prev.map(_.dropped).getOrElse(0L))
+                      cur = Some(SeenState(minDoc, e.getKey, cnt - 1))
+                  }
+                }
+                cur.foreach(state.update)
+                emitted.iterator
             }
             ttlMs.foreach { ttl =>
               val s = state.get

@@ -80,4 +80,23 @@ object StreamingOhlc {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** [[replayToBatch]] for APPEND-mode streaming plans —
+    * `flatMapGroupsWithState(Append, …)` operators (StreamingDedup,
+    * StreamingGapBridge) reject complete mode, and unlike a windowed
+    * aggregation they emit rows as they process, not on watermark
+    * advance, so an `AvailableNow` replay's appended union IS the full
+    * converged result (nothing is held back at end-of-data). */
+  def replayToBatchAppend(spark: SparkSession,
+                          streamingResult: DataFrame): DataFrame = {
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = streamingResult.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

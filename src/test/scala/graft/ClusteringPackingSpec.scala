@@ -31,6 +31,47 @@ class ClusteringPackingSpec extends SparkSpec {
     assert(labels.filter(col("label") === 0L).count() == 30)
   }
 
+  test("connectedComponentsStar: chain, clique and pair resolve to " +
+    "min ids (same contract as min-label)") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = Clustering.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponentsStar: adversarial long chain converges in " +
+    "FEWER rounds than its diameter") {
+    // a 64-vertex path is the adversarial-diameter case the contraction
+    // exists for: min-label needs O(diameter) propagation; the
+    // alternating star algorithm contracts geometrically, so maxIter=12
+    // (« 63) must suffice
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Clustering.connectedComponentsStar(edges, maxIter = 12)
+    assert(labels.filter(col("label") === 0L).count() == 64)
+    assert(labels.count() == 64)
+  }
+
+  test("connectedComponentsStar: equals min-label propagation on a " +
+    "random multi-component graph (property)") {
+    // deterministic pseudo-random graph: 120 vertices, edges from a
+    // hash-derived pairing — several components of varying shape, plus
+    // duplicate and self-referential inputs the canonicalizer must eat
+    val raw = (0L until 200L).map { i =>
+      val a = (i * 2654435761L) % 120L
+      val b = (i * 40503L + 7L) % 120L
+      (a, b)
+    }.filter { case (a, b) => a != b } ++ Seq((5L, 5L), (3L, 7L), (7L, 3L))
+    val edges = raw.toDF("doc_a", "doc_b")
+      .filter(col("doc_a") =!= col("doc_b"))
+    val star = Clustering.connectedComponentsStar(edges)
+    val minLabel = Clustering.connectedComponents(edges)
+    assert(star.except(minLabel).isEmpty &&
+      minLabel.except(star).isEmpty)
+  }
+
   test("packSequences: straddling docs and bucket boundaries") {
     // seqLen 10: cumulative 0,7,12,12,29 — doc 3 straddles 10, the
     // zero-token doc 4 sits inside seq 1, doc 5 starts in seq 2

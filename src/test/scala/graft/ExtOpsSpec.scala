@@ -41,6 +41,27 @@ class ExtOpsSpec extends SparkSpec {
     // identical docs share every band → always candidates; verified 1.0
   }
 
+  test("E3: lshBands emits the partial final band when rowsPerBand " +
+    "does not divide numHashes (ADVICE r4)") {
+    val sh = Dedup.shingleHashes(docsDf, 3)
+    val mh = Dedup.minhash(sh, numHashes = 5)
+    // 5 hashes, 2 per band → bands 0-1 full, band 2 = the trailing seed;
+    // dropping it would silently lower candidate recall
+    val bands = Dedup.lshBands(mh, numHashes = 5, rowsPerBand = 2)
+    assert(bands.select(col("band")).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+    // every doc carries all 3 bands, and identical docs (1, 2) share
+    // every band key — including the partial one
+    assert(bands.groupBy(col("doc_id")).count()
+      .filter(col("count") =!= 3).isEmpty)
+    val byBand = bands.collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(r =>
+        r.getLong(0) -> r.getLong(2)).toMap)
+    (0 to 2).foreach { b =>
+      assert(byBand(b)(1L) == byBand(b)(2L), s"band $b key mismatch")
+    }
+  }
+
   test("E4: simhash is identical for identical docs (hamming 0)") {
     val pairs = Dedup.simhashPairs(docsDf, maxHamming = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long](2))

@@ -82,4 +82,39 @@ class StreamingDedupSpec extends SparkSpec {
       .map(_.n_dropped_before) == Some(2L))
     assert(rows.filter(r => r.doc_id != 3L).forall(_.n_dropped_before == 0L))
   }
+
+  test("a single batch straddling several TTL windows emits one " +
+    "survivor per window (ADVICE r5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[DocIn]
+    val q = StreamingDedup.dedup(
+        mem.toDS().withWatermark("ts", "0 seconds"),
+        idleTtlMinutes = Some(30))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_multiwin_out").start()
+
+    // ONE batch spanning three 30-min windows of fp "m":
+    //   w1 [10:00, 10:30]: first 10:00 (survivor 8), copies 10:10, 10:30
+    //   w2 [10:45, 11:15]: first 10:45 (survivor 2; ties at 10:45 break
+    //                      to min doc_id), copy 11:10
+    //   w3 [11:20, 11:50]: first 11:20 (survivor 9)
+    mem.addData(
+      DocIn("m", 8L, ts("2024-01-03 10:00:00")),
+      DocIn("m", 5L, ts("2024-01-03 10:10:00")),
+      DocIn("m", 6L, ts("2024-01-03 10:30:00")),
+      DocIn("m", 4L, ts("2024-01-03 10:45:00")),
+      DocIn("m", 2L, ts("2024-01-03 10:45:00")),
+      DocIn("m", 7L, ts("2024-01-03 11:10:00")),
+      DocIn("m", 9L, ts("2024-01-03 11:20:00")))
+    q.processAllAvailable()
+    // the NEXT batch's in-window copy proves the final window's state
+    // carried over (11:25 is inside w3, suppressed)
+    mem.addData(DocIn("m", 10L, ts("2024-01-03 11:25:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_multiwin_out").as[DocOut].collect()
+    q.stop()
+
+    assert(rows.map(r => (r.doc_id, r.n_dropped_before)).sortBy(_._1)
+      .toSeq == Seq((2L, 2L), (8L, 0L), (9L, 2L)))
+  }
 }
