@@ -255,6 +255,29 @@ object ExtQueries {
       DataProfile.groupedQuantilesApprox(Tables.load(s, dir, "events"),
         col("event_type"), col("value"))),
 
+    // E33: streaming windowed-profile replay — the events stream pushed
+    // through StreamingProfile.windowed (watermarked tumbling windows,
+    // complete-mode AvailableNow replay, like g1's) and hash-compared
+    // against a per-minute batch profile oracle. The HLL
+    // `value_approx_distinct` column is excluded from the gate — it is
+    // the engine-specific sketch (e13 class); every deterministic
+    // column (counts, nulls, min/max, rounded avg) is hash-checked.
+    // This closes the last of the four streaming operators' replay
+    // gates (g1 resampler, e1 dedup, u2 bridge, e33 profile).
+    "e33_streaming_profile_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val prof = graft.streaming.StreamingProfile.windowed(
+        Tables.normalizeNanos(stream), "value")
+      StreamingOhlc.replayToBatch(s, prof)
+        .select(col("window_start"), col("n_rows"), col("value_nulls"),
+          col("value_min"), col("value_max"),
+          Rounding.duckRound(col("value_avg"), 6).as("value_avg"))
+    }),
+
     // E24: corpus vocabulary — top-100 tokens by frequency, the
     // tokenizer-training frequency pass
     "e24_vocab_top" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir))),
@@ -491,6 +514,18 @@ object ExtQueries {
     "e1_streaming_dedup_replay" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1"),
+
+    // a fully-replayed windowed profile must equal the batch per-minute
+    // profile on every deterministic column (tumbling 1-min window
+    // starts are minute floors; min/max are order-independent and need
+    // no rounding, avg is rounded on both sides)
+    "e33_streaming_profile_replay" ->
+      """SELECT date_trunc('minute', ts) AS window_start,
+        |  count(*) AS n_rows,
+        |  count(*) - count(value) AS value_nulls,
+        |  min(value) AS value_min, max(value) AS value_max,
+        |  round(avg(value), 6) AS value_avg
+        |FROM events GROUP BY 1""".stripMargin,
 
     "e2_dedup_ngram_jaccard" ->
       s"""WITH $shinglesCte, $jaccardTailSql
