@@ -137,23 +137,29 @@ object Clustering {
     while (!converged && iter < maxIter) {
       // LARGE-STAR on the undirected view: per center c, every strictly
       // larger neighbor is rewired to m = min(neighbors ∪ c). Emitted
-      // rows are (bigger, m) with m <= c < bigger — already canonical
-      // after a flip.
+      // rows are (m, bigger) with m <= c < bigger — already canonical.
+      // No dedup here: duplicate edges cannot change small-star's min,
+      // and the round's single distinct (below) bounds growth — a
+      // distinct here would be one extra full shuffle per round.
       val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mLs = least(min(col("v")).over(Window.partitionBy("u")),
         col("u"))
       val ls = und.withColumn("m", mLs)
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v").as("v"))
-        .distinct()
       // SMALL-STAR on the canonical (u < v) view: per center v, every
       // smaller neighbor u — and v itself — is rewired to
-      // m = min(smaller neighbors), which is <= every u.
+      // m = min(smaller neighbors), which is <= every u. Both emitted
+      // rows come out of ONE explode over the windowed frame — a
+      // two-branch union would recompute the entire large-star pipeline
+      // once per branch (the multi-branch rebuild this repo's cache
+      // notes measure at ~2x).
       val mSs = min(col("u")).over(Window.partitionBy("v"))
-      val ssBase = ls.withColumn("m", mSs)
-      val ss = ssBase
-        .select(col("m").as("u"), col("u").as("v"))
-        .union(ssBase.select(col("m").as("u"), col("v")))
+      val ss = ls.withColumn("m", mSs)
+        .select(explode(array(
+          struct(col("m").as("a"), col("u").as("b")),
+          struct(col("m").as("a"), col("v").as("b")))).as("_e"))
+        .select(col("_e.a").as("u"), col("_e.b").as("v"))
         .filter(col("u") < col("v"))
         .distinct()
         .localCheckpoint()
