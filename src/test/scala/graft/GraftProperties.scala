@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ext.{Dedup, KMeans, Packing}
+import graft.ext.{Clustering, Dedup, KMeans, Packing}
 import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
@@ -134,6 +134,39 @@ object GraftProperties extends Properties("graft") {
         .filter(_._2 >= 1).toMap
       got == expected
     }
+
+  private val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+    for {
+      a <- Gen.choose(0L, 40L)
+      b <- Gen.choose(0L, 40L)
+    } yield (a, b))
+
+  property("both connected-components backends equal a union-find " +
+    "reference on random graphs") = Prop.forAll(edgeGen) { raw =>
+    val edges = raw.filter { case (a, b) => a != b }.distinct
+    edges.isEmpty || { // all-self-loop draws are vacuously true
+      import spark.implicits._
+      val df = edges.toDF("doc_a", "doc_b")
+      def toMap(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = toMap(Clustering.connectedComponentsStar(df).collect())
+      val minLabel = toMap(Clustering.connectedComponents(df).collect())
+      // union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      star == expected && minLabel == expected
+    }
+  }
 
   property("partial-merge maintenance equals full re-aggregation for " +
     "any split of the tick stream") = Prop.forAll(tickGen) { ticks =>
