@@ -282,6 +282,13 @@ object ExtQueries {
     // tokenizer-training frequency pass
     "e24_vocab_top" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir))),
 
+    // E34: adjacent-pair frequencies — the counting pass of one BPE
+    // merge iteration (top row = the merge rule the trainer picks);
+    // map-side pair explode, partial-aggregated, TakeOrderedAndProject
+    // top-k with a full tie-break
+    "e34_bpe_merge_pairs" -> ((s, dir) =>
+      TextAnalysis.bpeMergePairs(docs(s, dir), 50)),
+
     // E25: deterministic shuffle-shard export assignment over documents
     "e25_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
@@ -514,6 +521,23 @@ object ExtQueries {
     "e1_streaming_dedup_replay" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1"),
+
+    // 1-based list indexing; range(1, len) = 1..len-1, so pairs are
+    // (w[i], w[i+1]) — the same adjacent pairs as Spark's 0-based
+    // transform. Full ORDER BY tie-break makes the LIMIT deterministic
+    // on both engines.
+    "e34_bpe_merge_pairs" ->
+      """WITH wl AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT w[i] AS tok_a, w[i + 1] AS tok_b
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |        FROM wl WHERE len(w) >= 2) t)
+        |SELECT tok_a, tok_b, count(*) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, tok_a, tok_b
+        |LIMIT 50""".stripMargin,
 
     // a fully-replayed windowed profile must equal the batch per-minute
     // profile on every deterministic column (tumbling 1-min window

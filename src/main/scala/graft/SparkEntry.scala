@@ -426,6 +426,26 @@ object SparkEntry {
           .as("session_id"))
     }),
 
+    // W6 streaming replay: sessionization via Spark's native
+    // session_window — per user, events merge into a session while the
+    // gap to the previous event is at most 30 min; only a gap STRICTLY
+    // over 30 min splits (touching session windows merge —
+    // spec-pinned in StreamingSessionizeSpec), which is exactly the
+    // batch w6 ordinal's `> 1800 s` split rule. Replayed complete-mode
+    // to a batch frame and hash-compared against a per-session
+    // aggregate oracle: the streaming session store must converge to
+    // the batch lag-window session split.
+    "w6_streaming_sessions_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      graft.streaming.StreamingOhlc.replayToBatch(s,
+        graft.streaming.StreamingSessionize.sessions(
+          Tables.normalizeNanos(stream)))
+    }),
+
     // G7: bucketed histogram — portable floor-division bucketing
     "g7_value_histogram" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -944,6 +964,30 @@ object SparkEntry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS session_id
         |FROM l""".stripMargin,
+
+    // session membership by the session_window rule: diff <= 30 min
+    // merges (touching windows merge), only a strictly larger gap
+    // splits — the same boundary as w6's batch `> 1800 s` rule.
+    // Sessions are identified by (user, running split count) and
+    // compared as per-session aggregates — start, size, last event
+    // time.
+    "w6_streaming_sessions_replay" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS lts
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN lts IS NULL
+        |             OR epoch_us(ts) - epoch_us(lts) > 1800000000
+        |             THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events, max(ts) AS last_ts
+        |FROM m GROUP BY user_id, sid""".stripMargin,
 
     "g7_value_histogram" ->
       """SELECT CAST(floor(value / CAST(50 AS DOUBLE)) AS BIGINT)

@@ -157,4 +157,30 @@ object TextAnalysis {
       .limit(n)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+
+  /** Adjacent-pair frequencies — the counting pass of one BPE merge
+    * iteration (the merge rule a tokenizer trainer would pick is the
+    * top row). Corpus-wide count of each ordered adjacent token pair,
+    * top `n` by count with a (tok_a, tok_b) tie-break.
+    *
+    * Scale shape: pairs explode map-side from each document's token
+    * array (one pass, no join — the pair list is a pure projection of
+    * the split), partial-aggregate before the exchange, and the top-n
+    * is `TakeOrderedAndProject` — per-partition heaps of n, never a
+    * global sort of the pair vocabulary. Each BPE training iteration
+    * over a 100 TB corpus is one scan + one pair-cardinality exchange;
+    * iterations re-run the pass on re-tokenized text (driver-held merge
+    * table as a literal `regexp_replace`/`transform` chain, the same
+    * model-state topology as k-means). */
+  def bpeMergePairs(docs: DataFrame, n: Int = 50): DataFrame =
+    docs.select(words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS a, w[i + 1] AS b))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
+      .limit(n)
 }

@@ -68,6 +68,18 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.exists(_._1 == (1L, 2L)))
   }
 
+  test("E34: BPE merge-pair counts rank the most frequent adjacent " +
+    "pair first, with deterministic tie-breaks") {
+    val d = Seq(
+      (1L, "a b a b a b"), // (a,b)x3, (b,a)x2
+      (2L, "a b c"),       // (a,b), (b,c)
+      (3L, "x"))           // single token: no pairs
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergePairs(d, 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", "b", 4L), ("b", "a", 2L), ("b", "c", 1L)))
+  }
+
   test("E5: cosine and brute-force knn rank by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),   // query
