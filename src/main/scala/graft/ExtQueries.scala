@@ -161,6 +161,12 @@ object ExtQueries {
     "e4_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3)),
 
+    // E35: edit-distance near-dup pairs — the string-metric verifier
+    // (Levenshtein over a 200-char prefix) on SimHash-bucketed
+    // candidates; catches typo-level dupes that shift every shingle
+    "e35_edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(docs(s, dir), 200, 20)),
+
     // E5: brute-force cosine top-3 neighbors for query vectors
     "e5_knn_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -597,6 +603,20 @@ object ExtQueries {
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
+
+    // same chunk-bucket candidates; Levenshtein is the classic DP in
+    // both engines, computed over substr(text, 1, 200)
+    "e35_edit_distance_pairs" ->
+      s"""WITH $simhashPairsCtes
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(substr(ta.text, 1, 200),
+         |                   substr(tb.text, 1, 200)) AS BIGINT)
+         |    AS edit_dist
+         |FROM pairs
+         |JOIN documents ta ON doc_a = ta.doc_id
+         |JOIN documents tb ON doc_b = tb.doc_id
+         |WHERE levenshtein(substr(ta.text, 1, 200),
+         |                  substr(tb.text, 1, 200)) <= 20""".stripMargin,
 
     // connected components over the e4 pair graph: DuckDB reaches the
     // same fixpoint via a recursive transitive closure (tiny at sf0.01;

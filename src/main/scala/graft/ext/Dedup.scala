@@ -295,6 +295,34 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Edit-distance near-dup pairs: SimHash-chunk-bucketed candidates
+    * verified by Levenshtein distance over a fixed-length text prefix.
+    * The string-metric sibling of the set-metric (Jaccard) verifiers —
+    * catches small in-place edits (typo dupes, template fills) that
+    * shift every shingle but few characters.
+    *
+    * Scale shape: candidates come from the same chunk-bucket join as
+    * [[simhashPairs]] (never all-pairs); the O(prefixLen²) DP runs only
+    * on bucket-sharing pairs, and the prefix cap bounds it regardless
+    * of document length. Levenshtein is the classic DP in both engines,
+    * so the verified distance is oracle-exact. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 80,
+                        maxDist: Int = 20): DataFrame = {
+    val cand = simhashPairs(docs, maxHamming = 32)
+      .select(col("doc_a"), col("doc_b"))
+    val pfx = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"))
+    cand
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pfx_a")),
+        Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** SimHash near-dup pairs: banded by the four 8-bit chunks (two docs
     * within hamming distance 3 of each other share ≥1 chunk), verified by
     * `bit_count(xor) <= maxHamming`. */

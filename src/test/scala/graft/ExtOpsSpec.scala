@@ -68,6 +68,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(pairs.exists(_._1 == (1L, 2L)))
   }
 
+  test("E35: edit-distance pairs verify SimHash-bucketed candidates " +
+    "with the exact Levenshtein distance") {
+    val pairs = Dedup.editDistancePairs(docsDf, prefixLen = 80,
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs((1L, 2L)) == 0L) // exact duplicate
+    assert(pairs((1L, 3L)) == 1L) // one substituted character (h -> x)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("E34: BPE merge-pair counts rank the most frequent adjacent " +
     "pair first, with deterministic tie-breaks") {
     val d = Seq(
