@@ -295,6 +295,52 @@ object ExtQueries {
     "e34_bpe_merge_pairs" -> ((s, dir) =>
       TextAnalysis.bpeMergePairs(docs(s, dir), 50)),
 
+    // E36: per-type winsorization — clamp `value` to its event-type's
+    // [p5, p95]; the outlier-capping pass between curation stages. The
+    // per-type bounds are a broadcast types-cardinality aggregate
+    // joined back: no second pass over the data, no driver scalar.
+    "e36_winsorize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type")).agg(
+        Rounding.duckRound(percentile(col("value"), lit(0.05)), 6)
+          .as("lo"),
+        Rounding.duckRound(percentile(col("value"), lit(0.95)), 6)
+          .as("hi"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          Rounding.duckRound(
+            greatest(col("lo"), least(col("hi"), col("value"))), 6)
+            .as("value_w"))
+    }),
+
+    // E37: deterministic contrastive negative sampling — k pseudo-random
+    // partner docs per document, derived entirely from md5 ranks (no
+    // RNG: byte-identical on any cluster layout, the property that
+    // makes a 100 TB negatives export reproducible). Scale shape: docs
+    // hash into buckets, each doc pairs with the next k docs in md5
+    // order WITHIN its bucket (circular) — a bucket-local rank
+    // self-join, never a global window or cross join.
+    "e37_negative_pairs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nBuckets = 16
+      val ranked = docs(s, dir).select(col("doc_id"),
+          Dedup.md5Long(col("doc_id").cast("string")).as("r"))
+        .withColumn("bucket", pmod(col("r"), lit(nBuckets)))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("r"),
+            col("doc_id"))))
+        .withColumn("sz",
+          count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      ranked
+        .withColumn("j", explode(sequence(lit(1), lit(2))))
+        .withColumn("nrank",
+          (col("rank") - 1 + col("j")) % col("sz") + 1)
+        .join(ranked.select(col("bucket"), col("rank").as("nrank"),
+          col("doc_id").as("neg_id")), Seq("bucket", "nrank"))
+        .filter(col("doc_id") =!= col("neg_id"))
+        .select(col("doc_id"), col("j"), col("neg_id"))
+    }),
+
     // E25: deterministic shuffle-shard export assignment over documents
     "e25_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
@@ -527,6 +573,40 @@ object ExtQueries {
     "e1_streaming_dedup_replay" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1"),
+
+    // quantile_cont == Spark percentile (interpolated), both rounded;
+    // the clamp itself is exact double arithmetic
+    "e36_winsorize" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  round(greatest(lo, least(hi, value)), 6) AS value_w
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
+
+    // identical md5 rank arithmetic; row_number with the same (r,
+    // doc_id) tie-break, circular rank join within each bucket
+    "e37_negative_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS r
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, r, r % 16 AS bucket,
+        |    row_number() OVER (PARTITION BY r % 16 ORDER BY r, doc_id)
+        |      AS rank,
+        |    count(*) OVER (PARTITION BY r % 16) AS sz
+        |  FROM r)
+        |SELECT a.doc_id, j.j, b.doc_id AS neg_id
+        |FROM ranked a
+        |CROSS JOIN (SELECT unnest(range(1, 3)) AS j) j
+        |JOIN ranked b
+        |  ON b.bucket = a.bucket
+        | AND b.rank = (a.rank - 1 + j.j) % a.sz + 1
+        |WHERE a.doc_id <> b.doc_id""".stripMargin,
 
     // 1-based list indexing; range(1, len) = 1..len-1, so pairs are
     // (w[i], w[i+1]) — the same adjacent pairs as Spark's 0-based
