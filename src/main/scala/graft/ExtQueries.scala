@@ -684,8 +684,9 @@ object ExtQueries {
          |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin,
 
-    // same chunk-bucket candidates; Levenshtein is the classic DP in
-    // both engines, computed over substr(text, 1, 200)
+    // same chunk-bucket candidates gated by hamming <= 3 and the
+    // length-difference prune before the DP; Levenshtein is the
+    // classic DP in both engines, computed over substr(text, 1, 200)
     "e35_edit_distance_pairs" ->
       s"""WITH $simhashPairsCtes
          |SELECT doc_a, doc_b,
@@ -695,7 +696,10 @@ object ExtQueries {
          |FROM pairs
          |JOIN documents ta ON doc_a = ta.doc_id
          |JOIN documents tb ON doc_b = tb.doc_id
-         |WHERE levenshtein(substr(ta.text, 1, 200),
+         |WHERE bit_count(xor(sa, sb)) <= 3
+         |  AND abs(length(substr(ta.text, 1, 200))
+         |          - length(substr(tb.text, 1, 200))) <= 20
+         |  AND levenshtein(substr(ta.text, 1, 200),
          |                  substr(tb.text, 1, 200)) <= 20""".stripMargin,
 
     // connected components over the e4 pair graph: DuckDB reaches the

@@ -302,13 +302,22 @@ object Dedup {
     * shift every shingle but few characters.
     *
     * Scale shape: candidates come from the same chunk-bucket join as
-    * [[simhashPairs]] (never all-pairs); the O(prefixLen²) DP runs only
-    * on bucket-sharing pairs, and the prefix cap bounds it regardless
-    * of document length. Levenshtein is the classic DP in both engines,
-    * so the verified distance is oracle-exact. */
+    * [[simhashPairs]] (never all-pairs), THEN pass the cheap sketch
+    * filter `hamming <= maxHamming` and the exact length-difference
+    * prune (|len(a)−len(b)| > maxDist implies dist > maxDist) before
+    * any DP — the three-stage bucket → sketch-verify → exact-verify
+    * funnel every production near-dup pipeline uses. The sketch gate
+    * carries the cost: bucket-sharing alone admits every pair
+    * colliding on one 8-bit chunk, and on a template-heavy corpus even
+    * hamming <= 8 barely prunes (1.77M of 2.54M bucket pairs at sf0.1
+    * — measured 50 s of 200² DP); the default gate is e4's near-dup
+    * threshold (<= 3), under which the DP runs on the actual near-dup
+    * set only. The prefix cap bounds the DP regardless of document
+    * length; Levenshtein is the classic DP in both engines, so the
+    * verified distance is oracle-exact. */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 80,
-                        maxDist: Int = 20): DataFrame = {
-    val cand = simhashPairs(docs, maxHamming = 32)
+                        maxDist: Int = 20, maxHamming: Int = 3): DataFrame = {
+    val cand = simhashPairs(docs, maxHamming)
       .select(col("doc_a"), col("doc_b"))
     val pfx = docs.select(col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"))
@@ -317,10 +326,16 @@ object Dedup {
         Seq("doc_a"))
       .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
         Seq("doc_b"))
+      .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
+      // threshold form: banded O(prefixLen·maxDist) DP instead of the
+      // full O(prefixLen²) grid, returning -1 past the bound — ~10x
+      // fewer cells at the defaults, and the kept rows' distances are
+      // exactly the full DP's (the oracle runs the unbanded form and
+      // applies the same <= filter)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pfx_a"), col("pfx_b")).cast("long")
+        levenshtein(col("pfx_a"), col("pfx_b"), maxDist).cast("long")
           .as("edit_dist"))
-      .filter(col("edit_dist") <= maxDist)
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
   }
 
   /** SimHash near-dup pairs: banded by the four 8-bit chunks (two docs
