@@ -341,6 +341,36 @@ object ExtQueries {
         .select(col("doc_id"), col("j"), col("neg_id"))
     }),
 
+    // E38: per-document top-3 TF-IDF terms — keyword extraction for
+    // corpus slicing/labeling; ranked on the ROUNDED score so the
+    // per-doc row_number is engine-independent
+    "e38_tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), 3)
+        .withColumn("rk", col("rk").cast("long"))),
+
+    // E39: ordered view→click→purchase funnel per user; later steps
+    // NULL when unreached — every stage keys on user_id (one shared
+    // hash partitioning, no corpus-wide window)
+    "e39_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.load(s, dir, "events"))),
+
+    // E40: cohort retention — users cohorted by first-event day,
+    // distinct-user counts at day offsets 0..7; activity set is
+    // deduped to (user, day) BEFORE the cohort join
+    "e40_retention" -> ((s, dir) =>
+      EventAnalytics.retention(Tables.load(s, dir, "events"), 7)),
+
+    // E41: sliding-window chunk export (RAG/context-window cut):
+    // 32-token chunks every 24 tokens — a pure map-side explode, the
+    // no-shuffle shape a 100 TB chunk export needs
+    "e41_chunk_sliding" -> ((s, dir) =>
+      TextAnalysis.chunkSliding(docs(s, dir), 32, 24)),
+
+    // E42: PMI collocations — bigram/unigram probability ratio over
+    // broadcast corpus totals, min-count 10, top-50 by rounded PMI
+    "e42_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(docs(s, dir), 50, 10L)),
+
     // E25: deterministic shuffle-shard export assignment over documents
     "e25_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
@@ -446,6 +476,32 @@ object ExtQueries {
           Rounding.duckRound(avg(col("l_quantity")), 6).as("avg_qty"),
           Rounding.duckRound(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("n_rows"))
+    }),
+
+    // X3: shipping-priority revenue (the classic 3-table join + top-k):
+    // customer segment filter → orders date filter → lineitem, revenue
+    // in exact DECIMAL, top-10 via TakeOrderedAndProject with a
+    // deterministic l_orderkey tie-break. customer is the small side
+    // after its segment filter — broadcast; the orders↔lineitem join
+    // shuffles once on the order key.
+    "x3_shipping_priority" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1.0).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderdate") <
+              lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(rev).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
     }),
 
     // E16: duplicate clusters — connected components over the e4 SimHash
@@ -950,6 +1006,123 @@ object ExtQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-31'
         |GROUP BY 1, 2""".stripMargin,
+
+    // same exact-DECIMAL revenue as x1/x2; full ORDER BY tie-break
+    // (revenue is exact decimal cast to double, so ties are real ties)
+    // makes the LIMIT deterministic on both engines
+    "x3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // smoothed idf ln((N+1)/(df+1)); rank on the ROUNDED score then
+    // token so row_number is engine-independent; rk cast BIGINT to
+    // match Spark's long cast
+    "e38_tfidf_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok,
+        |    round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)),
+        |      6) AS tfidf
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+        |rk AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, tok, tfidf FROM rk WHERE rk <= 3""".stripMargin,
+
+    // each step's min-ts is conditioned on the PREVIOUS step's per-user
+    // min — the same join-then-aggregate chain as the Spark plan
+    "e39_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM v LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
+
+    // date_trunc returns DATE in DuckDB — cast to TIMESTAMP to match
+    // Spark's date_trunc output type
+    "e40_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  date_diff('day', cohort_day, day) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB list slicing is 1-based inclusive and clamps at the list
+    // end — same semantics as Spark's slice(w, start+1, 32)
+    "e41_chunk_sliding" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(range(0, len(w), 24)) AS start
+        |  FROM w WHERE len(w) >= 1)
+        |SELECT doc_id, start // 24 AS chunk_id,
+        |  least(32, len(w) - start) AS n_tok,
+        |  array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM starts""".stripMargin,
+
+    // the division chain is written exactly as the Spark expression so
+    // ln sees the same IEEE double on both engines
+    "e42_pmi_collocations" ->
+      """WITH wl AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |uc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(w) AS tok FROM wl) GROUP BY 1),
+        |bc AS (
+        |  SELECT tok_a, tok_b, count(*) AS c_ab FROM (
+        |    SELECT w[i] AS tok_a, w[i + 1] AS tok_b
+        |    FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |          FROM wl WHERE len(w) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= 10),
+        |tot AS (SELECT (SELECT sum(c) FROM uc) AS n_tok,
+        |               (SELECT sum(c_ab) FROM bc) AS n_bi)
+        |SELECT tok_a, tok_b, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
+        |    ((CAST(a.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *
+        |     (CAST(b.c AS DOUBLE) / CAST(n_tok AS DOUBLE)))), 6) AS pmi
+        |FROM bc JOIN uc a ON a.tok = tok_a
+        |JOIN uc b ON b.tok = tok_b CROSS JOIN tot
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)

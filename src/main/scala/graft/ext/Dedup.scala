@@ -151,6 +151,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle containment |A∩B| / |A| — the screen Jaccard
+    * misses: a short document wholly embedded in a long one has low
+    * Jaccard (the union is large) but containment ≈ 1 from the short
+    * side. Emits ORDERED pairs (doc_a mostly-contained-in doc_b) at or
+    * above `minContainment`, over the same df-capped distinct shingle
+    * sets as [[ngramJaccardPairs]] (see the capped-set semantics note
+    * there).
+    *
+    * Scale shape: identical to the Jaccard topology — one shingle
+    * equi-join prunes the all-pairs space, the df cap bounds
+    * hot-shingle blowup — plus a zero-cost direction explode (the i<j
+    * intersection counts are computed once and projected both ways). */
+  def containmentPairs(docs: DataFrame, k: Int = 5,
+                       minContainment: Double = 0.8,
+                       maxDf: Int = 100): DataFrame = {
+    val sh0 = shingleHashes(docs, k).cache()
+    sh0.count()
+    val sh = capDf(sh0, maxDf).cache()
+    sh.count()
+    sh0.unpersist()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val both = inter.select(col("doc_a").as("src"),
+        col("doc_b").as("dst"), col("n_inter"))
+      .union(inter.select(col("doc_b").as("src"),
+        col("doc_a").as("dst"), col("n_inter")))
+    both
+      .join(counts.withColumnRenamed("doc_id", "src"), "src")
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_sh"))
+      .filter(col("containment") >= minContainment)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        col("containment"))
+  }
+
   /** Modulus for the per-seed universal-hash family: 2³¹−1 (prime).
     * Intermediate products stay < 2⁶³, so the arithmetic is overflow-free
     * in both Spark longs and DuckDB BIGINT (which raises on overflow). */

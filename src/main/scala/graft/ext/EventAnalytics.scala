@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics for usage/engagement curation: ordered funnel
+  * conversion and cohort retention. Both are classic warehouse questions
+  * a training-data pipeline asks of its telemetry (which users convert,
+  * how long sources stay active) and both are shaped for scale: every
+  * stage keys on `user_id`, so the per-user aggregates and the
+  * stage-to-stage joins share one hash partitioning — AQE coalesces the
+  * exchanges instead of re-shuffling per stage, and nothing ever sorts
+  * or windows over the full corpus.
+  */
+object EventAnalytics {
+
+  /** Ordered three-step funnel (view → click → purchase): per user, the
+    * first `view`, the first `click` at-or-after that view, and the
+    * first `purchase` at-or-after that click. Users with no view are
+    * excluded; later steps are NULL when never reached — the row shape
+    * downstream conversion reports aggregate. Each step is a per-user
+    * min-aggregate over a filtered scan joined back on `user_id`; the
+    * dependency between steps (click must follow THIS user's first
+    * view) is a co-partitioned equi-join, not a window over all events.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("view_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("click_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_ts"), col("click_ts"),
+        col("purchase_ts"))
+  }
+
+  /** Cohort retention: users are cohorted by the calendar day of their
+    * first event; `n_users` counts the distinct users of each cohort
+    * active again `day_offset` days later (0 = the cohort day itself),
+    * capped at `maxOffset`. The (user, day) activity set is de-duplicated
+    * BEFORE the cohort join, so the join input is bounded by
+    * users × days, not by raw event volume — the property that keeps
+    * this a small-side pipeline at 100 TB of events. */
+  def retention(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+    val active = events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** Per-(event_type, day) volume and value, with a 3-day trailing mean
+    * of the daily value sum — the ingestion-drift dashboard the batch
+    * side keeps next to the streaming profile (e33). The rolling window
+    * runs over the AGGREGATED daily frame (types × days rows, thousands
+    * at most), never the raw events; the daily sum is rounded before
+    * the window on both engines so the trailing mean sees identical
+    * inputs. */
+  def dailyTypeStats(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.Rounding.duckRound(sum(col("value")), 6).as("sum_value"))
+    daily.withColumn("sum_value_3d",
+      graft.Rounding.duckRound(avg(col("sum_value")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-2, 0)), 6))
+  }
+}

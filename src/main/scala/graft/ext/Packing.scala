@@ -56,4 +56,33 @@ object Packing {
         expr(s"_before div ${seqLen}L").as("seq_id"),
         expr(s"_before % ${seqLen}L").as("offset_in_seq"))
   }
+
+  /** Shard-packed text digests: documents hash into `nShards` shards
+    * (the [[Sampling.shuffleShards]] md5 assignment), each shard's texts
+    * are concatenated in md5-rank order with a blank-line separator, and
+    * the result is summarized as (n_docs, packed_len, packed_md5) — the
+    * content-addressed manifest a packed training-shard export publishes
+    * for integrity checks.
+    *
+    * Scale shape: one shuffle on the shard key; each shard's pack
+    * materializes inside its own task (`collect_list` + `array_sort` —
+    * per-GROUP memory, not per-job), which is exactly the working set a
+    * shard FILE writer needs anyway. At 100 TB, `nShards` scales with
+    * corpus size so each pack stays file-sized (the same knob as the
+    * shard export in e25); the digest keeps the query's OUTPUT tiny
+    * regardless of text volume. */
+  def packedShards(docs: DataFrame, nShards: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        Dedup.md5Long(col("doc_id").cast("string")).as("r"))
+      .withColumn("shard", pmod(col("r"), lit(nShards)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_sort(collect_list(struct(col("r"), col("doc_id"),
+          col("text")))).as("ds"))
+      .select(col("shard"), col("n_docs"),
+        length(array_join(expr("transform(ds, d -> d.text)"), "\n\n"))
+          .cast("long").as("packed_len"),
+        md5(array_join(expr("transform(ds, d -> d.text)"), "\n\n"))
+          .as("packed_md5"))
 }

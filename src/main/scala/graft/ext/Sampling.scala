@@ -39,6 +39,21 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** Weighted deterministic Bernoulli sample: each row's keep
+    * probability is its own `weight` (clamped to [0, 1]), realized as
+    * `permille(id) < floor(1000 · weight)` — the hash-not-RNG guarantee
+    * of [[stratifiedSample]] with a continuous per-row rate (quality
+    * scores, recency decay). The weight arithmetic is single IEEE
+    * multiply/floor, identical cross-engine. Pure per-row expressions:
+    * no shuffle, fully codegen'd. */
+  def weightedSample(df: DataFrame, id: Column,
+                     weight: Column): DataFrame =
+    df.withColumn("weight_p",
+        floor(lit(1000.0) *
+          greatest(lit(0.0), least(lit(1.0), weight))).cast("long"))
+      .withColumn("bucket", permilleBucket(id))
+      .filter(col("bucket") < col("weight_p"))
+
   /** Pretraining mix planner: given per-row (source, n_toks) and target
     * mix WEIGHTS, compute each source's token inventory and the sampling
     * rate / epoch count that hits `weight · tokenBudget` tokens from it —

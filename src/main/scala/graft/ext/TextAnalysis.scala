@@ -183,4 +183,98 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
       .limit(n)
+
+  /** Per-document top-k terms by TF-IDF with smoothed IDF
+    * `ln((N + 1) / (df + 1))` — the keyword-extraction pass used to
+    * label or cluster corpus slices. Ranking uses the ROUNDED score
+    * (then the token) so the per-doc row_number is deterministic and
+    * engine-independent even when two scores agree to 6 decimals.
+    *
+    * Scale shape: term frequencies partial-aggregate on (doc, tok);
+    * document frequencies are a second aggregate of the SAME keyed
+    * result (no re-scan of text); the corpus size joins in as a
+    * broadcast 1-row aggregate. The only window partitions by doc_id —
+    * never a corpus-wide sort. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", Rounding.duckRound(
+        col("tf").cast("double") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tfidf"))
+  }
+
+  /** Corpus collocations by pointwise mutual information:
+    * `pmi = ln(P(a,b) / (P(a)·P(b)))` with P(a,b) over bigram count
+    * `nB` and P(·) over token count `nT`, restricted to bigrams seen
+    * at least `minCount` times, top `n` by rounded PMI (then tokens).
+    * The division chain is written identically in the oracle so both
+    * engines feed `ln` the same IEEE double.
+    *
+    * Scale shape: the bigram and unigram counts are the same map-side
+    * explode + partial aggregate as [[bpeMergePairs]]; corpus totals
+    * ride along as a broadcast 1-row aggregate; the two unigram joins
+    * key on a bounded vocabulary. Top-n is `TakeOrderedAndProject`. */
+  def pmiCollocations(docs: DataFrame, n: Int = 50,
+                      minCount: Long = 10L): DataFrame = {
+    val toks = docs.select(words(col("text")).as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(w[i] AS a, w[i + 1] AS b))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n_tok"))
+      .crossJoin(bi.agg(sum(col("c_ab")).as("n_bi")))
+    bi.join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")),
+        Seq("tok_a"))
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")),
+        Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", Rounding.duckRound(log(
+        (col("c_ab").cast("double") / col("n_bi").cast("double")) /
+          ((col("c_a").cast("double") / col("n_tok").cast("double")) *
+            (col("c_b").cast("double") / col("n_tok").cast("double")))),
+        6))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(n)
+  }
+
+  /** Sliding-window chunking with overlap — the RAG/context-window
+    * export: each document's tokens are cut into chunks of `window`
+    * tokens starting every `stride` tokens (stride < window ⇒
+    * overlapping chunks), the final chunk truncated at the document
+    * end. `chunk_id` is the 0-based window index; `n_tok` the actual
+    * chunk length.
+    *
+    * Scale shape: a pure per-row explode of a computed start-offset
+    * sequence — no shuffle, no state, perfectly input-partitioned;
+    * exactly the map-side shape a 100 TB chunk export needs. */
+  def chunkSliding(docs: DataFrame, window: Int = 32,
+                   stride: Int = 24): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(lit(window), size(col("w")) - col("start")).cast("long")
+          .as("n_tok"),
+        array_join(slice(col("w"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"))
 }

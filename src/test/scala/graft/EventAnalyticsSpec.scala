@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.EventAnalytics
+
+/** Funnel and retention over a hand-built four-user event log. */
+class EventAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // u1 completes the funnel in order; u2 clicks BEFORE viewing (click
+  // must not count) then never re-clicks; u3 views only; u4 has no view
+  // at all (excluded).
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+    (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+    (1L, ts("2024-01-02 09:00:00"), "purchase", 9.5),
+    (2L, ts("2024-01-01 08:00:00"), "click", 1.0),
+    (2L, ts("2024-01-01 09:00:00"), "view", 1.0),
+    (2L, ts("2024-01-03 09:00:00"), "purchase", 3.0),
+    (3L, ts("2024-01-02 12:00:00"), "view", 1.0),
+    (4L, ts("2024-01-01 12:00:00"), "purchase", 2.0))
+    .toDF("user_id", "ts", "event_type", "value")
+
+  test("E39: funnel orders steps and excludes pre-view clicks") {
+    val rows = EventAnalytics.funnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Timestamp]("view_ts"), r.getAs[Timestamp]("click_ts"),
+          r.getAs[Timestamp]("purchase_ts"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == (ts("2024-01-01 10:00:00"),
+      ts("2024-01-01 10:05:00"), ts("2024-01-02 09:00:00")))
+    // u2's only click precedes the first view → no click step, and the
+    // purchase (which would follow a click) must not fire either
+    assert(rows(2L)._2 == null && rows(2L)._3 == null)
+    assert(rows(3L)._2 == null && rows(3L)._3 == null)
+  }
+
+  test("E40: retention cohorts by first-event day with day offsets") {
+    val r = EventAnalytics.retention(events, maxOffset = 7).collect()
+      .map(row => (row.getAs[Timestamp]("cohort_day"),
+        row.getAs[Int]("day_offset")) -> row.getAs[Long]("n_users"))
+      .toMap
+    val d1 = ts("2024-01-01 00:00:00")
+    val d2 = ts("2024-01-02 00:00:00")
+    // cohort Jan-1 = {u1, u2, u4}: all active day 0; u1 returns day 1,
+    // u2 returns day 2. cohort Jan-2 = {u3}: active day 0 only.
+    assert(r((d1, 0)) == 3L && r((d1, 1)) == 1L && r((d1, 2)) == 1L)
+    assert(r((d2, 0)) == 1L)
+    assert(r.size == 4)
+  }
+}

@@ -91,6 +91,46 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 4L), ("b", "a", 2L), ("b", "c", 1L)))
   }
 
+  test("E38: tf-idf ranks rare terms above common ones per doc") {
+    // over docsDf: 'h' appears in docs 1,2 (df=2); a..g in 1,2,3
+    // (df=3); doc 4's tokens are unique (df=1). Smoothed idf
+    // ln((4+1)/(df+1)) makes 'h' doc 1's top term.
+    val top = TextAnalysis.tfidfTopTerms(docsDf, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[String]("tok"), r.getAs[Double]("tfidf"))).toMap
+    assert(top((1L, 1))._1 == "h")
+    assert(top((1L, 1))._2 > top((1L, 2))._2)
+    // doc 4 ties on score everywhere (all df=1, tf=1) → token order
+    assert(top((4L, 1))._1 == "p" && top((4L, 2))._1 == "q")
+    assert(math.abs(top((4L, 1))._2 - math.log(5.0 / 2.0)) < 1e-6)
+  }
+
+  test("E41: sliding chunks overlap and truncate at the document end") {
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+      .toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkSliding(d, window = 4, stride = 3)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[String]("chunk_text"))).toMap
+    assert(ch.size == 4) // starts 0, 3, 6, 9
+    assert(ch(0L) == (4L, "t0 t1 t2 t3"))
+    assert(ch(1L) == (4L, "t3 t4 t5 t6"))
+    assert(ch(3L) == (1L, "t9")) // final chunk truncated
+  }
+
+  test("E42: PMI scores a bigram against its unigram probabilities") {
+    val d = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    // bigrams: (x,y)x3, (y,x)x2 → B=5; unigrams x=3, y=3 → T=6
+    // pmi(x,y) = ln((3/5) / ((3/6)·(3/6))) = ln(2.4)
+    val got = TextAnalysis.pmiCollocations(d, n = 10, minCount = 1L)
+      .collect().map(r => (r.getAs[String]("tok_a"),
+        r.getAs[String]("tok_b")) ->
+        (r.getAs[Long]("c_ab"), r.getAs[Double]("pmi"))).toMap
+    assert(got(("x", "y"))._1 == 3L)
+    assert(math.abs(got(("x", "y"))._2 - math.log(2.4)) < 1e-6)
+    // pmi(y,x) = ln((2/5) / 0.25) = ln(1.6)
+    assert(math.abs(got(("y", "x"))._2 - math.log(1.6)) < 1e-6)
+  }
+
   test("E5: cosine and brute-force knn rank by similarity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)),   // query
