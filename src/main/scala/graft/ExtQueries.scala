@@ -371,6 +371,55 @@ object ExtQueries {
     "e42_pmi_collocations" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(docs(s, dir), 50, 10L)),
 
+    // E43: asymmetric shingle containment |A∩B|/|A| — catches short
+    // docs embedded in long ones, which Jaccard's union denominator
+    // hides; same df-capped candidate topology as e2
+    "e43_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 5, 0.8, 100)),
+
+    // E44: per-(type, day) volume/value with a 3-day trailing mean —
+    // the batch drift dashboard next to the e33 streaming profile; the
+    // window runs over the aggregated daily frame only
+    "e44_daily_type_stats" -> ((s, dir) =>
+      EventAnalytics.dailyTypeStats(Tables.load(s, dir, "events"))),
+
+    // E45: weighted deterministic Bernoulli sample — per-row keep
+    // probability from a quality proxy (n_chars/200 clamped to 1),
+    // realized as an md5-permille threshold: reproducible on any
+    // topology, no RNG
+    "e45_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"),
+        col("n_chars").cast("double") / lit(200.0))),
+
+    // E46: shard-packed text digests — md5-rank-ordered concat per
+    // shard, published as (n_docs, packed_len, packed_md5): the
+    // content-addressed manifest of a packed shard export
+    "e46_packed_shards" -> ((s, dir) =>
+      Packing.packedShards(docs(s, dir), 8)),
+
+    // E39 streaming replay: the events stream pushed through the keyed
+    // funnel state machine (flatMapGroupsWithState, append) — the
+    // single-batch AvailableNow replay must converge to the batch
+    // funnel chain exactly (same gate family as g1/e1/u2/w6/e33)
+    "e39_streaming_funnel_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ins = Tables.normalizeNanos(stream)
+        .select(col("user_id").cast("long").as("user_id"), col("ts"),
+          col("event_type"))
+        .as[graft.streaming.StreamingFunnel.EvIn]
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingFunnel.funnel(ins).toDF())
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"))
+    }),
+
     // E25: deterministic shuffle-shard export assignment over documents
     "e25_shuffle_shards" -> ((s, dir) =>
       Sampling.shuffleShards(docs(s, dir).select(col("doc_id")),
@@ -1123,6 +1172,85 @@ object ExtQueries {
         |FROM bc JOIN uc a ON a.tok = tok_a
         |JOIN uc b ON b.tok = tok_b CROSS JOIN tot
         |ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+
+    // the i<j intersection counts projected in both directions, each
+    // divided by ITS source doc's shingle count — same capped shingle
+    // sets as e2
+    "e43_containment_pairs" ->
+      s"""WITH $shinglesCte, $jaccardTailSql,
+         |bidir AS (
+         |  SELECT doc_a AS src, doc_b AS dst, n_inter FROM inter
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst, n_inter FROM inter)
+         |SELECT src AS doc_a, dst AS doc_b,
+         |  CAST(n_inter AS DOUBLE) / n_sh AS containment
+         |FROM bidir JOIN cnt ON cnt.doc_id = bidir.src
+         |WHERE CAST(n_inter AS DOUBLE) / n_sh
+         |      >= CAST(0.8 AS DOUBLE)""".stripMargin,
+
+    // daily sum rounded BEFORE the trailing window on both engines so
+    // the 3-row mean sees identical inputs; date_trunc cast to
+    // TIMESTAMP to match Spark's output type
+    "e44_daily_type_stats" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_events, sum_value,
+        |  round(avg(sum_value) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+        |    AS sum_value_3d
+        |FROM d""".stripMargin,
+
+    // identical md5-permille arithmetic as e18/e37; the weight chain is
+    // single IEEE multiply/floor so no rounding is needed
+    "e45_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(floor(CAST(1000 AS DOUBLE) *
+        |      greatest(CAST(0 AS DOUBLE), least(CAST(1 AS DOUBLE),
+        |        CAST(n_chars AS DOUBLE) / CAST(200 AS DOUBLE))))
+        |      AS BIGINT) AS weight_p,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, n_chars, weight_p, bucket
+        |FROM w WHERE bucket < weight_p""".stripMargin,
+
+    // string_agg ORDER BY (r, doc_id) == Spark's array_sort over
+    // struct(r, doc_id, text); chr(10) keeps the separator out of the
+    // SQL string literal
+    "e46_packed_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS r
+        |  FROM documents)
+        |SELECT r % 8 AS shard, count(*) AS n_docs,
+        |  length(string_agg(text, chr(10) || chr(10)
+        |    ORDER BY r, doc_id)) AS packed_len,
+        |  md5(string_agg(text, chr(10) || chr(10)
+        |    ORDER BY r, doc_id)) AS packed_md5
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // the replayed stream must converge to the batch funnel chain
+    "e39_streaming_funnel_replay" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |  GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+        |FROM v LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)""".stripMargin,
 
     // quantile_cont == Spark's exact interpolated percentile; quantile
     // literals cast to DOUBLE (DuckDB parses bare decimals as DECIMAL)

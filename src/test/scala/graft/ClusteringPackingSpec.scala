@@ -116,4 +116,44 @@ class ClusteringPackingSpec extends SparkSpec {
     assert(s1.filter(col("bucket") >= when(col("stratum") === "a", 100)
       .otherwise(1000)).count() == 0)
   }
+
+  test("weightedSample: keep probability follows the per-row weight") {
+    val df = (0L until 400L).map(i => (i, if (i < 200) 0.0 else 1.0))
+      .toDF("id", "w")
+    val s = Sampling.weightedSample(df, col("id"), col("w"))
+    // weight 0 keeps nothing; weight 1 keeps everything
+    assert(s.filter(col("w") === 0.0).count() == 0)
+    assert(s.filter(col("w") === 1.0).count() == 200)
+    // clamping: weights beyond [0,1] behave like the bounds
+    val s2 = Sampling.weightedSample(
+      (0L until 100L).map(i => (i, 7.5)).toDF("id", "w"),
+      col("id"), col("w"))
+    assert(s2.count() == 100)
+  }
+
+  test("packedShards: deterministic order, digest matches a local " +
+    "re-pack") {
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val got = Packing.packedShards(df, nShards = 2).collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("packed_len"),
+          r.getAs[String]("packed_md5"))).toMap
+    assert(got.values.map(_._1).sum == 4)
+    // re-derive one shard by hand: md5-rank order, "\n\n"-joined
+    def md5Long(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val byShard = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .map { case (id, t) => (md5Long(id.toString), id, t) }
+      .groupBy(_._1 % 2)
+    byShard.foreach { case (shard, ds) =>
+      val packed = ds.sorted.map(_._3).mkString("\n\n")
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(packed.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(shard) == ((ds.size.toLong, packed.length.toLong,
+        md5hex)))
+    }
+  }
 }

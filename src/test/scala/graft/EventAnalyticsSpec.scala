@@ -51,4 +51,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r((d2, 0)) == 1L)
     assert(r.size == 4)
   }
+
+  test("E44: daily type stats roll a 3-day trailing mean over the " +
+    "aggregated frame") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 2.0),
+      (1L, ts("2024-01-01 11:00:00"), "view", 4.0),
+      (1L, ts("2024-01-02 10:00:00"), "view", 8.0),
+      (1L, ts("2024-01-03 10:00:00"), "view", 2.0),
+      (1L, ts("2024-01-04 10:00:00"), "view", 10.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventAnalytics.dailyTypeStats(ev).collect()
+      .map(row => row.getAs[Timestamp]("day") ->
+        (row.getAs[Long]("n_events"), row.getAs[Double]("sum_value"),
+          row.getAs[Double]("sum_value_3d"))).toMap
+    assert(r(ts("2024-01-01 00:00:00")) == ((2L, 6.0, 6.0)))
+    assert(r(ts("2024-01-02 00:00:00")) == ((1L, 8.0, 7.0)))
+    // day 3: mean(6, 8, 2); day 4: mean(8, 2, 10) — trailing 3 only
+    assert(math.abs(r(ts("2024-01-03 00:00:00"))._3 - 5.333333) < 1e-6)
+    assert(math.abs(r(ts("2024-01-04 00:00:00"))._3 - 6.666667) < 1e-6)
+  }
 }

@@ -33,6 +33,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("E43: containment flags a short doc embedded in a long one " +
+    "where jaccard stays low") {
+    val d = Seq(
+      (1L, "a b c d e f g"),                              // short
+      (2L, "a b c d e f g q r s t u v w x y z m n o p"))  // contains 1
+      .toDF("doc_id", "text")
+    // doc 1's three 5-shingles all occur in doc 2 → containment 1.0
+    // from doc 1's side; jaccard is 3/17 ≈ 0.18
+    val c = graft.ext.Dedup.containmentPairs(d, k = 5,
+      minContainment = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(c((1L, 2L)) == 1.0)
+    assert(!c.contains((2L, 1L))) // the long side is NOT contained
+    val j = graft.ext.Dedup.ngramJaccardPairs(d, k = 5,
+      minJaccard = 0.5).count()
+    assert(j == 0L)
+  }
+
   test("E3: minhash LSH finds identical and near-identical docs") {
     val pairs = Dedup.minhashLshPairs(docsDf, k = 3, numHashes = 16,
       rowsPerBand = 2, minJaccard = 0.3)
