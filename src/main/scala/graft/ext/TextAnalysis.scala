@@ -191,9 +191,12 @@ object TextAnalysis {
     * engine-independent even when two scores agree to 6 decimals.
     *
     * Scale shape: term frequencies partial-aggregate on (doc, tok);
-    * document frequencies are a second aggregate of the SAME keyed
-    * result (no re-scan of text); the corpus size joins in as a
-    * broadcast 1-row aggregate. The only window partitions by doc_id —
+    * document frequencies re-aggregate the same keyed stream (column
+    * pruning specializes each branch, so the scan runs twice — at
+    * corpus scale, persist the tf frame or derive df from a written tf
+    * table to make it one pass); the corpus size joins in as a
+    * broadcast 1-row aggregate. The only window partitions by doc_id
+    * and carries a rank predicate Spark pushes into WindowGroupLimit —
     * never a corpus-wide sort. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = docs

@@ -273,4 +273,83 @@ object GraftProperties extends Properties("graft") {
     dense && flatsOk && noLeadingNull && minutes.distinct.length ==
       minutes.length
   }
+
+  property("chunkSliding covers every token with the right windows") =
+    Prop.forAll(tinyDocsGen) { wordLists =>
+      import spark.implicits._
+      val nonEmpty = wordLists.filter(_.nonEmpty)
+      val docs = nonEmpty.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (w, s) = (4, 3)
+      val got = graft.ext.TextAnalysis.chunkSliding(docs, w, s)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+          (r.getAs[Long]("n_tok"), r.getAs[String]("chunk_text")))
+        .toMap
+      nonEmpty.zipWithIndex.forall { case (ws, i) =>
+        val starts = 0 until ws.length by s
+        starts.zipWithIndex.forall { case (st, ci) =>
+          val exp = ws.slice(st, st + w)
+          got.get((i.toLong, ci.toLong))
+            .contains((exp.length.toLong, exp.mkString(" ")))
+        } && got.keys.count(_._1 == i.toLong) == starts.length
+      }
+    }
+
+  property("containmentPairs equals brute-force |A∩B|/|A| over " +
+    "shingle sets") = Prop.forAll(tinyDocsGen) { wordLists =>
+    import spark.implicits._
+    val docs = wordLists.zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val k = 3
+    val thr = 0.5
+    val got = Dedup.containmentPairs(docs, k, thr, Int.MaxValue)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def sh(ws: List[String]): Set[String] =
+      if (ws.length < k) Set.empty
+      else ws.sliding(k).map(_.mkString(" ")).toSet
+    val sets = wordLists.map(sh)
+    val expected = (for {
+      a <- sets.indices; b <- sets.indices
+      if a != b && sets(a).nonEmpty
+      inter = (sets(a) & sets(b)).size
+      c = inter.toDouble / sets(a).size
+      if inter > 0 && c >= thr
+    } yield (a.toLong, b.toLong) -> c).toMap
+    got == expected
+  }
+
+  private val funnelEvGen: Gen[List[(Long, Int, String)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(0L, 4L)
+      off <- Gen.choose(0, 1000)
+      et <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (user, off, et))
+
+  property("funnel equals the brute-force per-user min-chain") =
+    Prop.forAll(funnelEvGen) { evs =>
+      import spark.implicits._
+      val df = evs.map { case (u, off, et) =>
+        (u, new Timestamp(base + off * 1000L), et, 0.0)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = graft.ext.EventAnalytics.funnel(df).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (Option(r.getAs[Timestamp]("view_ts")).map(_.getTime),
+            Option(r.getAs[Timestamp]("click_ts")).map(_.getTime),
+            Option(r.getAs[Timestamp]("purchase_ts")).map(_.getTime)))
+        .toMap
+      val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+        val t = (et: String) => es.filter(_._3 == et)
+          .map(e => base + e._2 * 1000L)
+        t("view").minOption.map { v =>
+          val c = t("click").filter(_ >= v).minOption
+          val p = c.flatMap(ct => t("purchase").filter(_ >= ct).minOption)
+          u -> ((Some(v), c, p))
+        }
+      }
+      got == expected
+    }
 }
