@@ -69,8 +69,20 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","failures":[${failed.mkString(",")}],"value":${r3(total)}}""")
+    val line = s"""{"metric":"total","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"unit":"sec","failures":[${failed.mkString(",")}],"value":${r3(total)}}"""
+    println(line)
     System.out.flush()
+    // The registry has outgrown the consumer's ~3 KB tail buffer: the
+    // tail-safe field order above keeps the HEADLINE intact under
+    // truncation, but early per-query entries can now be cut. Persist
+    // the full line to a repo-tracked file so the complete per-query
+    // map survives regardless (best-effort: a read-only cwd must not
+    // fail the bench).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")),
+      line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -553,6 +553,41 @@ object ExtQueries {
         .limit(10)
     }),
 
+    // X4: local-supplier volume (the 6-table snowflake with a
+    // cross-dimension equality): revenue where the customer's nation IS
+    // the supplier's nation, per nation, one region + one order-date
+    // window. Scale shape: region⋈nation collapses to a broadcast dim;
+    // supplier broadcasts; the only big shuffles are the fact-side
+    // orders⋈lineitem keys. The c_nationkey = s_nationkey constraint
+    // rides the supplier join as an extra equi-key, never a post-join
+    // filter over an exploded frame.
+    "x4_local_supplier_volume" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1.0).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)"))
+      val asiaNations = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+                lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // E16: duplicate clusters — connected components over the e4 SimHash
     // pair graph, min-id per component as the deterministic cluster id;
     // the "pick one canonical doc per dup group" step after any pairwise
@@ -1073,6 +1108,26 @@ object ExtQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // the cross-dimension equality (customer's nation = supplier's
+    // nation) is part of the supplier join in both engines
+    "x4_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
 
     // smoothed idf ln((N+1)/(df+1)); rank on the ROUNDED score then
     // token so row_number is engine-independent; rk cast BIGINT to
