@@ -197,6 +197,22 @@ object ExtQueries {
     "e11_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameFeatures(Multimodal.asBlobTable(docs(s, dir)))),
 
+    // E11 decode-path gate: the mapPartitions stub-decode (the seam a
+    // real codec plugs into) aggregated per doc and hash-compared to an
+    // oracle twin — frame count, byte total, and the additive byte
+    // checksum are all deterministic, so the partition-local decode
+    // topology is oracle-gated, not just spec-tested (payloads are
+    // ASCII here, so the byte checksum equals the char-code sum the
+    // oracle computes)
+    "e47_multimodal_decode_agg" -> ((s, dir) => {
+      val frames = Multimodal.decodeFrames(
+        Multimodal.asBlobTable(docs(s, dir)))
+      frames.toDF().groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("n_bytes")).cast("long").as("n_bytes"),
+          sum(col("checksum")).as("checksum"))
+    }),
+
     // E14: embedding-cosine near-dup pairs, IVF-pruned by label cell
     // (testdata plants no true embedding dups — threshold 0.4 keeps the
     // operator's output non-trivial; at 0.95 it is correctly empty)
@@ -1591,6 +1607,18 @@ object ExtQueries {
         |  FROM hashed)
         |SELECT DISTINCT doc_id, minh AS fingerprint
         |FROM winm WHERE pos >= 3""".stripMargin,
+
+    // per-doc aggregate of the stub-decoded frames; ASCII payloads make
+    // the additive byte checksum equal the char-code sum
+    "e47_multimodal_decode_agg" ->
+      """SELECT doc_id,
+        |  CAST(ceil(length(text) / CAST(64 AS DOUBLE)) AS BIGINT)
+        |    AS n_frames,
+        |  length(text)::BIGINT AS n_bytes,
+        |  (SELECT sum(ascii(c))
+        |   FROM unnest(string_split(text, '')) AS t(c))::BIGINT
+        |    AS checksum
+        |FROM documents WHERE length(text) > 0""".stripMargin,
 
     "e11_multimodal_frames" ->
       """WITH b AS (
