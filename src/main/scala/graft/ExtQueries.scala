@@ -399,6 +399,13 @@ object ExtQueries {
     "e44_daily_type_stats" -> ((s, dir) =>
       EventAnalytics.dailyTypeStats(Tables.load(s, dir, "events"))),
 
+    // E48: rolling 7-day active users per day (WAU) — windowed COUNT
+    // DISTINCT via explode-to-as-of-days over the DEDUPED (user, day)
+    // frame, never raw events
+    "e48_rolling_active_users" -> ((s, dir) =>
+      EventAnalytics.rollingActiveUsers(
+        Tables.load(s, dir, "events"), 7)),
+
     // E45: weighted deterministic Bernoulli sample — per-row keep
     // probability from a quality proxy (n_chars/200 clamped to 1),
     // realized as an md5-permille threshold: reproducible on any
@@ -1273,6 +1280,25 @@ object ExtQueries {
         |    ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
         |    AS sum_value_3d
         |FROM d""".stripMargin,
+
+    // each (user, day) activity row contributes to 7 as-of days;
+    // variable INTERVAL == Spark's timestampadd(DAY, ...) under the
+    // shared UTC session
+    "e48_rolling_active_users" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |span AS (
+        |  SELECT CAST(day AS TIMESTAMP) + INTERVAL (o) DAY AS as_of_day,
+        |    user_id
+        |  FROM active CROSS JOIN (SELECT unnest(range(0, 7)) AS o) offs),
+        |bounds AS (
+        |  SELECT max(date_trunc('day', ts)) AS max_day FROM events)
+        |SELECT CAST(as_of_day AS TIMESTAMP) AS as_of_day,
+        |  count(DISTINCT user_id) AS wau
+        |FROM span CROSS JOIN bounds
+        |WHERE as_of_day <= CAST(max_day AS TIMESTAMP)
+        |GROUP BY 1""".stripMargin,
 
     // identical md5-permille arithmetic as e18/e37; the weight chain is
     // single IEEE multiply/floor so no rounding is needed

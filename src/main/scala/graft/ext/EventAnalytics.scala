@@ -61,6 +61,31 @@ object EventAnalytics {
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
+  /** Rolling N-day active users (the WAU/MAU family): for each calendar
+    * day up to the data's last day, the count of distinct users active
+    * in the trailing `window` days. Windowed COUNT DISTINCT does not
+    * compose as a window function, so each (user, day) activity row is
+    * exploded to the `window` as-of days it contributes to and the
+    * count runs as a plain distinct aggregate per as-of day — the
+    * explode multiplies the DEDUPED users × days frame (bounded), never
+    * raw event volume, which is what keeps the rollup viable at 100 TB
+    * of events. */
+  def rollingActiveUsers(events: DataFrame,
+                         window: Int = 7): DataFrame = {
+    val active = events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val maxDay = events
+      .agg(date_trunc("DAY", max(col("ts"))).as("max_day"))
+    active
+      .withColumn("o", explode(sequence(lit(0), lit(window - 1))))
+      .withColumn("as_of_day", expr("timestampadd(DAY, o, day)"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("as_of_day") <= col("max_day"))
+      .groupBy(col("as_of_day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+  }
+
   /** Per-(event_type, day) volume and value, with a 3-day trailing mean
     * of the daily value sum — the ingestion-drift dashboard the batch
     * side keeps next to the streaming profile (e33). The rolling window

@@ -52,6 +52,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("E48: rolling active users counts distinct users over the " +
+    "trailing window, capped at the last data day") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), "view", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), "click", 1.0),
+      (3L, ts("2024-01-04 10:00:00"), "view", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventAnalytics.rollingActiveUsers(ev, window = 2).collect()
+      .map(row => row.getAs[Timestamp]("as_of_day") ->
+        row.getAs[Long]("wau")).toMap
+    assert(r == Map(
+      ts("2024-01-01 00:00:00") -> 2L, // u1, u2
+      ts("2024-01-02 00:00:00") -> 2L, // u1 (d1), u2
+      ts("2024-01-03 00:00:00") -> 1L, // u2 (d2)
+      ts("2024-01-04 00:00:00") -> 1L)) // u3; d5 capped away
+  }
+
   test("E44: daily type stats roll a 3-day trailing mean over the " +
     "aggregated frame") {
     val ev = Seq(
