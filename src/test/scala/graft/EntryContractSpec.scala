@@ -9,6 +9,18 @@ class EntryContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("queries without an oracle are exactly the documented sketch " +
+    "exceptions") {
+    // these three are engine-specific sketches (HLL / Greenwald-Khanna)
+    // with no DuckDB hash twin BY DESIGN — the driver records a weaker
+    // rows-only check for them. Any other query missing an oracle is a
+    // gate hole, not a design choice: register its SQL twin.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("e13_approx_distinct_users",
+      "e21_profile_events_approx", "e23_quantile_profile_approx"),
+      s"undocumented oracle-less queries: $noOracle")
+  }
+
   test("entry() smoke: flagship query yields rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
