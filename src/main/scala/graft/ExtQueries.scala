@@ -399,6 +399,31 @@ object ExtQueries {
     "e44_daily_type_stats" -> ((s, dir) =>
       EventAnalytics.dailyTypeStats(Tables.load(s, dir, "events"))),
 
+    // E49: per-source trigram diversity (distinct / total 3-grams) —
+    // the templated-text screen: a source whose diversity collapses is
+    // emitting boilerplate. One explode + one partial-aggregated
+    // groupBy on source; distinct runs inside the aggregate, and the
+    // source domain is bounded so the final frame is tiny
+    "e49_ngram_diversity" -> ((s, dir) => {
+      val wl = docs(s, dir).select(col("source"),
+          expr("filter(split(text, ' '), x -> x != '')").as("w"))
+        .filter(size(col("w")) >= 3)
+      val tri = wl.select(col("source"), explode(expr(
+        """transform(sequence(0, size(w) - 3),
+          |  i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"""
+          .stripMargin)).as("g"))
+      val t = tri.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          count_distinct(col("g")).as("n_distinct_grams"))
+      val d = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      d.join(t, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_grams"),
+          col("n_distinct_grams"),
+          Rounding.duckRound(col("n_distinct_grams").cast("double") /
+            col("n_grams").cast("double"), 6).as("diversity"))
+    }),
+
     // E48: rolling 7-day active users per day (WAU) — windowed COUNT
     // DISTINCT via explode-to-as-of-days over the DEDUPED (user, day)
     // frame, never raw events
@@ -1280,6 +1305,28 @@ object ExtQueries {
         |    ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
         |    AS sum_value_3d
         |FROM d""".stripMargin,
+
+    // 1-based list indexing: range(1, len-1) = 1..len-2 gives the same
+    // trigram set as Spark's 0-based sequence(0, size-3)
+    "e49_ngram_diversity" ->
+      """WITH wl AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x != '') AS w
+        |  FROM documents),
+        |tri AS (
+        |  SELECT source, unnest(list_transform(range(1, len(w) - 1),
+        |    i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))) AS g
+        |  FROM wl WHERE len(w) >= 3),
+        |t AS (
+        |  SELECT source, count(*) AS n_grams,
+        |    count(DISTINCT g) AS n_distinct_grams
+        |  FROM tri GROUP BY 1),
+        |d AS (SELECT source, count(*) AS n_docs FROM documents
+        |      GROUP BY 1)
+        |SELECT source, n_docs, n_grams, n_distinct_grams,
+        |  round(CAST(n_distinct_grams AS DOUBLE) /
+        |        CAST(n_grams AS DOUBLE), 6) AS diversity
+        |FROM d JOIN t USING (source)""".stripMargin,
 
     // each (user, day) activity row contributes to 7 as-of days;
     // variable INTERVAL == Spark's timestampadd(DAY, ...) under the

@@ -135,6 +135,26 @@ class ExtOpsSpec extends SparkSpec {
     assert(ch(3L) == (1L, "t9")) // final chunk truncated
   }
 
+  test("E49: trigram diversity is distinct over total per source") {
+    val d = Seq(
+      (1L, "a b c a b c", "A"),  // grams: abc, bca, cab, abc → 4/3
+      (2L, "x y z w", "B"))      // grams: xyz, yzw → 2/2
+      .toDF("doc_id", "text", "source")
+    // pins the trigram construction the e49 composition uses
+    val wl = d.select(col("source"),
+      expr("filter(split(text, ' '), x -> x != '')").as("w"))
+    val tri = wl.filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(w) - 3),
+          |  i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"""
+          .stripMargin)).as("g"))
+    val got = tri.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("g")).as("nd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nd"))).toMap
+    assert(got("A") == ((4L, 3L)) && got("B") == ((2L, 2L)))
+  }
+
   test("E42: PMI scores a bigram against its unigram probabilities") {
     val d = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
     // bigrams: (x,y)x3, (y,x)x2 → B=5; unigrams x=3, y=3 → T=6
