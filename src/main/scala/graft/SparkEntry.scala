@@ -165,8 +165,8 @@ object SparkEntry {
     queries("g1_g2_g3_ohlc_resample")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
-    * E-op extensions from [[ExtQueries]]. A `lazy val`: the 80-entry map
-    * is built once per JVM (Bench/Verify look queries up per name). */
+    * E-op extensions from [[ExtQueries]]. A `lazy val`: the 100+-entry
+    * map is built once per JVM (Bench/Verify look queries up per name). */
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ ExtQueries.queries
 
