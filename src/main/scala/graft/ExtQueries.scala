@@ -447,6 +447,34 @@ object ExtQueries {
     "e46_packed_shards" -> ((s, dir) =>
       Packing.packedShards(docs(s, dir), 8)),
 
+    // E36 streaming replay — the stream-STATIC join gate: the events
+    // stream enriched against the batch-computed per-type winsorization
+    // bounds via a broadcast stream-static join (THE standard streaming
+    // enrichment topology: the dimension is bounded, the stream never
+    // shuffles) and clamped row by row; the replay must converge to the
+    // batch winsorization oracle exactly. Stateless, so append mode
+    // emits every row once.
+    "e36_streaming_winsorize_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type")).agg(
+        Rounding.duckRound(percentile(col("value"), lit(0.05)), 6)
+          .as("lo"),
+        Rounding.duckRound(percentile(col("value"), lit(0.95)), 6)
+          .as("hi"))
+      val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = Tables.normalizeNanos(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val clamped = stream.join(broadcast(bounds), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          Rounding.duckRound(
+            greatest(col("lo"), least(col("hi"), col("value"))), 6)
+            .as("value_w"))
+      StreamingOhlc.replayToBatchAppend(s, clamped)
+    }),
+
     // E39 streaming replay: the events stream pushed through the keyed
     // funnel state machine (flatMapGroupsWithState, append) — the
     // single-batch AvailableNow replay must converge to the batch
@@ -1377,6 +1405,18 @@ object ExtQueries {
         |  md5(string_agg(text, chr(10) || chr(10)
         |    ORDER BY r, doc_id)) AS packed_md5
         |FROM t GROUP BY 1""".stripMargin,
+
+    // the stream-static-join replay must converge to the batch
+    // winsorization (e36's oracle verbatim)
+    "e36_streaming_winsorize_replay" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type,
+        |  round(greatest(lo, least(hi, value)), 6) AS value_w
+        |FROM events e JOIN q USING (event_type)""".stripMargin,
 
     // the replayed stream must converge to the batch funnel chain
     "e39_streaming_funnel_replay" ->

@@ -90,6 +90,13 @@ object SparkEntry {
       sfDir.replaceAll("[^A-Za-z0-9.]", "_")
   @volatile private var csvFixtureDir: String = fixtureDirFor("unset")
 
+  /** Same per-(process, sfDir) fixture contract for the JSON-lines scan
+    * (s3_json_scan). */
+  private def jsonFixtureDirFor(sfDir: String): String =
+    "/tmp/graft_json_fixture_events_" + ProcessHandle.current().pid() +
+      "_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+  @volatile private var jsonFixtureDir: String = jsonFixtureDirFor("unset")
+
   // ------------------------------------------------------------ oracle SQL
   /** The canonical tick frame (Tables.ticks) as a DuckDB CTE. */
   private val ticksCte = s"ticks AS (${Tables.ticksSql})"
@@ -208,6 +215,19 @@ object SparkEntry {
       Tables.load(s, dir, "events")
         .select(col("event_id"), col("ts"), col("value"))
         .filter(col("value") >= 0.0001)),
+
+    // S3 (ext): JSON-lines scan with a DECLARED schema (no inference
+    // pass) — the third source format. Round-trips 500 events through
+    // the JSON sink + scan; the oracle re-reads the SAME fixture with
+    // DuckDB read_json, so the compare is between the two engines'
+    // JSON scan + explicit-format timestamp parse paths.
+    "s3_json_scan" -> ((s, dir) => {
+      jsonFixtureDir = jsonFixtureDirFor(dir)
+      sources.JsonSources.writeEvents(
+        Tables.load(s, dir, "events").orderBy(col("event_id")).limit(500),
+        jsonFixtureDir)
+      sources.JsonSources.loadEvents(s, jsonFixtureDir)
+    }),
 
     // P1: two-field string → timestamp parse (reference format)
     "p1_parse_timestamp" -> ((s, dir) =>
@@ -783,6 +803,18 @@ object SparkEntry {
 
     "s2_scan_prune" ->
       "SELECT event_id, ts, value FROM events WHERE value >= 0.0001",
+
+    // reads the fixture the Spark query just wrote (same contract as
+    // s1): JSON scan vs JSON scan, explicit %f timestamp parse
+    "s3_json_scan" ->
+      s"""SELECT event_id,
+         |  strptime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         |  event_type, value
+         |FROM read_json('$jsonFixtureDir/*.json',
+         |  format = 'newline_delimited',
+         |  columns = {'event_id': 'BIGINT', 'ts': 'VARCHAR',
+         |             'event_type': 'VARCHAR', 'value': 'DOUBLE'})"""
+        .stripMargin,
 
     "p1_parse_timestamp" ->
       ("SELECT event_id, strptime(strftime(ts, '%Y.%m.%d %H:%M:%S'), " +
