@@ -552,6 +552,24 @@ object SparkEntry {
         rightVals = Seq("cp_value"))
     }),
 
+    // J5 tolerance variant: a prior checkpoint further than 2 minutes
+    // back is no match (pandas merge_asof tolerance semantics) — the
+    // bound is an exact integer-microsecond projection after the same
+    // union–sort–fill join
+    "j5_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val cp = ev
+        .groupBy(col("user_id"),
+          date_trunc("minute", col("ts")).as("cp_ts"))
+        .agg(max(col("value")).as("cp_value"))
+        .filter(minute(col("cp_ts")) % 5 === 0)
+      ops.AsofJoin.asofTolerance(
+        ev.select(col("event_id"), col("ts"), col("user_id"),
+          col("value")),
+        cp, keys = Seq("user_id"), leftTime = "ts", rightTime = "cp_ts",
+        rightVals = Seq("cp_value"), toleranceSec = 120L)
+    }),
+
     // J6 (engine extension): interval-containment join — classify each
     // event's value into an irregular band via a broadcast range join
     // (BroadcastNestedLoopJoin over a catalog-sized interval dimension;
@@ -1090,6 +1108,27 @@ object SparkEntry {
         |       cp.cp_ts AS asof_ts, cp.cp_value AS asof_cp_value
         |FROM events e ASOF LEFT JOIN cp
         |  ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts""".stripMargin,
+
+    // the tolerance bound nulls the whole match row, exactly as the
+    // Spark projection does
+    "j5_asof_tolerance" ->
+      """WITH cp AS (
+        |  SELECT user_id, cp_ts, max(value) AS cp_value
+        |  FROM (SELECT user_id, date_trunc('minute', ts) AS cp_ts, value
+        |        FROM events) t
+        |  WHERE minute(cp_ts) % 5 = 0
+        |  GROUP BY 1, 2)
+        |SELECT event_id, ts, user_id, value,
+        |  CASE WHEN ts - cp_ts <= INTERVAL 120 SECOND THEN cp_ts
+        |       END AS asof_ts,
+        |  CASE WHEN ts - cp_ts <= INTERVAL 120 SECOND THEN cp_value
+        |       END AS asof_cp_value
+        |FROM (
+        |  SELECT e.event_id, e.ts, e.user_id, e.value,
+        |         cp.cp_ts, cp.cp_value
+        |  FROM events e ASOF LEFT JOIN cp
+        |    ON e.user_id = cp.user_id AND e.ts >= cp.cp_ts)"""
+        .stripMargin,
 
     "j6_range_join" ->
       """WITH bands AS (

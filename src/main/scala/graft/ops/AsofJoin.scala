@@ -72,4 +72,25 @@ object AsofJoin {
           (s"${prefix}ts" +: rightVals.map(prefix + _))
             .map(f => col(s"_rp.$f").as(f)): _*)
   }
+
+  /** [[asof]] with a match tolerance (pandas `merge_asof(tolerance=…)`):
+    * a prior right row further than `toleranceSec` behind the left time
+    * does not count — all attached columns revert to NULL together (the
+    * match is a row, never a per-column mix). The bound is applied in
+    * integer MICROSECONDS after the join, so it costs one codegen'd
+    * projection and is exact at timestamp precision — no change to the
+    * union–sort–fill topology or its single shuffle. */
+  def asofTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftTime: String, rightTime: String,
+                    rightVals: Seq[String], toleranceSec: Long,
+                    prefix: String = "asof_"): DataFrame = {
+    val joined = asof(left, right, keys, leftTime, rightTime, rightVals,
+      prefix)
+    val within = col(s"${prefix}ts").isNotNull &&
+      unix_micros(col(leftTime)) - unix_micros(col(s"${prefix}ts")) <=
+        toleranceSec * 1000000L
+    (s"${prefix}ts" +: rightVals.map(prefix + _)).foldLeft(joined) {
+      case (df, c) => df.withColumn(c, when(within, col(c)))
+    }
+  }
 }

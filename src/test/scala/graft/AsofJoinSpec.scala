@@ -60,4 +60,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.count() == 6)
     assert(r.filter(col("asof_rv").isNotNull).count() == 0)
   }
+
+  test("tolerance nulls matches further back than the bound, whole " +
+    "row at once") {
+    // 60 s tolerance: id 102 (4m59s after r1) and id 103 (1m after r2)
+    // → only 101 (0 s) and 103 (60 s, inclusive) and 104 (60 s) keep
+    // their match; the stale ones null BOTH the ts and the values
+    val got = AsofJoin.asofTolerance(left, right, Seq("k"), "lt", "rt",
+      Seq("rv", "tag"), toleranceSec = 60L).orderBy("id")
+      .select("id", "asof_ts", "asof_rv", "asof_tag").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(101L)._2.contains(1.0))
+    assert(got(102L) == ((None, None, None))) // stale: 299 s back
+    assert(got(103L)._3.contains("r2"))       // 60 s back, inclusive
+    assert(got(104L)._2.contains(9.0))
+    assert(got(100L) == ((None, None, None))) // never matched
+  }
 }
