@@ -29,8 +29,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
-    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
-  def md5Long(c: Column): Column =
+    * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Backed by
+    * the native one-pass [[graft.functions.Md5Long64]] expression
+    * (bit-identical to the portable
+    * `conv(substring(md5(c), 1, 15), 16, 10)` chain, property-tested in
+    * Md5LongSpec) — this hash runs once per SHINGLE in every dedup
+    * operator, and the native form skips the three throwaway strings
+    * per call. */
+  def md5Long(c: Column): Column = graft.functions.Md5Long64(c)
+
+  /** The portable 4-op chain [[md5Long]] replaces; kept for the
+    * equivalence spec. */
+  private[graft] def md5LongPortable(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Exact dedup via content fingerprint: groups by md5(text), keeps the

@@ -30,5 +30,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_dot takes exactly 2 arguments, got ${children.size}")
         DoubleDot(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_md5long"),
+      new ExpressionInfo(classOf[Md5Long64].getName, "graft_md5long",
+        "graft_md5long(s) - first 60 bits of md5(s) as a non-negative " +
+          "BIGINT, one-pass (== conv(substring(md5(s),1,15),16,10))"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"graft_md5long takes exactly 1 argument, got ${children.size}")
+        Md5Long64(children.head)
+      }))
   }
 }
