@@ -629,6 +629,34 @@ object ExtQueries {
         .limit(10)
     }),
 
+    // X5: returned-item revenue report (the customer-grain top-k):
+    // which customers drove the most returned revenue in a half-year
+    // window. Fact side filters BEFORE the joins (returnflag on
+    // lineitem, date on orders — both reach their scans), customer and
+    // nation broadcast, and the top-20 is TakeOrderedAndProject over
+    // the customer-grain aggregate with a deterministic key tie-break.
+    "x5_returned_revenue" -> ((s, dir) => {
+      val rev = col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1.0).cast("decimal(3,2)") -
+          col("l_discount").cast("decimal(3,2)"))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.load(s, dir, "orders")
+            .filter(col("o_orderdate") >=
+                lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(rev).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // X4: local-supplier volume (the 6-table snowflake with a
     // cross-dimension equality): revenue where the customer's nation IS
     // the supplier's nation, per nation, one region + one order-date
@@ -1184,6 +1212,23 @@ object ExtQueries {
         |  AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // same exact-DECIMAL revenue; full ORDER BY tie-break for the LIMIT
+    "x5_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1.0 AS DECIMAL(3,2)) -
+        |     CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     // the cross-dimension equality (customer's nation = supplier's
     // nation) is part of the supplier join in both engines

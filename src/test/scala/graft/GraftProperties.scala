@@ -108,7 +108,19 @@ object GraftProperties extends Properties("graft") {
         i.toLong -> prior.sortBy(_._2).lastOption
           .map { case (rk, roff) => rk * 1000.0 + roff }
       }.toMap
-      got == expected
+      // and the tolerance form: same lookup, but a match further than
+      // 60 s behind reverts to None
+      val gotTol = AsofJoin.asofTolerance(l, r, Seq("k"), "lt", "rt",
+        Seq("rv"), toleranceSec = 60L)
+        .collect().map(x => x.getLong(2) ->
+          (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+      val expectedTol = lefts.zipWithIndex.map { case ((k, off), i) =>
+        val prior = rights.filter(rr => rr._1 == k && rr._2 <= off)
+        i.toLong -> prior.sortBy(_._2).lastOption
+          .filter { case (_, roff) => off - roff <= 60 }
+          .map { case (rk, roff) => rk * 1000.0 + roff }
+      }.toMap
+      got == expected && gotTol == expectedTol
     }
 
   private val tinyDocsGen: Gen[List[List[String]]] =
