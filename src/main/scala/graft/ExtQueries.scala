@@ -424,6 +424,33 @@ object ExtQueries {
             col("n_grams").cast("double"), 6).as("diversity"))
     }),
 
+    // E50: per-source token-distribution KL divergence vs the corpus —
+    // the distribution-drift measure a mix planner watches (a source
+    // drifting from the corpus distribution shifts the training mix).
+    // Same keyed-count topology as tf-idf: (source, tok) counts join
+    // the corpus token counts; per-source totals broadcast; the KL sum
+    // is a partial-aggregated groupBy on the bounded source domain.
+    // Each term is ~1e-3 and the sum rounds at 6 decimals, so the
+    // accumulation-order difference between engines is far below the
+    // rounding floor.
+    "e50_source_kl_divergence" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("source"),
+        explode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as("tok"))
+      val st = tok.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c_st"))
+      val ts = st.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+      val ct = tok.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+      val tot = ct.agg(sum(col("c_t")).as("t"))
+      val ps = col("c_st").cast("double") / col("t_s").cast("double")
+      val pc = col("c_t").cast("double") / col("t").cast("double")
+      st.join(broadcast(ts), Seq("source"))
+        .join(ct, Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(Rounding.duckRound(sum(ps * log(ps / pc)), 6).as("kl"))
+    }),
+
     // E48: rolling 7-day active users per day (WAU) — windowed COUNT
     // DISTINCT via explode-to-as-of-days over the DEDUPED (user, day)
     // frame, never raw events
@@ -1378,6 +1405,29 @@ object ExtQueries {
         |    ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
         |    AS sum_value_3d
         |FROM d""".stripMargin,
+
+    // identical probability-ratio expression tree; per-term magnitude
+    // ~1e-3 keeps accumulation-order noise far below the 6-decimal
+    // rounding
+    "e50_source_kl_divergence" ->
+      """WITH tok AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |        AS tok
+        |    FROM documents)),
+        |st AS (SELECT source, tok, count(*) AS c_st FROM tok
+        |       GROUP BY 1, 2),
+        |s AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY 1),
+        |ct AS (SELECT tok, count(*) AS c_t FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c_t) AS t FROM ct)
+        |SELECT source,
+        |  round(sum((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+        |    ln((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) /
+        |       (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)))), 6) AS kl
+        |FROM st JOIN s USING (source) JOIN ct USING (tok)
+        |CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
 
     // 1-based list indexing: range(1, len-1) = 1..len-2 gives the same
     // trigram set as Spark's 0-based sequence(0, size-3)
