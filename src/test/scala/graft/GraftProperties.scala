@@ -341,6 +341,59 @@ object GraftProperties extends Properties("graft") {
       et <- Gen.oneOf("view", "click", "purchase", "error")
     } yield (user, off, et))
 
+  property("retention equals the brute-force cohort fold") =
+    Prop.forAll(funnelEvGen) { evs =>
+      import spark.implicits._
+      val dayMs = 86400000L
+      val df = evs.map { case (u, off, et) =>
+        // spread offsets over ~3 days so cohorts and offsets vary
+        (u, new Timestamp(base + off * 300000L), et, 0.0)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = graft.ext.EventAnalytics.retention(df, maxOffset = 7)
+        .collect()
+        .map(r => (r.getAs[Timestamp]("cohort_day").getTime,
+          r.getAs[Int]("day_offset")) -> r.getAs[Long]("n_users"))
+        .toMap
+      def dayOf(off: Int): Long = {
+        val t = base + off * 300000L
+        t - Math.floorMod(t, dayMs)
+      }
+      val cohort = evs.groupBy(_._1)
+        .map { case (u, es) => u -> es.map(e => dayOf(e._2)).min }
+      val expected = evs.map(e => (e._1, dayOf(e._2))).distinct
+        .map { case (u, d) =>
+          (cohort(u), ((d - cohort(u)) / dayMs).toInt) -> u }
+        .filter(_._1._2 <= 7)
+        .groupBy(_._1).map { case (k, us) =>
+          k -> us.map(_._2).distinct.size.toLong }
+      got == expected
+    }
+
+  property("rolling active users equals the brute-force window count") =
+    Prop.forAll(funnelEvGen) { evs =>
+      import spark.implicits._
+      val dayMs = 86400000L
+      val df = evs.map { case (u, off, et) =>
+        (u, new Timestamp(base + off * 300000L), et, 0.0)
+      }.toDF("user_id", "ts", "event_type", "value")
+      val got = graft.ext.EventAnalytics.rollingActiveUsers(df, 3)
+        .collect()
+        .map(r => r.getAs[Timestamp]("as_of_day").getTime ->
+          r.getAs[Long]("wau")).toMap
+      def dayOf(off: Int): Long = {
+        val t = base + off * 300000L
+        t - Math.floorMod(t, dayMs)
+      }
+      val active = evs.map(e => (e._1, dayOf(e._2))).distinct
+      val maxDay = active.map(_._2).max
+      val expected = active
+        .flatMap { case (u, d) => (0 until 3).map(o => (d + o * dayMs, u)) }
+        .filter(_._1 <= maxDay)
+        .groupBy(_._1)
+        .map { case (d, us) => d -> us.map(_._2).distinct.size.toLong }
+      got == expected
+    }
+
   property("funnel equals the brute-force per-user min-chain") =
     Prop.forAll(funnelEvGen) { evs =>
       import spark.implicits._
