@@ -304,6 +304,29 @@ object ExtQueries {
     // tokenizer-training frequency pass
     "e24_vocab_top" -> ((s, dir) => TextAnalysis.topTokens(docs(s, dir))),
 
+    // E24 streaming replay: streaming word-count — the complete-mode
+    // windowless aggregation shape (state = one count per distinct
+    // token, partial-aggregated per micro-batch into the state store).
+    // The replayed count table then takes the batch top-k/rank exactly
+    // as topTokens does; convergence to e24's oracle gates the
+    // streaming aggregation, the batch side only orders its output.
+    "e24_streaming_vocab_replay" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val counts = stream
+        .select(explode(expr("filter(split(text, ' '), x -> x != '')"))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      StreamingOhlc.replayToBatch(s, counts)
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(100)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+    }),
+
     // E34: adjacent-pair frequencies — the counting pass of one BPE
     // merge iteration (top row = the merge rule the trainer picks);
     // map-side pair explode, partial-aggregated, TakeOrderedAndProject
@@ -1543,6 +1566,18 @@ object ExtQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "e24_vocab_top" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x != '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |ranked AS (SELECT tok, cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM cnt)
+        |SELECT tok, cnt, rank FROM ranked WHERE rank <= 100""".stripMargin,
+
+    // the replayed streaming word-count must converge to the batch
+    // vocabulary (e24's oracle verbatim)
+    "e24_streaming_vocab_replay" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split(text, ' '),
         |    x -> x != '')) AS tok
