@@ -75,14 +75,18 @@ object Bench {
     // The registry has outgrown the consumer's ~3 KB tail buffer: the
     // tail-safe field order above keeps the HEADLINE intact under
     // truncation, but early per-query entries can now be cut. Persist
-    // the full line to a repo-tracked file so the complete per-query
-    // map survives regardless (best-effort: a read-only cwd must not
-    // fail the bench).
+    // the full line to a file so the complete per-query map survives
+    // regardless (best-effort: a read-only cwd must not fail the
+    // bench). The default path is RUN-STAMPED: the repo tracks one
+    // curated quiesced BENCHFULL.json, and a contended round-close run
+    // writing to a fresh BENCHFULL_<epoch>.json can never clobber it
+    // (the r01/r02/r05/r06 phantom-regression pattern). Set
+    // SPARK_GRAFT_BENCH_OUT to write a fixed path deliberately.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCHFULL_${System.currentTimeMillis() / 1000}.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCHFULL.json")),
-      line + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

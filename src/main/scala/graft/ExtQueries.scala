@@ -157,6 +157,28 @@ object ExtQueries {
     "e3_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5, 100)),
 
+    // E51: incremental (delta) dedup against a PERSISTED signature
+    // index — the daily 100 TB operational mode. The "old corpus"
+    // (doc_id % 10 != 0) is indexed, written to parquet, and reopened;
+    // the "new batch" (doc_id % 10 == 0) is then deduped against the
+    // store without re-shingling the corpus, including the corpus-wide
+    // df-cap re-evaluation (a batch shingle can push an old shingle
+    // over the cap, changing OLD docs' signatures — deltaDedup
+    // recomputes exactly those). Oracle: the full-corpus e3 pipeline
+    // restricted to pairs touching the batch — delta == full, the
+    // dedup twin of g8's merge == full candle contract.
+    "e51_delta_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tmp = "/tmp/graft_sigidx_" + ProcessHandle.current().pid() +
+        "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Dedup.buildSignatureIndex(d.filter(col("doc_id") % 10 =!= 0),
+        5, 16, 2, 100).write(tmp)
+      Dedup.releasePinnedCaches()
+      val idx = Dedup.SignatureIndex.read(s, tmp)
+      Dedup.deltaDedupPairs(idx, d.filter(col("doc_id") % 10 === 0),
+        5, 16, 2, 0.5, 100)
+    }),
+
     // E4: SimHash near-dup pairs via 8-bit chunk banding
     "e4_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3)),
@@ -527,8 +549,15 @@ object ExtQueries {
 
     // E39 streaming replay: the events stream pushed through the keyed
     // funnel state machine (flatMapGroupsWithState, append) — the
-    // single-batch AvailableNow replay must converge to the batch
-    // funnel chain exactly (same gate family as g1/e1/u2/w6/e33)
+    // AvailableNow replay must converge to the batch funnel chain
+    // exactly (same gate family as g1/e1/u2/w6/e33). Append mode emits
+    // one refined chain per user per batch, so the replay keeps only
+    // each user's LATEST emission (max emit_seq) — the gate no longer
+    // depends on the fixture replaying as a single micro-batch (a
+    // multi-file source or a maxFilesPerTrigger change yields stale
+    // earlier emissions, which the dedup discards). Cross-batch
+    // out-of-order clicks remain subject to the documented in-order
+    // arrival contract.
     "e39_streaming_funnel_replay" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -542,8 +571,12 @@ object ExtQueries {
         .as[graft.streaming.StreamingFunnel.EvIn]
       StreamingOhlc.replayToBatchAppend(s,
         graft.streaming.StreamingFunnel.funnel(ins).toDF())
-        .select(col("user_id"), col("view_ts"), col("click_ts"),
-          col("purchase_ts"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("emit_seq"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"))).as("m"))
+        .select(col("user_id"), col("m.view_ts").as("view_ts"),
+          col("m.click_ts").as("click_ts"),
+          col("m.purchase_ts").as("purchase_ts"))
     }),
 
     // E25: deterministic shuffle-shard export assignment over documents
@@ -941,36 +974,13 @@ object ExtQueries {
          |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
          |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
 
-    "e3_dedup_minhash_lsh" ->
-      s"""WITH $shinglesCte, $jaccardTailSql,
-         |h0s AS (
-         |  SELECT doc_id, h % 2147483647 AS h0
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, seed,
-         |    min((h0 * (seed * 2 + 1) + seed * 7919 + 13) % 2147483647)
-         |      AS mh
-         |  FROM h0s CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
-         |  GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |    ('0x' || substr(md5(
-         |      string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)
-         |    ), 1, 15))::BIGINT AS band_key
-         |  FROM mh GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_key = y.band_key
-         |   AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
-         |FROM cand
-         |JOIN inter USING (doc_a, doc_b)
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
-         |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "e3_dedup_minhash_lsh" -> minhashLshOracleSql(""),
+
+    // delta==full contract: the SAME full-corpus LSH pipeline as e3,
+    // restricted to pairs touching the batch (doc_id % 10 = 0) — what
+    // the incremental run against the persisted index must reproduce
+    "e51_delta_dedup" -> minhashLshOracleSql(
+      "\n  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"),
 
     "e4_dedup_simhash" ->
       s"""WITH $simhashPairsCtes
@@ -1004,6 +1014,40 @@ object ExtQueries {
     // the star-contraction backend must reach the identical fixpoint
     "e16_star_dup_clusters" -> e16OracleSql,
   ) ++ extraOracleSql
+
+  /** The full-corpus MinHash+LSH pair pipeline (e3's oracle), with an
+    * optional extra predicate appended to the final WHERE — the e51
+    * delta gate restricts it to pairs touching the batch. */
+  private def minhashLshOracleSql(extraPred: String): String =
+    s"""WITH $shinglesCte, $jaccardTailSql,
+       |h0s AS (
+       |  SELECT doc_id, h % 2147483647 AS h0
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, seed,
+       |    min((h0 * (seed * 2 + 1) + seed * 7919 + 13) % 2147483647)
+       |      AS mh
+       |  FROM h0s CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |    ('0x' || substr(md5(
+       |      string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)
+       |    ), 1, 15))::BIGINT AS band_key
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+       |FROM cand
+       |JOIN inter USING (doc_a, doc_b)
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
+       |      >= CAST(0.5 AS DOUBLE)$extraPred""".stripMargin
 
   private lazy val e16OracleSql: String =
       s"""WITH RECURSIVE $simhashPairsCtes,
@@ -1390,7 +1434,8 @@ object ExtQueries {
         |          FROM wl WHERE len(w) >= 2))
         |  GROUP BY 1, 2 HAVING count(*) >= 10),
         |tot AS (SELECT (SELECT sum(c) FROM uc) AS n_tok,
-        |               (SELECT sum(c_ab) FROM bc) AS n_bi)
+        |               (SELECT sum(len(w) - 1) FROM wl WHERE len(w) >= 2)
+        |                 AS n_bi)
         |SELECT tok_a, tok_b, c_ab,
         |  round(ln((CAST(c_ab AS DOUBLE) / CAST(n_bi AS DOUBLE)) /
         |    ((CAST(a.c AS DOUBLE) / CAST(n_tok AS DOUBLE)) *

@@ -117,10 +117,12 @@ object Clustering {
     * Both are one shuffle each (a per-vertex window min over the edge
     * list — the same keyed-exchange shape as the min-label join), both
     * preserve connectivity, and their fixpoints are exactly the star
-    * graphs rooted at component minima. Convergence is checked with one
-    * anti-join per round (`except` on the canonical edge set); each
-    * round ends in an eager `localCheckpoint()` for the same
-    * lineage-truncation reason as [[connectedComponents]].
+    * graphs rooted at component minima. Convergence is checked with ONE
+    * action per round — a bag-union multiplicity count over the two
+    * checkpointed canonical edge sets (equal sets ⟺ every edge appears
+    * exactly twice); each round ends in an eager `localCheckpoint()`
+    * for the same lineage-truncation reason as
+    * [[connectedComponents]].
     */
   def connectedComponentsStar(edges: DataFrame,
                               maxIter: Int = 50): DataFrame = {
@@ -164,9 +166,13 @@ object Clustering {
         .distinct()
         .localCheckpoint()
       // fixpoint: star graphs are invariant under both phases. Both
-      // sides are distinct canonical sets, so set equality is a count
-      // match plus one empty anti-join.
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      // sides are distinct canonical sets, so set equality ⟺ every
+      // (u, v) appears exactly TWICE in the bag union — ONE aggregate
+      // action per round (both inputs are checkpointed, so the union
+      // rescans stored partitions; the previous count+count+except form
+      // was three actions of driver round-trip for the same answer).
+      converged = ss.union(e).groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") =!= 2).isEmpty
       e = ss
       iter += 1
     }

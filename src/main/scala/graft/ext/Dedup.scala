@@ -18,15 +18,41 @@ import org.apache.spark.sql.functions._
   * 100 TB the band-bucket join is the standard MinHash dedup topology
   * (map-side shingling → shuffle on band key → per-bucket pairs).
   *
-  * Cache contract: [[ngramJaccardPairs]] and [[minhashLshPairs]] pin
-  * intermediate caches (shingle hashes, candidate pairs) that outlive the
-  * returned DataFrame — unpersisting before the caller's action would
-  * force recomputation mid-plan. Verify/Bench clearCache() per query;
-  * a long-lived library session calling these repeatedly should
-  * `spark.sharedState.cacheManager.clearCache()` (or drop the session)
-  * when done with the results.
+  * Cache contract: [[ngramJaccardPairs]], [[minhashLshPairs]],
+  * [[containmentPairs]], [[cappedShingleHashes]], and
+  * [[deltaDedupPairs]] pin intermediate caches (shingle hashes,
+  * candidate pairs) that outlive the returned DataFrame — unpersisting
+  * before the caller's action would force recomputation mid-plan. Every
+  * pinned frame is tracked; after the final action on a result, call
+  * [[releasePinnedCaches]] to drop exactly the caches this module
+  * pinned (so a library consumer can run these operators in a loop
+  * without unbounded cache growth, and without clobbering unrelated
+  * caches the way a global
+  * `spark.sharedState.cacheManager.clearCache()` would). Verify/Bench
+  * use the global clearCache() per query, which also satisfies the
+  * contract.
   */
 object Dedup {
+
+  /** Caches pinned by operators in this module and not yet released.
+    * Unpersist is idempotent, so frames also cleared globally (e.g. by
+    * Verify/Bench) release as a no-op. */
+  private val pinnedCaches =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def pin(df: DataFrame): DataFrame = synchronized {
+    pinnedCaches += df.cache()
+    df
+  }
+
+  /** Drop every cache pinned by this module's operators since the last
+    * release. Call AFTER the final action on their results (the caches
+    * back the returned plans; releasing earlier forces mid-plan
+    * recomputation). Blocking, so the memory is free on return. */
+  def releasePinnedCaches(): Unit = synchronized {
+    pinnedCaches.foreach(_.unpersist(blocking = true))
+    pinnedCaches.clear()
+  }
 
   /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Backed by
@@ -91,7 +117,7 @@ object Dedup {
     // and the semi-join probe both consume them, and an unmaterialized
     // cache consumed by two branches of one job is rebuilt by each
     // branch (the shingle scan + md5 is the expensive part).
-    val sh = shingleHashes(docs, k).cache()
+    val sh = pin(shingleHashes(docs, k))
     sh.count()
     capDf(sh, maxDf)
   }
@@ -140,7 +166,7 @@ object Dedup {
     // base hashes are released once the capped frame is materialized.
     val sh0 = shingleHashes(docs, k).cache()
     sh0.count()
-    val sh = capDf(sh0, maxDf).cache()
+    val sh = pin(capDf(sh0, maxDf))
     sh.count()
     sh0.unpersist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -178,7 +204,7 @@ object Dedup {
                        maxDf: Int = 100): DataFrame = {
     val sh0 = shingleHashes(docs, k).cache()
     sh0.count()
-    val sh = capDf(sh0, maxDf).cache()
+    val sh = pin(capDf(sh0, maxDf))
     sh.count()
     sh0.unpersist()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -268,7 +294,7 @@ object Dedup {
     // (the multi-branch rebuild this file's comments measure at ~5x).
     val sh0 = shingleHashes(docs, k).cache()
     sh0.count()
-    val sh = capDf(sh0, maxDf).cache()
+    val sh = pin(capDf(sh0, maxDf))
     sh.count()
     sh0.unpersist() // sh's cache fully populated; base releasable
     val bands = lshBands(minhash(sh, numHashes), numHashes, rowsPerBand)
@@ -291,7 +317,7 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-      .cache()
+    pin(candidates)
     candidates.count() // eager — consumed by semi-join AND final join
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // The exact-Jaccard verification intersects shingles ONLY for docs
@@ -317,6 +343,204 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Persisted signature store for INCREMENTAL (delta) dedup — the
+    * operational mode a 100 TB pipeline runs daily: dedup today's batch
+    * against yesterday's index without re-shingling the corpus. Three
+    * mergeable frames (the dedup twin of
+    * [[graft.ops.Resample.ohlcPartials]]'s candle store):
+    *
+    *  - `sig`   (doc_id, h): RAW distinct shingle hashes per document —
+    *    uncapped, because the df cap is corpus-wide and must be
+    *    re-evaluated as the corpus grows;
+    *  - `df`    (h, df): per-shingle document frequency — the partial
+    *    the cap re-evaluation merges batch counts into;
+    *  - `bands` (doc_id, band, band_key): LSH band keys under the
+    *    store's then-current df cap — the candidate-probe index.
+    *
+    * At scale each frame is partitioned parquet (`sig`/`bands` bucketed
+    * by their join keys); [[write]]/[[SignatureIndex.read]] round-trip
+    * the plain-parquet form the e51 gate uses. */
+  final case class SignatureIndex(sig: DataFrame, df: DataFrame,
+                                  bands: DataFrame) {
+    /** Persist all three frames under `dir`. */
+    def write(dir: String): Unit = {
+      sig.write.mode("overwrite").parquet(s"$dir/sig")
+      df.write.mode("overwrite").parquet(s"$dir/df")
+      bands.write.mode("overwrite").parquet(s"$dir/bands")
+    }
+  }
+
+  object SignatureIndex {
+    /** Reopen a persisted index. */
+    def read(spark: org.apache.spark.sql.SparkSession,
+             dir: String): SignatureIndex =
+      SignatureIndex(
+        spark.read.parquet(s"$dir/sig"),
+        spark.read.parquet(s"$dir/df"),
+        spark.read.parquet(s"$dir/bands"))
+  }
+
+  /** Build a [[SignatureIndex]] from a corpus — the one-time (or
+    * first-day) full pass. `sig` is pinned (see the module cache
+    * contract) because the df aggregate, the band derivation, and the
+    * caller's persist all consume it. */
+  def buildSignatureIndex(docs: DataFrame, k: Int = 5,
+                          numHashes: Int = 16, rowsPerBand: Int = 2,
+                          maxDf: Int = 100): SignatureIndex = {
+    val sig = pin(shingleHashes(docs, k))
+    sig.count()
+    val dfCounts = sig.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val capped = sig.join(
+      dfCounts.filter(col("df") <= maxDf).select(col("h")),
+      Seq("h"), "left_semi")
+    val bands = lshBands(minhash(capped, numHashes), numHashes,
+      rowsPerBand)
+    SignatureIndex(sig, dfCounts, bands)
+  }
+
+  /** Incremental MinHash+LSH dedup of a NEW batch against a persisted
+    * [[SignatureIndex]], WITHOUT re-shingling the indexed corpus:
+    * returns (pairs, updatedIndex) where `pairs` is exactly the
+    * full-corpus [[minhashLshPairs]] over (indexed ∪ batch) RESTRICTED
+    * to pairs touching the batch (the delta==full contract the e51 gate
+    * proves — the mirror of g8's merge==full candle contract), and
+    * `updatedIndex` absorbs the batch for the next run.
+    *
+    * The subtlety is the corpus-wide df cap: a batch can push a shingle
+    * over `maxDf`, which changes the capped shingle set — and therefore
+    * the MinHash signature — of OLD documents containing it. Exactness
+    * is kept incrementally:
+    *
+    *  1. combined df is evaluated only for batch-touched hashes (df is
+    *     monotone under append — untouched hashes cannot change);
+    *  2. `changedH` = hashes whose cap status flips (≤maxDf → >maxDf);
+    *     it is a subset of the batch's shingles, so it BROADCASTS and
+    *     the stored `sig` is probed map-side — never shuffled;
+    *  3. only `affected` old docs (those containing a flipped shingle)
+    *     plus the batch get their signatures recomputed, from STORED
+    *     hashes — the corpus text is never touched;
+    *  4. candidates come from probing the batch's band keys against the
+    *     updated band index (stored bands are exact for unaffected docs
+    *     because their capped sets are unchanged); verification pulls
+    *     only candidate docs' hashes from the store.
+    *
+    * Per-run work therefore scales with the BATCH (plus the cap-flip
+    * blast radius, bounded by the batch's shingle df), not the corpus.
+    * The equi-join probe is the right delta topology (the full-corpus
+    * per-bucket expansion re-shuffles every band row); at scale the
+    * band store is bucketed by (band, band_key) so only the batch side
+    * shuffles, and `sig` is bucketed by h / doc_id so the two broadcast
+    * probes are bucket-pruned scans.
+    *
+    * Scope note (inherent to df-capped semantics under corpus growth):
+    * output is pairs TOUCHING THE BATCH. A cap flip can also alter
+    * old↔old similarities; those re-evaluations are a compaction
+    * concern, not part of the daily delta — exactly like late-arriving
+    * candle corrections outside the delta's minute span in g8.
+    *
+    * Batch doc_ids must be disjoint from indexed doc_ids (new documents
+    * — re-ingesting an indexed id would double-count its shingles in
+    * df). Caches pinned here follow the module cache contract. */
+  def deltaDedup(index: SignatureIndex, batch: DataFrame, k: Int = 5,
+                 numHashes: Int = 16, rowsPerBand: Int = 2,
+                 minJaccard: Double = 0.5,
+                 maxDf: Int = 100): (DataFrame, SignatureIndex) = {
+    // the ONLY shingling in the run: the batch
+    val bsh = pin(shingleHashes(batch, k))
+    bsh.count()
+    val batchDf = bsh.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    // combined df for batch-touched hashes only (append-monotone)
+    val dfTouched = batchDf
+      .join(index.df.withColumnRenamed("df", "df_old"), Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("df_old"), lit(0L)).as("df_old"),
+        (coalesce(col("df_old"), lit(0L)) + col("df_b")).as("df_new"))
+    // cap-status flips — ⊆ batch shingles, so broadcastable
+    val changedH = pin(dfTouched
+      .filter(col("df_old") <= maxDf && col("df_new") > maxDf)
+      .select(col("h")))
+    changedH.count()
+    // old docs whose capped sets changed: map-side broadcast probe of
+    // the store, no store-side shuffle
+    val affected = pin(index.sig
+      .join(broadcast(changedH), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct())
+    affected.count()
+    // over-cap hashes under the COMBINED df = stored over-cap ∪ flips;
+    // heavy hitters by definition, so small and broadcastable
+    val overCap = pin(index.df.filter(col("df") > maxDf).select(col("h"))
+      .union(changedH).distinct())
+    overCap.count()
+    // signatures recomputed ONLY for batch ∪ affected docs, from stored
+    // + batch hashes
+    val involvedSh = pin(
+      index.sig.join(broadcast(affected), Seq("doc_id"), "left_semi")
+        .unionByName(bsh)
+        .join(broadcast(overCap), Seq("h"), "left_anti"))
+    involvedSh.count()
+    val bandsNew = lshBands(minhash(involvedSh, numHashes), numHashes,
+      rowsPerBand)
+    val keptBands = index.bands
+      .join(broadcast(affected), Seq("doc_id"), "left_anti")
+    val allBands = keptBands.unionByName(bandsNew)
+    val batchIds = batch.select(col("doc_id")).distinct()
+    val batchBands = bandsNew
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+    // candidate pairs touching the batch: probe the updated band index
+    // with the batch's band keys
+    val cand = pin(batchBands.as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct())
+    cand.count()
+    // exact-Jaccard verification over combined-df capped sets, pulled
+    // for CANDIDATE docs only
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = pin(index.sig.unionByName(bsh)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .join(broadcast(overCap), Seq("h"), "left_anti"))
+    shCand.count()
+    val counts = shCand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"))
+    val inter = shCand.as("a")
+      .join(shCand.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = cand
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // absorb the batch: sig/df merge like candle partials; bands swap
+    // in the recomputed rows
+    val updated = SignatureIndex(
+      sig = index.sig.unionByName(bsh),
+      df = index.df.unionByName(
+          batchDf.withColumnRenamed("df_b", "df"))
+        .groupBy(col("h")).agg(sum(col("df")).as("df")),
+      bands = allBands)
+    (pairs, updated)
+  }
+
+  /** [[deltaDedup]]'s pair output alone — the daily-run call. */
+  def deltaDedupPairs(index: SignatureIndex, batch: DataFrame,
+                      k: Int = 5, numHashes: Int = 16,
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+                      maxDf: Int = 100): DataFrame =
+    deltaDedup(index, batch, k, numHashes, rowsPerBand, minJaccard,
+      maxDf)._1
 
   /** 32-bit SimHash per document: token-frequency-weighted bit voting.
     * bit_i(simhash) = 1 iff Σ_tokens n(t) · (2·bit_i(md5₃₂(t)) − 1) > 0.

@@ -63,7 +63,13 @@ object EventAnalytics {
 
   /** Rolling N-day active users (the WAU/MAU family): for each calendar
     * day up to the data's last day, the count of distinct users active
-    * in the trailing `window` days. Windowed COUNT DISTINCT does not
+    * in the trailing `window` days. Days whose trailing window contains
+    * NO active user are OMITTED, not emitted as 0 — the output domain
+    * is days reachable from some activity row, so an activity gap
+    * longer than the window leaves a hole in the calendar (densify
+    * against a generated day spine if a complete calendar is needed;
+    * the oracle mirrors the same sparse shape). Windowed COUNT DISTINCT
+    * does not
     * compose as a window function, so each (user, day) activity row is
     * exploded to the `window` as-of days it contributes to and the
     * count runs as a plain distinct aggregate per as-of day — the

@@ -223,6 +223,13 @@ object TextAnalysis {
     * The division chain is written identically in the oracle so both
     * engines feed `ln` the same IEEE double.
     *
+    * `nB` is the UNFILTERED bigram total — Σ over multi-word docs of
+    * (len−1), counted directly from token positions rather than by
+    * re-aggregating the bigram counts — so P(a,b) is a probability over
+    * ALL bigram occurrences (the textbook definition), not just the
+    * frequent ones the minCount screen keeps. Normalizing by the
+    * filtered total would inflate every PMI by ln(N_all/N_frequent).
+    *
     * Scale shape: the bigram and unigram counts are the same map-side
     * explode + partial aggregate as [[bpeMergePairs]]; corpus totals
     * ride along as a broadcast 1-row aggregate; the two unigram joins
@@ -232,7 +239,8 @@ object TextAnalysis {
     val toks = docs.select(words(col("text")).as("w"))
     val uni = toks.select(explode(col("w")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val bi = toks.filter(size(col("w")) >= 2)
+    val multi = toks.filter(size(col("w")) >= 2)
+    val bi = multi
       .select(explode(expr(
         """transform(sequence(0, size(w) - 2),
           |  i -> struct(w[i] AS a, w[i + 1] AS b))""".stripMargin))
@@ -240,8 +248,13 @@ object TextAnalysis {
       .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
+    // n_bi from token positions, not from re-aggregating `bi` — one
+    // cheap scan-side aggregate instead of a second consumer branch on
+    // the bigram groupBy (the multi-branch rebuild the dedup caches
+    // exist to avoid)
     val totals = uni.agg(sum(col("c")).as("n_tok"))
-      .crossJoin(bi.agg(sum(col("c_ab")).as("n_bi")))
+      .crossJoin(multi.agg(
+        sum(size(col("w")) - 1).cast("long").as("n_bi")))
     bi.join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")),
         Seq("tok_a"))
       .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")),

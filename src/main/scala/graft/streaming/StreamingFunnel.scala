@@ -35,9 +35,17 @@ object StreamingFunnel {
 
   case class EvIn(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(view: Timestamp, click: Timestamp,
-                         purchase: Timestamp) // nulls = step unreached
+                         purchase: Timestamp, // nulls = step unreached
+                         seq: Long) // emissions so far for this user
+  /** `emit_seq` is a per-user emission ordinal (1, 2, …): append mode
+    * emits one refined chain per batch the user appears in, so a
+    * multi-batch replay holds several rows per user — the LATEST
+    * (max emit_seq) is the current chain. Consumers dedup with
+    * `max(struct(emit_seq, …))` per user; see the
+    * e39_streaming_funnel_replay gate. */
   case class FunnelOut(user_id: Long, view_ts: Timestamp,
-                       click_ts: Timestamp, purchase_ts: Timestamp)
+                       click_ts: Timestamp, purchase_ts: Timestamp,
+                       emit_seq: Long)
 
   private def minTs(a: Timestamp, b: Timestamp): Timestamp =
     if (a == null) b else if (b == null) a
@@ -53,7 +61,7 @@ object StreamingFunnel {
         (uid: Long, batch: Iterator[EvIn],
          state: GroupState[FunnelState]) =>
           val st = state.getOption.getOrElse(
-            FunnelState(null, null, null))
+            FunnelState(null, null, null, 0L))
           // one pass over the batch: bucket the three step types
           var bView: Timestamp = null
           val clicks = scala.collection.mutable.ArrayBuffer[Timestamp]()
@@ -76,8 +84,9 @@ object StreamingFunnel {
               if (click == null) null
               else purchases.filter(_.compareTo(click) >= 0)
                 .foldLeft(st.purchase)(minTs)
-            state.update(FunnelState(view, click, purchase))
-            Iterator.single(FunnelOut(uid, view, click, purchase))
+            val seq = st.seq + 1
+            state.update(FunnelState(view, click, purchase, seq))
+            Iterator.single(FunnelOut(uid, view, click, purchase, seq))
           }
       }
   }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Dedup
+
+/** Incremental (delta) dedup against a persisted signature index
+  * (VERDICT r6 #1): delta-mode pairs must equal the full-corpus
+  * minhashLshPairs restricted to pairs touching the batch — the mirror
+  * of g8's merge==full candle contract — including when the batch
+  * pushes a shingle over the corpus-wide df cap (which silently changes
+  * OLD documents' signatures). */
+class DeltaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // k=3 shingles, maxDf=3. The boilerplate shingle "z1 z2 z3" sits AT
+  // the cap in the old corpus (d1, d2, d5); batch doc d10 flips it over,
+  // making d1/d2/d5 affected docs whose signatures must be recomputed —
+  // while the surviving x-prefix shingles keep (d1,d10)/(d2,d10) as
+  // genuine near-dup pairs. The p-group stays exactly at the cap (no
+  // flip), exercising the stale-stored-bands path for unaffected docs.
+  private val K = 3
+  private val NH = 8
+  private val RPB = 2
+  private val MINJ = 0.1
+  private val MAXDF = 3
+
+  private def oldDocs = Seq(
+    (1L, "z1 z2 z3 x1 x2 x3 x4 x5 x6"),
+    (2L, "z1 z2 z3 x1 x2 x3 x4 x5 x7"),
+    (5L, "z1 z2 z3 y1 y2 y3 y4 y5 y6"),
+    (3L, "p1 p2 p3 p4 p5 p6 p7"),
+    (4L, "p1 p2 p3 p4 p5 p6 p8"),
+    (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wA"),
+    (7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wB")).toDF("doc_id", "text")
+
+  private def batch1 = Seq(
+    (10L, "z1 z2 z3 x1 x2 x3 x4 x5 x8"), // flips "z1 z2 z3" over cap
+    (11L, "p1 p2 p3 p4 p5 p6 p9"),       // at-cap group, no flip
+    (12L, "m1 m2 m3 m4 m5")).toDF("doc_id", "text") // no pairs
+
+  private def batch2 = Seq(
+    (20L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wC"), // pairs with d6/d7,
+      // no flip (w-shingles reach df=3, exactly at the cap)
+    (21L, "z1 z2 z3 a1 a2 a3")).toDF("doc_id", "text") // hits an
+      // ALREADY-over-cap shingle: df_old > maxDf, no re-flip
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def fullRestricted(all: DataFrame,
+                             batchIds: Set[Long]): Set[(Long, Long, Double)] =
+    pairSet(Dedup.minhashLshPairs(all, K, NH, RPB, MINJ, MAXDF))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+
+  test("delta pairs == full-corpus pairs touching the batch, " +
+    "across a df-cap flip") {
+    val idx = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val (pairs, _) = Dedup.deltaDedup(idx, batch1, K, NH, RPB, MINJ,
+      MAXDF)
+    val got = pairSet(pairs)
+    Dedup.releasePinnedCaches()
+    val want = fullRestricted(oldDocs.union(batch1),
+      Set(10L, 11L, 12L))
+    Dedup.releasePinnedCaches()
+    assert(want.nonEmpty, "fixture should produce at least one pair")
+    assert(got == want)
+  }
+
+  test("absorbing a batch yields an index whose NEXT delta is exact") {
+    val idx0 = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val (_, idx1) = Dedup.deltaDedup(idx0, batch1, K, NH, RPB, MINJ,
+      MAXDF)
+    val (pairs2, _) = Dedup.deltaDedup(idx1, batch2, K, NH, RPB, MINJ,
+      MAXDF)
+    val got = pairSet(pairs2)
+    Dedup.releasePinnedCaches()
+    val want = fullRestricted(oldDocs.union(batch1).union(batch2),
+      Set(20L, 21L))
+    Dedup.releasePinnedCaches()
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("index round-trips through parquet (the persisted-store form)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sigidx").toString
+    Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF).write(dir)
+    Dedup.releasePinnedCaches()
+    val idx = Dedup.SignatureIndex.read(spark, dir)
+    val (pairs, _) = Dedup.deltaDedup(idx, batch1, K, NH, RPB, MINJ,
+      MAXDF)
+    val got = pairSet(pairs)
+    Dedup.releasePinnedCaches()
+    val want = fullRestricted(oldDocs.union(batch1),
+      Set(10L, 11L, 12L))
+    Dedup.releasePinnedCaches()
+    assert(got == want)
+  }
+}

@@ -11,7 +11,8 @@ class StreamingFunnelSpec extends SparkSpec {
   import spark.implicits._
 
   private def latest(rows: Seq[FunnelOut]): Map[Long, FunnelOut] =
-    rows.groupBy(_.user_id).map { case (u, rs) => u -> rs.last }
+    rows.groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.emit_seq) }
 
   test("chain refines monotonically across batches; pre-view clicks " +
     "only count once a view precedes them") {
@@ -70,6 +71,6 @@ class StreamingFunnelSpec extends SparkSpec {
       .toIndexedSeq)
     q.stop()
     assert(out(5L) == FunnelOut(5L, ts("2024-01-01 11:00:00"),
-      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")))
+      ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), 1L))
   }
 }
