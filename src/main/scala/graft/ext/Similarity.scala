@@ -128,7 +128,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component: integer arithmetic
     * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3. */
-  private def hyperplaneDot(emb: Column, j: Int): Column =
+  private[graft] def hyperplaneDot(emb: Column, j: Int): Column =
     aggregate(
       zip_with(emb, sequence(lit(0), size(emb) - 1),
         (v, i) => v.cast("double") *
@@ -141,6 +141,56 @@ object Similarity {
     (0 until nBits).map(j =>
       when(hyperplaneDot(emb, j) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
+
+  /** LSH bucket id from `nBits` sign bits of hyperplanes
+    * `offset..offset+nBits-1` — the per-table bucket for the
+    * OR-construction ([[lshPairsMulti]]); [[lshBucket]] is the
+    * offset-0 table. */
+  def lshBucketAt(emb: Column, nBits: Int, offset: Int): Column =
+    (0 until nBits).map(j =>
+      when(hyperplaneDot(emb, offset + j) > 0, lit(1 << j))
+        .otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Multi-table (OR-construction) LSH ANN pairs — the RECALL knob the
+    * single-table [[lshPairs]] lacks: candidates share a bucket in ANY
+    * of `nTables` independent hash tables (table t uses hyperplanes
+    * t·nBits..t·nBits+nBits−1), then exact cosine ≥ `minSim` verifies.
+    * For sign-random-projection LSH, P[candidate] = 1 − (1 − p^nBits)^
+    * nTables with p = 1 − θ/π; fewer bits per table widens buckets
+    * (more candidate work), more tables multiplies probes (more
+    * recall) — the measured tradeoff e52_ann_recall reports.
+    *
+    * Scale shape: one explode to (vec_id, table, bucket) — nTables rows
+    * per vector — one equi-join on (table, bucket), a distinct on the
+    * pair ids BEFORE the cosine (a pair colliding in several tables is
+    * verified once), then one hash-join back to the vectors for the
+    * verification. Same bounded-key topology as MinHash banding. */
+  def lshPairsMulti(vectors: DataFrame, nBits: Int = 4,
+                    nTables: Int = 8, minSim: Double = 0.3): DataFrame = {
+    val tb = vectors.select(col("vec_id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          lshBucketAt(col("embedding"), nBits, t * nBits).as("b"))): _*))
+        .as("e"))
+      .select(col("vec_id"), col("e.t").as("t"), col("e.b").as("b"))
+    val cand = tb.as("x").join(tb.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), Seq("vec_a"))
+      .join(v.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Rounding.duckRound(cosineWithNorms(col("ea"), col("eb"),
+          col("na"), col("nb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
 
   /** LSH-bucketed ANN: same-bucket candidate pairs with cosine ≥
     * `minSim`. The bucket key prunes the all-pairs space exactly like

@@ -1,0 +1,30 @@
+package graft
+
+/** ANN recall floors (VERDICT r6 #2): the e52 gate proves the recall
+  * NUMBERS are oracle-exact; this spec pins their measured LEVELS at
+  * sf0.01 so a regression in the pruning topology (bucket family,
+  * table count, cell assignment) fails loudly instead of silently
+  * returning fewer neighbors. Floors sit under the measured values
+  * (ivf 0.033, lsh single-table 0.037, lsh multi-table 0.454) with
+  * headroom only for data regeneration, not behavior change. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("measured ANN recall at sf0.01 stays at or above the " +
+    "documented floors") {
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    val rows = ExtQueries.queries("e52_ann_recall")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows("ivf_knn") >= 0.03,
+      s"ivf recall ${rows("ivf_knn")} under floor 0.03")
+    assert(rows("lsh_pairs") >= 0.03,
+      s"single-table lsh recall ${rows("lsh_pairs")} under floor 0.03")
+    assert(rows("lsh_multi") >= 0.40,
+      s"multi-table lsh recall ${rows("lsh_multi")} under floor 0.40")
+    // the OR-construction must meaningfully beat the single table —
+    // the whole point of the knob
+    assert(rows("lsh_multi") >= 5 * rows("lsh_pairs"))
+  }
+}
