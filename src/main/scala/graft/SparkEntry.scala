@@ -318,6 +318,55 @@ object SparkEntry {
       roundedOhlc(candles, Nil)
     }),
 
+    // G10 late-data gate (VERDICT r6 #3): the SAME ticks replayed as
+    // FOUR staged micro-batches (maxFilesPerTrigger=1) through the
+    // APPEND-mode streaming resampler with a 2-hour watermark — stage 3
+    // carries out-of-order rows, some behind the watermark (dropped:
+    // their windows were evicted at stage 2's end), some into
+    // still-open windows (merged). The oracle computes the admitted
+    // set from the SAME split predicates: Spark's stateful operators
+    // late-filter with the PREVIOUS batch's eviction watermark (the
+    // SPARK-40925 two-watermark split, pinned in
+    // StreamingLateDataSpec), so a stage-3 row is dropped iff its
+    // window end <= W1 = max(stage-1 event time) - 2h, and only
+    // windows ending at or before the final watermark (max event time
+    // - 2h) are emitted. Stage 2 exists to absorb the one-batch filter
+    // lag; stage 4 advances the watermark to flush the late merges.
+    "g10_streaming_late_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val prepped = TickPrep(Tables.ticks(s, dir))
+        .select(col("datetime"), col("tick_id"), col("mid"),
+          col("spread"))
+        .cache()
+      val m = prepped.agg(max(col("datetime"))).head().getTimestamp(0)
+      def cut(hoursBack: Long) =
+        lit(new java.sql.Timestamp(m.getTime - hoursBack * 3600000L))
+      val isStage4 = col("datetime") >= cut(1)
+      val isLateDrop = col("tick_id") % 7 === 3 &&
+        col("datetime") < cut(10)
+      val isLateAdmit = col("tick_id") % 7 === 4 &&
+        col("datetime") >= cut(3) && col("datetime") < cut(2)
+      val isStage2 = col("tick_id") % 7 === 5 &&
+        col("datetime") >= cut(6) && col("datetime") < cut(5)
+      val tmp = "/tmp/graft_late_replay_" +
+        ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      streaming.StagedReplay.stageFiles(Seq(
+        prepped.filter(!isStage4 && !isLateDrop && !isLateAdmit &&
+          !isStage2),
+        prepped.filter(isStage2),
+        prepped.filter(isLateDrop || isLateAdmit),
+        prepped.filter(isStage4)), tmp)
+      val stream = s.readStream.schema(s.read.parquet(tmp).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+      val candles = streaming.StreamingOhlc.replayToBatchAppend(
+        s, streaming.StreamingOhlc.ohlc1min(stream,
+          watermark = "2 hours"))
+      roundedOhlc(candles, Nil)
+    }),
+
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
     "g1_ohlc_by_key" -> ((s, dir) => {
       val ticks = Tables.load(s, dir, "events").select(
@@ -887,6 +936,50 @@ object SparkEntry {
     "g1_streaming_replay" ->
       s"""WITH $ticksCte, $preppedCte
          |${ohlcSelectSql()}""".stripMargin,
+
+    // the watermark contract, in SQL: batch OHLC over exactly the rows
+    // the staged replay admits — non-stage-3 rows always; stage-3
+    // (late) rows iff their window end clears W1, the watermark the
+    // late filter sees (max stage-1 event time - 2h; the one-batch lag
+    // pinned in StreamingLateDataSpec makes stage 2's eviction
+    // watermark the filter for stage 3) — emitted only for windows
+    // closing at or before the final watermark (max event time - 2h,
+    // tie inclusive)
+    "g10_streaming_late_replay" ->
+      s"""WITH $ticksCte, $preppedCte,
+         |mx AS (SELECT max(datetime) AS m FROM prepped),
+         |staged AS (
+         |  SELECT p.*, CASE
+         |    WHEN datetime >= m - INTERVAL 1 HOUR THEN 4
+         |    WHEN tick_id % 7 = 3
+         |         AND datetime < m - INTERVAL 10 HOUR THEN 3
+         |    WHEN tick_id % 7 = 4
+         |         AND datetime >= m - INTERVAL 3 HOUR
+         |         AND datetime < m - INTERVAL 2 HOUR THEN 3
+         |    WHEN tick_id % 7 = 5
+         |         AND datetime >= m - INTERVAL 6 HOUR
+         |         AND datetime < m - INTERVAL 5 HOUR THEN 2
+         |    ELSE 1 END AS stage
+         |  FROM prepped p CROSS JOIN mx),
+         |w1 AS (
+         |  SELECT max(datetime) - INTERVAL 2 HOUR AS w1
+         |  FROM staged WHERE stage = 1),
+         |admitted AS (
+         |  SELECT s.* FROM staged s CROSS JOIN w1
+         |  WHERE stage <> 3
+         |     OR date_trunc('minute', datetime) + INTERVAL 1 MINUTE
+         |        > w1)
+         |SELECT * FROM (
+         |  SELECT date_trunc('minute', datetime) AS datetime,
+         |    round(first(mid ORDER BY datetime, tick_id), 6) AS open,
+         |    round(max(mid), 6) AS high,
+         |    round(min(mid), 6) AS low,
+         |    round(last(mid ORDER BY datetime, tick_id), 6) AS close,
+         |    count(mid) AS volume,
+         |    round(avg(spread), 6) AS spread
+         |  FROM admitted GROUP BY 1) c
+         |WHERE c.datetime + INTERVAL 1 MINUTE
+         |      <= (SELECT m - INTERVAL 2 HOUR FROM mx)""".stripMargin,
 
     "g1_ohlc_by_key" ->
       """WITH prepped AS (
