@@ -830,6 +830,40 @@ object SparkEntry {
         Rounding.duckRound(col("volume"), 5).as("volume"), col("reason"))
     }),
 
+    // The composed pipeline PER SYMBOL (VERDICT r6 #5): the signature
+    // code path Pipeline.run(partitionBy = Seq("sym")) under the hash
+    // gate, not just the unit suite. sym = user_id % 3 is planted on
+    // both feeds; every window/join/groupBy keys by it, while the G5
+    // median fill and the minute grid stay GLOBAL by design (the grid
+    // is cross-joined with the symbol set) — the oracle mirrors
+    // exactly that split.
+    "pipeline_hybrid_by_key" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
+      val kticks = ev.select(
+        col("ts").as("datetime"), col("event_id").as("tick_id"),
+        (col("value") + half).as("ask"),
+        (col("value") - half).as("bid"),
+        (col("user_id") % 3).as("sym"))
+      val km1 = Resample.ohlc1min(
+        ev.filter(col("event_type").isin("click", "view"))
+          .select(col("ts").as("datetime"),
+            col("event_id").as("tick_id"), col("value").as("mid"),
+            lit(null).cast("double").as("spread"),
+            (col("user_id") % 3).as("sym")),
+        Seq("sym"))
+      val out = Pipeline.run(s, kticks, Some(km1), SpikeThreshold,
+        ConsensusThreshold, partitionBy = Seq("sym")).candles
+      out.select(col("sym"), col("datetime"),
+        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
+        col("volume").cast("double").as("volume"),
+        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
+        col("is_flat").cast("int").as("is_flat"))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -1304,8 +1338,137 @@ object SparkEntry {
          |  round(abs(t.close - m.close), 6) AS diff
          |FROM tick_candles t JOIN m1_candles m USING (datetime)
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
-         |ORDER BY t.datetime LIMIT 5""".stripMargin
+         |ORDER BY t.datetime LIMIT 5""".stripMargin,
+
+    "pipeline_hybrid_by_key" -> pipelineKeyedOracle
   )
+
+  /** The composed-pipeline oracle generalized per symbol: every
+    * window/join/groupBy carries `sym = user_id % 3`; the G5 median and
+    * the minute grid remain GLOBAL (the grid cross-joins the symbol
+    * set) — Pipeline.run's exact keyed semantics. */
+  private lazy val pipelineKeyedOracle: String =
+    s"""WITH kticks AS (
+       |  SELECT ts AS datetime, event_id AS tick_id,
+       |    value + (CAST(0.01 AS DOUBLE)
+       |             + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS ask,
+       |    value - (CAST(0.01 AS DOUBLE)
+       |             + (event_id % 10) * CAST(0.001 AS DOUBLE)) / 2 AS bid,
+       |    user_id % 3 AS sym
+       |  FROM events),
+       |kprepped AS (
+       |  SELECT *, (ask + bid) / 2 AS mid, ask - bid AS spread
+       |  FROM kticks
+       |  WHERE NOT (ask < 0.0001 OR bid < 0.0001)
+       |    AND NOT (dayofweek(datetime) = 6
+       |          OR (dayofweek(datetime) = 5 AND hour(datetime) >= 22)
+       |          OR (dayofweek(datetime) = 0 AND hour(datetime) < 21))),
+       |ktick_candles AS (
+       |  SELECT sym, date_trunc('minute', datetime) AS datetime,
+       |    first(mid ORDER BY datetime, tick_id) AS open,
+       |    max(mid) AS high, min(mid) AS low,
+       |    last(mid ORDER BY datetime, tick_id) AS close,
+       |    count(mid) AS volume, avg(spread) AS spread
+       |  FROM kprepped GROUP BY 1, 2),
+       |km1_candles AS (
+       |  SELECT user_id % 3 AS sym, date_trunc('minute', ts) AS datetime,
+       |    first(value ORDER BY ts, event_id) AS open,
+       |    max(value) AS high, min(value) AS low,
+       |    last(value ORDER BY ts, event_id) AS close,
+       |    count(*) AS volume, CAST(NULL AS DOUBLE) AS spread
+       |  FROM events WHERE event_type IN ('click', 'view')
+       |  GROUP BY 1, 2),
+       |kcata AS (
+       |  SELECT t.sym, t.datetime FROM ktick_candles t
+       |  LEFT JOIN km1_candles m
+       |    ON t.sym = m.sym AND t.datetime = m.datetime
+       |  WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)),
+       |kcleaned AS (
+       |  SELECT t.* FROM ktick_candles t
+       |  ANTI JOIN kcata c
+       |    ON t.sym = c.sym AND t.datetime = c.datetime),
+       |kfused AS (
+       |  SELECT COALESCE(t.sym, m.sym) AS sym,
+       |    COALESCE(t.datetime, m.datetime) AS datetime,
+       |    coalesce(t.open, m.open) AS open,
+       |    coalesce(t.high, m.high) AS high,
+       |    coalesce(t.low, m.low) AS low,
+       |    coalesce(t.close, m.close) AS close,
+       |    coalesce(t.volume, m.volume) AS volume,
+       |    coalesce(t.spread, m.spread) AS spread
+       |  FROM kcleaned t FULL OUTER JOIN km1_candles m
+       |    ON t.sym = m.sym AND t.datetime = m.datetime),
+       |kspreadfill AS (
+       |  SELECT sym, datetime, open, high, low, close, volume,
+       |    coalesce(spread, (SELECT median(spread) FROM kfused))
+       |      AS spread
+       |  FROM kfused),
+       |ksmoothed AS (
+       |  SELECT sym, datetime, open, high, low, close, volume,
+       |    median(spread) OVER (PARTITION BY sym ORDER BY datetime
+       |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS spread
+       |  FROM kspreadfill),
+       |knorminv AS (SELECT * FROM ksmoothed WHERE NOT (low > high)),
+       |kmarked AS (
+       |  SELECT *, (open > high OR open < low
+       |          OR close > high OR close < low) AS bad
+       |  FROM knorminv),
+       |krepaired AS (
+       |  SELECT sym, datetime, open,
+       |    CASE WHEN bad THEN greatest(open, close, high)
+       |         ELSE high END AS high,
+       |    CASE WHEN bad THEN least(open, close, low)
+       |         ELSE low END AS low,
+       |    close, volume,
+       |    last_value(CASE WHEN bad THEN NULL ELSE spread END
+       |      IGNORE NULLS) OVER (PARTITION BY sym ORDER BY datetime
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spread
+       |  FROM kmarked),
+       |kspiked AS (
+       |  SELECT sym, datetime, open, high, low, close, volume, spread
+       |  FROM (
+       |    SELECT *, lag(close) OVER (PARTITION BY sym
+       |      ORDER BY datetime) AS lc
+       |    FROM krepaired) t
+       |  WHERE NOT (
+       |    CASE WHEN open = 0 THEN high <> low
+       |         ELSE (high - low) / open > CAST(2.0 AS DOUBLE) END
+       |    OR CASE WHEN lc IS NULL THEN false
+       |            WHEN lc = 0 THEN close <> 0
+       |            ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)),
+       |kbounds AS (SELECT min(datetime) AS mn, max(datetime) AS mx
+       |            FROM kspiked),
+       |kgrid AS (
+       |  SELECT s.sym, g.datetime FROM (
+       |    SELECT unnest(generate_series((SELECT mn FROM kbounds),
+       |      (SELECT mx FROM kbounds), INTERVAL 1 minute)) AS datetime) g
+       |  CROSS JOIN (SELECT DISTINCT sym FROM kspiked) s),
+       |kjoined AS (
+       |  SELECT g.sym, g.datetime, s.open, s.high, s.low, s.close,
+       |         s.volume, s.spread
+       |  FROM kgrid g LEFT JOIN kspiked s
+       |    ON g.sym = s.sym AND g.datetime = s.datetime),
+       |kbridged AS (
+       |  SELECT sym, datetime, open, high, low, volume, spread,
+       |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+       |    last_value(close IGNORE NULLS) OVER w AS fclose,
+       |    last_value(spread IGNORE NULLS) OVER w AS fspread
+       |  FROM kjoined
+       |  WINDOW w AS (PARTITION BY sym ORDER BY datetime
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT sym, datetime,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
+       |    AS REAL) AS DOUBLE), 5) AS open,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
+       |    AS REAL) AS DOUBLE), 5) AS high,
+       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
+       |    AS REAL) AS DOUBLE), 5) AS low,
+       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
+       |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
+       |    AS REAL) AS DOUBLE) AS volume,
+       |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
+       |  is_flat
+       |FROM kbridged WHERE fclose IS NOT NULL""".stripMargin
 
   /** Composed-pipeline candle oracle, shared by the global-window and
     * day-partitioned backends (identical semantics by construction). */
