@@ -54,15 +54,20 @@ object Resample {
         avg(col("spread")).as("spread"))
   }
 
-  /** Skew-resistant variant: two-phase aggregation through an explicit
-    * salt. A hot minute (FX news spike: millions of ticks in one bucket)
-    * lands on one reducer under plain groupBy; salting spreads it over
-    * `salts` reducers, then a second (tiny) aggregate merges the salted
-    * partials. Every G1–G3 aggregate decomposes exactly:
-    * ordered-first/last re-minimize, min/max re-extremize, count sums,
-    * and avg splits into sum+count. Equivalent output to [[ohlc1min]]
-    * (verified by test); use when the minute-key distribution is skewed
-    * and AQE skew handling isn't enough.
+  /** Explicit-salt variant: two-phase aggregation through a salt key,
+    * then a second (tiny) aggregate merging the salted partials. Every
+    * G1–G3 aggregate decomposes exactly: ordered-first/last
+    * re-minimize, min/max re-extremize, count sums, and avg splits into
+    * sum+count. Equivalent output to [[ohlc1min]] (verified by test).
+    *
+    * MEASURED scope (SkewProfileSpec, BENCHNOTES round 7): for
+    * [[ohlc1min]]'s decomposable aggregates, Spark's own map-side
+    * partial aggregation already collapses a hot minute to one buffer
+    * per map task — task-time ratio ~1.0 even with 85% of ticks in one
+    * minute — so plain groupBy needs no salt there. Reach for the salt
+    * when the partial-agg seam is absent: holistic per-key aggregates
+    * (exact percentiles, collect_list assembly) or any custom
+    * aggregation whose buffer grows with the group.
     */
   def ohlc1minSalted(ticks: DataFrame, salts: Int = 16,
                      keyCols: Seq[String] = Nil): DataFrame = {
