@@ -265,23 +265,37 @@ object ExtQueries {
     // recall is fully oracle-checked, not rows-only. Measured at
     // sf0.01: ivf 0.033 (label cells are NOT cosine neighborhoods in
     // this synthetic data — the honest number this gate exists to
-    // surface), lsh_pairs 0.037 (one AND-only table is a weak net at
-    // sim 0.3), lsh_multi 0.454 (12x — the OR-construction recall
-    // knob). AnnRecallSpec pins the floors.
+    // surface), kmeans_ivf 0.90 (e54's TRAINED quantizer at nprobe=2
+    // — cells that follow the distribution recover the recall the
+    // label stand-in loses), lsh_pairs 0.037 (one AND-only table is a
+    // weak net at sim 0.3), lsh_multi 0.454 (12x — the
+    // OR-construction recall knob). AnnRecallSpec pins the floors.
     "e52_ann_recall" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 10)
+      // brute-force ground truth — consumed by the label-ivf AND
+      // kmeans-ivf aggregates in one job, so eagerly materialized
       val brute = Similarity.bruteForceKnn(q, e, 3)
         .select(col("q_id"), col("n_id"))
-      val ivf = Similarity.ivfKnn(q, e, 3)
-        .select(col("q_id"), col("n_id"), lit(1).as("_m"))
-      val ivfStats = brute.join(ivf, Seq("q_id", "n_id"), "left")
-        .agg(count(lit(1)).as("n_true"),
-          coalesce(sum(col("_m")), lit(0)).cast("long").as("n_hit"))
-        .select(lit("ivf_knn").as("method"), lit(3L).as("k"),
-          col("n_true"), col("n_hit"),
-          Rounding.duckRound(
-            col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+        .cache()
+      brute.count()
+      def topkStats(method: String, retrieved: DataFrame) = {
+        val r = retrieved.select(col("q_id"), col("n_id"),
+          lit(1).as("_m"))
+        brute.join(r, Seq("q_id", "n_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(col("_m")), lit(0)).cast("long").as("n_hit"))
+          .select(lit(method).as("method"), lit(3L).as("k"),
+            col("n_true"), col("n_hit"),
+            Rounding.duckRound(
+              col("n_hit").cast("double") / col("n_true"), 6)
+              .as("recall"))
+      }
+      val ivfStats = topkStats("ivf_knn", Similarity.ivfKnn(q, e, 3))
+      val kivfStats = topkStats("kmeans_ivf",
+        Similarity.kmeansIvfKnn(q, e,
+          KMeans.centroidArrays(e, k = 8, iters = 2), k = 3,
+          nprobe = 2))
       val v = e.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       // all-pairs ground truth — consumed by BOTH lsh aggregates in one
@@ -313,16 +327,30 @@ object ExtQueries {
           col("n_true"), col("n_hit"),
           Rounding.duckRound(
             col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
-      ivfStats.unionByName(lshStats).unionByName(mStats)
+      ivfStats.unionByName(kivfStats).unionByName(lshStats)
+        .unionByName(mStats)
     }),
 
     // E53: multi-table (OR-construction) LSH ANN pairs — the recall
     // knob: 8 independent 4-bit tables, candidates colliding in ANY
     // table, exact-cosine verified. e52 measures the recall this buys
-    // (0.39 vs 0.04 single-table at sf0.01, sim >= 0.3).
+    // (0.45 vs 0.04 single-table at sf0.01, sim >= 0.3).
     "e53_lsh_multi_pairs" -> ((s, dir) =>
       Similarity.lshPairsMulti(emb(s, dir), nBits = 4, nTables = 8,
         minSim = 0.3)),
+
+    // E54: IVF with a TRAINED k-means quantizer and nprobe=2 — the real
+    // IVF-Flat topology (e6's label quantizer is a stand-in; these
+    // cells follow the vector distribution, and nprobe is the recall
+    // knob). Centroids are e22's trained model; assignment and probing
+    // are per-row expressions over centroid literals, and the probe set
+    // broadcasts — the corpus never shuffles.
+    "e54_kmeans_ivf_knn" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
+      Similarity.kmeansIvfKnn(e.filter(col("vec_id") < 10), e, cents,
+        k = 3, nprobe = 2)
+    }),
 
     // E12: exact distinct counts per group
     "e12_distinct_users" -> ((s, dir) =>
@@ -1172,41 +1200,43 @@ object ExtQueries {
     // argmin (ties → lowest cluster id) and centroid components rounded
     // to 6 per iteration — the exact contract of KMeans.centroidsFlat
     "e22_kmeans_centroids" ->
-      """WITH emb AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cluster_id, e AS carr
-        |       FROM emb WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, e, cluster_id, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
-        |  FROM (
-        |    SELECT emb.vec_id, emb.e, c0.cluster_id,
-        |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
-        |        i -> (emb.e[i] - c0.carr[i]) * (emb.e[i] - c0.carr[i]))),
-        |        6) AS d
-        |    FROM emb CROSS JOIN c0) t),
-        |f1 AS (
-        |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val
-        |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
-        |        FROM a1 WHERE rn = 1) t
-        |  GROUP BY 1, 2),
-        |c1 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
-        |       FROM f1 GROUP BY 1),
-        |a2 AS (
-        |  SELECT vec_id, e, cluster_id, row_number() OVER
-        |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
-        |  FROM (
-        |    SELECT emb.vec_id, emb.e, c1.cluster_id,
-        |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
-        |        i -> (emb.e[i] - c1.carr[i]) * (emb.e[i] - c1.carr[i]))),
-        |        6) AS d
-        |    FROM emb CROSS JOIN c1) t)
-        |SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val,
-        |  count(*) AS n_members
-        |FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
-        |      FROM a2 WHERE rn = 1) t
-        |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $kmeansCtes
+         |SELECT cluster_id, pos, c_val, n_members FROM f2""".stripMargin,
+
+    // trained-quantizer IVF with nprobe=2: corpus assigned to its
+    // nearest final centroid, queries probe their 2 nearest cells, the
+    // same rounded-cosine / (sim desc, n_id) ranking as e5/e6
+    "e54_kmeans_ivf_knn" ->
+      s"""WITH $kmeansCtes,
+         |ccells AS (
+         |  SELECT vec_id AS n_id, e AS ne, cluster_id AS cell FROM (
+         |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
+         |      (PARTITION BY emb.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+         |          i -> (emb.e[i] - c2.carr[i])
+         |             * (emb.e[i] - c2.carr[i]))), 6),
+         |        c2.cluster_id) AS rn
+         |    FROM emb CROSS JOIN c2) t WHERE rn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell FROM (
+         |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
+         |      (PARTITION BY emb.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+         |          i -> (emb.e[i] - c2.carr[i])
+         |             * (emb.e[i] - c2.carr[i]))), 6),
+         |        c2.cluster_id) AS rn
+         |    FROM emb CROSS JOIN c2 WHERE emb.vec_id < 10) t
+         |  WHERE rn <= 2),
+         |kscored AS (
+         |  SELECT q_id, n_id, ${duckCos("qe", "ne")} AS sim
+         |  FROM qprobes p JOIN ccells n ON p.cell = n.cell
+         |  WHERE q_id <> n_id),
+         |kranked AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |  FROM kscored)
+         |SELECT q_id, n_id, sim, rank FROM kranked
+         |WHERE rank <= 3""".stripMargin,
 
     // uncapped shingle sets on both sides (decontamination must not drop
     // boilerplate overlaps); same md5-60-bit hash as the dedup suite
@@ -2109,8 +2139,44 @@ object ExtQueries {
          |    count(*)::BIGINT AS n_true, count(l.vec_a)::BIGINT AS n_hit,
          |    round(count(l.vec_a)::DOUBLE / count(*), 6) AS recall
          |  FROM truep t LEFT JOIN mlshp l
-         |    ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b)
-         |SELECT * FROM ivfstats UNION ALL SELECT * FROM lshstats
+         |    ON t.vec_a = l.vec_a AND t.vec_b = l.vec_b),
+         |$kmeansCtes,
+         |ccells AS (
+         |  SELECT vec_id AS n_id, e AS ne, cluster_id AS cell FROM (
+         |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
+         |      (PARTITION BY emb.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+         |          i -> (emb.e[i] - c2.carr[i])
+         |             * (emb.e[i] - c2.carr[i]))), 6),
+         |        c2.cluster_id) AS rn
+         |    FROM emb CROSS JOIN c2) t WHERE rn = 1),
+         |qprobes AS (
+         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell FROM (
+         |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
+         |      (PARTITION BY emb.vec_id ORDER BY
+         |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+         |          i -> (emb.e[i] - c2.carr[i])
+         |             * (emb.e[i] - c2.carr[i]))), 6),
+         |        c2.cluster_id) AS rn
+         |    FROM emb CROSS JOIN c2 WHERE emb.vec_id < 10) t
+         |  WHERE rn <= 2),
+         |kscored AS (
+         |  SELECT q_id, n_id, ${duckCos("qe", "ne")} AS sim
+         |  FROM qprobes p JOIN ccells n ON p.cell = n.cell
+         |  WHERE q_id <> n_id),
+         |kivf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM kscored) WHERE rank <= 3),
+         |kstats AS (
+         |  SELECT 'kmeans_ivf' AS method, 3::BIGINT AS k,
+         |    count(*)::BIGINT AS n_true, count(i.q_id)::BIGINT AS n_hit,
+         |    round(count(i.q_id)::DOUBLE / count(*), 6) AS recall
+         |  FROM brute b LEFT JOIN kivf i
+         |    ON b.q_id = i.q_id AND b.n_id = i.n_id)
+         |SELECT * FROM ivfstats UNION ALL SELECT * FROM kstats
+         |UNION ALL SELECT * FROM lshstats
          |UNION ALL SELECT * FROM mstats""".stripMargin,
 
     // the multi-table candidates verified by the same rounded cosine
@@ -2123,6 +2189,50 @@ object ExtQueries {
          |WHERE ${duckCos("a.e", "b.e")} >= CAST(0.3 AS DOUBLE)"""
         .stripMargin
   )
+
+  /** The e22 k-means pipeline as a DuckDB CTE chain: emb → seed c0 →
+    * assign a1 → means f1 → c1 → assign a2 → final means f2 (with
+    * n_members) → final centroid arrays c2. Shared by the e22 oracle
+    * and e54's trained-quantizer IVF. */
+  private lazy val kmeansCtes: String =
+    """emb AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cluster_id, e AS carr
+      |       FROM emb WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, e, cluster_id, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+      |  FROM (
+      |    SELECT emb.vec_id, emb.e, c0.cluster_id,
+      |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
+      |        i -> (emb.e[i] - c0.carr[i]) * (emb.e[i] - c0.carr[i]))),
+      |        6) AS d
+      |    FROM emb CROSS JOIN c0) t),
+      |f1 AS (
+      |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val
+      |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+      |        FROM a1 WHERE rn = 1) t
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
+      |       FROM f1 GROUP BY 1),
+      |a2 AS (
+      |  SELECT vec_id, e, cluster_id, row_number() OVER
+      |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+      |  FROM (
+      |    SELECT emb.vec_id, emb.e, c1.cluster_id,
+      |      round(list_sum(list_transform(range(1, len(emb.e) + 1),
+      |        i -> (emb.e[i] - c1.carr[i]) * (emb.e[i] - c1.carr[i]))),
+      |        6) AS d
+      |    FROM emb CROSS JOIN c1) t),
+      |f2 AS (
+      |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val,
+      |    count(*) AS n_members
+      |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+      |        FROM a2 WHERE rn = 1) t
+      |  GROUP BY 1, 2),
+      |c2 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
+      |       FROM f2 GROUP BY 1)""".stripMargin
 
   /** Rounded cosine between two DuckDB double-list columns — the SQL
     * twin of Similarity.cosine + duckRound(…, 6). */

@@ -46,6 +46,33 @@ object KMeans {
         lit(cid).as("cid"))
     }: _*)).getField("cid")
 
+  /** The `nprobe` nearest cluster ids for one row, nearest first (same
+    * rounded-distance / lowest-id order as [[assign]]; element 1 IS the
+    * assignment) — the multi-probe column for IVF search
+    * ([[Similarity.kmeansIvfKnn]]). Pure per-row expression over
+    * centroid literals: no join, no shuffle. */
+  def nearestCells(e: Column, centroids: Seq[(Int, Seq[Double])],
+                   nprobe: Int): Column =
+    transform(
+      slice(array_sort(array(centroids.map { case (cid, c) =>
+        struct(Rounding.duckRound(dist2(e, c), 6).as("d"),
+          lit(cid).as("cid"))
+      }: _*)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** The trained quantizer as driver-side centroid arrays (cluster_id →
+    * component vector), reshaped from [[centroidsFlat]] — O(k·dim)
+    * model state, the same deliberate collect the trainer itself uses. */
+  def centroidArrays(vectors: DataFrame, k: Int = 8,
+                     iters: Int = 2): Seq[(Int, Seq[Double])] =
+    centroidsFlat(vectors, k, iters)
+      .select(col("cluster_id").cast("int"), col("pos"), col("c_val"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (cid, rows) => cid -> rows.sortBy(_._2).map(_._3).toSeq }
+      .toSeq.sortBy(_._1)
+
   /** Flattened centroid table after `iters` Lloyd iterations:
     * (cluster_id, pos, c_val, n_members) — one row per centroid
     * component, n_members = the final assignment's cluster size.

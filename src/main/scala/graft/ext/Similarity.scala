@@ -96,6 +96,43 @@ object Similarity {
         col("rank"))
   }
 
+  /** IVF-Flat with a TRAINED k-means quantizer and multi-probe — the
+    * real IVF shape ([[ivfKnn]] uses the table's label column as a
+    * stand-in quantizer; this one trains cells that actually follow the
+    * vector distribution, and `nprobe` is the recall knob the e52 gate
+    * measures). Corpus vectors are assigned to their nearest centroid
+    * (one narrow projection over centroid literals — no shuffle);
+    * each query probes its `nprobe` nearest cells and ranks candidates
+    * by the same rounded cosine / (sim desc, n_id) tie rule as
+    * [[bruteForceKnn]].
+    *
+    * Scale shape: the probe set is queries × nprobe — broadcast onto
+    * the celled corpus, so the corpus never shuffles; cell assignment
+    * and distance ranking are per-row expressions over O(k·dim)
+    * centroid literals (the MLlib model-state topology). */
+  def kmeansIvfKnn(queries: DataFrame, corpus: DataFrame,
+                   centroids: Seq[(Int, Seq[Double])], k: Int = 3,
+                   nprobe: Int = 2): DataFrame = {
+    val dbl: Column => Column = e => transform(e, _.cast("double"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), norm(col("embedding")).as("n_n"),
+      KMeans.nearestCells(dbl(col("embedding")), centroids, 1)
+        .getItem(0).as("cell"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_n"),
+      explode(KMeans.nearestCells(dbl(col("embedding")), centroids,
+        nprobe)).as("cell"))
+    broadcast(q).join(c, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", Rounding.duckRound(cosineWithNorms(
+        col("q_emb"), col("n_emb"), col("q_n"), col("n_n")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
+  }
+
   /** Embedding outliers: the `k` vectors per label LEAST similar to
     * their label's centroid — the mislabel / off-topic screen a curation
     * pass runs per class or cluster.

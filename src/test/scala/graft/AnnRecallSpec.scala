@@ -5,8 +5,9 @@ package graft
   * sf0.01 so a regression in the pruning topology (bucket family,
   * table count, cell assignment) fails loudly instead of silently
   * returning fewer neighbors. Floors sit under the measured values
-  * (ivf 0.033, lsh single-table 0.037, lsh multi-table 0.454) with
-  * headroom only for data regeneration, not behavior change. */
+  * (label-ivf 0.033, kmeans-ivf 0.90 at nprobe=2, lsh single-table
+  * 0.037, lsh multi-table 0.454) with headroom only for data
+  * regeneration, not behavior change. */
 class AnnRecallSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.01"
@@ -19,6 +20,11 @@ class AnnRecallSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(rows("ivf_knn") >= 0.03,
       s"ivf recall ${rows("ivf_knn")} under floor 0.03")
+    assert(rows("kmeans_ivf") >= 0.8,
+      s"kmeans-ivf recall ${rows("kmeans_ivf")} under floor 0.8")
+    // the trained quantizer is the point: it must crush the label
+    // stand-in
+    assert(rows("kmeans_ivf") >= 10 * rows("ivf_knn"))
     assert(rows("lsh_pairs") >= 0.03,
       s"single-table lsh recall ${rows("lsh_pairs")} under floor 0.03")
     assert(rows("lsh_multi") >= 0.40,
