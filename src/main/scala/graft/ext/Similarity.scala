@@ -76,7 +76,14 @@ object Similarity {
 
   /** IVF-style pruned k-NN: search only the query's coarse cell
     * (`label` as the quantizer assignment). Equi-join on the cell key
-    * replaces the cross join — the scalable ANN shape. */
+    * replaces the cross join — the scalable ANN shape.
+    *
+    * Measured caveat (e52 gate): a label column is only as good a
+    * quantizer as its correlation with the metric — on the synthetic
+    * testdata recall@3 is 0.033. [[kmeansIvfKnn]] is the trained
+    * variant (recall 0.90 at nprobe=2, same data); this one remains
+    * as the zero-training shape for data whose labels ARE
+    * neighborhoods (e.g. near-dup shards). */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int = 3): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col("label").as("cell"),
