@@ -147,6 +147,45 @@ object GraftProperties extends Properties("graft") {
       got == expected
     }
 
+  // heavy shingle collisions by construction: 4-letter vocabulary and
+  // 2-word shingles, with the df cap LOW so batches flip cap status
+  // constantly — the path deltaDedup must re-derive old signatures for
+  private val deltaCorpusGen: Gen[(List[List[String]], List[List[String]])] =
+    for {
+      nOld <- Gen.choose(3, 6)
+      nNew <- Gen.choose(1, 3)
+      mk = Gen.choose(0, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")))
+      old <- Gen.listOfN(nOld, mk)
+      fresh <- Gen.listOfN(nNew, mk)
+    } yield (old, fresh)
+
+  property("delta dedup equals full-corpus LSH pairs touching the " +
+    "batch, for any corpus/batch split") =
+    Prop.forAll(deltaCorpusGen) { case (oldWs, newWs) =>
+      import spark.implicits._
+      val oldDocs = oldWs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val newDocs = newWs.zipWithIndex
+        .map { case (ws, i) => ((100 + i).toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (k, nh, rpb, minJ, maxDf) = (2, 4, 2, 0.05, 2)
+      val idx = Dedup.buildSignatureIndex(oldDocs, k, nh, rpb, maxDf)
+      val (pairs, _) = Dedup.deltaDedup(idx, newDocs, k, nh, rpb,
+        minJ, maxDf)
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.releasePinnedCaches()
+      val full = Dedup.minhashLshPairs(oldDocs.union(newDocs), k, nh,
+          rpb, minJ, maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Dedup.releasePinnedCaches()
+      val batchIds = newWs.indices.map(i => (100 + i).toLong).toSet
+      got == full.filter(p => batchIds(p._1) || batchIds(p._2))
+    }
+
   private val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
     for {
       a <- Gen.choose(0L, 40L)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Pins the physical-plan shapes the scale story depends on — the
+  * properties BENCHNOTES/SCALE.md previously audited by hand with
+  * graft.Explain. A refactor that silently un-pushes a filter, turns a
+  * broadcast into a sort-merge join, or adds a second shuffle to the
+  * flagship aggregate now fails here instead of surfacing as a 100x
+  * regression on a cluster.
+  *
+  * Static plans only: queries whose broadcasts come from explicit
+  * broadcast() hints or whose shapes Catalyst fixes before execution
+  * (AQE runtime conversions are deliberately NOT asserted). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+  }
+
+  private def shuffleCount(p: String): Int =
+    raw"\(\d+\) Exchange\b".r.findAllIn(p).length
+
+  test("s2_scan_prune pushes its filters and prunes to 3 columns") {
+    val p = plan("s2_scan_prune")
+    assert(p.contains("PushedFilters: [Is") || p.matches(
+      "(?s).*PushedFilters: \\[[^\\]].*"),
+      "expected non-empty PushedFilters at the parquet scan")
+    val read = raw"ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read.split(",").length <= 3,
+      s"scan should read <= 3 columns, got: $read")
+  }
+
+  test("flagship OHLC resample shuffles once (partials, not ticks)") {
+    val p = plan("g1_g2_g3_ohlc_resample")
+    assert(shuffleCount(p) == 1,
+      s"expected exactly one shuffle, plan:\n$p")
+  }
+
+  test("o2 top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("o2_top5_offenders").contains("TakeOrderedAndProject"))
+  }
+
+  test("e54 kmeans-IVF broadcasts the probe set; corpus never " +
+    "sort-merge-joins") {
+    val p = plan("e54_kmeans_ivf_knn")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "probe join must stay broadcast")
+  }
+
+  test("e26 decontamination broadcasts the eval-hash side") {
+    val p = plan("e26_decontaminate")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must stream through a broadcast semi-join")
+  }
+}
