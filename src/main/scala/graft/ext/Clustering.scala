@@ -98,6 +98,17 @@ object Clustering {
     labels
   }
 
+  /** Set equality of two DISTINCT canonical edge frames in ONE Spark
+    * action: equal sets ⟺ every (u, v) appears exactly twice in the
+    * bag union. Both inputs are expected checkpointed/cached (the
+    * union rescans stored partitions); the equivalent
+    * count+count+except chain costs three driver round-trips per
+    * convergence check — measured as one job per round in
+    * ClusteringPackingSpec. */
+  private[graft] def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean =
+    a.union(b).groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") =!= 2).isEmpty
+
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SOCC'14) — the adversarial-diameter fallback to
@@ -165,14 +176,9 @@ object Clustering {
         .filter(col("u") < col("v"))
         .distinct()
         .localCheckpoint()
-      // fixpoint: star graphs are invariant under both phases. Both
-      // sides are distinct canonical sets, so set equality ⟺ every
-      // (u, v) appears exactly TWICE in the bag union — ONE aggregate
-      // action per round (both inputs are checkpointed, so the union
-      // rescans stored partitions; the previous count+count+except form
-      // was three actions of driver round-trip for the same answer).
-      converged = ss.union(e).groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("_n")).filter(col("_n") =!= 2).isEmpty
+      // fixpoint: star graphs are invariant under both phases — one
+      // action per round (see sameEdgeSet)
+      converged = sameEdgeSet(ss, e)
       e = ss
       iter += 1
     }

@@ -72,6 +72,38 @@ class ClusteringPackingSpec extends SparkSpec {
       minLabel.except(star).isEmpty)
   }
 
+  test("sameEdgeSet: one ACTION per convergence check, correct on " +
+    "equal and unequal sets") {
+    import spark.implicits._
+    val a = Seq((1L, 2L), (3L, 4L)).toDF("u", "v").localCheckpoint()
+    val b = Seq((1L, 2L), (3L, 4L)).toDF("u", "v").localCheckpoint()
+    val c = Seq((1L, 2L), (3L, 5L)).toDF("u", "v").localCheckpoint()
+    // count ACTIONS (driver round-trips with a full plan each), not
+    // Spark jobs — under AQE one action legitimately runs several jobs
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      actions.set(0)
+      assert(graft.ext.Clustering.sameEdgeSet(a, b))
+      assert(!graft.ext.Clustering.sameEdgeSet(a, c))
+      // listener delivery is async: poll briefly for the final count
+      var tries = 0
+      while (actions.get() < 2 && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      assert(actions.get() == 2,
+        s"expected 1 action per check, saw ${actions.get()} for 2")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("packSequences: straddling docs and bucket boundaries") {
     // seqLen 10: cumulative 0,7,12,12,29 — doc 3 straddles 10, the
     // zero-token doc 4 sits inside seq 1, doc 5 starts in seq 2
