@@ -292,10 +292,13 @@ object ExtQueries {
               .as("recall"))
       }
       val ivfStats = topkStats("ivf_knn", Similarity.ivfKnn(q, e, 3))
+      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
+      // nprobe=1 vs nprobe=2: the slope of the knob, measured (0.80 →
+      // 0.90 at sf0.01) — what a user sizing probe cost actually reads
+      val kivf1Stats = topkStats("kmeans_ivf_p1",
+        Similarity.kmeansIvfKnn(q, e, cents, k = 3, nprobe = 1))
       val kivfStats = topkStats("kmeans_ivf",
-        Similarity.kmeansIvfKnn(q, e,
-          KMeans.centroidArrays(e, k = 8, iters = 2), k = 3,
-          nprobe = 2))
+        Similarity.kmeansIvfKnn(q, e, cents, k = 3, nprobe = 2))
       val v = e.select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
       // all-pairs ground truth — consumed by BOTH lsh aggregates in one
@@ -327,8 +330,8 @@ object ExtQueries {
           col("n_true"), col("n_hit"),
           Rounding.duckRound(
             col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
-      ivfStats.unionByName(kivfStats).unionByName(lshStats)
-        .unionByName(mStats)
+      ivfStats.unionByName(kivf1Stats).unionByName(kivfStats)
+        .unionByName(lshStats).unionByName(mStats)
     }),
 
     // E53: multi-table (OR-construction) LSH ANN pairs — the recall
@@ -1218,7 +1221,8 @@ object ExtQueries {
          |        c2.cluster_id) AS rn
          |    FROM emb CROSS JOIN c2) t WHERE rn = 1),
          |qprobes AS (
-         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell FROM (
+         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell,
+         |    rn AS probe_rank FROM (
          |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
          |      (PARTITION BY emb.vec_id ORDER BY
          |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
@@ -2151,7 +2155,8 @@ object ExtQueries {
          |        c2.cluster_id) AS rn
          |    FROM emb CROSS JOIN c2) t WHERE rn = 1),
          |qprobes AS (
-         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell FROM (
+         |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell,
+         |    rn AS probe_rank FROM (
          |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
          |      (PARTITION BY emb.vec_id ORDER BY
          |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
@@ -2174,8 +2179,25 @@ object ExtQueries {
          |    count(*)::BIGINT AS n_true, count(i.q_id)::BIGINT AS n_hit,
          |    round(count(i.q_id)::DOUBLE / count(*), 6) AS recall
          |  FROM brute b LEFT JOIN kivf i
+         |    ON b.q_id = i.q_id AND b.n_id = i.n_id),
+         |kscored1 AS (
+         |  SELECT p.q_id, n.n_id AS n_id, ${duckCos("p.qe", "n.ne")}
+         |    AS sim
+         |  FROM qprobes p JOIN ccells n ON p.cell = n.cell
+         |  WHERE p.q_id <> n.n_id AND p.probe_rank = 1),
+         |kivf1 AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT *, row_number() OVER
+         |      (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+         |    FROM kscored1) WHERE rank <= 3),
+         |kstats1 AS (
+         |  SELECT 'kmeans_ivf_p1' AS method, 3::BIGINT AS k,
+         |    count(*)::BIGINT AS n_true, count(i.q_id)::BIGINT AS n_hit,
+         |    round(count(i.q_id)::DOUBLE / count(*), 6) AS recall
+         |  FROM brute b LEFT JOIN kivf1 i
          |    ON b.q_id = i.q_id AND b.n_id = i.n_id)
-         |SELECT * FROM ivfstats UNION ALL SELECT * FROM kstats
+         |SELECT * FROM ivfstats UNION ALL SELECT * FROM kstats1
+         |UNION ALL SELECT * FROM kstats
          |UNION ALL SELECT * FROM lshstats
          |UNION ALL SELECT * FROM mstats""".stripMargin,
 

@@ -22,6 +22,10 @@ class AnnRecallSpec extends SparkSpec {
       s"ivf recall ${rows("ivf_knn")} under floor 0.03")
     assert(rows("kmeans_ivf") >= 0.8,
       s"kmeans-ivf recall ${rows("kmeans_ivf")} under floor 0.8")
+    assert(rows("kmeans_ivf_p1") >= 0.7,
+      s"kmeans-ivf@nprobe=1 ${rows("kmeans_ivf_p1")} under floor 0.7")
+    // the knob must be monotone: probing more cells never loses truth
+    assert(rows("kmeans_ivf") >= rows("kmeans_ivf_p1"))
     // the trained quantizer is the point: it must crush the label
     // stand-in
     assert(rows("kmeans_ivf") >= 10 * rows("ivf_knn"))
