@@ -179,6 +179,27 @@ object ExtQueries {
         5, 16, 2, 0.5, 100)
     }),
 
+    // E55: the delta's COMPACTION twin — old↔old pairs whose
+    // similarity a batch's df-cap flips invalidated, recomputed from
+    // the store (no corpus re-shingling). Oracle: the full-corpus e3
+    // pipeline restricted to pairs between two old docs with at least
+    // one AFFECTED side (a doc containing a shingle the batch pushed
+    // over the cap). Together with e51, delta ∪ compaction ∪
+    // unaffected pre-batch pairs == the complete post-absorb set.
+    // At sf0.01 this gate is legitimately EMPTY on both engines (no
+    // planted near-dup coincides with a cap flip; max shingle df in
+    // the table is 3) — it pins the no-spurious-pairs side; the
+    // non-empty behavior and the union identity are pinned by
+    // DeltaDedupSpec's crafted flip fixture and the ScalaCheck
+    // property over random splits.
+    "e55_compaction_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.buildSignatureIndex(
+        d.filter(col("doc_id") % 10 =!= 0), 5, 16, 2, 100)
+      Dedup.compactionPairs(idx, d.filter(col("doc_id") % 10 === 0),
+        5, 16, 2, 0.5, 100)
+    }),
+
     // E4: SimHash near-dup pairs via 8-bit chunk banding
     "e4_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3)),
@@ -1083,6 +1104,25 @@ object ExtQueries {
     "e51_delta_dedup" -> minhashLshOracleSql(
       "\n  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"),
 
+    // compaction==full contract: old↔old pairs where at least one side
+    // contains a shingle the batch pushed over the df cap (`aff`) —
+    // what the store-only re-evaluation must reproduce
+    "e55_compaction_dedup" -> minhashLshOracleSql(
+      "\n  AND doc_a % 10 <> 0 AND doc_b % 10 <> 0" +
+        "\n  AND (doc_a IN (SELECT doc_id FROM aff)" +
+        "\n       OR doc_b IN (SELECT doc_id FROM aff))",
+      """
+        |dfo AS (
+        |  SELECT h, count(*) AS dfo FROM sh0
+        |  WHERE doc_id % 10 <> 0 GROUP BY h),
+        |dfn AS (SELECT h, count(*) AS dfn FROM sh0 GROUP BY h),
+        |flips AS (
+        |  SELECT h FROM dfo JOIN dfn USING (h)
+        |  WHERE dfo <= 100 AND dfn > 100),
+        |aff AS (
+        |  SELECT DISTINCT doc_id FROM sh0 JOIN flips USING (h)
+        |  WHERE doc_id % 10 <> 0),""".stripMargin),
+
     "e4_dedup_simhash" ->
       s"""WITH $simhashPairsCtes
          |SELECT doc_a, doc_b,
@@ -1118,9 +1158,12 @@ object ExtQueries {
 
   /** The full-corpus MinHash+LSH pair pipeline (e3's oracle), with an
     * optional extra predicate appended to the final WHERE — the e51
-    * delta gate restricts it to pairs touching the batch. */
-  private def minhashLshOracleSql(extraPred: String): String =
-    s"""WITH $shinglesCte, $jaccardTailSql,
+    * delta gate restricts it to pairs touching the batch, the e55
+    * compaction gate to old↔old pairs with an affected side (via
+    * `extraCtes`, injected before the minhash chain). */
+  private def minhashLshOracleSql(extraPred: String,
+                                  extraCtes: String = ""): String =
+    s"""WITH $shinglesCte, $jaccardTailSql,$extraCtes
        |h0s AS (
        |  SELECT doc_id, h % 2147483647 AS h0
        |  FROM sh),

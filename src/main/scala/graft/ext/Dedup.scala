@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   * (map-side shingling → shuffle on band key → per-bucket pairs).
   *
   * Cache contract: [[ngramJaccardPairs]], [[minhashLshPairs]],
-  * [[containmentPairs]], [[cappedShingleHashes]], and
-  * [[deltaDedupPairs]] pin intermediate caches (shingle hashes,
+  * [[containmentPairs]], [[cappedShingleHashes]], [[deltaDedupPairs]],
+  * and [[compactionPairs]] pin intermediate caches (shingle hashes,
   * candidate pairs) that outlive the returned DataFrame — unpersisting
   * before the caller's action would force recomputation mid-plan. Every
   * pinned frame is tracked; after the final action on a result, call
@@ -435,9 +435,12 @@ object Dedup {
     *
     * Scope note (inherent to df-capped semantics under corpus growth):
     * output is pairs TOUCHING THE BATCH. A cap flip can also alter
-    * old↔old similarities; those re-evaluations are a compaction
-    * concern, not part of the daily delta — exactly like late-arriving
-    * candle corrections outside the delta's minute span in g8.
+    * old↔old similarities; those re-evaluations are
+    * [[compactionPairs]]'s job, run on its own cadence — exactly like
+    * late-arriving candle corrections outside the delta's minute span
+    * in g8. delta ∪ compaction ∪ unaffected pre-batch pairs is the
+    * complete post-absorb pair set (union identity proven in
+    * DeltaDedupSpec).
     *
     * Batch doc_ids must be disjoint from indexed doc_ids (new documents
     * — re-ingesting an indexed id would double-count its shingles in
@@ -446,6 +449,73 @@ object Dedup {
                  numHashes: Int = 16, rowsPerBand: Int = 2,
                  minJaccard: Double = 0.5,
                  maxDf: Int = 100): (DataFrame, SignatureIndex) = {
+    val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
+    val batchBands = c.bandsNew
+      .join(broadcast(c.batchIds), Seq("doc_id"), "left_semi")
+    // candidate pairs touching the batch: probe the updated band index
+    // with the batch's band keys
+    val cand = batchBands.as("x").join(c.allBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val pairs = verifyCandidates(index, c, cand, minJaccard)
+    // absorb the batch: sig/df merge like candle partials; bands swap
+    // in the recomputed rows
+    val updated = SignatureIndex(
+      sig = index.sig.unionByName(c.bsh),
+      df = index.df.unionByName(
+          c.batchDf.withColumnRenamed("df_b", "df"))
+        .groupBy(col("h")).agg(sum(col("df")).as("df")),
+      bands = c.allBands)
+    (pairs, updated)
+  }
+
+  /** The periodic COMPACTION twin of [[deltaDedup]] — the re-evaluation
+    * the delta's scope note defers: a batch's cap flips change OLD
+    * documents' signatures, so old↔old pairs involving an `affected`
+    * doc must be recomputed under the combined df. Returns exactly the
+    * full-corpus [[minhashLshPairs]] over (indexed ∪ batch) RESTRICTED
+    * to pairs between two OLD docs with at least one affected side
+    * (the e55 gate) — so delta ∪ compaction ∪ {pre-batch pairs with no
+    * affected side} is the complete post-absorb pair set
+    * (DeltaDedupSpec proves the union identity).
+    *
+    * Work scales with the cap-flip blast radius (affected docs' band
+    * probes + their candidates), not the corpus — run it on the cadence
+    * cap flips warrant, like the candle store's out-of-span compaction
+    * in g8. */
+  def compactionPairs(index: SignatureIndex, batch: DataFrame,
+                      k: Int = 5, numHashes: Int = 16,
+                      rowsPerBand: Int = 2, minJaccard: Double = 0.5,
+                      maxDf: Int = 100): DataFrame = {
+    val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
+    val affBands = c.bandsNew
+      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
+    val oldBands = c.allBands
+      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
+    // old↔old candidates with >= 1 affected side: probe the old band
+    // index with the AFFECTED docs' recomputed band keys
+    val cand = affBands.as("x").join(oldBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    verifyCandidates(index, c, cand, minJaccard)
+  }
+
+  /** Shared state of one delta/compaction run: everything derived from
+    * probing the store with ONE batch's shingles. */
+  private case class DeltaCore(bsh: DataFrame, batchDf: DataFrame,
+                               batchIds: DataFrame, affected: DataFrame,
+                               overCap: DataFrame, bandsNew: DataFrame,
+                               allBands: DataFrame)
+
+  private def deltaCore(index: SignatureIndex, batch: DataFrame, k: Int,
+                        numHashes: Int, rowsPerBand: Int,
+                        maxDf: Int): DeltaCore = {
     // the ONLY shingling in the run: the batch
     val bsh = pin(shingleHashes(batch, k))
     bsh.count()
@@ -485,25 +555,23 @@ object Dedup {
       .join(broadcast(affected), Seq("doc_id"), "left_anti")
     val allBands = keptBands.unionByName(bandsNew)
     val batchIds = batch.select(col("doc_id")).distinct()
-    val batchBands = bandsNew
-      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
-    // candidate pairs touching the batch: probe the updated band index
-    // with the batch's band keys
-    val cand = pin(batchBands.as("x").join(allBands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-      .distinct())
+    DeltaCore(bsh, batchDf, batchIds, affected, overCap, bandsNew,
+      allBands)
+  }
+
+  /** Exact-Jaccard verification over combined-df capped sets, pulled
+    * for CANDIDATE docs only — shared by the delta and compaction
+    * candidate generators. */
+  private def verifyCandidates(index: SignatureIndex, c: DeltaCore,
+                               cand0: DataFrame,
+                               minJaccard: Double): DataFrame = {
+    val cand = pin(cand0.distinct())
     cand.count()
-    // exact-Jaccard verification over combined-df capped sets, pulled
-    // for CANDIDATE docs only
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = pin(index.sig.unionByName(bsh)
+    val shCand = pin(index.sig.unionByName(c.bsh)
       .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .join(broadcast(overCap), Seq("h"), "left_anti"))
+      .join(broadcast(c.overCap), Seq("h"), "left_anti"))
     shCand.count()
     val counts = shCand.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"))
@@ -512,7 +580,7 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val pairs = cand
+    cand
       .join(inter, Seq("doc_a", "doc_b"))
       .join(counts.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
@@ -523,15 +591,6 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    // absorb the batch: sig/df merge like candle partials; bands swap
-    // in the recomputed rows
-    val updated = SignatureIndex(
-      sig = index.sig.unionByName(bsh),
-      df = index.df.unionByName(
-          batchDf.withColumnRenamed("df_b", "df"))
-        .groupBy(col("h")).agg(sum(col("df")).as("df")),
-      bands = allBands)
-    (pairs, updated)
   }
 
   /** [[deltaDedup]]'s pair output alone — the daily-run call. */

@@ -83,6 +83,68 @@ class DeltaDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** Affected old docs, computed independently of the operator under
+    * test: old docs containing a shingle whose df the batch pushed
+    * over the cap. */
+  private def affectedIds(oldDf: DataFrame, batchDf: DataFrame): Set[Long] = {
+    def sh(df: DataFrame): Seq[(Long, Long)] =
+      Dedup.shingleHashes(df, K).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val o = sh(oldDf)
+    val dfo = o.groupBy(_._2).view.mapValues(_.size).toMap
+    val dfn = (o ++ sh(batchDf)).groupBy(_._2).view.mapValues(_.size)
+      .toMap
+    val flips = dfn.keySet.filter(h =>
+      dfo.getOrElse(h, 0) <= MAXDF && dfn(h) > MAXDF)
+    o.filter(p => flips(p._2)).map(_._1).toSet
+  }
+
+  test("compaction pairs == full-corpus old-old pairs with an " +
+    "affected side") {
+    val idx = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val got = pairSet(Dedup.compactionPairs(idx, batch1, K, NH, RPB,
+      MINJ, MAXDF))
+    Dedup.releasePinnedCaches()
+    val aff = affectedIds(oldDocs, batch1)
+    assert(aff.nonEmpty, "fixture should flip a shingle over the cap")
+    val batchIds = Set(10L, 11L, 12L)
+    val want = pairSet(
+      Dedup.minhashLshPairs(oldDocs.union(batch1), K, NH, RPB, MINJ,
+        MAXDF))
+      .filter(p => !batchIds(p._1) && !batchIds(p._2) &&
+        (aff(p._1) || aff(p._2)))
+    Dedup.releasePinnedCaches()
+    assert(want.nonEmpty, "fixture should produce a compaction pair")
+    assert(got == want)
+  }
+
+  test("delta ∪ compaction ∪ unaffected pre-batch pairs == the full " +
+    "post-absorb pair set") {
+    val idx = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val (deltaPairs, _) = Dedup.deltaDedup(idx, batch1, K, NH, RPB,
+      MINJ, MAXDF)
+    val delta = pairSet(deltaPairs)
+    Dedup.releasePinnedCaches()
+    val idx2 = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val comp = pairSet(Dedup.compactionPairs(idx2, batch1, K, NH, RPB,
+      MINJ, MAXDF))
+    Dedup.releasePinnedCaches()
+    val aff = affectedIds(oldDocs, batch1)
+    val preUnaffected = pairSet(
+      Dedup.minhashLshPairs(oldDocs, K, NH, RPB, MINJ, MAXDF))
+      .filter(p => !aff(p._1) && !aff(p._2))
+    Dedup.releasePinnedCaches()
+    val full = pairSet(
+      Dedup.minhashLshPairs(oldDocs.union(batch1), K, NH, RPB, MINJ,
+        MAXDF))
+    Dedup.releasePinnedCaches()
+    assert((delta ++ comp ++ preUnaffected) == full)
+    // and the three parts are disjoint — each pair has ONE owner
+    assert(delta.intersect(comp).isEmpty)
+    assert(delta.intersect(preUnaffected).isEmpty)
+    assert(comp.intersect(preUnaffected).isEmpty)
+  }
+
   test("index round-trips through parquet (the persisted-store form)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sigidx").toString

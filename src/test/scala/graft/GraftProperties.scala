@@ -160,8 +160,8 @@ object GraftProperties extends Properties("graft") {
       fresh <- Gen.listOfN(nNew, mk)
     } yield (old, fresh)
 
-  property("delta dedup equals full-corpus LSH pairs touching the " +
-    "batch, for any corpus/batch split") =
+  property("delta == full pairs touching the batch, AND delta ∪ " +
+    "compaction ∪ unaffected pre-batch == full, for any split") =
     Prop.forAll(deltaCorpusGen) { case (oldWs, newWs) =>
       import spark.implicits._
       val oldDocs = oldWs.zipWithIndex
@@ -171,19 +171,43 @@ object GraftProperties extends Properties("graft") {
         .map { case (ws, i) => ((100 + i).toLong, ws.mkString(" ")) }
         .toDF("doc_id", "text")
       val (k, nh, rpb, minJ, maxDf) = (2, 4, 2, 0.05, 2)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val idx = Dedup.buildSignatureIndex(oldDocs, k, nh, rpb, maxDf)
-      val (pairs, _) = Dedup.deltaDedup(idx, newDocs, k, nh, rpb,
+      val (dp, _) = Dedup.deltaDedup(idx, newDocs, k, nh, rpb,
         minJ, maxDf)
-      val got = pairs.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val delta = pairsOf(dp)
       Dedup.releasePinnedCaches()
-      val full = Dedup.minhashLshPairs(oldDocs.union(newDocs), k, nh,
-          rpb, minJ, maxDf)
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val idx2 = Dedup.buildSignatureIndex(oldDocs, k, nh, rpb, maxDf)
+      val comp = pairsOf(Dedup.compactionPairs(idx2, newDocs, k, nh,
+        rpb, minJ, maxDf))
       Dedup.releasePinnedCaches()
+      val pre = pairsOf(Dedup.minhashLshPairs(oldDocs, k, nh, rpb,
+        minJ, maxDf))
+      Dedup.releasePinnedCaches()
+      val full = pairsOf(Dedup.minhashLshPairs(oldDocs.union(newDocs),
+        k, nh, rpb, minJ, maxDf))
+      Dedup.releasePinnedCaches()
+      // affected old docs, derived in-memory from the raw shingles
+      def sh(ws: List[List[String]], off: Int): Seq[(Long, String)] =
+        ws.zipWithIndex.flatMap { case (w, i) =>
+          w.sliding(k).filter(_.size == k)
+            .map(s => ((off + i).toLong, s.mkString(" "))).toSeq.distinct
+        }
+      val oSh = sh(oldWs, 0)
+      val dfo = oSh.groupBy(_._2).view.mapValues(_.size).toMap
+      val dfn = (oSh ++ sh(newWs, 100)).groupBy(_._2).view
+        .mapValues(_.size).toMap
+      val aff = oSh.filter { case (_, s) =>
+        dfo.getOrElse(s, 0) <= maxDf && dfn(s) > maxDf
+      }.map(_._1).toSet
       val batchIds = newWs.indices.map(i => (100 + i).toLong).toSet
-      got == full.filter(p => batchIds(p._1) || batchIds(p._2))
+      val preUnaffected = pre.filter(p => !aff(p._1) && !aff(p._2))
+      delta == full.filter(p => batchIds(p._1) || batchIds(p._2)) &&
+        (delta ++ comp ++ preUnaffected) == full &&
+        comp.forall(p => !batchIds(p._1) && !batchIds(p._2) &&
+          (aff(p._1) || aff(p._2)))
     }
 
   private val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
