@@ -200,6 +200,18 @@ object ExtQueries {
         5, 16, 2, 0.5, 100)
     }),
 
+    // E56: train/val split leakage — near-dup pairs CROSSING a
+    // deterministic 80/20 md5-bucket split (e18's bucket idiom). The
+    // guard every training pipeline needs next to decontamination:
+    // a val doc near-duplicating a train doc leaks the eval. Pure
+    // composition: one split predicate over the e3 pair operator.
+    "e56_split_leakage" -> ((s, dir) => {
+      def isTrain(c: org.apache.spark.sql.Column) =
+        Dedup.md5Long(c.cast("string")) % 1000 < 800
+      Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5, 100)
+        .filter(isTrain(col("doc_a")) =!= isTrain(col("doc_b")))
+    }),
+
     // E4: SimHash near-dup pairs via 8-bit chunk banding
     "e4_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), 3)),
@@ -1103,6 +1115,14 @@ object ExtQueries {
     // the incremental run against the persisted index must reproduce
     "e51_delta_dedup" -> minhashLshOracleSql(
       "\n  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"),
+
+    // the e3 pairs whose endpoints fall on opposite sides of the
+    // 80/20 md5-bucket split
+    "e56_split_leakage" -> minhashLshOracleSql(
+      "\n  AND ((('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 15))" +
+        "::BIGINT % 1000 < 800)" +
+        "\n    <> (('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 15))" +
+        "::BIGINT % 1000 < 800))"),
 
     // compaction==full contract: old↔old pairs where at least one side
     // contains a shingle the batch pushed over the df cap (`aff`) —
