@@ -141,6 +141,38 @@ object ExtQueries {
         .select(col("fp"), col("doc_id").as("keep_id"))
     }),
 
+    // E57: streaming dedup BOOTSTRAPPED from a persisted batch store —
+    // the streaming face of the e51 delta story: the indexed corpus's
+    // fingerprints load as a static frame, the incoming stream prunes
+    // against them with a broadcast stream-static LEFT ANTI join
+    // (copies of already-indexed content never reach the state store),
+    // then the keyed state machine dedups within the stream itself.
+    // Replay must equal the batch answer: new-batch survivors whose
+    // content is absent from the old corpus.
+    "e57_streaming_bootstrap_dedup_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val tmp = "/tmp/graft_fpstore_" + ProcessHandle.current().pid() +
+        "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      docs(s, dir).filter(col("doc_id") % 10 =!= 0)
+        .select(md5(col("text")).as("fp")).distinct()
+        .write.mode("overwrite").parquet(tmp)
+      val store = s.read.parquet(tmp)
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 10 === 0)
+      val ins = stream.select(md5(col("text")).as("fp"),
+          col("doc_id").cast("long").as("doc_id"),
+          to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+        .join(broadcast(store), Seq("fp"), "left_anti")
+        .as[StreamingDedup.DocIn]
+      StreamingOhlc.replayToBatchAppend(s,
+        StreamingDedup.dedup(ins).toDF())
+        .select(col("fp"), col("doc_id").as("keep_id"))
+    }),
+
     // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs;
     // df cap bounds the per-shingle-key join blowup).
     // NOTE capped-set semantics: with maxDf=100, shingles occurring in
@@ -1034,6 +1066,18 @@ object ExtQueries {
     "e1_streaming_dedup_replay" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1"),
+
+    // bootstrap contract: new-batch survivors whose content the old
+    // corpus has never indexed
+    "e57_streaming_bootstrap_dedup_replay" ->
+      """WITH oldf AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents
+        |  WHERE doc_id % 10 <> 0)
+        |SELECT md5(text) AS fp, min(doc_id) AS keep_id
+        |FROM documents
+        |WHERE doc_id % 10 = 0
+        |  AND md5(text) NOT IN (SELECT fp FROM oldf)
+        |GROUP BY 1""".stripMargin,
 
     // quantile_cont == Spark percentile (interpolated), both rounded;
     // the clamp itself is exact double arithmetic
