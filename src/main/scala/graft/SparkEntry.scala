@@ -367,6 +367,23 @@ object SparkEntry {
       roundedOhlc(candles, Nil)
     }),
 
+    // S8: ORC round-trip — the tick candles written through the
+    // day-partitioned ORC store (Spark's second built-in columnar
+    // format) and read back; sharing the batch resample's oracle
+    // proves the round-trip lossless at the value level (DuckDB reads
+    // no ORC, so the gate is the strongest cross-format check
+    // available: storage format changed, answer hash didn't).
+    "s8_orc_roundtrip_ohlc" -> ((s, dir) => {
+      val tmp = "/tmp/graft_orc_store_" +
+        ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      sources.ParquetSinks.writeDayPartitionedOrc(
+        tickCandles(s, dir), tmp)
+      roundedOhlc(
+        sources.ParquetSinks.readDayPartitionedOrc(s, tmp)
+          .drop("date"), Nil)
+    }),
+
     // G1 keyed variant: per-user (symbol-style) OHLC — the scale shape
     "g1_ohlc_by_key" -> ((s, dir) => {
       val ticks = Tables.load(s, dir, "events").select(
@@ -962,6 +979,12 @@ object SparkEntry {
     // identical oracle again: partial-merge maintenance is an internal
     // decomposition, not a semantic change
     "g8_incremental_ohlc" ->
+      s"""WITH $ticksCte, $preppedCte
+         |${ohlcSelectSql()}""".stripMargin,
+
+    // identical oracle: an ORC store round-trip must not change a
+    // single value
+    "s8_orc_roundtrip_ohlc" ->
       s"""WITH $ticksCte, $preppedCte
          |${ohlcSelectSql()}""".stripMargin,
 

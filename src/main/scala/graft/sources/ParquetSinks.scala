@@ -32,6 +32,28 @@ object ParquetSinks {
   def readDayPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC twin of [[writeDayPartitioned]] — same hive day-partitioned
+    * layout through Spark's second built-in columnar format, for
+    * deployments whose lake standard is ORC. Identical pruning story:
+    * date filters hit `PartitionFilters`, column pruning reaches the
+    * ORC reader, and values round-trip losslessly
+    * (`s8_orc_roundtrip_ohlc` proves the round-tripped candles still
+    * hash-match the DuckDB oracle computed from the original
+    * parquet). */
+  def writeDayPartitionedOrc(df: DataFrame, path: String,
+                             extraKeys: Seq[String] = Nil): Unit = {
+    val cols = extraKeys :+ "date"
+    df.withColumn("date", to_date(col("datetime")))
+      .repartition(cols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(cols: _*)
+      .orc(path)
+  }
+
+  /** Read the ORC store. */
+  def readDayPartitionedOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Training-export writer: the physical counterpart of
     * [[graft.ext.Sampling.shuffleShards]]. Rows land hive-partitioned by
     * shard, one file per shard (repartition on the partition key — the

@@ -34,6 +34,25 @@ class ParquetSinksSpec extends SparkSpec {
     assert(scanned.length == 1 && scanned.head.contains("date=2024-01-04"))
   }
 
+  test("ORC day store: round-trips and prunes partitions the same way") {
+    val out = Paths.get("target", "test-fixtures", "daystore_orc").toString
+    val candles = Seq(
+      (ts("2024-01-03 10:00:00"), 1.0, 1.1, 0.9, 1.05, 3L, 0.01),
+      (ts("2024-01-04 09:30:00"), 1.1, 1.3, 1.05, 1.2, 5L, 0.02))
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+    ParquetSinks.writeDayPartitionedOrc(candles, out)
+    val back = ParquetSinks.readDayPartitionedOrc(spark, out)
+    assert(back.count() == 2)
+    val oneDay = back.filter(col("date") === "2024-01-04")
+    assert(oneDay.count() == 1)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("2024-01-04"), s"no partition pruning in:\n$plan")
+    // lossless values through the format change
+    assert(oneDay.select("open", "close").as[(Double, Double)]
+      .collect().head == ((1.1, 1.2)))
+  }
+
   test("shard export: one ordered file per shard, shard dirs prune") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_shards").toString
