@@ -153,8 +153,7 @@ object ExtQueries {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.ansi.enabled", "false")
-      val tmp = "/tmp/graft_fpstore_" + ProcessHandle.current().pid() +
-        "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = graft.Scratch.dir("fpstore", dir)
       docs(s, dir).filter(col("doc_id") % 10 =!= 0)
         .select(md5(col("text")).as("fp")).distinct()
         .write.mode("overwrite").parquet(tmp)
@@ -171,6 +170,75 @@ object ExtQueries {
       StreamingOhlc.replayToBatchAppend(s,
         StreamingDedup.dedup(ins).toDF())
         .select(col("fp"), col("doc_id").as("keep_id"))
+    }),
+
+    // E58: STREAMING near-dup — the delta-dedup SignatureIndex wired
+    // into the streaming path (VERDICT r7 #3, closing the last
+    // batch/streaming asymmetry): a document stream replayed as three
+    // staged micro-batches (StagedReplay, one file per trigger)
+    // maintains a persisted near-dup PAIR STORE via foreachBatch — per
+    // batch, one Dedup.deltaStep against the evolving index, then the
+    // store update rule the DeltaDedupSpec union identity licenses:
+    //   P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction
+    // with index and store round-tripped through parquet between
+    // batches (store-faithful, lineage-truncated — the daily
+    // operational loop, just at micro-batch cadence). Starting from an
+    // EMPTY index, induction over the identity makes the final store
+    // exactly the FULL-CORPUS e3 pairs — so this replay shares e3's
+    // oracle verbatim: three incremental absorptions, hash-identical
+    // to the one-shot batch operator.
+    "e58_streaming_neardup_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("neardup_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r => d.filter(col("doc_id") % 3 === r)),
+        s"$scratch/stages")
+      var idx = Dedup.buildSignatureIndex(d.limit(0), 5, 16, 2, 100)
+      var pairs: DataFrame = null // store is born with the first batch
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
+          val step = Dedup.deltaStep(idx, b, 5, 16, 2, 0.5, 100)
+          val updated =
+            if (pairs == null) step.pairs.unionByName(step.compaction)
+            else {
+              val affA = step.affected.withColumnRenamed("doc_id", "doc_a")
+              val affB = step.affected.withColumnRenamed("doc_id", "doc_b")
+              pairs // retire pairs a cap flip invalidated, then union
+                .join(broadcast(affA), Seq("doc_a"), "left_anti")
+                .join(broadcast(affB), Seq("doc_b"), "left_anti")
+                .unionByName(step.pairs).unionByName(step.compaction)
+            }
+          updated.write.mode("overwrite")
+            .parquet(s"$scratch/pairs_$batchId")
+          step.updated.write(s"$scratch/idx_$batchId")
+          pairs = s.read.parquet(s"$scratch/pairs_$batchId")
+          idx = Dedup.SignatureIndex.read(s, s"$scratch/idx_$batchId")
+          Dedup.releasePinnedCaches() // stores persisted; pins done
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    // E59: compaction cadence observability (VERDICT r7 #4) — the ONE
+    // row a store operator schedules compactionPairs by: how many
+    // shingles a prospective batch pushes over the df cap, how many
+    // OLD documents those flips touch, and the blast radius as a
+    // corpus fraction. No candidate generation, no verification — batch
+    // shingling plus one broadcast store probe.
+    "e59_compaction_cadence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = Dedup.buildSignatureIndex(
+        d.filter(col("doc_id") % 10 =!= 0), 5, 16, 2, 100)
+      Dedup.deltaStats(idx, d.filter(col("doc_id") % 10 === 0), 5, 100)
     }),
 
     // E2: n-gram Jaccard near-dup pairs (shingle join prunes all-pairs;
@@ -201,8 +269,7 @@ object ExtQueries {
     // dedup twin of g8's merge == full candle contract.
     "e51_delta_dedup" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tmp = "/tmp/graft_sigidx_" + ProcessHandle.current().pid() +
-        "_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = graft.Scratch.dir("sigidx", dir)
       Dedup.buildSignatureIndex(d.filter(col("doc_id") % 10 =!= 0),
         5, 16, 2, 100).write(tmp)
       Dedup.releasePinnedCaches()
@@ -988,6 +1055,21 @@ object ExtQueries {
     "e19_bm25" -> ((s, dir) =>
       Relevance.bm25(docs(s, dir), Seq("the", "data", "model"))),
 
+    // E60: BM25 over a query TABLE with per-query top-k (VERDICT r7
+    // #6) — the retrieval-eval screen: rank every document against
+    // each query's term set, keep the 3 best per query. Ranking is on
+    // the 6-decimal-rounded score (then doc_id), so the rank itself is
+    // cross-engine deterministic.
+    "e60_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0L, "the"), (0L, "data"),
+        (1L, "spark"), (1L, "window"),
+        (2L, "join"), (2L, "vector"), (2L, "stream"))
+        .toDF("query_id", "term")
+      Relevance.bm25TopK(docs(s, dir), queries, 3)
+    }),
+
     // E20: the composed dedup endgame — near-dup pairs → connected
     // components → ONE canonical doc per cluster, picked by the e7
     // quality score (tie-break: lowest doc_id via the negated-id struct
@@ -1153,6 +1235,36 @@ object ExtQueries {
          |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
 
     "e3_dedup_minhash_lsh" -> minhashLshOracleSql(""),
+
+    // the staged incremental replay (empty index + three absorbed
+    // micro-batches, store update rule P' = (P \ affected) ∪ delta ∪
+    // compaction) must converge to the ONE-SHOT full-corpus pair set —
+    // e3's oracle verbatim, reached via a completely different
+    // execution path
+    "e58_streaming_neardup_replay" -> minhashLshOracleSql(""),
+
+    // blast-radius statistics under the same old/batch split as e51:
+    // flips = batch-touched shingles crossing the df cap, affected =
+    // old docs containing one; counts only, no pair machinery
+    "e59_compaction_cadence" ->
+      s"""WITH $shinglesCte,
+         |osh AS (SELECT * FROM sh0 WHERE doc_id % 10 <> 0),
+         |bsh AS (SELECT * FROM sh0 WHERE doc_id % 10 = 0),
+         |dfo AS (SELECT h, count(*) AS dfo FROM osh GROUP BY 1),
+         |dfb AS (SELECT h, count(*) AS dfb FROM bsh GROUP BY 1),
+         |flips AS (
+         |  SELECT dfb.h FROM dfb LEFT JOIN dfo ON dfb.h = dfo.h
+         |  WHERE coalesce(dfo, 0) <= 100 AND coalesce(dfo, 0) + dfb > 100),
+         |aff AS (SELECT DISTINCT doc_id FROM osh JOIN flips USING (h)),
+         |nb AS (SELECT count(DISTINCT doc_id) AS n_batch_docs
+         |       FROM documents WHERE doc_id % 10 = 0),
+         |nf AS (SELECT count(*) AS n_cap_flips FROM flips),
+         |na AS (SELECT count(*) AS n_affected_docs FROM aff),
+         |nod AS (SELECT count(DISTINCT doc_id) AS n_old_docs FROM osh)
+         |SELECT n_batch_docs, n_cap_flips, n_affected_docs, n_old_docs,
+         |  round(n_affected_docs * CAST(100.0 AS DOUBLE) / n_old_docs, 6)
+         |    AS blast_radius_pct
+         |FROM nb, nf, na, nod""".stripMargin,
 
     // delta==full contract: the SAME full-corpus LSH pipeline as e3,
     // restricted to pairs touching the batch (doc_id % 10 = 0) — what
@@ -1975,6 +2087,46 @@ object ExtQueries {
         |FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
         |CROSS JOIN stats
         |GROUP BY doc_id""".stripMargin,
+
+    // same BM25 arithmetic joined through a VALUES query table; the
+    // rank runs on the ROUNDED score (then doc_id), identically on
+    // both engines, so row_number is deterministic
+    "e60_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |    (0, 'the'), (0, 'data'),
+        |    (1, 'spark'), (1, 'window'),
+        |    (2, 'join'), (2, 'vector'), (2, 'stream')),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT qq.query_id, tf.doc_id,
+        |    round(sum(
+        |      ln((n_docs - df + CAST(0.5 AS DOUBLE))
+        |          / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |         * ((1 - CAST(0.75 AS DOUBLE))
+        |            + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
+        |  FROM tf JOIN q qq ON tf.tok = qq.term
+        |  JOIN df USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY bm25 DESC, doc_id) AS rnk,
+        |  doc_id, bm25
+        |FROM scored
+        |QUALIFY rnk <= 3""".stripMargin,
 
     "e18_stratified_sample" ->
       """WITH t AS (

@@ -349,9 +349,7 @@ object SparkEntry {
         col("datetime") >= cut(3) && col("datetime") < cut(2)
       val isStage2 = col("tick_id") % 7 === 5 &&
         col("datetime") >= cut(6) && col("datetime") < cut(5)
-      val tmp = "/tmp/graft_late_replay_" +
-        ProcessHandle.current().pid() + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = Scratch.dir("late_replay", dir)
       streaming.StagedReplay.stageFiles(Seq(
         prepped.filter(!isStage4 && !isLateDrop && !isLateAdmit &&
           !isStage2),
@@ -374,9 +372,7 @@ object SparkEntry {
     // no ORC, so the gate is the strongest cross-format check
     // available: storage format changed, answer hash didn't).
     "s8_orc_roundtrip_ohlc" -> ((s, dir) => {
-      val tmp = "/tmp/graft_orc_store_" +
-        ProcessHandle.current().pid() + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = Scratch.dir("orc_store", dir)
       sources.ParquetSinks.writeDayPartitionedOrc(
         tickCandles(s, dir), tmp)
       roundedOhlc(
@@ -743,9 +739,7 @@ object SparkEntry {
     // bridge.
     "u2_streaming_bridge_replay" -> ((s, dir) => {
       import s.implicits._
-      val tmp = "/tmp/graft_bridge_replay_" +
-        ProcessHandle.current().pid() + "_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = Scratch.dir("bridge_replay", dir)
       tickCandles(s, dir).coalesce(1).write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(s.read.parquet(tmp).schema)
         .parquet(tmp)

@@ -30,29 +30,20 @@ import org.apache.spark.sql.functions._
   * caches the way a global
   * `spark.sharedState.cacheManager.clearCache()` would). Verify/Bench
   * use the global clearCache() per query, which also satisfies the
-  * contract.
+  * contract. Pins are scoped PER THREAD (see [[CachePins]]): run the
+  * operators and the release on the same thread, and concurrent
+  * sessions on separate threads cannot clobber each other's caches.
   */
 object Dedup {
 
-  /** Caches pinned by operators in this module and not yet released.
-    * Unpersist is idempotent, so frames also cleared globally (e.g. by
-    * Verify/Bench) release as a no-op. */
-  private val pinnedCaches =
-    scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private def pin(df: DataFrame): DataFrame = CachePins.pin(df)
 
-  private def pin(df: DataFrame): DataFrame = synchronized {
-    pinnedCaches += df.cache()
-    df
-  }
-
-  /** Drop every cache pinned by this module's operators since the last
-    * release. Call AFTER the final action on their results (the caches
-    * back the returned plans; releasing earlier forces mid-plan
-    * recomputation). Blocking, so the memory is free on return. */
-  def releasePinnedCaches(): Unit = synchronized {
-    pinnedCaches.foreach(_.unpersist(blocking = true))
-    pinnedCaches.clear()
-  }
+  /** Drop every cache pinned by this module's operators ON THE CALLING
+    * THREAD since its last release. Call AFTER the final action on
+    * their results (the caches back the returned plans; releasing
+    * earlier forces mid-plan recomputation). Blocking, so the memory is
+    * free on return. */
+  def releasePinnedCaches(): Unit = CachePins.release()
 
   /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Backed by
@@ -450,26 +441,75 @@ object Dedup {
                  minJaccard: Double = 0.5,
                  maxDf: Int = 100): (DataFrame, SignatureIndex) = {
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
+    (verifyCandidates(index, c, deltaCandidates(c), minJaccard),
+      absorb(index, c))
+  }
+
+  /** Candidate pairs touching the batch: probe the updated band index
+    * with the batch's band keys. */
+  private def deltaCandidates(c: DeltaCore): DataFrame = {
     val batchBands = c.bandsNew
       .join(broadcast(c.batchIds), Seq("doc_id"), "left_semi")
-    // candidate pairs touching the batch: probe the updated band index
-    // with the batch's band keys
-    val cand = batchBands.as("x").join(c.allBands.as("y"),
+    batchBands.as("x").join(c.allBands.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-    val pairs = verifyCandidates(index, c, cand, minJaccard)
-    // absorb the batch: sig/df merge like candle partials; bands swap
-    // in the recomputed rows
-    val updated = SignatureIndex(
+  }
+
+  /** Old↔old candidates with ≥1 affected side: probe the old band
+    * index with the AFFECTED docs' recomputed band keys. */
+  private def compactionCandidates(c: DeltaCore): DataFrame = {
+    val affBands = c.bandsNew
+      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
+    val oldBands = c.allBands
+      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
+    affBands.as("x").join(oldBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+  }
+
+  /** Absorb the batch into the index: sig/df merge like candle
+    * partials; bands swap in the recomputed rows. */
+  private def absorb(index: SignatureIndex, c: DeltaCore): SignatureIndex =
+    SignatureIndex(
       sig = index.sig.unionByName(c.bsh),
       df = index.df.unionByName(
           c.batchDf.withColumnRenamed("df_b", "df"))
         .groupBy(col("h")).agg(sum(col("df")).as("df")),
       bands = c.allBands)
-    (pairs, updated)
+
+  /** One full delta step — everything an incremental consumer (e.g. a
+    * streaming near-dup maintainer) needs from ONE [[deltaCore]]
+    * computation: `pairs` = [[deltaDedup]]'s pairs touching the batch,
+    * `compaction` = [[compactionPairs]]'s old↔old re-evaluations,
+    * `affected` = the old doc_ids whose capped sets the batch's df-cap
+    * flips changed (the pairs a maintained pair store must RETIRE
+    * before unioning in `pairs` ∪ `compaction` — the update rule
+    * `P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction` gives
+    * exactly the full-corpus pair set after absorb, the DeltaDedupSpec
+    * union identity), and `updated` = the absorbed index for the next
+    * step. Calling [[deltaDedup]] + [[compactionPairs]] separately
+    * computes the shared core twice; this computes it once. */
+  final case class DeltaStep(pairs: DataFrame, compaction: DataFrame,
+                             affected: DataFrame,
+                             updated: SignatureIndex)
+
+  def deltaStep(index: SignatureIndex, batch: DataFrame, k: Int = 5,
+                numHashes: Int = 16, rowsPerBand: Int = 2,
+                minJaccard: Double = 0.5,
+                maxDf: Int = 100): DeltaStep = {
+    val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
+    DeltaStep(
+      pairs = verifyCandidates(index, c, deltaCandidates(c), minJaccard),
+      compaction =
+        verifyCandidates(index, c, compactionCandidates(c), minJaccard),
+      affected = c.affected,
+      updated = absorb(index, c))
   }
 
   /** The periodic COMPACTION twin of [[deltaDedup]] — the re-evaluation
@@ -491,19 +531,53 @@ object Dedup {
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                       maxDf: Int = 100): DataFrame = {
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
-    val affBands = c.bandsNew
-      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
-    val oldBands = c.allBands
-      .join(broadcast(c.batchIds), Seq("doc_id"), "left_anti")
-    // old↔old candidates with >= 1 affected side: probe the old band
-    // index with the AFFECTED docs' recomputed band keys
-    val cand = affBands.as("x").join(oldBands.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-    verifyCandidates(index, c, cand, minJaccard)
+    verifyCandidates(index, c, compactionCandidates(c), minJaccard)
+  }
+
+  /** Compaction-cadence observability (VERDICT r7 #4): ONE row of
+    * blast-radius statistics for a prospective batch against the
+    * store, the numbers an operator schedules [[compactionPairs]] by —
+    * without running any candidate generation or verification:
+    *
+    *  - `n_batch_docs`   distinct documents in the batch;
+    *  - `n_cap_flips`    shingle hashes the batch pushes over `maxDf`
+    *    (≤maxDf → >maxDf — the cap-status flips);
+    *  - `n_affected_docs` OLD documents containing a flipped shingle
+    *    (their signatures — and any pair involving them — need
+    *    recomputation);
+    *  - `n_old_docs`     documents in the store;
+    *  - `blast_radius_pct` 100·affected/old — the fraction of the
+    *    corpus a compaction run would touch. Re-run compaction when
+    *    the cumulated radius since the last run crosses the budget.
+    *
+    * Scale shape: the batch is shingled once; the store is touched by
+    * one broadcast semi-join probe (flips are ⊆ batch shingles, so
+    * tiny) plus a distinct-count of its doc_ids — no bands, no pair
+    * expansion, no verification. */
+  def deltaStats(index: SignatureIndex, batch: DataFrame, k: Int = 5,
+                 maxDf: Int = 100): DataFrame = {
+    val bsh = pin(shingleHashes(batch, k))
+    bsh.count()
+    val batchDf = bsh.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
+    val changedH = pin(batchDf
+      .join(index.df.withColumnRenamed("df", "df_old"), Seq("h"), "left")
+      .filter(coalesce(col("df_old"), lit(0L)) <= maxDf &&
+        coalesce(col("df_old"), lit(0L)) + col("df_b") > maxDf)
+      .select(col("h")))
+    changedH.count()
+    val affected = index.sig
+      .join(broadcast(changedH), Seq("h"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val nBatch = batch.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_batch_docs"))
+    val nFlips = changedH.agg(count(lit(1)).as("n_cap_flips"))
+    val nAffected = affected.agg(count(lit(1)).as("n_affected_docs"))
+    val nOld = index.sig.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_old_docs"))
+    nBatch.crossJoin(nFlips).crossJoin(nAffected).crossJoin(nOld)
+      .withColumn("blast_radius_pct",
+        graft.Rounding.duckRound(
+          col("n_affected_docs") * lit(100.0) / col("n_old_docs"), 6))
   }
 
   /** Shared state of one delta/compaction run: everything derived from

@@ -20,21 +20,30 @@ import org.apache.spark.sql.DataFrame
   */
 object StagedReplay {
 
+  /** Depth-first recursive delete, closing the walk stream (an unclosed
+    * `Files.walk` leaks a directory handle per call). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    val walk = Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
+  }
+
   /** Write `stages` under `dir` (wiped first). Returns `dir`. */
   def stageFiles(stages: Seq[DataFrame], dir: String): String = {
     val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
-    }
+    if (Files.exists(root)) deleteRecursively(root)
     Files.createDirectories(root)
     val base = System.currentTimeMillis()
     stages.zipWithIndex.foreach { case (df, i) =>
       val tmp = s"$dir/_stage_$i"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-        .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
-        .head
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
+          .head
+        finally listing.close()
       val target = root.resolve(f"stage_$i%04d.parquet")
       Files.move(Paths.get(part), target,
         StandardCopyOption.REPLACE_EXISTING)
@@ -42,9 +51,7 @@ object StagedReplay {
       // how fast the stages were written
       Files.setLastModifiedTime(target,
         FileTime.fromMillis(base + i * 2000L))
-      Files.walk(Paths.get(tmp))
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.delete(p))
+      deleteRecursively(Paths.get(tmp))
     }
     dir
   }

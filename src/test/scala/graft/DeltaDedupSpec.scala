@@ -145,6 +145,71 @@ class DeltaDedupSpec extends SparkSpec {
     assert(comp.intersect(preUnaffected).isEmpty)
   }
 
+  test("deltaStep returns deltaDedup's pairs, compactionPairs' " +
+    "compaction, and the affected set, from one core") {
+    val idx = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val step = Dedup.deltaStep(idx, batch1, K, NH, RPB, MINJ, MAXDF)
+    val gotPairs = pairSet(step.pairs)
+    val gotComp = pairSet(step.compaction)
+    val gotAff = step.affected.collect().map(_.getLong(0)).toSet
+    Dedup.releasePinnedCaches()
+    val idx2 = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val (wantPairs, _) = Dedup.deltaDedup(idx2, batch1, K, NH, RPB,
+      MINJ, MAXDF)
+    val wp = pairSet(wantPairs)
+    Dedup.releasePinnedCaches()
+    val idx3 = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val wc = pairSet(Dedup.compactionPairs(idx3, batch1, K, NH, RPB,
+      MINJ, MAXDF))
+    Dedup.releasePinnedCaches()
+    assert(gotPairs == wp)
+    assert(gotComp == wc)
+    assert(gotAff == affectedIds(oldDocs, batch1))
+  }
+
+  test("pair-store update rule from an EMPTY index converges to the " +
+    "one-shot full-corpus pairs (the e58 streaming invariant)") {
+    // P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction,
+    // absorbed batch by batch — the exact loop the staged streaming
+    // replay runs in foreachBatch, here in its pure batch form
+    var idx = Dedup.buildSignatureIndex(oldDocs.limit(0), K, NH, RPB,
+      MAXDF)
+    var store = Set.empty[(Long, Long, Double)]
+    for (b <- Seq(oldDocs, batch1, batch2)) {
+      val step = Dedup.deltaStep(idx, b, K, NH, RPB, MINJ, MAXDF)
+      val aff = step.affected.collect().map(_.getLong(0)).toSet
+      store = store.filter(p => !aff(p._1) && !aff(p._2)) ++
+        pairSet(step.pairs) ++ pairSet(step.compaction)
+      // materialize the absorbed index before releasing this step's
+      // caches (the parquet round-trip the query form performs)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_e58_idx").toString
+      step.updated.write(dir)
+      Dedup.releasePinnedCaches()
+      idx = Dedup.SignatureIndex.read(spark, dir)
+    }
+    val full = pairSet(Dedup.minhashLshPairs(
+      oldDocs.union(batch1).union(batch2), K, NH, RPB, MINJ, MAXDF))
+    Dedup.releasePinnedCaches()
+    assert(full.nonEmpty)
+    assert(store == full)
+  }
+
+  test("deltaStats reports the crafted fixture's blast radius") {
+    val idx = Dedup.buildSignatureIndex(oldDocs, K, NH, RPB, MAXDF)
+    val row = Dedup.deltaStats(idx, batch1, K, MAXDF).collect().head
+    Dedup.releasePinnedCaches()
+    val aff = affectedIds(oldDocs, batch1)
+    assert(row.getAs[Long]("n_batch_docs") == 3L)
+    // exactly one shingle flips: "z1 z2 z3" (df 3 -> 4)
+    assert(row.getAs[Long]("n_cap_flips") == 1L)
+    assert(row.getAs[Long]("n_affected_docs") == aff.size.toLong)
+    assert(aff == Set(1L, 2L, 5L)) // the z-prefixed old docs
+    assert(row.getAs[Long]("n_old_docs") == 7L)
+    // 100 * 3/7 duck-rounded at 6 decimals
+    assert(row.getAs[Double]("blast_radius_pct") == 42.857143)
+  }
+
   test("index round-trips through parquet (the persisted-store form)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sigidx").toString
