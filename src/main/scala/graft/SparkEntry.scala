@@ -59,6 +59,32 @@ object SparkEntry {
     else GridOps.minuteGrid(s, b.getTimestamp(0), b.getTimestamp(1))
   }
 
+  /** Per-user minute candles from the events feed plus each user's
+    * bounded slice of ONE global distributed minute grid (broadcast
+    * bounds range-join) — the shared input of the u2_bridge_by_key
+    * variants. */
+  private def keyedCandlesAndGrid(s: SparkSession,
+                                  dir: String): (DataFrame, DataFrame) = {
+    val ev = Tables.load(s, dir, "events").filter(col("user_id") < 10)
+    val candles = Resample.ohlc1min(
+      ev.select(col("ts").as("datetime"), col("event_id").as("tick_id"),
+        col("user_id"), col("value").as("mid"),
+        lit(null).cast("double").as("spread")),
+      Seq("user_id"))
+    val bounds = candles.groupBy(col("user_id"))
+      .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
+    val g = bounds.agg(min(col("mn")), max(col("mx"))).head()
+    val userGrid =
+      if (g.isNullAt(0)) // no matching users → empty grid, not an NPE
+        s.range(0).select(col("id").as("user_id"),
+          timestamp_millis(col("id")).as("datetime"))
+      else GridOps.minuteGrid(s, g.getTimestamp(0), g.getTimestamp(1))
+        .join(broadcast(bounds),
+          col("datetime") >= col("mn") && col("datetime") <= col("mx"))
+        .select(col("user_id"), col("datetime"))
+    (candles, userGrid)
+  }
+
   /** Events with a spread that is NULL on 'error' rows — input for the
     * null-handling operators (W3 ffill, U3 median fill). */
   private def eventsWithNullableSpread(s: SparkSession, dir: String): DataFrame =
@@ -688,24 +714,21 @@ object SparkEntry {
     // single-partition window constraint at scale. Per-user bounds
     // range-join against one global distributed grid (broadcast bounds).
     "u2_bridge_by_key" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events").filter(col("user_id") < 10)
-      val candles = Resample.ohlc1min(
-        ev.select(col("ts").as("datetime"), col("event_id").as("tick_id"),
-          col("user_id"), col("value").as("mid"),
-          lit(null).cast("double").as("spread")),
-        Seq("user_id"))
-      val bounds = candles.groupBy(col("user_id"))
-        .agg(min(col("datetime")).as("mn"), max(col("datetime")).as("mx"))
-      val g = bounds.agg(min(col("mn")), max(col("mx"))).head()
-      val userGrid =
-        if (g.isNullAt(0)) // no matching users → empty grid, not an NPE
-          s.range(0).select(col("id").as("user_id"),
-            timestamp_millis(col("id")).as("datetime"))
-        else GridOps.minuteGrid(s, g.getTimestamp(0), g.getTimestamp(1))
-          .join(broadcast(bounds),
-            col("datetime") >= col("mn") && col("datetime") <= col("mx"))
-          .select(col("user_id"), col("datetime"))
+      val (candles, userGrid) = keyedCandlesAndGrid(s, dir)
       GridOps.flatCandleBridge(candles, userGrid, Seq("user_id"))
+        .select(col("user_id"), col("datetime"),
+          Rounding.duckRound(col("close"), 6).as("close"), col("is_flat"))
+    }),
+
+    // U2 keyed variant over the (key, day)-composed backend: the same
+    // per-symbol bridge with the ffill running (user, day)-parallel
+    // (DayWindows keyed composition) — the scale shape for SKEWED key
+    // distributions, where one dominant key would serialize its whole
+    // span into a single task under the plain keyed window. Shares
+    // u2_bridge_by_key's oracle: backend changed, answer hash didn't.
+    "u2_bridge_by_key_day_part" -> ((s, dir) => {
+      val (candles, userGrid) = keyedCandlesAndGrid(s, dir)
+      GridOps.flatCandleBridgeByDay(candles, userGrid, Seq("user_id"))
         .select(col("user_id"), col("datetime"),
           Rounding.duckRound(col("close"), 6).as("close"), col("is_flat"))
     }),
@@ -1314,31 +1337,10 @@ object SparkEntry {
     // gap bridge must converge to the batch bridge (VERDICT r5 #4)
     "u2_streaming_bridge_replay" -> u2BridgeOracle,
 
-    "u2_bridge_by_key" ->
-      """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
-        |candles AS (
-        |  SELECT user_id, date_trunc('minute', ts) AS datetime,
-        |    last(value ORDER BY ts, event_id) AS close
-        |  FROM ev GROUP BY 1, 2),
-        |b AS (SELECT user_id, min(datetime) AS mn, max(datetime) AS mx
-        |      FROM candles GROUP BY 1),
-        |grid AS (
-        |  SELECT user_id,
-        |    unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS datetime
-        |  FROM b),
-        |joined AS (
-        |  SELECT g.user_id, g.datetime, c.close
-        |  FROM grid g LEFT JOIN candles c
-        |    ON g.user_id = c.user_id AND g.datetime = c.datetime),
-        |bridged AS (
-        |  SELECT user_id, datetime,
-        |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
-        |    last_value(close IGNORE NULLS) OVER (PARTITION BY user_id
-        |      ORDER BY datetime
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fclose
-        |  FROM joined)
-        |SELECT user_id, datetime, round(fclose, 6) AS close, is_flat
-        |FROM bridged WHERE fclose IS NOT NULL""".stripMargin,
+    "u2_bridge_by_key" -> u2BridgeByKeyOracle,
+
+    // (key, day)-composed backend — same semantics, same oracle
+    "u2_bridge_by_key_day_part" -> u2BridgeByKeyOracle,
 
     "pipeline_hybrid_full" -> pipelineHybridOracle,
 
@@ -1566,6 +1568,34 @@ object SparkEntry {
 
   /** U2 oracle, shared by the global-window and day-partitioned
     * backends (identical semantics by construction). */
+  /** Per-user bridge on bounded per-user grid slices — shared by the
+    * plain keyed bridge and its (key, day)-composed backend twin. */
+  private lazy val u2BridgeByKeyOracle: String =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+      |candles AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS datetime,
+      |    last(value ORDER BY ts, event_id) AS close
+      |  FROM ev GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(datetime) AS mn, max(datetime) AS mx
+      |      FROM candles GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(mn, mx, INTERVAL 1 minute)) AS datetime
+      |  FROM b),
+      |joined AS (
+      |  SELECT g.user_id, g.datetime, c.close
+      |  FROM grid g LEFT JOIN candles c
+      |    ON g.user_id = c.user_id AND g.datetime = c.datetime),
+      |bridged AS (
+      |  SELECT user_id, datetime,
+      |    CASE WHEN close IS NULL THEN 1 ELSE 0 END AS is_flat,
+      |    last_value(close IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY datetime
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fclose
+      |  FROM joined)
+      |SELECT user_id, datetime, round(fclose, 6) AS close, is_flat
+      |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
+
   private lazy val u2BridgeOracle: String =
     s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte,
        |joined AS (

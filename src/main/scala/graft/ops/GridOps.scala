@@ -48,10 +48,16 @@ object GridOps {
 
   /** [[flatCandleBridge]] with the day-partitioned ffill backend
     * ([[DayWindows.ffill]]): identical output, no single-partition
-    * window — the scale path for single-key candle frames. */
-  def flatCandleBridgeByDay(candles: DataFrame, grid: DataFrame): DataFrame =
+    * window — the scale path for single-key candle frames. With
+    * `partitionBy` keys, the ffill runs (key, day)-parallel — the
+    * composed shape for skewed multi-symbol frames where one dominant
+    * key would otherwise serialize its whole span into one task
+    * (VERDICT r7 #5). */
+  def flatCandleBridgeByDay(candles: DataFrame, grid: DataFrame,
+                            partitionBy: Seq[String] = Nil): DataFrame =
     flattenGaps(DayWindows.ffill(
-      joinAndFlag(candles, grid, Nil), Seq("close", "spread")))
+      joinAndFlag(candles, grid, partitionBy), Seq("close", "spread"),
+      Seq("datetime"), partitionBy))
 
   private def joinAndFlag(candles: DataFrame, grid: DataFrame,
                           partitionBy: Seq[String]): DataFrame = {

@@ -81,6 +81,51 @@ class DayWindowsSpec extends SparkSpec {
     assert(byDay.filter(col("is_flat") === 1).count() == 5)
   }
 
+  /** The adversarial frame replicated under two keys with DIFFERENT
+    * values and one key missing days entirely — cross-day carries must
+    * never leak across keys. */
+  private def keyedFrame: DataFrame = {
+    val a = frame.withColumn("sym", lit("A"))
+    val b = frame
+      .filter(col("datetime") < ts("2024-01-04 00:00:00")) // fewer days
+      .withColumn("v", col("v") * 10)
+      .withColumn("sym", lit("B"))
+    a.unionByName(b)
+  }
+
+  private def sortedKeyed(df: DataFrame): Seq[Seq[Any]] =
+    rows(df.orderBy("sym", "datetime"))
+
+  test("keyed ffill: (key, day) backend equals the keyed window") {
+    val global = keyedFrame.withColumn("v",
+      WindowOps.ffill(col("v"), Seq("sym")))
+    val byDay = DayWindows.ffill(keyedFrame, Seq("v"),
+      Seq("datetime"), Seq("sym")).select("sym", "datetime", "v")
+    assert(sortedKeyed(byDay) ==
+      sortedKeyed(global.select("sym", "datetime", "v")))
+  }
+
+  test("keyed lag1: (key, day) backend equals the keyed window") {
+    val global = keyedFrame.withColumn("lag_v",
+      WindowOps.lag1(col("v"), Seq("sym")))
+    val byDay = DayWindows.lag1(keyedFrame, "v", "lag_v",
+      Seq("datetime"), Seq("sym"))
+      .select("sym", "datetime", "v", "lag_v")
+    assert(sortedKeyed(byDay) ==
+      sortedKeyed(global.select("sym", "datetime", "v", "lag_v")))
+  }
+
+  test("keyed rollingMedian5: (key, day) backend equals the keyed " +
+    "window") {
+    val global = keyedFrame.withColumn("med",
+      WindowOps.rollingMedian5(col("v"), Seq("sym")))
+    val byDay = DayWindows.rollingMedian5(keyedFrame, "v", "med",
+      Seq("datetime"), Seq("sym"))
+      .select("sym", "datetime", "v", "med")
+    assert(sortedKeyed(byDay) ==
+      sortedKeyed(global.select("sym", "datetime", "v", "med")))
+  }
+
   test("spikeFilterByDay equals spikeFilter across a day boundary") {
     // close spikes at the first row of day 2 relative to day 1's last row
     val candles = Seq(
