@@ -487,6 +487,17 @@ object ExtQueries {
         k = 3, nprobe = 2)
     }),
 
+    // E61: SemDeDup — semantic near-dup pairs WITHIN trained-quantizer
+    // cells (nearest of e54's k-means centroids), pairwise cosine only
+    // inside a cell. The scale path for e14's label-bucketed cosine
+    // dedup: cells follow the embedding distribution, so the quadratic
+    // stage is bounded by cell size, which k controls.
+    "e61_semantic_dedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
+      Similarity.semanticDedupPairs(e, cents, 0.4)
+    }),
+
     // E12: exact distinct counts per group
     "e12_distinct_users" -> ((s, dir) =>
       Tables.load(s, dir, "events")
@@ -1430,15 +1441,7 @@ object ExtQueries {
     // same rounded-cosine / (sim desc, n_id) ranking as e5/e6
     "e54_kmeans_ivf_knn" ->
       s"""WITH $kmeansCtes,
-         |ccells AS (
-         |  SELECT vec_id AS n_id, e AS ne, cluster_id AS cell FROM (
-         |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
-         |      (PARTITION BY emb.vec_id ORDER BY
-         |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
-         |          i -> (emb.e[i] - c2.carr[i])
-         |             * (emb.e[i] - c2.carr[i]))), 6),
-         |        c2.cluster_id) AS rn
-         |    FROM emb CROSS JOIN c2) t WHERE rn = 1),
+         |$kmeansCellsCte,
          |qprobes AS (
          |  SELECT vec_id AS q_id, e AS qe, cluster_id AS cell,
          |    rn AS probe_rank FROM (
@@ -1460,6 +1463,19 @@ object ExtQueries {
          |  FROM kscored)
          |SELECT q_id, n_id, sim, rank FROM kranked
          |WHERE rank <= 3""".stripMargin,
+
+    // within-cell pairwise cosine over the same trained cell
+    // assignment as e54 — the SemDeDup screen, oracle-exact because
+    // cells, cosine and the 0.4 gate all round identically
+    "e61_semantic_dedup" ->
+      s"""WITH $kmeansCtes,
+         |$kmeansCellsCte
+         |SELECT * FROM (
+         |  SELECT x.cell, x.n_id AS vec_a, y.n_id AS vec_b,
+         |    ${duckCos("x.ne", "y.ne")} AS sim
+         |  FROM ccells x JOIN ccells y
+         |    ON x.cell = y.cell AND x.n_id < y.n_id) t
+         |WHERE sim >= CAST(0.4 AS DOUBLE)""".stripMargin,
 
     // uncapped shingle sets on both sides (decontamination must not drop
     // boilerplate overlaps); same md5-60-bit hash as the dedup suite
@@ -2514,6 +2530,20 @@ object ExtQueries {
       |  GROUP BY 1, 2),
       |c2 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
       |       FROM f2 GROUP BY 1)""".stripMargin
+
+  /** Corpus assignment to the nearest FINAL k-means centroid (rounded
+    * squared distance, centroid-id tie-break) — shared by e54's IVF
+    * corpus side and e61's SemDeDup cells. Emits (n_id, ne, cell). */
+  private lazy val kmeansCellsCte: String =
+    """ccells AS (
+      |  SELECT vec_id AS n_id, e AS ne, cluster_id AS cell FROM (
+      |    SELECT emb.vec_id, emb.e, c2.cluster_id, row_number() OVER
+      |      (PARTITION BY emb.vec_id ORDER BY
+      |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+      |          i -> (emb.e[i] - c2.carr[i])
+      |             * (emb.e[i] - c2.carr[i]))), 6),
+      |        c2.cluster_id) AS rn
+      |    FROM emb CROSS JOIN c2) t WHERE rn = 1)""".stripMargin
 
   /** Rounded cosine between two DuckDB double-list columns — the SQL
     * twin of Similarity.cosine + duckRound(…, 6). */

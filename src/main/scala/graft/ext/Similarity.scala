@@ -140,6 +140,41 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("sim"), col("rank"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): assign every vector to its
+    * nearest TRAINED k-means centroid, then compute pairwise rounded
+    * cosine only WITHIN each cell and keep pairs at or above `minSim`
+    * — the embedding-space twin of the LSH band trick, with cells that
+    * follow the data distribution instead of a hash or a label column
+    * (e14's label buckets are the stand-in this replaces at scale).
+    *
+    * Scale shape: cell assignment is a per-row expression over
+    * O(k·dim) centroid literals (no shuffle); the quadratic step is
+    * the per-cell pair expansion of one equi-join on `cell` — bounded
+    * by cell size, which the quantizer's k controls (SemDeDup's
+    * clusters exist precisely to bound the pairwise stage; the paper
+    * runs the same within-cluster all-pairs). Ties and rounding follow
+    * the e5/e14 cosine contract, so the pair set is oracle-exact. */
+  def semanticDedupPairs(vectors: DataFrame,
+                         centroids: Seq[(Int, Seq[Double])],
+                         minSim: Double = 0.4): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
+      KMeans.nearestCells(
+        transform(col("embedding"), _.cast("double")), centroids, 1)
+        .getItem(0).as("cell"))
+    v.as("x").join(v.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cell").as("cell"),
+        col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        graft.Rounding.duckRound(cosineWithNorms(
+          col("x.embedding"), col("y.embedding"),
+          col("x.nrm"), col("y.nrm")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** Embedding outliers: the `k` vectors per label LEAST similar to
     * their label's centroid — the mislabel / off-topic screen a curation
     * pass runs per class or cluster.

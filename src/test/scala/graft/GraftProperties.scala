@@ -210,6 +210,38 @@ object GraftProperties extends Properties("graft") {
           (aff(p._1) || aff(p._2)))
     }
 
+  property("sequential pair-store maintenance from an empty index " +
+    "equals the one-shot full pairs, for any 3-way split") =
+    Prop.forAll(deltaCorpusGen) { case (oldWs, newWs) =>
+      import spark.implicits._
+      // the e58 streaming loop in pure batch form: absorb random
+      // batches one by one, maintaining
+      //   P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction
+      val (k, nh, rpb, minJ, maxDf) = (2, 4, 2, 0.05, 2)
+      val all = (oldWs ++ newWs).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val allDf = all.toDF("doc_id", "text")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      var idx = Dedup.buildSignatureIndex(allDf.limit(0), k, nh, rpb,
+        maxDf)
+      var store = Set.empty[(Long, Long, Double)]
+      (0 until 3).foreach { r =>
+        val batch = all.filter(_._1 % 3 == r).toDF("doc_id", "text")
+        val step = Dedup.deltaStep(idx, batch, k, nh, rpb, minJ, maxDf)
+        val aff = step.affected.collect().map(_.getLong(0)).toSet
+        store = store.filter(p => !aff(p._1) && !aff(p._2)) ++
+          pairsOf(step.pairs) ++ pairsOf(step.compaction)
+        idx = step.updated
+        Dedup.releasePinnedCaches()
+      }
+      val full = pairsOf(Dedup.minhashLshPairs(allDf, k, nh, rpb, minJ,
+        maxDf))
+      Dedup.releasePinnedCaches()
+      store == full
+    }
+
   private val edgeGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
     for {
       a <- Gen.choose(0L, 40L)

@@ -60,4 +60,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the corpus must stream through a broadcast semi-join")
   }
+
+  test("e60 multi-query BM25 pushes the rank limit and broadcasts " +
+    "every scoring side") {
+    val p = plan("e60_bm25_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k should plan a group-limit, not rank-all")
+    assert(!p.contains("SortMergeJoin"),
+      "query table / df / stats must broadcast onto the match frame")
+  }
+
+  test("e61 SemDeDup pairs join on the cell key, never all-pairs") {
+    val p = plan("e61_semantic_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairs must come from the cell equi-join")
+  }
 }
