@@ -337,6 +337,13 @@ object ExtQueries {
     "e7_text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(docs(s, dir))),
 
+    // E62: per-doc average unigram log-prob under the corpus's own
+    // unigram model — the self-contained LM-perplexity quality proxy
+    // (both tails are cut candidates: rare-token soup scores very
+    // negative, boilerplate scores near zero)
+    "e62_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir))),
+
     // E8: language-ID heuristic (marker stopword argmax)
     "e8_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
 
@@ -2216,6 +2223,21 @@ object ExtQueries {
          |SELECT doc_id, n_words, avg_word_len, punct_ratio,
          |  stopword_ratio, quality
          |FROM qual""".stripMargin,
+
+    // identical ln(freq/total) per token; avg is order-dependent in
+    // the last ulps, absorbed by the 6-decimal round on both sides
+    "e62_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS n_tok FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(n_tok)::DOUBLE AS n_total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(ln(n_tok / n_total)), 6) AS avg_logprob
+        |FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "e8_lang_id" ->
       """WITH base AS (

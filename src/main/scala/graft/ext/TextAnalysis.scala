@@ -158,6 +158,38 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
 
+  /** Per-document average unigram log-probability under the corpus's
+    * OWN unigram distribution — the self-contained form of the
+    * LM-perplexity quality filter (CCNet-style pipelines score with a
+    * trained LM; the corpus-unigram degenerate needs no model and
+    * already separates fluent text from token soup). score(d) =
+    * avg over tokens t of ln(freq(t) / total_tokens); every token has
+    * freq ≥ 1 by construction, so no smoothing term is needed. Low
+    * (very negative) scores = documents of rare/garbage tokens; scores
+    * near zero = all-boilerplate documents — both ends are the cut
+    * candidates.
+    *
+    * Scale shape: one token scan builds the vocabulary counts
+    * (vocab-cardinality exchange), a second joins tokens to their
+    * counts on the token key — an equi-join Spark broadcasts at small
+    * vocab and shuffle-joins at web-scale vocab (heavy-tailed typo
+    * mass), both correct — and the per-doc average is a partial-
+    * aggregated groupBy. The corpus total rides along as a broadcast
+    * 1-row aggregate, never a driver scalar. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val total = vocab
+      .agg(sum(col("n_tok")).cast("double").as("n_total"))
+    toks.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        graft.Rounding.duckRound(
+          avg(log(col("n_tok") / col("n_total"))), 6).as("avg_logprob"))
+  }
+
   /** Adjacent-pair frequencies — the counting pass of one BPE merge
     * iteration (the merge rule a tokenizer trainer would pick is the
     * top row). Corpus-wide count of each ordered adjacent token pair,
