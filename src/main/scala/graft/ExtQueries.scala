@@ -195,37 +195,9 @@ object ExtQueries {
       graft.streaming.StagedReplay.stageFiles(
         Seq(0, 1, 2).map(r => d.filter(col("doc_id") % 3 === r)),
         s"$scratch/stages")
-      var idx = Dedup.buildSignatureIndex(d.limit(0), 5, 16, 2, 100)
-      var pairs: DataFrame = null // store is born with the first batch
-      val stream = s.readStream
-        .schema(s.read.parquet(s"$scratch/stages").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$scratch/stages")
-      val q = stream.writeStream
-        .foreachBatch { (b: DataFrame, batchId: Long) =>
-          val step = Dedup.deltaStep(idx, b, 5, 16, 2, 0.5, 100)
-          val updated =
-            if (pairs == null) step.pairs.unionByName(step.compaction)
-            else {
-              val affA = step.affected.withColumnRenamed("doc_id", "doc_a")
-              val affB = step.affected.withColumnRenamed("doc_id", "doc_b")
-              pairs // retire pairs a cap flip invalidated, then union
-                .join(broadcast(affA), Seq("doc_a"), "left_anti")
-                .join(broadcast(affB), Seq("doc_b"), "left_anti")
-                .unionByName(step.pairs).unionByName(step.compaction)
-            }
-          updated.write.mode("overwrite")
-            .parquet(s"$scratch/pairs_$batchId")
-          step.updated.write(s"$scratch/idx_$batchId")
-          pairs = s.read.parquet(s"$scratch/pairs_$batchId")
-          idx = Dedup.SignatureIndex.read(s, s"$scratch/idx_$batchId")
-          Dedup.releasePinnedCaches() // stores persisted; pins done
-        }
-        .option("checkpointLocation", s"$scratch/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+      graft.streaming.StreamingNearDup.maintain(s, s"$scratch/stages",
+        scratch, Dedup.buildSignatureIndex(d.limit(0), 5, 16, 2, 100),
+        5, 16, 2, 0.5, 100)
     }),
 
     // E59: compaction cadence observability (VERDICT r7 #4) — the ONE
