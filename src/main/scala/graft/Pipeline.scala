@@ -44,18 +44,17 @@ object Pipeline {
     *                   the FULL frame collapses to one task. The only
     *                   remaining unpartitioned windows run over O(days)
     *                   patch / edge-strip tables (bounded by the calendar
-    *                   span, never data volume). This is the scale path
-    *                   for single-key runs; with symbol keys present the
-    *                   keyed windows already parallelize, so the flag
-    *                   requires `partitionBy` to be empty.
+    *                   span, never data volume). Composes with
+    *                   `partitionBy` (r8): keyed windows then run
+    *                   (key, day)-parallel — the shape for SKEWED symbol
+    *                   distributions, where a plain keyed window still
+    *                   serializes the dominant key's whole span into one
+    *                   task.
     */
   def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
           partitionBy: Seq[String] = Nil,
           dayWindows: Boolean = false): Result = {
-    require(!dayWindows || partitionBy.isEmpty,
-      "dayWindows is the single-key scale backend; keyed runs already " +
-        "partition their windows by the symbol keys")
 
     // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles").
     // Cached: the candle frame feeds three join branches (consensus,
@@ -88,7 +87,7 @@ object Pipeline {
     // re-runs it. Like tickCandles, its cardinality is candle-bounded, so
     // the cache stays small at any tick volume.
     val spreadDone = (
-      if (dayWindows) SpreadOps.applyByDay(fused)
+      if (dayWindows) SpreadOps.applyByDay(fused, partitionBy)
       else SpreadOps(fused, partitionBy)).cache()
 
     // Stage 5: validation & repair (audit complements computed explicitly)
@@ -98,13 +97,16 @@ object Pipeline {
     // Cached for the same reason: repaired feeds the F6 filter AND its
     // audit complement, and its plan carries the U1/W3 ffill stage.
     val repaired = (
-      if (dayWindows) CleanOps.structuralRepairByDay(noInverted)
+      if (dayWindows)
+        CleanOps.structuralRepairByDay(noInverted, partitionBy)
       else CleanOps.structuralRepair(noInverted, partitionBy)).cache()
     val spikes =
-      if (dayWindows) CleanOps.spikeRowsByDay(repaired, spikeThreshold)
+      if (dayWindows)
+        CleanOps.spikeRowsByDay(repaired, spikeThreshold, partitionBy)
       else CleanOps.spikeRows(repaired, spikeThreshold, partitionBy)
     val validated =
-      if (dayWindows) CleanOps.spikeFilterByDay(repaired, spikeThreshold)
+      if (dayWindows)
+        CleanOps.spikeFilterByDay(repaired, spikeThreshold, partitionBy)
       else CleanOps.spikeFilter(repaired, spikeThreshold, partitionBy)
 
     // Stage 6: immutable time grid + flat-candle gap bridging
@@ -121,7 +123,8 @@ object Pipeline {
           else grid0.crossJoin(
             validated.select(partitionBy.map(col): _*).distinct())
         GridOps.finalCast(
-          if (dayWindows) GridOps.flatCandleBridgeByDay(validated, grid)
+          if (dayWindows)
+            GridOps.flatCandleBridgeByDay(validated, grid, partitionBy)
           else GridOps.flatCandleBridge(validated, grid, partitionBy))
       }
 

@@ -85,6 +85,39 @@ object SparkEntry {
     (candles, userGrid)
   }
 
+  /** The multi-symbol pipeline run shared by pipeline_hybrid_by_key
+    * and its (key, day)-composed backend twin: events become per-sym
+    * ticks + a legacy candle feed, and the full 15-stage Pipeline runs
+    * with partitionBy = Seq("sym"). */
+  private def keyedPipeline(s: SparkSession, dir: String,
+                            dayWindows: Boolean): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
+    val kticks = ev.select(
+      col("ts").as("datetime"), col("event_id").as("tick_id"),
+      (col("value") + half).as("ask"),
+      (col("value") - half).as("bid"),
+      (col("user_id") % 3).as("sym"))
+    val km1 = Resample.ohlc1min(
+      ev.filter(col("event_type").isin("click", "view"))
+        .select(col("ts").as("datetime"),
+          col("event_id").as("tick_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread"),
+          (col("user_id") % 3).as("sym")),
+      Seq("sym"))
+    val out = Pipeline.run(s, kticks, Some(km1), SpikeThreshold,
+      ConsensusThreshold, partitionBy = Seq("sym"),
+      dayWindows = dayWindows).candles
+    out.select(col("sym"), col("datetime"),
+      Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+      Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+      Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+      Rounding.duckRound(col("close").cast("double"), 5).as("close"),
+      col("volume").cast("double").as("volume"),
+      Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
+      col("is_flat").cast("int").as("is_flat"))
+  }
+
   /** Events with a spread that is NULL on 'error' rows — input for the
     * null-handling operators (W3 ffill, U3 median fill). */
   private def eventsWithNullableSpread(s: SparkSession, dir: String): DataFrame =
@@ -871,32 +904,16 @@ object SparkEntry {
     // median fill and the minute grid stay GLOBAL by design (the grid
     // is cross-joined with the symbol set) — the oracle mirrors
     // exactly that split.
-    "pipeline_hybrid_by_key" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-      val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
-      val kticks = ev.select(
-        col("ts").as("datetime"), col("event_id").as("tick_id"),
-        (col("value") + half).as("ask"),
-        (col("value") - half).as("bid"),
-        (col("user_id") % 3).as("sym"))
-      val km1 = Resample.ohlc1min(
-        ev.filter(col("event_type").isin("click", "view"))
-          .select(col("ts").as("datetime"),
-            col("event_id").as("tick_id"), col("value").as("mid"),
-            lit(null).cast("double").as("spread"),
-            (col("user_id") % 3).as("sym")),
-        Seq("sym"))
-      val out = Pipeline.run(s, kticks, Some(km1), SpikeThreshold,
-        ConsensusThreshold, partitionBy = Seq("sym")).candles
-      out.select(col("sym"), col("datetime"),
-        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
-        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
-        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
-        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
-        col("volume").cast("double").as("volume"),
-        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
-        col("is_flat").cast("int").as("is_flat"))
-    }),
+    "pipeline_hybrid_by_key" -> ((s, dir) =>
+      keyedPipeline(s, dir, dayWindows = false)),
+
+    // The keyed pipeline over the (key, day)-composed window backends
+    // (r8): every window stage runs (sym, day)-parallel — the shape
+    // for skewed symbol distributions where one dominant pair would
+    // serialize its span under the plain keyed windows. Shares
+    // pipeline_hybrid_by_key's oracle: backend changed, hash didn't.
+    "pipeline_hybrid_by_key_day_part" -> ((s, dir) =>
+      keyedPipeline(s, dir, dayWindows = true)),
 
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
@@ -1359,7 +1376,10 @@ object SparkEntry {
          |WHERE abs(t.close - m.close) > CAST(50.0 AS DOUBLE)
          |ORDER BY t.datetime LIMIT 5""".stripMargin,
 
-    "pipeline_hybrid_by_key" -> pipelineKeyedOracle
+    "pipeline_hybrid_by_key" -> pipelineKeyedOracle,
+
+    // (key, day)-composed backend — same semantics, same oracle
+    "pipeline_hybrid_by_key_day_part" -> pipelineKeyedOracle
   )
 
   /** The composed-pipeline oracle generalized per symbol: every

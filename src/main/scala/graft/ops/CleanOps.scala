@@ -46,9 +46,12 @@ object CleanOps {
 
   /** [[structuralRepair]] with the day-partitioned ffill backend
     * ([[DayWindows.ffill]]): identical output, no single-partition
-    * window over the full frame — the scale path for single-key frames. */
-  def structuralRepairByDay(candles: DataFrame): DataFrame =
-    DayWindows.ffill(repairColumns(candles), Seq("spread"))
+    * window over the full frame — the scale path for single-key
+    * frames, composing with a key prefix ((key, day)-parallel). */
+  def structuralRepairByDay(candles: DataFrame,
+                            keys: Seq[String] = Nil): DataFrame =
+    DayWindows.ffill(repairColumns(candles), Seq("spread"),
+        Seq("datetime"), keys)
       .drop("was_repaired")
 
   private def repairColumns(candles: DataFrame): DataFrame =
@@ -112,8 +115,9 @@ object CleanOps {
     * ([[DayWindows.lag1]]): identical output, no single-partition
     * window — the scale path for single-key candle frames. */
   def spikeFilterByDay(candles: DataFrame,
-                       threshold: Double = 0.005): DataFrame =
-    spikeSplitByDay(candles, threshold, keepBreaches = false)
+                       threshold: Double = 0.005,
+                       keys: Seq[String] = Nil): DataFrame =
+    spikeSplitByDay(candles, threshold, keepBreaches = false, keys)
 
   /** Complement of F6 for the audit log (reason
     * `dropped_volatility_spike`). */
@@ -127,12 +131,15 @@ object CleanOps {
   /** [[spikeRows]] on the day-partitioned lag backend — the audit
     * complement of [[spikeFilterByDay]]. */
   def spikeRowsByDay(candles: DataFrame,
-                     threshold: Double = 0.005): DataFrame =
-    spikeSplitByDay(candles, threshold, keepBreaches = true)
+                     threshold: Double = 0.005,
+                     keys: Seq[String] = Nil): DataFrame =
+    spikeSplitByDay(candles, threshold, keepBreaches = true, keys)
 
   private def spikeSplitByDay(candles: DataFrame, threshold: Double,
-                              keepBreaches: Boolean): DataFrame = {
-    val withLag = DayWindows.lag1(candles, "close", "_dw_lc")
+                              keepBreaches: Boolean,
+                              keys: Seq[String] = Nil): DataFrame = {
+    val withLag = DayWindows.lag1(candles, "close", "_dw_lc",
+      Seq("datetime"), keys)
     val (amp, pct) = spikeCondsFrom(col("_dw_lc"), threshold)
     val drop = amp || pct
     withLag.withColumn("_drop", if (keepBreaches) drop else !drop)

@@ -36,15 +36,18 @@ object SpreadOps {
   /** [[smoothSpread]] with the day-partitioned rolling-median backend
     * ([[DayWindows.rollingMedian5]]): identical output, no
     * single-partition window over the full frame — the scale path for
-    * single-key candle frames. */
-  def smoothSpreadByDay(df: DataFrame): DataFrame =
-    DayWindows.rollingMedian5(df, "spread", "spread")
+    * single-key candle frames, composing with a key prefix for skewed
+    * multi-symbol frames (the window runs (key, day)-parallel). */
+  def smoothSpreadByDay(df: DataFrame,
+                        keys: Seq[String] = Nil): DataFrame =
+    DayWindows.rollingMedian5(df, "spread", "spread", Seq("datetime"),
+      keys)
 
   /** The full spread stage: median fill then rolling smoothing. */
   def apply(df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame =
     smoothSpread(fillSpread(df, medianSpread(df)), partitionBy)
 
   /** [[apply]] on the day-partitioned window backend. */
-  def applyByDay(df: DataFrame): DataFrame =
-    smoothSpreadByDay(fillSpread(df, medianSpread(df)))
+  def applyByDay(df: DataFrame, keys: Seq[String] = Nil): DataFrame =
+    smoothSpreadByDay(fillSpread(df, medianSpread(df)), keys)
 }

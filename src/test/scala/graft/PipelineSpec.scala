@@ -126,14 +126,31 @@ class PipelineSpec extends SparkSpec {
     global.release(); byDay.release()
   }
 
-  test("dayWindows backend rejects keyed runs (keyed windows already " +
-    "parallelize)") {
-    val ticks = Seq(("X", ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995))
+  test("dayWindows composes with partitionBy: keyed (key, day) run " +
+    "equals the plain keyed run across a day boundary") {
+    // two symbols, one crossing a day boundary with a minute gap so
+    // the keyed carry paths (ffill/lag/median edge strip) all engage;
+    // the other confined to one day — carries must not leak across
+    // either boundary (day or key)
+    val ticks = Seq(
+      ("EURUSD", ts("2024-01-02 23:58:10"), 1L, 1.005, 0.995),
+      ("EURUSD", ts("2024-01-02 23:59:20"), 2L, 1.015, 1.005),
+      ("EURUSD", ts("2024-01-03 00:01:30"), 3L, 1.025, 1.015),
+      ("GBPUSD", ts("2024-01-03 00:00:05"), 4L, 2.005, 1.995),
+      ("GBPUSD", ts("2024-01-03 00:02:40"), 5L, 2.015, 2.005))
       .toDF("sym", "datetime", "tick_id", "ask", "bid")
-    intercept[IllegalArgumentException] {
-      Pipeline.run(spark, ticks, None, partitionBy = Seq("sym"),
-        dayWindows = true)
-    }
+    val plain = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      partitionBy = Seq("sym"))
+    val byDay = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      partitionBy = Seq("sym"), dayWindows = true)
+    val cols = Seq("sym", "datetime", "open", "high", "low", "close",
+      "volume", "spread", "is_flat")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      rows(df.select(cols.map(col): _*).orderBy("sym", "datetime"))
+    assert(sorted(byDay.candles) == sorted(plain.candles))
+    assert(rows(byDay.audit.orderBy("sym", "datetime", "reason")) ==
+      rows(plain.audit.orderBy("sym", "datetime", "reason")))
+    plain.release(); byDay.release()
   }
 
   test("pipeline without an M1 feed degrades to the pure tick path") {
