@@ -1014,6 +1014,34 @@ object ExtQueries {
             .as("is_canonical"))
     }),
 
+    // E63: exact dedup over NORMALIZED text (lowercase, non-alnum runs
+    // → one space, trimmed) — the canonicalization pass production
+    // dedup runs before fingerprinting; raw-text e1 keeps case/punct
+    // variants apart. On this corpus (already lowercase word-space
+    // text) the groups coincide with e1's; the divergent behavior is
+    // pinned on a case/punct fixture in ExtOpsSpec.
+    "e63_dedup_exact_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(docs(s, dir))),
+
+    // E64: duplicate-aware sampling weights — weight = 1/cluster_size
+    // over the e16 duplicate graph, 1.0 for docs outside any cluster:
+    // the "down-weight instead of drop" dedup policy (each duplicated
+    // content contributes one document-equivalent of training mass in
+    // expectation, without discarding variants).
+    "e64_dup_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cc = Clustering.connectedComponents(Dedup.simhashPairs(d, 3))
+      val sizes = cc.groupBy(col("label")).agg(count(lit(1)).as("cs"))
+      val clustered = cc.join(sizes, Seq("label"))
+        .select(col("id").as("doc_id"), col("cs"))
+      d.select(col("doc_id"))
+        .join(clustered, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cs"), lit(1L)).as("cluster_size"),
+          graft.Rounding.duckRound(
+            lit(1.0) / coalesce(col("cs"), lit(1L)), 6).as("weight"))
+    }),
+
     // E16 star variant: the SAME cluster output computed by the
     // adversarial-diameter fallback — alternating large-star/small-star
     // contraction (Clustering.connectedComponentsStar) instead of
@@ -1318,6 +1346,25 @@ object ExtQueries {
     // the Spark side is the iterative min-label propagation that scales)
     "e16_dup_clusters" -> e16OracleSql,
 
+    // normalization folds case/punct variants BEFORE fingerprinting;
+    // [^a-z0-9]+ → ' ' is a single global replace on both engines
+    "e63_dedup_exact_normalized" ->
+      ("SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', " +
+        "'g'))) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1"),
+
+    // weight 1/cluster_size over the same component closure as e16;
+    // singletons (docs outside the pair graph) weigh 1.0
+    "e64_dup_weights" ->
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT d.doc_id,
+         |  coalesce(sizes.cluster_size, 1)::BIGINT AS cluster_size,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    / coalesce(sizes.cluster_size, 1), 6) AS weight
+         |FROM documents d
+         |LEFT JOIN comp ON d.doc_id = comp.id
+         |LEFT JOIN sizes ON comp.cluster_id = sizes.cluster_id""".stripMargin,
+
     // the star-contraction backend must reach the identical fixpoint
     "e16_star_dup_clusters" -> e16OracleSql,
   ) ++ extraOracleSql
@@ -1359,8 +1406,11 @@ object ExtQueries {
        |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
        |      >= CAST(0.5 AS DOUBLE)$extraPred""".stripMargin
 
-  private lazy val e16OracleSql: String =
-      s"""WITH RECURSIVE $simhashPairsCtes,
+  /** The e4 duplicate graph closed into components (recursive reach →
+    * min-label comp → sizes) — shared by the e16 cluster oracles and
+    * e64's weight oracle. Must run under WITH RECURSIVE. */
+  private lazy val ccCtes: String =
+      s"""$simhashPairsCtes,
          |edges AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  WHERE bit_count(xor(sa, sb)) <= 3
@@ -1375,7 +1425,10 @@ object ExtQueries {
          |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1),
          |sizes AS (
          |  SELECT cluster_id, count(*) AS cluster_size
-         |  FROM comp GROUP BY 1)
+         |  FROM comp GROUP BY 1)""".stripMargin
+
+  private lazy val e16OracleSql: String =
+      s"""WITH RECURSIVE $ccCtes
          |SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size,
          |  CASE WHEN comp.id = comp.cluster_id THEN 1 ELSE 0 END
          |    AS is_canonical

@@ -66,6 +66,19 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Text canonicalization for dedup: lowercase, every non-alphanumeric
+    * run → one space, trimmed — the normalization pass every production
+    * dedup runs before fingerprinting (raw-text [[exact]] keeps
+    * "Hello, World!" and "hello world" apart; this folds them). Pure
+    * codegen'd string expressions, identical in the DuckDB twin. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** [[exact]] over [[normalizeText]]-canonicalized content. */
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normalizeText(col("text"))).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Word k-shingles per document (with duplicates): (doc_id, shingle). */
   private def rawShingles(docs: DataFrame, k: Int): DataFrame =
     docs

@@ -23,6 +23,21 @@ class ExtOpsSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("E63: normalized exact dedup folds case/punct variants that " +
+    "raw-text dedup keeps apart") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),
+      (3L, "HELLO\t WORLD"),
+      (4L, "a different doc")).toDF("doc_id", "text")
+    assert(Dedup.exact(d).count() == 4) // raw: all distinct
+    val norm = Dedup.exactNormalized(d).collect()
+    assert(norm.length == 2)
+    val folded = norm.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(folded.getAs[Long]("keep_id") == 1L)
+  }
+
   test("E2: n-gram jaccard — identical docs 1.0; near-dup in (0,1); " +
     "unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docsDf, k = 3, minJaccard = 0.1)
