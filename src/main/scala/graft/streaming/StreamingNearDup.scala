@@ -82,6 +82,9 @@ object StreamingNearDup {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
+    if (pairs == null) // zero staged batches → empty store, not an NPE
+      spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+        col("id").cast("double").as("jaccard"))
+    else pairs.select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 }
