@@ -197,7 +197,7 @@ object ExtQueries {
         s"$scratch/stages")
       graft.streaming.StreamingNearDup.maintain(s, s"$scratch/stages",
         scratch, Dedup.buildSignatureIndex(d.limit(0), 5, 16, 2, 100),
-        5, 16, 2, 0.5, 100)
+        None, 5, 16, 2, 0.5, 100)
     }),
 
     // E59: compaction cadence observability (VERDICT r7 #4) — the ONE

@@ -44,15 +44,23 @@ object StreamingNearDup {
     *
     * `init` seeds the index — pass a built index to dedup new batches
     * against an existing corpus, or an empty-corpus index to build
-    * from nothing. Bounded replay (`Trigger.AvailableNow`): the call
-    * blocks until every staged file is absorbed. */
+    * from nothing. When bootstrapping from an existing corpus, pass
+    * that corpus's pair set as `initPairs` too: the update rule
+    * retires/extends an EXISTING store, so with index but no seed
+    * pairs the result is only the pairs discovered during the replay
+    * (delta + compaction), not the full post-absorb set —
+    * StreamingNearDupSpec pins both modes. Bounded replay
+    * (`Trigger.AvailableNow`): the call blocks until every staged
+    * file is absorbed. */
   def maintain(spark: SparkSession, stagesDir: String, workDir: String,
-               init: Dedup.SignatureIndex, k: Int = 5,
+               init: Dedup.SignatureIndex,
+               initPairs: Option[DataFrame] = None, k: Int = 5,
                numHashes: Int = 16, rowsPerBand: Int = 2,
                minJaccard: Double = 0.5,
                maxDf: Int = 100): DataFrame = {
     var idx = init
-    var pairs: DataFrame = null // store is born with the first batch
+    // store is born with the first batch unless seeded
+    var pairs: DataFrame = initPairs.orNull
     val stream = spark.readStream
       .schema(spark.read.parquet(stagesDir).schema)
       .option("maxFilesPerTrigger", "1")

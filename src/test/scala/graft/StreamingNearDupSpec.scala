@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.Dedup
+import graft.streaming.{StagedReplay, StreamingNearDup}
+
+/** The streaming pair-store maintainer against the DeltaDedupSpec
+  * fixture semantics: bootstrap from an EXISTING corpus (seeded index +
+  * seeded pair store) must converge to the one-shot full-corpus pairs,
+  * across a df-cap flip; and the e58 empty-start mode is pinned here at
+  * spec scale too (the driver gate proves it at table scale). */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (k, nh, rpb, minJ, maxDf) = (3, 8, 2, 0.1, 3)
+
+  private def oldDocs = Seq(
+    (1L, "z1 z2 z3 x1 x2 x3 x4 x5 x6"),
+    (2L, "z1 z2 z3 x1 x2 x3 x4 x5 x7"),
+    (5L, "z1 z2 z3 y1 y2 y3 y4 y5 y6"),
+    (3L, "p1 p2 p3 p4 p5 p6 p7"),
+    (4L, "p1 p2 p3 p4 p5 p6 p8"),
+    (6L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wA"),
+    (7L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wB")).toDF("doc_id", "text")
+
+  private def batch1 = Seq(
+    (10L, "z1 z2 z3 x1 x2 x3 x4 x5 x8"), // flips "z1 z2 z3" over cap
+    (11L, "p1 p2 p3 p4 p5 p6 p9")).toDF("doc_id", "text")
+
+  private def batch2 = Seq(
+    (20L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 wC")).toDF("doc_id", "text")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("bootstrap from an existing corpus: seeded index + seeded " +
+    "pairs converge to the one-shot full pairs across a cap flip") {
+    val stages = tmpDir("graft_snd_stages")
+    StagedReplay.stageFiles(Seq(batch1, batch2), stages)
+    val idx = Dedup.buildSignatureIndex(oldDocs, k, nh, rpb, maxDf)
+    val seed = Dedup.minhashLshPairs(oldDocs, k, nh, rpb, minJ, maxDf)
+      .cache()
+    seed.count()
+    val got = pairSet(StreamingNearDup.maintain(spark, stages,
+      tmpDir("graft_snd_work"), idx, Some(seed), k, nh, rpb, minJ,
+      maxDf))
+    Dedup.releasePinnedCaches()
+    seed.unpersist()
+    val full = pairSet(Dedup.minhashLshPairs(
+      oldDocs.union(batch1).union(batch2), k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    assert(full.nonEmpty)
+    assert(got == full)
+  }
+
+  test("empty start: replaying the whole corpus equals the one-shot " +
+    "full pairs (the e58 mode at spec scale)") {
+    val stages = tmpDir("graft_snd_stages0")
+    StagedReplay.stageFiles(Seq(oldDocs, batch1, batch2), stages)
+    val got = pairSet(StreamingNearDup.maintain(spark, stages,
+      tmpDir("graft_snd_work0"),
+      Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb, maxDf),
+      None, k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    val full = pairSet(Dedup.minhashLshPairs(
+      oldDocs.union(batch1).union(batch2), k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    assert(got == full)
+  }
+}
