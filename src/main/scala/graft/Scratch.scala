@@ -24,13 +24,19 @@ object Scratch {
     * per-batch rather than with one overwrite). */
   def fresh(name: String, inputDir: String): String = {
     val d = dir(name, inputDir)
-    val root = java.nio.file.Paths.get(d)
+    deleteRecursively(java.nio.file.Paths.get(d))
+    d
+  }
+
+  /** Depth-first recursive delete, closing the walk stream (an
+    * unclosed `Files.walk` leaks a directory handle per call). No-op
+    * when the path does not exist. Shared by every fixture-wiping
+    * path (here and [[graft.streaming.StagedReplay]]). */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root)) {
       val walk = java.nio.file.Files.walk(root)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
       finally walk.close()
     }
-    d
-  }
 }

@@ -1586,8 +1586,6 @@ object SparkEntry {
        |          WHEN lc = 0 THEN close <> 0
        |          ELSE abs(close / lc - 1) > CAST(2.0 AS DOUBLE) END)""".stripMargin
 
-  /** U2 oracle, shared by the global-window and day-partitioned
-    * backends (identical semantics by construction). */
   /** Per-user bridge on bounded per-user grid slices — shared by the
     * plain keyed bridge and its (key, day)-composed backend twin. */
   private lazy val u2BridgeByKeyOracle: String =
@@ -1616,6 +1614,8 @@ object SparkEntry {
       |SELECT user_id, datetime, round(fclose, 6) AS close, is_flat
       |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
 
+  /** U2 oracle, shared by the global-window and day-partitioned
+    * backends (identical semantics by construction). */
   private lazy val u2BridgeOracle: String =
     s"""WITH $ticksCte, $preppedCte, $tickCandlesCte, $gridCte,
        |joined AS (

@@ -84,7 +84,16 @@ object Relevance {
 
   def bm25(docs: DataFrame, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val perDoc = perDocFrame(docs, terms)
+    // degenerate inputs the per-term array projection cannot express:
+    // zero terms would build array() of no structs (untyped — analysis
+    // error downstream), and a repeated term would emit its match rows
+    // twice, double-counting df and the score contribution
+    val ts = terms.distinct
+    if (ts.isEmpty)
+      return docs.select(col("doc_id"),
+        lit(0L).as("n_terms_matched"),
+        lit(null).cast("double").as("bm25")).limit(0)
+    val perDoc = perDocFrame(docs, ts)
     val m = matches(perDoc)
     val df = m.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     m.join(broadcast(df), Seq("tok"))
@@ -111,6 +120,10 @@ object Relevance {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queries.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
+    if (terms.isEmpty) // empty query table → empty ranking, not an error
+      return docs.select(col("doc_id")).limit(0)
+        .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
+          col("doc_id"), lit(null).cast("double").as("bm25"))
     val perDoc = perDocFrame(docs, terms)
     val m = matches(perDoc)
     val df = m.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -20,19 +20,10 @@ import org.apache.spark.sql.DataFrame
   */
 object StagedReplay {
 
-  /** Depth-first recursive delete, closing the walk stream (an unclosed
-    * `Files.walk` leaks a directory handle per call). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    val walk = Files.walk(root)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.delete(p))
-    finally walk.close()
-  }
-
   /** Write `stages` under `dir` (wiped first). Returns `dir`. */
   def stageFiles(stages: Seq[DataFrame], dir: String): String = {
     val root = Paths.get(dir)
-    if (Files.exists(root)) deleteRecursively(root)
+    graft.Scratch.deleteRecursively(root)
     Files.createDirectories(root)
     val base = System.currentTimeMillis()
     stages.zipWithIndex.foreach { case (df, i) =>
@@ -51,7 +42,7 @@ object StagedReplay {
       // how fast the stages were written
       Files.setLastModifiedTime(target,
         FileTime.fromMillis(base + i * 2000L))
-      deleteRecursively(Paths.get(tmp))
+      graft.Scratch.deleteRecursively(Paths.get(tmp))
     }
     dir
   }

@@ -17,11 +17,20 @@ import graft.ext.Dedup
   *   P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction
   *
   * Index and pair store round-trip through parquet between batches —
-  * store-faithful (the persisted artifacts ARE the operator's state;
-  * a crashed job resumes from them) and lineage-truncating (without
-  * the round-trip, each batch's logical plan would compound the
-  * previous batches' trees and Catalyst's optimization time would
-  * dominate — the measured union-verify lesson in BENCHNOTES).
+  * store-faithful (the persisted artifacts ARE the operator's state)
+  * and lineage-truncating (without the round-trip, each batch's
+  * logical plan would compound the previous batches' trees and
+  * Catalyst's optimization time would dominate — the measured
+  * union-verify lesson in BENCHNOTES).
+  *
+  * Crash recovery is EXACTLY-ONCE on the state: a `state_&lt;n&gt;`
+  * marker is written only after batch n's index AND store writes are
+  * durable, and a new [[maintain]] call on the same `workDir` resumes
+  * index/store from the highest marker, skipping any batch at or
+  * below it that the (at-least-once) checkpoint replays — so a crash
+  * between the state writes and the checkpoint commit re-runs the
+  * batch idempotently (overwrite + marker re-write), and a crash
+  * after the commit skips it with the absorbed state intact.
   *
   * Starting from an EMPTY index, replaying a corpus in any batch
   * split converges to exactly the one-shot full-corpus
@@ -61,30 +70,58 @@ object StreamingNearDup {
     var idx = init
     // store is born with the first batch unless seeded
     var pairs: DataFrame = initPairs.orNull
+    // recover from a previous run on this workDir: resume index/store
+    // from the highest durable state marker (see the class doc); the
+    // checkpoint below then skips the already-committed files, and any
+    // replayed in-flight batch is detected by `batchId <= committed`
+    val wd = java.nio.file.Paths.get(workDir)
+    var committed = -1L
+    if (java.nio.file.Files.isDirectory(wd)) {
+      val listing = java.nio.file.Files.list(wd)
+      val ids =
+        try listing.toArray.map(_.toString).flatMap { p =>
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          if (n.startsWith("state_")) Some(n.stripPrefix("state_").toLong)
+          else None
+        }
+        finally listing.close()
+      if (ids.nonEmpty) {
+        committed = ids.max
+        idx = Dedup.SignatureIndex.read(spark, s"$workDir/idx_$committed")
+        pairs = spark.read.parquet(s"$workDir/pairs_$committed")
+      }
+    }
     val stream = spark.readStream
       .schema(spark.read.parquet(stagesDir).schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stagesDir)
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        val step = Dedup.deltaStep(idx, b, k, numHashes, rowsPerBand,
-          minJaccard, maxDf)
-        val updated =
-          if (pairs == null) step.pairs.unionByName(step.compaction)
-          else {
-            val affA = step.affected.withColumnRenamed("doc_id", "doc_a")
-            val affB = step.affected.withColumnRenamed("doc_id", "doc_b")
-            pairs // retire pairs a cap flip invalidated, then union
-              .join(broadcast(affA), Seq("doc_a"), "left_anti")
-              .join(broadcast(affB), Seq("doc_b"), "left_anti")
-              .unionByName(step.pairs).unionByName(step.compaction)
-          }
-        updated.write.mode("overwrite")
-          .parquet(s"$workDir/pairs_$batchId")
-        step.updated.write(s"$workDir/idx_$batchId")
-        pairs = spark.read.parquet(s"$workDir/pairs_$batchId")
-        idx = Dedup.SignatureIndex.read(spark, s"$workDir/idx_$batchId")
-        Dedup.releasePinnedCaches() // stores persisted; pins done
+        if (batchId > committed) {
+          val step = Dedup.deltaStep(idx, b, k, numHashes, rowsPerBand,
+            minJaccard, maxDf)
+          val updated =
+            if (pairs == null) step.pairs.unionByName(step.compaction)
+            else {
+              val affA = step.affected.withColumnRenamed("doc_id", "doc_a")
+              val affB = step.affected.withColumnRenamed("doc_id", "doc_b")
+              pairs // retire pairs a cap flip invalidated, then union
+                .join(broadcast(affA), Seq("doc_a"), "left_anti")
+                .join(broadcast(affB), Seq("doc_b"), "left_anti")
+                .unionByName(step.pairs).unionByName(step.compaction)
+            }
+          updated.write.mode("overwrite")
+            .parquet(s"$workDir/pairs_$batchId")
+          step.updated.write(s"$workDir/idx_$batchId")
+          pairs = spark.read.parquet(s"$workDir/pairs_$batchId")
+          idx = Dedup.SignatureIndex.read(spark, s"$workDir/idx_$batchId")
+          Dedup.releasePinnedCaches() // stores persisted; pins done
+          // durable-state marker LAST: its presence certifies both
+          // writes above (re-written idempotently on a replayed batch)
+          java.nio.file.Files.write(wd.resolve(s"state_$batchId"),
+            Array.emptyByteArray)
+          committed = batchId
+        }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())

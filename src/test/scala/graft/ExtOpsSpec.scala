@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
 
 /** E-op unit tests: dedup family, similarity, text analysis, multimodal
   * plumbing — small hand-checkable inputs. */
@@ -21,6 +21,17 @@ class ExtOpsSpec extends SparkSpec {
     assert(d.length == 3)
     val dup = d.find(_.getAs[Long]("n_copies") == 2L).get
     assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("E19: bm25 tolerates empty and duplicate term lists") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    assert(Relevance.bm25(d, Nil).count() == 0)
+    def rowsOf(terms: Seq[String]) =
+      Relevance.bm25(d, terms).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a repeated term must not double-count df or the contribution
+    assert(rowsOf(Seq("a", "a")) == rowsOf(Seq("a")))
   }
 
   test("E63: normalized exact dedup folds case/punct variants that " +

@@ -58,6 +58,26 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(got == full)
   }
 
+  test("re-invoking maintain on the same workDir resumes the durable " +
+    "state instead of resetting to init") {
+    val stages = tmpDir("graft_snd_stages_r")
+    StagedReplay.stageFiles(Seq(oldDocs, batch1), stages)
+    val work = tmpDir("graft_snd_work_r")
+    val empty = Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb,
+      maxDf)
+    val first = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      empty, None, k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    // second call: checkpoint skips every committed file; without the
+    // state markers this would return the init-reset store (null →
+    // empty), silently missing every absorbed batch
+    val resumed = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      empty, None, k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    assert(first.nonEmpty)
+    assert(resumed == first)
+  }
+
   test("empty start: replaying the whole corpus equals the one-shot " +
     "full pairs (the e58 mode at spec scale)") {
     val stages = tmpDir("graft_snd_stages0")
