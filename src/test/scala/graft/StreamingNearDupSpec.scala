@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.ext.Dedup
 import graft.streaming.{StagedReplay, StreamingNearDup}
@@ -76,6 +77,81 @@ class StreamingNearDupSpec extends SparkSpec {
     Dedup.releasePinnedCaches()
     assert(first.nonEmpty)
     assert(resumed == first)
+  }
+
+  private def dirIds(work: String, prefix: String): Seq[Long] = {
+    val re = ("^" + prefix + "_(-?\\d+)$").r
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(work))
+    try listing.toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .flatMap(n => re.findFirstMatchIn(n).map(_.group(1).toLong))
+    finally listing.close()
+  }
+
+  test("cadence compaction + vacuum: a 4-batch replay keeps at most " +
+    "two idx/state versions, folds covered log segments into a base, " +
+    "and still equals the one-shot full pairs") {
+    val all = oldDocs.union(batch1).union(batch2)
+    val stages = tmpDir("graft_snd_stages_v")
+    StagedReplay.stageFiles(
+      Seq(0L, 1L, 2L, 3L).map(r => all.filter(col("doc_id") % 4 === r)),
+      stages)
+    val work = tmpDir("graft_snd_work_v")
+    val got = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb, maxDf),
+      None, k, nh, rpb, minJ, maxDf, compactEvery = 2))
+    Dedup.releasePinnedCaches()
+    val full = pairSet(Dedup.minhashLshPairs(all, k, nh, rpb, minJ,
+      maxDf))
+    Dedup.releasePinnedCaches()
+    assert(got == full)
+    // vacuum contract: ≤2 retained idx/state versions (latest + one
+    // for crash safety), exactly one base, and no log/tombstone
+    // segment the base already covers
+    assert(dirIds(work, "idx").toSet == Set(2L, 3L))
+    assert(dirIds(work, "state").toSet == Set(2L, 3L))
+    val bases = dirIds(work, "base")
+    assert(bases.size == 1)
+    assert(dirIds(work, "plog").forall(_ > bases.max))
+    assert(dirIds(work, "tomb").forall(_ > bases.max))
+  }
+
+  test("recovery from a vacuumed+compacted workDir resumes the " +
+    "retained state and returns the same store") {
+    val all = oldDocs.union(batch1).union(batch2)
+    val stages = tmpDir("graft_snd_stages_vr")
+    StagedReplay.stageFiles(
+      Seq(0L, 1L, 2L, 3L).map(r => all.filter(col("doc_id") % 4 === r)),
+      stages)
+    val work = tmpDir("graft_snd_work_vr")
+    val empty = Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb,
+      maxDf)
+    val first = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      empty, None, k, nh, rpb, minJ, maxDf, compactEvery = 2))
+    Dedup.releasePinnedCaches()
+    val resumed = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      empty, None, k, nh, rpb, minJ, maxDf, compactEvery = 2))
+    Dedup.releasePinnedCaches()
+    assert(first.nonEmpty)
+    assert(resumed == first)
+  }
+
+  test("a stray non-numeric state_ file in workDir is skipped, not " +
+    "parsed (recovery does not wedge)") {
+    val stages = tmpDir("graft_snd_stages_s")
+    StagedReplay.stageFiles(Seq(oldDocs), stages)
+    val work = tmpDir("graft_snd_work_s")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(work).resolve("state_tmp.swp"),
+      Array.emptyByteArray)
+    val got = pairSet(StreamingNearDup.maintain(spark, stages, work,
+      Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb, maxDf),
+      None, k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    val full = pairSet(Dedup.minhashLshPairs(oldDocs, k, nh, rpb, minJ,
+      maxDf))
+    Dedup.releasePinnedCaches()
+    assert(got == full)
   }
 
   test("empty start: replaying the whole corpus equals the one-shot " +
