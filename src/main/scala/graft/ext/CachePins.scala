@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.storage.StorageLevel
 
 /** Per-thread registry of caches pinned by graft.ext operators
@@ -9,39 +10,73 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scoping (ADVICE r7): pins are tracked PER THREAD, so two sessions
   * running dedup operators on separate threads release only their own
-  * caches — one caller's [[release]] can no longer unpersist another
-  * caller's still-in-use mid-plan caches. The corollary contract: call
-  * [[release]] on the SAME thread that ran the operators (a pin made on
-  * thread A and released on no thread stays until the consumer's global
-  * `clearCache()` — which is why [[pin]] also prunes already-gone
-  * entries, keeping the registry bounded for consumers that only ever
-  * use the global path, e.g. Verify/Bench).
-  */
+  * caches. The corollary contract: call [[release]] on the SAME thread
+  * that ran the operators (a pin made on thread A and released on no
+  * thread stays until the consumer's global `clearCache()` — which is
+  * why [[pin]] also prunes already-gone entries, keeping the registry
+  * bounded for consumers that only ever use the global path, e.g.
+  * Verify/Bench).
+  *
+  * Identical-plan sharing (ADVICE r8): Spark's CacheManager
+  * deduplicates cached data by canonicalized plan, so two threads
+  * pinning semantically identical frames share ONE InMemoryRelation —
+  * per-thread bookkeeping alone would let the first release unpersist
+  * the other thread's still-in-use cache. Pins are therefore
+  * REFCOUNTED globally by canonicalized plan: [[release]] unpersists a
+  * shared cache only when the last pinner lets go. */
 private[graft] object CachePins {
 
+  /** One pinned frame and the canonicalized-plan key the CacheManager
+    * dedupes it under. */
+  private final case class Entry(df: DataFrame, key: LogicalPlan)
+
+  /** JVM-wide pin counts per canonicalized plan (all threads), guarded
+    * by its own lock. */
+  private val refs = scala.collection.mutable.Map[LogicalPlan, Int]()
+
   private val pins = new ThreadLocal[
-      scala.collection.mutable.ArrayBuffer[DataFrame]] {
+      scala.collection.mutable.ArrayBuffer[Entry]] {
     override def initialValue() =
-      scala.collection.mutable.ArrayBuffer[DataFrame]()
+      scala.collection.mutable.ArrayBuffer[Entry]()
+  }
+
+  private def keyOf(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed.canonicalized
+
+  /** Decrement `key`; true iff this was the last reference. */
+  private def drop(key: LogicalPlan): Boolean = refs.synchronized {
+    refs.getOrElse(key, 0) - 1 match {
+      case n if n <= 0 => refs.remove(key); true
+      case n => refs.update(key, n); false
+    }
   }
 
   /** Cache `df` and track it for the calling thread's next [[release]].
     * Entries whose cache is already gone (released via the global
-    * clearCache path) are pruned first, so the registry cannot grow
-    * unboundedly over a long-lived session. */
+    * clearCache path) are pruned first — their refcounts too — so the
+    * registry cannot grow unboundedly over a long-lived session. */
   def pin(df: DataFrame): DataFrame = {
     val buf = pins.get()
-    buf.filterInPlace(_.storageLevel != StorageLevel.NONE)
-    buf += df.cache()
+    val gone = buf.filter(_.df.storageLevel == StorageLevel.NONE)
+    if (gone.nonEmpty) {
+      buf.filterInPlace(_.df.storageLevel != StorageLevel.NONE)
+      gone.foreach(e => drop(e.key))
+    }
+    val key = keyOf(df)
+    refs.synchronized { refs.update(key, refs.getOrElse(key, 0) + 1) }
+    buf += Entry(df.cache(), key)
     df
   }
 
-  /** Drop every cache the CALLING THREAD pinned since its last release.
-    * Blocking, so the memory is free on return. Unpersist is
-    * idempotent: frames already cleared globally release as a no-op. */
+  /** Drop every cache the CALLING THREAD pinned since its last release
+    * — except those another thread still has pinned under the same
+    * canonicalized plan (shared InMemoryRelation; the last pinner
+    * releases it). Blocking, so the memory is free on return.
+    * Unpersist is idempotent: frames already cleared globally release
+    * as a no-op. */
   def release(): Unit = {
     val buf = pins.get()
-    buf.foreach(_.unpersist(blocking = true))
+    buf.foreach(e => if (drop(e.key)) e.df.unpersist(blocking = true))
     buf.clear()
   }
 }

@@ -365,24 +365,94 @@ object Dedup {
     * At scale each frame is partitioned parquet (`sig`/`bands` bucketed
     * by their join keys); [[write]]/[[SignatureIndex.read]] round-trip
     * the plain-parquet form the e51 gate uses. */
+  /** The shingling/MinHash parameters a [[SignatureIndex]] was built
+    * under. They are part of the STORE FORMAT, not query-time knobs: a
+    * persisted index probed with different k/numHashes/rowsPerBand (or
+    * a different df cap) silently produces garbage candidates, so they
+    * ride the index (persisted in its metadata file) and every delta
+    * entry point validates its arguments against them — VERDICT r8 #5.
+    * `minJaccard` is deliberately absent: verification thresholds are
+    * query-time. */
+  final case class IndexParams(k: Int, numHashes: Int, rowsPerBand: Int,
+                               maxDf: Int)
+
   final case class SignatureIndex(sig: DataFrame, df: DataFrame,
-                                  bands: DataFrame) {
-    /** Persist all three frames under `dir`. */
+                                  bands: DataFrame,
+                                  params: IndexParams) {
+    /** Persist all three frames under `dir`, plus the metadata file
+      * [[SignatureIndex.read]] validates (format version + params —
+      * fail-fast beats a silently mismatched probe). */
     def write(dir: String): Unit = {
       sig.write.mode("overwrite").parquet(s"$dir/sig")
       df.write.mode("overwrite").parquet(s"$dir/df")
       bands.write.mode("overwrite").parquet(s"$dir/bands")
+      val meta = Seq(
+        s"formatVersion=${SignatureIndex.FormatVersion}",
+        s"k=${params.k}", s"numHashes=${params.numHashes}",
+        s"rowsPerBand=${params.rowsPerBand}", s"maxDf=${params.maxDf}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir).resolve(SignatureIndex.MetaFile),
+        meta.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
   object SignatureIndex {
-    /** Reopen a persisted index. */
+    val FormatVersion = 1
+    val MetaFile = "_graft_index_meta"
+
+    /** Reopen a persisted index, restoring its [[IndexParams]] from the
+      * metadata file. Fails fast (with what to do about it) on a
+      * missing metadata file or an unknown format version — never
+      * returns an index whose parameters are guesses. */
     def read(spark: org.apache.spark.sql.SparkSession,
-             dir: String): SignatureIndex =
+             dir: String): SignatureIndex = {
+      val metaPath = java.nio.file.Paths.get(dir).resolve(MetaFile)
+      if (!java.nio.file.Files.isRegularFile(metaPath))
+        throw new IllegalStateException(
+          s"SignatureIndex at $dir has no $MetaFile — written by a " +
+            "pre-versioning build or not an index directory; rebuild " +
+            "the index (buildSignatureIndex + write) to migrate")
+      val kv = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(metaPath)).asScala
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('=')
+          require(i > 0, s"malformed $MetaFile line '$l' in $dir")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+      val ver = kv.getOrElse("formatVersion", "?")
+      if (ver != FormatVersion.toString)
+        throw new IllegalStateException(
+          s"SignatureIndex at $dir has format version $ver; this " +
+            s"build reads version $FormatVersion — rebuild the index")
+      def num(key: String): Int = kv.get(key) match {
+        case Some(v) if v.matches("-?\\d+") => v.toInt
+        case other => throw new IllegalStateException(
+          s"SignatureIndex at $dir: metadata key '$key' is " +
+            s"$other — corrupt $MetaFile; rebuild the index")
+      }
       SignatureIndex(
         spark.read.parquet(s"$dir/sig"),
         spark.read.parquet(s"$dir/df"),
-        spark.read.parquet(s"$dir/bands"))
+        spark.read.parquet(s"$dir/bands"),
+        IndexParams(num("k"), num("numHashes"), num("rowsPerBand"),
+          num("maxDf")))
+    }
+  }
+
+  /** Fail fast when a delta entry point's arguments disagree with the
+    * parameters the index was built under (the silent-garbage case the
+    * persisted-store metadata exists to prevent). */
+  private def requireParams(index: SignatureIndex, k: Int,
+                            numHashes: Int, rowsPerBand: Int,
+                            maxDf: Int): Unit = {
+    val want = IndexParams(k, numHashes, rowsPerBand, maxDf)
+    require(index.params == want,
+      s"SignatureIndex was built with ${index.params} but probed " +
+        s"with $want — probing a store with different " +
+        "shingling/MinHash parameters produces garbage candidates; " +
+        "rebuild the index or pass its parameters")
   }
 
   /** Build a [[SignatureIndex]] from a corpus — the one-time (or
@@ -400,7 +470,8 @@ object Dedup {
       Seq("h"), "left_semi")
     val bands = lshBands(minhash(capped, numHashes), numHashes,
       rowsPerBand)
-    SignatureIndex(sig, dfCounts, bands)
+    SignatureIndex(sig, dfCounts, bands,
+      IndexParams(k, numHashes, rowsPerBand, maxDf))
   }
 
   /** Incremental MinHash+LSH dedup of a NEW batch against a persisted
@@ -453,6 +524,7 @@ object Dedup {
                  numHashes: Int = 16, rowsPerBand: Int = 2,
                  minJaccard: Double = 0.5,
                  maxDf: Int = 100): (DataFrame, SignatureIndex) = {
+    requireParams(index, k, numHashes, rowsPerBand, maxDf)
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
     (verifyCandidates(index, c, deltaCandidates(c), minJaccard),
       absorb(index, c))
@@ -494,7 +566,8 @@ object Dedup {
       df = index.df.unionByName(
           c.batchDf.withColumnRenamed("df_b", "df"))
         .groupBy(col("h")).agg(sum(col("df")).as("df")),
-      bands = c.allBands)
+      bands = c.allBands,
+      params = index.params)
 
   /** One full delta step — everything an incremental consumer (e.g. a
     * streaming near-dup maintainer) needs from ONE [[deltaCore]]
@@ -516,6 +589,7 @@ object Dedup {
                 numHashes: Int = 16, rowsPerBand: Int = 2,
                 minJaccard: Double = 0.5,
                 maxDf: Int = 100): DeltaStep = {
+    requireParams(index, k, numHashes, rowsPerBand, maxDf)
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
     DeltaStep(
       pairs = verifyCandidates(index, c, deltaCandidates(c), minJaccard),
@@ -543,6 +617,7 @@ object Dedup {
                       k: Int = 5, numHashes: Int = 16,
                       rowsPerBand: Int = 2, minJaccard: Double = 0.5,
                       maxDf: Int = 100): DataFrame = {
+    requireParams(index, k, numHashes, rowsPerBand, maxDf)
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
     verifyCandidates(index, c, compactionCandidates(c), minJaccard)
   }
@@ -569,6 +644,12 @@ object Dedup {
     * expansion, no verification. */
   def deltaStats(index: SignatureIndex, batch: DataFrame, k: Int = 5,
                  maxDf: Int = 100): DataFrame = {
+    // only k and the df cap shape these statistics — band layout is
+    // not consulted, so only those two are validated
+    require(index.params.k == k && index.params.maxDf == maxDf,
+      s"SignatureIndex was built with ${index.params} but probed " +
+        s"with k=$k, maxDf=$maxDf — rebuild the index or pass its " +
+        "parameters")
     val bsh = pin(shingleHashes(batch, k))
     bsh.count()
     val batchDf = bsh.groupBy(col("h")).agg(count(lit(1)).as("df_b"))
@@ -588,9 +669,14 @@ object Dedup {
     val nOld = index.sig.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_old_docs"))
     nBatch.crossJoin(nFlips).crossJoin(nAffected).crossJoin(nOld)
+      // zero guard (ADVICE r8): against an EMPTY index — the bootstrap
+      // call an operator makes first — x/0 is null in Spark but not in
+      // every oracle engine; an empty store has a 0% blast radius
       .withColumn("blast_radius_pct",
-        graft.Rounding.duckRound(
-          col("n_affected_docs") * lit(100.0) / col("n_old_docs"), 6))
+        when(col("n_old_docs") > 0,
+          graft.Rounding.duckRound(
+            col("n_affected_docs") * lit(100.0) / col("n_old_docs"), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** Shared state of one delta/compaction run: everything derived from

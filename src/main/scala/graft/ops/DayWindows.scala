@@ -51,6 +51,17 @@ object DayWindows {
 
   private val Day = "_dw_day"
 
+  /** The patch-side join hint. The patch tables are O(keys × days)
+    * rows (edge strips O(keys × days × 4)): for the bounded FX symbol
+    * sets these operators compose over, that broadcasts safely (tens
+    * of symbols × a 15-year calendar ≈ 10⁵ rows). The hint's assumed
+    * bound is ~10⁷ patch rows (≲ the 8 GB broadcast-relation ceiling
+    * at these row widths) — ADVICE r8: above that key cardinality ×
+    * span, pass `broadcastPatch = false` and AQE picks the join
+    * strategy from the patch table's runtime size instead. */
+  private def patchSide(df: DataFrame, hint: Boolean): DataFrame =
+    if (hint) broadcast(df) else df
+
   private def withDay(df: DataFrame, orderBy: Seq[String]): DataFrame =
     df.withColumn(Day, date_trunc("day", col(orderBy.head)))
 
@@ -83,7 +94,8 @@ object DayWindows {
     * rows not yet filled within their own day. */
   def ffill(df: DataFrame, cols: Seq[String],
             orderBy: Seq[String] = Seq("datetime"),
-            keys: Seq[String] = Nil): DataFrame = {
+            keys: Seq[String] = Nil,
+            broadcastPatch: Boolean = true): DataFrame = {
     val df2 = withDay(df, orderBy)
     val wIn = wDay(orderBy, keys)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -99,7 +111,8 @@ object DayWindows {
       .agg(aggs.head, aggs.tail: _*)
     val carryIn = asofPriorDay(carries, keys,
       cols.map(c => s"_dw_c_$c" -> s"_dw_in_$c"))
-    val patched = withIn.join(broadcast(carryIn), keys :+ Day)
+    val patched = withIn.join(patchSide(carryIn, broadcastPatch),
+      keys :+ Day)
     cols.foldLeft(patched)((d, c) =>
         d.withColumn(c, coalesce(col(s"_dw_f_$c"), col(s"_dw_in_$c"))))
       .drop(Day)
@@ -113,7 +126,8 @@ object DayWindows {
     * the broadcast patch table. */
   def lag1(df: DataFrame, c: String, out: String,
            orderBy: Seq[String] = Seq("datetime"),
-           keys: Seq[String] = Nil): DataFrame = {
+           keys: Seq[String] = Nil,
+           broadcastPatch: Boolean = true): DataFrame = {
     val df2 = withDay(df, orderBy)
     val w = wDay(orderBy, keys)
     val ord = struct(orderBy.map(col): _*)
@@ -130,7 +144,7 @@ object DayWindows {
       .withColumn("_dw_in", col("_dw_in").getField("_dw_lastv"))
     df2.withColumn("_dw_rn", row_number().over(w))
       .withColumn("_dw_lag", lag(col(c), 1).over(w))
-      .join(broadcast(carryIn), keys :+ Day)
+      .join(patchSide(carryIn, broadcastPatch), keys :+ Day)
       .withColumn(out,
         when(col("_dw_rn") === 1, col("_dw_in")).otherwise(col("_dw_lag")))
       .drop(Day, "_dw_rn", "_dw_lag", "_dw_in")
@@ -159,7 +173,8 @@ object DayWindows {
     * deliberate cost. */
   def rollingMedian5(df: DataFrame, c: String, out: String,
                      orderBy: Seq[String] = Seq("datetime"),
-                     keys: Seq[String] = Nil): DataFrame = {
+                     keys: Seq[String] = Nil,
+                     broadcastPatch: Boolean = true): DataFrame = {
     val df2 = withDay(df, orderBy)
     val asc = wDay(orderBy, keys)
     val desc = Window.partitionBy((keys :+ Day).map(col): _*)
@@ -178,7 +193,7 @@ object DayWindows {
       .filter(col("_dw_rn") <= 2 || col("_dw_rrn") <= 2)
       .select((keys ++ orderBy).map(col) :+ col("_dw_emed"): _*)
     tagged.withColumn(out, dayMed)
-      .join(broadcast(eMed), keys ++ orderBy, "left")
+      .join(patchSide(eMed, broadcastPatch), keys ++ orderBy, "left")
       .withColumn(out,
         when(col("_dw_rn") <= 2 || col("_dw_rrn") <= 2, col("_dw_emed"))
           .otherwise(col(out)))

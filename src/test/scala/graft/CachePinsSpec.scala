@@ -31,6 +31,27 @@ class CachePinsSpec extends SparkSpec {
     assert(mine.storageLevel == StorageLevel.NONE)
   }
 
+  test("two threads pinning the SAME plan share the refcount: the " +
+    "first release must not clobber the still-pinned cache") {
+    spark.sharedState.cacheManager.clearCache()
+    // identical plans → CacheManager dedupes to one InMemoryRelation
+    def frame = Seq((1, "x"), (2, "y")).toDF("a", "b").filter($"a" > 0)
+    val mine = CachePins.pin(frame)
+    mine.count()
+    val t = new Thread(() => {
+      val theirs = CachePins.pin(frame) // same canonicalized plan
+      theirs.count()
+      CachePins.release() // refcount 2 → 1: must NOT unpersist
+    })
+    t.start()
+    t.join()
+    assert(mine.storageLevel != StorageLevel.NONE,
+      "first releaser of a shared plan must not unpersist it")
+    CachePins.release() // last pinner → actually drops
+    assert(mine.storageLevel == StorageLevel.NONE)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("pin prunes entries whose cache was cleared globally") {
     spark.sharedState.cacheManager.clearCache()
     // simulate the Verify/Bench consumer: pin, then global clearCache

@@ -46,6 +46,24 @@ class DayWindowsSpec extends SparkSpec {
     assert(sortedRows(byDay) == sortedRows(global))
   }
 
+  test("ffill/lag1/rollingMedian5 with broadcastPatch=false (the " +
+    "high-key-cardinality escape hatch) still equal the global window") {
+    val gF = frame.withColumn("v", WindowOps.ffill(col("v")))
+    val bF = DayWindows.ffill(frame, Seq("v"), broadcastPatch = false)
+      .select("datetime", "v")
+    assert(sortedRows(bF) == sortedRows(gF))
+    val gL = frame.withColumn("lag_v", WindowOps.lag1(col("v")))
+    val bL = DayWindows.lag1(frame, "v", "lag_v",
+        broadcastPatch = false)
+      .select("datetime", "v", "lag_v")
+    assert(sortedRows(bL) == sortedRows(gL))
+    val gM = frame.withColumn("med", WindowOps.rollingMedian5(col("v")))
+    val bM = DayWindows.rollingMedian5(frame, "v", "med",
+        broadcastPatch = false)
+      .select("datetime", "v", "med")
+    assert(sortedRows(bM) == sortedRows(gM))
+  }
+
   test("lag1: day-partitioned backend equals the global window") {
     val global = frame.withColumn("lag_v", WindowOps.lag1(col("v")))
     val byDay = DayWindows.lag1(frame, "v", "lag_v")
