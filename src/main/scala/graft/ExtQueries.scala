@@ -360,6 +360,31 @@ object ExtQueries {
           Multimodal.syntheticWav(docs(s, dir).select(col("doc_id"))))
         .toDF()),
 
+    // E66: PII scrub — regex count + mask of emails/URLs/long digit
+    // runs. The synthetic corpus contains no PII, so a deterministic
+    // PII suffix is injected per doc_id on BOTH engines and the gate
+    // compares real regex behavior (Java vs RE2 — patterns restricted
+    // to the shared-semantics subset) including the sequential
+    // three-pass masking. Pure map-side pass: no shuffle anywhere.
+    "e66_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"), lit("@mail.example.org or see "),
+          lit("http://ex.org/d/"), col("doc_id").cast("string"),
+          lit(" ref "),
+          (col("doc_id") + lit(1000000000L)).cast("string"))
+          .as("text"))
+      TextAnalysis.piiScrub(d)
+    }),
+
+    // E67: C4-style boilerplate-line removal — 8-word "lines" dropped
+    // when they occur in ≥2 distinct docs corpus-wide, documents
+    // reassembled in order (empty-but-present when fully boilerplate).
+    // One line-key shuffle for the global frequency, anti-join against
+    // the boilerplate minority, one doc_id shuffle to reassemble.
+    "e67_boilerplate_lines" -> ((s, dir) =>
+      TextAnalysis.boilerplateLineDedup(docs(s, dir))),
+
     // E14: embedding-cosine near-dup pairs, IVF-pruned by label cell
     // (testdata plants no true embedding dups — threshold 0.4 keeps the
     // operator's output non-trivial; at 0.95 it is correctly empty)
@@ -2427,6 +2452,57 @@ object ExtQueries {
         |  CAST(arg_min(smp, i) AS BIGINT) AS first_s,
         |  CAST(arg_max(smp, i) AS BIGINT) AS last_s
         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    "e66_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org or see http://ex.org/d/'
+        |      || CAST(doc_id AS VARCHAR) || ' ref '
+        |      || CAST(1000000000 + doc_id AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT
+        |    AS n_urls,
+        |  len(regexp_extract_all(text, '\b[0-9]{9,}\b'))::BIGINT
+        |    AS n_longnums,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<PII>', 'g'),
+        |    'https?://[^ ]+', '<PII>', 'g'),
+        |    '\b[0-9]{9,}\b', '<PII>', 'g') AS text_clean
+        |FROM d""".stripMargin,
+
+    "e67_boilerplate_lines" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(generate_series(0,
+        |      CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+        |        - 1)) AS pos,
+        |    text
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(string_split(text, ' '),
+        |      pos*8 + 1, pos*8 + 8), ' ') AS line
+        |  FROM segs),
+        |boiler AS (
+        |  SELECT line FROM s2 GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |kept AS (
+        |  SELECT * FROM s2
+        |  WHERE line NOT IN (SELECT line FROM boiler)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM s2 GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "e12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users " +

@@ -325,4 +325,81 @@ object TextAnalysis {
           .as("n_tok"),
         array_join(slice(col("w"), col("start") + 1, lit(window)), " ")
           .as("chunk_text"))
+
+  /** PII patterns with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded quantifiers, and ASCII
+    * word boundaries only — no backreferences or lookarounds (RE2 has
+    * neither). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val LongNumRe = "\\b[0-9]{9,}\\b"
+
+  /** PII scrub — the redaction pass a training-data pipeline runs
+    * before packing: count and mask emails, URLs, and long digit runs
+    * (account/phone-shaped). Counts are measured on the ORIGINAL text;
+    * masking applies the three patterns in a fixed order (email → URL
+    * → number), each replacing every occurrence with `mask`.
+    *
+    * Scale shape: pure per-row Column expressions (regexp_count /
+    * regexp_replace are codegen'd) — no shuffle, no UDF; a 100 TB
+    * scrub is exactly one map-side pass. */
+  def piiScrub(docs: DataFrame, mask: String = "<PII>"): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t, lit(LongNumRe)).cast("long").as("n_longnums"),
+      regexp_replace(
+        regexp_replace(regexp_replace(t, lit(EmailRe), lit(mask)),
+          lit(UrlRe), lit(mask)),
+        lit(LongNumRe), lit(mask)).as("text_clean"))
+  }
+
+  /** C4-style boilerplate-line removal: segment every document into
+    * consecutive `lineWords`-word "lines", drop each line that occurs
+    * in `minDocs`-or-more DISTINCT documents corpus-wide (navigation
+    * chrome, cookie banners, licence footers — text repeated across
+    * documents is boilerplate, not content), and reassemble the
+    * surviving lines in order. Documents whose every line is
+    * boilerplate survive with empty text (count them; don't lose
+    * them).
+    *
+    * Scale shape: one explode (map-side), ONE shuffle on the line for
+    * the distinct-doc frequency (partial-aggregated), an equi-join of
+    * segments against the boilerplate line set (the minority of
+    * distinct lines — AQE broadcasts it when small), and one shuffle
+    * back on doc_id to reassemble. No windows, no per-doc state: the
+    * frequency side scales with DISTINCT lines, the reassembly with
+    * surviving segments. */
+  def boilerplateLineDedup(docs: DataFrame, lineWords: Int = 8,
+                           minDocs: Int = 2): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0,
+           |    cast(ceil(size(split(text, ' ')) / ${lineWords}.0)
+           |      as int) - 1),
+           |  i -> concat_ws(' ',
+           |    slice(split(text, ' '), i * $lineWords + 1,
+           |      $lineWords)))""".stripMargin)))
+      .toDF("doc_id", "pos", "line")
+    val boiler = segs.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("line"))
+    val kept = segs.join(boiler, Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr("transform(" +
+        "array_sort(collect_list(struct(pos, line))), x -> x.line)"),
+        " ").as("text_clean"))
+    val totals = segs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_total"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

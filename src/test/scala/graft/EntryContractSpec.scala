@@ -9,16 +9,15 @@ class EntryContractSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
-  test("queries without an oracle are exactly the documented sketch " +
-    "exceptions") {
-    // these three are engine-specific sketches (HLL / Greenwald-Khanna)
-    // with no DuckDB hash twin BY DESIGN — the driver records a weaker
-    // rows-only check for them. Any other query missing an oracle is a
-    // gate hole, not a design choice: register its SQL twin.
+  test("every query has an oracle — the sketch rows are ε-gated " +
+    "(VERDICT r8 #3), so no rows-only exceptions remain") {
+    // the former exceptions (e13/e21a/e23a, engine-specific HLL/GK
+    // sketches with no DuckDB hash twin) now emit exact values plus
+    // asserted error-bound flags, giving them full hash oracles. Any
+    // query missing an oracle is a gate hole: register its SQL twin.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("e13_approx_distinct_users",
-      "e21_profile_events_approx", "e23_quantile_profile_approx"),
-      s"undocumented oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty,
+      s"oracle-less queries: $noOracle")
   }
 
   test("entry() smoke: flagship query yields rows at sf0.001") {

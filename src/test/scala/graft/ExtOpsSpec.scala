@@ -256,6 +256,42 @@ class ExtOpsSpec extends SparkSpec {
     assert(fp.count() <= 3 && fp.count() >= 1)
   }
 
+  test("E66: pii scrub counts on original text and masks sequentially") {
+    val d = Seq(
+      (1L, "mail a.b@x.org and c@y.co.uk see https://x.org/p?q=1 " +
+        "acct 1234567890 short 12345678"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_emails") == 2L)
+    assert(got(1L).getAs[Long]("n_urls") == 1L)
+    // 10-digit acct matches; the 8-digit run is below the floor
+    assert(got(1L).getAs[Long]("n_longnums") == 1L)
+    assert(got(1L).getAs[String]("text_clean") ==
+      "mail <PII> and <PII> see <PII> acct <PII> short 12345678")
+    assert(got(2L).getAs[Long]("n_emails") == 0L)
+    assert(got(2L).getAs[String]("text_clean") == "no pii here at all")
+  }
+
+  test("E67: boilerplate lines dropped corpus-wide, docs reassembled " +
+    "in order, fully-boilerplate docs survive empty") {
+    // 4-word lines: "c1 c2 c3 c4" appears in all three docs
+    // (boilerplate); each doc keeps its unique line in order
+    val d = Seq(
+      (1L, "a1 a2 a3 a4 c1 c2 c3 c4"),
+      (2L, "c1 c2 c3 c4 b1 b2 b3 b4"),
+      (3L, "c1 c2 c3 c4")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .boilerplateLineDedup(d, lineWords = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_kept") == 1L)
+    assert(got(1L).getAs[Long]("n_dropped") == 1L)
+    assert(got(1L).getAs[String]("text_clean") == "a1 a2 a3 a4")
+    assert(got(2L).getAs[String]("text_clean") == "b1 b2 b3 b4")
+    assert(got(3L).getAs[Long]("n_kept") == 0L)
+    assert(got(3L).getAs[String]("text_clean") == "")
+  }
+
   test("E11: multimodal plumbing — byte lengths, frame counts, stub decode") {
     val d = Seq((1L, "x" * 150, "en", "src", 150L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
