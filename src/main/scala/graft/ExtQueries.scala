@@ -385,6 +385,16 @@ object ExtQueries {
     "e67_boilerplate_lines" -> ((s, dir) =>
       TextAnalysis.boilerplateLineDedup(docs(s, dir))),
 
+    // E68: INT8 scalar quantization (SQ8) error profile — the ANN
+    // memory path (4× smaller than float32). sum_q is an EXACT integer
+    // gate over every quantized value (floor(x+0.5) sidesteps the
+    // engines' rounding-mode differences; the IEEE ops are
+    // bit-identical); max_abs_err/mse bound the reconstruction error
+    // per label. Dim stats are one tiny agg broadcast back — the
+    // corpus shuffles only for the final label aggregation.
+    "e68_scalar_quantize" -> ((s, dir) =>
+      Similarity.scalarQuantizeError(emb(s, dir))),
+
     // E14: embedding-cosine near-dup pairs, IVF-pruned by label cell
     // (testdata plants no true embedding dups — threshold 0.4 keeps the
     // operator's output non-trivial; at 0.95 it is correctly empty)
@@ -2503,6 +2513,33 @@ object ExtQueries {
         |  (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
         |  coalesce(a.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    "e68_scalar_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    unnest(generate_series(0,
+        |      CAST(len(embedding) AS BIGINT) - 1)) AS pos
+        |  FROM embeddings),
+        |v AS (
+        |  SELECT label, pos, embedding[pos + 1]::DOUBLE AS v FROM e),
+        |st AS (SELECT pos, min(v) AS mn, max(v) AS mx
+        |       FROM v GROUP BY 1),
+        |q AS (
+        |  SELECT label, v.v, st.mn, st.mx - st.mn AS scale,
+        |    CASE WHEN st.mx - st.mn > 0
+        |      THEN floor((v.v - st.mn) / (st.mx - st.mn) * 255.0 + 0.5)
+        |      ELSE 0.0 END AS q
+        |  FROM v JOIN st USING (pos)),
+        |d AS (
+        |  SELECT label, v, q,
+        |    CASE WHEN scale > 0 THEN mn + q * scale / 255.0
+        |         ELSE mn END AS deq
+        |  FROM q)
+        |SELECT label, count(*)::BIGINT AS n_vals,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  round(max(abs(v - deq)), 6) AS max_abs_err,
+        |  round(avg((v - deq) * (v - deq)), 9) AS mse
+        |FROM d GROUP BY 1""".stripMargin,
 
     "e12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users " +

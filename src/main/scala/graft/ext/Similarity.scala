@@ -287,4 +287,43 @@ object Similarity {
           col("x.nrm"), col("y.nrm")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** INT8 scalar quantization (SQ8 — the FAISS IVF+SQ memory recipe:
+    * 4× smaller vectors than float32, 8× than float64) with a
+    * reconstruction-error profile. Per-dimension global [min, max] is
+    * ONE partial-aggregated pass (output = dim rows, broadcast back);
+    * each value quantizes to q ∈ [0, 255] via
+    * `floor((v − mn)/scale · 255 + 0.5)` — floor(x + 0.5) rather than
+    * a round() builtin, because the two engines' rounding MODES differ
+    * but their IEEE multiply/divide/floor are bit-identical, making
+    * `sum_q` an EXACT integer gate on the whole quantization. The
+    * error profile per label: max |v − dequant(q)| (order-independent,
+    * rounded) and mean squared error (accumulation-ordered, rounded).
+    *
+    * Scale shape: explode → dim-stats agg (tiny) → broadcast join →
+    * label agg; the corpus never shuffles except the final label
+    * aggregation of partials. */
+  def scalarQuantizeError(emb: DataFrame): DataFrame = {
+    val vals = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "pos", "v")
+      .select(col("label"), col("pos"), col("v").cast("double").as("v"))
+    val stats = vals.groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val q = vals.join(broadcast(stats), Seq("pos"))
+      .withColumn("scale", col("mx") - col("mn"))
+      .withColumn("q", when(col("scale") > 0,
+          floor((col("v") - col("mn")) / col("scale") * lit(255.0)
+            + lit(0.5)))
+        .otherwise(lit(0.0)))
+      .withColumn("deq", when(col("scale") > 0,
+          col("mn") + col("q") * col("scale") / lit(255.0))
+        .otherwise(col("mn")))
+      .withColumn("err", col("v") - col("deq"))
+    q.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vals"),
+      sum(col("q")).cast("long").as("sum_q"),
+      Rounding.duckRound(max(abs(col("err"))), 6).as("max_abs_err"),
+      Rounding.duckRound(avg(col("err") * col("err")), 9).as("mse"))
+  }
 }

@@ -210,6 +210,28 @@ class ExtOpsSpec extends SparkSpec {
     assert(knn(2).getAs[Double]("sim") == 0.0)
   }
 
+  test("E68: SQ8 quantization hits the range endpoints exactly and " +
+    "zeroes constant dimensions") {
+    // dim 0 spans [0, 2] → q ∈ {0, 128, 255}; dim 1 is constant → q=0,
+    // zero error by the constant-dim guard
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f), 1),
+      (1L, Array(1.0f, 5.0f), 1),
+      (2L, Array(2.0f, 5.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.scalarQuantizeError(vecs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    // label 1: dim0 q = 0 (v=0) + 128 (v=1 → floor(127.5+0.5)), dim1
+    // q = 0 twice; label 2: dim0 q = 255, dim1 q = 0
+    assert(got(1).getAs[Long]("sum_q") == 128L)
+    assert(got(2).getAs[Long]("sum_q") == 255L)
+    assert(got(2).getAs[Double]("max_abs_err") == 0.0) // endpoint exact
+    assert(got(1).getAs[Long]("n_vals") == 4L)
+    // midpoint v=1 dequantizes to 128*2/255 ≈ 1.003922
+    assert(math.abs(got(1).getAs[Double]("max_abs_err") - 0.003922)
+      < 1e-6)
+  }
+
   test("E6: IVF knn searches only the query's cell") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7),
