@@ -395,6 +395,31 @@ object ExtQueries {
     "e68_scalar_quantize" -> ((s, dir) =>
       Similarity.scalarQuantizeError(emb(s, dir))),
 
+    // E69: the multimodal decode seam on the STREAMING path — the
+    // document stream replayed as three staged micro-batches, each
+    // encoded→decoded→featurized by the same partition-local WavCodec
+    // flow as e65 (stateless typed ops compose unchanged onto a
+    // streaming Dataset — that is the point of the gate). The appended
+    // union of an AvailableNow replay IS the batch result, so this
+    // shares e65's closed-form oracle verbatim — the same
+    // batch/streaming symmetry contract as g1/e1/u2/e33/e58.
+    "e69_wav_streaming_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir).select(col("doc_id"))
+      val scratch = graft.Scratch.fresh("wav_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r => d.filter(col("doc_id") % 3 === r)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        Multimodal.decodeWavFrames(Multimodal.syntheticWav(stream))
+          .toDF())
+    }),
+
     // E14: embedding-cosine near-dup pairs, IVF-pruned by label cell
     // (testdata plants no true embedding dups — threshold 0.4 keeps the
     // operator's output non-trivial; at 0.95 it is correctly empty)
@@ -2540,6 +2565,25 @@ object ExtQueries {
         |  round(max(abs(v - deq)), 6) AS max_abs_err,
         |  round(avg((v - deq) * (v - deq)), 9) AS mse
         |FROM d GROUP BY 1""".stripMargin,
+
+    // streaming replay of the WAV decode — appended union == batch, so
+    // the closed-form e65 oracle applies verbatim
+    "e69_wav_streaming_replay" ->
+      """WITH s AS (
+        |  SELECT doc_id, unnest(generate_series(0,
+        |      CAST(300 + doc_id % 200 - 1 AS BIGINT))) AS i
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    ((doc_id*31 + i*7) % 65536) - 32768 AS smp
+        |  FROM s)
+        |SELECT doc_id, i // 256 AS frame_idx,
+        |  count(*)::BIGINT AS n_samples,
+        |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(smp)) AS BIGINT) AS peak,
+        |  CAST(arg_min(smp, i) AS BIGINT) AS first_s,
+        |  CAST(arg_max(smp, i) AS BIGINT) AS last_s
+        |FROM v GROUP BY 1, 2""".stripMargin,
 
     "e12_distinct_users" ->
       ("SELECT event_type, count(DISTINCT user_id) AS n_users " +

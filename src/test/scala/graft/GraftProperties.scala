@@ -512,4 +512,16 @@ object GraftProperties extends Properties("graft") {
       }
       got == expected
     }
+
+  // WavCodec (r9): encode→decode is the identity for ANY sample
+  // sequence across the full PCM16 range — no Spark involved, the
+  // byte-level codec contract itself
+  property("wav codec round-trips arbitrary PCM16 sequences") =
+    Prop.forAll(Gen.listOf(Gen.choose(-32768, 32767))) {
+      samples: List[Int] =>
+        val arr = samples.toArray
+        graft.ext.WavCodec
+          .decodePcm16(graft.ext.WavCodec.encodePcm16(arr))
+          .sameElements(arr)
+    }
 }
