@@ -210,6 +210,17 @@ class DeltaDedupSpec extends SparkSpec {
     assert(row.getAs[Double]("blast_radius_pct") == 42.857143)
   }
 
+  test("deltaStats against an EMPTY index reports a 0.0 blast radius, " +
+    "not null (the bootstrap call, ADVICE r8)") {
+    val idx = Dedup.buildSignatureIndex(oldDocs.limit(0), K, NH, RPB,
+      MAXDF)
+    val row = Dedup.deltaStats(idx, batch1, K, MAXDF).collect().head
+    Dedup.releasePinnedCaches()
+    assert(row.getAs[Long]("n_old_docs") == 0L)
+    assert(!row.isNullAt(row.fieldIndex("blast_radius_pct")))
+    assert(row.getAs[Double]("blast_radius_pct") == 0.0)
+  }
+
   test("index round-trips through parquet (the persisted-store form)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_sigidx").toString

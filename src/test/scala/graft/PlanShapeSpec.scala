@@ -76,4 +76,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "within-cell pairs must come from the cell equi-join")
   }
+
+  test("e66 pii scrub is one map-side pass: zero shuffles") {
+    assert(shuffleCount(plan("e66_pii_scrub")) == 0,
+      "regex count+mask must not exchange anything")
+  }
+
+  test("e67 boilerplate removal joins on the line key, never " +
+    "all-pairs") {
+    val p = plan("e67_boilerplate_lines")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the anti-join must stay a line-key equi-join")
+  }
+
+  test("e68 scalar quantization broadcasts the dim stats; the corpus " +
+    "never sort-merge-joins") {
+    val p = plan("e68_scalar_quantize")
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      "per-dimension stats must broadcast onto the exploded corpus")
+  }
 }
