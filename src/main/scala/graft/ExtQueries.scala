@@ -229,6 +229,33 @@ object ExtQueries {
     "e3_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), 5, 16, 2, 0.5, 100)),
 
+    // E70: MEASURED LSH recall against the exact ground truth — the
+    // dedup-path twin of the e52 ANN recall gate ("recall measured,
+    // not asserted"). e3's banding+verify pairs are a subset of e2's
+    // exact capped-Jaccard pairs at the same threshold (verification
+    // makes precision 1.0 by construction); the one observability row
+    // a pipeline tunes numHashes/rowsPerBand by is how many true pairs
+    // banding actually surfaced. Both pair sets are bucketed
+    // equi-joins; the counts are 1-row aggregates.
+    "e70_lsh_dedup_recall" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val exact = Dedup.ngramJaccardPairs(d, 5, 0.5, 100)
+        .select(col("doc_a"), col("doc_b"))
+      val lsh = Dedup.minhashLshPairs(d, 5, 16, 2, 0.5, 100)
+        .select(col("doc_a"), col("doc_b"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nB = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_both"))
+      // pins released by the harness's post-query clearCache (the
+      // e2/e3 pattern — the returned plan still rides the caches)
+      nE.crossJoin(nL).crossJoin(nB)
+        .withColumn("recall",
+          when(col("n_exact") > 0, Rounding.duckRound(
+            col("n_both").cast("double") / col("n_exact"), 6))
+            .otherwise(lit(0.0)))
+    }),
+
     // E51: incremental (delta) dedup against a PERSISTED signature
     // index — the daily 100 TB operational mode. The "old corpus"
     // (doc_id % 10 != 0) is indexed, written to parquet, and reopened;
@@ -1334,17 +1361,27 @@ object ExtQueries {
         |  round(avg(value), 6) AS value_avg
         |FROM events GROUP BY 1""".stripMargin,
 
-    "e2_dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte, $jaccardTailSql
-         |SELECT doc_a, doc_b,
-         |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
-         |FROM inter
-         |JOIN cnt ca ON doc_a = ca.doc_id
-         |JOIN cnt cb ON doc_b = cb.doc_id
-         |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
-         |      >= CAST(0.5 AS DOUBLE)""".stripMargin,
+    "e2_dedup_ngram_jaccard" -> ngramJaccardOracleSql,
 
     "e3_dedup_minhash_lsh" -> minhashLshOracleSql(""),
+
+    // measured banding recall: exact pairs (e2 pipeline) vs
+    // banding+verify pairs (e3 pipeline), nested as self-contained
+    // CTE bodies; verified LSH ⊆ exact, so one inner join counts the
+    // overlap
+    "e70_lsh_dedup_recall" ->
+      s"""WITH ex AS ($ngramJaccardOracleSql),
+         |lsh AS (${minhashLshOracleSql("")}),
+         |ne AS (SELECT count(*) AS n_exact FROM ex),
+         |nl AS (SELECT count(*) AS n_lsh FROM lsh),
+         |nb AS (SELECT count(*) AS n_both
+         |       FROM ex JOIN lsh USING (doc_a, doc_b))
+         |SELECT n_exact::BIGINT AS n_exact, n_lsh::BIGINT AS n_lsh,
+         |  n_both::BIGINT AS n_both,
+         |  CASE WHEN n_exact > 0
+         |    THEN round(n_both / CAST(n_exact AS DOUBLE), 6)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS recall
+         |FROM ne, nl, nb""".stripMargin,
 
     // the staged incremental replay (empty index + three absorbed
     // micro-batches, store update rule P' = (P \ affected) ∪ delta ∪
@@ -1468,6 +1505,19 @@ object ExtQueries {
     * delta gate restricts it to pairs touching the batch, the e55
     * compaction gate to old↔old pairs with an affected side (via
     * `extraCtes`, injected before the minhash chain). */
+  /** The e2 exact n-gram-Jaccard pair pipeline as a self-contained
+    * SELECT (own WITH) — shared by the e2 gate and, nested as a CTE
+    * body, by the e70 recall measurement. */
+  private def ngramJaccardOracleSql: String =
+    s"""WITH $shinglesCte, $jaccardTailSql
+       |SELECT doc_a, doc_b,
+       |  n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON doc_a = ca.doc_id
+       |JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE n_inter::DOUBLE / (ca.n_sh + cb.n_sh - n_inter)
+       |      >= CAST(0.5 AS DOUBLE)""".stripMargin
+
   private def minhashLshOracleSql(extraPred: String,
                                   extraCtes: String = ""): String =
     s"""WITH $shinglesCte, $jaccardTailSql,$extraCtes
