@@ -583,7 +583,9 @@ object Dedup {
     * computes the shared core twice; this computes it once. */
   final case class DeltaStep(pairs: DataFrame, compaction: DataFrame,
                              affected: DataFrame,
-                             updated: SignatureIndex)
+                             updated: SignatureIndex,
+                             sigDelta: DataFrame, dfDelta: DataFrame,
+                             bandsDelta: DataFrame)
 
   def deltaStep(index: SignatureIndex, batch: DataFrame, k: Int = 5,
                 numHashes: Int = 16, rowsPerBand: Int = 2,
@@ -596,7 +598,17 @@ object Dedup {
       compaction =
         verifyCandidates(index, c, compactionCandidates(c), minJaccard),
       affected = c.affected,
-      updated = absorb(index, c))
+      updated = absorb(index, c),
+      // the append frames a LOG-STRUCTURED index store persists per
+      // batch instead of rewriting the absorbed index (r9):
+      // sig appends the batch's shingles, df appends the batch's
+      // partial counts (merge = groupBy-sum, as absorb does), bands
+      // appends the recomputed rows for batch ∪ affected docs (the old
+      // affected rows retire by the `affected` tombstones — the same
+      // update rule as the pair store)
+      sigDelta = c.bsh,
+      dfDelta = c.batchDf.withColumnRenamed("df_b", "df"),
+      bandsDelta = c.bandsNew)
   }
 
   /** The periodic COMPACTION twin of [[deltaDedup]] — the re-evaluation

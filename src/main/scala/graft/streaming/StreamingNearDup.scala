@@ -5,7 +5,7 @@ import java.util.Comparator
 import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, max => maxOf}
+import org.apache.spark.sql.functions.{broadcast, col, lit, sum => sumOf, max => maxOf}
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ext.Dedup
@@ -21,52 +21,50 @@ import graft.ext.Dedup
   *   P' = (P \ pairs-with-affected-side) ∪ delta ∪ compaction
   *
   * as an APPEND-ONLY LOG rather than a store rewrite. Batch n appends
-  * two segments:
+  * three segments:
   *
   *  - `plog_n`  (doc_a, doc_b, jaccard, seq=n): the pairs this batch
   *    discovered (delta ∪ compaction);
   *  - `tomb_n`  (doc_id, seq=n): the affected docs whose cap flips
-  *    retire every OLDER pair touching them.
+  *    retire every OLDER pair — and OLDER band row — touching them;
+  *  - `idxd_n`  (sig/df/bands): the INDEX delta — the batch's shingle
+  *    hashes (sig appends; doc ids are disjoint), its partial df
+  *    counts (df merges by groupBy-sum, exactly what absorb does),
+  *    and the recomputed band rows for batch ∪ affected docs
+  *    (seq-stamped; old affected rows retire via `tomb_n`).
   *
-  * The live pair set is then resolved lazily: a pair appended at seq s
-  * is live iff no tombstone with seq > s touches either side (a batch's
-  * own appends follow its retirements, so seq == tombstone-seq
-  * survives). This reproduces the update rule exactly — a pair re-added
-  * after a cap flip always rides a same-batch tombstone for its
-  * affected side, so the older copy dies and the newer survives, and no
-  * duplicates arise (delta pairs touch a NEW doc, which batch-id
-  * disjointness makes unrepeatable; compaction pairs always carry a
-  * same-seq tombstone on an affected side).
+  * The live pair set and the current index are both resolved lazily
+  * from the newest base plus the segments after it: a row appended at
+  * seq s is live iff no tombstone with seq > s touches its doc(s) (a
+  * batch's own appends follow its retirements, so seq == tombstone-seq
+  * survives). This reproduces [[Dedup.absorb]]'s
+  * `(bands \ affected) ∪ bandsNew` and the pair update rule exactly,
+  * by the same induction: a row re-added after a cap flip always rides
+  * a same-batch tombstone for its affected side, and batch doc ids are
+  * disjoint, so no duplicates arise.
   *
   * Per-batch WRITE volume is therefore batch-sized plus the cap-flip
-  * blast radius — the deltaStep contract — never O(|store|). The full
-  * store is touched only by the cadence COMPACTION: every
-  * `compactEvery` batches the resolved live set is folded into a
-  * `base_n` snapshot and the covered log/tombstone segments are
-  * vacuumed, so the resolve union stays ≤ compactEvery segments deep
-  * and reads prune to segments newer than the base. Old `idx_`/`state_`
-  * versions are vacuumed down to the latest two after each durable
-  * marker (one retained version for crash safety).
-  *
-  * Index and base/log segments round-trip through parquet —
-  * store-faithful (the persisted artifacts ARE the operator's state)
-  * and lineage-truncating (without the round-trip each batch's logical
-  * plan would compound the previous batches' trees and Catalyst's
-  * optimization time would dominate — the measured union-verify lesson
-  * in BENCHNOTES).
+  * blast radius — for the pair store AND the index (the r8
+  * implementation rewrote the full pair store per batch and the r8 fix
+  * initially still rewrote the full absorbed index; both are now
+  * append-only). The full store is touched only by the cadence
+  * COMPACTION: every `compactEvery` batches the resolved pair set and
+  * the reconstructed index are folded into `base_n` / `idxbase_n`
+  * snapshots and the covered segments are vacuumed, so resolution
+  * stays ≤ compactEvery segments deep. Old `state_` markers are
+  * vacuumed down to the latest two (one retained for crash safety).
   *
   * Crash recovery is EXACTLY-ONCE on the state: a `state_&lt;n&gt;`
-  * marker is written only after batch n's index, log, tombstone, and
-  * (when compacting) base writes are durable, and a new [[maintain]]
-  * call on the same `workDir` resumes from the highest marker, skipping
-  * any batch at or below it that the (at-least-once) checkpoint
-  * replays — a crash between the state writes and the checkpoint commit
-  * re-runs the batch idempotently (every segment write is
-  * mode-overwrite keyed by batch id), and a crash after the commit
-  * skips it with the absorbed state intact. Resolution trusts only
-  * segments with seq ≤ the committed marker, so a partially written
-  * segment from a crashed batch is invisible until its re-run
-  * overwrites it.
+  * marker is written only after batch n's segment (and, when
+  * compacting, base) writes are durable, and a new [[maintain]] call
+  * on the same `workDir` resumes from the highest marker, skipping any
+  * batch at or below it that the (at-least-once) checkpoint replays —
+  * a crash between the state writes and the checkpoint commit re-runs
+  * the batch idempotently (every write is mode-overwrite keyed by
+  * batch id), and a crash after the commit skips it with the absorbed
+  * state intact. Resolution trusts only segments with seq ≤ the
+  * committed marker, so a partially written segment from a crashed
+  * batch is invisible until its re-run overwrites it.
   *
   * Starting from an EMPTY index, replaying a corpus in any batch split
   * converges to exactly the one-shot full-corpus
@@ -78,16 +76,19 @@ import graft.ext.Dedup
   * blast radius; compaction cost is O(live store) amortized over
   * `compactEvery` batches; the resolve-side tombstone frame is at most
   * `compactEvery` batches' affected sets (broadcast — the same bound
-  * deltaStep's own affected broadcast assumes). State lives in parquet,
-  * not executor memory — the state-store budget is zero.
+  * deltaStep's own affected broadcast assumes); index reconstruction
+  * unions at most `compactEvery` parquet segments, so plan depth never
+  * compounds. State lives in parquet, not executor memory — the
+  * state-store budget is zero.
   */
 object StreamingNearDup {
 
   private val StateRe = "^state_(\\d+)$".r
-  private val IdxRe = "^idx_(\\d+)$".r
   private val PlogRe = "^plog_(-?\\d+)$".r
   private val TombRe = "^tomb_(-?\\d+)$".r
   private val BaseRe = "^base_(-?\\d+)$".r
+  private val IdxdRe = "^idxd_(-?\\d+)$".r
+  private val IdxBaseRe = "^idxbase_(-?\\d+)$".r
 
   /** Numeric suffixes of workDir entries matching `re` — entries that
     * do not match (partial writes, editor temps) are skipped, never
@@ -112,98 +113,157 @@ object StreamingNearDup {
       finally walk.close()
     }
 
+  /** Per-doc newest tombstone seq over segments in (floor, committed],
+    * or None when no tombstones apply. */
+  private def tombMax(spark: SparkSession, workDir: String, floor: Long,
+                      committed: Long): Option[DataFrame] = {
+    val ids = numberedIds(Paths.get(workDir), TombRe)
+      .filter(s => s > floor && s <= committed).sorted
+    ids.map(s => spark.read.parquet(s"$workDir/tomb_$s"))
+      .reduceOption(_.unionByName(_))
+      .map(_.groupBy(col("doc_id")).agg(maxOf(col("seq")).as("ts")))
+  }
+
+  /** Log-resolve: `base` rows die on ANY listed tombstone; segment
+    * rows (carrying `seq`) die only to STRICTLY NEWER tombstones. */
+  private def resolveRows(base: Option[DataFrame], segs: Seq[DataFrame],
+                          tomb: Option[DataFrame],
+                          docCols: Seq[String],
+                          outCols: Seq[String]): Option[DataFrame] = {
+    val baseLive = base.map { bs =>
+      tomb.fold(bs) { t =>
+        docCols.foldLeft(bs)((d, dc) =>
+          d.join(broadcast(t.select(col("doc_id").as(dc))), Seq(dc),
+            "left_anti"))
+      }.select(outCols.map(col): _*)
+    }
+    val segLive = segs.reduceOption(_.unionByName(_)).map { ls =>
+      tomb.fold(ls) { t =>
+        docCols.zipWithIndex.foldLeft(ls) { case (d, (dc, i)) =>
+          d.join(broadcast(t.select(col("doc_id").as(dc),
+              col("ts").as(s"_t$i"))), Seq(dc), "left")
+        }.filter(docCols.indices
+          .map(i => col(s"_t$i").isNull || col("seq") >= col(s"_t$i"))
+          .reduce(_ && _))
+      }.select(outCols.map(col): _*)
+    }
+    (baseLive.toSeq ++ segLive.toSeq).reduceOption(_.unionByName(_))
+  }
+
   /** Resolve the LIVE pair set from the newest trusted base plus the
     * log/tombstone segments after it, bounded by the committed marker
     * (segments beyond it may be partial writes from a crashed batch).
     * Returns (doc_a, doc_b, jaccard); empty-store safe. */
-  private def resolve(spark: SparkSession, workDir: String,
-                      committed: Long): DataFrame = {
+  private def resolvePairs(spark: SparkSession, workDir: String,
+                           committed: Long): DataFrame = {
     val wd = Paths.get(workDir)
     val baseId = numberedIds(wd, BaseRe).filter(_ <= committed)
       .reduceOption(_ max _)
     val floor = baseId.getOrElse(Long.MinValue)
-    def segs(re: scala.util.matching.Regex, prefix: String) =
-      numberedIds(wd, re).filter(s => s > floor && s <= committed).sorted
-        .map(s => spark.read.parquet(s"$workDir/$prefix$s"))
-        .reduceOption(_.unionByName(_))
-    val logs = segs(PlogRe, "plog_")
+    val segs = numberedIds(wd, PlogRe)
+      .filter(s => s > floor && s <= committed).sorted
+      .map(s => spark.read.parquet(s"$workDir/plog_$s"))
     val base = baseId.map(b => spark.read.parquet(s"$workDir/base_$b"))
-    val liveCols = Seq(col("doc_a"), col("doc_b"), col("jaccard"))
-    (base, logs) match {
-      case (None, None) =>
-        spark.range(0).select(col("id").as("doc_a"),
-          col("id").as("doc_b"), col("id").cast("double").as("jaccard"))
-      case _ =>
-        val tombMax = segs(TombRe, "tomb_").map(
-          _.groupBy(col("doc_id")).agg(maxOf(col("seq")).as("ts")))
-        // every loaded tombstone postdates the base, so base rows die on
-        // ANY affected hit; log rows die only to STRICTLY NEWER
-        // tombstones (a batch's appends follow its retirements)
-        val baseLive = base.map { bs =>
-          tombMax.fold(bs) { t =>
-            bs.join(broadcast(t.select(col("doc_id").as("doc_a"))),
-                Seq("doc_a"), "left_anti")
-              .join(broadcast(t.select(col("doc_id").as("doc_b"))),
-                Seq("doc_b"), "left_anti")
-          }.select(liveCols: _*)
-        }
-        val logLive = logs.map { ls =>
-          tombMax.fold(ls) { t =>
-            ls.join(broadcast(t.select(col("doc_id").as("doc_a"),
-                col("ts").as("ta"))), Seq("doc_a"), "left")
-              .join(broadcast(t.select(col("doc_id").as("doc_b"),
-                col("ts").as("tb"))), Seq("doc_b"), "left")
-              .filter((col("ta").isNull || col("seq") >= col("ta")) &&
-                (col("tb").isNull || col("seq") >= col("tb")))
-          }.select(liveCols: _*)
-        }
-        (baseLive.toSeq ++ logLive.toSeq).reduce(_.unionByName(_))
+    resolveRows(base, segs, tombMax(spark, workDir, floor, committed),
+      Seq("doc_a", "doc_b"), Seq("doc_a", "doc_b", "jaccard"))
+      .getOrElse(spark.range(0).select(col("id").as("doc_a"),
+        col("id").as("doc_b"), col("id").cast("double").as("jaccard")))
+  }
+
+  /** Reconstruct the CURRENT index from the newest trusted index base
+    * plus the `idxd` segments after it: sig is an append union, df a
+    * groupBy-sum merge (absorb's own rule), bands a log-resolve
+    * against the shared tombstones. Plan depth ≤ compactEvery
+    * segments. */
+  private def reconstructIndex(spark: SparkSession, workDir: String,
+                               committed: Long): Dedup.SignatureIndex = {
+    val wd = Paths.get(workDir)
+    val b = numberedIds(wd, IdxBaseRe).filter(_ <= committed)
+      .reduceOption(_ max _)
+      .getOrElse(throw new IllegalStateException(
+        s"no idxbase_* under $workDir at or below marker $committed — " +
+          "not a StreamingNearDup state directory"))
+    val base = Dedup.SignatureIndex.read(spark, s"$workDir/idxbase_$b")
+    val ds = numberedIds(wd, IdxdRe)
+      .filter(s => s > b && s <= committed).sorted
+    if (ds.isEmpty) base
+    else {
+      val sig = (base.sig +: ds.map(s =>
+        spark.read.parquet(s"$workDir/idxd_$s/sig")))
+        .reduce(_.unionByName(_))
+      val df = (base.df +: ds.map(s =>
+        spark.read.parquet(s"$workDir/idxd_$s/df")))
+        .reduce(_.unionByName(_))
+        .groupBy(col("h")).agg(sumOf(col("df")).as("df"))
+      val bands = resolveRows(
+        Some(base.bands),
+        ds.map(s => spark.read.parquet(s"$workDir/idxd_$s/bands")),
+        tombMax(spark, workDir, b, committed),
+        Seq("doc_id"), Seq("doc_id", "band", "band_key")).get
+      Dedup.SignatureIndex(sig, df, bands, base.params)
     }
   }
 
-  /** Drop state no reader can need: log/tombstone segments a base
-    * snapshot covers, superseded bases, and all but the latest two
-    * idx/state versions (one previous version retained for crash
-    * safety). Runs only AFTER batch n's marker is durable, so a crash
-    * mid-vacuum leaves stale-but-ignored extras, never missing state. */
+  /** Drop state no reader can need: pair-log/index-delta segments a
+    * base snapshot covers, tombstones both bases cover, superseded
+    * bases, and all but the latest two state markers (one previous
+    * retained for crash safety). Runs only AFTER batch n's marker is
+    * durable, so a crash mid-vacuum leaves stale-but-ignored extras,
+    * never missing state. */
   private def vacuum(wd: Path, workDir: String, n: Long): Unit = {
-    val baseId = numberedIds(wd, BaseRe).filter(_ <= n)
+    val pairBase = numberedIds(wd, BaseRe).filter(_ <= n)
       .reduceOption(_ max _)
-    baseId.foreach { b =>
+    val idxBase = numberedIds(wd, IdxBaseRe).filter(_ <= n)
+      .reduceOption(_ max _)
+    pairBase.foreach { b =>
       numberedIds(wd, PlogRe).filter(_ <= b)
         .foreach(s => deleteRecursively(Paths.get(s"$workDir/plog_$s")))
-      numberedIds(wd, TombRe).filter(_ <= b)
-        .foreach(s => deleteRecursively(Paths.get(s"$workDir/tomb_$s")))
       numberedIds(wd, BaseRe).filter(_ < b)
         .foreach(m => deleteRecursively(Paths.get(s"$workDir/base_$m")))
     }
-    numberedIds(wd, IdxRe).filter(_ < n - 1)
-      .foreach(m => deleteRecursively(Paths.get(s"$workDir/idx_$m")))
+    idxBase.foreach { b =>
+      numberedIds(wd, IdxdRe).filter(_ <= b)
+        .foreach(s => deleteRecursively(Paths.get(s"$workDir/idxd_$s")))
+      numberedIds(wd, IdxBaseRe).filter(_ < b)
+        .foreach(m =>
+          deleteRecursively(Paths.get(s"$workDir/idxbase_$m")))
+    }
+    // tombstones serve BOTH stores: only segments covered by the two
+    // bases together are dead (no pair base yet → floor is the idx
+    // base only when pairs have never been folded NOR seeded; a seeded
+    // pair store is base_-1, so its floor exists)
+    (pairBase, idxBase) match {
+      case (Some(pb), Some(ib)) =>
+        numberedIds(wd, TombRe).filter(_ <= (pb min ib))
+          .foreach(s =>
+            deleteRecursively(Paths.get(s"$workDir/tomb_$s")))
+      case _ => ()
+    }
     numberedIds(wd, StateRe).filter(_ < n - 1)
       .foreach(m => Files.deleteIfExists(wd.resolve(s"state_$m")))
   }
 
   /** Replay `stagesDir` (a directory of parquet files, one micro-batch
     * per file under `maxFilesPerTrigger=1`) through the maintenance
-    * loop, persisting index/log/base versions under `workDir`. Returns
-    * the resolved live pair store (doc_a, doc_b, jaccard).
+    * loop, persisting log segments and base snapshots under `workDir`.
+    * Returns the resolved live pair store (doc_a, doc_b, jaccard).
     *
     * `init` seeds the index — pass a built index to dedup new batches
     * against an existing corpus, or an empty-corpus index to build
-    * from nothing. When bootstrapping from an existing corpus, pass
-    * that corpus's pair set as `initPairs` too: the update rule
+    * from nothing; a fresh run persists it as `idxbase_-1` (the day-0
+    * cost; recovery and every later batch read the store, never the
+    * in-memory frames). When bootstrapping from an existing corpus,
+    * pass that corpus's pair set as `initPairs` too: the update rule
     * retires/extends an EXISTING store, so with index but no seed
     * pairs the result is only the pairs discovered during the replay
     * (delta + compaction), not the full post-absorb set —
-    * StreamingNearDupSpec pins both modes. The seed is persisted as
-    * the pre-stream base snapshot, so later tombstones retire its
-    * pairs exactly as they would any other pre-batch pair.
+    * StreamingNearDupSpec pins both modes.
     *
-    * `compactEvery` sets the compaction cadence: fold the live set
-    * into a base snapshot once the uncompacted log is that many
-    * segments deep (0 disables). Bounded replay
-    * (`Trigger.AvailableNow`): the call blocks until every staged
-    * file is absorbed. */
+    * `compactEvery` sets the compaction cadence: fold the live pair
+    * set and the reconstructed index into base snapshots once the
+    * uncompacted log is that many segments deep (0 disables). Bounded
+    * replay (`Trigger.AvailableNow`): the call blocks until every
+    * staged file is absorbed. */
   def maintain(spark: SparkSession, stagesDir: String, workDir: String,
                init: Dedup.SignatureIndex,
                initPairs: Option[DataFrame] = None, k: Int = 5,
@@ -213,24 +273,34 @@ object StreamingNearDup {
     // state crosses threads (mutated on the micro-batch execution
     // thread, read here after awaitTermination) — Atomic holders give
     // the formal happens-before ADVICE r8 asked for
-    val idx = new AtomicReference[Dedup.SignatureIndex](init)
+    val idx = new AtomicReference[Dedup.SignatureIndex]()
     val committed = new AtomicLong(-1L)
-    // recover from a previous run on this workDir: resume the index
-    // from the highest durable state marker (see the class doc); the
-    // checkpoint below then skips the already-committed files, and any
-    // replayed in-flight batch is detected by `batchId <= committed`
+    // recover from a previous run on this workDir: resume from the
+    // highest durable state marker (see the class doc); the checkpoint
+    // below then skips the already-committed files, and any replayed
+    // in-flight batch is detected by `batchId <= committed`
+    // bound plan-STRING rendering (logging only — execution is
+    // unaffected): the reconstructed index's union lineage is
+    // DAG-shared in execution but EXPANDS per reference in tree
+    // printing, so at deep uncompacted logs the default (effectively
+    // unbounded) plan string can OOM the driver just to render a log
+    // line. 64 KiB keeps progress logs useful and the driver safe.
+    spark.conf.set("spark.sql.maxPlanStringLength", "65536")
     val wd = Paths.get(workDir)
     val markers = numberedIds(wd, StateRe)
     if (markers.nonEmpty) {
       committed.set(markers.max)
-      idx.set(Dedup.SignatureIndex.read(spark,
-        s"$workDir/idx_${committed.get}"))
-    } else initPairs.foreach { seed =>
-      // fresh run: persist the seed store as the pre-stream base
-      seed.select(col("doc_a"), col("doc_b"), col("jaccard"))
-        .withColumn("seq", lit(-1L))
-        .write.mode("overwrite").parquet(s"$workDir/base_-1")
+    } else {
+      // fresh run: persist the seed state (store-faithful — every
+      // consumer below reads parquet, never the in-memory frames)
+      init.write(s"$workDir/idxbase_-1")
+      initPairs.foreach { seed =>
+        seed.select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .withColumn("seq", lit(-1L))
+          .write.mode("overwrite").parquet(s"$workDir/base_-1")
+      }
     }
+    idx.set(reconstructIndex(spark, workDir, committed.get))
     val stream = spark.readStream
       .schema(spark.read.parquet(stagesDir).schema)
       .option("maxFilesPerTrigger", "1")
@@ -240,23 +310,28 @@ object StreamingNearDup {
         if (batchId > committed.get) {
           val step = Dedup.deltaStep(idx.get, b, k, numHashes,
             rowsPerBand, minJaccard, maxDf)
-          // append-only: this batch's discovered pairs + retirements
+          // append-only: this batch's discovered pairs, retirements,
+          // and index delta — never the full store, never the corpus
           step.pairs.unionByName(step.compaction)
             .withColumn("seq", lit(batchId))
             .write.mode("overwrite").parquet(s"$workDir/plog_$batchId")
           step.affected.withColumn("seq", lit(batchId))
             .write.mode("overwrite").parquet(s"$workDir/tomb_$batchId")
-          step.updated.write(s"$workDir/idx_$batchId")
-          idx.set(Dedup.SignatureIndex.read(spark,
-            s"$workDir/idx_$batchId"))
-          Dedup.releasePinnedCaches() // stores persisted; pins done
-          val lastBase = numberedIds(wd, BaseRe).filter(_ <= batchId)
+          val idxd = s"$workDir/idxd_$batchId"
+          step.sigDelta.write.mode("overwrite").parquet(s"$idxd/sig")
+          step.dfDelta.write.mode("overwrite").parquet(s"$idxd/df")
+          step.bandsDelta.withColumn("seq", lit(batchId))
+            .write.mode("overwrite").parquet(s"$idxd/bands")
+          Dedup.releasePinnedCaches() // segments persisted; pins done
+          val lastBase = numberedIds(wd, IdxBaseRe).filter(_ <= batchId)
             .reduceOption(_ max _).getOrElse(-1L)
           if (compactEvery > 0 && batchId - lastBase >= compactEvery) {
             // this batch's segments are durable → safe to fold through
-            resolve(spark, workDir, batchId)
+            resolvePairs(spark, workDir, batchId)
               .withColumn("seq", lit(batchId))
               .write.mode("overwrite").parquet(s"$workDir/base_$batchId")
+            reconstructIndex(spark, workDir, batchId)
+              .write(s"$workDir/idxbase_$batchId")
           }
           // durable-state marker LAST: its presence certifies every
           // write above (re-written idempotently on a replayed batch);
@@ -265,12 +340,13 @@ object StreamingNearDup {
             Array.emptyByteArray)
           committed.set(batchId)
           vacuum(wd, workDir, batchId)
+          idx.set(reconstructIndex(spark, workDir, batchId))
         }
       }
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    resolve(spark, workDir, committed.get)
+    resolvePairs(spark, workDir, committed.get)
   }
 }

@@ -52,11 +52,15 @@ object WriteAudit {
       dirBytes(Paths.get(t))
     }
     println(f"live store: $live rows, $liveBytes bytes")
+    val idxBase = dirBytes(Paths.get(s"$work/idxbase_-1"))
+    println(f"seed idxbase: $idxBase B (one-time)")
     (0 until nBatches).foreach { n =>
       val pl = dirBytes(Paths.get(s"$work/plog_$n"))
       val tb = dirBytes(Paths.get(s"$work/tomb_$n"))
+      val ix = dirBytes(Paths.get(s"$work/idxd_$n"))
       println(f"batch $n: plog=$pl%9d B  tomb=$tb%9d B  " +
-        f"(old design wrote ~$liveBytes B cumulative-store here)")
+        f"idxd=$ix%9d B  " +
+        f"(old design rewrote full store+index here)")
     }
     spark.stop()
   }

@@ -105,15 +105,19 @@ class StreamingNearDupSpec extends SparkSpec {
       maxDf))
     Dedup.releasePinnedCaches()
     assert(got == full)
-    // vacuum contract: ≤2 retained idx/state versions (latest + one
-    // for crash safety), exactly one base, and no log/tombstone
-    // segment the base already covers
-    assert(dirIds(work, "idx").toSet == Set(2L, 3L))
+    // vacuum contract: ≤2 retained state markers (latest + one for
+    // crash safety), exactly one pair base and one index base, and no
+    // pair-log / tombstone / index-delta segment the bases already
+    // cover
     assert(dirIds(work, "state").toSet == Set(2L, 3L))
     val bases = dirIds(work, "base")
     assert(bases.size == 1)
+    val idxBases = dirIds(work, "idxbase")
+    assert(idxBases.size == 1)
     assert(dirIds(work, "plog").forall(_ > bases.max))
-    assert(dirIds(work, "tomb").forall(_ > bases.max))
+    assert(dirIds(work, "idxd").forall(_ > idxBases.max))
+    assert(dirIds(work, "tomb")
+      .forall(_ > (bases.max min idxBases.max)))
   }
 
   test("recovery from a vacuumed+compacted workDir resumes the " +
