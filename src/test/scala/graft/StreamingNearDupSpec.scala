@@ -140,6 +140,21 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(resumed == first)
   }
 
+  test("compactEvery = 1 (fold every batch — the materialized-index " +
+    "latency profile) still converges to the one-shot full pairs") {
+    val stages = tmpDir("graft_snd_stages_c1")
+    StagedReplay.stageFiles(Seq(oldDocs, batch1, batch2), stages)
+    val got = pairSet(StreamingNearDup.maintain(spark, stages,
+      tmpDir("graft_snd_work_c1"),
+      Dedup.buildSignatureIndex(oldDocs.limit(0), k, nh, rpb, maxDf),
+      None, k, nh, rpb, minJ, maxDf, compactEvery = 1))
+    Dedup.releasePinnedCaches()
+    val full = pairSet(Dedup.minhashLshPairs(
+      oldDocs.union(batch1).union(batch2), k, nh, rpb, minJ, maxDf))
+    Dedup.releasePinnedCaches()
+    assert(got == full)
+  }
+
   test("a stray non-numeric state_ file in workDir is skipped, not " +
     "parsed (recovery does not wedge)") {
     val stages = tmpDir("graft_snd_stages_s")
