@@ -633,9 +633,10 @@ object ExtQueries {
     // sketch) — per-group state is a fixed-size sketch, not a value
     // buffer, so group cardinality no longer bounds the operator.
     // ε-GATED (VERDICT r8 #3): per quantile, a flag that the GK
-    // estimate lies between the exact quantiles at p ± 10× its rank
-    // guarantee; the oracle asserts all-1 flags (the exact VALUES are
-    // hash-gated by the e23 twin).
+    // estimate's in-group RANK is within 10× its documented relative
+    // rank error (1/accuracy) — checked in rank space, so the gate is
+    // scale-invariant; the oracle asserts all-1 flags (the exact
+    // VALUES are hash-gated by the e23 twin).
     "e23_quantile_profile_approx" -> ((s, dir) =>
       DataProfile.groupedQuantilesApproxCheck(
         Tables.load(s, dir, "events"), col("event_type"),
@@ -657,7 +658,7 @@ object ExtQueries {
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val prof = graft.streaming.StreamingProfile.windowed(
-        Tables.normalizeNanos(stream), "value")
+        Tables.normalizeTs(stream), "value")
       StreamingOhlc.replayToBatch(s, prof)
         .select(col("window_start"), col("n_rows"), col("value_nulls"),
           col("value_min"), col("value_max"),
@@ -878,7 +879,7 @@ object ExtQueries {
         Rounding.duckRound(percentile(col("value"), lit(0.95)), 6)
           .as("hi"))
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = Tables.normalizeNanos(
+      val stream = Tables.normalizeTs(
         s.readStream.schema(rawSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir))
       val clamped = stream.join(broadcast(bounds), Seq("event_type"))
@@ -907,7 +908,7 @@ object ExtQueries {
       val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ins = Tables.normalizeNanos(stream)
+      val ins = Tables.normalizeTs(stream)
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
           col("event_type"))
         .as[graft.streaming.StreamingFunnel.EvIn]

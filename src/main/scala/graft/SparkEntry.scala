@@ -371,7 +371,7 @@ object SparkEntry {
       // tables are single files, so stream the parent dir with a glob
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ticks = Tables.ticksFromEvents(Tables.normalizeNanos(stream))
+      val ticks = Tables.ticksFromEvents(Tables.normalizeTs(stream))
       val candles = streaming.StreamingOhlc.replayToBatch(
         s, streaming.StreamingOhlc.ohlc1min(TickPrep(ticks)))
       roundedOhlc(candles, Nil)
@@ -584,7 +584,7 @@ object SparkEntry {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       graft.streaming.StreamingOhlc.replayToBatch(s,
         graft.streaming.StreamingSessionize.sessions(
-          Tables.normalizeNanos(stream)))
+          Tables.normalizeTs(stream)))
     }),
 
     // G7: bucketed histogram — portable floor-division bucketing

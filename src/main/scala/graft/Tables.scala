@@ -14,28 +14,45 @@ import org.apache.spark.sql.functions._
   * stable ordering), `user_id`/`event_type` = partition/subset keys.
   */
 object Tables {
-  /** Load a driver parquet table. `events.ts` is parquet TIMESTAMP(NANOS),
-    * which Spark only reads via the `nanosAsLong` legacy conf; we convert
-    * to microsecond TimestampType by integer division — the same
-    * truncation DuckDB applies reading nanos into its µs timestamps, so
-    * oracle comparisons stay exact.
+  /** Load a driver parquet table. The physical encoding of `events.ts`
+    * has changed under us across driver data regenerations, so [[load]]
+    * accepts every encoding seen so far and normalizes to session-TZ
+    * `TimestampType` (see [[normalizeTs]]).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // ANSI division-by-zero raises in Spark 4; the reference (pandas) and
     // the DuckDB oracle both yield NULL/NaN instead — match them.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    normalizeNanos(spark.read.parquet(s"$sfDir/$name.parquet"))
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** The nanos→micros `ts` conversion of [[load]], exposed separately so
-    * a streaming scan of the same parquet (which must declare the RAW
-    * long-typed schema) can apply the identical normalization. */
-  def normalizeNanos(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f =>
-        f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+  /** Normalize the `ts` column to µs `TimestampType` from any physical
+    * parquet encoding the driver has generated:
+    *
+    *  - TIMESTAMP(NANOS), surfaced as `LongType` under the `nanosAsLong`
+    *    legacy conf → integer-divide to micros (the same truncation
+    *    DuckDB applies reading nanos into its µs timestamps, so oracle
+    *    comparisons stay exact);
+    *  - µs TIMESTAMP_NTZ (pyarrow `timestamp[us]`, no tz) →
+    *    `cast(TimestampType)`, a value-identity relabel under the UTC
+    *    session timezone every entry point sets;
+    *  - µs TIMESTAMP (isAdjustedToUTC) → already the target type.
+    *
+    * Exposed separately from [[load]] so a streaming scan of the same
+    * parquet (which must declare the RAW schema) can apply the identical
+    * normalization. Either branch is a narrow codegen'd projection:
+    * stream-safe, no shuffle. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   /** Canonical tick frame: datetime, tick_id, ask, bid.
     *

@@ -308,7 +308,19 @@ object StreamingNearDup {
     val q = stream.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         if (batchId > committed.get) {
-          val step = Dedup.deltaStep(idx.get, b, k, numHashes,
+          // memoize THIS batch's reconstructed index (VERDICT r9 #4):
+          // the delta step takes ~9 eager actions, most traversing
+          // sig/df/bands — unpinned, each action re-runs the
+          // base∪segments union + df groupBy-sum; pinned, the
+          // reconstruction materializes once per frame and the
+          // release below (same thread — the CachePins contract)
+          // drops it as soon as the segments are durable
+          val cur = idx.get
+          val pinned = Dedup.SignatureIndex(
+            graft.ext.CachePins.pin(cur.sig),
+            graft.ext.CachePins.pin(cur.df),
+            graft.ext.CachePins.pin(cur.bands), cur.params)
+          val step = Dedup.deltaStep(pinned, b, k, numHashes,
             rowsPerBand, minJaccard, maxDf)
           // append-only: this batch's discovered pairs, retirements,
           // and index delta — never the full store, never the corpus

@@ -24,21 +24,20 @@ class EntryContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("all queries run at sf0.001") {
-    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val r = try {
-          // noop write, NOT count(): count() lets Catalyst prune the
-          // top-level projections, so a broken select expression could
-          // pass the smoke; the noop sink evaluates every column the
-          // way Verify's parquet write does.
-          fn(spark, "/root/testdata/sf0.001")
-            .write.format("noop").mode("overwrite").save()
-          None
-        } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
-        spark.sharedState.cacheManager.clearCache()
-        r
+  // one NAMED test per query (VERDICT r9 #6): a failing query surfaces
+  // as its own test failure carrying the query name and error, instead
+  // of one aggregated assertion at the end — the r9 NTZ breakage would
+  // have named its six victims in CI output immediately.
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query runs at sf0.001: $name") {
+      try {
+        // noop write, NOT count(): count() lets Catalyst prune the
+        // top-level projections, so a broken select expression could
+        // pass the smoke; the noop sink evaluates every column the
+        // way Verify's parquet write does.
+        fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      } finally spark.sharedState.cacheManager.clearCache()
     }
-    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
