@@ -27,31 +27,38 @@ object Tables {
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
-  /** Normalize the `ts` column to µs `TimestampType` from any physical
-    * parquet encoding the driver has generated:
+  /** Normalize every timestamp column to µs session-TZ `TimestampType`
+    * from any physical parquet encoding the driver has generated:
     *
-    *  - TIMESTAMP(NANOS), surfaced as `LongType` under the `nanosAsLong`
-    *    legacy conf → integer-divide to micros (the same truncation
-    *    DuckDB applies reading nanos into its µs timestamps, so oracle
-    *    comparisons stay exact);
-    *  - µs TIMESTAMP_NTZ (pyarrow `timestamp[us]`, no tz) →
-    *    `cast(TimestampType)`, a value-identity relabel under the UTC
-    *    session timezone every entry point sets;
+    *  - TIMESTAMP(NANOS) `ts`, surfaced as `LongType` under the
+    *    `nanosAsLong` legacy conf → integer-divide to micros (the same
+    *    truncation DuckDB applies reading nanos into its µs timestamps,
+    *    so oracle comparisons stay exact);
+    *  - µs TIMESTAMP_NTZ (pyarrow `timestamp[us]`, no tz — the current
+    *    driver encoding for `events.ts`, `lineitem.l_shipdate`,
+    *    `orders.o_orderdate`) → `cast(TimestampType)`, a value-identity
+    *    relabel under the UTC session timezone every entry point sets;
     *  - µs TIMESTAMP (isAdjustedToUTC) → already the target type.
     *
-    * Exposed separately from [[load]] so a streaming scan of the same
-    * parquet (which must declare the RAW schema) can apply the identical
-    * normalization. Either branch is a narrow codegen'd projection:
+    * Normalizing ALL NTZ columns (not just `ts`) gives one uniform
+    * engine contract — "timestamps are TimestampType" — so no seam
+    * (watermark, unix_micros, getTimestamp, schema-driven profiling)
+    * depends on which footer flavor the driver last wrote
+    * (TestdataSchemaSpec pins the post-load schemas). Exposed
+    * separately from [[load]] so a streaming scan of the same parquet
+    * (which must declare the RAW schema) can apply the identical
+    * normalization. Every branch is a narrow codegen'd projection:
     * stream-safe, no shuffle. */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+    val base = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
+    base.schema.fields.filter(_.dataType == TimestampNTZType)
+      .map(_.name)
+      .foldLeft(base)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
   }
 
   /** Canonical tick frame: datetime, tick_id, ask, bid.
