@@ -387,6 +387,37 @@ object ExtQueries {
           Multimodal.syntheticWav(docs(s, dir).select(col("doc_id"))))
         .toDF()),
 
+    // E73: first-occurrence-keeping exact line dedup — the canonical-
+    // copy twin of e67 (Dolma-style duplicate-paragraph removal): a
+    // repeated 8-word line survives in its smallest-(doc_id, pos)
+    // occurrence only, so the corpus keeps exactly ONE copy of each
+    // span instead of zero copies of frequent ones. Same linear
+    // topology as e67: one line-key shuffle (min-struct aggregate),
+    // equi-join back, one doc_id shuffle to reassemble.
+    "e73_canonical_line_dedup" -> ((s, dir) =>
+      TextAnalysis.canonicalLineDedup(docs(s, dir))),
+
+    // E72: per-document span-duplication profile — the repeated-
+    // substring curation signal (how much of each doc also appears
+    // elsewhere): distinct k-shingle count, shingles shared with ≥2
+    // docs, the most-viral shingle's corpus df, duplicated fraction.
+    // Uncapped by design (boilerplate IS the signal); linear — df
+    // shuffle + hash-join back + per-doc agg, no pair expansion.
+    "e72_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpanProfile(docs(s, dir))),
+
+    // E71: REAL image codec gate — the image twin of e65: synthetic
+    // 24-bit pixels from a closed-form formula are encoded to actual
+    // BMP bytes (bottom-up rows, 4-byte stride padding — widths cycle
+    // every pad value) and decoded back by the pure-JVM BmpCodec;
+    // per-scanline integer features hash-compare against the oracle's
+    // direct formula evaluation. Partition-local iterator→iterator
+    // decode, no shuffle before the output.
+    "e71_bmp_codec_rows" -> ((s, dir) =>
+      Multimodal.decodeBmpRows(
+          Multimodal.syntheticBmp(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E66: PII scrub — regex count + mask of emails/URLs/long digit
     // runs. The synthetic corpus contains no PII, so a deterministic
     // PII suffix is injected per doc_id on BOTH engines and the gate
@@ -2538,6 +2569,83 @@ object ExtQueries {
         |  CAST(arg_min(smp, i) AS BIGINT) AS first_s,
         |  CAST(arg_max(smp, i) AS BIGINT) AS last_s
         |FROM v GROUP BY 1, 2""".stripMargin,
+
+    // same segmentation as e67's oracle; the canonical occurrence is
+    // row_number = 1 over (doc_id, pos) within each line
+    "e73_canonical_line_dedup" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(generate_series(0,
+        |      CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+        |        - 1)) AS pos,
+        |    text
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(list_slice(string_split(text, ' '),
+        |      pos*8 + 1, pos*8 + 8), ' ') AS line
+        |  FROM segs),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM (
+        |    SELECT doc_id, pos, line, row_number() OVER (
+        |      PARTITION BY line ORDER BY doc_id, pos) AS rn
+        |    FROM s2) r
+        |  WHERE rn = 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM s2 GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // uncapped sh0 only (the cap CTEs in the shared chain go unused —
+    // boilerplate is the signal here); df = plain count since sh0 is
+    // already distinct per (doc, shingle)
+    "e72_repeated_spans" ->
+      s"""WITH $shinglesCte,
+         |dfreq AS (SELECT h, count(*) AS df FROM sh0 GROUP BY h)
+         |SELECT doc_id, count(*)::BIGINT AS n_sh,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rep,
+         |  CAST(max(df) AS BIGINT) AS max_df,
+         |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+         |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+         |FROM sh0 JOIN dfreq USING (h) GROUP BY 1""".stripMargin,
+
+    // the synthetic image recomputed in closed form — the engine side
+    // must round-trip it through real BMP bytes (stride padding,
+    // bottom-up rows, BGR channel order) to match
+    "e71_bmp_codec_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS h
+        |  FROM documents),
+        |yy AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, h - 1)) AS y
+        |  FROM g),
+        |xx AS (
+        |  SELECT doc_id, w, y,
+        |    unnest(generate_series(0, w - 1)) AS x
+        |  FROM yy),
+        |px AS (
+        |  SELECT doc_id, y, x,
+        |    (doc_id*7 + x*3 + y*5) % 256 AS r,
+        |    (doc_id*11 + x + y*2) % 256 AS gg,
+        |    (doc_id*13 + x*4 + y) % 256 AS b
+        |  FROM xx)
+        |SELECT doc_id, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gg) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max((299*r + 587*gg + 114*b) // 1000) AS BIGINT)
+        |    AS max_lum,
+        |  CAST(arg_min(r*65536 + gg*256 + b, x) AS BIGINT) AS first_px,
+        |  CAST(arg_max(r*65536 + gg*256 + b, x) AS BIGINT) AS last_px
+        |FROM px GROUP BY 1, 2""".stripMargin,
 
     "e66_pii_scrub" ->
       """WITH d AS (

@@ -283,6 +283,40 @@ object Dedup {
         col("_e.band_key").as("band_key"))
   }
 
+  /** Per-document cross-corpus span-duplication profile — the
+    * "how much of this document also appears elsewhere" signal
+    * training-data curation filters memorization-prone documents by
+    * (the repeated-substring concern motivating exact-substring
+    * dedup): for each document, the count of its distinct word
+    * k-shingles, how many of them occur in ≥2 documents corpus-wide,
+    * the corpus document-frequency of its most-shared shingle, and
+    * the duplicated fraction.
+    *
+    * Deliberately UNCAPPED (unlike the near-dup pipelines): boilerplate
+    * IS duplication here, so the df cap that protects the pair joins
+    * would delete exactly the signal. Scale shape: linear — one
+    * shuffle for the shingle df, one hash-join back on `h` (reusing
+    * the df aggregation's partitioning), one per-doc aggregation;
+    * no pair expansion anywhere. Documents shorter than k words
+    * produce no shingles and are absent from the output, mirroring
+    * every other shingle operator. */
+  def repeatedSpanProfile(docs: DataFrame, k: Int = 5): DataFrame = {
+    // materialize before branching: the df aggregation and the join
+    // probe both consume the shingle scan (the cappedShingleHashes
+    // pattern — unmaterialized, each branch re-shingles the corpus)
+    val sh = pin(shingleHashes(docs, k))
+    sh.count()
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_rep"),
+        max(col("df")).as("max_df"))
+      .withColumn("dup_frac", graft.Rounding.duckRound(
+        col("n_rep").cast("double") / col("n_sh"), 6))
+  }
+
   /** Probability that LSH banding surfaces a pair of true Jaccard
     * similarity `jaccard` as a candidate: with b = numHashes/rowsPerBand
     * bands of r = rowsPerBand rows, P = 1 − (1 − j^r)^b — the standard

@@ -13,10 +13,14 @@ import org.apache.spark.sql.types._
   * sit behind the partition-local seam:
   *
   *  - [[decodeFrames]]: the deterministic STUB standing in for codecs
-  *    whose libraries this container lacks (image/video);
+  *    whose libraries this container lacks (now only video);
   *  - [[decodeWavFrames]]: a REAL pure-JVM PCM WAV decoder
   *    ([[WavCodec]], VERDICT r8 #6) — RIFF chunk walk + PCM16 parse,
-  *    oracle-gated end-to-end via `e65_wav_codec_frames`.
+  *    oracle-gated end-to-end via `e65_wav_codec_frames`;
+  *  - [[decodeBmpRows]]: a REAL pure-JVM BMP image decoder
+  *    ([[BmpCodec]], r10) — header walk + 24-bit BI_RGB with stride
+  *    padding and both row orders, oracle-gated end-to-end via
+  *    `e71_bmp_codec_rows`.
   *
   * Both use the same mapPartitions topology (iterator → iterator, codec
   * state initialized once per partition, never per row) — the shape a
@@ -121,6 +125,78 @@ object Multimodal {
                 fr.foldLeft(0L)((a, s) => a + math.abs(s)),
                 fr.map(s => math.abs(s).toLong).max,
                 fr.head.toLong, fr.last.toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic RGB pixel — the closed-form image both the
+    * engine (via BMP encode→decode) and the DuckDB oracle (directly)
+    * compute, making the image codec hash-gateable:
+    * px(d, x, y) = (r,g,b) with r = (d·7 + 3x + 5y) mod 256,
+    * g = (d·11 + x + 2y) mod 256, b = (d·13 + 4x + y) mod 256. */
+  def synthPx(id: Long, x: Int, y: Int): Int = {
+    val r = ((id * 7 + x * 3 + y * 5) % 256).toInt
+    val g = ((id * 11 + x + y * 2) % 256).toInt
+    val b = ((id * 13 + x * 4 + y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Width 16..32: `w·3 mod 4` cycles through every stride-pad value,
+    * so a padding bug in [[BmpCodec]] cannot survive the gate. */
+  def synthImgW(id: Long): Int = (16 + id % 17).toInt
+  def synthImgH(id: Long): Int = (8 + id % 9).toInt
+
+  /** Synthetic BMP blob table: one encoded 24-bit image payload per
+    * doc_id carrying the [[synthPx]] pattern. Encode runs
+    * partition-local — the same seam shape as the decoders. */
+  def syntheticBmp(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = synthImgW(id); val h = synthImgH(id)
+          (id, BmpCodec.encodeRgb24(w, h,
+            Array.tabulate(w * h)(i => synthPx(id, i % w, i / w))))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded image row: integer-exact per-scanline features
+    * (hash-gateable — no float accumulation). `max_lum` is integer
+    * BT.601 luma (299r+587g+114b)/1000. */
+  case class ImageRow(doc_id: Long, y: Long, n_px: Long, sum_r: Long,
+                      sum_g: Long, sum_b: Long, max_lum: Long,
+                      first_px: Long, last_px: Long)
+
+  /** REAL image-codec path: decode each payload with [[BmpCodec]] and
+    * emit per-scanline features — the image twin of
+    * [[decodeWavFrames]], same iterator→iterator partition-local
+    * topology, same fail-fast contract on malformed payloads. */
+  def decodeBmpRows(blobs: DataFrame): Dataset[ImageRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = BmpCodec.decodeRgb24(payload)
+          (0 until h).iterator.map { y =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var ml = 0L
+            var x = 0
+            while (x < w) {
+              val p = px(y * w + x)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+              val b = p & 0xff
+              sr += r; sg += g; sb += b
+              val lum = (299L * r + 587L * g + 114L * b) / 1000L
+              if (lum > ml) ml = lum
+              x += 1
+            }
+            ImageRow(id, y.toLong, w.toLong, sr, sg, sb, ml,
+              (px(y * w) & 0xffffff).toLong,
+              (px(y * w + w - 1) & 0xffffff).toLong)
           }
         }
       }

@@ -374,7 +374,46 @@ object TextAnalysis {
     * surviving segments. */
   def boilerplateLineDedup(docs: DataFrame, lineWords: Int = 8,
                            minDocs: Int = 2): DataFrame = {
-    val segs = docs
+    val segs = lineSegments(docs, lineWords)
+    val boiler = segs.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("line"))
+    rebuildDocs(segs, segs.join(boiler, Seq("line"), "left_anti"))
+  }
+
+  /** First-occurrence-keeping exact line dedup — the CANONICAL-COPY
+    * twin of [[boilerplateLineDedup]] (Dolma-style duplicate-paragraph
+    * removal): a repeated `lineWords`-word line is kept in its first
+    * corpus occurrence (smallest (doc_id, pos)) and dropped from every
+    * LATER occurrence, so the corpus retains exactly one copy of each
+    * distinct span instead of zero copies of frequent ones. The
+    * remove-everywhere form deletes boilerplate; this form
+    * deduplicates content while preserving corpus coverage.
+    *
+    * Scale shape: identical to the boilerplate form — one explode,
+    * ONE line-key shuffle carrying a min(struct(doc_id, pos))
+    * aggregate (partial-aggregated map-side), a self-equi-join on the
+    * line key (reusing the aggregation's partitioning), one doc_id
+    * shuffle to reassemble. No windows, no per-doc state. */
+  def canonicalLineDedup(docs: DataFrame,
+                         lineWords: Int = 8): DataFrame = {
+    val segs = lineSegments(docs, lineWords)
+    val canon = segs.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .select(col("line"), col("c.doc_id").as("c_doc"),
+        col("c.pos").as("c_pos"))
+    val kept = segs.join(canon, Seq("line"))
+      .filter(col("doc_id") === col("c_doc") &&
+        col("pos") === col("c_pos"))
+      .select(col("doc_id"), col("pos"), col("line"))
+    rebuildDocs(segs, kept)
+  }
+
+  /** Shared segmentation of [[boilerplateLineDedup]] /
+    * [[canonicalLineDedup]]: consecutive `lineWords`-word chunks as
+    * (doc_id, pos, line) — one map-side explode. */
+  private def lineSegments(docs: DataFrame, lineWords: Int): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(expr(
         s"""transform(
            |  sequence(0,
@@ -384,10 +423,11 @@ object TextAnalysis {
            |    slice(split(text, ' '), i * $lineWords + 1,
            |      $lineWords)))""".stripMargin)))
       .toDF("doc_id", "pos", "line")
-    val boiler = segs.groupBy(col("line"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("line"))
-    val kept = segs.join(boiler, Seq("line"), "left_anti")
+
+  /** Shared reassembly: surviving segments back to one row per input
+    * document (kept/dropped counts + in-order cleaned text; documents
+    * losing every line survive with empty text). */
+  private def rebuildDocs(segs: DataFrame, kept: DataFrame): DataFrame = {
     val rebuilt = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_kept"),
       array_join(expr("transform(" +
