@@ -453,6 +453,15 @@ object ExtQueries {
     "e68_scalar_quantize" -> ((s, dir) =>
       Similarity.scalarQuantizeError(emb(s, dir))),
 
+    // E74: product quantization (PQ) error profile — the other half of
+    // the FAISS IVF-PQ recipe next to e68's SQ8: m=4 subspaces of the
+    // 64-dim embedding, each training its own k=8 codebook with the
+    // SAME deterministic Lloyd machinery as e22/e54, vectors encoded
+    // as 4 sub-codes. The integer code sum gates training + slicing +
+    // assignment exactly; the error profile mirrors e68's shape.
+    "e74_product_quantize" -> ((s, dir) =>
+      Similarity.productQuantizeError(emb(s, dir))),
+
     // E69: the multimodal decode seam on the STREAMING path — the
     // document stream replayed as three staged micro-batches, each
     // encoded→decoded→featurized by the same partition-local WavCodec
@@ -2697,6 +2706,81 @@ object ExtQueries {
         |  (t.n_total - coalesce(a.n_kept, 0))::BIGINT AS n_dropped,
         |  coalesce(a.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // per-subspace Lloyd (the kmeansCtes chain with a subspace key s):
+    // init = k lowest vec_ids' slices, two assignment/average rounds
+    // at the shared 6-decimal rounding + lowest-cid tie-break, encode
+    // against the FINAL codebook (the e54 cells pattern), then the
+    // integer code-sum gate and e68-shaped error profile
+    "e74_product_quantize" ->
+      """WITH emb4 AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |subv AS (
+        |  SELECT vec_id, label, s,
+        |    list_slice(e, s*16 + 1, s*16 + 16) AS se
+        |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+        |pc0 AS (SELECT s, vec_id AS cid, se AS carr
+        |        FROM subv WHERE vec_id < 8),
+        |pa1 AS (
+        |  SELECT vec_id, s, se, cid, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |  FROM (
+        |    SELECT subv.vec_id, subv.s, subv.se, pc0.cid,
+        |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
+        |        i -> (subv.se[i] - pc0.carr[i])
+        |           * (subv.se[i] - pc0.carr[i]))), 6) AS d
+        |    FROM subv JOIN pc0 ON subv.s = pc0.s) t),
+        |pf1 AS (
+        |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+        |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+        |        FROM pa1 WHERE rn = 1) t
+        |  GROUP BY 1, 2, 3),
+        |pc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+        |        FROM pf1 GROUP BY 1, 2),
+        |pa2 AS (
+        |  SELECT vec_id, s, se, cid, row_number() OVER
+        |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        |  FROM (
+        |    SELECT subv.vec_id, subv.s, subv.se, pc1.cid,
+        |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
+        |        i -> (subv.se[i] - pc1.carr[i])
+        |           * (subv.se[i] - pc1.carr[i]))), 6) AS d
+        |    FROM subv JOIN pc1 ON subv.s = pc1.s) t),
+        |pf2 AS (
+        |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+        |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+        |        FROM pa2 WHERE rn = 1) t
+        |  GROUP BY 1, 2, 3),
+        |pc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+        |        FROM pf2 GROUP BY 1, 2),
+        |enc AS (
+        |  SELECT vec_id, label, s, se, cid FROM (
+        |    SELECT subv.vec_id, subv.label, subv.s, subv.se, pc2.cid,
+        |      row_number() OVER (PARTITION BY subv.vec_id, subv.s
+        |        ORDER BY
+        |        round(list_sum(list_transform(range(1, len(subv.se) + 1),
+        |          i -> (subv.se[i] - pc2.carr[i])
+        |             * (subv.se[i] - pc2.carr[i]))), 6),
+        |        pc2.cid) AS rn
+        |    FROM subv JOIN pc2 ON subv.s = pc2.s) t WHERE rn = 1),
+        |csum AS (
+        |  SELECT label, (count(*) / 4)::BIGINT AS n_vecs,
+        |    CAST(sum(cid) AS BIGINT) AS sum_code
+        |  FROM enc GROUP BY 1),
+        |perr AS (
+        |  SELECT t.label, t.se[t.i] - c.carr[t.i] AS err
+        |  FROM (SELECT label, s, cid, se,
+        |          unnest(range(1, len(se) + 1)) AS i FROM enc) t
+        |  JOIN pc2 c ON t.s = c.s AND t.cid = c.cid),
+        |eprof AS (
+        |  SELECT label, count(*)::BIGINT AS n_vals,
+        |    round(max(abs(err)), 6) AS max_abs_err,
+        |    round(avg(err * err), 9) AS mse
+        |  FROM perr GROUP BY 1)
+        |SELECT label, n_vecs, n_vals, sum_code, max_abs_err, mse
+        |FROM csum JOIN eprof USING (label)""".stripMargin,
 
     "e68_scalar_quantize" ->
       """WITH e AS (

@@ -303,6 +303,72 @@ object Similarity {
     * Scale shape: explode → dim-stats agg (tiny) → broadcast join →
     * label agg; the corpus never shuffles except the final label
     * aggregation of partials. */
+  /** Product quantization (PQ — the other half of the FAISS IVF-PQ
+    * billion-scale recipe next to [[scalarQuantizeError]]'s SQ8): the
+    * embedding splits into `m` subspaces, each subspace trains its own
+    * k-entry codebook with the SAME deterministic Lloyd iterations as
+    * the IVF coarse quantizer ([[KMeans]] — lowest-vec_id init,
+    * 6-decimal rounded distances/means, lowest-id tie-breaks), and
+    * each vector encodes as `m` sub-codes — dim·4 bytes of float32
+    * down to `m` bytes. Emitted per label: vector/value counts, the
+    * exact integer code sum (the whole-pipeline gate: ANY divergence
+    * in training, slicing, or assignment changes some code), and the
+    * reconstruction-error profile (max |err| order-independent, MSE
+    * rounded like e68's).
+    *
+    * Scale shape: per-sub codebooks are O(m·k·dim/m) = O(k·dim)
+    * driver-side model state (the KMeans contract); training streams
+    * the corpus `iters` times per subspace; encode is a NARROW
+    * per-row argmin over codebook literals (no join, no shuffle);
+    * the two output aggregations shuffle only label-cardinality
+    * partials. */
+  def productQuantizeError(emb: DataFrame, m: Int = 4, k: Int = 8,
+                           iters: Int = 2): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val L = dim / m
+    // one codebook per subspace, trained on the sliced embedding
+    val codebooks: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      (0 until m).map { s =>
+        KMeans.centroidArrays(
+          emb.select(col("vec_id"),
+            slice(col("embedding"), s * L + 1, L).as("embedding")),
+          k, iters)
+      }
+    val e = transform(col("embedding"), _.cast("double"))
+    val codeCols = (0 until m).map { s =>
+      element_at(
+        KMeans.nearestCells(slice(e, s * L + 1, L), codebooks(s), 1), 1)
+        .as(s"code_$s")
+    }
+    val coded = emb.select(
+      (col("vec_id") +: col("label") +: e.as("e") +: codeCols): _*)
+    // exact integer gate: sum of all codes per label
+    val codeSum = coded.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum((0 until m).map(s => col(s"code_$s").cast("long"))
+        .reduce(_ + _)).as("sum_code"))
+    // reconstruction: dim i decodes from codebook[i/L][code_{i/L}][i%L]
+    val cbLit = array((0 until m).map(s =>
+      typedlit(codebooks(s).map { case (cid, c) => cid -> c }.toMap)): _*)
+    val errs = coded
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")),
+        array((0 until m).map(s => col(s"code_$s")): _*).as("codes"))
+      .withColumn("sub", (col("pos") / L).cast("int"))
+      .withColumn("deq", element_at(
+        element_at(element_at(cbLit, col("sub") + 1),
+          element_at(col("codes"), col("sub") + 1)),
+        (col("pos") % L).cast("int") + 1))
+      .withColumn("err", col("v") - col("deq"))
+    val errProfile = errs.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vals"),
+      Rounding.duckRound(max(abs(col("err"))), 6).as("max_abs_err"),
+      Rounding.duckRound(avg(col("err") * col("err")), 9).as("mse"))
+    codeSum.join(errProfile, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("n_vals"),
+        col("sum_code"), col("max_abs_err"), col("mse"))
+  }
+
   def scalarQuantizeError(emb: DataFrame): DataFrame = {
     val vals = emb
       .select(col("vec_id"), col("label"), posexplode(col("embedding")))
