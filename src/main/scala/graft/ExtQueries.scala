@@ -462,6 +462,16 @@ object ExtQueries {
     "e74_product_quantize" -> ((s, dir) =>
       Similarity.productQuantizeError(emb(s, dir))),
 
+    // E75: PQ asymmetric-distance (ADC) top-k — the search half of
+    // IVF-PQ (e54 probes cells, e74 profiles storage error, this
+    // answers queries against the CODES-ONLY corpus). Same query set
+    // as e5/e54 (vec_id < 10), distance = Σ_s ‖q_s − codebook[code_s]‖²
+    // rounded, ties by n_id.
+    "e75_pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
     // E69: the multimodal decode seam on the STREAMING path — the
     // document stream replayed as three staged micro-batches, each
     // encoded→decoded→featurized by the same partition-local WavCodec
@@ -2713,58 +2723,7 @@ object ExtQueries {
     // against the FINAL codebook (the e54 cells pattern), then the
     // integer code-sum gate and e68-shaped error profile
     "e74_product_quantize" ->
-      """WITH emb4 AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> x::DOUBLE) AS e
-        |  FROM embeddings),
-        |subv AS (
-        |  SELECT vec_id, label, s,
-        |    list_slice(e, s*16 + 1, s*16 + 16) AS se
-        |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
-        |pc0 AS (SELECT s, vec_id AS cid, se AS carr
-        |        FROM subv WHERE vec_id < 8),
-        |pa1 AS (
-        |  SELECT vec_id, s, se, cid, row_number() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-        |  FROM (
-        |    SELECT subv.vec_id, subv.s, subv.se, pc0.cid,
-        |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
-        |        i -> (subv.se[i] - pc0.carr[i])
-        |           * (subv.se[i] - pc0.carr[i]))), 6) AS d
-        |    FROM subv JOIN pc0 ON subv.s = pc0.s) t),
-        |pf1 AS (
-        |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
-        |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
-        |        FROM pa1 WHERE rn = 1) t
-        |  GROUP BY 1, 2, 3),
-        |pc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
-        |        FROM pf1 GROUP BY 1, 2),
-        |pa2 AS (
-        |  SELECT vec_id, s, se, cid, row_number() OVER
-        |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-        |  FROM (
-        |    SELECT subv.vec_id, subv.s, subv.se, pc1.cid,
-        |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
-        |        i -> (subv.se[i] - pc1.carr[i])
-        |           * (subv.se[i] - pc1.carr[i]))), 6) AS d
-        |    FROM subv JOIN pc1 ON subv.s = pc1.s) t),
-        |pf2 AS (
-        |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
-        |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
-        |        FROM pa2 WHERE rn = 1) t
-        |  GROUP BY 1, 2, 3),
-        |pc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
-        |        FROM pf2 GROUP BY 1, 2),
-        |enc AS (
-        |  SELECT vec_id, label, s, se, cid FROM (
-        |    SELECT subv.vec_id, subv.label, subv.s, subv.se, pc2.cid,
-        |      row_number() OVER (PARTITION BY subv.vec_id, subv.s
-        |        ORDER BY
-        |        round(list_sum(list_transform(range(1, len(subv.se) + 1),
-        |          i -> (subv.se[i] - pc2.carr[i])
-        |             * (subv.se[i] - pc2.carr[i]))), 6),
-        |        pc2.cid) AS rn
-        |    FROM subv JOIN pc2 ON subv.s = pc2.s) t WHERE rn = 1),
+      s"""WITH $pqCtes,
         |csum AS (
         |  SELECT label, (count(*) / 4)::BIGINT AS n_vecs,
         |    CAST(sum(cid) AS BIGINT) AS sum_code
@@ -2781,6 +2740,37 @@ object ExtQueries {
         |  FROM perr GROUP BY 1)
         |SELECT label, n_vecs, n_vals, sum_code, max_abs_err, mse
         |FROM csum JOIN eprof USING (label)""".stripMargin,
+
+    // ADC over the shared PQ chain: query subvectors against the
+    // FINAL codebook entries of each doc's codes; the per-(q, n) total
+    // is list_sum over the s-ORDERED per-sub distances — the exact
+    // left-fold order the engine's d0+d1+d2+d3 expression uses
+    "e75_pq_adc_topk" ->
+      s"""WITH $pqCtes,
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM emb4
+        |      WHERE vec_id < 10),
+        |qsub AS (
+        |  SELECT q_id, s, list_slice(qe, s*16 + 1, s*16 + 16) AS qs
+        |  FROM q CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+        |persub AS (
+        |  SELECT qs.q_id, n.vec_id AS n_id, n.s,
+        |    list_sum(list_transform(range(1, 16 + 1),
+        |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+        |      AS d
+        |  FROM enc n
+        |  JOIN pc2 c ON n.s = c.s AND n.cid = c.cid
+        |  JOIN qsub qs ON qs.s = n.s
+        |  WHERE qs.q_id <> n.vec_id),
+        |ascore AS (
+        |  SELECT q_id, n_id,
+        |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+        |  FROM persub GROUP BY 1, 2),
+        |aranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+        |  FROM ascore)
+        |SELECT q_id, n_id, adc, rank FROM aranked
+        |WHERE rank <= 3""".stripMargin,
 
     "e68_scalar_quantize" ->
       """WITH e AS (
@@ -3028,6 +3018,66 @@ object ExtQueries {
     * assign a1 → means f1 → c1 → assign a2 → final means f2 (with
     * n_members) → final centroid arrays c2. Shared by the e22 oracle
     * and e54's trained-quantizer IVF. */
+  /** The e74/e75 product-quantization chain: the [[kmeansCtes]] Lloyd
+    * machinery with a subspace key `s` (m=4 slices of 16 dims, k=8,
+    * 2 iterations, same rounding/tie rules) ending in `enc` — each
+    * (vec_id, s) assigned to its FINAL codebook entry `cid` — plus
+    * `emb4` (full vectors with label) and `pc2` (the final codebooks). */
+  private lazy val pqCtes: String =
+    """emb4 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> x::DOUBLE) AS e
+      |  FROM embeddings),
+      |subv AS (
+      |  SELECT vec_id, label, s,
+      |    list_slice(e, s*16 + 1, s*16 + 16) AS se
+      |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+      |pc0 AS (SELECT s, vec_id AS cid, se AS carr
+      |        FROM subv WHERE vec_id < 8),
+      |pa1 AS (
+      |  SELECT vec_id, s, se, cid, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |  FROM (
+      |    SELECT subv.vec_id, subv.s, subv.se, pc0.cid,
+      |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
+      |        i -> (subv.se[i] - pc0.carr[i])
+      |           * (subv.se[i] - pc0.carr[i]))), 6) AS d
+      |    FROM subv JOIN pc0 ON subv.s = pc0.s) t),
+      |pf1 AS (
+      |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+      |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+      |        FROM pa1 WHERE rn = 1) t
+      |  GROUP BY 1, 2, 3),
+      |pc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+      |        FROM pf1 GROUP BY 1, 2),
+      |pa2 AS (
+      |  SELECT vec_id, s, se, cid, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |  FROM (
+      |    SELECT subv.vec_id, subv.s, subv.se, pc1.cid,
+      |      round(list_sum(list_transform(range(1, len(subv.se) + 1),
+      |        i -> (subv.se[i] - pc1.carr[i])
+      |           * (subv.se[i] - pc1.carr[i]))), 6) AS d
+      |    FROM subv JOIN pc1 ON subv.s = pc1.s) t),
+      |pf2 AS (
+      |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+      |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+      |        FROM pa2 WHERE rn = 1) t
+      |  GROUP BY 1, 2, 3),
+      |pc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+      |        FROM pf2 GROUP BY 1, 2),
+      |enc AS (
+      |  SELECT vec_id, label, s, se, cid FROM (
+      |    SELECT subv.vec_id, subv.label, subv.s, subv.se, pc2.cid,
+      |      row_number() OVER (PARTITION BY subv.vec_id, subv.s
+      |        ORDER BY
+      |        round(list_sum(list_transform(range(1, len(subv.se) + 1),
+      |          i -> (subv.se[i] - pc2.carr[i])
+      |             * (subv.se[i] - pc2.carr[i]))), 6),
+      |        pc2.cid) AS rn
+      |    FROM subv JOIN pc2 ON subv.s = pc2.s) t WHERE rn = 1)"""
+      .stripMargin
+
   private lazy val kmeansCtes: String =
     """emb AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e

@@ -322,25 +322,42 @@ object Similarity {
     * per-row argmin over codebook literals (no join, no shuffle);
     * the two output aggregations shuffle only label-cardinality
     * partials. */
-  def productQuantizeError(emb: DataFrame, m: Int = 4, k: Int = 8,
-                           iters: Int = 2): DataFrame = {
+  /** Per-subspace PQ codebooks: subspace `s` trains a `k`-entry
+    * [[KMeans]] codebook on `embedding[s·L, s·L+L)`. Returns the
+    * codebooks plus the subspace length L. Driver-side model state,
+    * O(k·dim) total — the KMeans contract. */
+  private def pqCodebooks(emb: DataFrame, m: Int, k: Int,
+      iters: Int): (IndexedSeq[Seq[(Int, Seq[Double])]], Int) = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val L = dim / m
-    // one codebook per subspace, trained on the sliced embedding
-    val codebooks: IndexedSeq[Seq[(Int, Seq[Double])]] =
-      (0 until m).map { s =>
-        KMeans.centroidArrays(
-          emb.select(col("vec_id"),
-            slice(col("embedding"), s * L + 1, L).as("embedding")),
-          k, iters)
-      }
-    val e = transform(col("embedding"), _.cast("double"))
-    val codeCols = (0 until m).map { s =>
+    ((0 until m).map { s =>
+      KMeans.centroidArrays(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * L + 1, L).as("embedding")),
+        k, iters)
+    }, L)
+  }
+
+  /** One `code_s` column per subspace: the id of the nearest codebook
+    * entry for the row's subvector (rounded distance, lowest-id ties —
+    * [[KMeans.nearestCells]]'s assignment). Narrow codegen'd argmin
+    * over codebook literals. */
+  private def pqCodeCols(e: Column,
+      codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
+      L: Int): Seq[Column] =
+    codebooks.indices.map { s =>
       element_at(
         KMeans.nearestCells(slice(e, s * L + 1, L), codebooks(s), 1), 1)
         .as(s"code_$s")
     }
+
+  def productQuantizeError(emb: DataFrame, m: Int = 4, k: Int = 8,
+                           iters: Int = 2): DataFrame = {
+    val (codebooks, l) = pqCodebooks(emb, m, k, iters)
+    val L = l
+    val e = transform(col("embedding"), _.cast("double"))
+    val codeCols = pqCodeCols(e, codebooks, L)
     val coded = emb.select(
       (col("vec_id") +: col("label") +: e.as("e") +: codeCols): _*)
     // exact integer gate: sum of all codes per label
@@ -367,6 +384,50 @@ object Similarity {
     codeSum.join(errProfile, Seq("label"))
       .select(col("label"), col("n_vecs"), col("n_vals"),
         col("sum_code"), col("max_abs_err"), col("mse"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — how an IVF-PQ index
+    * actually ANSWERS queries: the corpus exists only as its m-byte PQ
+    * codes, queries stay full-precision, and the distance is computed
+    * query-subvector-to-CODEBOOK-ENTRY (Σ_s ‖q_s − codebook_s[code_s]‖²
+    * — the "asymmetric" in ADC: only the corpus side is quantized).
+    * Completes the IVF-PQ triad: e54 probes coarse cells, e74 profiles
+    * the storage error, this searches the compressed corpus.
+    *
+    * Scale shape: codebooks are literals; the per-(query, doc) distance
+    * reads the doc's m CODES, not its dim floats — the memory-bandwidth
+    * win that makes PQ the billion-scale recipe. The query set
+    * broadcasts (queries are few by definition), so the corpus scan
+    * stays shuffle-free until the per-query top-k. Tie order:
+    * (rounded adc asc, n_id) — deterministic, oracle-mirrored. */
+  def pqAdcTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
+                m: Int = 4, kCodes: Int = 8,
+                iters: Int = 2): DataFrame = {
+    val (codebooks, l) = pqCodebooks(emb, m, kCodes, iters)
+    val L = l
+    val e = transform(col("embedding"), _.cast("double"))
+    val coded = emb.select(
+      (col("vec_id").as("n_id") +: pqCodeCols(e, codebooks, L)): _*)
+    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
+    // fixed-order sum d0+d1+…+d(m-1), each term a left-fold over the
+    // subspace dims — the oracle's list_sum(list(d ORDER BY s)) twin
+    val adc = codebooks.indices.map { s =>
+      val cb = typedlit(codebooks(s).map { case (cid, c) => cid -> c }
+        .toMap)
+      val entry = element_at(cb, col(s"code_$s"))
+      aggregate(
+        zip_with(slice(col("qe"), s * L + 1, L), entry,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    coded.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", Rounding.duckRound(adc, 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
   }
 
   def scalarQuantizeError(emb: DataFrame): DataFrame = {

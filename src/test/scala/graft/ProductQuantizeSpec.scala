@@ -34,4 +34,19 @@ class ProductQuantizeSpec extends SparkSpec {
       assert(r.getDouble(5) == 0.0, s"label $l mse")
     }
   }
+
+  test("ADC on the same fixture finds a query's own cluster at " +
+    "distance zero") {
+    val base = (0 until 8).map(c =>
+      Array.tabulate(8)(j => (c * 10 + j).toFloat))
+    val rows = (0 until 32).map(i =>
+      (i.toLong, base(i % 8), (i % 4).toLong))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // vec 0's cluster members are vecs 8, 16, 24 (self excluded) —
+    // exact duplicates, so the quantized distance is exactly 0
+    val out = Similarity.pqAdcTopK(df.filter($"vec_id" === 0), df, 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((8L, 0.0), (16L, 0.0), (24L, 0.0)))
+  }
 }
