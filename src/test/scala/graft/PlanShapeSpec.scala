@@ -97,4 +97,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "per-dimension stats must broadcast onto the exploded corpus")
   }
+
+  test("e71 BMP decode stays partition-local: zero shuffles") {
+    val p = plan("e71_bmp_codec_rows")
+    assert(shuffleCount(p) == 0,
+      s"encode→decode→scanline features must not exchange, plan:\n$p")
+  }
+
+  test("e72 span profile never expands pairs: no joins beyond the df " +
+    "attach, no cartesian") {
+    val p = plan("e72_repeated_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the duplication profile must stay linear in the corpus")
+  }
+
+  test("e75 ADC search broadcasts the query set; the coded corpus " +
+    "never shuffles before the per-query top-k") {
+    val p = plan("e75_pq_adc_topk")
+    assert(p.contains("BroadcastExchange"),
+      "queries must broadcast onto the corpus scan")
+    assert(!p.contains("SortMergeJoin"),
+      "a sort-merge join would shuffle the corpus by a join key")
+  }
 }
