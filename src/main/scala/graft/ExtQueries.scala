@@ -406,6 +406,17 @@ object ExtQueries {
     "e72_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpanProfile(docs(s, dir))),
 
+    // E77: cross-document repeated spans WITH POSITIONS (VERDICT r10
+    // #2) — the Lee-et-al memorization scan: maximal token spans
+    // whose every k-shingle also occurs in ≥1 OTHER document, as
+    // (doc_id, start_pos, n_tokens, n_shingles, max_df) rows a
+    // surgical span-removal pass consumes. e72 says HOW MUCH of a doc
+    // is duplicated; this says WHERE. Gaps-and-islands over
+    // cross-doc-shared shingle positions; uncapped like e72 (df
+    // join-back is 1:1 per position — no pair expansion), linear.
+    "e77_cross_doc_spans" -> ((s, dir) =>
+      Dedup.crossDocSpans(docs(s, dir))),
+
     // E71: REAL image codec gate — the image twin of e65: synthetic
     // 24-bit pixels from a closed-form formula are encoded to actual
     // BMP bytes (bottom-up rows, 4-byte stride padding — widths cycle
@@ -470,6 +481,48 @@ object ExtQueries {
     "e75_pq_adc_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
+    // E76: IVF-PQ composed top-k (VERDICT r10 #1) — the production
+    // billion-scale recipe the triad builds toward: e54's trained
+    // coarse quantizer probes nprobe=2 cells, e75's ADC ranks ONLY
+    // those cells' codes. Cell pruning × code compression — the scan
+    // touches nprobe/coarseK of the corpus at m bytes per vector.
+    "e76_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
+    // E79: measured recall of the PQ search paths against EXACT
+    // squared-L2 brute force — the e52-style gate for the composed
+    // path (ADC estimates L2, so cosine ground truth would conflate
+    // metric mismatch with quantization loss). pq_adc isolates pure
+    // quantization loss (whole-corpus scan); ivfpq adds the nprobe
+    // cell-pruning loss on top. Integer set intersections of results
+    // the e75/e76 gates already prove hash-identical, so the recall
+    // is fully oracle-checked; AnnRecallSpec pins the floors.
+    "e79_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      // L2 ground truth — consumed by BOTH stats aggregates in one
+      // job, so eagerly materialized (the multi-branch rebuild trap)
+      val truth = Similarity.bruteForceL2Knn(q, e, 3)
+        .select(col("q_id"), col("n_id")).cache()
+      truth.count()
+      def stats(method: String, retrieved: org.apache.spark.sql.DataFrame) = {
+        val r = retrieved.select(col("q_id"), col("n_id"),
+          lit(1).as("_m"))
+        truth.join(r, Seq("q_id", "n_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(col("_m")), lit(0)).cast("long").as("n_hit"))
+          .select(lit(method).as("method"), lit(3L).as("k"),
+            col("n_true"), col("n_hit"),
+            Rounding.duckRound(
+              col("n_hit").cast("double") / col("n_true"), 6)
+              .as("recall"))
+      }
+      stats("pq_adc", Similarity.pqAdcTopK(q, e, 3))
+        .unionByName(stats("ivfpq", Similarity.ivfPqTopK(q, e, 3)))
     }),
 
     // E69: the multimodal decode seam on the STREAMING path — the
@@ -2633,6 +2686,37 @@ object ExtQueries {
          |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM sh0 JOIN dfreq USING (h) GROUP BY 1""".stripMargin,
 
+    // positional shingles (one per token offset, not distinct),
+    // cross-doc document frequency, then the gaps-and-islands
+    // run-merge of shared positions — maximal spans with positions
+    "e77_cross_doc_spans" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ps AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w
+        |  FROM ws WHERE len(w) >= 5),
+        |psh AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(concat_ws(' ', w[pos+1], w[pos+2],
+        |      w[pos+3], w[pos+4], w[pos+5])), 1, 15))::BIGINT AS h
+        |  FROM ps),
+        |ddf AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs
+        |  FROM psh GROUP BY 1),
+        |shared AS (
+        |  SELECT p.doc_id, p.pos, d.n_docs
+        |  FROM psh p JOIN ddf d USING (h) WHERE d.n_docs >= 2),
+        |runs AS (
+        |  SELECT doc_id, pos, n_docs,
+        |    pos - row_number() OVER
+        |      (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM shared)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS n_tokens,
+        |  count(*)::BIGINT AS n_shingles,
+        |  CAST(max(n_docs) AS BIGINT) AS max_df
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+
     // the synthetic image recomputed in closed form — the engine side
     // must round-trip it through real BMP bytes (stride padding,
     // bottom-up rows, BGR channel order) to match
@@ -2771,6 +2855,66 @@ object ExtQueries {
         |  FROM ascore)
         |SELECT q_id, n_id, adc, rank FROM aranked
         |WHERE rank <= 3""".stripMargin,
+
+    // composed IVF-PQ: the shared score chain ranked to top-3 — any
+    // divergence in coarse training, cell probing, codebook training,
+    // encoding, or the ADC fold breaks the gate
+    "e76_ivfpq_topk" ->
+      s"""WITH $ivfpqScoreCtes
+        |SELECT q_id, n_id, adc, rank FROM aranked76
+        |WHERE rank <= 3""".stripMargin,
+
+    // PQ-path recall vs exact-L2 brute force: whole-corpus ADC
+    // (pq_adc — pure quantization loss) and the composed IVF-PQ
+    // (ivfpq — plus nprobe pruning loss), both as integer set
+    // intersections against the same ground truth
+    "e79_ivfpq_recall" ->
+      s"""WITH $ivfpqScoreCtes,
+        |l2scored AS (
+        |  SELECT q.q_id, n.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> (q.qe[i] - n.e[i]) * (q.qe[i] - n.e[i]))), 6)
+        |      AS dist
+        |  FROM q76 q CROSS JOIN emb4 n WHERE q.q_id <> n.vec_id),
+        |l2brute AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+        |    FROM l2scored) t WHERE rank <= 3),
+        |persubw AS (
+        |  SELECT qs.q_id, n.vec_id AS n_id, n.s,
+        |    list_sum(list_transform(range(1, 16 + 1),
+        |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+        |      AS d
+        |  FROM enc n
+        |  JOIN pc2 c ON n.s = c.s AND n.cid = c.cid
+        |  JOIN qsub76 qs ON qs.s = n.s
+        |  WHERE qs.q_id <> n.vec_id),
+        |ascorew AS (
+        |  SELECT q_id, n_id,
+        |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+        |  FROM persubw GROUP BY 1, 2),
+        |adcw AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+        |    FROM ascorew) t WHERE rank <= 3),
+        |ivfpqtop AS (
+        |  SELECT q_id, n_id FROM aranked76 WHERE rank <= 3),
+        |astats AS (
+        |  SELECT 'pq_adc' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(a.q_id)::BIGINT AS n_hit,
+        |    round(count(a.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute b LEFT JOIN adcw a
+        |    ON b.q_id = a.q_id AND b.n_id = a.n_id),
+        |istats AS (
+        |  SELECT 'ivfpq' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(i.q_id)::BIGINT AS n_hit,
+        |    round(count(i.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute b LEFT JOIN ivfpqtop i
+        |    ON b.q_id = i.q_id AND b.n_id = i.n_id)
+        |SELECT * FROM astats UNION ALL SELECT * FROM istats"""
+        .stripMargin,
 
     "e68_scalar_quantize" ->
       """WITH e AS (
@@ -3077,6 +3221,54 @@ object ExtQueries {
       |        pc2.cid) AS rn
       |    FROM subv JOIN pc2 ON subv.s = pc2.s) t WHERE rn = 1)"""
       .stripMargin
+
+  /** The e76/e79 composed IVF-PQ chain: the [[kmeansCtes]] coarse
+    * quantizer + [[kmeansCellsCte]] corpus cells + [[pqCtes]] codebooks
+    * /codes, then the query side (vec_id < 10): per-subspace query
+    * slices `qsub76`, the 2 nearest coarse cells `qprobes76` (e54's
+    * probe shape), candidates = probed cells' members `cand76`, and
+    * the ADC score over ONLY those candidates' codes, ranked
+    * (adc asc, n_id) in `aranked76`. */
+  private lazy val ivfpqScoreCtes: String =
+    s"""$kmeansCtes,
+       |$kmeansCellsCte,
+       |$pqCtes,
+       |q76 AS (SELECT vec_id AS q_id, e AS qe FROM emb4
+       |        WHERE vec_id < 10),
+       |qsub76 AS (
+       |  SELECT q_id, s, list_slice(qe, s*16 + 1, s*16 + 16) AS qs
+       |  FROM q76 CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+       |qprobes76 AS (
+       |  SELECT vec_id AS q_id, cluster_id AS cell FROM (
+       |    SELECT emb.vec_id, c2.cluster_id, row_number() OVER
+       |      (PARTITION BY emb.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+       |          i -> (emb.e[i] - c2.carr[i])
+       |             * (emb.e[i] - c2.carr[i]))), 6),
+       |        c2.cluster_id) AS rn
+       |    FROM emb CROSS JOIN c2 WHERE emb.vec_id < 10) t
+       |  WHERE rn <= 2),
+       |cand76 AS (
+       |  SELECT p.q_id, cc.n_id
+       |  FROM qprobes76 p JOIN ccells cc ON p.cell = cc.cell
+       |  WHERE p.q_id <> cc.n_id),
+       |persub76 AS (
+       |  SELECT cd.q_id, cd.n_id, n.s,
+       |    list_sum(list_transform(range(1, 16 + 1),
+       |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+       |      AS d
+       |  FROM cand76 cd
+       |  JOIN enc n ON n.vec_id = cd.n_id
+       |  JOIN pc2 c ON n.s = c.s AND n.cid = c.cid
+       |  JOIN qsub76 qs ON qs.q_id = cd.q_id AND qs.s = n.s),
+       |ascore76 AS (
+       |  SELECT q_id, n_id,
+       |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+       |  FROM persub76 GROUP BY 1, 2),
+       |aranked76 AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+       |  FROM ascore76)""".stripMargin
 
   private lazy val kmeansCtes: String =
     """emb AS (

@@ -141,7 +141,12 @@ object DataProfile {
       percentile_approx(value, lit(q), lit(accuracy)).as(apName(q)))
     val sketch = df.groupBy(key).agg(apAggs.head, apAggs.tail: _*)
     val keyName = sketch.columns.head
-    val joined = df.join(broadcast(sketch), keyName)
+    // null-safe key match (ADVICE r10): a plain equi-join would drop a
+    // null-keyed group entirely — the groupBy retains it, so the join
+    // back must too, or its rows silently vanish from the gate
+    val joined = df.join(
+      broadcast(sketch.withColumnRenamed(keyName, "__gk_key")),
+      col(keyName) <=> col("__gk_key"))
     val nVals = count(value) // rank universe = non-null values only
     val flags = qs.map { q =>
       val ap = col(apName(q))

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Cache contract: [[ngramJaccardPairs]], [[minhashLshPairs]],
   * [[containmentPairs]], [[cappedShingleHashes]], [[deltaDedupPairs]],
-  * and [[compactionPairs]] pin intermediate caches (shingle hashes,
+  * [[compactionPairs]], [[repeatedSpanProfile]], and
+  * [[crossDocSpans]] pin intermediate caches (shingle hashes,
   * candidate pairs) that outlive the returned DataFrame — unpersisting
   * before the caller's action would force recomputation mid-plan. Every
   * pinned frame is tracked; after the final action on a result, call
@@ -315,6 +316,73 @@ object Dedup {
         max(col("df")).as("max_df"))
       .withColumn("dup_frac", graft.Rounding.duckRound(
         col("n_rep").cast("double") / col("n_sh"), 6))
+  }
+
+  /** Cross-document repeated-SPAN detection with positions (VERDICT
+    * r10 #2) — the Lee-et-al-style duplicated-substring scan
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: exact substrings repeated across training
+    * documents are the memorization hazard): for each document, the
+    * MAXIMAL token spans of length ≥ k whose EVERY k-shingle also
+    * occurs in at least one OTHER document. One row per maximal span:
+    * (doc_id, start_pos, n_tokens, n_shingles, max_df) — start_pos is
+    * the 0-based token offset, n_tokens the span length, max_df the
+    * corpus document-frequency of its most-shared shingle.
+    *
+    * [[repeatedSpanProfile]] answers "how much of this doc is
+    * duplicated elsewhere" as one aggregate row; this answers WHERE —
+    * the positions a surgical span-removal pass (the paper's remedy)
+    * actually needs. The span-merge is the shingle-level approximation
+    * of suffix-array maximal matches: a duplicated substring of
+    * t ≥ k tokens appears as t−k+1 consecutive cross-doc-shared
+    * shingle positions, which the gaps-and-islands pass reassembles;
+    * conversely overlapping spans shared with DIFFERENT partners merge
+    * into one region (a per-doc profile, not a pair listing — the pair
+    * view is [[ngramJaccardPairs]]'s job).
+    *
+    * Deliberately UNCAPPED like [[repeatedSpanProfile]] and for the
+    * same reason: boilerplate IS the signal, and no stage here expands
+    * pairs — df join-back is 1:1 per position, so a boilerplate
+    * shingle costs its position count, never df². Scale shape: one
+    * shuffle for the per-shingle doc-frequency (map-side partial over
+    * distinct (doc,h)), one hash-join back on `h`, one per-doc
+    * windowed run-merge (partitioned by doc_id — per-doc data, never a
+    * global sort) and the final per-(doc, run) aggregation. Linear
+    * end-to-end. Documents shorter than k words produce no shingles
+    * and are absent, mirroring every other shingle operator. */
+  def crossDocSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    // positional shingles — (doc_id, pos, h), one row per token offset
+    val posSh = pin(docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), md5Long(col("shingle")).as("h")))
+    // materialize before branching: the df aggregation and the join
+    // probe both consume the positional-shingle scan
+    posSh.count()
+    val docDf = posSh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val shared = posSh
+      .join(docDf.filter(col("n_docs") >= 2), Seq("h"))
+      .select(col("doc_id"), col("pos"), col("n_docs"))
+    // gaps-and-islands: consecutive shared positions share
+    // pos − row_number, which names the run
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    shared
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long")
+          .as("n_tokens"),
+        count(lit(1)).as("n_shingles"),
+        max(col("n_docs")).as("max_df"))
+      .select(col("doc_id"), col("start_pos"), col("n_tokens"),
+        col("n_shingles"), col("max_df"))
   }
 
   /** Probability that LSH banding surfaces a pair of true Jaccard
@@ -624,6 +692,32 @@ object Dedup {
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
   }
 
+  /** BOTH candidate sets from ONE pass over the band index (VERDICT
+    * r10 #3): bandsNew covers batch ∪ affected docs, so a single
+    * equi-join of bandsNew against allBands generates every
+    * [[deltaCandidates]] pair (≥1 batch side) AND every
+    * [[compactionCandidates]] pair (old↔old with an affected side) —
+    * the tag `has_batch` (a function of the pair: batch membership is
+    * per-doc) splits them after ONE shared verification. Halves the
+    * passes over the corpus-sized band store and the candidate
+    * verification's pair-intersection self-join. */
+  private def combinedCandidates(c: DeltaCore): DataFrame = {
+    val xb = c.bandsNew.join(
+      broadcast(c.batchIds.withColumn("_xb", lit(1))), Seq("doc_id"),
+      "left")
+    val yb = c.allBands.join(
+      broadcast(c.batchIds.withColumn("_yb", lit(1))), Seq("doc_id"),
+      "left")
+    xb.as("x").join(yb.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        (coalesce(col("_xb"), lit(0)) === 1 ||
+          coalesce(col("_yb"), lit(0)) === 1).as("has_batch"))
+  }
+
   /** Old↔old candidates with ≥1 affected side: probe the old band
     * index with the AFFECTED docs' recomputed band keys. */
   private def compactionCandidates(c: DeltaCore): DataFrame = {
@@ -674,10 +768,18 @@ object Dedup {
                 maxDf: Int = 100): DeltaStep = {
     requireParams(index, k, numHashes, rowsPerBand, maxDf)
     val c = deltaCore(index, batch, k, numHashes, rowsPerBand, maxDf)
+    // ONE candidate pass + ONE verification for both pair sets
+    // (VERDICT r10 #3): the tag splits delta (≥1 batch side) from
+    // compaction (old↔old) after the shared Jaccard join. Pinned:
+    // a consumer reading both `pairs` and `compaction` (the streaming
+    // maintainer's plog write) must not run the verification twice.
+    val verified = pin(verifyCandidates(index, c,
+      combinedCandidates(c), minJaccard, keep = Seq("has_batch")))
+    verified.count()
     DeltaStep(
-      pairs = verifyCandidates(index, c, deltaCandidates(c), minJaccard),
+      pairs = verified.filter(col("has_batch")).drop("has_batch"),
       compaction =
-        verifyCandidates(index, c, compactionCandidates(c), minJaccard),
+        verified.filter(!col("has_batch")).drop("has_batch"),
       affected = c.affected,
       updated = absorb(index, c),
       // the append frames a LOG-STRUCTURED index store persists per
@@ -829,8 +931,8 @@ object Dedup {
     * for CANDIDATE docs only — shared by the delta and compaction
     * candidate generators. */
   private def verifyCandidates(index: SignatureIndex, c: DeltaCore,
-                               cand0: DataFrame,
-                               minJaccard: Double): DataFrame = {
+                               cand0: DataFrame, minJaccard: Double,
+                               keep: Seq[String] = Nil): DataFrame = {
     val cand = pin(cand0.distinct())
     cand.count()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
@@ -856,7 +958,7 @@ object Dedup {
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select((Seq("doc_a", "doc_b", "jaccard") ++ keep).map(col): _*)
   }
 
   /** [[deltaDedup]]'s pair output alone — the daily-run call. */

@@ -400,6 +400,22 @@ object Similarity {
     * broadcasts (queries are few by definition), so the corpus scan
     * stays shuffle-free until the per-query top-k. Tie order:
     * (rounded adc asc, n_id) — deterministic, oracle-mirrored. */
+  /** The asymmetric distance Σ_s ‖q_s − codebook_s[code_s]‖² as a fixed
+    * -order sum d0+d1+…+d(m−1), each term a left-fold over the subspace
+    * dims — the oracle's `list_sum(list(d ORDER BY s))` twin. Reads the
+    * row's `code_s` columns; `qe` is the query's double vector. */
+  private def adcExpr(qe: Column,
+      codebooks: IndexedSeq[Seq[(Int, Seq[Double])]], L: Int): Column =
+    codebooks.indices.map { s =>
+      val cb = typedlit(codebooks(s).map { case (cid, c) => cid -> c }
+        .toMap)
+      val entry = element_at(cb, col(s"code_$s"))
+      aggregate(
+        zip_with(slice(qe, s * L + 1, L), entry,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+
   def pqAdcTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
                 m: Int = 4, kCodes: Int = 8,
                 iters: Int = 2): DataFrame = {
@@ -409,17 +425,7 @@ object Similarity {
     val coded = emb.select(
       (col("vec_id").as("n_id") +: pqCodeCols(e, codebooks, L)): _*)
     val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
-    // fixed-order sum d0+d1+…+d(m-1), each term a left-fold over the
-    // subspace dims — the oracle's list_sum(list(d ORDER BY s)) twin
-    val adc = codebooks.indices.map { s =>
-      val cb = typedlit(codebooks(s).map { case (cid, c) => cid -> c }
-        .toMap)
-      val entry = element_at(cb, col(s"code_$s"))
-      aggregate(
-        zip_with(slice(col("qe"), s * L + 1, L), entry,
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
-    }.reduce(_ + _)
+    val adc = adcExpr(col("qe"), codebooks, L)
     coded.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("adc", Rounding.duckRound(adc, 6))
@@ -428,6 +434,74 @@ object Similarity {
           .orderBy(col("adc"), col("n_id"))).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+  }
+
+  /** IVF-PQ composed top-k — the production billion-scale ANN recipe
+    * the triad builds toward (VERDICT r10 #1): e54's TRAINED coarse
+    * quantizer prunes the corpus to each query's `nprobe` nearest
+    * cells, and e75's asymmetric distance ranks ONLY those cells'
+    * PQ codes. The scan therefore touches nprobe/coarseK of the corpus
+    * AND reads m bytes per touched vector instead of dim floats — the
+    * two multiplicative wins (cell pruning × code compression) that
+    * make FAISS-style IVFPQ the standard at 10⁹ vectors.
+    *
+    * Scale shape: coarse centroids and PQ codebooks are O(k·dim)
+    * driver model state entering the plan as literals (the KMeans
+    * contract); corpus cell assignment + encoding is one narrow
+    * codegen'd projection (no shuffle); the probe set (queries ×
+    * nprobe) BROADCASTS onto the celled coded corpus, so the corpus
+    * never shuffles before the per-query top-k. Tie order:
+    * (rounded adc asc, n_id) — the e75 contract, oracle-mirrored.
+    *
+    * PQ codebooks are trained on RAW vectors (the e74/e75 chain), not
+    * per-cell residuals — residual PQ is the FAISS refinement; the
+    * composition and its recall gate (`e79_ivfpq_recall`) are
+    * independent of that choice. */
+  def ivfPqTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
+                coarseK: Int = 8, nprobe: Int = 2, m: Int = 4,
+                kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val cents = KMeans.centroidArrays(emb, coarseK, iters)
+    val (codebooks, l) = pqCodebooks(emb, m, kCodes, iters)
+    val L = l
+    val e = transform(col("embedding"), _.cast("double"))
+    val coded = emb.select(
+      (col("vec_id").as("n_id") +:
+        KMeans.nearestCells(e, cents, 1).getItem(0).as("cell") +:
+        pqCodeCols(e, codebooks, L)): _*)
+    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
+      explode(KMeans.nearestCells(e, cents, nprobe)).as("cell"))
+    coded.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("adc", Rounding.duckRound(
+        adcExpr(col("qe"), codebooks, L), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("adc"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+  }
+
+  /** Brute-force top-k by EXACT squared-L2 distance — the ground truth
+    * the PQ search paths approximate (ADC is an L2 estimator, so
+    * gating its recall against the COSINE brute force would conflate
+    * metric mismatch with quantization loss). Same rounding/tie
+    * contract as [[pqAdcTopK]]: (rounded dist asc, n_id). */
+  def bruteForceL2Knn(queries: DataFrame, corpus: DataFrame,
+                      k: Int = 3): DataFrame = {
+    val e = transform(col("embedding"), _.cast("double"))
+    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
+    val c = corpus.select(col("vec_id").as("n_id"), e.as("ne"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist", Rounding.duckRound(
+        aggregate(
+          zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("dist"), col("rank"))
   }
 
   def scalarQuantizeError(emb: DataFrame): DataFrame = {

@@ -37,4 +37,29 @@ class AnnRecallSpec extends SparkSpec {
     // the whole point of the knob
     assert(rows("lsh_multi") >= 5 * rows("lsh_pairs"))
   }
+
+  test("measured PQ-path recall vs exact-L2 brute force at sf0.01 " +
+    "stays at or above the documented floors") {
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    val rows = ExtQueries.queries("e79_ivfpq_recall")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // 8-entry codebooks over 16-dim subspaces of near-random synthetic
+    // vectors quantize coarsely by construction — these floors pin the
+    // measured levels (pq_adc 0.167, ivfpq 0.20 at sf0.01), not a
+    // production PQ config (m=64, k=256); the gate exists so a
+    // training/encode/probe regression fails loudly
+    assert(rows("pq_adc") >= 0.1,
+      s"whole-corpus ADC recall ${rows("pq_adc")} under floor 0.1")
+    assert(rows("ivfpq") >= 0.1,
+      s"composed IVF-PQ recall ${rows("ivfpq")} under floor 0.1")
+    // the composed path prunes to probed cells, so it can only lose
+    // candidates vs the whole-corpus scan PLUS the coarse quantizer's
+    // own neighborhood structure; on this data the cell pruning
+    // happens to help ADC's tie-heavy ranking — require it stays
+    // within 2x either way rather than a direction that data regen
+    // could flip
+    assert(rows("ivfpq") >= rows("pq_adc") / 2,
+      s"ivfpq ${rows("ivfpq")} collapsed vs pq_adc ${rows("pq_adc")}")
+  }
 }

@@ -32,6 +32,49 @@ class SpanDedupSpec extends SparkSpec {
     assert(byDoc(3L) == ((2L, 0L, 1L, 0.0)))
   }
 
+  test("crossDocSpans: a planted cross-doc span surfaces as ONE " +
+    "maximal run with its position; unique and short docs are absent") {
+    // docs 1 and 2 share the 7-token span "c1 c2 c3 c4 c5 c6 c7" at
+    // DIFFERENT offsets (doc 1: tokens 2..8, doc 2: tokens 0..6) —
+    // 3 consecutive shared 5-shingles must merge into one span of
+    // n_tokens 7; doc 3 is all-unique, doc 4 too short to shingle
+    val span = "c1 c2 c3 c4 c5 c6 c7"
+    val d = docsDf(
+      1L -> s"u1 u2 $span u3",
+      2L -> s"$span v1 v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      4L -> "x y")
+    val out = Dedup.crossDocSpans(d, k = 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 7L, 3L, 2L),
+      (2L, 0L, 7L, 3L, 2L)))
+  }
+
+  test("crossDocSpans: within-doc repetition alone does NOT make a " +
+    "span — the df is cross-document") {
+    // doc 1 repeats its own 5-gram; no other doc shares it
+    val d = docsDf(
+      1L -> "a b c d e a b c d e",
+      2L -> "p q r s t u v w x y")
+    assert(Dedup.crossDocSpans(d, k = 5).count() == 0)
+  }
+
+  test("crossDocSpans: two disjoint shared regions in one doc stay " +
+    "two rows; overlapping shares merge to one") {
+    val s1 = "a1 a2 a3 a4 a5"
+    val s2 = "b1 b2 b3 b4 b5"
+    val d = docsDf(
+      1L -> s"$s1 gap1 gap2 gap3 gap4 gap5 $s2",
+      2L -> s"$s1 z1 z2 z3 z4",
+      3L -> s"z5 z6 z7 z8 $s2")
+    val one = Dedup.crossDocSpans(d, k = 5)
+      .filter(col("doc_id") === 1L).orderBy("start_pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(one.toSeq == Seq((0L, 5L), (10L, 5L)))
+  }
+
   test("canonicalLineDedup keeps the FIRST occurrence, drops later " +
     "ones — within and across documents") {
     // 2-word lines; doc 1 repeats "a b" internally, doc 2 repeats it
