@@ -26,6 +26,50 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
     }
 
+    // mode "e58": job-level anatomy of the streaming near-dup replay —
+    // a listener attributes every Spark job to its call site, so the
+    // per-batch cost of each eager action in deltaStep/maintain is
+    // read directly off the log (sbt "runMain graft.Profile <sf> e58")
+    if (args.lift(1).contains("e58")) {
+      val agg = scala.collection.mutable.Map[String, (Long, Double)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.mutable.Map[Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = (j.time,
+              j.stageInfos.sortBy(_.stageId).lastOption.map(_.name)
+                .getOrElse("?").takeWhile(_ != '\n'))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { case (t0, site) =>
+              val sec = (j.time - t0) / 1e3
+              agg.synchronized {
+                val (n, s) = agg.getOrElse(site, (0L, 0.0))
+                agg(site) = (n + 1, s + sec)
+              }
+            }
+        })
+      val d = Tables.load(spark, sfDir, "documents")
+      val t0 = System.nanoTime()
+      val scratch = graft.Scratch.fresh("neardup_stream_prof", sfDir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r => d.filter(col("doc_id") % 3 === r)),
+        s"$scratch/stages")
+      graft.streaming.StreamingNearDup.maintain(spark,
+        s"$scratch/stages", scratch,
+        Dedup.buildSignatureIndex(d.limit(0), 5, 16, 2, 100),
+        None, 5, 16, 2, 0.5, 100)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[profile] e58 total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      agg.toSeq.sortBy(-_._2._2).foreach { case (site, (n, s)) =>
+        println(f"[profile]   $s%7.2f s  x$n%-4d $site")
+      }
+      spark.stop()
+      return
+    }
+
     val docs = Tables.load(spark, sfDir, "documents")
     docs.count() // warm scan
 

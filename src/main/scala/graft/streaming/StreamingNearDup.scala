@@ -316,34 +316,54 @@ object StreamingNearDup {
           // release below (same thread — the CachePins contract)
           // drops it as soon as the segments are durable
           val cur = idx.get
+          // memoize AND lineage-truncate this batch's reconstructed
+          // index (VERDICT r9 #4 + r10 #3): the three frames are
+          // leaves referenced MANY times inside deltaStep's expression
+          // trees, so their union-of-segments lineage multiplies into
+          // thousand-node analyzed plans whose per-action
+          // canonicalization dominates the batch (measured: the
+          // verified-pairs frame reached 2 600 analyzed nodes by batch
+          // 3, costing 1-4 s of pure driver plan work per action).
+          // localCheckpoint materializes each frame once (the r9
+          // memoization) and replaces its plan with a 1-node
+          // LogicalRDD, collapsing every downstream tree; the
+          // checkpointed blocks are freed by the ContextCleaner when
+          // the next batch's index replaces this one.
           val pinned = Dedup.SignatureIndex(
-            graft.ext.CachePins.pin(cur.sig),
-            graft.ext.CachePins.pin(cur.df),
-            graft.ext.CachePins.pin(cur.bands), cur.params)
-          val step = Dedup.deltaStep(pinned, b, k, numHashes,
-            rowsPerBand, minJaccard, maxDf)
+            cur.sig.localCheckpoint(),
+            cur.df.localCheckpoint(),
+            cur.bands.localCheckpoint(), cur.params)
+          val step = graft.ext.Dedup.timed("batch: deltaStep")(
+            Dedup.deltaStep(pinned, b, k, numHashes,
+              rowsPerBand, minJaccard, maxDf))
           // append-only: this batch's discovered pairs, retirements,
           // and index delta — never the full store, never the corpus
-          step.pairs.unionByName(step.compaction)
-            .withColumn("seq", lit(batchId))
-            .write.mode("overwrite").parquet(s"$workDir/plog_$batchId")
-          step.affected.withColumn("seq", lit(batchId))
-            .write.mode("overwrite").parquet(s"$workDir/tomb_$batchId")
+          graft.ext.Dedup.timed("batch: plog write")(
+            step.pairs.unionByName(step.compaction)
+              .withColumn("seq", lit(batchId))
+              .write.mode("overwrite").parquet(s"$workDir/plog_$batchId"))
+          graft.ext.Dedup.timed("batch: tomb write")(
+            step.affected.withColumn("seq", lit(batchId))
+              .write.mode("overwrite").parquet(s"$workDir/tomb_$batchId"))
           val idxd = s"$workDir/idxd_$batchId"
-          step.sigDelta.write.mode("overwrite").parquet(s"$idxd/sig")
-          step.dfDelta.write.mode("overwrite").parquet(s"$idxd/df")
-          step.bandsDelta.withColumn("seq", lit(batchId))
-            .write.mode("overwrite").parquet(s"$idxd/bands")
+          graft.ext.Dedup.timed("batch: idxd writes") {
+            step.sigDelta.write.mode("overwrite").parquet(s"$idxd/sig")
+            step.dfDelta.write.mode("overwrite").parquet(s"$idxd/df")
+            step.bandsDelta.withColumn("seq", lit(batchId))
+              .write.mode("overwrite").parquet(s"$idxd/bands")
+          }
           Dedup.releasePinnedCaches() // segments persisted; pins done
           val lastBase = numberedIds(wd, IdxBaseRe).filter(_ <= batchId)
             .reduceOption(_ max _).getOrElse(-1L)
           if (compactEvery > 0 && batchId - lastBase >= compactEvery) {
             // this batch's segments are durable → safe to fold through
-            resolvePairs(spark, workDir, batchId)
-              .withColumn("seq", lit(batchId))
-              .write.mode("overwrite").parquet(s"$workDir/base_$batchId")
-            reconstructIndex(spark, workDir, batchId)
-              .write(s"$workDir/idxbase_$batchId")
+            graft.ext.Dedup.timed("batch: compaction fold") {
+              resolvePairs(spark, workDir, batchId)
+                .withColumn("seq", lit(batchId))
+                .write.mode("overwrite").parquet(s"$workDir/base_$batchId")
+              reconstructIndex(spark, workDir, batchId)
+                .write(s"$workDir/idxbase_$batchId")
+            }
           }
           // durable-state marker LAST: its presence certifies every
           // write above (re-written idempotently on a replayed batch);
