@@ -429,6 +429,20 @@ object ExtQueries {
           Multimodal.syntheticBmp(docs(s, dir).select(col("doc_id"))))
         .toDF()),
 
+    // E78: REAL video codec gate (VERDICT r10 #5 — audio/image/video
+    // all real now): synthetic 4:2:0 planes from a closed-form
+    // formula are encoded to actual Y4M bytes (YUV4MPEG2 header,
+    // FRAME-delimited planar frames) and decoded back by the pure-JVM
+    // Y4mCodec; per-frame integer plane features hash-compare against
+    // the oracle's direct formula evaluation. Dims AND frame counts
+    // vary per doc, so no fixed layout can mask a stride/offset bug.
+    // Partition-local iterator→iterator decode, no shuffle before
+    // the output.
+    "e78_y4m_codec_frames" -> ((s, dir) =>
+      Multimodal.decodeY4mFrames(
+          Multimodal.syntheticY4m(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E66: PII scrub — regex count + mask of emails/URLs/long digit
     // runs. The synthetic corpus contains no PII, so a deterministic
     // PII suffix is injected per doc_id on BOTH engines and the gate
@@ -2716,6 +2730,63 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_shingles,
         |  CAST(max(n_docs) AS BIGINT) AS max_df
         |FROM runs GROUP BY doc_id, grp""".stripMargin,
+
+    // the synthetic video recomputed in closed form — the engine side
+    // must round-trip it through real Y4M bytes (header walk, FRAME
+    // markers, planar 4:2:0 plane strides) to match; `//` is DuckDB
+    // integer division (plain `/` would promote to DOUBLE)
+    "e78_y4m_codec_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(16 + 2 * (doc_id % 9) AS BIGINT) AS w,
+        |    CAST(8 + 2 * (doc_id % 5) AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 3 AS BIGINT) AS nf
+        |  FROM documents),
+        |tt AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, nf - 1)) AS t
+        |  FROM g),
+        |yy AS (
+        |  SELECT doc_id, w, h, t,
+        |    unnest(generate_series(0, h - 1)) AS y
+        |  FROM tt),
+        |xx AS (
+        |  SELECT doc_id, w, h, t, y,
+        |    unnest(generate_series(0, w - 1)) AS x
+        |  FROM yy),
+        |yv AS (
+        |  SELECT doc_id, w, h, t, x, y,
+        |    (doc_id*7 + t*11 + x*3 + y*5) % 256 AS yval
+        |  FROM xx),
+        |ystat AS (
+        |  SELECT doc_id, t AS frame_idx,
+        |    count(*)::BIGINT AS n_y,
+        |    CAST(sum(yval) AS BIGINT) AS sum_y,
+        |    CAST(max(yval) AS BIGINT) AS max_y,
+        |    CAST(max(CASE WHEN x = 0 AND y = 0 THEN yval END)
+        |      AS BIGINT) AS first_y,
+        |    CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN yval END)
+        |      AS BIGINT) AS last_y
+        |  FROM yv GROUP BY 1, 2),
+        |vv AS (
+        |  SELECT doc_id, w // 2 AS cw, t,
+        |    unnest(generate_series(0, h // 2 - 1)) AS v
+        |  FROM tt),
+        |cu AS (
+        |  SELECT doc_id, t, v,
+        |    unnest(generate_series(0, cw - 1)) AS u
+        |  FROM vv),
+        |cstat AS (
+        |  SELECT doc_id, t AS frame_idx,
+        |    CAST(sum((doc_id*13 + t*3 + u*5 + v*7) % 256) AS BIGINT)
+        |      AS sum_cb,
+        |    CAST(sum((doc_id*17 + t*5 + u*7 + v*3) % 256) AS BIGINT)
+        |      AS sum_cr
+        |  FROM cu GROUP BY 1, 2)
+        |SELECT y.doc_id, y.frame_idx, y.n_y, y.sum_y, y.max_y,
+        |  c.sum_cb, c.sum_cr, y.first_y, y.last_y
+        |FROM ystat y JOIN cstat c USING (doc_id, frame_idx)"""
+        .stripMargin,
 
     // the synthetic image recomputed in closed form — the engine side
     // must round-trip it through real BMP bytes (stride padding,

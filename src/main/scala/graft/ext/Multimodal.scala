@@ -12,17 +12,22 @@ import org.apache.spark.sql.types._
   * extraction over fixed-size frames — is real and tested. Two codecs
   * sit behind the partition-local seam:
   *
-  *  - [[decodeFrames]]: the deterministic STUB standing in for codecs
-  *    whose libraries this container lacks (now only video);
   *  - [[decodeWavFrames]]: a REAL pure-JVM PCM WAV decoder
   *    ([[WavCodec]], VERDICT r8 #6) — RIFF chunk walk + PCM16 parse,
   *    oracle-gated end-to-end via `e65_wav_codec_frames`;
   *  - [[decodeBmpRows]]: a REAL pure-JVM BMP image decoder
   *    ([[BmpCodec]], r10) — header walk + 24-bit BI_RGB with stride
   *    padding and both row orders, oracle-gated end-to-end via
-  *    `e71_bmp_codec_rows`.
+  *    `e71_bmp_codec_rows`;
+  *  - [[decodeY4mFrames]]: a REAL pure-JVM Y4M video decoder
+  *    ([[Y4mCodec]], r11 — audio/image/video all real now) —
+  *    YUV4MPEG2 header walk + planar 4:2:0 frame stride, oracle-gated
+  *    end-to-end via `e78_y4m_codec_frames`;
+  *  - [[decodeFrames]]: the deterministic generic STUB retained as the
+  *    seam shape for formats with no pure-JVM codec (compressed
+  *    codecs needing external libraries).
   *
-  * Both use the same mapPartitions topology (iterator → iterator, codec
+  * All use the same mapPartitions topology (iterator → iterator, codec
   * state initialized once per partition, never per row) — the shape a
   * JNI codec or external model-server client plugs into.
   */
@@ -197,6 +202,90 @@ object Multimodal {
             ImageRow(id, y.toLong, w.toLong, sr, sg, sb, ml,
               (px(y * w) & 0xffffff).toLong,
               (px(y * w + w - 1) & 0xffffff).toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic synthetic 4:2:0 video — the closed-form planes both
+    * the engine (via Y4M encode→decode) and the DuckDB oracle
+    * (directly) compute, making the video codec hash-gateable:
+    * Y(d,t,x,y) = (d·7 + t·11 + 3x + 5y) mod 256,
+    * Cb(d,t,u,v) = (d·13 + 3t + 5u + 7v) mod 256,
+    * Cr(d,t,u,v) = (d·17 + 5t + 7u + 3v) mod 256. */
+  def synthY(id: Long, t: Int, x: Int, y: Int): Int =
+    ((id * 7 + t * 11 + x * 3 + y * 5) % 256).toInt
+  def synthCb(id: Long, t: Int, u: Int, v: Int): Int =
+    ((id * 13 + t * 3 + u * 5 + v * 7) % 256).toInt
+  def synthCr(id: Long, t: Int, u: Int, v: Int): Int =
+    ((id * 17 + t * 5 + u * 7 + v * 3) % 256).toInt
+
+  /** Even dims 16..32 × 8..16 and 2..4 frames, all varying per doc —
+    * no single plane layout can mask a stride/offset bug in
+    * [[Y4mCodec]]. */
+  def synthVidW(id: Long): Int = (16 + 2 * (id % 9)).toInt
+  def synthVidH(id: Long): Int = (8 + 2 * (id % 5)).toInt
+  def synthVidFrames(id: Long): Int = (2 + id % 3).toInt
+
+  /** Synthetic Y4M blob table: one encoded 4:2:0 video payload per
+    * doc_id carrying the closed-form planes. Encode runs
+    * partition-local — the same seam shape as the decoders. */
+  def syntheticY4m(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = synthVidW(id); val h = synthVidH(id)
+          val frames = (0 until synthVidFrames(id)).map { t =>
+            Y4mCodec.Frame(
+              Array.tabulate(w * h)(i =>
+                synthY(id, t, i % w, i / w).toByte),
+              Array.tabulate((w / 2) * (h / 2))(i =>
+                synthCb(id, t, i % (w / 2), i / (w / 2)).toByte),
+              Array.tabulate((w / 2) * (h / 2))(i =>
+                synthCr(id, t, i % (w / 2), i / (w / 2)).toByte))
+          }
+          (id, Y4mCodec.encode420(w, h, frames))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded video frame: integer-exact whole-plane features
+    * (hash-gateable — no float accumulation). first_y/last_y are the
+    * luma plane's corner samples — an offset bug's canary. */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, n_y: Long,
+                        sum_y: Long, max_y: Long, sum_cb: Long,
+                        sum_cr: Long, first_y: Long, last_y: Long)
+
+  /** REAL video-codec path: decode each payload with [[Y4mCodec]] and
+    * emit per-frame features — the video member of the codec triad
+    * ([[decodeWavFrames]], [[decodeBmpRows]]): same iterator→iterator
+    * partition-local topology, same fail-fast contract on malformed
+    * payloads. */
+  def decodeY4mFrames(blobs: DataFrame): Dataset[VideoFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, frames) = Y4mCodec.decode420(payload)
+          frames.iterator.zipWithIndex.map { case (f, t) =>
+            var sy = 0L; var my = 0L; var scb = 0L; var scr = 0L
+            var i = 0
+            while (i < f.y.length) {
+              val v = f.y(i) & 0xff
+              sy += v; if (v > my) my = v
+              i += 1
+            }
+            i = 0
+            while (i < f.cb.length) {
+              scb += f.cb(i) & 0xff; scr += f.cr(i) & 0xff
+              i += 1
+            }
+            VideoFrame(id, t.toLong, (w.toLong * h), sy, my, scb, scr,
+              (f.y(0) & 0xff).toLong, (f.y(f.y.length - 1) & 0xff).toLong)
           }
         }
       }

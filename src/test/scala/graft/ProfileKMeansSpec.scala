@@ -51,6 +51,32 @@ class ProfileKMeansSpec extends SparkSpec {
     assert(got.forall(_._4 == 3L)) // each blob has 3 members
   }
 
+  test("kmeans: an emptied cluster re-seeds deterministically from " +
+    "the farthest point instead of silently training < k cells") {
+    // init seeds are vec_id 0/1 — identical [0,0] vectors, so the
+    // lowest-cid tie-break empties cluster 1 on iteration 1; without
+    // re-seeding iteration 2 would train ONE cell over this clearly
+    // 2-cluster corpus
+    val vs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(10f, 10f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.centroidsFlat(vs, k = 2, iters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.keySet == Set(0L, 1L),
+      s"expected both clusters trained, got ${byCluster.keySet}")
+    // cluster 1 re-seeded at the farthest point [10,10] (vec_id 2 by
+    // tie-break) and then captured both far vectors
+    assert(byCluster(1L).map(r => (r._2, r._3)).sorted.toSeq ==
+      Seq((0L, 10.0), (1L, 10.0)))
+    assert(byCluster(1L).head._4 == 2L)
+    assert(byCluster(0L).map(r => (r._2, r._3)).sorted.toSeq ==
+      Seq((0L, 0.0), (1L, 0.0)))
+  }
+
   test("kmeans: n_members covers every input vector exactly once") {
     val vecs = (0L until 50L)
       .map(i => (i, Array.tabulate(4)(j => ((i * 7 + j) % 11).toFloat)))
