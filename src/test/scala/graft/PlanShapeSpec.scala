@@ -120,4 +120,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "a sort-merge join would shuffle the corpus by a join key")
   }
+
+  test("e76 composed IVF-PQ broadcasts the probe set; the celled " +
+    "coded corpus never shuffles before the per-query top-k") {
+    val p = plan("e76_ivfpq_topk")
+    assert(p.contains("BroadcastExchange"),
+      "the (queries x nprobe) probe set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the cell join must stay broadcast — the corpus never shuffles")
+    assert(!p.contains("CartesianProduct"),
+      "probing must prune cells, never scan all pairs")
+  }
+
+  test("e77 cross-doc spans stay linear: df attach + per-doc window, " +
+    "no pair expansion") {
+    val p = plan("e77_cross_doc_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the span scan must never expand pairs")
+    // one df shuffle, one join-back shuffle, one doc window shuffle —
+    // linear in the corpus; a 4th exchange means a pair join crept in
+    assert(shuffleCount(p) <= 4,
+      s"expected <= 4 exchanges (df agg, join-back, doc window), " +
+        s"plan:\n$p")
+  }
 }
