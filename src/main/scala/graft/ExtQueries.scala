@@ -537,6 +537,19 @@ object ExtQueries {
       }
       stats("pq_adc", Similarity.pqAdcTopK(q, e, 3))
         .unionByName(stats("ivfpq", Similarity.ivfPqTopK(q, e, 3)))
+        .unionByName(stats("ivfpq_rerank",
+          Similarity.ivfPqRerankTopK(q, e, 3, 10)))
+    }),
+
+    // E80: IVF-PQ with an EXACT re-rank tail — the full FAISS serving
+    // recipe (VERDICT r10 #1's optional re-rank): ADC over probed
+    // cells picks R=10 candidates per query, then only those
+    // candidates' full vectors are fetched and re-scored with exact
+    // L2. Fixes quantization rank inversions inside the candidate
+    // set; e79's ivfpq_rerank row measures the recall it buys.
+    "e80_ivfpq_rerank_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < 10), e, 3, 10)
     }),
 
     // E69: the multimodal decode seam on the STREAMING path — the
@@ -2935,6 +2948,15 @@ object ExtQueries {
         |SELECT q_id, n_id, adc, rank FROM aranked76
         |WHERE rank <= 3""".stripMargin,
 
+    // the composed chain's top-10 ADC candidates re-scored with exact
+    // L2 against the full vectors — any candidate-set or re-rank
+    // divergence breaks the gate
+    "e80_ivfpq_rerank_topk" ->
+      s"""WITH $ivfpqScoreCtes,
+        |$ivfpqRerankCtes
+        |SELECT q_id, n_id, dist, rank FROM rranked
+        |WHERE rank <= 3""".stripMargin,
+
     // PQ-path recall vs exact-L2 brute force: whole-corpus ADC
     // (pq_adc — pure quantization loss) and the composed IVF-PQ
     // (ivfpq — plus nprobe pruning loss), both as integer set
@@ -2983,9 +3005,17 @@ object ExtQueries {
         |    count(*)::BIGINT AS n_true, count(i.q_id)::BIGINT AS n_hit,
         |    round(count(i.q_id)::DOUBLE / count(*), 6) AS recall
         |  FROM l2brute b LEFT JOIN ivfpqtop i
-        |    ON b.q_id = i.q_id AND b.n_id = i.n_id)
-        |SELECT * FROM astats UNION ALL SELECT * FROM istats"""
-        .stripMargin,
+        |    ON b.q_id = i.q_id AND b.n_id = i.n_id),
+        |$ivfpqRerankCtes,
+        |rtop AS (SELECT q_id, n_id FROM rranked WHERE rank <= 3),
+        |rstats AS (
+        |  SELECT 'ivfpq_rerank' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(r.q_id)::BIGINT AS n_hit,
+        |    round(count(r.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute b LEFT JOIN rtop r
+        |    ON b.q_id = r.q_id AND b.n_id = r.n_id)
+        |SELECT * FROM astats UNION ALL SELECT * FROM istats
+        |UNION ALL SELECT * FROM rstats""".stripMargin,
 
     "e68_scalar_quantize" ->
       """WITH e AS (
@@ -3340,6 +3370,25 @@ object ExtQueries {
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
        |  FROM ascore76)""".stripMargin
+
+  /** The e80/e79 exact-re-rank tail over [[ivfpqScoreCtes]]:
+    * `rcand` = each query's top-10 ADC candidates, `rranked` = those
+    * candidates re-scored with exact squared-L2 against the full
+    * vectors and re-ranked (dist asc, n_id). */
+  private lazy val ivfpqRerankCtes: String =
+    """rcand AS (SELECT q_id, n_id FROM aranked76 WHERE rank <= 10),
+      |rscore AS (
+      |  SELECT rc.q_id, rc.n_id,
+      |    round(list_sum(list_transform(range(1, len(q.qe) + 1),
+      |      i -> (q.qe[i] - n.e[i]) * (q.qe[i] - n.e[i]))), 6)
+      |      AS dist
+      |  FROM rcand rc
+      |  JOIN q76 q ON q.q_id = rc.q_id
+      |  JOIN emb4 n ON n.vec_id = rc.n_id),
+      |rranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+      |  FROM rscore)""".stripMargin
 
   private lazy val kmeansCtes: String =
     """emb AS (

@@ -481,6 +481,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
   }
 
+  /** [[ivfPqTopK]] with an EXACT re-rank tail — the full FAISS serving
+    * recipe: ADC over the probed cells' codes selects `rerankR`
+    * candidates per query (the cheap, compressed-domain pass), then
+    * ONLY those candidates' full vectors are fetched and re-scored
+    * with exact squared-L2 (the expensive pass, bounded at queries ×
+    * rerankR rows). Fixes ADC's quantization-induced rank inversions
+    * inside the candidate set — e79 measures the recall this buys.
+    *
+    * Scale shape: everything up to the candidate list is
+    * [[ivfPqTopK]]'s shuffle-free scan; the re-rank fetch is ONE
+    * hash-join of a (queries × rerankR)-row frame against the corpus
+    * by vec_id — at 10⁹ vectors that is the random-access pattern a
+    * bucketed-by-vec_id store serves without a corpus shuffle. Tie
+    * order: (rounded exact dist asc, n_id), oracle-mirrored. */
+  def ivfPqRerankTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
+                      rerankR: Int = 10, coarseK: Int = 8,
+                      nprobe: Int = 2, m: Int = 4, kCodes: Int = 8,
+                      iters: Int = 2): DataFrame = {
+    val cand = ivfPqTopK(queries, emb, rerankR, coarseK, nprobe, m,
+        kCodes, iters)
+      .select(col("q_id"), col("n_id"))
+    val e = transform(col("embedding"), _.cast("double"))
+    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
+    val c = emb.select(col("vec_id").as("n_id"), e.as("ne"))
+    cand
+      .join(broadcast(q), Seq("q_id"))
+      .join(c, Seq("n_id"))
+      .withColumn("dist", Rounding.duckRound(
+        aggregate(
+          zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dist"), col("n_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("dist"), col("rank"))
+  }
+
   /** Brute-force top-k by EXACT squared-L2 distance — the ground truth
     * the PQ search paths approximate (ADC is an L2 estimator, so
     * gating its recall against the COSINE brute force would conflate
