@@ -535,10 +535,14 @@ object ExtQueries {
               col("n_hit").cast("double") / col("n_true"), 6)
               .as("recall"))
       }
-      stats("pq_adc", Similarity.pqAdcTopK(q, e, 3))
-        .unionByName(stats("ivfpq", Similarity.ivfPqTopK(q, e, 3)))
+      // ONE training for all three search paths — the production
+      // split (train once, serve many) the IvfPqModel API exists for;
+      // identical math to the self-contained e75/e76/e80 gates
+      val model = Similarity.trainIvfPq(e)
+      stats("pq_adc", model.adcTopK(q, e, 3))
+        .unionByName(stats("ivfpq", model.topK(q, e, 3)))
         .unionByName(stats("ivfpq_rerank",
-          Similarity.ivfPqRerankTopK(q, e, 3, 10)))
+          model.rerankTopK(q, e, 3, 10)))
     }),
 
     // E80: IVF-PQ with an EXACT re-rank tail — the full FAISS serving

@@ -323,9 +323,16 @@ object Similarity {
     * the two output aggregations shuffle only label-cardinality
     * partials. */
   /** Per-subspace PQ codebooks: subspace `s` trains a `k`-entry
-    * [[KMeans]] codebook on `embedding[s·L, s·L+L)`. Returns the
-    * codebooks plus the subspace length L. Driver-side model state,
-    * O(k·dim) total — the KMeans contract. */
+    * [[KMeans]] codebook on `embedding[s·L, s·L+L)` (so the full
+    * KMeans contract applies, including the farthest-point re-seed of
+    * emptied entries). Returns the codebooks plus the subspace length
+    * L. Driver-side model state, O(k·dim) total — the KMeans
+    * contract. A fused all-subspaces-in-one-aggregation variant was
+    * measured SLOWER at bench scale (the 4×-wider interpreted
+    * higher-order-function projection costs more than the extra
+    * per-subspace jobs save), so the m independent loops stand.
+    * Train-once reuse across query batches is [[IvfPqModel]]'s job,
+    * not fusion's. */
   private def pqCodebooks(emb: DataFrame, m: Int, k: Int,
       iters: Int): (IndexedSeq[Seq[(Int, Seq[Double])]], Int) = {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -337,6 +344,89 @@ object Similarity {
           slice(col("embedding"), s * L + 1, L).as("embedding")),
         k, iters)
     }, L)
+  }
+
+  /** Trained IVF-PQ model: coarse quantizer centroids + per-subspace
+    * PQ codebooks, O(coarseK·dim + kCodes·dim) driver-side state that
+    * enters plans as literals (the KMeans contract). Train ONCE, then
+    * serve any number of [[ivfPqTopK]]/[[ivfPqRerankTopK]]/
+    * [[pqAdcTopK]] query batches against it — the production split
+    * (index build vs serving) the parameter-only entry points
+    * collapse for the self-contained oracle gates. */
+  final case class IvfPqModel(centroids: Seq[(Int, Seq[Double])],
+                              codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
+                              subDim: Int) {
+
+    /** [[Similarity.ivfPqTopK]] against this trained model. */
+    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+             nprobe: Int = 2): DataFrame = {
+      val L = subDim
+      val e = transform(col("embedding"), _.cast("double"))
+      val coded = corpus.select(
+        (col("vec_id").as("n_id") +:
+          KMeans.nearestCells(e, centroids, 1).getItem(0).as("cell") +:
+          pqCodeCols(e, codebooks, L)): _*)
+      val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
+        explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
+      coded.join(broadcast(q), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("adc", Rounding.duckRound(
+          adcExpr(col("qe"), codebooks, L), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("n_id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+    }
+
+    /** [[Similarity.ivfPqRerankTopK]] against this trained model. */
+    def rerankTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+                   rerankR: Int = 10, nprobe: Int = 2): DataFrame = {
+      val cand = topK(queries, corpus, rerankR, nprobe)
+        .select(col("q_id"), col("n_id"))
+      val e = transform(col("embedding"), _.cast("double"))
+      val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
+      val c = corpus.select(col("vec_id").as("n_id"), e.as("ne"))
+      cand
+        .join(broadcast(q), Seq("q_id"))
+        .join(c, Seq("n_id"))
+        .withColumn("dist", Rounding.duckRound(
+          aggregate(
+            zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("dist"), col("n_id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("dist"), col("rank"))
+    }
+
+    /** [[Similarity.pqAdcTopK]] against this trained model (the
+      * coarse centroids go unused — ADC scans the whole coded
+      * corpus). */
+    def adcTopK(queries: DataFrame, corpus: DataFrame,
+                k: Int = 3): DataFrame = {
+      val L = subDim
+      val e = transform(col("embedding"), _.cast("double"))
+      val coded = corpus.select(
+        (col("vec_id").as("n_id") +: pqCodeCols(e, codebooks, L)): _*)
+      val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
+      val adc = adcExpr(col("qe"), codebooks, L)
+      coded.crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("adc", Rounding.duckRound(adc, 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("n_id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+    }
+  }
+
+  def trainIvfPq(emb: DataFrame, coarseK: Int = 8, m: Int = 4,
+                 kCodes: Int = 8, iters: Int = 2): IvfPqModel = {
+    val (cbs, l) = pqCodebooks(emb, m, kCodes, iters)
+    IvfPqModel(KMeans.centroidArrays(emb, coarseK, iters), cbs, l)
   }
 
   /** One `code_s` column per subspace: the id of the nearest codebook
@@ -420,20 +510,7 @@ object Similarity {
                 m: Int = 4, kCodes: Int = 8,
                 iters: Int = 2): DataFrame = {
     val (codebooks, l) = pqCodebooks(emb, m, kCodes, iters)
-    val L = l
-    val e = transform(col("embedding"), _.cast("double"))
-    val coded = emb.select(
-      (col("vec_id").as("n_id") +: pqCodeCols(e, codebooks, L)): _*)
-    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
-    val adc = adcExpr(col("qe"), codebooks, L)
-    coded.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", Rounding.duckRound(adc, 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("adc"), col("n_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+    IvfPqModel(Nil, codebooks, l).adcTopK(queries, emb, k)
   }
 
   /** IVF-PQ composed top-k — the production billion-scale ANN recipe
@@ -459,27 +536,9 @@ object Similarity {
     * independent of that choice. */
   def ivfPqTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
                 coarseK: Int = 8, nprobe: Int = 2, m: Int = 4,
-                kCodes: Int = 8, iters: Int = 2): DataFrame = {
-    val cents = KMeans.centroidArrays(emb, coarseK, iters)
-    val (codebooks, l) = pqCodebooks(emb, m, kCodes, iters)
-    val L = l
-    val e = transform(col("embedding"), _.cast("double"))
-    val coded = emb.select(
-      (col("vec_id").as("n_id") +:
-        KMeans.nearestCells(e, cents, 1).getItem(0).as("cell") +:
-        pqCodeCols(e, codebooks, L)): _*)
-    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
-      explode(KMeans.nearestCells(e, cents, nprobe)).as("cell"))
-    coded.join(broadcast(q), Seq("cell"))
-      .filter(col("q_id") =!= col("n_id"))
-      .withColumn("adc", Rounding.duckRound(
-        adcExpr(col("qe"), codebooks, L), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("adc"), col("n_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
-  }
+                kCodes: Int = 8, iters: Int = 2): DataFrame =
+    trainIvfPq(emb, coarseK, m, kCodes, iters)
+      .topK(queries, emb, k, nprobe)
 
   /** [[ivfPqTopK]] with an EXACT re-rank tail — the full FAISS serving
     * recipe: ADC over the probed cells' codes selects `rerankR`
@@ -498,26 +557,9 @@ object Similarity {
   def ivfPqRerankTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
                       rerankR: Int = 10, coarseK: Int = 8,
                       nprobe: Int = 2, m: Int = 4, kCodes: Int = 8,
-                      iters: Int = 2): DataFrame = {
-    val cand = ivfPqTopK(queries, emb, rerankR, coarseK, nprobe, m,
-        kCodes, iters)
-      .select(col("q_id"), col("n_id"))
-    val e = transform(col("embedding"), _.cast("double"))
-    val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
-    val c = emb.select(col("vec_id").as("n_id"), e.as("ne"))
-    cand
-      .join(broadcast(q), Seq("q_id"))
-      .join(c, Seq("n_id"))
-      .withColumn("dist", Rounding.duckRound(
-        aggregate(
-          zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("dist"), col("n_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("dist"), col("rank"))
-  }
+                      iters: Int = 2): DataFrame =
+    trainIvfPq(emb, coarseK, m, kCodes, iters)
+      .rerankTopK(queries, emb, k, rerankR, nprobe)
 
   /** Brute-force top-k by EXACT squared-L2 distance — the ground truth
     * the PQ search paths approximate (ADC is an L2 estimator, so
