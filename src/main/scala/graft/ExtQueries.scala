@@ -539,10 +539,12 @@ object ExtQueries {
       // split (train once, serve many) the IvfPqModel API exists for;
       // identical math to the self-contained e75/e76/e80 gates
       val model = Similarity.trainIvfPq(e)
+      val rmodel = Similarity.trainIvfPqResidual(e)
       stats("pq_adc", model.adcTopK(q, e, 3))
         .unionByName(stats("ivfpq", model.topK(q, e, 3)))
         .unionByName(stats("ivfpq_rerank",
           model.rerankTopK(q, e, 3, 10)))
+        .unionByName(stats("ivfpq_resid", rmodel.topK(q, e, 3)))
     }),
 
     // E80: IVF-PQ with an EXACT re-rank tail — the full FAISS serving
@@ -554,6 +556,18 @@ object ExtQueries {
     "e80_ivfpq_rerank_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < 10), e, 3, 10)
+    }),
+
+    // E81: RESIDUAL IVF-PQ top-k — the true FAISS IVFPQ encoding:
+    // codebooks trained on (vector - assigned coarse centroid)
+    // residuals, queries subtract the probed cell's centroid, ADC is
+    // cell-consistent. Residuals quantize finer than raw vectors at
+    // the same codebook size; e79's ivfpq_resid row measures the
+    // recall lift vs the raw composition.
+    "e81_ivfpq_residual_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.trainIvfPqResidual(e)
+        .topK(e.filter(col("vec_id") < 10), e, 3)
     }),
 
     // E69: the multimodal decode seam on the STREAMING path — the
@@ -2961,6 +2975,15 @@ object ExtQueries {
         |SELECT q_id, n_id, dist, rank FROM rranked
         |WHERE rank <= 3""".stripMargin,
 
+    // the residual chain ranked to top-3 — any divergence in coarse
+    // training, residual subtraction, residual-codebook training,
+    // cell-consistent encoding, or the ADC fold breaks the gate
+    "e81_ivfpq_residual_topk" ->
+      s"""WITH $ivfpqScoreCtes,
+        |$ivfpqResidCtes
+        |SELECT q_id, n_id, adc, rank FROM raranked
+        |WHERE rank <= 3""".stripMargin,
+
     // PQ-path recall vs exact-L2 brute force: whole-corpus ADC
     // (pq_adc — pure quantization loss) and the composed IVF-PQ
     // (ivfpq — plus nprobe pruning loss), both as integer set
@@ -3017,9 +3040,19 @@ object ExtQueries {
         |    count(*)::BIGINT AS n_true, count(r.q_id)::BIGINT AS n_hit,
         |    round(count(r.q_id)::DOUBLE / count(*), 6) AS recall
         |  FROM l2brute b LEFT JOIN rtop r
-        |    ON b.q_id = r.q_id AND b.n_id = r.n_id)
+        |    ON b.q_id = r.q_id AND b.n_id = r.n_id),
+        |$ivfpqResidCtes,
+        |residtop AS (SELECT q_id, n_id FROM raranked WHERE rank <= 3),
+        |residstats AS (
+        |  SELECT 'ivfpq_resid' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true,
+        |    count(rr.q_id)::BIGINT AS n_hit,
+        |    round(count(rr.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute b LEFT JOIN residtop rr
+        |    ON b.q_id = rr.q_id AND b.n_id = rr.n_id)
         |SELECT * FROM astats UNION ALL SELECT * FROM istats
-        |UNION ALL SELECT * FROM rstats""".stripMargin,
+        |UNION ALL SELECT * FROM rstats
+        |UNION ALL SELECT * FROM residstats""".stripMargin,
 
     "e68_scalar_quantize" ->
       """WITH e AS (
@@ -3393,6 +3426,96 @@ object ExtQueries {
       |  SELECT *, row_number() OVER
       |    (PARTITION BY q_id ORDER BY dist, n_id) AS rank
       |  FROM rscore)""".stripMargin
+
+  /** The e81/e79 RESIDUAL IVF-PQ chain over [[ivfpqScoreCtes]]'s
+    * kmeans/cells/query CTEs: residuals = corpus vector minus its
+    * assigned (final) coarse centroid, the pqCtes-shaped per-subspace
+    * Lloyd chain retrained on them (cell carried through to `renc`),
+    * query residuals PER PROBED CELL, and the cell-consistent ADC
+    * ranking in `raranked`. Chains the non-residual CTEs reference
+    * but this one does not (enc, pc2, …) are pruned by the engine. */
+  private lazy val ivfpqResidCtes: String =
+    """resid AS (
+      |  SELECT cc.n_id AS vec_id, cc.cell,
+      |    list_transform(range(1, len(cc.ne) + 1),
+      |      i -> cc.ne[i] - cg.carr[i]) AS re
+      |  FROM ccells cc JOIN c2 cg ON cc.cell = cg.cluster_id),
+      |rsubv AS (
+      |  SELECT vec_id, cell, s,
+      |    list_slice(re, s*16 + 1, s*16 + 16) AS se
+      |  FROM resid CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+      |rpc0 AS (SELECT s, vec_id AS cid, se AS carr
+      |         FROM rsubv WHERE vec_id < 8),
+      |rpa1 AS (
+      |  SELECT vec_id, s, se, cid, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |  FROM (
+      |    SELECT rsubv.vec_id, rsubv.s, rsubv.se, rpc0.cid,
+      |      round(list_sum(list_transform(range(1, len(rsubv.se) + 1),
+      |        i -> (rsubv.se[i] - rpc0.carr[i])
+      |           * (rsubv.se[i] - rpc0.carr[i]))), 6) AS d
+      |    FROM rsubv JOIN rpc0 ON rsubv.s = rpc0.s) t),
+      |rpf1 AS (
+      |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+      |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+      |        FROM rpa1 WHERE rn = 1) t
+      |  GROUP BY 1, 2, 3),
+      |rpc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+      |         FROM rpf1 GROUP BY 1, 2),
+      |rpa2 AS (
+      |  SELECT vec_id, s, se, cid, row_number() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      |  FROM (
+      |    SELECT rsubv.vec_id, rsubv.s, rsubv.se, rpc1.cid,
+      |      round(list_sum(list_transform(range(1, len(rsubv.se) + 1),
+      |        i -> (rsubv.se[i] - rpc1.carr[i])
+      |           * (rsubv.se[i] - rpc1.carr[i]))), 6) AS d
+      |    FROM rsubv JOIN rpc1 ON rsubv.s = rpc1.s) t),
+      |rpf2 AS (
+      |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+      |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+      |        FROM rpa2 WHERE rn = 1) t
+      |  GROUP BY 1, 2, 3),
+      |rpc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+      |         FROM rpf2 GROUP BY 1, 2),
+      |renc AS (
+      |  SELECT vec_id, cell, s, se, cid FROM (
+      |    SELECT rsubv.vec_id, rsubv.cell, rsubv.s, rsubv.se,
+      |      rpc2.cid,
+      |      row_number() OVER (PARTITION BY rsubv.vec_id, rsubv.s
+      |        ORDER BY
+      |        round(list_sum(list_transform(range(1, len(rsubv.se) + 1),
+      |          i -> (rsubv.se[i] - rpc2.carr[i])
+      |             * (rsubv.se[i] - rpc2.carr[i]))), 6),
+      |        rpc2.cid) AS rn
+      |    FROM rsubv JOIN rpc2 ON rsubv.s = rpc2.s) t WHERE rn = 1),
+      |qres AS (
+      |  SELECT q.q_id, p.cell,
+      |    list_transform(range(1, len(q.qe) + 1),
+      |      i -> q.qe[i] - cg.carr[i]) AS qre
+      |  FROM q76 q JOIN qprobes76 p ON p.q_id = q.q_id
+      |  JOIN c2 cg ON p.cell = cg.cluster_id),
+      |qrsub AS (
+      |  SELECT q_id, cell, s,
+      |    list_slice(qre, s*16 + 1, s*16 + 16) AS qs
+      |  FROM qres CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss),
+      |rpersub AS (
+      |  SELECT qs.q_id, n.vec_id AS n_id, n.s,
+      |    list_sum(list_transform(range(1, 16 + 1),
+      |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+      |      AS d
+      |  FROM renc n
+      |  JOIN rpc2 c ON n.s = c.s AND n.cid = c.cid
+      |  JOIN qrsub qs ON qs.s = n.s AND qs.cell = n.cell
+      |  WHERE qs.q_id <> n.vec_id),
+      |rascore AS (
+      |  SELECT q_id, n_id,
+      |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+      |  FROM rpersub GROUP BY 1, 2),
+      |raranked AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+      |  FROM rascore)""".stripMargin
 
   private lazy val kmeansCtes: String =
     """emb AS (

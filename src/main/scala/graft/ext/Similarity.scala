@@ -429,6 +429,73 @@ object Similarity {
     IvfPqModel(KMeans.centroidArrays(emb, coarseK, iters), cbs, l)
   }
 
+  /** Map literal cid → centroid array, for residual subtraction. */
+  private def centroidMap(
+      centroids: Seq[(Int, Seq[Double])]): Column =
+    typedlit(centroids.map { case (cid, c) => cid -> c }.toMap)
+
+  /** RESIDUAL IVF-PQ — the true FAISS IVFPQ encoding ([[IvfPqModel]]
+    * quantizes raw vectors; this quantizes each vector's RESIDUAL
+    * against its assigned coarse centroid). Residuals are centered
+    * near zero with far smaller spread than raw vectors, so the same
+    * k-entry codebooks quantize them finer — the recall lift e79's
+    * `ivfpq_resid` row measures against the raw-vector composition.
+    *
+    * Search must subtract per probed cell: a query probing cell c
+    * compares `q − centroid(c)` against that cell's codes (candidate
+    * codes encode `v − centroid(c)` for the same c, so the asymmetric
+    * distance approximates ‖q − v‖² cell-consistently — the reason
+    * residual PQ ties codes to their cell). Same scale shape as
+    * [[IvfPqModel.topK]]: model state is literals, corpus cell-assign
+    * + encode is one narrow projection, the probe set broadcasts. */
+  final case class IvfPqResidualModel(
+      centroids: Seq[(Int, Seq[Double])],
+      codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
+      subDim: Int) {
+
+    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+             nprobe: Int = 2): DataFrame = {
+      val L = subDim
+      val cm = centroidMap(centroids)
+      val e = transform(col("embedding"), _.cast("double"))
+      val cell1 = KMeans.nearestCells(e, centroids, 1).getItem(0)
+      val residOf = (ec: Column, cc: Column) =>
+        zip_with(ec, element_at(cm, cc), (x, y) => x - y)
+      val coded = corpus.select(
+        (col("vec_id").as("n_id") +: cell1.as("cell") +:
+          pqCodeCols(residOf(e, cell1), codebooks, L)): _*)
+      val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
+          explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
+        .withColumn("qres", residOf(col("qe"), col("cell")))
+      coded.join(broadcast(q), Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("adc", Rounding.duckRound(
+          adcExpr(col("qres"), codebooks, L), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("adc"), col("n_id"))).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
+    }
+  }
+
+  /** Train [[IvfPqResidualModel]]: coarse quantizer first, then PQ
+    * codebooks on the residual table (same [[KMeans]] Lloyd contract
+    * — lowest-vec_id init over residuals, rounded distances/means). */
+  def trainIvfPqResidual(emb: DataFrame, coarseK: Int = 8, m: Int = 4,
+                         kCodes: Int = 8,
+                         iters: Int = 2): IvfPqResidualModel = {
+    val cents = KMeans.centroidArrays(emb, coarseK, iters)
+    val cm = centroidMap(cents)
+    val e = transform(col("embedding"), _.cast("double"))
+    val cell1 = KMeans.nearestCells(e, cents, 1).getItem(0)
+    val residDf = emb.select(col("vec_id"),
+      zip_with(e, element_at(cm, cell1), (x, y) => x - y)
+        .as("embedding"))
+    val (cbs, l) = pqCodebooks(residDf, m, kCodes, iters)
+    IvfPqResidualModel(cents, cbs, l)
+  }
+
   /** One `code_s` column per subspace: the id of the nearest codebook
     * entry for the row's subvector (rounded distance, lowest-id ties —
     * [[KMeans.nearestCells]]'s assignment). Narrow codegen'd argmin

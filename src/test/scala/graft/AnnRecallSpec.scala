@@ -60,6 +60,13 @@ class AnnRecallSpec extends SparkSpec {
     // raw composed path (measured: 0.40 vs 0.20 at sf0.01)
     assert(rows("ivfpq_rerank") >= rows("ivfpq"),
       s"re-rank ${rows("ivfpq_rerank")} lost to raw ${rows("ivfpq")}")
+    assert(rows("ivfpq_resid") >= 0.2,
+      s"residual IVF-PQ recall ${rows("ivfpq_resid")} under 0.2")
+    // residuals are centered with far smaller spread than raw
+    // vectors, so the same codebook size quantizes them finer — the
+    // reason FAISS encodes residuals (measured: 0.30 vs 0.20)
+    assert(rows("ivfpq_resid") >= rows("ivfpq"),
+      s"residual ${rows("ivfpq_resid")} lost to raw ${rows("ivfpq")}")
     // the composed path prunes to probed cells, so it can only lose
     // candidates vs the whole-corpus scan PLUS the coarse quantizer's
     // own neighborhood structure; on this data the cell pruning
