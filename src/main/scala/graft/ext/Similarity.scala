@@ -597,10 +597,9 @@ object Similarity {
     * never shuffles before the per-query top-k. Tie order:
     * (rounded adc asc, n_id) — the e75 contract, oracle-mirrored.
     *
-    * PQ codebooks are trained on RAW vectors (the e74/e75 chain), not
-    * per-cell residuals — residual PQ is the FAISS refinement; the
-    * composition and its recall gate (`e79_ivfpq_recall`) are
-    * independent of that choice. */
+    * PQ codebooks here are trained on RAW vectors (the e74/e75
+    * chain); [[trainIvfPqResidual]] is the residual-encoding
+    * refinement, and `e79_ivfpq_recall` measures both. */
   def ivfPqTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
                 coarseK: Int = 8, nprobe: Int = 2, m: Int = 4,
                 kCodes: Int = 8, iters: Int = 2): DataFrame =
