@@ -26,6 +26,45 @@ object Profile {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
     }
 
+    // mode "q <name>": job-level anatomy of ANY registered query — a
+    // listener attributes every Spark job to its submitting call site
+    // and prints the per-site totals (jobs from streaming/foreachBatch
+    // threads inherit the stream's site; use GRAFT_DEDUP_TIMING for
+    // the delta path's per-action anatomy instead).
+    if (args.lift(1).contains("q")) {
+      val name = args.lift(2).getOrElse(
+        sys.error("usage: graft.Profile <sfDir> q <queryName>"))
+      val agg = scala.collection.mutable.Map[String, (Long, Double)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.mutable.Map[Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts(j.jobId) = (j.time,
+              Option(j.properties.getProperty("callSite.short"))
+                .getOrElse("?"))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            starts.remove(j.jobId).foreach { case (t0, site) =>
+              val sec = (j.time - t0) / 1e3
+              agg.synchronized {
+                val (n, su) = agg.getOrElse(site, (0L, 0.0))
+                agg(site) = (n + 1, su + sec)
+              }
+            }
+        })
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[profile] $name total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      agg.toSeq.sortBy(-_._2._2).foreach { case (site, (n, su)) =>
+        println(f"[profile]   $su%7.2f s  x$n%-4d $site")
+      }
+      spark.stop()
+      return
+    }
+
     // mode "e58": job-level anatomy of the streaming near-dup replay —
     // a listener attributes every Spark job to its call site, so the
     // per-batch cost of each eager action in deltaStep/maintain is
