@@ -362,10 +362,17 @@ object Similarity {
              nprobe: Int = 2): DataFrame = {
       val L = subDim
       val e = transform(col("embedding"), _.cast("double"))
-      val coded = corpus.select(
-        (col("vec_id").as("n_id") +:
-          KMeans.nearestCells(e, centroids, 1).getItem(0).as("cell") +:
-          pqCodeCols(e, codebooks, L)): _*)
+      // STAGED through attribute references: the double-cast vector is
+      // aliased once and the codebook argmins reference the attribute —
+      // passing the expression itself would duplicate it into every
+      // per-entry distance (m x k copies per row), and CollapseProject
+      // deliberately keeps multi-referenced expensive aliases staged
+      val coded = corpus
+        .select(col("vec_id").as("n_id"), e.as("ve"))
+        .select((col("n_id") +:
+          KMeans.nearestCells(col("ve"), centroids, 1).getItem(0)
+            .as("cell") +:
+          pqCodeCols(col("ve"), codebooks, L)): _*)
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
         explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
       coded.join(broadcast(q), Seq("cell"))
@@ -408,8 +415,9 @@ object Similarity {
                 k: Int = 3): DataFrame = {
       val L = subDim
       val e = transform(col("embedding"), _.cast("double"))
-      val coded = corpus.select(
-        (col("vec_id").as("n_id") +: pqCodeCols(e, codebooks, L)): _*)
+      val coded = corpus
+        .select(col("vec_id").as("n_id"), e.as("ve"))
+        .select((col("n_id") +: pqCodeCols(col("ve"), codebooks, L)): _*)
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
       val adc = adcExpr(col("qe"), codebooks, L)
       coded.crossJoin(broadcast(q))
@@ -458,12 +466,22 @@ object Similarity {
       val L = subDim
       val cm = centroidMap(centroids)
       val e = transform(col("embedding"), _.cast("double"))
-      val cell1 = KMeans.nearestCells(e, centroids, 1).getItem(0)
       val residOf = (ec: Column, cc: Column) =>
         zip_with(ec, element_at(cm, cc), (x, y) => x - y)
-      val coded = corpus.select(
-        (col("vec_id").as("n_id") +: cell1.as("cell") +:
-          pqCodeCols(residOf(e, cell1), codebooks, L)): _*)
+      // STAGED: vector, cell, and residual each evaluate ONCE per row
+      // as aliases the next stage references — inlining the residual
+      // expression into the m x k codebook distances would recompute
+      // the coarse argmin AND the subtraction per entry (the 15x
+      // regression the first cut measured at sf0.1)
+      val coded = corpus
+        .select(col("vec_id").as("n_id"), e.as("ve"))
+        .select(col("n_id"), col("ve"),
+          KMeans.nearestCells(col("ve"), centroids, 1).getItem(0)
+            .as("cell"))
+        .select(col("n_id"), col("cell"),
+          residOf(col("ve"), col("cell")).as("re"))
+        .select((col("n_id") +: col("cell") +:
+          pqCodeCols(col("re"), codebooks, L)): _*)
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
           explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
         .withColumn("qres", residOf(col("qe"), col("cell")))
@@ -488,10 +506,15 @@ object Similarity {
     val cents = KMeans.centroidArrays(emb, coarseK, iters)
     val cm = centroidMap(cents)
     val e = transform(col("embedding"), _.cast("double"))
-    val cell1 = KMeans.nearestCells(e, cents, 1).getItem(0)
-    val residDf = emb.select(col("vec_id"),
-      zip_with(e, element_at(cm, cell1), (x, y) => x - y)
-        .as("embedding"))
+    // staged like the search side: vector then cell then residual,
+    // each a once-per-row alias
+    val residDf = emb
+      .select(col("vec_id"), e.as("ve"))
+      .select(col("vec_id"), col("ve"),
+        KMeans.nearestCells(col("ve"), cents, 1).getItem(0).as("cell"))
+      .select(col("vec_id"),
+        zip_with(col("ve"), element_at(cm, col("cell")),
+          (x, y) => x - y).as("embedding"))
     val (cbs, l) = pqCodebooks(residDf, m, kCodes, iters)
     IvfPqResidualModel(cents, cbs, l)
   }
