@@ -417,6 +417,17 @@ object ExtQueries {
     "e77_cross_doc_spans" -> ((s, dir) =>
       Dedup.crossDocSpans(docs(s, dir))),
 
+    // E82: cross-document repeated-span REMOVAL — the surgical remedy
+    // consuming e77's detection (Lee-et-al: all but one occurrence of
+    // each duplicated substring drop; the canonical smallest-doc_id
+    // holder keeps its copy). Tokens covered by a cross-doc-shared
+    // shingle occurrence in a non-canonical doc are removed and the
+    // survivors reassembled in order. Linear: df/min-doc aggregation,
+    // 1:1 join-back, k-fold explode of removable positions only,
+    // e67/e73-style reassembly.
+    "e82_cross_doc_scrub" -> ((s, dir) =>
+      Dedup.crossDocSpanScrub(docs(s, dir))),
+
     // E71: REAL image codec gate — the image twin of e65: synthetic
     // 24-bit pixels from a closed-form formula are encoded to actual
     // BMP bytes (bottom-up rows, 4-byte stride padding — widths cycle
@@ -2730,6 +2741,51 @@ object ExtQueries {
          |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
          |    / CAST(count(*) AS DOUBLE), 6) AS dup_frac
          |FROM sh0 JOIN dfreq USING (h) GROUP BY 1""".stripMargin,
+
+    // the scrub twin: removable = shared-shingle occurrences in
+    // non-canonical docs, covered tokens = their k-offset fans,
+    // survivors reassembled by position (coalesced empty when a doc
+    // is entirely duplicated elsewhere)
+    "e82_cross_doc_scrub" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok2 AS (
+        |  SELECT doc_id, unnest(range(0, len(w))) AS j, w
+        |  FROM ws),
+        |tok3 AS (SELECT doc_id, j, w[j + 1] AS tok FROM tok2),
+        |ps AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w
+        |  FROM ws WHERE len(w) >= 5),
+        |psh AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(concat_ws(' ', w[pos+1], w[pos+2],
+        |      w[pos+3], w[pos+4], w[pos+5])), 1, 15))::BIGINT AS h
+        |  FROM ps),
+        |stats AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs,
+        |    min(doc_id) AS min_doc
+        |  FROM psh GROUP BY 1),
+        |covered AS (
+        |  SELECT DISTINCT p.doc_id, p.pos + o.o AS j
+        |  FROM psh p JOIN stats s USING (h)
+        |  CROSS JOIN (SELECT unnest(range(0, 5)) AS o) o
+        |  WHERE s.n_docs >= 2 AND p.doc_id <> s.min_doc),
+        |kept AS (
+        |  SELECT t.doc_id, t.j, t.tok
+        |  FROM tok3 t LEFT JOIN covered c
+        |    ON t.doc_id = c.doc_id AND t.j = c.j
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY j) AS text_clean
+        |  FROM kept GROUP BY 1),
+        |tot AS (SELECT doc_id, len(w) AS n_tokens FROM ws)
+        |SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  CAST(t.n_tokens - coalesce(a.n_kept, 0) AS BIGINT)
+        |    AS n_dropped,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // positional shingles (one per token offset, not distinct),
     // cross-doc document frequency, then the gaps-and-islands

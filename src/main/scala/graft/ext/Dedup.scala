@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *
   * Cache contract: [[ngramJaccardPairs]], [[minhashLshPairs]],
   * [[containmentPairs]], [[cappedShingleHashes]], [[deltaDedupPairs]],
-  * [[compactionPairs]], [[repeatedSpanProfile]], and
-  * [[crossDocSpans]] pin intermediate caches (shingle hashes,
+  * [[compactionPairs]], [[repeatedSpanProfile]], [[crossDocSpans]],
+  * and [[crossDocSpanScrub]] pin intermediate caches (shingle hashes,
   * candidate pairs) that outlive the returned DataFrame — unpersisting
   * before the caller's action would force recomputation mid-plan. Every
   * pinned frame is tracked; after the final action on a result, call
@@ -417,6 +417,63 @@ object Dedup {
         max(col("n_docs")).as("max_df"))
       .select(col("doc_id"), col("start_pos"), col("n_tokens"),
         col("n_shingles"), col("max_df"))
+  }
+
+  /** Cross-document repeated-span REMOVAL — the surgical remedy
+    * consuming what [[crossDocSpans]] detects (Lee et al. drop all but
+    * one occurrence of each duplicated substring): a token is removed
+    * from a document iff some k-shingle occurrence covering it is
+    * cross-doc-shared (≥2 docs) AND this document is not that
+    * shingle's CANONICAL holder (the smallest doc_id containing it —
+    * deterministic, so exactly one copy of every duplicated span
+    * survives corpus-wide). Returns one row per document:
+    * (doc_id, n_tokens, n_kept, n_dropped, text_clean) with the kept
+    * tokens reassembled in order — empty-but-present when a document
+    * is entirely duplicated elsewhere, unchanged when nothing it
+    * holds is shared (including docs too short to shingle).
+    *
+    * Scale shape: linear like the detector — shingle df/min-doc is
+    * one keyed aggregation, the join-back 1:1 per position, coverage
+    * a bounded k-fold explode of REMOVABLE positions only, the final
+    * reassembly one doc_id aggregation (e67/e73's topology). No pair
+    * expansion anywhere; uncapped for the same reason as the
+    * detector. */
+  def crossDocSpanScrub(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("j", "tok")))
+    val posSh = pin(docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), md5Long(col("shingle")).as("h")))
+    posSh.count()
+    val stats = posSh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+    val covered = posSh
+      .join(stats, Seq("h"))
+      .filter(col("n_docs") >= 2 && col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("j"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "j"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("j"), col("tok")))),
+          s => s.getField("tok"))).as("text_clean"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   /** Probability that LSH banding surfaces a pair of true Jaccard

@@ -75,6 +75,38 @@ class SpanDedupSpec extends SparkSpec {
     assert(one.toSeq == Seq((0L, 5L), (10L, 5L)))
   }
 
+  test("crossDocSpanScrub: the canonical (lowest doc_id) holder keeps " +
+    "the span, every other doc loses exactly its covered tokens") {
+    val span = "c1 c2 c3 c4 c5 c6 c7"
+    val d = docsDf(
+      1L -> s"u1 u2 $span u3",
+      2L -> s"$span v1 v2 v3",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      4L -> "x y")
+    val out = Dedup.crossDocSpanScrub(d, k = 5).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L, 0L, s"u1 u2 $span u3"),
+      (2L, 10L, 3L, 7L, "v1 v2 v3"),
+      (3L, 8L, 8L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (4L, 2L, 2L, 0L, "x y")))
+  }
+
+  test("crossDocSpanScrub: a fully-duplicated non-canonical doc " +
+    "survives as an empty row; corpus-wide exactly one copy remains") {
+    val d = docsDf(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f")
+    val out = Dedup.crossDocSpanScrub(d, k = 5).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 6L, "a b c d e f"),
+      (2L, 0L, "")))
+  }
+
   test("canonicalLineDedup keeps the FIRST occurrence, drops later " +
     "ones — within and across documents") {
     // 2-word lines; doc 1 repeats "a b" internally, doc 2 repeats it
