@@ -144,4 +144,16 @@ class PlanShapeSpec extends SparkSpec {
       s"expected <= 4 exchanges (df agg, join-back, doc window), " +
         s"plan:\n$p")
   }
+
+  test("e82 span scrub stays linear: no pair expansion, bounded " +
+    "exchanges") {
+    val p = plan("e82_cross_doc_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the scrub must never expand pairs")
+    // df/min-doc agg, join-back, covered distinct, token anti-join,
+    // doc reassembly, final doc join — linear in the corpus
+    assert(shuffleCount(p) <= 7,
+      s"expected <= 7 exchanges, plan:\n$p")
+  }
 }
