@@ -145,6 +145,17 @@ class PlanShapeSpec extends SparkSpec {
         s"plan:\n$p")
   }
 
+  test("e81 residual IVF-PQ broadcasts the probe set; the celled " +
+    "coded corpus never shuffles before the per-query top-k") {
+    val p = plan("e81_ivfpq_residual_topk")
+    assert(p.contains("BroadcastExchange"),
+      "the (queries x nprobe) probe set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the cell join must stay broadcast — the corpus never shuffles")
+    assert(!p.contains("CartesianProduct"),
+      "probing must prune cells, never scan all pairs")
+  }
+
   test("e82 span scrub stays linear: no pair expansion, bounded " +
     "exchanges") {
     val p = plan("e82_cross_doc_scrub")
