@@ -59,6 +59,10 @@ object Bench {
         val t = runOne(n)
         // release caches a query pinned (pipeline candles, shingles)
         spark.sharedState.cacheManager.clearCache()
+        // and the delta-path localCheckpoint blocks, which clearCache
+        // does NOT see (ADVICE r11) — the noop write above was the
+        // final action on this query's frames, so they are dead here
+        graft.ext.Dedup.releaseCheckpointedFrames()
         t
       }
       // any failed run fails the query — a flaky query must never

@@ -37,6 +37,10 @@ object Verify {
       }
       // release caches a query pinned (pipeline candles, dedup shingles)
       spark.sharedState.cacheManager.clearCache()
+      // and the delta-path localCheckpoint blocks clearCache can't see
+      // (ADVICE r11): the parquet write was the final action on this
+      // query's frames, so the blocks are dead here
+      graft.ext.Dedup.releaseCheckpointedFrames()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,7 +1,9 @@
 package graft.ext
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.storage.StorageLevel
 
 /** Per-thread registry of caches pinned by graft.ext operators
@@ -77,6 +79,47 @@ private[graft] object CachePins {
   def release(): Unit = {
     val buf = pins.get()
     buf.foreach(e => if (drop(e.key)) e.df.unpersist(blocking = true))
+    buf.clear()
+  }
+
+  /** Per-thread registry of `localCheckpoint` block-backed RDDs
+    * (ADVICE r11): checkpointed frames are invisible to both the
+    * CacheManager (global `clearCache()` skips them) and [[release]],
+    * so their MEMORY_AND_DISK blocks otherwise live until the frames
+    * become GC-unreachable AND the ContextCleaner's periodic driver GC
+    * runs (default every 30 min) — an accumulation window a long-lived
+    * driver pays at larger scale factors. Tracked here, a consumer
+    * frees them deterministically with [[releaseCheckpoints]]. */
+  private val ckpts = new ThreadLocal[
+      scala.collection.mutable.ArrayBuffer[RDD[_]]] {
+    override def initialValue() =
+      scala.collection.mutable.ArrayBuffer[RDD[_]]()
+  }
+
+  /** Eagerly `localCheckpoint` `df` (materialize + truncate lineage to
+    * a one-node LogicalRDD) and track the checkpointed RDD for the
+    * calling thread's next [[releaseCheckpoints]]. No refcounting:
+    * unlike [[pin]], every localCheckpoint call produces a DISTINCT
+    * RDD (no CacheManager plan-dedup), so per-thread ownership is
+    * exact. */
+  def pinCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint()
+    cp.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: LogicalRDD => ckpts.get() += lr.rdd
+      case _ => ()
+    }
+    cp
+  }
+
+  /** Free the checkpoint blocks of every frame the CALLING THREAD
+    * [[pinCheckpoint]]ed since its last release. A truncated frame is
+    * NOT recomputable from lineage, so this is only safe after the
+    * final action on every plan derived from those frames — callers
+    * (Verify/Bench per query, the streaming maintainer per committed
+    * batch) invoke it exactly where their outputs are durable. */
+  def releaseCheckpoints(): Unit = {
+    val buf = ckpts.get()
+    buf.foreach(_.unpersist(blocking = true))
     buf.clear()
   }
 }

@@ -34,6 +34,12 @@ import org.apache.spark.sql.functions._
   * contract. Pins are scoped PER THREAD (see [[CachePins]]): run the
   * operators and the release on the same thread, and concurrent
   * sessions on separate threads cannot clobber each other's caches.
+  *
+  * The delta-path operators additionally pin `localCheckpoint`ed
+  * intermediates, which neither clearCache nor [[releasePinnedCaches]]
+  * frees; call [[releaseCheckpointedFrames]] after the final action
+  * (Verify/Bench do per query) — skipping it degrades to
+  * ContextCleaner GC-liveness, never to a wrong answer.
   */
 object Dedup {
 
@@ -52,12 +58,18 @@ object Dedup {
     * even though execution hit the cache. Truncated, the whole
     * deltaStep re-plans in milliseconds.
     *
-    * Freeing: checkpointed blocks are dropped by Spark's
-    * ContextCleaner once the frames become unreachable (end of the
-    * micro-batch / query) — deliberately NOT an explicit unpersist,
-    * because a truncated frame cannot be recomputed from lineage, so
-    * GC-reachability is exactly the correct liveness rule. */
-  private def pinT(df: DataFrame): DataFrame = df.localCheckpoint()
+    * Freeing (ADVICE r11): a truncated frame cannot be recomputed
+    * from lineage, so the blocks must outlive every plan derived from
+    * it — but waiting for GC-reachability + the ContextCleaner's
+    * periodic driver GC (default 30 min) lets MEMORY_AND_DISK blocks
+    * accumulate across queries in a long-lived driver. The RDDs are
+    * therefore TRACKED per thread ([[CachePins.pinCheckpoint]]) and
+    * freed deterministically by [[releaseCheckpointedFrames]], which
+    * consumers call strictly after their final action (Verify/Bench
+    * per query, the streaming maintainer per committed batch); a
+    * consumer that skips it degrades to the old GC-liveness rule,
+    * never to a wrong answer. */
+  private def pinT(df: DataFrame): DataFrame = CachePins.pinCheckpoint(df)
 
   /** Wall-clock a delta-path action when `GRAFT_DEDUP_TIMING` is set —
     * streaming foreachBatch jobs all inherit the stream thread's call
@@ -79,6 +91,16 @@ object Dedup {
     * earlier forces mid-plan recomputation). Blocking, so the memory is
     * free on return. */
   def releasePinnedCaches(): Unit = CachePins.release()
+
+  /** Free the `localCheckpoint` blocks behind the delta-path
+    * intermediates ([[pinT]]) pinned ON THE CALLING THREAD since the
+    * last release. STRICTLY after the final action on every frame a
+    * delta-path call returned (checkpointed frames are not
+    * recomputable — releasing early fails the next action instead of
+    * recomputing). Separate from [[releasePinnedCaches]] on purpose:
+    * caches degrade to recompute when released early, checkpoints do
+    * not, so the two sit behind different contracts. */
+  def releaseCheckpointedFrames(): Unit = CachePins.releaseCheckpoints()
 
   /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Backed by
@@ -425,8 +447,13 @@ object Dedup {
     * from a document iff some k-shingle occurrence covering it is
     * cross-doc-shared (≥2 docs) AND this document is not that
     * shingle's CANONICAL holder (the smallest doc_id containing it —
-    * deterministic, so exactly one copy of every duplicated span
-    * survives corpus-wide). Returns one row per document:
+    * deterministic). The exactly-one-copy guarantee holds PER SHINGLE
+    * occurrence, not per merged span: canonical holders are chosen
+    * shingle-by-shingle, so when overlapping spans are shared with
+    * DIFFERENT partner sets the canonical doc for one shingle can be
+    * non-canonical for an overlapping one and lose part of the merged
+    * region — such regions may survive nowhere intact. Returns one row
+    * per document:
     * (doc_id, n_tokens, n_kept, n_dropped, text_clean) with the kept
     * tokens reassembled in order — empty-but-present when a document
     * is entirely duplicated elsewhere, unchanged when nothing it

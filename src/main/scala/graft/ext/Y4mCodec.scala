@@ -104,8 +104,17 @@ object Y4mCodec {
     require(w % 2 == 0 && h % 2 == 0,
       s"4:2:0 needs even dimensions, got ${w}x$h")
     require(w <= (1 << 16) && h <= (1 << 16), s"bad dimensions ${w}x$h")
-    require(cs.startsWith("420"),
-      s"colourspace C$cs unsupported (want the C420 family)")
+    // Guard the plane-size PRODUCT, not just each dimension: 65536×65536
+    // wraps Int to 0 and ~46342² goes negative, which would turn the
+    // truncated-frame check below into nonsense copyOfRange failures.
+    require(w.toLong * h <= Int.MaxValue / 2,
+      s"plane size ${w}x$h overflows the supported frame budget")
+    // Only the 8-bit C420 family is decodable here: high-bit-depth
+    // variants (C420p10/p12/p16) carry 2 bytes per sample and would be
+    // silently mis-walked as 8-bit planes if accepted.
+    require(Set("420", "420jpeg", "420paldv", "420mpeg2").contains(cs),
+      s"colourspace C$cs unsupported (want 8-bit C420 family: " +
+        "420/420jpeg/420paldv/420mpeg2)")
     val ySize = w * h
     val cSize = (w / 2) * (h / 2)
     val frames = IndexedSeq.newBuilder[Frame]

@@ -327,12 +327,13 @@ object StreamingNearDup {
           // localCheckpoint materializes each frame once (the r9
           // memoization) and replaces its plan with a 1-node
           // LogicalRDD, collapsing every downstream tree; the
-          // checkpointed blocks are freed by the ContextCleaner when
-          // the next batch's index replaces this one.
+          // checkpointed blocks are tracked (CachePins, ADVICE r11)
+          // and freed explicitly once this batch's segments are
+          // durable — not left to the ContextCleaner's 30-min GC.
           val pinned = Dedup.SignatureIndex(
-            cur.sig.localCheckpoint(),
-            cur.df.localCheckpoint(),
-            cur.bands.localCheckpoint(), cur.params)
+            graft.ext.CachePins.pinCheckpoint(cur.sig),
+            graft.ext.CachePins.pinCheckpoint(cur.df),
+            graft.ext.CachePins.pinCheckpoint(cur.bands), cur.params)
           val step = graft.ext.Dedup.timed("batch: deltaStep")(
             Dedup.deltaStep(pinned, b, k, numHashes,
               rowsPerBand, minJaccard, maxDf))
@@ -353,6 +354,11 @@ object StreamingNearDup {
               .write.mode("overwrite").parquet(s"$idxd/bands")
           }
           Dedup.releasePinnedCaches() // segments persisted; pins done
+          // every frame derived from this batch's checkpoints (pairs,
+          // tombstones, index deltas) is durably written above, and
+          // the compaction fold + next-batch index below read ONLY
+          // the parquet store — the checkpoint blocks are dead here
+          Dedup.releaseCheckpointedFrames()
           val lastBase = numberedIds(wd, IdxBaseRe).filter(_ <= batchId)
             .reduceOption(_ max _).getOrElse(-1L)
           if (compactEvery > 0 && batchId - lastBase >= compactEvery) {
