@@ -18,6 +18,33 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  // ---- shared ANN index build (VERDICT r11 #1) -----------------------
+  // The PQ-family gates (e74/e75/e76/e79/e80/e81/e83) all depend on the
+  // SAME deterministic trainings; previously each retrained from
+  // scratch (~35-40 s of the bench suite). A production pipeline builds
+  // the index once and serves many query batches — ModelCache is the
+  // in-process form of that split (training is deterministic, so a
+  // cache hit is value-identical and every gate stays hash-identical;
+  // keys carry dir + every hyper-parameter).
+  private def sharedCentroids(s: SparkSession,
+      dir: String): Seq[(Int, Seq[Double])] =
+    ModelCache.cached(s"coarse|$dir|k=8|it=2")(
+      KMeans.centroidArrays(emb(s, dir), 8, 2))
+  private def sharedCodebooks(s: SparkSession, dir: String)
+      : (IndexedSeq[Seq[(Int, Seq[Double])]], Int) =
+    ModelCache.cached(s"pqcb|$dir|m=4|k=8|it=2")(
+      Similarity.trainPqCodebooks(emb(s, dir), 4, 8, 2))
+  private def sharedIvfPq(s: SparkSession,
+      dir: String): Similarity.IvfPqModel = {
+    val (cbs, l) = sharedCodebooks(s, dir)
+    Similarity.IvfPqModel(sharedCentroids(s, dir), cbs, l)
+  }
+  private def sharedResid(s: SparkSession,
+      dir: String): Similarity.IvfPqResidualModel =
+    ModelCache.cached(s"ivfpqresid|$dir|ck=8|m=4|k=8|it=2")(
+      Similarity.trainIvfPqResidualWith(emb(s, dir),
+        sharedCentroids(s, dir), 4, 8, 2))
+
   /** Distinct 60-bit hashes of 5-word shingles as a DuckDB CTE (1-based
     * list indexing; shingle SETS equal Spark's 0-based construction; the
     * hash mirrors graft.ext.Dedup.md5Long exactly), document-frequency
@@ -495,8 +522,10 @@ object ExtQueries {
     // SAME deterministic Lloyd machinery as e22/e54, vectors encoded
     // as 4 sub-codes. The integer code sum gates training + slicing +
     // assignment exactly; the error profile mirrors e68's shape.
-    "e74_product_quantize" -> ((s, dir) =>
-      Similarity.productQuantizeError(emb(s, dir))),
+    "e74_product_quantize" -> ((s, dir) => {
+      val (cbs, l) = sharedCodebooks(s, dir)
+      Similarity.productQuantizeErrorWith(emb(s, dir), cbs, l)
+    }),
 
     // E75: PQ asymmetric-distance (ADC) top-k — the search half of
     // IVF-PQ (e54 probes cells, e74 profiles storage error, this
@@ -505,7 +534,9 @@ object ExtQueries {
     // rounded, ties by n_id.
     "e75_pq_adc_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.pqAdcTopK(e.filter(col("vec_id") < 10), e, 3)
+      val (cbs, l) = sharedCodebooks(s, dir)
+      Similarity.IvfPqModel(Nil, cbs, l)
+        .adcTopK(e.filter(col("vec_id") < 10), e, 3)
     }),
 
     // E76: IVF-PQ composed top-k (VERDICT r10 #1) — the production
@@ -515,7 +546,7 @@ object ExtQueries {
     // touches nprobe/coarseK of the corpus at m bytes per vector.
     "e76_ivfpq_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, 3)
+      sharedIvfPq(s, dir).topK(e.filter(col("vec_id") < 10), e, 3)
     }),
 
     // E79: measured recall of the PQ search paths against EXACT
@@ -549,8 +580,8 @@ object ExtQueries {
       // ONE training for all three search paths — the production
       // split (train once, serve many) the IvfPqModel API exists for;
       // identical math to the self-contained e75/e76/e80 gates
-      val model = Similarity.trainIvfPq(e)
-      val rmodel = Similarity.trainIvfPqResidual(e)
+      val model = sharedIvfPq(s, dir)
+      val rmodel = sharedResid(s, dir)
       stats("pq_adc", model.adcTopK(q, e, 3))
         .unionByName(stats("ivfpq", model.topK(q, e, 3)))
         .unionByName(stats("ivfpq_rerank",
@@ -566,7 +597,8 @@ object ExtQueries {
     // set; e79's ivfpq_rerank row measures the recall it buys.
     "e80_ivfpq_rerank_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfPqRerankTopK(e.filter(col("vec_id") < 10), e, 3, 10)
+      sharedIvfPq(s, dir)
+        .rerankTopK(e.filter(col("vec_id") < 10), e, 3, 10)
     }),
 
     // E81: RESIDUAL IVF-PQ top-k — the true FAISS IVFPQ encoding:
@@ -577,8 +609,26 @@ object ExtQueries {
     // recall lift vs the raw composition.
     "e81_ivfpq_residual_topk" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.trainIvfPqResidual(e)
-        .topK(e.filter(col("vec_id") < 10), e, 3)
+      sharedResid(s, dir).topK(e.filter(col("vec_id") < 10), e, 3)
+    }),
+
+    // E83: the PERSISTED index-build/serving split (VERDICT r11 #1) —
+    // what makes IVF-PQ real at 10^9 vectors: the BUILD (train + encode
+    // the corpus to m-byte codes) writes a parquet index (model halves
+    // + the coded corpus partitioned by cell); the SERVE path then
+    // loads the model state and answers top-k against the CODED frame
+    // only — no raw corpus vector is read and nothing retrains
+    // (the e51 SignatureIndex pattern for ANN). Parquet round-trips
+    // doubles bit-exactly, so this is hash-identical to e76 and shares
+    // its oracle verbatim — any build/persist/load divergence breaks
+    // the gate.
+    "e83_ivfpq_persisted_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = graft.Scratch.dir("ivfpq_index", dir)
+      VectorIndex.write(s, sharedIvfPq(s, dir), e, path)
+      val served = VectorIndex.read(s, path)
+      served.topKFromCoded(e.filter(col("vec_id") < 10),
+        VectorIndex.readCoded(s, path), 3)
     }),
 
     // E69: the multimodal decode seam on the STREAMING path — the
@@ -663,7 +713,7 @@ object ExtQueries {
               .as("recall"))
       }
       val ivfStats = topkStats("ivf_knn", Similarity.ivfKnn(q, e, 3))
-      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
+      val cents = sharedCentroids(s, dir)
       // nprobe=1 vs nprobe=2: the slope of the knob, measured (0.80 →
       // 0.90 at sf0.01) — what a user sizing probe cost actually reads
       val kivf1Stats = topkStats("kmeans_ivf_p1",
@@ -721,9 +771,8 @@ object ExtQueries {
     // broadcasts — the corpus never shuffles.
     "e54_kmeans_ivf_knn" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
-      Similarity.kmeansIvfKnn(e.filter(col("vec_id") < 10), e, cents,
-        k = 3, nprobe = 2)
+      Similarity.kmeansIvfKnn(e.filter(col("vec_id") < 10), e,
+        sharedCentroids(s, dir), k = 3, nprobe = 2)
     }),
 
     // E61: SemDeDup — semantic near-dup pairs WITHIN trained-quantizer
@@ -733,8 +782,7 @@ object ExtQueries {
     // stage is bounded by cell size, which k controls.
     "e61_semantic_dedup" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = KMeans.centroidArrays(e, k = 8, iters = 2)
-      Similarity.semanticDedupPairs(e, cents, 0.4)
+      Similarity.semanticDedupPairs(e, sharedCentroids(s, dir), 0.4)
     }),
 
     // E12: exact distinct counts per group
@@ -3038,6 +3086,14 @@ object ExtQueries {
       s"""WITH $ivfpqScoreCtes,
         |$ivfpqResidCtes
         |SELECT q_id, n_id, adc, rank FROM raranked
+        |WHERE rank <= 3""".stripMargin,
+
+    // the persisted-index serve is HASH-IDENTICAL to the in-memory
+    // composed chain (parquet round-trips doubles bit-exactly), so the
+    // e76 oracle gates the whole build/write/load/serve cycle
+    "e83_ivfpq_persisted_topk" ->
+      s"""WITH $ivfpqScoreCtes
+        |SELECT q_id, n_id, adc, rank FROM aranked76
         |WHERE rank <= 3""".stripMargin,
 
     // PQ-path recall vs exact-L2 brute force: whole-corpus ADC

@@ -346,39 +346,60 @@ object Similarity {
     }, L)
   }
 
+  /** The PQ expression-staging rule as a combinator (VERDICT r11 #6):
+    * append the aliased expressions as ONE extra Project over `df`, so
+    * each alias evaluates once per row and every downstream stage
+    * references it as an ATTRIBUTE. Inlining an expensive expression
+    * (double-cast vector, coarse argmin, residual subtraction) into
+    * the m×k codebook distances instead duplicates it per entry — the
+    * 32×-recompute trap e81's first cut measured (92 s → 12 s staged).
+    * CollapseProject deliberately keeps multi-referenced non-cheap
+    * aliases staged, so these Projects survive optimization
+    * (StagedProjectSpec pins that). */
+  private[graft] def staged(df: DataFrame)(
+      exprs: (String, Column)*): DataFrame =
+    df.select(col("*") +: exprs.map { case (n, e) => e.as(n) }: _*)
+
   /** Trained IVF-PQ model: coarse quantizer centroids + per-subspace
     * PQ codebooks, O(coarseK·dim + kCodes·dim) driver-side state that
     * enters plans as literals (the KMeans contract). Train ONCE, then
     * serve any number of [[ivfPqTopK]]/[[ivfPqRerankTopK]]/
     * [[pqAdcTopK]] query batches against it — the production split
     * (index build vs serving) the parameter-only entry points
-    * collapse for the self-contained oracle gates. */
+    * collapse for the self-contained oracle gates. [[VectorIndex]]
+    * persists the model (and its [[encode]]d corpus) to parquet for
+    * the build-once/serve-many split across processes. */
   final case class IvfPqModel(centroids: Seq[(Int, Seq[Double])],
                               codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
                               subDim: Int) {
 
-    /** [[Similarity.ivfPqTopK]] against this trained model. */
-    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
-             nprobe: Int = 2): DataFrame = {
-      val L = subDim
+    /** Cell-assign + PQ-encode the corpus: (n_id, cell, code_0..m-1) —
+      * the index's DATA half (m bytes + a cell id per vector), the
+      * frame [[VectorIndex]] persists so serving never re-encodes.
+      * One narrow codegen'd projection, [[staged]] per the rule. */
+    def encode(corpus: DataFrame): DataFrame = {
       val e = transform(col("embedding"), _.cast("double"))
-      // STAGED through attribute references: the double-cast vector is
-      // aliased once and the codebook argmins reference the attribute —
-      // passing the expression itself would duplicate it into every
-      // per-entry distance (m x k copies per row), and CollapseProject
-      // deliberately keeps multi-referenced expensive aliases staged
-      val coded = corpus
-        .select(col("vec_id").as("n_id"), e.as("ve"))
-        .select((col("n_id") +:
-          KMeans.nearestCells(col("ve"), centroids, 1).getItem(0)
-            .as("cell") +:
-          pqCodeCols(col("ve"), codebooks, L)): _*)
+      val st = staged(
+        corpus.select(col("vec_id").as("n_id"), e.as("ve")))(
+        "cell" -> KMeans.nearestCells(col("ve"), centroids, 1)
+          .getItem(0))
+      st.select((col("n_id") +: col("cell") +:
+        pqCodeCols(col("ve"), codebooks, subDim)): _*)
+    }
+
+    /** [[topK]] served from an already-[[encode]]d corpus — the hot
+      * path once the index is built (or loaded via [[VectorIndex]]):
+      * the probe set broadcasts onto the coded frame, which never
+      * shuffles before the per-query top-k. */
+    def topKFromCoded(queries: DataFrame, coded: DataFrame, k: Int = 3,
+                      nprobe: Int = 2): DataFrame = {
+      val e = transform(col("embedding"), _.cast("double"))
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
         explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
       coded.join(broadcast(q), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("adc", Rounding.duckRound(
-          adcExpr(col("qe"), codebooks, L), 6))
+          adcExpr(col("qe"), codebooks, subDim), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("q_id"))
             .orderBy(col("adc"), col("n_id"))).cast("long"))
@@ -386,10 +407,18 @@ object Similarity {
         .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
     }
 
-    /** [[Similarity.ivfPqRerankTopK]] against this trained model. */
-    def rerankTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
-                   rerankR: Int = 10, nprobe: Int = 2): DataFrame = {
-      val cand = topK(queries, corpus, rerankR, nprobe)
+    /** [[Similarity.ivfPqTopK]] against this trained model. */
+    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+             nprobe: Int = 2): DataFrame =
+      topKFromCoded(queries, encode(corpus), k, nprobe)
+
+    /** [[rerankTopK]] served from an [[encode]]d corpus; `corpus`
+      * supplies only the candidates' full vectors for the exact tail
+      * (ONE bounded hash-join by vec_id). */
+    def rerankFromCoded(queries: DataFrame, coded: DataFrame,
+                        corpus: DataFrame, k: Int = 3,
+                        rerankR: Int = 10, nprobe: Int = 2): DataFrame = {
+      val cand = topKFromCoded(queries, coded, rerankR, nprobe)
         .select(col("q_id"), col("n_id"))
       val e = transform(col("embedding"), _.cast("double"))
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"))
@@ -407,6 +436,12 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("q_id"), col("n_id"), col("dist"), col("rank"))
     }
+
+    /** [[Similarity.ivfPqRerankTopK]] against this trained model. */
+    def rerankTopK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+                   rerankR: Int = 10, nprobe: Int = 2): DataFrame =
+      rerankFromCoded(queries, encode(corpus), corpus, k, rerankR,
+        nprobe)
 
     /** [[Similarity.pqAdcTopK]] against this trained model (the
       * coarse centroids go unused — ADC scans the whole coded
@@ -437,6 +472,14 @@ object Similarity {
     IvfPqModel(KMeans.centroidArrays(emb, coarseK, iters), cbs, l)
   }
 
+  /** The PQ-codebooks half of [[trainIvfPq]] alone (codebooks,
+    * subDim) — public so an index builder sharing one training across
+    * several serving paths (e74/e75 vs the composed e76 family) can
+    * assemble models from shared parts instead of retraining. */
+  def trainPqCodebooks(emb: DataFrame, m: Int = 4, kCodes: Int = 8,
+      iters: Int = 2): (IndexedSeq[Seq[(Int, Seq[Double])]], Int) =
+    pqCodebooks(emb, m, kCodes, iters)
+
   /** Map literal cid → centroid array, for residual subtraction. */
   private def centroidMap(
       centroids: Seq[(Int, Seq[Double])]): Column =
@@ -461,40 +504,51 @@ object Similarity {
       codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
       subDim: Int) {
 
-    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
-             nprobe: Int = 2): DataFrame = {
-      val L = subDim
+    /** Cell-assign + residual-PQ-encode the corpus: (n_id, cell,
+      * code_0..m-1) — the persisted DATA half, codes tied to their
+      * cell (residual PQ's defining coupling). [[staged]] per the
+      * rule: vector, cell, and residual each evaluate ONCE per row —
+      * inlining the residual into the m×k codebook distances would
+      * recompute the coarse argmin AND the subtraction per entry (the
+      * 15× regression the first cut measured at sf0.1). */
+    def encode(corpus: DataFrame): DataFrame = {
       val cm = centroidMap(centroids)
       val e = transform(col("embedding"), _.cast("double"))
-      val residOf = (ec: Column, cc: Column) =>
-        zip_with(ec, element_at(cm, cc), (x, y) => x - y)
-      // STAGED: vector, cell, and residual each evaluate ONCE per row
-      // as aliases the next stage references — inlining the residual
-      // expression into the m x k codebook distances would recompute
-      // the coarse argmin AND the subtraction per entry (the 15x
-      // regression the first cut measured at sf0.1)
-      val coded = corpus
-        .select(col("vec_id").as("n_id"), e.as("ve"))
-        .select(col("n_id"), col("ve"),
-          KMeans.nearestCells(col("ve"), centroids, 1).getItem(0)
-            .as("cell"))
-        .select(col("n_id"), col("cell"),
-          residOf(col("ve"), col("cell")).as("re"))
-        .select((col("n_id") +: col("cell") +:
-          pqCodeCols(col("re"), codebooks, L)): _*)
+      val st = staged(staged(
+        corpus.select(col("vec_id").as("n_id"), e.as("ve")))(
+        "cell" -> KMeans.nearestCells(col("ve"), centroids, 1)
+          .getItem(0)))(
+        "re" -> zip_with(col("ve"), element_at(cm, col("cell")),
+          (x, y) => x - y))
+      st.select((col("n_id") +: col("cell") +:
+        pqCodeCols(col("re"), codebooks, subDim)): _*)
+    }
+
+    /** [[topK]] served from an already-[[encode]]d corpus (or one
+      * loaded via [[VectorIndex]]). The query subtracts each PROBED
+      * cell's centroid, matching that cell's residual codes. */
+    def topKFromCoded(queries: DataFrame, coded: DataFrame, k: Int = 3,
+                      nprobe: Int = 2): DataFrame = {
+      val cm = centroidMap(centroids)
+      val e = transform(col("embedding"), _.cast("double"))
       val q = queries.select(col("vec_id").as("q_id"), e.as("qe"),
           explode(KMeans.nearestCells(e, centroids, nprobe)).as("cell"))
-        .withColumn("qres", residOf(col("qe"), col("cell")))
+        .withColumn("qres", zip_with(col("qe"),
+          element_at(cm, col("cell")), (x, y) => x - y))
       coded.join(broadcast(q), Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
         .withColumn("adc", Rounding.duckRound(
-          adcExpr(col("qres"), codebooks, L), 6))
+          adcExpr(col("qres"), codebooks, subDim), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("q_id"))
             .orderBy(col("adc"), col("n_id"))).cast("long"))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("n_id"), col("adc"), col("rank"))
     }
+
+    def topK(queries: DataFrame, corpus: DataFrame, k: Int = 3,
+             nprobe: Int = 2): DataFrame =
+      topKFromCoded(queries, encode(corpus), k, nprobe)
   }
 
   /** Train [[IvfPqResidualModel]]: coarse quantizer first, then PQ
@@ -502,8 +556,18 @@ object Similarity {
     * — lowest-vec_id init over residuals, rounded distances/means). */
   def trainIvfPqResidual(emb: DataFrame, coarseK: Int = 8, m: Int = 4,
                          kCodes: Int = 8,
-                         iters: Int = 2): IvfPqResidualModel = {
-    val cents = KMeans.centroidArrays(emb, coarseK, iters)
+                         iters: Int = 2): IvfPqResidualModel =
+    trainIvfPqResidualWith(emb,
+      KMeans.centroidArrays(emb, coarseK, iters), m, kCodes, iters)
+
+  /** [[trainIvfPqResidual]] against an ALREADY-TRAINED coarse
+    * quantizer — the shared-build form (the raw and residual models
+    * use the same coarse centroids, so an index builder trains them
+    * once). */
+  def trainIvfPqResidualWith(emb: DataFrame,
+                             cents: Seq[(Int, Seq[Double])], m: Int = 4,
+                             kCodes: Int = 8,
+                             iters: Int = 2): IvfPqResidualModel = {
     val cm = centroidMap(cents)
     val e = transform(col("embedding"), _.cast("double"))
     // staged like the search side: vector then cell then residual,
@@ -535,6 +599,16 @@ object Similarity {
   def productQuantizeError(emb: DataFrame, m: Int = 4, k: Int = 8,
                            iters: Int = 2): DataFrame = {
     val (codebooks, l) = pqCodebooks(emb, m, k, iters)
+    productQuantizeErrorWith(emb, codebooks, l)
+  }
+
+  /** [[productQuantizeError]] against ALREADY-TRAINED codebooks — the
+    * shared-build form (one training serves the error profile, ADC,
+    * and the composed searches). */
+  def productQuantizeErrorWith(emb: DataFrame,
+      codebooks: IndexedSeq[Seq[(Int, Seq[Double])]],
+      l: Int): DataFrame = {
+    val m = codebooks.size
     val L = l
     val e = transform(col("embedding"), _.cast("double"))
     val codeCols = pqCodeCols(e, codebooks, L)
