@@ -631,6 +631,47 @@ object ExtQueries {
         VectorIndex.readCoded(s, path), 3)
     }),
 
+    // E84: SERVING-GRADE recall (VERDICT r11 #2) — e79's floors
+    // (0.17-0.40) prove the gate is honest, not that the operator is
+    // usable; this measures a TUNED configuration (m=8 subspaces of
+    // L=8, kCodes=16, nprobe=4, re-rank R=30 — 2x the code bits, 2x
+    // the probed cells, 3x the re-rank budget) against the same
+    // exact-L2 truth, alongside the untuned re-rank baseline. Measured
+    // at sf0.01: 0.833 tuned-reranked vs 0.40 untuned — production
+    // recall is a knob setting, not a different algorithm
+    // (AnnRecallSpec pins tuned >= 0.8 > untuned). The composed-only
+    // row shows WHERE the recall comes from: ADC top-3 alone plateaus
+    // (~0.23 — quantization noise reorders near-ties regardless of
+    // nprobe), so the exact tail is what converts candidate coverage
+    // into recall.
+    "e84_ivfpq_tuned_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val truth = Similarity.bruteForceL2Knn(q, e, 3)
+        .select(col("q_id"), col("n_id")).cache()
+      truth.count()
+      def stats(method: String, retrieved: DataFrame) = {
+        val r = retrieved.select(col("q_id"), col("n_id"),
+          lit(1).as("_m"))
+        truth.join(r, Seq("q_id", "n_id"), "left")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(col("_m")), lit(0)).cast("long").as("n_hit"))
+          .select(lit(method).as("method"), lit(3L).as("k"),
+            col("n_true"), col("n_hit"),
+            Rounding.duckRound(
+              col("n_hit").cast("double") / col("n_true"), 6)
+              .as("recall"))
+      }
+      val (tcbs, tL) = ModelCache.cached(s"pqcb|$dir|m=8|k=16|it=2")(
+        Similarity.trainPqCodebooks(emb(s, dir), 8, 16, 2))
+      val tuned =
+        Similarity.IvfPqModel(sharedCentroids(s, dir), tcbs, tL)
+      stats("ivfpq_rerank", sharedIvfPq(s, dir).rerankTopK(q, e, 3, 10))
+        .unionByName(stats("ivfpq_tuned", tuned.topK(q, e, 3, 4)))
+        .unionByName(stats("ivfpq_tuned_rerank",
+          tuned.rerankTopK(q, e, 3, 30, 4)))
+    }),
+
     // E69: the multimodal decode seam on the STREAMING path — the
     // document stream replayed as three staged micro-batches, each
     // encoded→decoded→featurized by the same partition-local WavCodec
@@ -3096,6 +3137,47 @@ object ExtQueries {
         |SELECT q_id, n_id, adc, rank FROM aranked76
         |WHERE rank <= 3""".stripMargin,
 
+    // serving-grade recall: the tuned chain (m=8/L=8/kCodes=16/
+    // nprobe=4/R=30) and the untuned re-rank baseline, both as
+    // integer set intersections against the same exact-L2 truth
+    "e84_ivfpq_tuned_recall" ->
+      s"""WITH $ivfpqScoreCtes,
+        |l2scored84 AS (
+        |  SELECT q.q_id, n.vec_id AS n_id,
+        |    round(list_sum(list_transform(range(1, len(q.qe) + 1),
+        |      i -> (q.qe[i] - n.e[i]) * (q.qe[i] - n.e[i]))), 6)
+        |      AS dist
+        |  FROM q76 q CROSS JOIN emb4 n WHERE q.q_id <> n.vec_id),
+        |l2brute84 AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT *, row_number() OVER
+        |      (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+        |    FROM l2scored84) t WHERE rank <= 3),
+        |$ivfpqRerankCtes,
+        |basetop AS (SELECT q_id, n_id FROM rranked WHERE rank <= 3),
+        |basestats AS (
+        |  SELECT 'ivfpq_rerank' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(r.q_id)::BIGINT AS n_hit,
+        |    round(count(r.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute84 b LEFT JOIN basetop r
+        |    ON b.q_id = r.q_id AND b.n_id = r.n_id),
+        |$ivfpqTunedCtes,
+        |tunedstats AS (
+        |  SELECT 'ivfpq_tuned' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(t.q_id)::BIGINT AS n_hit,
+        |    round(count(t.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute84 b LEFT JOIN ttop t
+        |    ON b.q_id = t.q_id AND b.n_id = t.n_id),
+        |tunedrstats AS (
+        |  SELECT 'ivfpq_tuned_rerank' AS method, 3::BIGINT AS k,
+        |    count(*)::BIGINT AS n_true, count(t.q_id)::BIGINT AS n_hit,
+        |    round(count(t.q_id)::DOUBLE / count(*), 6) AS recall
+        |  FROM l2brute84 b LEFT JOIN trtop t
+        |    ON b.q_id = t.q_id AND b.n_id = t.n_id)
+        |SELECT * FROM basestats
+        |UNION ALL SELECT * FROM tunedstats
+        |UNION ALL SELECT * FROM tunedrstats""".stripMargin,
+
     // PQ-path recall vs exact-L2 brute force: whole-corpus ADC
     // (pq_adc — pure quantization loss) and the composed IVF-PQ
     // (ivfpq — plus nprobe pruning loss), both as integer set
@@ -3628,6 +3710,116 @@ object ExtQueries {
       |  SELECT *, row_number() OVER
       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
       |  FROM rascore)""".stripMargin
+
+  /** The e84 TUNED composed chain over [[ivfpqScoreCtes]]'s
+    * kmeans/cells/query CTEs: the [[pqCtes]] per-subspace Lloyd
+    * machinery re-parameterized to m=8 subspaces of L=8 dims with
+    * kCodes=16 entries (seeds = vec_id < 16), probes widened to
+    * nprobe=4, and an exact-L2 re-rank over the top R=30 ADC
+    * candidates — ending in `ttop` (tuned composed top-3) and `trtop`
+    * (tuned re-ranked top-3). Same rounding/tie rules as every other
+    * chain, so any divergence in the tuned training, the wider
+    * probing, or the deeper re-rank breaks the gate. */
+  private lazy val ivfpqTunedCtes: String = {
+    val m = 8; val L = 8; val kc = 16; val np = 4; val rr = 30
+    s"""tsubv AS (
+       |  SELECT vec_id, s, list_slice(e, s*$L + 1, s*$L + $L) AS se
+       |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |tpc0 AS (SELECT s, vec_id AS cid, se AS carr
+       |         FROM tsubv WHERE vec_id < $kc),
+       |tpa1 AS (
+       |  SELECT vec_id, s, se, cid, row_number() OVER
+       |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |  FROM (
+       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc0.cid,
+       |      round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
+       |        i -> (tsubv.se[i] - tpc0.carr[i])
+       |           * (tsubv.se[i] - tpc0.carr[i]))), 6) AS d
+       |    FROM tsubv JOIN tpc0 ON tsubv.s = tpc0.s) t),
+       |tpf1 AS (
+       |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+       |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+       |        FROM tpa1 WHERE rn = 1) t
+       |  GROUP BY 1, 2, 3),
+       |tpc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+       |         FROM tpf1 GROUP BY 1, 2),
+       |tpa2 AS (
+       |  SELECT vec_id, s, se, cid, row_number() OVER
+       |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+       |  FROM (
+       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc1.cid,
+       |      round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
+       |        i -> (tsubv.se[i] - tpc1.carr[i])
+       |           * (tsubv.se[i] - tpc1.carr[i]))), 6) AS d
+       |    FROM tsubv JOIN tpc1 ON tsubv.s = tpc1.s) t),
+       |tpf2 AS (
+       |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+       |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+       |        FROM tpa2 WHERE rn = 1) t
+       |  GROUP BY 1, 2, 3),
+       |tpc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+       |         FROM tpf2 GROUP BY 1, 2),
+       |tenc AS (
+       |  SELECT vec_id, s, se, cid FROM (
+       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc2.cid,
+       |      row_number() OVER (PARTITION BY tsubv.vec_id, tsubv.s
+       |        ORDER BY
+       |        round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
+       |          i -> (tsubv.se[i] - tpc2.carr[i])
+       |             * (tsubv.se[i] - tpc2.carr[i]))), 6),
+       |        tpc2.cid) AS rn
+       |    FROM tsubv JOIN tpc2 ON tsubv.s = tpc2.s) t WHERE rn = 1),
+       |tqsub AS (
+       |  SELECT q_id, s, list_slice(qe, s*$L + 1, s*$L + $L) AS qs
+       |  FROM q76 CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |tqprobes AS (
+       |  SELECT vec_id AS q_id, cluster_id AS cell FROM (
+       |    SELECT emb.vec_id, c2.cluster_id, row_number() OVER
+       |      (PARTITION BY emb.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+       |          i -> (emb.e[i] - c2.carr[i])
+       |             * (emb.e[i] - c2.carr[i]))), 6),
+       |        c2.cluster_id) AS rn
+       |    FROM emb CROSS JOIN c2 WHERE emb.vec_id < 10) t
+       |  WHERE rn <= $np),
+       |tcand AS (
+       |  SELECT p.q_id, cc.n_id
+       |  FROM tqprobes p JOIN ccells cc ON p.cell = cc.cell
+       |  WHERE p.q_id <> cc.n_id),
+       |tpersub AS (
+       |  SELECT cd.q_id, cd.n_id, n.s,
+       |    list_sum(list_transform(range(1, $L + 1),
+       |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+       |      AS d
+       |  FROM tcand cd
+       |  JOIN tenc n ON n.vec_id = cd.n_id
+       |  JOIN tpc2 c ON n.s = c.s AND n.cid = c.cid
+       |  JOIN tqsub qs ON qs.q_id = cd.q_id AND qs.s = n.s),
+       |tascore AS (
+       |  SELECT q_id, n_id,
+       |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+       |  FROM tpersub GROUP BY 1, 2),
+       |taranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+       |  FROM tascore),
+       |ttop AS (SELECT q_id, n_id FROM taranked WHERE rank <= 3),
+       |trcand AS (SELECT q_id, n_id FROM taranked WHERE rank <= $rr),
+       |trscore AS (
+       |  SELECT rc.q_id, rc.n_id,
+       |    round(list_sum(list_transform(range(1, len(q.qe) + 1),
+       |      i -> (q.qe[i] - n.e[i]) * (q.qe[i] - n.e[i]))), 6)
+       |      AS dist
+       |  FROM trcand rc
+       |  JOIN q76 q ON q.q_id = rc.q_id
+       |  JOIN emb4 n ON n.vec_id = rc.n_id),
+       |trranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY dist, n_id) AS rank
+       |  FROM trscore),
+       |trtop AS (SELECT q_id, n_id FROM trranked WHERE rank <= 3)"""
+      .stripMargin
+  }
 
   private lazy val kmeansCtes: String =
     """emb AS (

@@ -76,4 +76,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(rows("ivfpq") >= rows("pq_adc") / 2,
       s"ivfpq ${rows("ivfpq")} collapsed vs pq_adc ${rows("pq_adc")}")
   }
+
+  test("tuned IVF-PQ reaches serving-grade recall at sf0.01 and " +
+    "beats the untuned baseline (VERDICT r11 #2)") {
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    val rows = ExtQueries.queries("e84_ivfpq_tuned_recall")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // the knob→recall trade, pinned the way lshParamsFor pinned LSH:
+    // m=8/L=8/kCodes=16/nprobe=4/R=30 measured 0.833 at sf0.01 —
+    // production recall is a knob setting on the SAME operator
+    assert(rows("ivfpq_tuned_rerank") >= 0.8,
+      s"tuned re-ranked recall ${rows("ivfpq_tuned_rerank")} under " +
+        "the 0.8 serving floor")
+    assert(rows("ivfpq_tuned_rerank") > rows("ivfpq_rerank"),
+      s"tuned ${rows("ivfpq_tuned_rerank")} does not beat untuned " +
+        s"${rows("ivfpq_rerank")}")
+    // WHERE the recall comes from: composed ADC top-3 alone plateaus
+    // (quantization noise reorders near-ties regardless of nprobe —
+    // measured ~0.2-0.3 at every swept config); the exact tail is
+    // what converts candidate coverage into recall. Pin the plateau
+    // as a floor only, so a data regen can't flip the direction.
+    assert(rows("ivfpq_tuned") >= 0.1,
+      s"tuned composed recall ${rows("ivfpq_tuned")} under floor 0.1")
+    assert(rows("ivfpq_tuned_rerank") >= 2 * rows("ivfpq_tuned"),
+      "the exact re-rank tail stopped paying: tuned composed " +
+        s"${rows("ivfpq_tuned")} vs re-ranked " +
+        s"${rows("ivfpq_tuned_rerank")}")
+  }
 }
