@@ -455,6 +455,18 @@ object ExtQueries {
     "e82_cross_doc_scrub" -> ((s, dir) =>
       Dedup.crossDocSpanScrub(docs(s, dir))),
 
+    // E85: EXACT cross-doc maximal matches (VERDICT r11 #3) — the
+    // suffix-array-precise refinement of e77: one row per maximal
+    // exact substring match between two documents (consecutive
+    // shingle matches on one (doc, partner, diagonal) line are one
+    // exact match — seed-and-extend). Closes e77's documented
+    // over-merge: overlapping spans shared with different partners
+    // stay separate. df-capped (2..100) — the pair expansion is
+    // bounded per shingle bucket, never corpus²; e77 remains the
+    // uncapped linear profile.
+    "e85_cross_doc_exact_spans" -> ((s, dir) =>
+      Dedup.crossDocExactSpans(docs(s, dir))),
+
     // E71: REAL image codec gate — the image twin of e65: synthetic
     // 24-bit pixels from a closed-form formula are encoded to actual
     // BMP bytes (bottom-up rows, 4-byte stride padding — widths cycle
@@ -2906,6 +2918,42 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_shingles,
         |  CAST(max(n_docs) AS BIGINT) AS max_df
         |FROM runs GROUP BY doc_id, grp""".stripMargin,
+
+    // exact maximal matches: the diagonal (pos − partner_pos)
+    // run-merge over df-capped shared shingle occurrences — any
+    // divergence in the cap, the pair fan-out, or the island merge
+    // breaks the gate
+    "e85_cross_doc_exact_spans" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ps AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w
+        |  FROM ws WHERE len(w) >= 5),
+        |psh AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(concat_ws(' ', w[pos+1], w[pos+2],
+        |      w[pos+3], w[pos+4], w[pos+5])), 1, 15))::BIGINT AS h
+        |  FROM ps),
+        |ddf AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs
+        |  FROM psh GROUP BY 1),
+        |kept AS (
+        |  SELECT p.doc_id, p.pos, p.h
+        |  FROM psh p JOIN ddf d USING (h)
+        |  WHERE d.n_docs BETWEEN 2 AND 100),
+        |pr AS (
+        |  SELECT a.doc_id, a.pos, b.doc_id AS partner_id,
+        |    a.pos - b.pos AS diag, b.pos AS ppos
+        |  FROM kept a JOIN kept b
+        |    ON a.h = b.h AND a.doc_id <> b.doc_id),
+        |runs AS (
+        |  SELECT *, pos - row_number() OVER
+        |    (PARTITION BY doc_id, partner_id, diag ORDER BY pos) AS grp
+        |  FROM pr)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS n_tokens,
+        |  partner_id, CAST(min(ppos) AS BIGINT) AS partner_pos
+        |FROM runs GROUP BY doc_id, partner_id, diag, grp""".stripMargin,
 
     // the synthetic video recomputed in closed form — the engine side
     // must round-trip it through real Y4M bytes (header walk, FRAME

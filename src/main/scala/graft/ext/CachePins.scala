@@ -116,10 +116,13 @@ private[graft] object CachePins {
     * NOT recomputable from lineage, so this is only safe after the
     * final action on every plan derived from those frames — callers
     * (Verify/Bench per query, the streaming maintainer per committed
-    * batch) invoke it exactly where their outputs are durable. */
-  def releaseCheckpoints(): Unit = {
+    * batch) invoke it exactly where their outputs are durable.
+    * `blocking = false` posts the removals asynchronously — the right
+    * mode inside a streaming batch loop, where stalling the batch on
+    * block deletion buys nothing (the blocks are dead either way). */
+  def releaseCheckpoints(blocking: Boolean = true): Unit = {
     val buf = ckpts.get()
-    buf.foreach(_.unpersist(blocking = true))
+    buf.foreach(_.unpersist(blocking))
     buf.clear()
   }
 }

@@ -100,7 +100,8 @@ object Dedup {
     * recomputing). Separate from [[releasePinnedCaches]] on purpose:
     * caches degrade to recompute when released early, checkpoints do
     * not, so the two sit behind different contracts. */
-  def releaseCheckpointedFrames(): Unit = CachePins.releaseCheckpoints()
+  def releaseCheckpointedFrames(blocking: Boolean = true): Unit =
+    CachePins.releaseCheckpoints(blocking)
 
   /** md5-hex-prefix → 60-bit positive long; the cross-engine hash.
     * DuckDB twin: `('0x' || substr(md5(x), 1, 15))::BIGINT`. Backed by
@@ -394,7 +395,8 @@ object Dedup {
     * shingle positions, which the gaps-and-islands pass reassembles;
     * conversely overlapping spans shared with DIFFERENT partners merge
     * into one region (a per-doc profile, not a pair listing — the pair
-    * view is [[ngramJaccardPairs]]'s job).
+    * view is [[ngramJaccardPairs]]'s job, and the partner-precise
+    * maximal matches are [[crossDocExactSpans]]'s).
     *
     * Deliberately UNCAPPED like [[repeatedSpanProfile]] and for the
     * same reason: boilerplate IS the signal, and no stage here expands
@@ -439,6 +441,68 @@ object Dedup {
         max(col("n_docs")).as("max_df"))
       .select(col("doc_id"), col("start_pos"), col("n_tokens"),
         col("n_shingles"), col("max_df"))
+  }
+
+  /** EXACT cross-document maximal matches (VERDICT r11 #3) — the
+    * suffix-array-precise refinement of [[crossDocSpans]]: one row per
+    * maximal exact substring match between two documents,
+    * (doc_id, start_pos, n_tokens, partner_id, partner_pos), both
+    * directions. Two positions match when their k-shingles hash
+    * equal; consecutive matches on one (doc, partner, diagonal =
+    * pos − partner_pos) line are ONE exact match of
+    * run_length + k − 1 tokens (every k-window of a t-token shared
+    * substring matches at the same diagonal, and a maximal run is a
+    * maximal match — the standard seed-and-extend identity). This
+    * closes the detector's documented over-merge: overlapping spans
+    * shared with DIFFERENT partners sit on different (partner, diag)
+    * lines and stay separate here, where the per-doc profile merges
+    * them (SpanDedupSpec plants exactly that fixture).
+    *
+    * Scale shape: the diagonal join IS a pair expansion per shared
+    * shingle occurrence, so unlike the profile this is df-CAPPED
+    * (shingles in 2..maxDf documents) — the [[ngramJaccardPairs]]
+    * contract: candidate work is bounded per bucket, never corpus².
+    * An exact match crossing a beyond-cap boilerplate shingle splits
+    * at it; the uncapped corpus-wide view remains [[crossDocSpans]]'s
+    * job. One shuffle for the df filter, one equi-join on `h`, one
+    * per-(doc, partner, diag) windowed run-merge. */
+  def crossDocExactSpans(docs: DataFrame, k: Int = 5,
+                         maxDf: Int = 100): DataFrame = {
+    val posSh = pin(docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $k),
+           |  i -> array_join(slice(w, i + 1, $k), ' '))""".stripMargin))
+        .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), md5Long(col("shingle")).as("h")))
+    // materialize before branching: the df aggregation and both join
+    // probes consume the positional-shingle scan
+    posSh.count()
+    val docDf = posSh.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val kept = posSh.join(
+      docDf.filter(col("n_docs") >= 2 && col("n_docs") <= maxDf)
+        .select(col("h")), Seq("h"))
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+        col("b.doc_id").as("partner_id"),
+        (col("a.pos") - col("b.pos")).as("diag"),
+        col("b.pos").as("ppos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("partner_id"), col("diag"))
+      .orderBy(col("pos"))
+    pairs
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("partner_id"), col("diag"), col("grp"))
+      .agg(
+        min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long")
+          .as("n_tokens"),
+        min(col("ppos")).cast("long").as("partner_pos"))
+      .select(col("doc_id"), col("start_pos"), col("n_tokens"),
+        col("partner_id"), col("partner_pos"))
   }
 
   /** Cross-document repeated-span REMOVAL — the surgical remedy

@@ -358,7 +358,7 @@ object StreamingNearDup {
           // tombstones, index deltas) is durably written above, and
           // the compaction fold + next-batch index below read ONLY
           // the parquet store — the checkpoint blocks are dead here
-          Dedup.releaseCheckpointedFrames()
+          Dedup.releaseCheckpointedFrames(blocking = false)
           val lastBase = numberedIds(wd, IdxBaseRe).filter(_ <= batchId)
             .reduceOption(_ max _).getOrElse(-1L)
           if (compactEvery > 0 && batchId - lastBase >= compactEvery) {
