@@ -48,17 +48,30 @@ object Tables {
     * separately from [[load]] so a streaming scan of the same parquet
     * (which must declare the RAW schema) can apply the identical
     * normalization. Every branch is a narrow codegen'd projection:
-    * stream-safe, no shuffle. */
+    * stream-safe, no shuffle.
+    *
+    * DECIMAL columns normalize to DoubleType under the same contract
+    * (VERDICT r10 #7 carryover): the reference is float64 pandas and
+    * every oracle twin compares under double arithmetic, so a driver
+    * regeneration that flips a numeric column (`value`, `l_quantity`,
+    * `l_extendedprice`, …) to parquet DECIMAL(p,s) must not silently
+    * switch the engine to Spark's decimal arithmetic (different
+    * division/rounding semantics, ANSI overflow behavior) —
+    * EncodingCanarySpec drives a decimal-encoded fixture through this
+    * seam and the profile so the flip fails by name. */
   def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{DecimalType, LongType,
+      TimestampNTZType}
     val base = df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => df
     }
-    base.schema.fields.filter(_.dataType == TimestampNTZType)
-      .map(_.name)
-      .foldLeft(base)((d, c) => d.withColumn(c, col(c).cast("timestamp")))
+    base.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name -> "timestamp"
+      case f if f.dataType.isInstanceOf[DecimalType] => f.name -> "double"
+    }.foldLeft(base) { case (d, (c, t)) =>
+      d.withColumn(c, col(c).cast(t)) }
   }
 
   /** Canonical tick frame: datetime, tick_id, ask, bid.

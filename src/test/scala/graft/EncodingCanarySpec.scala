@@ -80,6 +80,54 @@ class EncodingCanarySpec extends SparkSpec {
   private def sortedRows(df: DataFrame): Seq[Seq[Any]] =
     rows(df.orderBy(df.columns.map(col).toSeq: _*))
 
+  test("a DECIMAL-encoded value column normalizes to DoubleType at " +
+    "load and is profile- and query-invariant (VERDICT r10 #7: the " +
+    "decimal canary)") {
+    // the same events fixture with `value` written as DECIMAL(12,4).
+    // baseFrame's values are multiples of 0.05 — NOT all exactly
+    // binary-representable, which is the point: the decimal→double
+    // cast must land on the same double the driver's float64 write
+    // produces for the same decimal string (both are
+    // nearest-double(exact rational)), so value identity holds
+    // end-to-end rather than only for lucky values
+    val root = Paths.get("target", "test-fixtures", "enc_canary_dec")
+      .toAbsolutePath
+    val decDir = root.resolve("decimal")
+    val dblDir = root.resolve("double")
+    val b = baseFrame.withColumn("ts", timestamp_micros(col("usec")))
+    writeEventsFile(b.withColumn("value",
+      col("value").cast(DecimalType(12, 4)))
+      .select(outCols.map(col): _*), decDir)
+    writeEventsFile(b.select(outCols.map(col): _*), dblDir)
+    // the flip the canary exists for: parquet really carries DECIMAL
+    val raw = spark.read.parquet(decDir.resolve("events.parquet").toString)
+    assert(raw.schema("value").dataType == DecimalType(12, 4))
+    // load-time contract: numerics are doubles
+    val loadedDec = Tables.load(spark, decDir.toString, "events")
+    assert(loadedDec.schema("value").dataType == DoubleType,
+      s"decimal survived load as ${loadedDec.schema("value").dataType}" +
+        " — Spark decimal arithmetic would silently replace the " +
+        "float64 oracle contract")
+    assert(sortedRows(loadedDec) ==
+      sortedRows(Tables.load(spark, dblDir.toString, "events")))
+    // schema-driven profiling treats it as the numeric it is: the
+    // full stats set, including the avg/std a non-numeric match arm
+    // would drop
+    val prof = ext.DataProfile.profile(loadedDec).columns.toSet
+    assert(Set("value_min", "value_max", "value_avg", "value_std")
+      .subsetOf(prof),
+      s"decimal-sourced value lost numeric profile stats: $prof")
+    // and a registered numeric-consuming query is encoding-invariant
+    val qDec = try sortedRows(
+      SparkEntry.queries("e21_profile_events")(spark, decDir.toString))
+    finally spark.sharedState.cacheManager.clearCache()
+    val qDbl = try sortedRows(
+      SparkEntry.queries("e21_profile_events")(spark, dblDir.toString))
+    finally spark.sharedState.cacheManager.clearCache()
+    assert(qDec.nonEmpty && qDec == qDbl,
+      "e21 diverges between DECIMAL and double value encodings")
+  }
+
   test("Tables.load normalizes every encoding to the same TimestampType " +
     "values") {
     val loaded = dirs.view.mapValues(Tables.load(spark, _, "events")).toMap
