@@ -266,14 +266,24 @@ object ExtQueries {
     // equi-joins; the counts are 1-row aggregates.
     "e70_lsh_dedup_recall" -> ((s, dir) => {
       val d = docs(s, dir)
+      // ONE exact verification serves both sides: e3's verification
+      // makes LSH precision 1.0 by construction, so the verified-LSH
+      // pair set IS exact ∩ band-candidates — re-running the quadratic
+      // shingle intersection for the LSH side would recompute a known
+      // subset (the oracle runs both full chains and agrees). The
+      // capped shingle frame is plan-identical across the two calls,
+      // so the CacheManager shares one copy. `exact` is consumed
+      // twice (its count + the intersection) → eagerly materialized.
       val exact = Dedup.ngramJaccardPairs(d, 5, 0.5, 100)
-        .select(col("doc_a"), col("doc_b"))
-      val lsh = Dedup.minhashLshPairs(d, 5, 16, 2, 0.5, 100)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).cache()
+      exact.count()
+      val both = exact.join(Dedup.lshCandidatePairs(d, 5, 16, 2, 100),
+        Seq("doc_a", "doc_b"), "left_semi").cache()
+      both.count()
       val nE = exact.agg(count(lit(1)).as("n_exact"))
-      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
-      val nB = exact.join(lsh, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_both"))
+      // |verified-LSH| ≡ |exact ∩ candidates| (precision 1.0)
+      val nL = both.agg(count(lit(1)).as("n_lsh"))
+      val nB = both.agg(count(lit(1)).as("n_both"))
       // pins released by the harness's post-query clearCache (the
       // e2/e3 pattern — the returned plan still rides the caches)
       nE.crossJoin(nL).crossJoin(nB)
@@ -682,6 +692,30 @@ object ExtQueries {
         .unionByName(stats("ivfpq_tuned", tuned.topK(q, e, 3, 4)))
         .unionByName(stats("ivfpq_tuned_rerank",
           tuned.rerankTopK(q, e, 3, 30, 4)))
+    }),
+
+    // E86: INCREMENTAL index update — the delta-dedup analog for ANN
+    // and the third leg of the production story (e76 build, e83
+    // persist/serve, this one UPDATE): the index is built and
+    // persisted on the pre-append corpus (vec_id % 10 != 0), then the
+    // new batch is encoded with the PERSISTED model halves — no
+    // retraining, no corpus re-encode — and appended to the
+    // cell-partitioned coded store; serving reads old ∪ new
+    // transparently. Oracle: the composed chain with TRAINING
+    // restricted to the old corpus and encode/serve over everything —
+    // any append-path divergence (stale-model encode, partition
+    // layout, read-back ordering) breaks the gate.
+    "e86_ivfpq_append_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val batch = e.filter(col("vec_id") % 10 === 0)
+      val model = ModelCache.cached(s"ivfpq|$dir|old10|ck=8|m=4|k=8|it=2")(
+        Similarity.trainIvfPq(old))
+      val path = graft.Scratch.dir("ivfpq_index_app", dir)
+      VectorIndex.write(s, model, old, path)
+      VectorIndex.append(s, path, batch)
+      VectorIndex.read(s, path).topKFromCoded(
+        e.filter(col("vec_id") < 10), VectorIndex.readCoded(s, path), 3)
     }),
 
     // E69: the multimodal decode seam on the STREAMING path — the
@@ -3226,6 +3260,21 @@ object ExtQueries {
         |UNION ALL SELECT * FROM tunedstats
         |UNION ALL SELECT * FROM tunedrstats""".stripMargin,
 
+    // the append gate: training CTEs restricted to the pre-append
+    // corpus (vec_id % 10 <> 0), encode/serve over the full corpus —
+    // exactly what "encode the batch with the persisted model" must
+    // equal
+    "e86_ivfpq_append_topk" ->
+      s"""WITH emb4 AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |emb AS (SELECT vec_id, e FROM emb4),
+        |${ivfpqChainCtes("ap", "vec_id % 10 <> 0", m = 4, L = 16,
+           kc = 8, np = 2, rr = 0)}
+        |SELECT q_id, n_id, adc, rank FROM apranked
+        |WHERE rank <= 3""".stripMargin,
+
     // PQ-path recall vs exact-L2 brute force: whole-corpus ADC
     // (pq_adc — pure quantization loss) and the composed IVF-PQ
     // (ivfpq — plus nprobe pruning loss), both as integer set
@@ -3759,115 +3808,159 @@ object ExtQueries {
       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
       |  FROM rascore)""".stripMargin
 
-  /** The e84 TUNED composed chain over [[ivfpqScoreCtes]]'s
-    * kmeans/cells/query CTEs: the [[pqCtes]] per-subspace Lloyd
-    * machinery re-parameterized to m=8 subspaces of L=8 dims with
-    * kCodes=16 entries (seeds = vec_id < 16), probes widened to
-    * nprobe=4, and an exact-L2 re-rank over the top R=30 ADC
-    * candidates — ending in `ttop` (tuned composed top-3) and `trtop`
-    * (tuned re-ranked top-3). Same rounding/tie rules as every other
-    * chain, so any divergence in the tuned training, the wider
-    * probing, or the deeper re-rank breaks the gate. */
-  private lazy val ivfpqTunedCtes: String = {
-    val m = 8; val L = 8; val kc = 16; val np = 4; val rr = 30
-    s"""tsubv AS (
-       |  SELECT vec_id, s, list_slice(e, s*$L + 1, s*$L + $L) AS se
-       |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
-       |tpc0 AS (SELECT s, vec_id AS cid, se AS carr
-       |         FROM tsubv WHERE vec_id < $kc),
-       |tpa1 AS (
-       |  SELECT vec_id, s, se, cid, row_number() OVER
-       |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-       |  FROM (
-       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc0.cid,
-       |      round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
-       |        i -> (tsubv.se[i] - tpc0.carr[i])
-       |           * (tsubv.se[i] - tpc0.carr[i]))), 6) AS d
-       |    FROM tsubv JOIN tpc0 ON tsubv.s = tpc0.s) t),
-       |tpf1 AS (
-       |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
-       |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
-       |        FROM tpa1 WHERE rn = 1) t
-       |  GROUP BY 1, 2, 3),
-       |tpc1 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
-       |         FROM tpf1 GROUP BY 1, 2),
-       |tpa2 AS (
-       |  SELECT vec_id, s, se, cid, row_number() OVER
-       |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
-       |  FROM (
-       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc1.cid,
-       |      round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
-       |        i -> (tsubv.se[i] - tpc1.carr[i])
-       |           * (tsubv.se[i] - tpc1.carr[i]))), 6) AS d
-       |    FROM tsubv JOIN tpc1 ON tsubv.s = tpc1.s) t),
-       |tpf2 AS (
-       |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
-       |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
-       |        FROM tpa2 WHERE rn = 1) t
-       |  GROUP BY 1, 2, 3),
-       |tpc2 AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
-       |         FROM tpf2 GROUP BY 1, 2),
-       |tenc AS (
-       |  SELECT vec_id, s, se, cid FROM (
-       |    SELECT tsubv.vec_id, tsubv.s, tsubv.se, tpc2.cid,
-       |      row_number() OVER (PARTITION BY tsubv.vec_id, tsubv.s
-       |        ORDER BY
-       |        round(list_sum(list_transform(range(1, len(tsubv.se) + 1),
-       |          i -> (tsubv.se[i] - tpc2.carr[i])
-       |             * (tsubv.se[i] - tpc2.carr[i]))), 6),
-       |        tpc2.cid) AS rn
-       |    FROM tsubv JOIN tpc2 ON tsubv.s = tpc2.s) t WHERE rn = 1),
-       |tqsub AS (
-       |  SELECT q_id, s, list_slice(qe, s*$L + 1, s*$L + $L) AS qs
-       |  FROM q76 CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
-       |tqprobes AS (
-       |  SELECT vec_id AS q_id, cluster_id AS cell FROM (
-       |    SELECT emb.vec_id, c2.cluster_id, row_number() OVER
-       |      (PARTITION BY emb.vec_id ORDER BY
-       |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
-       |          i -> (emb.e[i] - c2.carr[i])
-       |             * (emb.e[i] - c2.carr[i]))), 6),
-       |        c2.cluster_id) AS rn
-       |    FROM emb CROSS JOIN c2 WHERE emb.vec_id < 10) t
-       |  WHERE rn <= $np),
-       |tcand AS (
-       |  SELECT p.q_id, cc.n_id
-       |  FROM tqprobes p JOIN ccells cc ON p.cell = cc.cell
-       |  WHERE p.q_id <> cc.n_id),
-       |tpersub AS (
-       |  SELECT cd.q_id, cd.n_id, n.s,
-       |    list_sum(list_transform(range(1, $L + 1),
-       |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
-       |      AS d
-       |  FROM tcand cd
-       |  JOIN tenc n ON n.vec_id = cd.n_id
-       |  JOIN tpc2 c ON n.s = c.s AND n.cid = c.cid
-       |  JOIN tqsub qs ON qs.q_id = cd.q_id AND qs.s = n.s),
-       |tascore AS (
-       |  SELECT q_id, n_id,
-       |    round(list_sum(list(d ORDER BY s)), 6) AS adc
-       |  FROM tpersub GROUP BY 1, 2),
-       |taranked AS (
-       |  SELECT *, row_number() OVER
-       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
-       |  FROM tascore),
-       |ttop AS (SELECT q_id, n_id FROM taranked WHERE rank <= 3),
-       |trcand AS (SELECT q_id, n_id FROM taranked WHERE rank <= $rr),
-       |trscore AS (
+  /** Parameterized composed IVF-PQ oracle chain: coarse k-means
+    * (k=8, 2 Lloyd iterations) and per-subspace PQ codebooks trained
+    * on the vectors satisfying `trainPred`, the WHOLE corpus
+    * cell-assigned and encoded against them, queries (vec_id < 10)
+    * probing `np` cells, ADC-ranked; with `rr` > 0, an exact-L2
+    * re-rank over the top `rr` candidates. Emits CTEs prefixed `px`,
+    * ending in `${px}top` (composed top-3) and — when re-ranking —
+    * `${px}rtop`. Instantiated for the e84 tuned chain (train = all,
+    * m=8/L=8/kCodes=16/np=4/rr=30) and the e86 append gate (train =
+    * the pre-append corpus, library defaults). Same rounding/tie
+    * rules as every other chain. */
+  private def ivfpqChainCtes(px: String, trainPred: String, m: Int,
+      L: Int, kc: Int, np: Int, rr: Int): String = {
+    val lloyd = (cIn: String, sub: String, out: String) =>
+      s"""${px}$out AS (
+         |  SELECT vec_id, s, se, cid, row_number() OVER
+         |    (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+         |  FROM (
+         |    SELECT t.vec_id, t.s, t.se, c.cid,
+         |      round(list_sum(list_transform(range(1, len(t.se) + 1),
+         |        i -> (t.se[i] - c.carr[i])
+         |           * (t.se[i] - c.carr[i]))), 6) AS d
+         |    FROM ${px}$sub t JOIN ${px}$cIn c ON t.s = c.s) t)"""
+        .stripMargin
+    val means = (aIn: String, out: String) =>
+      s"""${px}${out}f AS (
+         |  SELECT s, cid, i - 1 AS pos, round(avg(se[i]), 6) AS c_val
+         |  FROM (SELECT s, cid, se, unnest(range(1, len(se) + 1)) AS i
+         |        FROM ${px}$aIn WHERE rn = 1) t
+         |  GROUP BY 1, 2, 3),
+         |${px}$out AS (SELECT s, cid, list(c_val ORDER BY pos) AS carr
+         |         FROM ${px}${out}f GROUP BY 1, 2)""".stripMargin
+    val rerank = if (rr <= 0) "" else s""",
+       |${px}rcand AS (SELECT q_id, n_id FROM ${px}ranked
+       |               WHERE rank <= $rr),
+       |${px}rscore AS (
        |  SELECT rc.q_id, rc.n_id,
        |    round(list_sum(list_transform(range(1, len(q.qe) + 1),
        |      i -> (q.qe[i] - n.e[i]) * (q.qe[i] - n.e[i]))), 6)
        |      AS dist
-       |  FROM trcand rc
-       |  JOIN q76 q ON q.q_id = rc.q_id
+       |  FROM ${px}rcand rc
+       |  JOIN ${px}q q ON q.q_id = rc.q_id
        |  JOIN emb4 n ON n.vec_id = rc.n_id),
-       |trranked AS (
+       |${px}rranked AS (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY dist, n_id) AS rank
-       |  FROM trscore),
-       |trtop AS (SELECT q_id, n_id FROM trranked WHERE rank <= 3)"""
-      .stripMargin
+       |  FROM ${px}rscore),
+       |${px}rtop AS (SELECT q_id, n_id FROM ${px}rranked
+       |              WHERE rank <= 3)"""
+    s"""${px}tr AS (SELECT vec_id, e FROM emb WHERE $trainPred),
+       |${px}c0 AS (SELECT vec_id AS cluster_id, e AS carr
+       |            FROM ${px}tr WHERE vec_id < 8),
+       |${px}a1 AS (
+       |  SELECT vec_id, e, cluster_id, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+       |  FROM (
+       |    SELECT t.vec_id, t.e, c.cluster_id,
+       |      round(list_sum(list_transform(range(1, len(t.e) + 1),
+       |        i -> (t.e[i] - c.carr[i]) * (t.e[i] - c.carr[i]))),
+       |        6) AS d
+       |    FROM ${px}tr t CROSS JOIN ${px}c0 c) t),
+       |${px}f1 AS (
+       |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val
+       |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+       |        FROM ${px}a1 WHERE rn = 1) t
+       |  GROUP BY 1, 2),
+       |${px}c1 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
+       |            FROM ${px}f1 GROUP BY 1),
+       |${px}a2 AS (
+       |  SELECT vec_id, e, cluster_id, row_number() OVER
+       |    (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+       |  FROM (
+       |    SELECT t.vec_id, t.e, c.cluster_id,
+       |      round(list_sum(list_transform(range(1, len(t.e) + 1),
+       |        i -> (t.e[i] - c.carr[i]) * (t.e[i] - c.carr[i]))),
+       |        6) AS d
+       |    FROM ${px}tr t CROSS JOIN ${px}c1 c) t),
+       |${px}f2 AS (
+       |  SELECT cluster_id, i - 1 AS pos, round(avg(e[i]), 6) AS c_val
+       |  FROM (SELECT cluster_id, e, unnest(range(1, len(e) + 1)) AS i
+       |        FROM ${px}a2 WHERE rn = 1) t
+       |  GROUP BY 1, 2),
+       |${px}c2 AS (SELECT cluster_id, list(c_val ORDER BY pos) AS carr
+       |            FROM ${px}f2 GROUP BY 1),
+       |${px}cells AS (
+       |  SELECT vec_id AS n_id, e AS ne, cluster_id AS cell FROM (
+       |    SELECT emb.vec_id, emb.e, c.cluster_id, row_number() OVER
+       |      (PARTITION BY emb.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+       |          i -> (emb.e[i] - c.carr[i])
+       |             * (emb.e[i] - c.carr[i]))), 6),
+       |        c.cluster_id) AS rn
+       |    FROM emb CROSS JOIN ${px}c2 c) t WHERE rn = 1),
+       |${px}trsub AS (
+       |  SELECT vec_id, s, list_slice(e, s*$L + 1, s*$L + $L) AS se
+       |  FROM ${px}tr CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |${px}pc0 AS (SELECT s, vec_id AS cid, se AS carr
+       |             FROM ${px}trsub WHERE vec_id < $kc),
+       |${lloyd("pc0", "trsub", "pa1")},
+       |${means("pa1", "pc1")},
+       |${lloyd("pc1", "trsub", "pa2")},
+       |${means("pa2", "pc2")},
+       |${px}esub AS (
+       |  SELECT vec_id, s, list_slice(e, s*$L + 1, s*$L + $L) AS se
+       |  FROM emb4 CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |${lloyd("pc2", "esub", "enc0")},
+       |${px}enc AS (SELECT vec_id, s, se, cid FROM ${px}enc0
+       |             WHERE rn = 1),
+       |${px}q AS (SELECT vec_id AS q_id, e AS qe FROM emb4
+       |           WHERE vec_id < 10),
+       |${px}qsub AS (
+       |  SELECT q_id, s, list_slice(qe, s*$L + 1, s*$L + $L) AS qs
+       |  FROM ${px}q CROSS JOIN (SELECT unnest(range(0, $m)) AS s) ss),
+       |${px}qprobes AS (
+       |  SELECT vec_id AS q_id, cluster_id AS cell FROM (
+       |    SELECT emb.vec_id, c.cluster_id, row_number() OVER
+       |      (PARTITION BY emb.vec_id ORDER BY
+       |        round(list_sum(list_transform(range(1, len(emb.e) + 1),
+       |          i -> (emb.e[i] - c.carr[i])
+       |             * (emb.e[i] - c.carr[i]))), 6),
+       |        c.cluster_id) AS rn
+       |    FROM emb CROSS JOIN ${px}c2 c WHERE emb.vec_id < 10) t
+       |  WHERE rn <= $np),
+       |${px}cand AS (
+       |  SELECT p.q_id, cc.n_id
+       |  FROM ${px}qprobes p JOIN ${px}cells cc ON p.cell = cc.cell
+       |  WHERE p.q_id <> cc.n_id),
+       |${px}persub AS (
+       |  SELECT cd.q_id, cd.n_id, n.s,
+       |    list_sum(list_transform(range(1, $L + 1),
+       |      i -> (qs.qs[i] - c.carr[i]) * (qs.qs[i] - c.carr[i])))
+       |      AS d
+       |  FROM ${px}cand cd
+       |  JOIN ${px}enc n ON n.vec_id = cd.n_id
+       |  JOIN ${px}pc2 c ON n.s = c.s AND n.cid = c.cid
+       |  JOIN ${px}qsub qs ON qs.q_id = cd.q_id AND qs.s = n.s),
+       |${px}ascore AS (
+       |  SELECT q_id, n_id,
+       |    round(list_sum(list(d ORDER BY s)), 6) AS adc
+       |  FROM ${px}persub GROUP BY 1, 2),
+       |${px}ranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+       |  FROM ${px}ascore),
+       |${px}top AS (SELECT q_id, n_id FROM ${px}ranked
+       |             WHERE rank <= 3)$rerank""".stripMargin
   }
+
+  /** The e84 tuned chain: [[ivfpqChainCtes]] at train = all,
+    * m=8/L=8/kCodes=16/nprobe=4/re-rank R=30 (prefix `t` — ends in
+    * ttop/trtop). */
+  private lazy val ivfpqTunedCtes: String =
+    ivfpqChainCtes("t", "TRUE", m = 8, L = 8, kc = 16, np = 4, rr = 30)
 
   private lazy val kmeansCtes: String =
     """emb AS (

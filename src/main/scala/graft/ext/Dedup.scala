@@ -222,15 +222,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
                         minJaccard: Double = 0.5,
                         maxDf: Int = 100): DataFrame = {
-    // Eagerly materialized: an unmaterialized cache consumed by several
-    // branches of one job is rebuilt concurrently by every branch
-    // (measured 5x slower). One small action fixes the topology. The
-    // base hashes are released once the capped frame is materialized.
-    val sh0 = shingleHashes(docs, k).cache()
-    sh0.count()
-    val sh = pin(capDf(sh0, maxDf))
-    sh.count()
-    sh0.unpersist()
+    val sh = cappedShinglesPinned(docs, k, maxDf)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -264,11 +256,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int = 5,
                        minContainment: Double = 0.8,
                        maxDf: Int = 100): DataFrame = {
-    val sh0 = shingleHashes(docs, k).cache()
-    sh0.count()
-    val sh = pin(capDf(sh0, maxDf))
-    sh.count()
-    sh0.unpersist()
+    val sh = cappedShinglesPinned(docs, k, maxDf)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -613,35 +601,38 @@ object Dedup {
     (numHashes, rowsPerBand)
   }
 
-  /** MinHash+LSH near-dup pairs: candidates share ≥1 band bucket, then
-    * exact Jaccard verification ≥ `minJaccard`. With k=16, r=2 (8 bands),
-    * P[candidate] = 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈1 at j≥0.8 —
-    * [[lshParamsFor]] derives these defaults from the 0.89 floor. */
-  def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
-                      rowsPerBand: Int = 2,
-                      minJaccard: Double = 0.5,
-                      maxDf: Int = 100): DataFrame = {
-    // Both caches need an eager count before multi-branch consumption:
-    // capDf consumes the base hashes through two branches (df agg +
-    // semi-join probe) of one job, and `bands` feeds BOTH sides of the
-    // candidates self-join — without materializing `sh` first, the capDf
-    // semi-join would be rebuilt concurrently by the two join branches
-    // (the multi-branch rebuild this file's comments measure at ~5x).
+  /** Pinned df-capped shingle frame, eagerly materialized: capDf
+    * consumes the base hashes through two branches (df agg + semi-join
+    * probe) of one job, and downstream the frame feeds BOTH sides of
+    * joins — without materializing first, branches rebuild it
+    * concurrently (the multi-branch rebuild this file's comments
+    * measure at ~5x). Identical calls produce canonically-identical
+    * plans, so the CacheManager dedupes the cache across operators in
+    * one query (e70 shares it between the exact and the banding
+    * sides). */
+  private def cappedShinglesPinned(docs: DataFrame, k: Int,
+                                   maxDf: Int): DataFrame = {
     val sh0 = shingleHashes(docs, k).cache()
     sh0.count()
     val sh = pin(capDf(sh0, maxDf))
     sh.count()
     sh0.unpersist() // sh's cache fully populated; base releasable
-    val bands = lshBands(minhash(sh, numHashes), numHashes, rowsPerBand)
-    // Candidate pairs by PER-BUCKET EXPANSION, not a band self-join: one
-    // shuffle of the band rows, then each bucket's sorted doc list
-    // explodes to its i<j pairs in place. A self-join would shuffle the
-    // band frame twice AND — being uncached — re-run the whole
-    // minhash+bands pipeline once per join branch (measured ~2s of the
-    // e3 bench query). Hot-bucket cost is identical in both topologies
-    // (a bucket's pairs land on one reducer either way); LSH banding is
-    // what keeps buckets small.
-    val candidates = bands
+    sh
+  }
+
+  /** LSH band-bucket CANDIDATE pairs from a capped shingle frame —
+    * the generator without the exact-Jaccard verification.
+    * Candidate pairs by PER-BUCKET EXPANSION, not a band self-join:
+    * one shuffle of the band rows, then each bucket's sorted doc list
+    * explodes to its i<j pairs in place. A self-join would shuffle the
+    * band frame twice AND — being uncached — re-run the whole
+    * minhash+bands pipeline once per join branch (measured ~2s of the
+    * e3 bench query). Hot-bucket cost is identical in both topologies
+    * (a bucket's pairs land on one reducer either way); LSH banding is
+    * what keeps buckets small. */
+  private def lshCandidatesFrom(sh: DataFrame, numHashes: Int,
+                                rowsPerBand: Int): DataFrame =
+    lshBands(minhash(sh, numHashes), numHashes, rowsPerBand)
       .groupBy(col("band"), col("band_key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -652,6 +643,29 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
+
+  /** [[minhashLshPairs]]' candidate set alone (doc_a, doc_b) — for a
+    * recall measurement that already holds the exact verified pairs:
+    * verification makes LSH precision 1.0 by construction, so
+    * `verified-LSH = exact ∩ candidates` and re-running the quadratic
+    * shingle intersection for the LSH side would measure nothing new
+    * (the e70 identity; its oracle runs the full chain and agrees). */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
+                        rowsPerBand: Int = 2,
+                        maxDf: Int = 100): DataFrame =
+    lshCandidatesFrom(cappedShinglesPinned(docs, k, maxDf), numHashes,
+      rowsPerBand)
+
+  /** MinHash+LSH near-dup pairs: candidates share ≥1 band bucket, then
+    * exact Jaccard verification ≥ `minJaccard`. With k=16, r=2 (8 bands),
+    * P[candidate] = 1-(1-j²)⁸ ≈ 0.90 at j=0.5, ≈1 at j≥0.8 —
+    * [[lshParamsFor]] derives these defaults from the 0.89 floor. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 16,
+                      rowsPerBand: Int = 2,
+                      minJaccard: Double = 0.5,
+                      maxDf: Int = 100): DataFrame = {
+    val sh = cappedShinglesPinned(docs, k, maxDf)
+    val candidates = lshCandidatesFrom(sh, numHashes, rowsPerBand)
     pin(candidates)
     candidates.count() // eager — consumed by semi-join AND final join
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -123,6 +123,30 @@ object VectorIndex {
     Similarity.IvfPqResidualModel(c, cb, l)
   }
 
+  /** Append a batch of NEW vectors to a persisted index's coded
+    * corpus — the index-UPDATE mode (the delta-dedup analog for ANN:
+    * a 10⁹-vector index absorbs a day's vectors without retraining or
+    * re-encoding the corpus). The batch is encoded with the PERSISTED
+    * model halves — so its codes are exactly what a full re-encode
+    * under the same model would produce — and appended as
+    * cell-partitioned files; serving reads old ∪ new transparently.
+    * Model staleness is the operator's knob, not its bug: quantizer
+    * drift is observable as rising reconstruction error
+    * ([[Similarity.productQuantizeErrorWith]] over recent batches),
+    * and the remedy is a rebuild — the same cadence decision as the
+    * near-dup store's compaction. Works for both flavors (the meta
+    * row dispatches). */
+  def append(spark: SparkSession, path: String,
+             batch: DataFrame): Unit = {
+    val residual = spark.read.parquet(s"$path/meta").head()
+      .getAs[Boolean]("residual")
+    val coded =
+      if (residual) readResidual(spark, path).encode(batch)
+      else read(spark, path).encode(batch)
+    coded.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/coded")
+  }
+
   /** The persisted coded corpus, columns re-ordered to the
     * [[Similarity.IvfPqModel.encode]] layout (partitionBy moves `cell`
     * last on disk). */

@@ -84,6 +84,30 @@ class VectorIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("residual"))
   }
 
+  test("append encodes a batch with the PERSISTED model — the store " +
+    "equals a full re-encode under the old model, and serving reads " +
+    "old ∪ new") {
+    val c = corpus
+    val old = c.filter(col("vec_id") < 30)
+    val batch = c.filter(col("vec_id") >= 30)
+    val model = Similarity.trainIvfPq(old, coarseK = 4, m = 3,
+      kCodes = 4, iters = 2)
+    val path = tmp("ivfpq_append")
+    VectorIndex.write(spark, model, old, path)
+    VectorIndex.append(spark, path, batch)
+    val coded = VectorIndex.readCoded(spark, path)
+    // append-mode store == one-shot encode of the FULL corpus under
+    // the old model (no retraining happened)
+    assert(rows(coded.orderBy(col("n_id"))) ===
+      rows(model.encode(c).orderBy(col("n_id"))))
+    // serving sees the appended vectors
+    val q = c.filter(col("vec_id") < 3)
+    assert(rows(VectorIndex.read(spark, path)
+        .topKFromCoded(q, coded, 3, 2)
+        .orderBy(col("q_id"), col("rank"))) ===
+      rows(model.topK(q, c, 3, 2).orderBy(col("q_id"), col("rank"))))
+  }
+
   test("ModelCache evaluates a key's training exactly once and " +
     "returns the identical instance") {
     ModelCache.clear()
