@@ -31,7 +31,9 @@ object Clustering {
     * Isolated documents (no pair) are not emitted — a no-edge doc is its
     * own singleton cluster by definition.
     *
-    * Every round ends in an eager `localCheckpoint()`, not `cache()`:
+    * Every round ends in an eager tracked `localCheckpoint`
+    * ([[CachePins.pinCheckpoint]] — freed by the harness release after
+    * the caller's final action, ADVICE r11), not `cache()`:
     * round N's plan references round N−1's frame, so without lineage
     * TRUNCATION the logical tree doubles per round (round N embeds two
     * copies of round N−1's tree) and analysis alone OOMs after ~20
@@ -46,16 +48,15 @@ object Clustering {
     // cuts that plan out of every round's tree. The mirrored list is NOT
     // deduplicated — duplicate edges cannot change a min aggregate, so
     // the distinct would be a pure extra shuffle.
-    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+    val e = CachePins.pinCheckpoint(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // init = round 1 fused in: label(v) = min(v, direct neighbors) in the
     // same aggregate that discovers the vertex set
-    var labels = und.groupBy(col("src"))
+    var labels = CachePins.pinCheckpoint(und.groupBy(col("src"))
       .agg(min(col("dst")).as("_m"))
       .select(col("src").as("id"),
-        least(col("src"), col("_m")).as("label"))
-      .localCheckpoint()
+        least(col("src"), col("_m")).as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -81,12 +82,12 @@ object Clustering {
           Seq("_m"), "left")
         .select(col("id"), col("_prev"),
           least(col("_m"), coalesce(col("_p1"), col("_m"))).as("_m2"))
-      val next = jump1
+      val next = CachePins.pinCheckpoint(jump1
         .join(labels.select(col("id").as("_m2"), col("label").as("_p2")),
           Seq("_m2"), "left")
         .select(col("id"), col("_prev"),
-          least(col("_m2"), coalesce(col("_p2"), col("_m2"))).as("label"))
-        .localCheckpoint() // eager: materializes + truncates lineage
+          least(col("_m2"), coalesce(col("_p2"), col("_m2")))
+            .as("label"))) // eager: materializes + truncates lineage
       // isEmpty, not count: a non-converged round (the common case)
       // short-circuits on the first changed row instead of scanning the
       // whole checkpointed frame
@@ -139,12 +140,11 @@ object Clustering {
                               maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // canonical undirected edge set: (u, v) with u < v, no self loops
-    var e = edges
+    var e = CachePins.pinCheckpoint(edges
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") < col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -168,14 +168,13 @@ object Clustering {
       // once per branch (the multi-branch rebuild this repo's cache
       // notes measure at ~2x).
       val mSs = min(col("u")).over(Window.partitionBy("v"))
-      val ss = ls.withColumn("m", mSs)
+      val ss = CachePins.pinCheckpoint(ls.withColumn("m", mSs)
         .select(explode(array(
           struct(col("m").as("a"), col("u").as("b")),
           struct(col("m").as("a"), col("v").as("b")))).as("_e"))
         .select(col("_e.a").as("u"), col("_e.b").as("v"))
         .filter(col("u") < col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct())
       // fixpoint: star graphs are invariant under both phases — one
       // action per round (see sameEdgeSet)
       converged = sameEdgeSet(ss, e)
