@@ -1566,6 +1566,130 @@ object ExtQueries {
           Seq("short" -> 200, "medium" -> 500), defaultPermille = 800)
         .select(col("doc_id"), col("n_words"), col("stratum"),
           col("bucket"))
+    }),
+
+    // E89: multi-level ROLLUP in one pass — leaf / subtotal / grand
+    // total tagged by grouping_id (first rollup column = high bit on
+    // both engines; verified numerically against DuckDB's GROUPING)
+    "e89_rollup_stats" -> ((s, dir) =>
+      EventAnalytics.rollupStats(Tables.load(s, dir, "events"))),
+
+    // E90: day × type pivot matrix with the domain pinned (no
+    // driver-side distinct job), absent cells 0 — FILTER-count semantics
+    "e90_pivot_matrix" -> ((s, dir) =>
+      EventAnalytics.typeMatrix(Tables.load(s, dir, "events"),
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // E96: SCD type-2 history of each user's event-type state —
+    // gaps-and-islands to validity intervals, last interval open
+    "e96_scd2_history" -> ((s, dir) =>
+      EventAnalytics.scd2History(Tables.load(s, dir, "events"))),
+
+    // E95: deterministic weighted reservoir (Efraimidis–Spirakis) —
+    // exactly-k sample with inclusion ∝ n_chars, hash-derived draws,
+    // top-k as TakeOrderedAndProject (no global sort)
+    "e95_weighted_reservoir" -> ((s, dir) =>
+      Sampling.weightedReservoir(docs(s, dir), col("doc_id"),
+          col("n_chars"), 50)
+        .select(col("doc_id"), col("n_chars"),
+          Rounding.duckRound(col("samp_key"), 6).as("samp_key"))),
+
+    // E87: Bloom-pruned decontamination with an EXACT final answer —
+    // the benchmark set compresses to 4096 bits that broadcast as a
+    // literal into a codegen'd probe over the training scan; only
+    // bf_hit candidates (true matches + the visible false-positive
+    // rate) pay the exact fingerprint join. The scale shape when the
+    // clean set is too big to broadcast raw but its bits are not.
+    // Matching runs on the 5-word-PREFIX fingerprint (the n-gram-style
+    // key real decontamination uses — raw-text md5 has zero collisions
+    // in this corpus, prefix keys plant 9 true hits at sf0.01).
+    "e87_bloom_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val prefixFp = md5(array_join(
+        slice(split(col("text"), " "), 1, 5), " "))
+      val bench = d.filter(col("doc_id") % 7 === 0)
+        .select(prefixFp.as("fp"))
+      val words = Sketches.bloomBuild(bench, col("fp")).toSeq
+      val train = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), prefixFp.as("fp"))
+        .withColumn("bf_hit",
+          Sketches.bloomMightContain(words, col("fp")))
+      // exact verify: candidate-sized join (AQE broadcasts the small
+      // side); non-candidates are PROVEN clean by the no-false-negative
+      // contract, so they skip the join entirely
+      val verified = train.filter(col("bf_hit"))
+        .join(bench.distinct().withColumn("hit", lit(true)),
+          Seq("fp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("contaminated"))
+      train.join(verified, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bf_hit"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+    }),
+
+    // E88: count-min heavy hitters with exact verification — the d×w
+    // counter table broadcasts as a literal, est >= t selects a
+    // guaranteed SUPERSET of the true heavy users (CMS never
+    // undercounts), and only those candidates pay the exact count.
+    // The full per-key exact groupBy this avoids is the whole point
+    // when the key space is corpus-sized.
+    "e88_heavy_hitters_cms" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val key = col("user_id").cast("string")
+      val counters = Sketches.cmsBuild(ev, key).toSeq
+      val cand = ev.select(col("user_id")).distinct()
+        .withColumn("cms_est", Sketches.cmsEstimate(counters, key))
+        .filter(col("cms_est") >= 75L)
+      ev.join(broadcast(cand), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("cms_est")).as("cms_est"),
+          count(lit(1)).as("n_events"))
+        .withColumn("is_heavy", col("n_events") >= 75L)
+        .select(col("user_id"), col("cms_est"), col("n_events"),
+          col("is_heavy"))
+    }),
+
+    // E91: PageRank over the customer↔supplier trade graph (distinct
+    // order lines as undirected edges) — 5 power-iteration rounds,
+    // each one co-partitioned join + one aggregation, per-round
+    // lineage truncation. Ranks scaled by n for a stable rounding
+    // magnitude.
+    "e91_pagerank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      val edges = pairs
+        .select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
+        .unionByName(pairs.select((col("sp") + 1000000L).as("src"),
+          col("c").as("dst")))
+      val pr = GraphOps.pageRank(edges, iters = 5, damping = 0.85)
+      // broadcast 1-row scalar (the repo's count-scalar idiom) — never
+      // a whole-frame window
+      val nn = edges.select(col("src")).distinct()
+        .agg(count(lit(1)).cast("double").as("n"))
+      pr.crossJoin(broadcast(nn))
+        .withColumn("rank_scaled",
+          Rounding.duckRound(col("rank") * col("n"), 6))
+        .select(col("node"), col("rank_scaled"))
+    }),
+
+    // E92: Z-order layout scorecard — Morton-interleaved (user bucket,
+    // value bucket) key vs the naive time layout, per-"file" min-max
+    // envelopes from a deterministic row_number file map (the stats a
+    // parquet footer would carry; the real writer is
+    // Layout.zorderWrite, spec-pinned)
+    "e92_zorder_layout" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val base = ev.select(col("event_id"), col("ts"),
+          pmod(col("user_id"), lit(256L)).as("x"),
+          least(lit(255L), floor(col("value") / 2)).as("y"))
+        .withColumn("zkey", Layout.interleaveBits(col("x"), col("y")))
+      Layout.fileStats(base, "zorder",
+          Seq(col("zkey"), col("event_id")), 1000)
+        .unionByName(Layout.fileStats(base, "time",
+          Seq(col("ts"), col("event_id")), 1000))
     })
   )
 
@@ -3584,7 +3708,197 @@ object ExtQueries {
          |JOIN vm a ON m.vec_a = a.vec_id
          |JOIN vm b ON m.vec_b = b.vec_id
          |WHERE ${duckCos("a.e", "b.e")} >= CAST(0.3 AS DOUBLE)"""
-        .stripMargin
+        .stripMargin,
+
+    // GROUPING(event_type, day) = Spark's grouping_id (first column is
+    // the high bit on both engines); sums rounded post-aggregate
+    "e89_rollup_stats" ->
+      """SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+        |  GROUPING(event_type, day) AS gid,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM (SELECT event_type, value,
+        |        date_trunc('day', ts) AS day FROM events) t
+        |GROUP BY ROLLUP(event_type, day)""".stripMargin,
+
+    // FILTER-count semantics: absent cells are 0, matching the pinned
+    // pivot domain + fill on the Spark side
+    "e90_pivot_matrix" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // identical gaps-and-islands windows over the (ts, event_id) total
+    // order; the last island per user stays open
+    "e96_scd2_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS island
+        |  FROM flagged),
+        |grp AS (
+        |  SELECT user_id, island, event_type,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM isl GROUP BY 1, 2, 3)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER wi AS valid_to, n_events,
+        |  lead(valid_from) OVER wi IS NULL AS is_current
+        |FROM grp
+        |WINDOW wi AS (PARTITION BY user_id ORDER BY island)""".stripMargin,
+
+    // the Bloom bits rebuilt in SQL (same double-hashed positions, same
+    // 32-bit words) — probe via LEFT JOIN on word id instead of the
+    // literal-array lookup; contaminated = exact membership, which the
+    // no-false-negative contract makes identical to the pruned join
+    "e87_bloom_decontaminate" ->
+      """WITH bfp AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string((string_split(text, ' '))[1:5], ' '))
+        |      AS fp
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ii AS (SELECT unnest(range(0, 3)) AS i),
+        |bpos AS (
+        |  SELECT ((('0x' || substr(md5(fp), 1, 15))::BIGINT
+        |    + i * ('0x' || substr(md5('bf|' || fp), 1, 15))::BIGINT)
+        |    % 4096) AS pos
+        |  FROM bfp, ii),
+        |bfw AS (
+        |  SELECT pos // 32 AS w,
+        |    bit_or(1::BIGINT << (pos % 32)::INT) AS bits
+        |  FROM bpos GROUP BY 1),
+        |train AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string((string_split(text, ' '))[1:5], ' '))
+        |      AS fp
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |tpos AS (
+        |  SELECT doc_id, fp,
+        |    ((('0x' || substr(md5(fp), 1, 15))::BIGINT
+        |      + i * ('0x' || substr(md5('bf|' || fp), 1, 15))::BIGINT)
+        |      % 4096) AS pos
+        |  FROM train, ii),
+        |chk AS (
+        |  SELECT t.doc_id, t.fp,
+        |    count(*) FILTER (
+        |      ((coalesce(b.bits, 0) >> (t.pos % 32)::INT) & 1) = 1)
+        |      AS nset
+        |  FROM tpos t LEFT JOIN bfw b ON b.w = t.pos // 32
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, nset = 3 AS bf_hit,
+        |  fp IN (SELECT fp FROM bfp) AS contaminated
+        |FROM chk""".stripMargin,
+
+    // the d×w counters rebuilt in SQL; est = min over rows; candidates
+    // (est >= t, a CMS-guaranteed superset) exact-counted and flagged
+    "e88_heavy_hitters_cms" ->
+      """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
+        |cells AS (
+        |  SELECT j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h,
+        |    count(*) AS c
+        |  FROM events, jj GROUP BY 1, 2),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |probe AS (
+        |  SELECT user_id, j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h
+        |  FROM u, jj),
+        |est AS (
+        |  SELECT p.user_id, min(c.c) AS cms_est
+        |  FROM probe p JOIN cells c USING (j, h)
+        |  GROUP BY 1),
+        |exact AS (SELECT user_id, count(*) AS n_events FROM events
+        |          GROUP BY 1)
+        |SELECT e.user_id, e.cms_est, x.n_events,
+        |  x.n_events >= 75 AS is_heavy
+        |FROM est e JOIN exact x USING (user_id)
+        |WHERE e.cms_est >= 75""".stripMargin,
+
+    // 5 power-iteration rounds unrolled as CTEs with the IDENTICAL
+    // double arithmetic ((1 - 0.85) evaluated in double space both
+    // sides); ranks scaled by n and rounded post-iteration
+    "e91_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+           |  SELECT n.node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE)
+           |        * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+           |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / e.outdeg) AS c
+           |    FROM topo e JOIN r${k - 1} r ON e.src = r.node
+           |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (
+         |  SELECT c AS src, sp + 1000000 AS dst FROM pairs
+         |  UNION ALL SELECT sp + 1000000 AS src, c AS dst FROM pairs),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         |topo AS (SELECT e.src, e.dst, d.outdeg
+         |         FROM edges e JOIN deg d USING (src)),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+         |       FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT r5.node, round(r5.rank * nn.n, 6) AS rank_scaled
+         |FROM r5 CROSS JOIN nn""".stripMargin
+    },
+
+    // the same Morton interleave (generated from one Scala source) and
+    // the same deterministic row_number file map on both engines
+    "e92_zorder_layout" -> {
+      val z = graft.ext.Layout.interleaveSql("x", "y")
+      s"""WITH base AS (
+         |  SELECT event_id, ts, user_id % 256 AS x,
+         |    least(255, CAST(floor(value / 2) AS BIGINT)) AS y
+         |  FROM events),
+         |z AS (SELECT event_id, ts, x, y, $z AS zkey FROM base),
+         |zf AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY zkey, event_id) - 1) // 1000
+         |      AS file_id
+         |  FROM z),
+         |tf AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY ts, event_id) - 1) // 1000
+         |      AS file_id
+         |  FROM z),
+         |zs AS (SELECT 'zorder' AS layout, file_id,
+         |    min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
+         |  FROM zf GROUP BY 1, 2),
+         |tsv AS (SELECT 'time' AS layout, file_id,
+         |    min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y, count(*) AS n_rows
+         |  FROM tf GROUP BY 1, 2)
+         |SELECT * FROM zs UNION ALL SELECT * FROM tsv""".stripMargin
+    },
+
+    // the same hash-derived u and u^(1/w) key arithmetic; ordering runs
+    // on the UNROUNDED key (unique md5 draws make the cut deterministic)
+    "e95_weighted_reservoir" ->
+      """SELECT doc_id, n_chars, round(samp_key, 6) AS samp_key
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    power(
+        |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         ::BIGINT % 1000000 + 1)::DOUBLE
+        |        / CAST(1000001 AS DOUBLE),
+        |      CAST(1 AS DOUBLE) / greatest(n_chars, 1)) AS samp_key
+        |  FROM documents) t
+        |ORDER BY t.samp_key DESC, doc_id LIMIT 50""".stripMargin
   )
 
   /** The e22 k-means pipeline as a DuckDB CTE chain: emb → seed c0 →

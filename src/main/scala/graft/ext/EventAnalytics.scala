@@ -111,4 +111,73 @@ object EventAnalytics {
         Window.partitionBy(col("event_type")).orderBy(col("day"))
           .rowsBetween(-2, 0)), 6))
   }
+
+  /** Multi-level OLAP rollup over (event_type, day): leaf cells,
+    * per-type subtotals, and the grand total in ONE pass —
+    * `ROLLUP(event_type, day)` with `grouping_id()` tagging the level
+    * (0 = leaf, 1 = type subtotal, 3 = grand total; first rollup column
+    * is the high bit on both engines). Spark expands grouping sets
+    * map-side and partial-aggregates before the single shuffle, so the
+    * three levels cost one exchange of (types × days + types + 1)
+    * groups, not three scans — the property that makes the cube viable
+    * over 100 TB of raw events. Values are rounded AFTER the aggregate
+    * (order-dependent double sums, the standard oracle contract). */
+  def rollupStats(events: DataFrame): DataFrame =
+    events.withColumn("day", date_trunc("DAY", col("ts")))
+      .rollup(col("event_type"), col("day"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_events"),
+        graft.Rounding.duckRound(sum(col("value")), 6).as("sum_value"))
+      .select(col("event_type"), col("day"), col("gid"),
+        col("n_events"), col("sum_value"))
+
+  /** Day × event-type count matrix (pivot): one row per day, one LONG
+    * column per type. The type domain is passed EXPLICITLY, which is
+    * what keeps this scale-shaped: Spark's pivot without values runs a
+    * driver-side distinct job first, and an unbounded domain would make
+    * the row width data-dependent — both wrong for a 100 TB scan. With
+    * the domain pinned this is ONE partial-aggregated groupBy (cells
+    * combine map-side), and absent cells backfill 0 to match the
+    * warehouse contract (`count(*) FILTER (...)` semantics). */
+  def typeMatrix(events: DataFrame,
+                 types: Seq[String]): DataFrame =
+    events.groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+
+  /** Slowly-changing-dimension (type 2) history of each user's
+    * event-type "state": consecutive same-type runs collapse to one
+    * validity interval `[valid_from, valid_to)`, the last interval per
+    * user open-ended (`valid_to` NULL, `is_current` true) — the
+    * dimension-table build every warehouse ETL ships. Gaps-and-islands
+    * over a per-user window (change flag → running island id → one
+    * groupBy), then `lead(valid_from)` closes each interval; every
+    * stage keys on `user_id`, so the windows and the aggregate share
+    * one hash partitioning and nothing ever sorts the full corpus —
+    * per-user history is the natural parallel unit at 100 TB.
+    * Total event order is (ts, event_id) — the arrival-id tie-break
+    * that makes the window deterministic cross-engine. */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(w))
+    val islands = flagged
+      .groupBy(col("user_id"), col("island"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+    val wi = Window.partitionBy(col("user_id")).orderBy(col("island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wi))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("is_current"))
+  }
 }

@@ -54,6 +54,29 @@ object Sampling {
       .withColumn("bucket", permilleBucket(id))
       .filter(col("bucket") < col("weight_p"))
 
+  /** Weighted reservoir sample WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES), deterministic: each row draws its "uniform" u from the id
+    * hash (not an RNG — the same reproducibility contract as
+    * [[stratifiedSample]]), takes key = u^(1/weight), and the k largest
+    * keys win. Heavier rows get keys nearer 1, so inclusion probability
+    * is proportional to weight, but — unlike [[weightedSample]]'s
+    * Bernoulli form — the output size is EXACTLY k. Distributed shape:
+    * the key is one codegen'd projection and the top-k runs as
+    * `TakeOrderedAndProject` (per-partition heaps of k, one k-row
+    * driver merge) — no global sort, no shuffle of the corpus, the
+    * same plan Spark gives ORDER BY ... LIMIT k. weight is clamped to
+    * ≥ 1 so a zero-weight row degrades to the uniform draw instead of
+    * u^∞. */
+  def weightedReservoir(df: DataFrame, id: Column, weight: Column,
+                        k: Int): DataFrame = {
+    val u = (Dedup.md5Long(id.cast("string")) % 1000000L + 1L)
+      .cast("double") / 1000001.0
+    val key = pow(u, lit(1.0) / greatest(weight.cast("double"), lit(1.0)))
+    df.withColumn("samp_key", key)
+      .orderBy(col("samp_key").desc, id)
+      .limit(k)
+  }
+
   /** Pretraining mix planner: given per-row (source, n_toks) and target
     * mix WEIGHTS, compute each source's token inventory and the sampling
     * rate / epoch count that hits `weight · tokenBudget` tokens from it —

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic probabilistic sketches with EXACT final answers.
+  *
+  * Both operators here follow the same two-phase scale pattern:
+  * a sketch pass produces a bounded summary (bits / counters — O(m),
+  * independent of data size) that broadcasts as a literal into a
+  * codegen'd probe, and the probe's candidate set — a guaranteed
+  * SUPERSET of the truth (Bloom has no false negatives, count-min never
+  * undercounts) — is then verified EXACTLY with a join that only the
+  * candidates pay for. The end-to-end result is exact, so the full
+  * pipeline oracle-checks; the sketch's value is the pruning ratio, not
+  * an approximation contract.
+  *
+  * Everything is hash-derived (md5, the [[Dedup.md5Long]] parity trick)
+  * — no RNG, no JVM-specific hashing — so the sketch CONTENTS are
+  * bit-identical cross-engine and the DuckDB twins rebuild the same
+  * bits/counters from SQL.
+  *
+  * At 100 TB: the sketch build is one partial-aggregated groupBy whose
+  * key space is the sketch's own size (each map task emits at most m
+  * cells — the groupBy IS the treeAggregate), the collected model is
+  * O(m) driver state like the KMeans centroids, and the probe adds zero
+  * shuffle. The exact-verify join is sized by the candidate set: for
+  * Bloom that is |true matches| + FPR·|scanned|; for count-min it is
+  * the heavy-hitter count — both orders of magnitude under the corpus.
+  */
+object Sketches {
+
+  /** Bloom geometry: m = 4096 bits as 128 32-bit words (stored in
+    * longs so the bit arithmetic never touches the sign), k = 3
+    * probes. Small by design — the gate's corpus is small and the FPR
+    * is SUPPOSED to be visible (bf_hit && !contaminated rows prove the
+    * sketch prunes rather than answers). */
+  val BloomBits = 4096
+  val BloomWordBits = 32
+  val BloomWords: Int = BloomBits / BloomWordBits
+  val BloomK = 3
+
+  /** Double-hashing probe positions pos_i = (h1 + i·h2) mod m from the
+    * 60-bit md5 halves of the key; both operands < 2^60 so h1 + 2·h2
+    * stays far from Long overflow (DuckDB BIGINT arithmetic is checked,
+    * so wraparound would not even be portable). */
+  private def bloomPositions(key: Column): Seq[Column] = {
+    val h1 = Dedup.md5Long(key)
+    val h2 = Dedup.md5Long(concat(lit("bf|"), key))
+    (0 until BloomK).map(i => pmod(h1 + lit(i.toLong) * h2,
+      lit(BloomBits.toLong)))
+  }
+
+  /** Build the filter over `keys` (a single string column): explode to
+    * probe positions, OR the bits per word, collect the ≤ [[BloomWords]]
+    * (word, bits) cells. The groupBy key space IS the sketch size, so
+    * map-side combine bounds every task's output at 128 rows regardless
+    * of input volume. Returns the dense word array (missing words 0). */
+  def bloomBuild(keys: DataFrame, key: Column): Array[Long] = {
+    val pos = keys.select(bloomPositions(key).zipWithIndex.map {
+      case (p, i) => p.as(s"p$i")
+    }: _*)
+    val cells = pos
+      .select(explode(array((0 until BloomK).map(i => col(s"p$i")): _*))
+        .as("pos"))
+      .select(expr(s"pos DIV $BloomWordBits").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(BloomWordBits.toLong)).cast("int"))
+          .as("v"))
+      .groupBy(col("w")).agg(call_function("bit_or", col("v")).as("bits"))
+      .collect()
+    val words = new Array[Long](BloomWords)
+    cells.foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Probe column: true iff all k probe bits for `key` are set in
+    * `words` (passed as a broadcast literal array — element_at + shift
+    * + mask, fully codegen'd, no shuffle). No false negatives, so
+    * `bloomMightContain === false` is a PROOF of absence. */
+  def bloomMightContain(words: Seq[Long], key: Column): Column = {
+    val arr = typedlit(words)
+    bloomPositions(key).map { p =>
+      // the 1-indexed word holding bit p, then (word >> bit) & 1
+      // (call_function because the Scala shiftright only takes a
+      // literal shift amount — the SQL expression is column×column)
+      val word = element_at(arr,
+        ((p - pmod(p, lit(BloomWordBits.toLong))) /
+          BloomWordBits).cast("int") + 1)
+      call_function("shiftright", word,
+        pmod(p, lit(BloomWordBits.toLong)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+  }
+
+  /** Count-min geometry: d = 4 rows × w = 256 counters. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Row-j bucket of a key: md5Long("cms<j>|<key>") mod w. */
+  def cmsBucket(key: Column, j: Column): Column =
+    pmod(Dedup.md5Long(concat(lit("cms"), j.cast("string"), lit("|"),
+      key)), lit(CmsWidth.toLong))
+
+  /** Build the d×w counter table over `rows` (one count per input row):
+    * explode each row to its d (row, bucket) cells, count per cell —
+    * again the groupBy key space is the sketch size (≤ d·w cells per
+    * map task after combine). Returns the dense flat array
+    * (index j·w + bucket; missing cells 0). */
+  def cmsBuild(rows: DataFrame, key: Column): Array[Long] = {
+    val cells = rows
+      .select(posexplode(array((0 until CmsDepth).map(j =>
+        cmsBucket(key, lit(j))): _*)).as(Seq("j", "h")))
+      .groupBy(col("j"), col("h")).agg(count(lit(1)).as("c"))
+      .collect()
+    val arr = new Array[Long](CmsDepth * CmsWidth)
+    cells.foreach(r => arr(r.getInt(0) * CmsWidth + r.getLong(1).toInt) =
+      r.getLong(2))
+    arr
+  }
+
+  /** Point estimate for `key` against the collected counters: the MIN
+    * over the d row counters — never an undercount, so
+    * `cmsEstimate >= t` selects a SUPERSET of the true heavy hitters.
+    * Literal-array lookups, fully codegen'd. */
+  def cmsEstimate(counters: Seq[Long], key: Column): Column = {
+    val arr = typedlit(counters)
+    (0 until CmsDepth).map(j =>
+      element_at(arr, (lit(j * CmsWidth) + cmsBucket(key, lit(j)))
+        .cast("int") + 1))
+      .reduce(least(_, _))
+  }
+}

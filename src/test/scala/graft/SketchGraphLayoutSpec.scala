@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{GraphOps, Layout, Sketches}
+
+/** The sketch/graph/layout operators behind e87/e88/e91/e92: the
+  * probabilistic CONTRACTS (no false negatives, never undercount) that
+  * make the exact-verify pattern exact, PageRank's fixed points, and the
+  * Z-order pruning win the layout exists for. The cross-engine value
+  * parity of the full queries is the oracle gate's job; these pin the
+  * algebraic guarantees a data regeneration must not break. */
+class SketchGraphLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom: zero false negatives on members, false positives visible " +
+    "but bounded") {
+    val members = (0 until 200).map(i => s"member-$i").toDF("k")
+    val words = Sketches.bloomBuild(members, col("k")).toSeq
+    // every inserted key probes true — the contract that lets
+    // non-candidates skip the exact verify entirely
+    val fn = members
+      .filter(!Sketches.bloomMightContain(words, col("k"))).count()
+    assert(fn == 0)
+    // non-members: FPR well under 50% at n=200, m=4096, k=3
+    // (theoretical ~0.4% — 2000 probes keeps the bound loose but real)
+    val others = (0 until 2000).map(i => s"other-$i").toDF("k")
+    val fp = others
+      .filter(Sketches.bloomMightContain(words, col("k"))).count()
+    assert(fp < 200, s"FPR implausibly high: $fp / 2000")
+  }
+
+  test("cms: estimates never undercount, exact for isolated keys") {
+    val rows = (Seq.fill(50)("heavy") ++ (0 until 100).map(i => s"k$i"))
+      .toDF("k")
+    val counters = Sketches.cmsBuild(rows, col("k")).toSeq
+    val est = rows.groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .withColumn("est", Sketches.cmsEstimate(counters, col("k")))
+    // CMS can only ADD collision mass — est < exact would break the
+    // heavy-hitter candidate-superset guarantee
+    assert(est.filter(col("est") < col("n")).count() == 0)
+    // the heavy key's estimate includes its own 50
+    val h = est.filter(col("k") === "heavy").select(col("est"))
+      .as[Long].head()
+    assert(h >= 50)
+  }
+
+  test("pageRank: uniform on a symmetric cycle, mass conserved") {
+    // every node of a 6-cycle is equivalent → rank = 1/6 exactly at
+    // every iteration (the fixed point of the symmetric walk)
+    val fwd = (0L until 6L).map(i => (i, (i + 1) % 6))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 6) < 1e-12))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("pageRank: hub out-ranks leaves on a star") {
+    // star 0-{1,2,3,4}, undirected: the hub receives from 4 leaves,
+    // each leaf only from the hub
+    val fwd = (1L to 4L).map(i => (0L, i))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) * 2)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+  }
+
+  test("interleaveBits: Morton order groups quadrants") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L))
+      .toDF("x", "y")
+      .withColumn("z", Layout.interleaveBits(col("x"), col("y")))
+    val z = df.select(col("z")).as[Long].collect()
+    assert(z(0) == 0L)      // (0,0) → 0
+    assert(z(1) == 1L)      // x bit 0 → even position
+    assert(z(2) == 2L)      // y bit 0 → odd position
+    assert(z(3) == 65535L)  // all 16 bits set
+  }
+
+  test("zorder file map prunes x-range scans that a time layout cannot") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, sfDir, "events")
+    val base = ev.select(col("event_id"), col("ts"),
+        pmod(col("user_id"), lit(256L)).as("x"),
+        least(lit(255L), floor(col("value") / 2)).as("y"))
+      .withColumn("zkey", Layout.interleaveBits(col("x"), col("y")))
+    val stats = Layout.fileStats(base, "zorder",
+        Seq(col("zkey"), col("event_id")), 100)
+      .unionByName(Layout.fileStats(base, "time",
+        Seq(col("ts"), col("event_id")), 100))
+    val score = Layout.pruningScore(stats, "x", 10, 40).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (zn, zs) = score("zorder")
+    val (tn, tscan) = score("time")
+    assert(zn == tn)
+    // time order is uncorrelated with user bucket → every file spans
+    // the whole x range; the Morton key keeps envelopes tight
+    assert(tscan == tn, "time layout should have no x pruning at all")
+    assert(zs < tn, s"zorder should prune some files: scans $zs of $zn")
+  }
+
+  test("zorderWrite: real parquet files carry tight x envelopes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("zorder_write").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    val base = ev.select(col("event_id"),
+      pmod(col("user_id"), lit(256L)).as("x"),
+      least(lit(255L), floor(col("value") / 2)).as("y"))
+    Layout.zorderWrite(base,
+      Layout.interleaveBits(col("x"), col("y")), numFiles = 8, out)
+    // per-physical-file envelopes from the written layout
+    val env = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg((max(col("x")) - min(col("x"))).as("xw"))
+    val mean = env.agg(avg(col("xw"))).head().getDouble(0)
+    // 8 range-partitioned z files over a 0..255 x domain: mean envelope
+    // must be well under the full span (time/file-order gives ~255)
+    assert(mean < 200, s"mean x envelope too wide: $mean")
+  }
+}
