@@ -1690,7 +1690,15 @@ object ExtQueries {
           Seq(col("zkey"), col("event_id")), 1000)
         .unionByName(Layout.fileStats(base, "time",
           Seq(col("ts"), col("event_id")), 1000))
-    })
+    }),
+
+    // E93: exact all-pairs TF-IDF cosine ≥ 0.3 over 5-shingle features
+    // via Bayardo prefix filtering — candidates from suffix-bounded
+    // inverted-index prefixes only, then exact verification; the oracle
+    // computes the UNPRUNED all-shared-term join, so any pair the
+    // prefix filter loses breaks the gate
+    "e93_allpairs_tfidf_cosine" -> ((s, dir) =>
+      AllPairs.cosinePairs(docs(s, dir), tau = 0.3))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3824,6 +3832,38 @@ object ExtQueries {
         |  x.n_events >= 75 AS is_heavy
         |FROM est e JOIN exact x USING (user_id)
         |WHERE e.cms_est >= 75""".stripMargin,
+
+    // the UNPRUNED ground truth: every pair sharing any shingle,
+    // exact cosine, same ln/sqrt/rounding arithmetic — the prefix
+    // filter must lose nothing against this
+    "e93_allpairs_tfidf_cosine" ->
+      """WITH sh AS (
+        |  SELECT doc_id, s AS tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |        AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents) t
+        |    WHERE len(w) >= 5) u
+        |  GROUP BY 1, 2),
+        |dfc AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, tok,
+        |    tf * ln(CAST(1 AS DOUBLE) + nn.n / df) AS w
+        |  FROM sh JOIN dfc USING (tok) CROSS JOIN nn),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS s FROM w
+        |        GROUP BY 1),
+        |wnv AS (SELECT doc_id, tok, w / s AS wn
+        |        FROM w JOIN nrm USING (doc_id))
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(sum(a.wn * b.wn), 6) AS sim
+        |  FROM wnv a JOIN wnv b
+        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2) t
+        |WHERE sim >= CAST(0.3 AS DOUBLE)""".stripMargin,
 
     // 5 power-iteration rounds unrolled as CTEs with the IDENTICAL
     // double arithmetic ((1 - 0.85) evaluated in double space both

@@ -138,7 +138,7 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word k-shingles per document (with duplicates): (doc_id, shingle). */
-  private def rawShingles(docs: DataFrame, k: Int): DataFrame =
+  private[ext] def rawShingles(docs: DataFrame, k: Int): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= k)
