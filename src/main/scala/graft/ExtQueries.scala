@@ -1692,6 +1692,48 @@ object ExtQueries {
           Seq(col("ts"), col("event_id")), 1000))
     }),
 
+    // E94: the ANN serving path AS A STREAM — query vectors arrive in
+    // three staged micro-batches and each batch serves against the
+    // PERSISTED index (model halves + coded corpus loaded once,
+    // stream-static by construction inside foreachBatch; per-query
+    // top-k composes trivially over query batches). The appended union
+    // of the replay must equal the batch serve, so this shares e83's
+    // oracle — the production shape: a long-lived serving job absorbing
+    // query traffic against an index artifact it never rebuilds.
+    "e94_streaming_ann_serve_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val e = emb(s, dir)
+      val path = graft.Scratch.dir("ivfpq_index_serve", dir)
+      VectorIndex.write(s, sharedIvfPq(s, dir), e, path)
+      val model = VectorIndex.read(s, path)
+      val coded = VectorIndex.readCoded(s, path)
+      val scratch = graft.Scratch.fresh("ann_serve", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r => e.filter(col("vec_id") < 10 &&
+          col("vec_id") % 3 === r)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          model.topKFromCoded(b, coded, 3)
+            .write.mode("overwrite").parquet(s"$scratch/out_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // explicit batch dirs, not a glob — FileStreamSink's metadata
+      // probe logs a spurious FileNotFound stack trace on glob paths
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
     // E93: exact all-pairs TF-IDF cosine ≥ 0.3 over 5-shingle features
     // via Bayardo prefix filtering — candidates from suffix-bounded
     // inverted-index prefixes only, then exact verification; the oracle
@@ -3347,6 +3389,15 @@ object ExtQueries {
     // composed chain (parquet round-trips doubles bit-exactly), so the
     // e76 oracle gates the whole build/write/load/serve cycle
     "e83_ivfpq_persisted_topk" ->
+      s"""WITH $ivfpqScoreCtes
+        |SELECT q_id, n_id, adc, rank FROM aranked76
+        |WHERE rank <= 3""".stripMargin,
+
+    // the streaming replay's appended union must equal the batch
+    // serve of the same persisted index — per-query top-k composes
+    // over query micro-batches, so e76's oracle gates the whole
+    // stream-static serving path
+    "e94_streaming_ann_serve_replay" ->
       s"""WITH $ivfpqScoreCtes
         |SELECT q_id, n_id, adc, rank FROM aranked76
         |WHERE rank <= 3""".stripMargin,
