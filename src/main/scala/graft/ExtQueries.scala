@@ -45,6 +45,37 @@ object ExtQueries {
       Similarity.trainIvfPqResidualWith(emb(s, dir),
         sharedCentroids(s, dir), 4, 8, 2))
 
+  /** The CMS heavy-hitter chain as one DuckDB query: d×w counters
+    * rebuilt in SQL, est = min over rows, candidates (est ≥ t — the
+    * CMS-guaranteed superset) exact-counted and flagged. Shared by the
+    * batch gate (e88) and the streaming replay (e99): counts are
+    * additive, so the merged per-batch cell store equals the batch
+    * sketch exactly. */
+  private val cmsHeavyHittersOracle: String =
+    """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
+      |cells AS (
+      |  SELECT j, ('0x' || substr(md5(concat('cms',
+      |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+      |      1, 15))::BIGINT % 256 AS h,
+      |    count(*) AS c
+      |  FROM events, jj GROUP BY 1, 2),
+      |u AS (SELECT DISTINCT user_id FROM events),
+      |probe AS (
+      |  SELECT user_id, j, ('0x' || substr(md5(concat('cms',
+      |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+      |      1, 15))::BIGINT % 256 AS h
+      |  FROM u, jj),
+      |est AS (
+      |  SELECT p.user_id, min(c.c) AS cms_est
+      |  FROM probe p JOIN cells c USING (j, h)
+      |  GROUP BY 1),
+      |exact AS (SELECT user_id, count(*) AS n_events FROM events
+      |          GROUP BY 1)
+      |SELECT e.user_id, e.cms_est, x.n_events,
+      |  x.n_events >= 75 AS is_heavy
+      |FROM est e JOIN exact x USING (user_id)
+      |WHERE e.cms_est >= 75""".stripMargin
+
   /** Distinct 60-bit hashes of 5-word shingles as a DuckDB CTE (1-based
     * list indexing; shingle SETS equal Spark's 0-based construction; the
     * hash mirrors graft.ext.Dedup.md5Long exactly), document-frequency
@@ -1665,10 +1696,10 @@ object ExtQueries {
         .unionByName(pairs.select((col("sp") + 1000000L).as("src"),
           col("c").as("dst")))
       val pr = GraphOps.pageRank(edges, iters = 5, damping = 0.85)
-      // broadcast 1-row scalar (the repo's count-scalar idiom) — never
-      // a whole-frame window
-      val nn = edges.select(col("src")).distinct()
-        .agg(count(lit(1)).cast("double").as("n"))
+      // broadcast 1-row scalar (the repo's count-scalar idiom) — off
+      // the CHECKPOINTED result frame, so the scaling pass never
+      // re-derives the edge list from the raw tables
+      val nn = pr.agg(count(lit(1)).cast("double").as("n"))
       pr.crossJoin(broadcast(nn))
         .withColumn("rank_scaled",
           Rounding.duckRound(col("rank") * col("n"), 6))
@@ -1740,7 +1771,79 @@ object ExtQueries {
     // computes the UNPRUNED all-shared-term join, so any pair the
     // prefix filter loses breaks the gate
     "e93_allpairs_tfidf_cosine" -> ((s, dir) =>
-      AllPairs.cosinePairs(docs(s, dir), tau = 0.3))
+      AllPairs.cosinePairs(docs(s, dir), tau = 0.3)),
+
+    // E97: sorted-neighborhood blocking (the fourth candidate family)
+    // — each doc against its 3 successors in normalized-text order,
+    // realized WITHOUT a global window (range-partitioned local sorts
+    // + prefix-summed rank offsets + an equi-join on rank+o), every
+    // candidate exact-Jaccard verified
+    "e97_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir), window = 3)),
+
+    // E98: snapshot CDC — the change log between two corpus versions
+    // (deterministic synthetic v2: %11 deleted, %7 edited, %13 cloned
+    // as additions) from one co-partitioned full-outer fingerprint
+    // join
+    "e98_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" new"))))
+      Cdc.snapshotDiff(d, v2).filter(col("status") =!= "unchanged")
+    }),
+
+    // E99: the count-min sketch maintained AS A STREAM — each event
+    // micro-batch emits its (j, h, c) cell frame (sketch-sized, never
+    // event-sized) into an append-only store; counts are additive, so
+    // the summed store IS the batch sketch exactly and the replay
+    // shares e88's oracle verbatim. The mergeability that makes
+    // sketches the right shape for distributed and incremental
+    // aggregation, demonstrated end-to-end.
+    "e99_streaming_cms_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+      val key = col("user_id").cast("string")
+      val scratch = graft.Scratch.fresh("cms_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r =>
+          ev.filter(col("event_id") % 3 === r).select(col("user_id"))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Sketches.cmsCells(b, col("user_id").cast("string"))
+            .write.mode("overwrite").parquet(s"$scratch/cells_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cellDirs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("cells_")).map(_.getPath).sorted
+      val merged = s.read.parquet(cellDirs.toIndexedSeq: _*)
+        .groupBy(col("j"), col("h")).agg(sum(col("c")).as("c"))
+      val counters = Sketches.cmsFromCells(merged).toSeq
+      val cand = ev.select(col("user_id")).distinct()
+        .withColumn("cms_est", Sketches.cmsEstimate(counters, key))
+        .filter(col("cms_est") >= 75L)
+      ev.join(broadcast(cand), Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(max(col("cms_est")).as("cms_est"),
+          count(lit(1)).as("n_events"))
+        .withColumn("is_heavy", col("n_events") >= 75L)
+        .select(col("user_id"), col("cms_est"), col("n_events"),
+          col("is_heavy"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3859,30 +3962,11 @@ object ExtQueries {
 
     // the d×w counters rebuilt in SQL; est = min over rows; candidates
     // (est >= t, a CMS-guaranteed superset) exact-counted and flagged
-    "e88_heavy_hitters_cms" ->
-      """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
-        |cells AS (
-        |  SELECT j, ('0x' || substr(md5(concat('cms',
-        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
-        |      1, 15))::BIGINT % 256 AS h,
-        |    count(*) AS c
-        |  FROM events, jj GROUP BY 1, 2),
-        |u AS (SELECT DISTINCT user_id FROM events),
-        |probe AS (
-        |  SELECT user_id, j, ('0x' || substr(md5(concat('cms',
-        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
-        |      1, 15))::BIGINT % 256 AS h
-        |  FROM u, jj),
-        |est AS (
-        |  SELECT p.user_id, min(c.c) AS cms_est
-        |  FROM probe p JOIN cells c USING (j, h)
-        |  GROUP BY 1),
-        |exact AS (SELECT user_id, count(*) AS n_events FROM events
-        |          GROUP BY 1)
-        |SELECT e.user_id, e.cms_est, x.n_events,
-        |  x.n_events >= 75 AS is_heavy
-        |FROM est e JOIN exact x USING (user_id)
-        |WHERE e.cms_est >= 75""".stripMargin,
+    "e88_heavy_hitters_cms" -> cmsHeavyHittersOracle,
+
+    // counts are additive, so the replayed per-batch cell store sums
+    // to EXACTLY the batch sketch — e88's oracle gates the stream
+    "e99_streaming_cms_replay" -> cmsHeavyHittersOracle,
 
     // the UNPRUNED ground truth: every pair sharing any shingle,
     // exact cosine, same ln/sqrt/rounding arithmetic — the prefix
@@ -3915,6 +3999,50 @@ object ExtQueries {
         |    ON a.tok = b.tok AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2) t
         |WHERE sim >= CAST(0.3 AS DOUBLE)""".stripMargin,
+
+    // the oracle derives the SAME total order with one global
+    // row_number — identical ranks to Spark's offset-composed form —
+    // and verifies the same w-successor candidates with the same
+    // distinct-shingle Jaccard
+    "e97_sorted_neighborhood" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g')) AS key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id)
+        |    AS rank
+        |  FROM keyed),
+        |cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.rank - a.rank BETWEEN 1 AND 3),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w) - 3, 1)),
+        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+        |        AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents) t
+        |    WHERE len(w) >= 5) u),
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |  coalesce(i.n_inter, 0)::DOUBLE /
+        |    (coalesce(ca.n_sh, 0) + coalesce(cb.n_sh, 0)
+        |      - coalesce(i.n_inter, 0)) AS jaccard
+        |FROM cand c
+        |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        |LEFT JOIN counts ca ON ca.doc_id = c.doc_a
+        |LEFT JOIN counts cb ON cb.doc_id = c.doc_b""".stripMargin,
 
     // 5 power-iteration rounds unrolled as CTEs with the IDENTICAL
     // double arithmetic ((1 - 0.85) evaluated in double space both
@@ -3976,6 +4104,28 @@ object ExtQueries {
          |  FROM tf GROUP BY 1, 2)
          |SELECT * FROM zs UNION ALL SELECT * FROM tsv""".stripMargin
     },
+
+    // the same deterministic v2 construction and the same
+    // null/fingerprint classification over a full-outer join
+    "e98_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' new' FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS fp_new FROM v2)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN fp_old <> fp_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id) t
+        |WHERE status <> 'unchanged'""".stripMargin,
 
     // the same hash-derived u and u^(1/w) key arithmetic; ordering runs
     // on the UNROUNDED key (unique md5 draws make the cut deterministic)

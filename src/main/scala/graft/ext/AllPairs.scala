@@ -47,10 +47,13 @@ object AllPairs {
       .select(col("doc_id"), Dedup.md5Long(col("shingle")).as("h"))
       .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // broadcast 1-row scalar (the repo's count-scalar idiom)
-    val nn = docs.agg(count(lit(1)).cast("double").as("n"))
-    val w = tf.join(dfc, Seq("h")).crossJoin(broadcast(nn))
-      .withColumn("w", col("tf") * log(lit(1.0) + col("n") / col("df")))
+    // N as a driver scalar folded into the idf literal (the KMeans
+    // bounded-model-state contract) — a crossJoin'd 1-row frame here
+    // would thread a nested-loop join through every downstream
+    // consumer of the cached vectors
+    val n = docs.count().toDouble
+    val w = tf.join(dfc, Seq("h"))
+      .withColumn("w", col("tf") * log(lit(1.0) + lit(n) / col("df")))
     val nrm = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("s"))
     w.join(nrm, Seq("doc_id"))

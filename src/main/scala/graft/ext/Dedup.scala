@@ -1258,4 +1258,76 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Sorted-neighborhood candidate generation (Hernández–Stolfo
+    * record-linkage blocking), the fourth candidate family next to
+    * shingle joins, MinHash-LSH bands, and SimHash chunks: sort the
+    * corpus by a blocking key (normalized text) and compare each doc
+    * only with its `window` successors in that order — near-duplicates
+    * and prefix-sharing records sort adjacent, so a tiny window
+    * surfaces them at O(n·w) candidate cost. Every candidate pair is
+    * verified with exact shingle Jaccard (over the [[shingleHashes]]
+    * distinct sets), so the output is a measured candidate profile,
+    * not a guess.
+    *
+    * Scale shape — deliberately NO global window: the total order is
+    * realized as a range-partitioned local sort (the same plan Spark
+    * gives ORDER BY) with per-partition row_numbers, partition sizes
+    * (one bounded aggregate — ≤ shuffle-partition rows) prefix-summed
+    * into offsets, and global rank = offset + local row_number. Ranks
+    * are a pure function of the (key, doc_id) total order —
+    * partition-boundary placement cannot change them — and neighbor
+    * pairs come from an EQUI-join on rank+o = rank, never a
+    * single-task window or a non-equi range join. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 3,
+                              k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"),
+      normalizeText(col("text")).as("key"))
+    val localW = Window.partitionBy(col("pid"))
+      .orderBy(col("key"), col("doc_id"))
+    val local = keyed
+      .repartitionByRange(col("key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("rn", row_number().over(localW).cast("long"))
+    val sizes = local.groupBy(col("pid"))
+      .agg(count(lit(1)).as("sz"))
+    // prefix-sum over the partition-count frame (bounded by the
+    // shuffle fan-out, not the data) → per-partition rank offsets
+    val offW = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sizes.withColumn("off",
+      coalesce(sum(col("sz")).over(offW), lit(0L)))
+    val ranked = pin(local.join(broadcast(offsets), Seq("pid"))
+      .select(col("doc_id"), (col("off") + col("rn")).as("rank")))
+    ranked.count()
+    val cand = ranked
+      .withColumn("o", explode(sequence(lit(1), lit(window))))
+      .select(col("doc_id").as("doc_a"),
+        (col("rank") + col("o")).as("rank_b"))
+      .join(ranked.select(col("doc_id").as("doc_b"),
+        col("rank").as("rank_b")), Seq("rank_b"))
+      .select(col("doc_a"), col("doc_b"))
+    // exact Jaccard verification of every candidate (distinct shingle
+    // sets; pairs with no shared shingle keep jaccard = 0)
+    val sh = pin(shingleHashes(docs, k))
+    sh.count()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.h") === col("b.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"), "left")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+            - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+  }
 }

@@ -102,22 +102,33 @@ object Sketches {
     pmod(Dedup.md5Long(concat(lit("cms"), j.cast("string"), lit("|"),
       key)), lit(CmsWidth.toLong))
 
-  /** Build the d×w counter table over `rows` (one count per input row):
-    * explode each row to its d (row, bucket) cells, count per cell —
-    * again the groupBy key space is the sketch size (≤ d·w cells per
-    * map task after combine). Returns the dense flat array
-    * (index j·w + bucket; missing cells 0). */
-  def cmsBuild(rows: DataFrame, key: Column): Array[Long] = {
-    val cells = rows
+  /** The d×w counter cells over `rows` as a FRAME (j, h, c) — the
+    * mergeable form: counts are additive, so per-shard / per-batch
+    * cell frames sum into the global sketch exactly (the property the
+    * streaming maintainer relies on). The groupBy key space is the
+    * sketch size (≤ d·w cells per map task after combine). */
+  def cmsCells(rows: DataFrame, key: Column): DataFrame =
+    rows
       .select(posexplode(array((0 until CmsDepth).map(j =>
         cmsBucket(key, lit(j))): _*)).as(Seq("j", "h")))
       .groupBy(col("j"), col("h")).agg(count(lit(1)).as("c"))
-      .collect()
+
+  /** Collect a (j, h, c) cell frame into the dense flat counter array
+    * (index j·w + bucket; missing cells 0) — O(d·w) driver model
+    * state. */
+  def cmsFromCells(cells: DataFrame): Array[Long] = {
     val arr = new Array[Long](CmsDepth * CmsWidth)
-    cells.foreach(r => arr(r.getInt(0) * CmsWidth + r.getLong(1).toInt) =
-      r.getLong(2))
+    cells.select(col("j").cast("int"), col("h").cast("long"),
+        col("c").cast("long")).collect()
+      .foreach(r => arr(r.getInt(0) * CmsWidth + r.getLong(1).toInt) =
+        r.getLong(2))
     arr
   }
+
+  /** Build the d×w counter table over `rows`: [[cmsCells]] collected
+    * via [[cmsFromCells]]. */
+  def cmsBuild(rows: DataFrame, key: Column): Array[Long] =
+    cmsFromCells(cmsCells(rows, key))
 
   /** Point estimate for `key` against the collected counters: the MIN
     * over the d row counters — never an undercount, so

@@ -167,4 +167,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffleCount(p) <= 7,
       s"expected <= 7 exchanges, plan:\n$p")
   }
+
+  test("e87 bloom probe is a literal-array lookup: the training scan " +
+    "joins nothing until the candidate verify") {
+    val p = plan("e87_bloom_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // the 128-word filter must live INSIDE the probe expressions, not
+    // arrive via a join: the only joins are the candidate verify and
+    // the flag join-back
+    assert(raw"\(\d+\) [A-Za-z]*Join".r.findAllIn(p).length <= 3,
+      s"probe must not add joins, plan:\n$p")
+  }
+
+  test("e91 pagerank iterates over checkpointed one-node frames: " +
+    "plan stays shallow after 5 rounds") {
+    val p = plan("e91_pagerank")
+    // the final round reads rank/topology as LogicalRDD leaves — if
+    // lineage truncation regresses, 5 rounds of two joins each stack
+    // into one giant tree and the scan reappears here
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected checkpointed LogicalRDD leaves, plan:\n$p")
+    // every input — the final round's frames AND the n-scalar — reads
+    // checkpointed state; a parquet scan means something re-derived
+    // the edge list from the raw tables
+    assert(!p.contains("Scan parquet"),
+      s"iteration must not re-derive from the raw tables, plan:\n$p")
+  }
+
+  test("e93 all-pairs candidates come from the prefix equi-join: " +
+    "no cartesian anywhere") {
+    val p = plan("e93_allpairs_tfidf_cosine")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "prefix filtering must keep the pair space an equi-join")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

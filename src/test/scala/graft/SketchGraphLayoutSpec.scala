@@ -100,6 +100,45 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(zs < tn, s"zorder should prune some files: scans $zs of $zn")
   }
 
+  test("sortedNeighborhood: near-dups sort adjacent and ranks are " +
+    "partition-invariant") {
+    import graft.ext.Dedup
+    // 30 docs: ids 100+i and 200+i share a normalized prefix-heavy
+    // text (one-word mutation) → they sort adjacent and the window
+    // catches every planted pair
+    val docs = (0 until 15).flatMap { i =>
+      val base = s"prefix$i alpha beta gamma delta epsilon zeta eta"
+      Seq((100L + i, base), (200L + i, s"$base extra"))
+    }.toDF("doc_id", "text")
+    def pairs(parts: Int): Set[(Long, Long)] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val p = Dedup.sortedNeighborhoodPairs(docs, window = 1)
+        .filter(col("jaccard") > 0.3)
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+        .collect().toSet
+      spark.conf.set("spark.sql.shuffle.partitions", 4)
+      spark.sharedState.cacheManager.clearCache()
+      p
+    }
+    val got = pairs(4)
+    assert((0 until 15).forall(i => got.contains((100L + i, 200L + i))),
+      s"every planted adjacent pair must surface, got $got")
+    // the rank construction is a pure function of the total order —
+    // a different partition count must yield identical pairs
+    assert(pairs(2) == got && pairs(7) == got,
+      "rank offsets must be partition-invariant")
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    import graft.ext.Cdc
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val neu = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = Cdc.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("zorderWrite: real parquet files carry tight x envelopes") {
     val sfDir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files
