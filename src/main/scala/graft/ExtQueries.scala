@@ -1843,7 +1843,18 @@ object ExtQueries {
         .withColumn("is_heavy", col("n_events") >= 75L)
         .select(col("user_id"), col("cms_est"), col("n_events"),
           col("is_heavy"))
-    })
+    }),
+
+    // E100: per-user EWMA (pandas ewm(adjust=True).mean()) as a ratio
+    // of two rank-ordered running sums — deterministic fp accumulation,
+    // no renormalization pass
+    "e100_ewma" -> ((s, dir) =>
+      EventAnalytics.ewma(Tables.load(s, dir, "events"), alpha = 0.1)),
+
+    // E101: robust MAD outlier flags per event type — rounded-stat
+    // comparisons so interpolation ulps can never flip a boundary row
+    "e101_mad_outliers" -> ((s, dir) =>
+      EventAnalytics.madOutliers(Tables.load(s, dir, "events"), k = 3.0))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4104,6 +4115,46 @@ object ExtQueries {
          |  FROM tf GROUP BY 1, 2)
          |SELECT * FROM zs UNION ALL SELECT * FROM tsv""".stripMargin
     },
+
+    // identical weight arithmetic (1/(1-0.1) evaluated in double space
+    // both sides) and identical rank-ordered running-sum accumulation
+    "e100_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS j
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(value * power(CAST(1 AS DOUBLE) /
+        |      (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)), j)) OVER w
+        |      AS num,
+        |    sum(power(CAST(1 AS DOUBLE) /
+        |      (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)), j)) OVER w
+        |      AS den
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, round(num / den, 6)
+        |  AS ewma_value
+        |FROM s""".stripMargin,
+
+    // quantile_cont == Spark percentile (both rounded before use, the
+    // e36 contract — applied to the median BEFORE the MAD pass too)
+    "e101_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 6)
+        |    AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type,
+        |    round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+        |  abs(e.value - m.med) > CAST(3 AS DOUBLE) * d.mad
+        |    AS is_outlier
+        |FROM events e JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)""".stripMargin,
 
     // the same deterministic v2 construction and the same
     // null/fingerprint classification over a full-outer join

@@ -146,6 +146,63 @@ object EventAnalytics {
       .agg(count(lit(1)))
       .na.fill(0L, types)
 
+  /** Exponentially weighted moving average of `value` per user in
+    * (ts, event_id) order — pandas `ewm(alpha, adjust=True).mean()`
+    * semantics: y_i = Σ_{j≤i} (1−α)^{i−j}·x_j / Σ_{j≤i} (1−α)^{i−j},
+    * the smoother behind EWMA volatility / trend features. Computed
+    * CLOSED-FORM as a ratio of two running sums with weights
+    * r^{−j} (r = 1−α): the (1−α)^i rescale cancels in the ratio, so
+    * no per-row renormalization pass is needed. Both running sums
+    * accumulate in rank order inside an ordered window frame —
+    * deterministic fp arithmetic, identical cross-engine.
+    *
+    * Scale shape: one per-user window (users are the parallel unit;
+    * nothing sorts the corpus). The r^{−j} weight grows geometrically
+    * with the per-key sequence length — fine for bounded per-key
+    * histories (66 events/user here ⇒ ~10³ at α=0.1); kilometre-long
+    * keys need the segmented/rescaled scan instead (documented, not
+    * needed at this key cardinality). */
+  def ewma(events: DataFrame, alpha: Double = 0.1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val j = (row_number().over(w) - 1).cast("double")
+    val wgt = pow(lit(1.0 / (1.0 - alpha)), j)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("num", sum(col("value") * wgt).over(run))
+      .withColumn("den", sum(wgt).over(run))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        graft.Rounding.duckRound(col("num") / col("den"), 6)
+          .as("ewma_value"))
+  }
+
+  /** Robust per-group outlier flags via median absolute deviation:
+    * |x − median| > k·MAD, the screen that survives the heavy tails
+    * that wreck z-scores. Both medians are interpolated percentiles
+    * over the AGGREGATED group (two tiny aggregates broadcast back);
+    * the flag is one codegen'd comparison per row. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(graft.Rounding.duckRound(expr("percentile(value, 0.5)"), 6)
+        .as("med"))
+    val mad = events.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        first(col("med")).as("med"))
+    // the flag compares against the ROUNDED stats (the e36 quantile
+    // contract: interpolated percentiles round before use, so a
+    // last-ulp interpolation diff can never flip a boundary row)
+    events.join(broadcast(mad), Seq("event_type"))
+      .withColumn("med", graft.Rounding.duckRound(col("med"), 6))
+      .withColumn("mad", graft.Rounding.duckRound(col("mad"), 6))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        (abs(col("value") - col("med")) >
+          lit(k) * col("mad")).as("is_outlier"))
+  }
+
   /** Slowly-changing-dimension (type 2) history of each user's
     * event-type "state": consecutive same-type runs collapse to one
     * validity interval `[valid_from, valid_to)`, the last interval per

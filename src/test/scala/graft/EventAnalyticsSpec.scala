@@ -89,4 +89,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(r(ts("2024-01-03 00:00:00"))._3 - 5.333333) < 1e-6)
     assert(math.abs(r(ts("2024-01-04 00:00:00"))._3 - 6.666667) < 1e-6)
   }
+
+  test("E100: ewma matches the pandas adjust=True recurrence") {
+    val series = Seq(10.0, 20.0, 5.0, 40.0)
+    val df = series.zipWithIndex.map { case (v, i) =>
+      (7L, ts(f"2024-01-01 10:0$i:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val got = EventAnalytics.ewma(df, alpha = 0.1)
+      .orderBy(col("event_id")).select(col("ewma_value"))
+      .as[Double].collect()
+    // reference: y_i = Σ (1-α)^(i-j) x_j / Σ (1-α)^(i-j)
+    val want = series.indices.map { i =>
+      val ws = (0 to i).map(j => math.pow(0.9, i - j))
+      (0 to i).map(j => ws(j) * series(j)).sum / ws.sum
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-5, s"got $g want $w")
+    }
+    // the smoother tracks level shifts without overshooting: every
+    // output lies inside the running min/max envelope
+    series.indices.foreach { i =>
+      assert(got(i) >= series.take(i + 1).min - 1e-9 &&
+        got(i) <= series.take(i + 1).max + 1e-9)
+    }
+  }
+
+  test("E101: MAD flags only genuine tail points") {
+    // 20 tightly packed values + two gross outliers
+    val base = (0 until 20).map(i => (i.toLong,
+      ts(f"2024-01-01 10:${i}%02d:00"), "click", 50.0 + (i % 5)))
+    val out = Seq((100L, ts("2024-01-01 11:00:00"), "click", 500.0),
+      (101L, ts("2024-01-01 11:01:00"), "click", -400.0))
+    val df = (base ++ out).toDF("event_id", "ts", "event_type", "value")
+    val flagged = EventAnalytics.madOutliers(df, k = 3.0)
+      .filter(col("is_outlier")).select(col("event_id"))
+      .as[Long].collect().toSet
+    assert(flagged == Set(100L, 101L))
+  }
 }
