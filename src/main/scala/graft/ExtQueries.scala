@@ -1854,7 +1854,41 @@ object ExtQueries {
     // E101: robust MAD outlier flags per event type — rounded-stat
     // comparisons so interpolation ulps can never flip a boundary row
     "e101_mad_outliers" -> ((s, dir) =>
-      EventAnalytics.madOutliers(Tables.load(s, dir, "events"), k = 3.0))
+      EventAnalytics.madOutliers(Tables.load(s, dir, "events"), k = 3.0)),
+
+    // E102: the EWMA as a STATEFUL STREAM — flatMapGroupsWithState
+    // keeps the batch form's two running sums as O(1) per-key state
+    // and folds time-staged micro-batches with the SAME adds in the
+    // same order, so the replay is bit-identical to e100's window form
+    // (whose oracle gates it verbatim). Stage boundaries come from ts
+    // percentiles (order-preserving under any data regeneration).
+    "e102_streaming_ewma_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+      val bounds = ev.agg(expr(
+          "percentile(unix_micros(ts), array(0.33, 0.66))"))
+        .head().getSeq[Double](0)
+      val m = unix_micros(col("ts"))
+      val scratch = graft.Scratch.fresh("ewma_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+          ev.filter(m <= bounds(0)),
+          ev.filter(m > bounds(0) && m <= bounds(1)),
+          ev.filter(m > bounds(1))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingEwma.ewma(
+          stream.as[graft.streaming.StreamingEwma.EventIn]).toDF())
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("ewma_value"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4119,6 +4153,29 @@ object ExtQueries {
     // identical weight arithmetic (1/(1-0.1) evaluated in double space
     // both sides) and identical rank-ordered running-sum accumulation
     "e100_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS j
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(value * power(CAST(1 AS DOUBLE) /
+        |      (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)), j)) OVER w
+        |      AS num,
+        |    sum(power(CAST(1 AS DOUBLE) /
+        |      (CAST(1 AS DOUBLE) - CAST(0.1 AS DOUBLE)), j)) OVER w
+        |      AS den
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, round(num / den, 6)
+        |  AS ewma_value
+        |FROM s""".stripMargin,
+
+    // the stateful replay folds the SAME running sums in the same
+    // order as the batch window — e100's oracle gates it verbatim
+    "e102_streaming_ewma_replay" ->
       """WITH r AS (
         |  SELECT user_id, ts, event_id, value,
         |    row_number() OVER

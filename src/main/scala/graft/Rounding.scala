@@ -25,4 +25,15 @@ object Rounding {
     when(c.isNull, lit(null).cast("double"))
       .otherwise(signum(c) * floor(abs(c) * p + lit(0.5)) / p)
   }
+
+  /** The scalar twin of [[duckRound]] for driver/state-side code
+    * (streaming state handlers): the IDENTICAL IEEE op sequence, so a
+    * value rounded in a `GroupState` fold equals the same value
+    * rounded by the Column form. */
+  def duckRoundDouble(x: Double, digits: Int): Double =
+    if (x.isNaN) x
+    else {
+      val p = math.pow(10, digits)
+      math.signum(x) * math.floor(math.abs(x) * p + 0.5) / p
+    }
 }
