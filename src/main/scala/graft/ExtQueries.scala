@@ -1856,6 +1856,11 @@ object ExtQueries {
     "e101_mad_outliers" -> ((s, dir) =>
       EventAnalytics.madOutliers(Tables.load(s, dir, "events"), k = 3.0)),
 
+    // E103: equi-depth decile binning per event type — the
+    // discretization feeding equi-depth histograms and PSI drift
+    "e103_equidepth_bins" -> ((s, dir) =>
+      EventAnalytics.equiDepthBins(Tables.load(s, dir, "events"))),
+
     // E102: the EWMA as a STATEFUL STREAM — flatMapGroupsWithState
     // keeps the batch form's two running sums as O(1) per-key state
     // and folds time-staged micro-batches with the SAME adds in the
@@ -4172,6 +4177,14 @@ object ExtQueries {
         |SELECT user_id, event_id, ts, round(num / den, 6)
         |  AS ewma_value
         |FROM s""".stripMargin,
+
+    // standard NTILE fill rule over the same (value, event_id) total
+    // order on both engines
+    "e103_equidepth_bins" ->
+      """SELECT event_id, event_type, value,
+        |  ntile(10) OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS bin
+        |FROM events""".stripMargin,
 
     // the stateful replay folds the SAME running sums in the same
     // order as the batch window — e100's oracle gates it verbatim

@@ -203,6 +203,22 @@ object EventAnalytics {
           lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Equi-depth feature binning: each row's n-tile bucket of `value`
+    * within its event type — the discretization behind equi-depth
+    * histograms, PSI drift inputs, and monotone feature encoding.
+    * Standard SQL NTILE over the (value, event_id) total order (the
+    * arrival-id tie-break keeps equal values deterministic), so both
+    * engines agree bucket-for-bucket including the first-(n mod b)-
+    * buckets-get-one-extra fill rule. One window per group key —
+    * groups are the parallel unit; nothing sorts the corpus. */
+  def equiDepthBins(events: DataFrame, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("bin", ntile(n).over(w).cast("long"))
+  }
+
   /** Slowly-changing-dimension (type 2) history of each user's
     * event-type "state": consecutive same-type runs collapse to one
     * validity interval `[valid_from, valid_to)`, the last interval per
