@@ -1861,6 +1861,11 @@ object ExtQueries {
     "e103_equidepth_bins" -> ((s, dir) =>
       EventAnalytics.equiDepthBins(Tables.load(s, dir, "events"))),
 
+    // E104: Bollinger bands per user — trailing 20-row mean ± 2σ with
+    // breach flags; NULL bands where the frame holds < 2 samples
+    "e104_bollinger_bands" -> ((s, dir) =>
+      EventAnalytics.bollingerBands(Tables.load(s, dir, "events"))),
+
     // E102: the EWMA as a STATEFUL STREAM — flatMapGroupsWithState
     // keeps the batch form's two running sums as O(1) per-key state
     // and folds time-staged micro-batches with the SAME adds in the
@@ -4177,6 +4182,24 @@ object ExtQueries {
         |SELECT user_id, event_id, ts, round(num / den, 6)
         |  AS ewma_value
         |FROM s""".stripMargin,
+
+    // identical trailing frame; stats rounded before the band
+    // arithmetic and the breach comparison (Welford order differs)
+    "e104_bollinger_bands" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    round(avg(value) OVER w, 6) AS mid,
+        |    round(stddev_samp(value) OVER w, 6) AS sd
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, value, mid, sd,
+        |  round(mid + CAST(2 AS DOUBLE) * sd, 6) AS hi,
+        |  round(mid - CAST(2 AS DOUBLE) * sd, 6) AS lo,
+        |  coalesce(value > round(mid + CAST(2 AS DOUBLE) * sd, 6)
+        |    OR value < round(mid - CAST(2 AS DOUBLE) * sd, 6), false)
+        |    AS breach
+        |FROM b""".stripMargin,
 
     // standard NTILE fill rule over the same (value, event_id) total
     // order on both engines

@@ -203,6 +203,43 @@ object EventAnalytics {
           lit(k) * col("mad")).as("is_outlier"))
   }
 
+  /** Bollinger bands per key: trailing `window`-row mean ± k·sample-
+    * stddev of `value` in (ts, event_id) order, plus the breach flag —
+    * the classic volatility envelope (the FX reference's spike filter
+    * is the crude form of this screen). Rows whose trailing frame
+    * holds fewer than 2 samples carry NULL bands and a NULL breach on
+    * both engines (sample stddev is undefined at n=1). Stats round
+    * before the breach comparison, the e36 contract — Welford
+    * accumulation order differs across engines, so the rounded stats
+    * are the shared truth. One window per key; keys are the parallel
+    * unit. */
+  def bollingerBands(events: DataFrame, window: Int = 20,
+                     k: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(window - 1), 0)
+    val mid = graft.Rounding.duckRound(avg(col("value")).over(w), 6)
+    // Spark yields NaN for a 1-sample stddev where SQL engines yield
+    // NULL — normalize to the SQL contract before the bands
+    val sd = graft.Rounding.duckRound(
+      nanvl(stddev_samp(col("value")).over(w),
+        lit(null).cast("double")), 6)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("mid", mid)
+      .withColumn("sd", sd)
+      .withColumn("hi",
+        graft.Rounding.duckRound(col("mid") + lit(k) * col("sd"), 6))
+      .withColumn("lo",
+        graft.Rounding.duckRound(col("mid") - lit(k) * col("sd"), 6))
+      // no nullable booleans at the gate surface: an undefined band
+      // cannot be breached
+      .withColumn("breach",
+        coalesce(col("value") > col("hi") || col("value") < col("lo"),
+          lit(false)))
+  }
+
   /** Equi-depth feature binning: each row's n-tile bucket of `value`
     * within its event type — the discretization behind equi-depth
     * histograms, PSI drift inputs, and monotone feature encoding.
