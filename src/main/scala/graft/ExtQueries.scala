@@ -18,6 +18,16 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Distinct (customer, supplier) trade memberships — the bipartite
+    * graph behind e91/e107/e108. */
+  private def tradePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+  }
+
   // ---- shared ANN index build (VERDICT r11 #1) -----------------------
   // The PQ-family gates (e74/e75/e76/e79/e80/e81/e83) all depend on the
   // SAME deterministic trainings; previously each retrained from
@@ -1686,11 +1696,7 @@ object ExtQueries {
     // lineage truncation. Ranks scaled by n for a stable rounding
     // magnitude.
     "e91_pagerank" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
-      val ord = Tables.load(s, dir, "orders")
-      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
-        .distinct()
+      val pairs = tradePairs(s, dir)
       val edges = pairs
         .select(col("c").as("src"), (col("sp") + 1000000L).as("dst"))
         .unionByName(pairs.select((col("sp") + 1000000L).as("src"),
@@ -1865,6 +1871,63 @@ object ExtQueries {
     // breach flags; NULL bands where the frame holds < 2 samples
     "e104_bollinger_bands" -> ((s, dir) =>
       EventAnalytics.bollingerBands(Tables.load(s, dir, "events"))),
+
+    // E106: quiet-gap throttle — drop events within an hour of the
+    // same user's previous event (lag form; microsecond integers)
+    "e106_quiet_gap_filter" -> ((s, dir) =>
+      EventAnalytics.quietGapFilter(Tables.load(s, dir, "events"))),
+
+    // E107: bipartite projection with the hot-key cap — suppliers
+    // linked by >= 190 shared customers (the co-occurrence graph build)
+    "e107_copurchase_projection" -> ((s, dir) =>
+      GraphOps.bipartiteProjection(tradePairs(s, dir),
+        minShared = 190L)),
+
+    // E108: per-node triangle participation over the e107 projection —
+    // the clustering-structure probe (compact-forward 3-way equi-join)
+    "e108_triangle_count" -> ((s, dir) =>
+      GraphOps.triangleParticipation(
+        GraphOps.bipartiteProjection(tradePairs(s, dir),
+          minShared = 190L))),
+
+    // E105: hybrid retrieval via reciprocal rank fusion — the serving
+    // pattern that combines a lexical arm (BM25 top-10) with a vector
+    // arm (the SHARED composed IVF-PQ serve, top-10) into one ranking:
+    // rrf = Σ 1/(60 + rank) over the arms a doc appears in, fused with
+    // a full-outer join on (query, doc). Both arms are the
+    // already-oracled operators, so the fusion gate checks only the
+    // combination algebra — and the ranking runs on the ROUNDED score,
+    // the cross-engine-deterministic rank contract of e60.
+    "e105_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val queries = Seq(
+        (0L, "the"), (0L, "data"),
+        (1L, "spark"), (1L, "window"),
+        (2L, "join"), (2L, "vector"), (2L, "stream"))
+        .toDF("query_id", "term")
+      val lex = Relevance.bm25TopK(docs(s, dir), queries, 10)
+        .select(col("query_id"), col("doc_id"),
+          col("rnk").as("r_lex"))
+      val e = emb(s, dir)
+      val vec = sharedIvfPq(s, dir)
+        .topK(e.filter(col("vec_id") < 3), e, 10)
+        .select(col("q_id").cast("long").as("query_id"),
+          col("n_id").as("doc_id"), col("rank").as("r_vec"))
+      def arm(r: org.apache.spark.sql.Column) =
+        when(r > 0, lit(1.0) / (lit(60.0) + r)).otherwise(lit(0.0))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("r_lex", coalesce(col("r_lex"), lit(0L)))
+        .withColumn("r_vec", coalesce(col("r_vec"), lit(0L)))
+        .withColumn("rrf", Rounding.duckRound(
+          arm(col("r_lex")) + arm(col("r_vec")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"),
+          col("rrf"), col("r_lex"), col("r_vec"))
+    }),
 
     // E102: the EWMA as a STATEFUL STREAM — flatMapGroupsWithState
     // keeps the batch form's two running sums as O(1) per-key state
@@ -4182,6 +4245,120 @@ object ExtQueries {
         |SELECT user_id, event_id, ts, round(num / den, 6)
         |  AS ewma_value
         |FROM s""".stripMargin,
+
+    // the same lag window over the same (ts, event_id) order;
+    // microsecond-integer comparison on both engines
+    "e106_quiet_gap_filter" ->
+      """SELECT user_id, event_id, ts, value FROM (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events) t
+        |WHERE prev IS NULL
+        |   OR epoch_us(ts) - epoch_us(prev)
+        |        >= 3600::BIGINT * 1000000""".stripMargin,
+
+    // the same degree cap (vacuous at this scale, semantic at 100 TB)
+    // and the same shared-neighbor count
+    "e107_copurchase_projection" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c FROM pairs GROUP BY c
+        |        HAVING count(*) <= 1000),
+        |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg USING (c))
+        |SELECT a.sp AS node_a, b.sp AS node_b, count(*) AS n_shared
+        |FROM capped a JOIN capped b
+        |  ON a.c = b.c AND a.sp < b.sp
+        |GROUP BY 1, 2 HAVING count(*) >= 190""".stripMargin,
+
+    // the same ordered 3-way join enumerates each triangle once;
+    // corners credited via unnest
+    "e108_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (SELECT c FROM pairs GROUP BY c
+        |        HAVING count(*) <= 1000),
+        |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg USING (c)),
+        |proj AS (
+        |  SELECT a.sp AS node_a, b.sp AS node_b
+        |  FROM capped a JOIN capped b
+        |    ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY 1, 2 HAVING count(*) >= 190),
+        |tris AS (
+        |  SELECT e1.node_a AS a, e1.node_b AS b, e2.node_b AS c
+        |  FROM proj e1
+        |  JOIN proj e2 ON e1.node_b = e2.node_a
+        |  JOIN proj e3 ON e3.node_a = e1.node_a
+        |             AND e3.node_b = e2.node_b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT unnest([a, b, c]) AS node FROM tris) t
+        |GROUP BY 1""".stripMargin,
+
+    // both arms are the already-oracled chains (e60's BM25 at k=10,
+    // aranked76's composed serve at rank<=10); the fusion is pure
+    // integer-rank algebra ranked on the rounded score
+    "e105_rrf_fusion" ->
+      s"""WITH q(query_id, term) AS (VALUES
+        |    (0, 'the'), (0, 'data'),
+        |    (1, 'spark'), (1, 'window'),
+        |    (2, 'join'), (2, 'vector'), (2, 'stream')),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |bstats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        |btf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+        |bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY 1),
+        |bscored AS (
+        |  SELECT qq.query_id, btf.doc_id,
+        |    round(sum(
+        |      ln((n_docs - df + CAST(0.5 AS DOUBLE))
+        |          / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |         * ((1 - CAST(0.75 AS DOUBLE))
+        |            + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
+        |  FROM btf JOIN q qq ON btf.tok = qq.term
+        |  JOIN bdf USING (tok) JOIN dl USING (doc_id)
+        |  CROSS JOIN bstats
+        |  GROUP BY 1, 2),
+        |lexarm AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM bscored QUALIFY r_lex <= 10),
+        |$ivfpqScoreCtes,
+        |vecarm AS (
+        |  SELECT q_id AS query_id, n_id AS doc_id, rank AS r_vec
+        |  FROM aranked76 WHERE rank <= 10 AND q_id < 3),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(l.r_lex, 0) AS r_lex,
+        |    coalesce(v.r_vec, 0) AS r_vec
+        |  FROM lexarm l FULL OUTER JOIN vecarm v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        |srrf AS (
+        |  SELECT *, round(
+        |    CASE WHEN r_lex > 0 THEN
+        |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex)
+        |      ELSE CAST(0 AS DOUBLE) END +
+        |    CASE WHEN r_vec > 0 THEN
+        |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_vec)
+        |      ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
+        |  FROM fused)
+        |SELECT query_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS rnk,
+        |  doc_id, rrf, r_lex, r_vec
+        |FROM srrf QUALIFY rnk <= 5""".stripMargin,
 
     // identical trailing frame; stats rounded before the band
     // arithmetic and the breach comparison (Welford order differs)

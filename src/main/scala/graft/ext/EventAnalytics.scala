@@ -240,6 +240,31 @@ object EventAnalytics {
           lit(false)))
   }
 
+  /** Quiet-gap throttle (lag-form debounce): keep an event only if at
+    * least `gapSeconds` passed since the PREVIOUS event of the same
+    * user (first events always kept) — the rapid-fire suppressor for
+    * bot bursts / double-clicks / sensor chatter. The lag form is
+    * windowable (one per-user window, no sequential state); the
+    * keep-anchored variant ("since the last KEPT event") is the
+    * stateful cousin — a StreamingEwma-style GroupState fold, not a
+    * window — chosen against here because the lag form is what SQL
+    * engines and the oracle can express identically. Comparison runs
+    * on microsecond integers (no calendar-second truncation
+    * ambiguity). */
+  def quietGapFilter(events: DataFrame,
+                     gapSeconds: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) >=
+          gapSeconds * 1000000L)
+      .drop("prev")
+  }
+
   /** Equi-depth feature binning: each row's n-tile bucket of `value`
     * within its event type — the discretization behind equi-depth
     * histograms, PSI drift inputs, and monotone feature encoding.

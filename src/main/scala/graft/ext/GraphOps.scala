@@ -21,6 +21,47 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Bipartite projection with a hot-key cap: project (left, right)
+    * memberships onto right-right edges weighted by shared-left count,
+    * keeping edges with at least `minShared` common neighbors. The
+    * projection's failure mode at scale is the hot LEFT key (a
+    * customer touching k suppliers expands to k² pairs — the shingle
+    * df-blowup in graph form), so left keys with degree > `maxDeg`
+    * are dropped BEFORE the self-join, bounding per-key join work at
+    * maxDeg² — the same cap-defines-the-semantics contract as
+    * [[Dedup.cappedShingleHashes]] (the oracle mirrors the cap). */
+  def bipartiteProjection(pairs: DataFrame, minShared: Long,
+                          maxDeg: Long = 1000L): DataFrame = {
+    val deg = pairs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg).select(col("c"))
+    val capped = pairs.join(deg, Seq("c"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("node_a"), col("b.sp").as("node_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Per-node triangle participation over an UNDIRECTED edge list
+    * given as canonical (node_a < node_b) rows: enumerate each
+    * triangle once via the ordered 3-way equi-join
+    * (a<b, b<c, a<c — the standard compact-forward algorithm; at
+    * scale, ordering by degree first bounds the join fan-out), then
+    * credit each corner. Output (node, n_triangles). */
+  def triangleParticipation(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("node_a"), col("node_b"))
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.node_b") === col("e2.node_a"))
+      .join(e.as("e3"),
+        col("e3.node_a") === col("e1.node_a") &&
+          col("e3.node_b") === col("e2.node_b"))
+      .select(col("e1.node_a").as("a"), col("e1.node_b").as("b"),
+        col("e2.node_b").as("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Power-iteration PageRank over a DIRECTED edge list (src, dst) —
     * callers model an undirected graph by passing both directions.
     * Every node must appear as a src (true for symmetrized edges);

@@ -67,6 +67,33 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(math.abs(pr.values.sum - 1.0) < 1e-12)
   }
 
+  test("bipartiteProjection: shared-neighbor weights and the hot-key " +
+    "cap") {
+    import graft.ext.GraphOps
+    // left key 1 links {10,11,12}; left key 2 links {10,11}; hot key 9
+    // links everything and must be dropped by maxDeg = 3
+    val pairs = (Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (2L, 11L)) ++ (10L to 13L).map(sp => (9L, sp)))
+      .toDF("c", "sp")
+    val got = GraphOps.bipartiteProjection(pairs, minShared = 1L,
+        maxDeg = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((10L, 11L) -> 2L, (10L, 12L) -> 1L,
+      (11L, 12L) -> 1L), s"got $got")
+  }
+
+  test("triangleParticipation: counts corners of each triangle once") {
+    import graft.ext.GraphOps
+    // triangle 1-2-3 plus pendant edge 3-4: nodes 1,2,3 get one
+    // triangle each, node 4 none
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("node_a", "node_b")
+    val got = GraphOps.triangleParticipation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
+
   test("interleaveBits: Morton order groups quadrants") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L))
       .toDF("x", "y")
