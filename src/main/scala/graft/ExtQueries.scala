@@ -1877,6 +1877,21 @@ object ExtQueries {
     "e106_quiet_gap_filter" -> ((s, dir) =>
       EventAnalytics.quietGapFilter(Tables.load(s, dir, "events"))),
 
+    // E109: PSI drift between the first- and second-half snapshots
+    // (median-ts split) per event type — reference-deciled bins,
+    // Laplace-smoothed shares
+    "e109_psi_drift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)"))
+        .head().getDouble(0)
+      val kv = ev.select(col("event_type").as("key"), col("value"),
+        unix_micros(col("ts")).as("m"))
+      DataProfile.psiDrift(
+          kv.filter(col("m") <= mid).select(col("key"), col("value")),
+          kv.filter(col("m") > mid).select(col("key"), col("value")))
+        .withColumnRenamed("key", "event_type")
+    }),
+
     // E107: bipartite projection with the hot-key cap — suppliers
     // linked by >= 190 shared customers (the co-occurrence graph build)
     "e107_copurchase_projection" -> ((s, dir) =>
@@ -4245,6 +4260,51 @@ object ExtQueries {
         |SELECT user_id, event_id, ts, round(num / den, 6)
         |  AS ewma_value
         |FROM s""".stripMargin,
+
+    // the same median split, reference-decile boundaries (rounded
+    // before binning), Laplace smoothing, and term sum
+    "e109_psi_drift" ->
+      """WITH cut AS (
+        |  SELECT quantile_cont(epoch_us(ts), 0.5) AS mid FROM events),
+        |ref AS (SELECT event_type, value FROM events, cut
+        |        WHERE epoch_us(ts) <= mid),
+        |cur AS (SELECT event_type, value FROM events, cut
+        |        WHERE epoch_us(ts) > mid),
+        |bnd AS (
+        |  SELECT event_type,
+        |    list_transform(quantile_cont(value,
+        |      [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |      b -> round(b, 6)) AS bs
+        |  FROM ref GROUP BY 1),
+        |rb AS (
+        |  SELECT r.event_type,
+        |    len(list_filter(b.bs, x -> r.value > x)) AS bin,
+        |    count(*) AS c
+        |  FROM ref r JOIN bnd b USING (event_type) GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT r.event_type,
+        |    len(list_filter(b.bs, x -> r.value > x)) AS bin,
+        |    count(*) AS c
+        |  FROM cur r JOIN bnd b USING (event_type) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT coalesce(rb.event_type, cb.event_type) AS event_type,
+        |    coalesce(rb.bin, cb.bin) AS bin,
+        |    coalesce(rb.c, 0) AS c_r, coalesce(cb.c, 0) AS c_c
+        |  FROM rb FULL OUTER JOIN cb
+        |    ON rb.event_type = cb.event_type AND rb.bin = cb.bin),
+        |n AS (
+        |  SELECT event_type, sum(c_r)::DOUBLE AS n_r,
+        |    sum(c_c)::DOUBLE AS n_c
+        |  FROM f GROUP BY 1),
+        |terms AS (
+        |  SELECT f.event_type,
+        |    (c_r + CAST(0.5 AS DOUBLE)) / (n_r + CAST(5 AS DOUBLE))
+        |      AS p,
+        |    (c_c + CAST(0.5 AS DOUBLE)) / (n_c + CAST(5 AS DOUBLE))
+        |      AS q
+        |  FROM f JOIN n USING (event_type))
+        |SELECT event_type, round(sum((p - q) * ln(p / q)), 6) AS psi
+        |FROM terms GROUP BY 1""".stripMargin,
 
     // the same lag window over the same (ts, event_id) order;
     // microsecond-integer comparison on both engines

@@ -162,4 +162,49 @@ object DataProfile {
     val aggs = count(lit(1)).as("n") +: flags
     joined.groupBy(col(keyName)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Population stability index between a reference and a current
+    * snapshot, per group: equi-depth bin BOUNDARIES come from the
+    * REFERENCE's interpolated quantiles (rounded before use — the e36
+    * contract), rows bin via a codegen'd `size(filter(bounds, ...))`
+    * lambda against the broadcast per-group boundary array (no row
+    * expansion), and PSI = Σ (p−q)·ln(p/q) with Laplace-smoothed
+    * shares ((c+0.5)/(N+B/2)) so an empty current bin contributes a
+    * finite, comparable term instead of ∞ — the standard drift
+    * monitor between training snapshots.
+    *
+    * Inputs are (key, value) frames; output (key, psi). Scale shape:
+    * one quantile aggregate on the reference, two binned counts
+    * (partial-aggregated, key×bins cells), one bounded full-outer
+    * align — nothing row-expands and nothing sorts the corpus. */
+  def psiDrift(ref: DataFrame, cur: DataFrame,
+               nBins: Int = 10): DataFrame = {
+    val qs = (1 until nBins).map(i =>
+      s"CAST(${i.toDouble / nBins} AS DOUBLE)").mkString(",")
+    // duckRound inline (lambda scope): DuckDB double-space rounding so
+    // both engines bin against bit-identical boundaries
+    val bnd = ref.groupBy(col("key"))
+      .agg(expr(s"""transform(percentile(value, array($qs)),
+        b -> signum(b) * floor(abs(b) * 1000000.0d + 0.5d)
+             / 1000000.0d)""").as("bs"))
+    def binned(df: DataFrame, cName: String) =
+      df.join(broadcast(bnd), Seq("key"))
+        .select(col("key"),
+          expr("size(filter(bs, x -> value > x))").as("bin"))
+        .groupBy(col("key"), col("bin"))
+        .agg(count(lit(1)).as(cName))
+    val f = binned(ref, "c_r")
+      .join(binned(cur, "c_c"), Seq("key", "bin"), "full_outer")
+      .withColumn("c_r", coalesce(col("c_r"), lit(0L)))
+      .withColumn("c_c", coalesce(col("c_c"), lit(0L)))
+    val n = f.groupBy(col("key"))
+      .agg(sum(col("c_r")).cast("double").as("n_r"),
+        sum(col("c_c")).cast("double").as("n_c"))
+    val p = (col("c_r") + lit(0.5)) / (col("n_r") + lit(nBins / 2.0))
+    val q = (col("c_c") + lit(0.5)) / (col("n_c") + lit(nBins / 2.0))
+    f.join(broadcast(n), Seq("key"))
+      .groupBy(col("key"))
+      .agg(graft.Rounding.duckRound(
+        sum((p - q) * log(p / q)), 6).as("psi"))
+  }
 }
