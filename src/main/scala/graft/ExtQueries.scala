@@ -18,6 +18,40 @@ object ExtQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** The e105 RRF-fused top-5 per query (lexical BM25 arm + shared
+    * composed IVF-PQ vector arm), shared by the fusion gate and the
+    * e111 nDCG evaluation. */
+  private def rrfFused(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val queries = Seq(
+      (0L, "the"), (0L, "data"),
+      (1L, "spark"), (1L, "window"),
+      (2L, "join"), (2L, "vector"), (2L, "stream"))
+      .toDF("query_id", "term")
+    val lex = Relevance.bm25TopK(docs(s, dir), queries, 10)
+      .select(col("query_id"), col("doc_id"),
+        col("rnk").as("r_lex"))
+    val e = emb(s, dir)
+    val vec = sharedIvfPq(s, dir)
+      .topK(e.filter(col("vec_id") < 3), e, 10)
+      .select(col("q_id").cast("long").as("query_id"),
+        col("n_id").as("doc_id"), col("rank").as("r_vec"))
+    def arm(r: org.apache.spark.sql.Column) =
+      when(r > 0, lit(1.0) / (lit(60.0) + r)).otherwise(lit(0.0))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("r_lex", coalesce(col("r_lex"), lit(0L)))
+      .withColumn("r_vec", coalesce(col("r_vec"), lit(0L)))
+      .withColumn("rrf", Rounding.duckRound(
+        arm(col("r_lex")) + arm(col("r_vec")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rrf"), col("r_lex"), col("r_vec"))
+  }
+
   /** Distinct (customer, supplier) trade memberships — the bipartite
     * graph behind e91/e107/e108. */
   private def tradePairs(s: SparkSession, dir: String): DataFrame = {
@@ -54,6 +88,73 @@ object ExtQueries {
     ModelCache.cached(s"ivfpqresid|$dir|ck=8|m=4|k=8|it=2")(
       Similarity.trainIvfPqResidualWith(emb(s, dir),
         sharedCentroids(s, dir), 4, 8, 2))
+
+  /** The e105 RRF fusion as DuckDB CTEs ending in
+    * `fusedtop (query_id, rnk, doc_id, rrf, r_lex, r_vec)` — the
+    * lexical BM25 arm (e60's machinery at k=10), the composed IVF-PQ
+    * vector arm (`aranked76` at rank ≤ 10), the full-outer fuse, and
+    * the rounded-score ranking. Shared by e105 and e111. */
+  private lazy val rrfFusionCtes: String =
+    s"""q(query_id, term) AS (VALUES
+      |    (0, 'the'), (0, 'data'),
+      |    (1, 'spark'), (1, 'window'),
+      |    (2, 'join'), (2, 'vector'), (2, 'stream')),
+      |toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+      |      AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |bstats AS (
+      |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+      |btf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks
+      |  WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+      |bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY 1),
+      |bscored AS (
+      |  SELECT qq.query_id, btf.doc_id,
+      |    round(sum(
+      |      ln((n_docs - df + CAST(0.5 AS DOUBLE))
+      |          / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+      |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+      |      / (tf + CAST(1.2 AS DOUBLE)
+      |         * ((1 - CAST(0.75 AS DOUBLE))
+      |            + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
+      |  FROM btf JOIN q qq ON btf.tok = qq.term
+      |  JOIN bdf USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN bstats
+      |  GROUP BY 1, 2),
+      |lexarm AS (
+      |  SELECT query_id, doc_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY bm25 DESC, doc_id) AS r_lex
+      |  FROM bscored QUALIFY r_lex <= 10),
+      |$ivfpqScoreCtes,
+      |vecarm AS (
+      |  SELECT q_id AS query_id, n_id AS doc_id, rank AS r_vec
+      |  FROM aranked76 WHERE rank <= 10 AND q_id < 3),
+      |fused AS (
+      |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+      |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+      |    coalesce(l.r_lex, 0) AS r_lex,
+      |    coalesce(v.r_vec, 0) AS r_vec
+      |  FROM lexarm l FULL OUTER JOIN vecarm v
+      |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+      |srrf AS (
+      |  SELECT *, round(
+      |    CASE WHEN r_lex > 0 THEN
+      |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex)
+      |      ELSE CAST(0 AS DOUBLE) END +
+      |    CASE WHEN r_vec > 0 THEN
+      |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_vec)
+      |      ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
+      |  FROM fused),
+      |fusedtop AS (
+      |  SELECT query_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY rrf DESC, doc_id) AS rnk,
+      |    doc_id, rrf, r_lex, r_vec
+      |  FROM srrf QUALIFY rnk <= 5)""".stripMargin
 
   /** The CMS heavy-hitter chain as one DuckDB query: d×w counters
     * rebuilt in SQL, est = min over rows, candidates (est ≥ t — the
@@ -1877,6 +1978,12 @@ object ExtQueries {
     "e106_quiet_gap_filter" -> ((s, dir) =>
       EventAnalytics.quietGapFilter(Tables.load(s, dir, "events"))),
 
+    // E110: keep-anchored debounce — kept iff an hour since the last
+    // KEPT event (a sequential per-key fold no window expresses;
+    // typed flatMapGroups, recursive-CTE oracle)
+    "e110_anchored_debounce" -> ((s, dir) =>
+      EventAnalytics.anchoredDebounce(Tables.load(s, dir, "events"))),
+
     // E109: PSI drift between the first- and second-half snapshots
     // (median-ts split) per event type — reference-deciled bins,
     // Laplace-smoothed shares
@@ -1913,35 +2020,41 @@ object ExtQueries {
     // already-oracled operators, so the fusion gate checks only the
     // combination algebra — and the ranking runs on the ROUNDED score,
     // the cross-engine-deterministic rank contract of e60.
-    "e105_rrf_fusion" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val queries = Seq(
-        (0L, "the"), (0L, "data"),
-        (1L, "spark"), (1L, "window"),
-        (2L, "join"), (2L, "vector"), (2L, "stream"))
-        .toDF("query_id", "term")
-      val lex = Relevance.bm25TopK(docs(s, dir), queries, 10)
-        .select(col("query_id"), col("doc_id"),
-          col("rnk").as("r_lex"))
-      val e = emb(s, dir)
-      val vec = sharedIvfPq(s, dir)
-        .topK(e.filter(col("vec_id") < 3), e, 10)
-        .select(col("q_id").cast("long").as("query_id"),
-          col("n_id").as("doc_id"), col("rank").as("r_vec"))
-      def arm(r: org.apache.spark.sql.Column) =
-        when(r > 0, lit(1.0) / (lit(60.0) + r)).otherwise(lit(0.0))
-      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("r_lex", coalesce(col("r_lex"), lit(0L)))
-        .withColumn("r_vec", coalesce(col("r_vec"), lit(0L)))
-        .withColumn("rrf", Rounding.duckRound(
-          arm(col("r_lex")) + arm(col("r_vec")), 6))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("rnk"), col("doc_id"),
-          col("rrf"), col("r_lex"), col("r_vec"))
+    "e105_rrf_fusion" -> ((s, dir) => rrfFused(s, dir)),
+
+    // E111: nDCG@5 of the fused ranking against label relevance — the
+    // graded-metric companion to the recall gates (e52/e79): dcg from
+    // the served ranking, idcg from the per-query relevant count,
+    // log2 discounts as ln/ln(2) on both engines, stats rounded
+    // before the ratio
+    "e111_ndcg_fusion" -> ((s, dir) => {
+      val fused = rrfFused(s, dir)
+      val lab = emb(s, dir).select(col("vec_id"), col("label"))
+      val ql = lab.filter(col("vec_id") < 3)
+        .select(col("vec_id").cast("long").as("query_id"),
+          col("label").as("qlabel"))
+      val rel = fused
+        .join(lab, fused("doc_id") === lab("vec_id"))
+        .join(broadcast(ql), Seq("query_id"))
+        .withColumn("rel",
+          when(col("label") === col("qlabel"), lit(1.0))
+            .otherwise(lit(0.0)))
+      val dcg = rel.groupBy(col("query_id"))
+        .agg(Rounding.duckRound(sum(col("rel") /
+          (log(col("rnk") + 1) / log(lit(2.0)))), 6).as("dcg"))
+      val rcount = lab.join(broadcast(ql),
+          col("label") === col("qlabel"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("r"))
+      val idcg = rcount
+        .withColumn("i", explode(sequence(lit(1), lit(5))))
+        .filter(col("i") <= col("r"))
+        .groupBy(col("query_id"))
+        .agg(Rounding.duckRound(sum(lit(1.0) /
+          (log(col("i") + 1) / log(lit(2.0)))), 6).as("idcg"))
+      dcg.join(idcg, Seq("query_id"))
+        .withColumn("ndcg",
+          Rounding.duckRound(col("dcg") / col("idcg"), 6))
+        .select(col("query_id"), col("dcg"), col("idcg"), col("ndcg"))
     }),
 
     // E102: the EWMA as a STATEFUL STREAM — flatMapGroupsWithState
@@ -4261,6 +4374,28 @@ object ExtQueries {
         |  AS ewma_value
         |FROM s""".stripMargin,
 
+    // the same fold as a recursive CTE: anchor advances only on kept
+    // rows, walked in the same (ts, event_id) per-user order
+    "e110_anchored_debounce" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk(user_id, rn, event_id, ts, value, kept, anchor) AS (
+        |  SELECT user_id, rn, event_id, ts, value, true, epoch_us(ts)
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.rn, s.event_id, s.ts, s.value,
+        |    epoch_us(s.ts) - w.anchor >= 3600::BIGINT * 1000000,
+        |    CASE WHEN epoch_us(s.ts) - w.anchor
+        |              >= 3600::BIGINT * 1000000
+        |         THEN epoch_us(s.ts) ELSE w.anchor END
+        |  FROM walk w JOIN seq s
+        |    ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+        |SELECT user_id, event_id, ts, value FROM walk
+        |WHERE kept""".stripMargin,
+
     // the same median split, reference-decile boundaries (rounded
     // before binning), Laplace smoothing, and term sum
     "e109_psi_drift" ->
@@ -4360,65 +4495,43 @@ object ExtQueries {
     // aranked76's composed serve at rank<=10); the fusion is pure
     // integer-rank algebra ranked on the rounded score
     "e105_rrf_fusion" ->
-      s"""WITH q(query_id, term) AS (VALUES
-        |    (0, 'the'), (0, 'data'),
-        |    (1, 'spark'), (1, 'window'),
-        |    (2, 'join'), (2, 'vector'), (2, 'stream')),
-        |toks AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
-        |      AS tok
-        |  FROM documents),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |bstats AS (
-        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-        |btf AS (
-        |  SELECT doc_id, tok, count(*) AS tf FROM toks
-        |  WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
-        |bdf AS (SELECT tok, count(*) AS df FROM btf GROUP BY 1),
-        |bscored AS (
-        |  SELECT qq.query_id, btf.doc_id,
-        |    round(sum(
-        |      ln((n_docs - df + CAST(0.5 AS DOUBLE))
-        |          / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-        |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
-        |      / (tf + CAST(1.2 AS DOUBLE)
-        |         * ((1 - CAST(0.75 AS DOUBLE))
-        |            + CAST(0.75 AS DOUBLE) * dl / avgdl))), 6) AS bm25
-        |  FROM btf JOIN q qq ON btf.tok = qq.term
-        |  JOIN bdf USING (tok) JOIN dl USING (doc_id)
-        |  CROSS JOIN bstats
-        |  GROUP BY 1, 2),
-        |lexarm AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY bm25 DESC, doc_id) AS r_lex
-        |  FROM bscored QUALIFY r_lex <= 10),
-        |$ivfpqScoreCtes,
-        |vecarm AS (
-        |  SELECT q_id AS query_id, n_id AS doc_id, rank AS r_vec
-        |  FROM aranked76 WHERE rank <= 10 AND q_id < 3),
-        |fused AS (
-        |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
-        |    coalesce(l.doc_id, v.doc_id) AS doc_id,
-        |    coalesce(l.r_lex, 0) AS r_lex,
-        |    coalesce(v.r_vec, 0) AS r_vec
-        |  FROM lexarm l FULL OUTER JOIN vecarm v
-        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
-        |srrf AS (
-        |  SELECT *, round(
-        |    CASE WHEN r_lex > 0 THEN
-        |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_lex)
-        |      ELSE CAST(0 AS DOUBLE) END +
-        |    CASE WHEN r_vec > 0 THEN
-        |      CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_vec)
-        |      ELSE CAST(0 AS DOUBLE) END, 6) AS rrf
-        |  FROM fused)
-        |SELECT query_id,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf DESC, doc_id) AS rnk,
-        |  doc_id, rrf, r_lex, r_vec
-        |FROM srrf QUALIFY rnk <= 5""".stripMargin,
+      s"""WITH $rrfFusionCtes
+        |SELECT query_id, rnk, doc_id, rrf, r_lex, r_vec
+        |FROM fusedtop""".stripMargin,
+
+    // nDCG@5 of the fused ranking against label relevance: the same
+    // fused CTEs, rel = (doc label == query label), log2 via ln/ln(2),
+    // ideal gain from the per-query relevant-doc count
+    "e111_ndcg_fusion" ->
+      s"""WITH $rrfFusionCtes,
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |ql AS (SELECT vec_id AS query_id, label AS qlabel FROM lab
+        |       WHERE vec_id < 3),
+        |rel AS (
+        |  SELECT f.query_id, f.rnk,
+        |    CASE WHEN l.label = q.qlabel THEN CAST(1 AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS rel
+        |  FROM fusedtop f
+        |  JOIN lab l ON l.vec_id = f.doc_id
+        |  JOIN ql q ON q.query_id = f.query_id),
+        |dcg AS (
+        |  SELECT query_id,
+        |    round(sum(rel / (ln(rnk + 1) / ln(CAST(2 AS DOUBLE)))), 6)
+        |      AS dcg
+        |  FROM rel GROUP BY 1),
+        |rcount AS (
+        |  SELECT q.query_id, count(*) AS r
+        |  FROM lab l JOIN ql q ON l.label = q.qlabel
+        |  GROUP BY 1),
+        |idcg AS (
+        |  SELECT query_id,
+        |    round(sum(CAST(1 AS DOUBLE)
+        |      / (ln(i + 1) / ln(CAST(2 AS DOUBLE)))), 6) AS idcg
+        |  FROM rcount, (SELECT unnest(range(1, 6)) AS i) ii
+        |  WHERE i <= r GROUP BY 1)
+        |SELECT d.query_id, d.dcg, g.idcg,
+        |  round(d.dcg / g.idcg, 6) AS ndcg
+        |FROM dcg d JOIN idcg g USING (query_id)""".stripMargin,
 
     // identical trailing frame; stats rounded before the band
     // arithmetic and the breach comparison (Welford order differs)

@@ -265,6 +265,46 @@ object EventAnalytics {
       .drop("prev")
   }
 
+  /** KEEP-ANCHORED debounce — the stateful cousin of
+    * [[quietGapFilter]]: an event is kept iff at least `gapSeconds`
+    * passed since the last KEPT event of the same user, so a steady
+    * burst emits one event per gap window instead of suppressing
+    * everything after the first lull. This is inherently a sequential
+    * per-key fold (the decision for row i depends on which earlier
+    * rows were KEPT — no window function expresses it), so it runs as
+    * `groupByKey(user).flatMapGroups` with an in-group
+    * (ts, event_id) sort: the typed per-key-imperative topology, used
+    * exactly where Catalyst has no operator for the semantics. Keys
+    * are the parallel unit; per-key memory is the key's own history
+    * (bounded here; kilometre-long keys would take
+    * repartition+sortWithinPartitions with an iterator fold instead
+    * of the in-memory sort). The oracle walks the same fold as a
+    * recursive CTE. */
+  def anchoredDebounce(events: DataFrame,
+                       gapSeconds: Long = 3600L): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (micros(e._3), e._2))
+        var anchor = Long.MinValue
+        sorted.iterator.filter { e =>
+          val m = micros(e._3)
+          val keep = anchor == Long.MinValue || m - anchor >= gapMicros
+          if (keep) anchor = m
+          keep
+        }
+      }
+      .toDF("user_id", "event_id", "ts", "value")
+  }
+
   /** Equi-depth feature binning: each row's n-tile bucket of `value`
     * within its event type — the discretization behind equi-depth
     * histograms, PSI drift inputs, and monotone feature encoding.
