@@ -89,6 +89,30 @@ object ExtQueries {
       Similarity.trainIvfPqResidualWith(emb(s, dir),
         sharedCentroids(s, dir), 4, 8, 2))
 
+  /** The keep-anchored debounce walked as a recursive CTE: the anchor
+    * advances only on kept rows, in the same (ts, event_id) per-user
+    * order as the batch fold and the streaming state. Shared by e110
+    * (batch) and e112 (streaming replay). */
+  private val anchoredDebounceOracle: String =
+    """WITH RECURSIVE seq AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |walk(user_id, rn, event_id, ts, value, kept, anchor) AS (
+      |  SELECT user_id, rn, event_id, ts, value, true, epoch_us(ts)
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn, s.event_id, s.ts, s.value,
+      |    epoch_us(s.ts) - w.anchor >= 3600::BIGINT * 1000000,
+      |    CASE WHEN epoch_us(s.ts) - w.anchor
+      |              >= 3600::BIGINT * 1000000
+      |         THEN epoch_us(s.ts) ELSE w.anchor END
+      |  FROM walk w JOIN seq s
+      |    ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+      |SELECT user_id, event_id, ts, value FROM walk
+      |WHERE kept""".stripMargin
+
   /** The e105 RRF fusion as DuckDB CTEs ending in
     * `fusedtop (query_id, rnk, doc_id, rrf, r_lex, r_vec)` — the
     * lexical BM25 arm (e60's machinery at k=10), the composed IVF-PQ
@@ -1983,6 +2007,37 @@ object ExtQueries {
     // typed flatMapGroups, recursive-CTE oracle)
     "e110_anchored_debounce" -> ((s, dir) =>
       EventAnalytics.anchoredDebounce(Tables.load(s, dir, "events"))),
+
+    // E112: the anchored debounce AS A STREAM — one long of state per
+    // key, the identical fold as the batch operator over time-staged
+    // batches, so the replay shares e110's recursive-CTE oracle
+    "e112_streaming_debounce_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+      val bounds = ev.agg(expr(
+          "percentile(unix_micros(ts), array(0.33, 0.66))"))
+        .head().getSeq[Double](0)
+      val m = unix_micros(col("ts"))
+      val scratch = graft.Scratch.fresh("debounce_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+          ev.filter(m <= bounds(0)),
+          ev.filter(m > bounds(0) && m <= bounds(1)),
+          ev.filter(m > bounds(1))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingDebounce.debounce(
+          stream.as[graft.streaming.StreamingDebounce.EventIn]).toDF())
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+    }),
 
     // E109: PSI drift between the first- and second-half snapshots
     // (median-ts split) per event type — reference-deciled bins,
@@ -4374,27 +4429,13 @@ object ExtQueries {
         |  AS ewma_value
         |FROM s""".stripMargin,
 
+    // the streaming replay folds the identical anchor sequence —
+    // e110's recursive-CTE oracle gates it verbatim
+    "e112_streaming_debounce_replay" -> anchoredDebounceOracle,
+
     // the same fold as a recursive CTE: anchor advances only on kept
     // rows, walked in the same (ts, event_id) per-user order
-    "e110_anchored_debounce" ->
-      """WITH RECURSIVE seq AS (
-        |  SELECT user_id, event_id, ts, value,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS rn
-        |  FROM events),
-        |walk(user_id, rn, event_id, ts, value, kept, anchor) AS (
-        |  SELECT user_id, rn, event_id, ts, value, true, epoch_us(ts)
-        |  FROM seq WHERE rn = 1
-        |  UNION ALL
-        |  SELECT s.user_id, s.rn, s.event_id, s.ts, s.value,
-        |    epoch_us(s.ts) - w.anchor >= 3600::BIGINT * 1000000,
-        |    CASE WHEN epoch_us(s.ts) - w.anchor
-        |              >= 3600::BIGINT * 1000000
-        |         THEN epoch_us(s.ts) ELSE w.anchor END
-        |  FROM walk w JOIN seq s
-        |    ON s.user_id = w.user_id AND s.rn = w.rn + 1)
-        |SELECT user_id, event_id, ts, value FROM walk
-        |WHERE kept""".stripMargin,
+    "e110_anchored_debounce" -> anchoredDebounceOracle,
 
     // the same median split, reference-decile boundaries (rounded
     // before binning), Laplace smoothing, and term sum
