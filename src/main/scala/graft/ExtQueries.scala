@@ -2002,6 +2002,13 @@ object ExtQueries {
     "e106_quiet_gap_filter" -> ((s, dir) =>
       EventAnalytics.quietGapFilter(Tables.load(s, dir, "events"))),
 
+    // E113: consistent-hash rebalancing scorecard — modulo vs ring
+    // placement under 8 → 9 shards over the document keys (the
+    // store-topology decision; ring moves ~1/9, modulo ~8/9)
+    "e113_shard_rebalance" -> ((s, dir) =>
+      ConsistentHash.rebalanceScore(
+        docs(s, dir).select(col("doc_id").cast("string").as("k")), 8)),
+
     // E110: keep-anchored debounce — kept iff an hour since the last
     // KEPT event (a sequential per-key fold no window expresses;
     // typed flatMapGroups, recursive-CTE oracle)
@@ -4432,6 +4439,50 @@ object ExtQueries {
     // the streaming replay folds the identical anchor sequence —
     // e110's recursive-CTE oracle gates it verbatim
     "e112_streaming_debounce_replay" -> anchoredDebounceOracle,
+
+    // the ring rebuilt in SQL from the same md5 point set; the same
+    // first-point-at-or-after-with-wrap lookup
+    "e113_shard_rebalance" ->
+      """WITH ks AS (
+        |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM documents),
+        |pts AS (
+        |  SELECT n, sh,
+        |    ('0x' || substr(md5(concat('ring|s', CAST(sh AS VARCHAR),
+        |      '|', CAST(v AS VARCHAR))), 1, 15))::BIGINT AS pos
+        |  FROM (SELECT unnest(range(0, 9)) AS sh) s,
+        |       (SELECT unnest(range(0, 8)) AS v) vv,
+        |       (SELECT unnest([8, 9]) AS n) nn
+        |  WHERE sh < n),
+        |rings AS (
+        |  SELECT n, list(pos ORDER BY pos) AS ps,
+        |    list(sh ORDER BY pos) AS os
+        |  FROM pts GROUP BY 1),
+        |owned AS (
+        |  SELECT k.h,
+        |    CASE WHEN len(list_filter(r8.ps, p -> p < k.h))
+        |              = len(r8.ps)
+        |         THEN r8.os[1]
+        |         ELSE r8.os[len(list_filter(r8.ps, p -> p < k.h)) + 1]
+        |    END AS o8,
+        |    CASE WHEN len(list_filter(r9.ps, p -> p < k.h))
+        |              = len(r9.ps)
+        |         THEN r9.os[1]
+        |         ELSE r9.os[len(list_filter(r9.ps, p -> p < k.h)) + 1]
+        |    END AS o9
+        |  FROM ks k,
+        |    (SELECT ps, os FROM rings WHERE n = 8) r8,
+        |    (SELECT ps, os FROM rings WHERE n = 9) r9)
+        |SELECT 'modulo' AS scheme, count(*) AS n_total,
+        |  count(*) FILTER (h % 8 <> h % 9) AS n_moved,
+        |  round(count(*) FILTER (h % 8 <> h % 9)::DOUBLE
+        |    / count(*), 6) AS frac
+        |FROM ks
+        |UNION ALL
+        |SELECT 'ring', count(*), count(*) FILTER (o8 <> o9),
+        |  round(count(*) FILTER (o8 <> o9)::DOUBLE / count(*), 6)
+        |FROM owned""".stripMargin,
 
     // the same fold as a recursive CTE: anchor advances only on kept
     // rows, walked in the same (ts, event_id) per-user order
