@@ -89,6 +89,52 @@ object ExtQueries {
       Similarity.trainIvfPqResidualWith(emb(s, dir),
         sharedCentroids(s, dir), 4, 8, 2))
 
+  /** The sorted-neighborhood chain as DuckDB CTEs ending in
+    * `snnj (doc_a, doc_b, jaccard)`: the global-row_number total order
+    * (identical ranks to Spark's offset-composed form), the
+    * w=3-successor candidates, and the distinct-shingle Jaccard
+    * verification. Shared by e97 and the e114 linkage closure. */
+  private lazy val snnCtes: String =
+    """keyed AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g')) AS key
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id)
+      |    AS rank
+      |  FROM keyed),
+      |cand AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ranked a JOIN ranked b
+      |    ON b.rank - a.rank BETWEEN 1 AND 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, greatest(len(w) - 3, 1)),
+      |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
+      |        AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |          FROM documents) t
+      |    WHERE len(w) >= 5) u),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN sh a ON a.doc_id = c.doc_a
+      |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      |  GROUP BY 1, 2),
+      |snnj AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    coalesce(i.n_inter, 0)::DOUBLE /
+      |      (coalesce(ca.n_sh, 0) + coalesce(cb.n_sh, 0)
+      |        - coalesce(i.n_inter, 0)) AS jaccard
+      |  FROM cand c
+      |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      |  LEFT JOIN counts ca ON ca.doc_id = c.doc_a
+      |  LEFT JOIN counts cb ON cb.doc_id = c.doc_b)""".stripMargin
+
   /** The keep-anchored debounce walked as a recursive CTE: the anchor
     * advances only on kept rows, in the same (ts, event_id) per-user
     * order as the batch fold and the streaming state. Shared by e110
@@ -2001,6 +2047,53 @@ object ExtQueries {
     // same user's previous event (lag form; microsecond integers)
     "e106_quiet_gap_filter" -> ((s, dir) =>
       EventAnalytics.quietGapFilter(Tables.load(s, dir, "events"))),
+
+    // E114: entity resolution end-to-end — sorted-neighborhood
+    // blocking (e97) → Jaccard ≥ 0.3 match edges → connected-component
+    // closure → one entity id per doc (singletons are their own
+    // entity). The record-linkage pipeline composed from
+    // already-oracled stages; the oracle rebuilds the whole chain
+    // including the recursive closure.
+    "e114_entity_resolution" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.sortedNeighborhoodPairs(d, window = 3)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = Clustering.connectedComponents(edges)
+      val assigned = d.select(col("doc_id"))
+        .join(comp, d("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("entity_id"))
+      val sizes = assigned.groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("entity_size"))
+      assigned.join(sizes, Seq("entity_id"))
+        .select(col("doc_id"), col("entity_id"), col("entity_size"))
+    }),
+
+    // E115: content-addressed dataset identity — an order-free
+    // Merkle-style fingerprint (bit_xor of row hashes + count) per
+    // table, so two 100 TB snapshots compare by exchanging 3 numbers
+    // instead of data. Row serialization uses only exactly-stringable
+    // columns (ints, strings, µs timestamps) — float columns would
+    // need a canonical integer encoding first (the e98 CDC diff is
+    // the row-level tool when fingerprints differ).
+    "e115_dataset_fingerprint" -> ((s, dir) => {
+      def fp(name: String, df: DataFrame,
+             row: org.apache.spark.sql.Column) =
+        df.select(Dedup.md5Long(row).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_fp"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("xor_fp"))
+      val d = docs(s, dir)
+      val ev = Tables.load(s, dir, "events")
+      fp("documents", d,
+        concat_ws("|", col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")))
+        .unionByName(fp("events", ev,
+          concat_ws("|", col("event_id"), unix_micros(col("ts")),
+            col("user_id"), col("event_type"), col("props"))))
+    }),
 
     // E113: consistent-hash rebalancing scorecard — modulo vs ring
     // placement under 8 → 9 shards over the document keys (the
@@ -4313,44 +4406,50 @@ object ExtQueries {
     // and verifies the same w-successor candidates with the same
     // distinct-shingle Jaccard
     "e97_sorted_neighborhood" ->
-      """WITH keyed AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text),
-        |    '[^a-z0-9]+', ' ', 'g')) AS key
-        |  FROM documents),
-        |ranked AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY key, doc_id)
-        |    AS rank
-        |  FROM keyed),
-        |cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM ranked a JOIN ranked b
-        |    ON b.rank - a.rank BETWEEN 1 AND 3),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
-        |  FROM (
-        |    SELECT doc_id, unnest(list_transform(
-        |      range(1, greatest(len(w) - 3, 1)),
-        |      i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))
-        |        AS s
-        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |          FROM documents) t
-        |    WHERE len(w) >= 5) u),
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-        |  FROM cand c
-        |  JOIN sh a ON a.doc_id = c.doc_a
-        |  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a, c.doc_b,
-        |  coalesce(i.n_inter, 0)::DOUBLE /
-        |    (coalesce(ca.n_sh, 0) + coalesce(cb.n_sh, 0)
-        |      - coalesce(i.n_inter, 0)) AS jaccard
-        |FROM cand c
-        |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-        |LEFT JOIN counts ca ON ca.doc_id = c.doc_a
-        |LEFT JOIN counts cb ON cb.doc_id = c.doc_b""".stripMargin,
+      s"""WITH $snnCtes
+        |SELECT doc_a, doc_b, jaccard FROM snnj""".stripMargin,
+
+    // the full linkage chain incl. the recursive closure rebuilt:
+    // blocking candidates -> jaccard >= 0.3 edges -> min-label
+    // components -> singleton backfill
+    "e114_entity_resolution" ->
+      s"""WITH RECURSIVE $snnCtes,
+        |jedges AS (
+        |  SELECT doc_a, doc_b FROM snnj
+        |  WHERE jaccard >= CAST(0.3 AS DOUBLE)),
+        |eedges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM jedges
+        |  UNION SELECT doc_b, doc_a FROM jedges),
+        |ereach AS (
+        |  SELECT a AS id, a AS r FROM eedges
+        |  UNION
+        |  SELECT e.b AS id, ereach.r AS r
+        |  FROM ereach JOIN eedges e ON e.a = ereach.id),
+        |ecomp AS (SELECT id, min(r) AS cluster_id FROM ereach
+        |          GROUP BY 1),
+        |assigned AS (
+        |  SELECT d.doc_id,
+        |    coalesce(ecomp.cluster_id, d.doc_id) AS entity_id
+        |  FROM documents d LEFT JOIN ecomp ON d.doc_id = ecomp.id),
+        |esizes AS (
+        |  SELECT entity_id, count(*) AS entity_size FROM assigned
+        |  GROUP BY 1)
+        |SELECT a.doc_id, a.entity_id, s.entity_size
+        |FROM assigned a JOIN esizes s USING (entity_id)""".stripMargin,
+
+    // the same row serialization and 60-bit hash; bit_xor is
+    // order-free on both engines
+    "e115_dataset_fingerprint" ->
+      """SELECT 'documents' AS table_name, count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(concat_ws('|', doc_id, text,
+        |    lang, source, n_chars)), 1, 15))::BIGINT) AS xor_fp
+        |FROM documents
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |  bit_xor(('0x' || substr(md5(concat_ws('|', event_id,
+        |    epoch_us(ts), user_id, event_type, props)), 1, 15))
+        |    ::BIGINT)
+        |FROM events""".stripMargin,
 
     // 5 power-iteration rounds unrolled as CTEs with the IDENTICAL
     // double arithmetic ((1 - 0.85) evaluated in double space both
