@@ -226,6 +226,40 @@ object ExtQueries {
       |    doc_id, rrf, r_lex, r_vec
       |  FROM srrf QUALIFY rnk <= 5)""".stripMargin
 
+  /** Per-scanline integer features of the closed-form synthetic
+    * image pattern, evaluated directly from the formula - shared by
+    * the BMP (e71) and PNG (e116) codec gates: the expected pixels
+    * are identical, only the codec under test differs. */
+  private lazy val imageCodecOracle: String =
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS h
+        |  FROM documents),
+        |yy AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, h - 1)) AS y
+        |  FROM g),
+        |xx AS (
+        |  SELECT doc_id, w, y,
+        |    unnest(generate_series(0, w - 1)) AS x
+        |  FROM yy),
+        |px AS (
+        |  SELECT doc_id, y, x,
+        |    (doc_id*7 + x*3 + y*5) % 256 AS r,
+        |    (doc_id*11 + x + y*2) % 256 AS gg,
+        |    (doc_id*13 + x*4 + y) % 256 AS b
+        |  FROM xx)
+        |SELECT doc_id, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gg) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max((299*r + 587*gg + 114*b) // 1000) AS BIGINT)
+        |    AS max_lum,
+        |  CAST(arg_min(r*65536 + gg*256 + b, x) AS BIGINT) AS first_px,
+        |  CAST(arg_max(r*65536 + gg*256 + b, x) AS BIGINT) AS last_px
+        |FROM px GROUP BY 1, 2""".stripMargin
+
   /** The CMS heavy-hitter chain as one DuckDB query: d×w counters
     * rebuilt in SQL, est = min over rows, candidates (est ≥ t — the
     * CMS-guaranteed superset) exact-counted and flagged. Shared by the
@@ -688,6 +722,18 @@ object ExtQueries {
     // uncapped linear profile.
     "e85_cross_doc_exact_spans" -> ((s, dir) =>
       Dedup.crossDocExactSpans(docs(s, dir))),
+
+    // E116: REAL compressed-image codec gate — the PNG twin of e71:
+    // the same closed-form pixels encoded through actual zlib DEFLATE
+    // with the per-row filter cycle (None/Sub/Up/Average/Paeth all
+    // exercised on every image), chunk-walked + CRC-verified +
+    // inflated + filter-reconstructed back by the pure-JVM PngCodec.
+    // Shares e71's oracle verbatim: same expected pixels, different
+    // codec under test.
+    "e116_png_codec_rows" -> ((s, dir) =>
+      Multimodal.decodePngRows(
+          Multimodal.syntheticPng(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
 
     // E71: REAL image codec gate — the image twin of e65: synthetic
     // 24-bit pixels from a closed-form formula are encoded to actual
@@ -3727,35 +3773,12 @@ object ExtQueries {
     // the synthetic image recomputed in closed form — the engine side
     // must round-trip it through real BMP bytes (stride padding,
     // bottom-up rows, BGR channel order) to match
-    "e71_bmp_codec_rows" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
-        |    CAST(8 + doc_id % 9 AS BIGINT) AS h
-        |  FROM documents),
-        |yy AS (
-        |  SELECT doc_id, w,
-        |    unnest(generate_series(0, h - 1)) AS y
-        |  FROM g),
-        |xx AS (
-        |  SELECT doc_id, w, y,
-        |    unnest(generate_series(0, w - 1)) AS x
-        |  FROM yy),
-        |px AS (
-        |  SELECT doc_id, y, x,
-        |    (doc_id*7 + x*3 + y*5) % 256 AS r,
-        |    (doc_id*11 + x + y*2) % 256 AS gg,
-        |    (doc_id*13 + x*4 + y) % 256 AS b
-        |  FROM xx)
-        |SELECT doc_id, y, count(*)::BIGINT AS n_px,
-        |  CAST(sum(r) AS BIGINT) AS sum_r,
-        |  CAST(sum(gg) AS BIGINT) AS sum_g,
-        |  CAST(sum(b) AS BIGINT) AS sum_b,
-        |  CAST(max((299*r + 587*gg + 114*b) // 1000) AS BIGINT)
-        |    AS max_lum,
-        |  CAST(arg_min(r*65536 + gg*256 + b, x) AS BIGINT) AS first_px,
-        |  CAST(arg_max(r*65536 + gg*256 + b, x) AS BIGINT) AS last_px
-        |FROM px GROUP BY 1, 2""".stripMargin,
+    "e71_bmp_codec_rows" -> imageCodecOracle,
+
+    // same expected pixels, different codec under test (zlib +
+    // adaptive filters instead of raw bottom-up rows)
+    "e116_png_codec_rows" -> imageCodecOracle,
+
 
     "e66_pii_scrub" ->
       """WITH d AS (

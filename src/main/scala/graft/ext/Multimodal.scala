@@ -175,6 +175,28 @@ object Multimodal {
                       sum_g: Long, sum_b: Long, max_lum: Long,
                       first_px: Long, last_px: Long)
 
+  /** Per-scanline [[ImageRow]] features of a decoded pixel array —
+    * shared by every image-codec gate so BMP and PNG are compared
+    * against the SAME oracle. */
+  private def imageRows(id: Long, w: Int, h: Int,
+                        px: Array[Int]): Iterator[ImageRow] =
+    (0 until h).iterator.map { y =>
+      var sr = 0L; var sg = 0L; var sb = 0L; var ml = 0L
+      var x = 0
+      while (x < w) {
+        val p = px(y * w + x)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (299L * r + 587L * g + 114L * b) / 1000L
+        if (lum > ml) ml = lum
+        x += 1
+      }
+      ImageRow(id, y.toLong, w.toLong, sr, sg, sb, ml,
+        (px(y * w) & 0xffffff).toLong,
+        (px(y * w + w - 1) & 0xffffff).toLong)
+    }
+
   /** REAL image-codec path: decode each payload with [[BmpCodec]] and
     * emit per-scanline features — the image twin of
     * [[decodeWavFrames]], same iterator→iterator partition-local
@@ -187,22 +209,40 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           val (w, h, px) = BmpCodec.decodeRgb24(payload)
-          (0 until h).iterator.map { y =>
-            var sr = 0L; var sg = 0L; var sb = 0L; var ml = 0L
-            var x = 0
-            while (x < w) {
-              val p = px(y * w + x)
-              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
-              val b = p & 0xff
-              sr += r; sg += g; sb += b
-              val lum = (299L * r + 587L * g + 114L * b) / 1000L
-              if (lum > ml) ml = lum
-              x += 1
-            }
-            ImageRow(id, y.toLong, w.toLong, sr, sg, sb, ml,
-              (px(y * w) & 0xffffff).toLong,
-              (px(y * w + w - 1) & 0xffffff).toLong)
-          }
+          imageRows(id, w, h, px)
+        }
+      }
+  }
+
+  /** Synthetic PNG blob table: the [[synthPx]] pattern (same dims and
+    * pixels as the BMP gate) encoded through the zlib path with the
+    * per-row filter cycle — so e116 shares e71's oracle verbatim:
+    * same expected pixels, different codec under test. */
+  def syntheticPng(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = synthImgW(id); val h = synthImgH(id)
+          (id, PngCodec.encodeRgb24(w, h,
+            Array.tabulate(w * h)(i => synthPx(id, i % w, i / w))))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** REAL compressed-image-codec path: decode each PNG payload
+    * (chunk walk, CRC verify, inflate, all five filter
+    * reconstructions) and emit the same per-scanline features. */
+  def decodePngRows(blobs: DataFrame): Dataset[ImageRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = PngCodec.decodeRgb24(payload)
+          imageRows(id, w, h, px)
         }
       }
   }
