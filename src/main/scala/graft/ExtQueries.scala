@@ -723,6 +723,16 @@ object ExtQueries {
     "e85_cross_doc_exact_spans" -> ((s, dir) =>
       Dedup.crossDocExactSpans(docs(s, dir))),
 
+    // E117: decode -> RESIZE -> extract — the thumbnail/normalization
+    // step between codec and features: nearest-neighbor to 8x4 (pure
+    // integer index math, so the oracle evaluates the resampled
+    // pattern directly), partition-local end to end
+    "e117_image_resize_rows" -> ((s, dir) =>
+      Multimodal.decodeResizeRows(
+          Multimodal.syntheticBmp(docs(s, dir).select(col("doc_id"))),
+          ow = 8, oh = 4)
+        .toDF()),
+
     // E116: REAL compressed-image codec gate — the PNG twin of e71:
     // the same closed-form pixels encoded through actual zlib DEFLATE
     // with the per-row filter cycle (None/Sub/Up/Average/Paeth all
@@ -3773,6 +3783,38 @@ object ExtQueries {
     // the synthetic image recomputed in closed form — the engine side
     // must round-trip it through real BMP bytes (stride padding,
     // bottom-up rows, BGR channel order) to match
+    // the resampled pattern evaluated directly: source index =
+    // (x*w)//8, (y*h)//4 — the same floor math as resizeNearest
+    "e117_image_resize_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CAST(16 + doc_id % 17 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS h
+        |  FROM documents),
+        |yy AS (
+        |  SELECT doc_id, w, h,
+        |    unnest(generate_series(0, 3)) AS y
+        |  FROM g),
+        |xx AS (
+        |  SELECT doc_id, w, h, y,
+        |    unnest(generate_series(0, 7)) AS x
+        |  FROM yy),
+        |px AS (
+        |  SELECT doc_id, y, x,
+        |    (doc_id*7 + ((x*w)//8)*3 + ((y*h)//4)*5) % 256 AS r,
+        |    (doc_id*11 + ((x*w)//8) + ((y*h)//4)*2) % 256 AS gg,
+        |    (doc_id*13 + ((x*w)//8)*4 + ((y*h)//4)) % 256 AS b
+        |  FROM xx)
+        |SELECT doc_id, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gg) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max((299*r + 587*gg + 114*b) // 1000) AS BIGINT)
+        |    AS max_lum,
+        |  CAST(arg_min(r*65536 + gg*256 + b, x) AS BIGINT) AS first_px,
+        |  CAST(arg_max(r*65536 + gg*256 + b, x) AS BIGINT) AS last_px
+        |FROM px GROUP BY 1, 2""".stripMargin,
+
     "e71_bmp_codec_rows" -> imageCodecOracle,
 
     // same expected pixels, different codec under test (zlib +

@@ -231,6 +231,39 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Nearest-neighbor resize of a top-down row-major pixel array —
+    * the thumbnail/normalization step between decode and
+    * feature-extract: out(x,y) = in(⌊x·sw/ow⌋, ⌊y·sh/oh⌋). Pure
+    * integer index math, so the resampled image is EXACTLY computable
+    * from the source formula and the resize gate stays hash-exact
+    * (bilinear would be the quality upgrade; its blend weights are
+    * rational with denominator ow·oh, so an integer fixed-point form
+    * stays oracle-able too — nearest is the gate's floor). */
+  def resizeNearest(w: Int, h: Int, px: Array[Int],
+                    ow: Int, oh: Int): Array[Int] =
+    Array.tabulate(ow * oh) { i =>
+      val x = i % ow; val y = i / ow
+      px((y * h / oh) * w + (x * w / ow))
+    }
+
+  /** Decode each BMP payload, nearest-resize to `ow`×`oh`, emit the
+    * standard per-scanline features — the decode→transform→extract
+    * pipeline every multimodal curation pass runs, partition-local
+    * end to end. */
+  def decodeResizeRows(blobs: DataFrame, ow: Int,
+                       oh: Int): Dataset[ImageRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = BmpCodec.decodeRgb24(payload)
+          imageRows(id, ow, oh, resizeNearest(w, h, px, ow, oh))
+        }
+      }
+  }
+
   /** REAL compressed-image-codec path: decode each PNG payload
     * (chunk walk, CRC verify, inflate, all five filter
     * reconstructions) and emit the same per-scanline features. */
