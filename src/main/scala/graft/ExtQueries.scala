@@ -2300,6 +2300,80 @@ object ExtQueries {
           stream.as[graft.streaming.StreamingEwma.EventIn]).toDF())
         .select(col("user_id"), col("event_id"), col("ts"),
           col("ewma_value"))
+    }),
+
+    // E118: per-user running-peak drawdown — peak, fractional fall,
+    // and the CAUSAL worst-so-far (the streaming twin e125 folds the
+    // identical sequence; see EventAnalytics.maxDrawdown)
+    "e118_max_drawdown" -> ((s, dir) =>
+      EventAnalytics.maxDrawdown(Tables.load(s, dir, "events"))),
+
+    // E119: anchored VWAP per part in shipdate order — rank-ordered
+    // running sums, bit-identical cross-engine before the one rounding
+    "e119_anchored_vwap" -> ((s, dir) =>
+      EventAnalytics.anchoredVwap(Tables.load(s, dir, "lineitem"))),
+
+    // E120: per-type least-squares trend of value vs days — slope /
+    // intercept / R² from round-before-use co-moments
+    "e120_trend_regression" -> ((s, dir) =>
+      EventAnalytics.trendRegression(Tables.load(s, dir, "events"))),
+
+    // E121: pairwise Pearson matrix of the lineitem numerics — all six
+    // coefficients from ONE partial-aggregated scan, then unpivoted
+    "e121_corr_matrix" -> ((s, dir) =>
+      DataProfile.corrMatrix(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // E122: first-order Markov transition matrix of per-user event
+    // sequences — P(next | prev) with exact integer-count division
+    "e122_markov_transitions" -> ((s, dir) =>
+      EventAnalytics.markovTransitions(Tables.load(s, dir, "events"))),
+
+    // E123: per-type autocorrelation at lags 1–3 — the seasonality /
+    // momentum screen; corr skips leading NULL pairs on both engines
+    "e123_acf" -> ((s, dir) =>
+      EventAnalytics.acf(Tables.load(s, dir, "events"))),
+
+    // E124: 2-D skyline (Pareto frontier) of distinct (price, qty),
+    // both maximized — lossless bucket prune feeds the exact sorted
+    // scan only survivors; the oracle runs the naive global form
+    "e124_skyline" -> ((s, dir) =>
+      Skyline.skylineMax2D(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_extendedprice").as("price"),
+            col("l_quantity").as("qty")),
+        "price", "qty")),
+
+    // E125: the streaming drawdown twin — per-user GroupState folding
+    // (peak, maxDd) over a three-stage time-ordered replay; gated by
+    // the e118 oracle VERBATIM (bit-identical, not merely close)
+    "e125_streaming_drawdown_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+      val bounds = ev.agg(expr(
+          "percentile(unix_micros(ts), array(0.33, 0.66))"))
+        .head().getSeq[Double](0)
+      val m = unix_micros(col("ts"))
+      val scratch = graft.Scratch.fresh("drawdown_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+          ev.filter(m <= bounds(0)),
+          ev.filter(m > bounds(0) && m <= bounds(1)),
+          ev.filter(m > bounds(1))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingDrawdown.drawdown(
+          stream.as[graft.streaming.StreamingDrawdown.EventIn]).toDF())
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"), col("peak"), col("drawdown"),
+          col("max_drawdown"))
     })
   )
 
@@ -4889,8 +4963,140 @@ object ExtQueries {
         |        / CAST(1000001 AS DOUBLE),
         |      CAST(1 AS DOUBLE) / greatest(n_chars, 1)) AS samp_key
         |  FROM documents) t
-        |ORDER BY t.samp_key DESC, doc_id LIMIT 50""".stripMargin
+        |ORDER BY t.samp_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    // running max is exact fp, the ratio is one identical expression
+    // tree, and the running max of ROUNDED drawdowns is exact again
+    "e118_max_drawdown" -> drawdownOracle,
+
+    // money accumulates in int64 cents on both engines (exact; double
+    // window sums tree their partials differently and flip round-6
+    // boundaries) — one final division of identical operands
+    "e119_anchored_vwap" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |               * CAST(l_quantity AS BIGINT)) OVER w AS DOUBLE)
+        |    / CAST(sum(CAST(l_quantity AS BIGINT)) OVER w * 100
+        |           AS DOUBLE), 6) AS vwap
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_partkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    // co-moments round to 6 BEFORE any use (the e36 contract); the
+    // derived slope/intercept/R² are then identical expression trees
+    "e120_trend_regression" ->
+      """WITH m AS (SELECT min(ts) AS t0 FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    (CAST(epoch_us(ts) AS DOUBLE) - CAST(epoch_us(t0) AS DOUBLE))
+        |      / CAST(86400000000 AS DOUBLE) AS xd,
+        |    value AS y
+        |  FROM events, m),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    round(avg(xd), 6) AS mx, round(avg(y), 6) AS my,
+        |    round(covar_pop(y, xd), 6) AS cxy,
+        |    round(var_pop(xd), 6) AS vx, round(var_pop(y), 6) AS vy
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(cxy / vx, 6) AS slope,
+        |  round(my - (cxy / vx) * mx, 6) AS intercept,
+        |  round((cxy * cxy) / (vx * vy), 6) AS r2
+        |FROM a""".stripMargin,
+
+    // one aggregate row unpivoted to long form on both engines
+    "e121_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT round(corr(l_quantity, l_extendedprice), 6) AS qp,
+        |         round(corr(l_quantity, l_discount), 6) AS qd,
+        |         round(corr(l_quantity, l_tax), 6) AS qt,
+        |         round(corr(l_extendedprice, l_discount), 6) AS pd,
+        |         round(corr(l_extendedprice, l_tax), 6) AS pt,
+        |         round(corr(l_discount, l_tax), 6) AS dt
+        |  FROM lineitem)
+        |SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |  qp AS pearson FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_discount', qd FROM c
+        |UNION ALL SELECT 'l_quantity', 'l_tax', qt FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_discount', pd FROM c
+        |UNION ALL SELECT 'l_extendedprice', 'l_tax', pt FROM c
+        |UNION ALL SELECT 'l_discount', 'l_tax', dt FROM c"""
+        .stripMargin,
+
+    // exact integer counts; the row-normalizing division is the same
+    // double operands on both engines
+    "e122_markov_transitions" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM r WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+        |    6) AS p
+        |FROM t""".stripMargin,
+
+    // corr skips NULL leading pairs identically; order-dependent
+    // co-moment → round 6
+    "e123_acf" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    lag(value, 1) OVER w AS l1,
+        |    lag(value, 2) OVER w AS l2,
+        |    lag(value, 3) OVER w AS l3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        |SELECT event_type,
+        |  round(corr(value, l1), 6) AS acf1,
+        |  round(corr(value, l2), 6) AS acf2,
+        |  round(corr(value, l3), 6) AS acf3
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // the oracle runs the NAIVE global sorted scan — the Spark-side
+    // bucket prune is lossless and must be invisible in the result
+    "e124_skyline" ->
+      """WITH p AS (
+        |  SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT price, qty,
+        |    max(qty) OVER (ORDER BY price DESC, qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS best_q
+        |  FROM p)
+        |SELECT price, qty FROM s
+        |WHERE best_q IS NULL OR qty > best_q""".stripMargin,
+
+    // the replayed stream folds the identical (peak, maxDd) sequence —
+    // the e118 oracle gates it verbatim
+    "e125_streaming_drawdown_replay" -> drawdownOracle
   )
+
+  /** Causal drawdown chain shared by the batch operator (e118) and its
+    * streaming replay (e125): peak = running max, drawdown = rounded
+    * identical ratio, max_drawdown = running max of the rounded
+    * values — every stage exact cross-engine. */
+  private val drawdownOracle =
+    """WITH r AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, event_id, ts, value, peak,
+      |    round((peak - value) / peak, 6) AS drawdown
+      |  FROM r)
+      |SELECT user_id, event_id, ts, value, peak, drawdown,
+      |  max(drawdown) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS max_drawdown
+      |FROM d""".stripMargin
 
   /** The e22 k-means pipeline as a DuckDB CTE chain: emb → seed c0 →
     * assign a1 → means f1 → c1 → assign a2 → final means f2 (with

@@ -207,4 +207,27 @@ object DataProfile {
       .agg(graft.Rounding.duckRound(
         sum((p - q) * log(p / q)), 6).as("psi"))
   }
+
+  /** Pairwise Pearson correlation of numeric columns, long-form
+    * (col_x, col_y, pearson) — the feature-redundancy screen run before
+    * training (|r| ≈ 1 columns are candidates to drop). ALL C(k,2)
+    * coefficients come from ONE partial-aggregated global agg (one
+    * scan, one 1-row exchange — the profile() topology), then the
+    * single row unpivots driver-free into k·(k−1)/2 labeled rows.
+    * corr is an order-dependent co-moment → rounds to 6 (e36
+    * contract). */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val aggs = pairs.map { case (i, j) =>
+      Rounding.duckRound(corr(col(cols(i)), col(cols(j))), 6)
+        .as(s"c_${i}_$j")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    pairs.map { case (i, j) =>
+      one.select(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+        col(s"c_${i}_$j").as("pearson"))
+    }.reduce(_.unionByName(_))
+  }
 }

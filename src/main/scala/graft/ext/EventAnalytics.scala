@@ -355,4 +355,147 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("valid_from"),
         col("valid_to"), col("n_events"), col("is_current"))
   }
+
+  /** Per-key running-peak drawdown in (ts, event_id) order: the
+    * running max is the high-water mark, `drawdown = (peak − value) /
+    * peak` the fractional fall from it, and `max_drawdown` the CAUSAL
+    * running max of the drawdowns — every row carries the worst fall
+    * seen SO FAR, which is exactly what a stateful stream can emit
+    * (the e125 replay folds the identical sequence; a whole-partition
+    * max would not be causal). The risk metric behind equity-curve /
+    * engagement-decline monitoring. All three columns are running
+    * window aggregates over one per-key window — max is exact fp, the
+    * ratio is the identical expression tree cross-engine, and the
+    * rounded drawdowns make the final running max exact. Keys are the
+    * parallel unit; values are strictly positive in this corpus (the
+    * ratio form presumes a positive series — a signed series would
+    * take the peak−value absolute form instead). */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("peak", max(col("value")).over(run))
+      .withColumn("drawdown", graft.Rounding.duckRound(
+        (col("peak") - col("value")) / col("peak"), 6))
+      .withColumn("max_drawdown", max(col("drawdown")).over(run))
+  }
+
+  /** Anchored VWAP per part: the running volume-weighted average price
+    * Σ(price·qty)/Σ(qty) in shipdate order — the execution-quality
+    * anchor every trading/pricing desk tracks, here over the order
+    * book's line items. Money accumulates in FIXED POINT: prices are
+    * exact cents and quantities integral, so both running sums are
+    * int64 — overflow-safe (≤ 2^62 by corpus bounds) and EXACT, where
+    * double accumulation differs at the last ulp across engines
+    * (DuckDB's windowed sum trees its partials; Spark's runs
+    * sequentially) and flips round-6 boundaries (~1 row in 10⁴,
+    * measured). One final division of identical operands, one
+    * rounding. One window per part key; parts are the parallel unit —
+    * nothing sorts the corpus. */
+  def anchoredVwap(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cents = round(col("l_extendedprice") * lit(100)).cast("bigint")
+    val qty = col("l_quantity").cast("bigint")
+    lineitem
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), cents.as("_cents"), qty.as("_qty"))
+      .withColumn("vwap", graft.Rounding.duckRound(
+        sum(col("_cents") * col("_qty")).over(run).cast("double") /
+          (sum(col("_qty")).over(run) * lit(100L)).cast("double"), 6))
+      .drop("_cents", "_qty")
+  }
+
+  /** Per-group least-squares trend of `value` against time (days since
+    * the corpus start): slope, intercept, and R² from population
+    * co-moments — drift detection for telemetry ("is error volume
+    * trending up?"). The co-moments (avg, covar_pop, var_pop) are the
+    * only order-dependent sums, so they round to 6 before ANY use (the
+    * e36 contract) and every derived quantity is then the identical
+    * expression tree cross-engine — slope = cov/var, intercept =
+    * ȳ − slope·x̄, R² = cov²/(varₓ·var_y). One partial-aggregated
+    * groupBy; the single-row min(ts) anchor broadcasts. */
+  def trendRegression(events: DataFrame): DataFrame = {
+    val t0 = events.agg(min(col("ts")).as("t0"))
+    val xd = (unix_micros(col("ts")).cast("double") -
+      unix_micros(col("t0")).cast("double")) /
+      lit(86400000000L).cast("double")
+    val a = events.join(broadcast(t0))
+      .select(col("event_type"), xd.as("xd"), col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Rounding.duckRound(avg(col("xd")), 6).as("mx"),
+        graft.Rounding.duckRound(avg(col("y")), 6).as("my"),
+        graft.Rounding.duckRound(covar_pop(col("y"), col("xd")), 6)
+          .as("cxy"),
+        graft.Rounding.duckRound(var_pop(col("xd")), 6).as("vx"),
+        graft.Rounding.duckRound(var_pop(col("y")), 6).as("vy"))
+    a.select(col("event_type"), col("n"),
+      graft.Rounding.duckRound(col("cxy") / col("vx"), 6).as("slope"),
+      graft.Rounding.duckRound(
+        col("my") - (col("cxy") / col("vx")) * col("mx"), 6)
+        .as("intercept"),
+      graft.Rounding.duckRound(
+        (col("cxy") * col("cxy")) / (col("vx") * col("vy")), 6)
+        .as("r2"))
+  }
+
+  /** First-order Markov transition matrix of the per-user event-type
+    * sequence: P(next | prev) with counts — the session-behavior model
+    * behind next-action prediction and bot-pattern screens. A per-user
+    * lag gives each event its predecessor (order (ts, event_id), the
+    * deterministic tie-break), then one partial-aggregated groupBy
+    * counts transitions; the row-normalizing denominator is a window
+    * over the 25-row transition table, not the corpus. Integer counts
+    * divide exactly the same on both engines. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val t = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("p", graft.Rounding.duckRound(
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double"), 6))
+  }
+
+  /** Per-group autocorrelation at lags 1–3: Pearson corr of the series
+    * with its own lagged copy in (ts, event_id) order — the
+    * seasonality/momentum screen (white noise ⇒ ~0 at every lag).
+    * Lags come from one per-group window; corr skips the NULL
+    * leading pairs identically on both engines and rounds to 6 (corr
+    * is an order-dependent co-moment, the e36 contract). Group keys
+    * are the parallel unit — with few huge groups the series would
+    * first aggregate to a bounded per-minute grid (the candle-frame
+    * pattern) before windowing. */
+  def acf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("l1", lag(col("value"), 1).over(w))
+      .withColumn("l2", lag(col("value"), 2).over(w))
+      .withColumn("l3", lag(col("value"), 3).over(w))
+      .groupBy(col("event_type"))
+      .agg(
+        graft.Rounding.duckRound(corr(col("value"), col("l1")), 6)
+          .as("acf1"),
+        graft.Rounding.duckRound(corr(col("value"), col("l2")), 6)
+          .as("acf2"),
+        graft.Rounding.duckRound(corr(col("value"), col("l3")), 6)
+          .as("acf3"))
+  }
 }

@@ -203,4 +203,18 @@ class PlanShapeSpec extends SparkSpec {
       "prefix filtering must keep the pair space an equi-join")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("e124 skyline prunes through broadcasts: exactly two windows " +
+    "(B-row suffix + survivor scan), bucket stats join broadcast") {
+    val p = plan("e124_skyline")
+    // naive = ONE global window over all points; the scale shape is
+    // TWO — the B-row suffix-max and the survivors-only exact scan
+    assert(raw"\(\d+\) Window\b".r.findAllIn(p).length == 2,
+      s"expected the prune + survivor-scan window pair, plan:\n$p")
+    // range + suffix tables reach the points via broadcast — the
+    // point set itself never shuffles for a join
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"),
+      s"bucket-stat joins must broadcast, plan:\n$p")
+  }
 }

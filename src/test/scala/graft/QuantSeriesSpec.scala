@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{DataProfile, EventAnalytics}
+
+/** The quant/warehouse series operators over hand-built fixtures with
+  * closed-form expectations: drawdown (e118), anchored VWAP (e119),
+  * least-squares trend (e120), correlation matrix (e121), Markov
+  * transitions (e122), autocorrelation (e123). */
+class QuantSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("E118: drawdown tracks the running peak and its causal max") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, 2L, ts("2024-01-01 10:01:00"), 5.0),
+      (1L, 3L, ts("2024-01-01 10:02:00"), 20.0),
+      (1L, 4L, ts("2024-01-01 10:03:00"), 4.0),
+      (2L, 5L, ts("2024-01-01 10:00:00"), 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.maxDrawdown(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("peak"), r.getAs[Double]("drawdown"),
+          r.getAs[Double]("max_drawdown"))).toMap
+    assert(got(1L) == (10.0, 0.0, 0.0))
+    assert(got(2L) == (10.0, 0.5, 0.5))
+    // new high resets the drawdown but the causal max remembers
+    assert(got(3L) == (20.0, 0.0, 0.5))
+    assert(got(4L) == (20.0, 0.8, 0.8))
+    assert(got(5L) == (8.0, 0.0, 0.0))
+  }
+
+  test("E119: anchored VWAP is the running cents-exact ratio") {
+    val li = Seq(
+      (7L, 1L, 1, ts("2024-01-01 00:00:00"), 10.00, 2.0),
+      (7L, 2L, 1, ts("2024-01-02 00:00:00"), 20.00, 2.0),
+      (7L, 3L, 1, ts("2024-01-03 00:00:00"), 40.00, 4.0),
+      (8L, 4L, 1, ts("2024-01-01 00:00:00"), 5.50, 3.0))
+      .toDF("l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+        "l_extendedprice", "l_quantity")
+    val got = EventAnalytics.anchoredVwap(li).collect()
+      .map(r => r.getAs[Long]("l_orderkey") -> r.getAs[Double]("vwap"))
+      .toMap
+    assert(got(1L) == 10.0)
+    assert(got(2L) == 15.0) // (20 + 40) / 4
+    assert(got(3L) == 27.5) // (20 + 40 + 160) / 8
+    assert(got(4L) == 5.5)
+  }
+
+  test("E120: a perfect line recovers slope/intercept exactly, R2 = 1") {
+    // x = 0,1,2,3 days → var_pop = 1.25 (exact decimal), y = 2x + 1
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a", 1.0),
+      (2L, ts("2024-01-02 00:00:00"), "a", 3.0),
+      (3L, ts("2024-01-03 00:00:00"), "a", 5.0),
+      (4L, ts("2024-01-04 00:00:00"), "a", 7.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.trendRegression(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n") == 4L)
+    assert(r(0).getAs[Double]("slope") == 2.0)
+    assert(r(0).getAs[Double]("intercept") == 1.0)
+    assert(r(0).getAs[Double]("r2") == 1.0)
+  }
+
+  test("E121: corr matrix emits one labeled row per pair") {
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0),
+      (4.0, 8.0, 2.0)).toDF("a", "b", "c")
+    val got = DataProfile.corrMatrix(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) ->
+        r.getAs[Double]("pearson")).toMap
+    assert(got.size == 3)
+    assert(got(("a", "b")) == 1.0)  // b = 2a
+    assert(got(("a", "c")) == -1.0) // c = 6 - a
+    assert(got(("b", "c")) == -1.0)
+  }
+
+  test("E122: transition counts row-normalize per source state") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "B"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "A"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "B"),
+      (2L, 5L, ts("2024-01-01 10:00:00"), "A"),
+      (2L, 6L, ts("2024-01-01 10:01:00"), "A"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.markovTransitions(ev).collect()
+      .map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    assert(got(("A", "B")) == (2L, Rounding.duckRoundDouble(2.0 / 3, 6)))
+    assert(got(("A", "A")) == (1L, Rounding.duckRoundDouble(1.0 / 3, 6)))
+    assert(got(("B", "A")) == (1L, 1.0))
+    // per-source probabilities sum to 1 (up to the rounding grain)
+    assert(got.keys.map(_._1).toSet == Set("A", "B"))
+  }
+
+  test("E123: a linear series autocorrelates at 1 for every lag") {
+    val ev = (1 to 6).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:0$i:00"), "a", i.toDouble))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.acf(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("acf1") == 1.0)
+    assert(r(0).getAs[Double]("acf2") == 1.0)
+    assert(r(0).getAs[Double]("acf3") == 1.0)
+  }
+}
