@@ -2374,7 +2374,258 @@ object ExtQueries {
         .select(col("user_id"), col("event_id"), col("ts"),
           col("value"), col("peak"), col("drawdown"),
           col("max_drawdown"))
-    })
+    }),
+
+    // E126: k-core of the co-purchase graph — fixed-round iterative
+    // peeling (fixpoint in 2 on this graph; extra rounds are no-ops),
+    // the pageRank checkpoint-per-round topology
+    "e126_kcore" -> ((s, dir) =>
+      GraphOps.kCore(
+        GraphOps.bipartiteProjection(tradePairs(s, dir),
+          minShared = 190L).select(col("node_a"), col("node_b")),
+        k = 3, rounds = 6)),
+
+    // E127: BFS hop distance from the smallest supplier node —
+    // frontier expansion with min-merge; the oracle is the textbook
+    // recursive CTE
+    "e127_hop_distance" -> ((s, dir) => {
+      val edges = GraphOps.bipartiteProjection(tradePairs(s, dir),
+        minShared = 190L).select(col("node_a"), col("node_b"))
+      // seed = smallest node id; the minimum endpoint of any edge is
+      // always a node_a (canonical ordering) — one bounded scalar,
+      // like pageRank's node count. An empty graph (the shared-count
+      // threshold is density-dependent across SFs) has no seed and an
+      // empty reachability set.
+      val row = edges.agg(min(col("node_a"))).head()
+      if (row.isNullAt(0))
+        s.range(0).select(col("id").as("node"), col("id").as("hops"))
+      else GraphOps.hopDistance(edges, row.getLong(0), maxHops = 8)
+    }),
+
+    // E128: Zipf fit of the corpus frequency spectrum — ln(freq) vs
+    // ln(rank) least squares over the e24 vocabulary
+    "e128_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir))),
+
+    // E129: daily realized volatility per user — Σ(ln ratio)² of
+    // within-day consecutive values; days are independent by
+    // construction (the lag partitions on (user, day))
+    "e129_realized_volatility" -> ((s, dir) =>
+      EventAnalytics.realizedVolatility(Tables.load(s, dir, "events"))),
+
+    // E130: per-type higher moments (stddev/skewness/excess kurtosis)
+    // from explicitly computed scaled central moments — built-in
+    // skew/kurtosis aggregates differ across engines (sample vs
+    // population), so the moments are the shared truth
+    "e130_moment_stats" -> ((s, dir) =>
+      DataProfile.momentStats(Tables.load(s, dir, "events"),
+        "event_type", "value")),
+
+    // E131: market-basket association rules over the e107 candidate
+    // set — support / confidence / lift from exact integer counts
+    "e131_association_rules" -> ((s, dir) =>
+      GraphOps.associationRules(tradePairs(s, dir), minShared = 190L)),
+
+    // E132: quantile normalization of per-(lang, source) length
+    // distributions onto the lang-wide reference deciles — the
+    // batch-effect correction before mixing sources
+    "e132_quantile_normalize" -> ((s, dir) =>
+      DataProfile.quantileNormalize(docs(s, dir), "lang", "source",
+        "doc_id", "n_chars")),
+
+    // E133: daily TWAP per user — duration-weighted mean in int64
+    // cents × microsecond fixed point (the e119 contract)
+    "e133_twap" -> ((s, dir) =>
+      EventAnalytics.twap(Tables.load(s, dir, "events"))),
+
+    // E134: Benford first-digit screen of prices — exact digit from
+    // the int64 cents string head, χ² terms per digit
+    "e134_benford" -> ((s, dir) =>
+      DataProfile.benfordDigits(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice")),
+
+    // E135: two-sided CUSUM drift detector — the per-key sequential
+    // fold (flatMapGroups), gated by a recursive-CTE walk of the
+    // identical double arithmetic
+    "e135_cusum" -> ((s, dir) =>
+      EventAnalytics.cusum(Tables.load(s, dir, "events"))),
+
+    // E136: the streaming CUSUM twin — (s⁺, s⁻) as GroupState, the
+    // trained reference mean passed in; e135's oracle gates the
+    // replay verbatim (bit-identical fold)
+    "e136_streaming_cusum_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value"))
+      val meanS = graft.Rounding.duckRoundDouble(
+        ev.agg(avg(col("value") / lit(100.0))).head().getDouble(0), 6)
+      val bounds = ev.agg(expr(
+          "percentile(unix_micros(ts), array(0.33, 0.66))"))
+        .head().getSeq[Double](0)
+      val m = unix_micros(col("ts"))
+      val scratch = graft.Scratch.fresh("cusum_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+          ev.filter(m <= bounds(0)),
+          ev.filter(m > bounds(0) && m <= bounds(1)),
+          ev.filter(m > bounds(1))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingCusum.cusum(
+          stream.as[graft.streaming.StreamingCusum.EventIn],
+          meanS).toDF())
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("s_pos"), col("s_neg"), col("alarm"))
+    }),
+
+    // E137: point-in-time dimension join — every event enriched with
+    // its SCD2 state AS OF its own timestamp (the feature-store
+    // correctness join that prevents label leakage), composed from
+    // the already-oracled e96 history and the j5 as-of machinery
+    "e137_pit_dimension_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val dim = EventAnalytics.scd2History(ev)
+        .select(col("user_id"), col("valid_from"),
+          col("event_type").as("state_type"))
+      graft.ops.AsofJoin.asof(
+          ev.select(col("user_id"), col("event_id"), col("ts")),
+          dim, Seq("user_id"), "ts", "valid_from", Seq("state_type"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("asof_state_type").as("state_type"),
+          col("asof_ts").as("valid_from"))
+    }),
+
+    // E138: last-touch attribution — purchases credit the latest
+    // preceding view/click within 7 days via one causal
+    // ignore-nulls window (no self-join, no pair expansion)
+    "e138_attribution" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(
+        Tables.load(s, dir, "events"))),
+
+    // E139: feature hashing — tokens into 64 signed slots, the
+    // vocabulary-free fixed-width featurization
+    "e139_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(docs(s, dir))),
+
+    // E140: declarative expectations report — five rules, one scan;
+    // the soft value<=100 rule FAILS at its 10% budget by design
+    // (13.2% of values exceed 100), proving the verdict path
+    "e140_expectations" -> ((s, dir) =>
+      DataProfile.expectations(Tables.load(s, dir, "events"), Seq(
+        ("value_positive", col("value") > 0, 0.0),
+        ("value_le_100", col("value") <= lit(100.0), 0.10),
+        ("known_event_type", col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"), 0.0),
+        ("user_id_not_null", col("user_id").isNotNull, 0.0),
+        ("ts_in_window",
+          col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-02-01").cast("timestamp"), 0.0)))),
+
+    // E141: per-type CDF transform — tie-broken cume_dist is exactly
+    // rank/n on both engines
+    "e141_cdf_transform" -> ((s, dir) =>
+      EventAnalytics.cdfTransform(Tables.load(s, dir, "events"))),
+
+    // E142: the streaming attribution twin — the last touch rides in
+    // GroupState, purchases emit on arrival; e138's oracle gates the
+    // replay verbatim
+    "e142_streaming_attribution_replay" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+      val bounds = ev.agg(expr(
+          "percentile(unix_micros(ts), array(0.33, 0.66))"))
+        .head().getSeq[Double](0)
+      val m = unix_micros(col("ts"))
+      val scratch = graft.Scratch.fresh("attr_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+          ev.filter(m <= bounds(0)),
+          ev.filter(m > bounds(0) && m <= bounds(1)),
+          ev.filter(m > bounds(1))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      StreamingOhlc.replayToBatchAppend(s,
+        graft.streaming.StreamingAttribution.attribute(
+          stream.as[graft.streaming.StreamingAttribution.EventIn])
+          .toDF())
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("touch_type"), col("touch_event_id"))
+    }),
+
+    // E143: half-life-decayed trending suppliers — freshness-weighted
+    // volume, ranked on the rounded score (the e60 contract)
+    "e143_trending_decay" -> ((s, dir) =>
+      EventAnalytics.decayTrending(Tables.load(s, dir, "lineitem"))),
+
+    // E144: latest-wins state snapshot per user — the denormalized
+    // current-state table beside the event log
+    "e144_latest_state" -> ((s, dir) =>
+      EventAnalytics.latestState(Tables.load(s, dir, "events"))),
+
+    // E145: weekly growth-accounting matrix — new / retained /
+    // resurrected / churned from presence-set algebra on (user, week)
+    "e145_churn_matrix" -> ((s, dir) =>
+      EventAnalytics.churnMatrix(Tables.load(s, dir, "events"))),
+
+    // E146: χ² independence of event type × day-of-week — integer
+    // epoch-day arithmetic (engine dayofweek conventions disagree)
+    "e146_chisq_independence" -> ((s, dir) =>
+      DataProfile.chisqIndependence(Tables.load(s, dir, "events"),
+        "event_type", "ts")),
+
+    // E147: exact phrase search over positional postings — the
+    // adjacency walk tf alone cannot answer
+    "e147_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(docs(s, dir), Seq("table", "hash"))),
+
+    // E148: the CDC closure — apply the e98 diff to v1 and prove the
+    // merge equals v2 by exchanging e115 fingerprints, not rows
+    "e148_cdc_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" new"))))
+      val merged = Cdc.applyDiff(d, v2, Cdc.snapshotDiff(d, v2))
+      def fp(df: DataFrame, nName: String, fName: String) =
+        df.select(Dedup.md5Long(concat_ws("|", col("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))
+            .as("h"))
+          .agg(count(lit(1)).as(nName),
+            expr("bit_xor(h)").as(fName))
+      fp(merged, "n_merged", "fp_merged")
+        .join(broadcast(fp(v2, "n_target", "fp_target")))
+        .select(col("n_merged"), col("n_target"), col("fp_merged"),
+          col("fp_target"),
+          (col("n_merged") === col("n_target") &&
+            col("fp_merged") === col("fp_target")).as("fp_match"))
+    }),
+
+    // E149: CUBE of (returnflag, linestatus) — every margin in one
+    // Expand + one partial-aggregated shuffle
+    "e149_cube_stats" -> ((s, dir) =>
+      EventAnalytics.cubeStats(Tables.load(s, dir, "lineitem"))),
+
+    // E150: leakage-safe trailing 24 h features for every purchase —
+    // per-key RANGE frames on microsecond integers, cents-exact sums
+    "e150_trailing_features" -> ((s, dir) =>
+      EventAnalytics.trailingFeatures(Tables.load(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5075,8 +5326,584 @@ object ExtQueries {
 
     // the replayed stream folds the identical (peak, maxDd) sequence —
     // the e118 oracle gates it verbatim
-    "e125_streaming_drawdown_replay" -> drawdownOracle
+    "e125_streaming_drawdown_replay" -> drawdownOracle,
+
+    // the peel chain unrolled to the same fixed 6 rounds the operator
+    // runs (fixpoint in 2 on this graph; extra rounds are no-ops)
+    "e126_kcore" -> kCoreOracle(k = 3, rounds = 6),
+
+    // the textbook recursive-CTE BFS; min() merges multi-path visits
+    // exactly like the operator's min-merge
+    "e127_hop_distance" ->
+      s"""WITH RECURSIVE $graphEdgeCtes,
+        |seedv AS (SELECT min(src) AS seed FROM sym),
+        |bfs AS (
+        |  SELECT seed AS node, 0 AS d FROM seedv
+        |  UNION
+        |  SELECT e.dst AS node, b.d + 1 AS d
+        |  FROM bfs b JOIN sym e ON e.src = b.node
+        |  WHERE b.d < 8)
+        |SELECT node, min(d) AS hops FROM bfs GROUP BY 1""".stripMargin,
+
+    // the e24 tokenization feeds the e120 round-before-use regression
+    "e128_zipf_fit" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x != '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |ranked AS (SELECT cnt,
+        |  row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM cnt),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |              ln(CAST(cnt AS DOUBLE)) AS y FROM ranked),
+        |a AS (
+        |  SELECT count(*) AS n_terms,
+        |    round(avg(x), 6) AS mx, round(avg(y), 6) AS my,
+        |    round(covar_pop(y, x), 6) AS cxy,
+        |    round(var_pop(x), 6) AS vx, round(var_pop(y), 6) AS vy
+        |  FROM xy)
+        |SELECT n_terms,
+        |  round(cxy / vx, 6) AS slope,
+        |  round(my - (cxy / vx) * mx, 6) AS intercept,
+        |  round((cxy * cxy) / (vx * vy), 6) AS r2
+        |FROM a""".stripMargin,
+
+    // identical ln-ratio trees; only the order-dependent sum of
+    // squares rounds
+    "e129_realized_volatility" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    lag(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |lr AS (
+        |  SELECT user_id, day, ln(value / prev) AS lr
+        |  FROM r WHERE prev IS NOT NULL)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  count(*) AS n_ret,
+        |  round(sum(lr * lr), 6) AS rv
+        |FROM lr GROUP BY 1, 2""".stripMargin,
+
+    // scaled central moments round BEFORE the derived algebra —
+    // built-in skew/kurt aggregates differ cross-engine by design
+    "e130_moment_stats" ->
+      """WITH m AS (
+        |  SELECT event_type,
+        |    round(avg(value), 6) AS mean,
+        |    round(avg(value / CAST(100 AS DOUBLE)), 6) AS mean_s
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.event_type,
+        |    e.value / CAST(100 AS DOUBLE) - m.mean_s AS ds, m.mean
+        |  FROM events e JOIN m ON e.event_type = m.event_type),
+        |a AS (
+        |  SELECT event_type, count(*) AS n, any_value(mean) AS mean,
+        |    round(avg(ds * ds), 6) AS m2,
+        |    round(avg(ds * ds * ds), 6) AS m3,
+        |    round(avg(ds * ds * ds * ds), 6) AS m4
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n, mean,
+        |  round(sqrt(m2) * 100, 6) AS stddev_pop,
+        |  round(m3 / power(m2, CAST(1.5 AS DOUBLE)), 6) AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 6) AS kurtosis_excess
+        |FROM a""".stripMargin,
+
+    // exact integer counts under the same hot-key cap; identical
+    // double divisions
+    "e131_association_rules" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg0 AS (SELECT c FROM pairs GROUP BY c
+        |         HAVING count(*) <= 1000),
+        |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg0 USING (c)),
+        |co AS (
+        |  SELECT a.sp AS node_a, b.sp AS node_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY 1, 2 HAVING count(*) >= 190),
+        |supp AS (SELECT sp, count(*) AS supp FROM capped GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT c) AS n_baskets FROM capped)
+        |SELECT node_a, node_b, n_shared,
+        |  sa.supp AS supp_a, sb.supp AS supp_b,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+        |    AS conf_ab,
+        |  round(CAST(n_shared AS DOUBLE) / CAST(sb.supp AS DOUBLE), 6)
+        |    AS conf_ba,
+        |  round(CAST(n_shared * n_baskets AS DOUBLE)
+        |        / CAST(sa.supp * sb.supp AS DOUBLE), 6) AS lift
+        |FROM co JOIN supp sa ON co.node_a = sa.sp
+        |        JOIN supp sb ON co.node_b = sb.sp
+        |        CROSS JOIN nb""".stripMargin,
+
+    // two NTILE windows over (value, id) total orders — bucket fills
+    // deterministic cross-engine (the e103 contract)
+    "e132_quantile_normalize" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    ntile(10) OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS ref_bin,
+        |    ntile(10) OVER (PARTITION BY lang, source
+        |      ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents),
+        |rm AS (
+        |  SELECT lang, ref_bin AS bin,
+        |    round(avg(n_chars), 6) AS normalized
+        |  FROM b GROUP BY 1, 2)
+        |SELECT b.doc_id, b.lang, b.source, b.n_chars,
+        |  CAST(b.bin AS BIGINT) AS bin, rm.normalized
+        |FROM b JOIN rm ON b.lang = rm.lang AND b.bin = rm.bin"""
+        .stripMargin,
+
+    // int64 cents × microsecond durations — exact accumulation (the
+    // e119 fixed-point contract); one identical final division
+    "e133_twap" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, CAST(ts AS DATE)
+        |       ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        |  FROM events)
+        |SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        |  count(*) AS n_seg,
+        |  round(CAST(sum(cents * dt) AS DOUBLE)
+        |        / CAST(sum(dt) * 100 AS DOUBLE), 6) AS twap
+        |FROM r WHERE dt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // the leading digit comes from the int64 cents STRING head —
+    // exact, where float log10 misclassifies powers of ten
+    "e134_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(
+        |      CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |o AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |w AS (SELECT digit, n_obs, sum(n_obs) OVER () AS n FROM o),
+        |p AS (SELECT digit, n_obs, n,
+        |  round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / digit)
+        |        / ln(CAST(10 AS DOUBLE)), 6) AS benford_p FROM w)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS share,
+        |  benford_p,
+        |  round((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * benford_p)
+        |    * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * benford_p)
+        |    / (CAST(n AS DOUBLE) * benford_p), 6) AS chi2_term
+        |FROM p""".stripMargin,
+
+    // the recursive walk carries UNROUNDED (s⁺, s⁻) through the
+    // identical double arithmetic — bit-identical fold, rounded only
+    // at the output surface
+    "e135_cusum" -> cusumOracle,
+
+    // the replayed stream folds the identical (s⁺, s⁻) sequence —
+    // e135's oracle gates it verbatim
+    "e136_streaming_cusum_replay" -> cusumOracle,
+
+    // the e96 history rebuilt, then the as-of pick: the interval with
+    // the latest valid_from <= ts (intervals tile the timeline, so
+    // as-of equals containment)
+    "e137_pit_dimension_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS island
+        |  FROM flagged),
+        |grp AS (
+        |  SELECT user_id, island, event_type AS state_type,
+        |    min(ts) AS valid_from
+        |  FROM isl GROUP BY 1, 2, 3),
+        |pit AS (
+        |  SELECT e.user_id, e.event_id, e.ts, g.state_type,
+        |    g.valid_from,
+        |    row_number() OVER (PARTITION BY e.user_id, e.event_id
+        |      ORDER BY g.valid_from DESC) AS rn
+        |  FROM events e JOIN grp g
+        |    ON e.user_id = g.user_id AND g.valid_from <= e.ts)
+        |SELECT user_id, event_id, ts, state_type, valid_from
+        |FROM pit WHERE rn = 1""".stripMargin,
+
+    // the same causal ignore-nulls carry; freshness on microsecond
+    // integers
+    "e138_attribution" -> attributionOracle,
+
+    // the same md5-derived bucket and sign-bit integer arithmetic
+    "e139_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+        |  FROM tok)
+        |SELECT doc_id, hv % 64 AS bucket,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |       AS BIGINT) AS signed_sum
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // verdicts compare the ROUNDED rate to each rule's threshold
+    "e140_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN value > 0 THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN value <= CAST(100 AS DOUBLE)
+        |         THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN event_type IN
+        |          ('view','click','purchase','signup','error')
+        |         THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END)
+        |         AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-01'
+        |              AND ts < TIMESTAMP '2024-02-01'
+        |         THEN 0 ELSE 1 END) AS BIGINT) AS v4
+        |  FROM events)
+        |SELECT 'value_positive' AS rule_name, v0 AS n_violations,
+        |  round(CAST(v0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS violation_rate,
+        |  round(CAST(v0 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    <= CAST(0 AS DOUBLE) AS passed FROM a
+        |UNION ALL SELECT 'value_le_100', v1,
+        |  round(CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+        |  round(CAST(v1 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    <= CAST(0.1 AS DOUBLE) FROM a
+        |UNION ALL SELECT 'known_event_type', v2,
+        |  round(CAST(v2 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+        |  round(CAST(v2 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    <= CAST(0 AS DOUBLE) FROM a
+        |UNION ALL SELECT 'user_id_not_null', v3,
+        |  round(CAST(v3 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+        |  round(CAST(v3 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    <= CAST(0 AS DOUBLE) FROM a
+        |UNION ALL SELECT 'ts_in_window', v4,
+        |  round(CAST(v4 AS DOUBLE) / CAST(n AS DOUBLE), 6),
+        |  round(CAST(v4 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    <= CAST(0 AS DOUBLE) FROM a""".stripMargin,
+
+    // tie-broken cume_dist = rank/n exactly on both engines
+    "e141_cdf_transform" ->
+      """SELECT event_id, event_type, value,
+        |  round(cume_dist() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id), 6) AS cdf
+        |FROM events""".stripMargin,
+
+    // the replayed stream carries the identical last touch — e138's
+    // oracle gates it verbatim
+    "e142_streaming_attribution_replay" -> attributionOracle,
+
+    // decay weights are identical trees off the broadcast anchor; the
+    // rank runs on the rounded score with the key tie-break
+    "e143_trending_decay" ->
+      """WITH mx AS (
+        |  SELECT max(epoch_us(l_shipdate)) AS mts FROM lineitem),
+        |w AS (
+        |  SELECT l_suppkey,
+        |    power(CAST(0.5 AS DOUBLE),
+        |      (CAST(mts AS DOUBLE)
+        |        - CAST(epoch_us(l_shipdate) AS DOUBLE))
+        |        / CAST(86400000000 AS DOUBLE)
+        |        / CAST(7 AS DOUBLE)) AS wgt
+        |  FROM lineitem CROSS JOIN mx),
+        |s AS (
+        |  SELECT l_suppkey, count(*) AS n_items,
+        |    round(sum(wgt), 6) AS score
+        |  FROM w GROUP BY 1),
+        |r AS (
+        |  SELECT l_suppkey, n_items, score,
+        |    row_number() OVER (ORDER BY score DESC, l_suppkey)
+        |      AS rnk
+        |  FROM s)
+        |SELECT l_suppkey, n_items, score, rnk FROM r
+        |WHERE rnk <= 20""".stripMargin,
+
+    // the same rank-1 pick over the (ts, event_id) total order
+    "e144_latest_state" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |  event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // presence-set algebra on (user, week): the same 7-day-shifted
+    // self-joins
+    "e145_churn_matrix" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |firstwk AS (
+        |  SELECT user_id, min(wk) AS first_wk FROM p GROUP BY 1),
+        |cur AS (
+        |  SELECT p.user_id, p.wk,
+        |    (p.wk = f.first_wk) AS is_new,
+        |    (prev.user_id IS NOT NULL) AS was_prev
+        |  FROM p JOIN firstwk f USING (user_id)
+        |  LEFT JOIN p prev ON prev.user_id = p.user_id
+        |    AND prev.wk = p.wk - INTERVAL 7 DAY),
+        |churn AS (
+        |  SELECT a.wk + INTERVAL 7 DAY AS wk, count(*) AS n_churned
+        |  FROM p a LEFT JOIN p b ON a.user_id = b.user_id
+        |    AND b.wk = a.wk + INTERVAL 7 DAY
+        |  WHERE b.user_id IS NULL
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT wk, count(*) AS n_active,
+        |    CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new,
+        |    CAST(sum(CASE WHEN was_prev THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retained,
+        |    CAST(sum(CASE WHEN NOT is_new AND NOT was_prev
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM cur GROUP BY 1)
+        |SELECT a.wk, n_active, n_new, n_retained, n_resurrected,
+        |  coalesce(c.n_churned, 0) AS n_churned_in
+        |FROM agg a LEFT JOIN churn c ON a.wk = c.wk""".stripMargin,
+
+    // integer epoch-day arithmetic for day-of-week; marginals as
+    // window sums over the tiny cell table
+    "e146_chisq_independence" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow
+        |  FROM events),
+        |o AS (SELECT event_type, dow, count(*) AS n_obs
+        |      FROM d GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, dow, n_obs,
+        |    sum(n_obs) OVER (PARTITION BY event_type) AS row_tot,
+        |    sum(n_obs) OVER (PARTITION BY dow) AS col_tot,
+        |    sum(n_obs) OVER () AS n
+        |  FROM o),
+        |e AS (
+        |  SELECT event_type, dow, n_obs,
+        |    round(CAST(row_tot * col_tot AS DOUBLE)
+        |          / CAST(n AS DOUBLE), 6) AS expected
+        |  FROM t)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_obs,
+        |  expected,
+        |  round((CAST(n_obs AS DOUBLE) - expected)
+        |        * (CAST(n_obs AS DOUBLE) - expected) / expected, 6)
+        |    AS chi2_term
+        |FROM e""".stripMargin,
+
+    // the same 1-based postings and pos+1 adjacency join
+    "e147_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, i AS pos, w[i] AS tok
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        |        FROM tok)),
+        |m AS (
+        |  SELECT a.doc_id, a.pos
+        |  FROM post a JOIN post b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.tok = 'table' AND b.tok = 'hash')
+        |SELECT doc_id, count(*) AS n_matches,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
+
+    // the merge rebuilt in SQL; both fingerprints must agree AND
+    // match each other (fp_match is the semantic verdict)
+    "e148_cdc_apply" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |         ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' new', lang, source,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS fp_new FROM v2),
+        |st AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN fp_old <> fp_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |merged AS (
+        |  SELECT d.* FROM documents d
+        |  WHERE d.doc_id NOT IN
+        |    (SELECT doc_id FROM st
+        |     WHERE status IN ('removed', 'changed'))
+        |  UNION ALL
+        |  SELECT v.* FROM v2 v
+        |  WHERE v.doc_id IN
+        |    (SELECT doc_id FROM st
+        |     WHERE status IN ('added', 'changed'))),
+        |fm AS (
+        |  SELECT count(*) AS n_merged,
+        |    CAST(bit_xor(('0x' || substr(md5(concat_ws('|', doc_id,
+        |      text, lang, source, n_chars)), 1, 15))::BIGINT)
+        |      AS BIGINT) AS fp_merged
+        |  FROM merged),
+        |ft AS (
+        |  SELECT count(*) AS n_target,
+        |    CAST(bit_xor(('0x' || substr(md5(concat_ws('|', doc_id,
+        |      text, lang, source, n_chars)), 1, 15))::BIGINT)
+        |      AS BIGINT) AS fp_target
+        |  FROM v2)
+        |SELECT n_merged, n_target, fp_merged, fp_target,
+        |  (n_merged = n_target AND fp_merged = fp_target) AS fp_match
+        |FROM fm CROSS JOIN ft""".stripMargin,
+
+    // GROUPING = Spark grouping_id (first column high bit); sums
+    // rounded post-aggregate — the e89 contract, CUBE form
+    "e149_cube_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n_items, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    // the same µs RANGE frames; value sums in int64 cents (a RANGE
+    // frame re-aggregates per row — exactly where double partials
+    // tree differently across engines)
+    "e150_trailing_features" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    count(*) OVER w AS n_events_24h,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER w AS BIGINT) AS n_view_24h,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER w AS BIGINT) AS n_click_24h,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS sum_cents
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts, n_events_24h, n_view_24h,
+        |  n_click_24h,
+        |  round(CAST(sum_cents AS DOUBLE)
+        |        / CAST(n_events_24h * 100 AS DOUBLE), 6)
+        |    AS avg_value_24h
+        |FROM f WHERE event_type = 'purchase'""".stripMargin
   )
+
+  /** Last-touch attribution as the causal ignore-nulls carry — shared
+    * by the batch window form (e138) and its streaming replay
+    * (e142). */
+  private val attributionOracle =
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type IN ('view', 'click')
+      |         THEN event_id END AS t_id,
+      |    CASE WHEN event_type IN ('view', 'click')
+      |         THEN event_type END AS t_type,
+      |    CASE WHEN event_type IN ('view', 'click')
+      |         THEN epoch_us(ts) END AS t_us
+      |  FROM events),
+      |carried AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(t_id IGNORE NULLS) OVER w AS touch_id,
+      |    last_value(t_type IGNORE NULLS) OVER w AS touch_type0,
+      |    last_value(t_us IGNORE NULLS) OVER w AS touch_us
+      |  FROM tagged
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, ts,
+      |  CASE WHEN touch_us IS NOT NULL
+      |        AND epoch_us(ts) - touch_us
+      |            <= 7::BIGINT * 86400 * 1000000
+      |       THEN touch_type0 ELSE 'direct' END AS touch_type,
+      |  CASE WHEN touch_us IS NOT NULL
+      |        AND epoch_us(ts) - touch_us
+      |            <= 7::BIGINT * 86400 * 1000000
+      |       THEN touch_id END AS touch_event_id
+      |FROM carried WHERE event_type = 'purchase'""".stripMargin
+
+  /** The two-sided CUSUM fold as a recursive per-key walk — shared by
+    * the batch fold (e135) and its streaming replay (e136). */
+  private val cusumOracle =
+    """WITH RECURSIVE ms AS (
+      |  SELECT round(avg(value / CAST(100 AS DOUBLE)), 6) AS mean_s
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, event_id, ts,
+      |    value / CAST(100 AS DOUBLE) - mean_s AS dev,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events CROSS JOIN ms),
+      |walk(user_id, rn, event_id, ts, splus, sminus) AS (
+      |  SELECT user_id, rn, event_id, ts,
+      |    greatest(CAST(0 AS DOUBLE), dev - CAST(0.05 AS DOUBLE)),
+      |    greatest(CAST(0 AS DOUBLE), -dev - CAST(0.05 AS DOUBLE))
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn, s.event_id, s.ts,
+      |    greatest(CAST(0 AS DOUBLE),
+      |      w.splus + s.dev - CAST(0.05 AS DOUBLE)),
+      |    greatest(CAST(0 AS DOUBLE),
+      |      w.sminus - s.dev - CAST(0.05 AS DOUBLE))
+      |  FROM walk w JOIN seq s
+      |    ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+      |SELECT user_id, event_id, ts,
+      |  round(splus, 6) AS s_pos, round(sminus, 6) AS s_neg,
+      |  (splus > CAST(1 AS DOUBLE) OR sminus > CAST(1 AS DOUBLE))
+      |    AS alarm
+      |FROM walk""".stripMargin
+
+  /** The e107 co-purchase graph as CTEs ending in `sym`, the
+    * symmetrized directed edge list — shared by the k-core (e126) and
+    * BFS (e127) oracles. */
+  private val graphEdgeCtes =
+    """pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg0 AS (SELECT c FROM pairs GROUP BY c
+      |         HAVING count(*) <= 1000),
+      |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg0 USING (c)),
+      |eg AS (
+      |  SELECT a.sp AS node_a, b.sp AS node_b
+      |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+      |  GROUP BY 1, 2 HAVING count(*) >= 190),
+      |sym AS (SELECT node_a AS src, node_b AS dst FROM eg
+      |        UNION ALL SELECT node_b, node_a FROM eg)"""
+      .stripMargin
+
+  /** The k-core peel unrolled to `rounds` CTE stages — the exact chain
+    * GraphOps.kCore runs (sᵣ = nodes whose degree among sᵣ₋₁ is ≥ k;
+    * the final degree count runs over the surviving set). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""d$r AS (SELECT s.src, count(*) AS deg FROM sym s
+        |  JOIN s$p a ON s.src = a.node
+        |  JOIN s$p b ON s.dst = b.node GROUP BY 1),
+        |s$r AS (SELECT src AS node FROM d$r WHERE deg >= $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+      |s0 AS (SELECT DISTINCT src AS node FROM sym),
+      |$stages
+      |SELECT s.src AS node, count(*) AS core_deg FROM sym s
+      |  JOIN s$rounds a ON s.src = a.node
+      |  JOIN s$rounds b ON s.dst = b.node
+      |GROUP BY 1""".stripMargin
+  }
 
   /** Causal drawdown chain shared by the batch operator (e118) and its
     * streaming replay (e125): peak = running max, drawdown = rounded

@@ -31,4 +31,24 @@ object Cdc {
           .otherwise("unchanged"))
       .select(col("doc_id"), col("status"))
   }
+
+  /** Apply a [[snapshotDiff]] change log to the old snapshot: drop
+    * the removed/changed keys (one co-partitioned anti-join), splice
+    * in the added/changed payload rows (one semi-join against the
+    * new snapshot) — the MERGE half of CDC, turning a diff stream
+    * back into a table. Row-for-row equal to the target snapshot by
+    * construction; callers prove it cheaply with the e115 order-free
+    * fingerprint instead of a row-level compare (the e148 gate does
+    * exactly that). */
+  def applyDiff(oldDf: DataFrame, newDf: DataFrame,
+                changes: DataFrame): DataFrame = {
+    val gone = changes
+      .filter(col("status").isin("removed", "changed"))
+      .select(col("doc_id"))
+    val incoming = changes
+      .filter(col("status").isin("added", "changed"))
+      .select(col("doc_id"))
+    oldDf.join(gone, Seq("doc_id"), "left_anti")
+      .unionByName(newDf.join(incoming, Seq("doc_id"), "left_semi"))
+  }
 }

@@ -230,4 +230,178 @@ object DataProfile {
         col(s"c_${i}_$j").as("pearson"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Per-group higher-moment statistics — population stddev, skewness,
+    * and excess kurtosis — the tail-shape profile that tells a heavy-
+    * tailed feature from a Gaussian one before winsorize/clip
+    * decisions. Built from SCALED central moments: built-in
+    * skewness/kurtosis aggregates differ across engines (sample vs
+    * population corrections), so the moments are computed explicitly —
+    * two partial-aggregated passes (rounded group means broadcast
+    * back, then avg of centered powers) — and every moment rounds
+    * BEFORE derived use (e36). The `scale` divisor keeps m4's
+    * magnitude in the range where the round-6 grain is far above the
+    * accumulation ulp (an unscaled value⁴ at ~500 puts round-6 at the
+    * sum's own ulp — the e119 failure mode); skewness and kurtosis are
+    * scale-invariant, and stddev rescales back. */
+  def momentStats(df: DataFrame, groupCol: String, valueCol: String,
+                  scale: Double = 100.0): DataFrame = {
+    val vs = col(valueCol) / lit(scale)
+    val m = df.groupBy(col(groupCol))
+      .agg(Rounding.duckRound(avg(col(valueCol)), 6).as("mean"),
+        Rounding.duckRound(avg(vs), 6).as("mean_s"))
+    val d = df.join(broadcast(m), Seq(groupCol))
+      .select(col(groupCol), col("mean"),
+        (vs - col("mean_s")).as("ds"))
+    val a = d.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), first(col("mean")).as("mean"),
+        Rounding.duckRound(avg(col("ds") * col("ds")), 6).as("m2"),
+        Rounding.duckRound(
+          avg(col("ds") * col("ds") * col("ds")), 6).as("m3"),
+        Rounding.duckRound(
+          avg(col("ds") * col("ds") * col("ds") * col("ds")), 6)
+          .as("m4"))
+    a.select(col(groupCol), col("n"), col("mean"),
+      Rounding.duckRound(sqrt(col("m2")) * lit(scale), 6)
+        .as("stddev_pop"),
+      Rounding.duckRound(
+        col("m3") / pow(col("m2"), lit(1.5)), 6).as("skewness"),
+      Rounding.duckRound(
+        col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+        .as("kurtosis_excess"))
+  }
+
+  /** Quantile normalization across sources WITHIN a partition key:
+    * each (key, source) distribution maps onto the key-wide reference
+    * distribution — row i's source-decile is replaced by the mean of
+    * the key-wide decile with the same index (the batch-effect
+    * correction used to make heterogeneous sources comparable before
+    * mixing). Two NTILE windows (the e103 machinery: (value, id)
+    * total order makes bucket fills deterministic cross-engine) — one
+    * per (key, source), one per key — plus a broadcast join of the
+    * ≤ key×10 reference-bin means. Partitioning by `keyCol` is what
+    * keeps this off the single-task global window: keys are the
+    * parallel unit, and a corpus-wide normalization at scale would
+    * compute its reference bins from per-key aggregates instead. */
+  def quantileNormalize(df: DataFrame, keyCol: String,
+                        sourceCol: String, idCol: String,
+                        valueCol: String, n: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRef = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol), col(idCol))
+    val wSrc = Window.partitionBy(col(keyCol), col(sourceCol))
+      .orderBy(col(valueCol), col(idCol))
+    val binned = df.select(col(idCol), col(keyCol), col(sourceCol),
+        col(valueCol))
+      .withColumn("ref_bin", ntile(n).over(wRef).cast("long"))
+      .withColumn("bin", ntile(n).over(wSrc).cast("long"))
+    val refMeans = binned.groupBy(col(keyCol),
+        col("ref_bin").as("bin"))
+      .agg(Rounding.duckRound(avg(col(valueCol)), 6).as("normalized"))
+    binned.drop("ref_bin")
+      .join(broadcast(refMeans), Seq(keyCol, "bin"))
+      .select(col(idCol), col(keyCol), col(sourceCol), col(valueCol),
+        col("bin"), col("normalized"))
+  }
+
+  /** Benford first-digit screen: the observed leading-digit
+    * distribution of a positive money column against Benford's law
+    * p(d) = log₁₀(1 + 1/d), with per-digit χ² terms — the fraud /
+    * synthetic-data smell test every audit pipeline runs. The leading
+    * digit comes from the INT64 cents value via string head — exact
+    * (a float log₁₀ digit extraction misclassifies exact powers of
+    * ten when log10 lands at 2.9999…); one partial-aggregated
+    * groupBy to 9 rows, expectations as identical ln trees rounded
+    * before the χ² algebra. */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * lit(100)).cast("bigint")
+    val d = df.filter(col(valueCol) > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    import org.apache.spark.sql.expressions.Window
+    val withN = d.withColumn("n",
+      sum(col("n_obs")).over(Window.partitionBy()))
+    val p = Rounding.duckRound(
+      log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 6)
+    withN
+      .withColumn("benford_p", p)
+      .select(col("digit"), col("n_obs"),
+        Rounding.duckRound(
+          col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("share"),
+        col("benford_p"),
+        Rounding.duckRound(
+          (col("n_obs").cast("double") -
+            col("n").cast("double") * col("benford_p")) *
+            (col("n_obs").cast("double") -
+              col("n").cast("double") * col("benford_p")) /
+            (col("n").cast("double") * col("benford_p")), 6)
+          .as("chi2_term"))
+  }
+
+  /** Declarative data-quality expectations: each rule is (name,
+    * ok-predicate, violation-rate threshold); the report is one row
+    * per rule with its violation count, rate, and pass flag — the
+    * contract-check every ingestion gate runs (the FX reference's
+    * validator is this in miniature: two hand-coded expectations over
+    * a merged frame). ALL rules evaluate in ONE partial-aggregated
+    * scan (a conditional sum per rule beside the row count — the
+    * corrMatrix topology), then the single row unpivots driver-free.
+    * The pass decision compares the ROUNDED rate to the threshold
+    * (e36: round before use), so a last-ulp division difference can
+    * never flip a verdict. */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column,
+                     Double)]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      rules.zipWithIndex.map { case ((_, ok, _), i) =>
+        sum(when(ok, 0L).otherwise(1L)).as(s"v_$i")
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    rules.zipWithIndex.map { case ((name, _, thr), i) =>
+      val rate = Rounding.duckRound(
+        col(s"v_$i").cast("double") / col("n").cast("double"), 6)
+      one.select(lit(name).as("rule_name"),
+        col(s"v_$i").as("n_violations"),
+        rate.as("violation_rate"),
+        (rate <= lit(thr)).as("passed"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** χ² independence screen of a category column against day-of-week:
+    * observed cell counts vs the independence expectation
+    * rowTot·colTot/n, with per-cell χ² terms — the "is behavior
+    * uniform across the week" bias probe (and, summed, the test
+    * statistic). Day-of-week is PURE integer arithmetic on epoch
+    * days ((days + 4) mod 7, anchored to 1970-01-01 = Thursday)
+    * because engine dayofweek() conventions disagree (Sunday = 0 vs
+    * 1). One partial-aggregated groupBy to ≤ 7·k cells; the marginal
+    * totals are window sums over that tiny cell table. Expected
+    * counts round before the χ² algebra (e36). */
+  def chisqIndependence(df: DataFrame, catCol: String,
+                        tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dow = expr(
+      s"(unix_micros($tsCol) DIV 86400000000 + 4) % 7")
+    val o = df.select(col(catCol), dow.as("dow"))
+      .groupBy(col(catCol), col("dow"))
+      .agg(count(lit(1)).as("n_obs"))
+    val t = o
+      .withColumn("row_tot",
+        sum(col("n_obs")).over(Window.partitionBy(col(catCol))))
+      .withColumn("col_tot",
+        sum(col("n_obs")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("n_obs")).over(Window.partitionBy()))
+    val expected = Rounding.duckRound(
+      (col("row_tot") * col("col_tot")).cast("double") /
+        col("n").cast("double"), 6)
+    t.withColumn("expected", expected)
+      .select(col(catCol), col("dow").cast("long").as("dow"),
+        col("n_obs"), col("expected"),
+        Rounding.duckRound(
+          (col("n_obs").cast("double") - col("expected")) *
+            (col("n_obs").cast("double") - col("expected")) /
+            col("expected"), 6).as("chi2_term"))
+  }
 }

@@ -498,4 +498,299 @@ object EventAnalytics {
         graft.Rounding.duckRound(corr(col("value"), col("l3")), 6)
           .as("acf3"))
   }
+
+  /** Daily realized volatility per key: Σ (ln(vᵢ/vᵢ₋₁))² of the
+    * within-day consecutive ratios in (ts, event_id) order — the
+    * high-frequency variance estimator (sum of squared log returns)
+    * every FX desk aggregates tick streams into. Returns reset at the
+    * day boundary BY partitioning the lag on (key, day): no
+    * cross-midnight ratio exists, so days are independent — which is
+    * also what makes the operator embarrassingly parallel (a
+    * (key, day) pair never spans partitions; the DayWindows rationale).
+    * The ln ratio is one identical expression tree; only the
+    * order-dependent sum of squares rounds. */
+  def realizedVolatility(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value"), to_date(col("ts")).as("day"))
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("lr", log(col("value") / col("prev")))
+      // DATE surfaces as TIMESTAMP at the gate (the date_trunc rule:
+      // DATE dtypes don't compare across engines)
+      .groupBy(col("user_id"), col("day").cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_ret"),
+        graft.Rounding.duckRound(sum(col("lr") * col("lr")), 6)
+          .as("rv"))
+  }
+
+  /** Daily time-weighted average per key: each value holds until the
+    * NEXT event of the same (key, day) — piecewise-constant TWAP, the
+    * duration-honest average (a price quoted for 6 hours weighs 360×
+    * one quoted for a minute; the plain mean treats them equally).
+    * The last event of a day has no successor and carries no weight.
+    * Weights accumulate in FIXED POINT — int64 cents × int64
+    * microsecond durations (≤ 2^58 by corpus bounds) — the e119
+    * contract: exact where double products at ~10¹⁵ magnitudes put
+    * the round-6 grain below the accumulation ulp. One lead window
+    * per (key, day); pairs never span partitions. */
+  def twap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        to_date(col("ts")).as("day"),
+        round(col("value") * lit(100)).cast("bigint").as("cents"))
+      .withColumn("dt",
+        lead(unix_micros(col("ts")), 1).over(w) -
+          unix_micros(col("ts")))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"), col("day").cast("timestamp").as("day"))
+      .agg(count(lit(1)).as("n_seg"),
+        graft.Rounding.duckRound(
+          sum(col("cents") * col("dt")).cast("double") /
+            (sum(col("dt")) * lit(100L)).cast("double"), 6).as("twap"))
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent
+    * PRECEDING marketing touch (view/click) of the same user within
+    * `windowDays`, else 'direct' — the revenue-accounting join every
+    * growth team runs. The touch carries forward via
+    * `last(·, ignoreNulls)` over a per-user causal frame (one window,
+    * no self-join, no pair expansion — the naive "join purchases to
+    * all prior touches then argmax" is quadratic in bursty keys);
+    * the freshness test runs on microsecond integers. */
+  def lastTouchAttribution(events: DataFrame,
+                           windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    val carried = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("t_id", when(isTouch, col("event_id")))
+      .withColumn("t_type", when(isTouch, col("event_type")))
+      .withColumn("t_us", when(isTouch, unix_micros(col("ts"))))
+      .withColumn("touch_id", last(col("t_id"), true).over(w))
+      .withColumn("touch_type0", last(col("t_type"), true).over(w))
+      .withColumn("touch_us", last(col("t_us"), true).over(w))
+    val fresh = col("touch_us").isNotNull &&
+      (unix_micros(col("ts")) - col("touch_us") <=
+        lit(windowDays.toLong * 86400L * 1000000L))
+    carried.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(fresh, col("touch_type0")).otherwise(lit("direct"))
+          .as("touch_type"),
+        when(fresh, col("touch_id")).as("touch_event_id"))
+  }
+
+  /** Probability-integral (CDF) transform per group: each value maps
+    * to its empirical cumulative rank r/n within its event type — the
+    * calibration-friendly normalization (uniform marginals by
+    * construction) behind copula features and rank-based blending.
+    * The (value, event_id) tie-break makes every row its own peer
+    * class, so cume_dist is exactly rank/n on both engines — one
+    * identical integer division, no distribution assumptions. One
+    * window per group; groups are the parallel unit. */
+  def cdfTransform(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events.select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("cdf", graft.Rounding.duckRound(
+        cume_dist().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))), 6))
+  }
+
+  /** CUBE of the order-book flags: all four grouping sets of
+    * (returnflag, linestatus) in one pass — the every-margin
+    * companion of [[rollupStats]]'s hierarchy (ROLLUP drills a
+    * hierarchy; CUBE crosses independent dimensions). Same
+    * grouping_id contract: first column = high bit on both engines;
+    * Spark plans one Expand + one partial-aggregated shuffle, never
+    * 4 scans. */
+  def cubeStats(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_items"),
+        graft.Rounding.duckRound(sum(col("l_quantity")), 6)
+          .as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("n_items"), col("sum_qty"))
+
+  /** Trailing point-in-time features for every purchase: event count,
+    * view count, click count, and average value over the key's OWN
+    * preceding 24 hours — the leakage-safe feature vector a training
+    * pipeline joins to its labels (each row sees only its own past;
+    * the e137 PIT join is the dimension-side twin of this
+    * fact-side windowing). One RANGE frame per key on microsecond
+    * integers; value aggregates ride the e119 fixed-point contract
+    * (int64 cents — a RANGE frame is re-aggregated per row, exactly
+    * where engines tree their double partials differently). */
+  def trailingFeatures(events: DataFrame,
+                       windowHours: Long = 24L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowHours * 3600L * 1000000L, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        round(col("value") * lit(100)).cast("bigint").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_events_24h", count(lit(1)).over(w))
+      .withColumn("n_view_24h",
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(w))
+      .withColumn("n_click_24h",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .over(w))
+      .withColumn("sum_cents", sum(col("cents")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("n_events_24h"), col("n_view_24h"), col("n_click_24h"),
+        graft.Rounding.duckRound(
+          col("sum_cents").cast("double") /
+            (col("n_events_24h") * lit(100L)).cast("double"), 6)
+          .as("avg_value_24h"))
+  }
+
+  /** Half-life-decayed trending scores: each line item contributes
+    * 0.5^(age/halfLife) toward its supplier, so "trending" means
+    * recent volume, not lifetime volume — the freshness-weighted
+    * leaderboard behind trending-content / hot-SKU surfaces. The
+    * anchor (max shipdate) is a 1-row broadcast; the decay weight is
+    * one identical expression tree; only the order-dependent weight
+    * sum rounds, and the rank runs on the ROUNDED score with a key
+    * tie-break (the e60 deterministic-rank contract) over the
+    * AGGREGATED supplier table — bounded by the dimension's
+    * cardinality, never by line-item volume. */
+  def decayTrending(lineitem: DataFrame, halfLifeDays: Double = 7.0,
+                    k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mx = lineitem.agg(max(unix_micros(col("l_shipdate")))
+      .as("mts"))
+    val wgt = pow(lit(0.5),
+      (col("mts").cast("double") -
+        unix_micros(col("l_shipdate")).cast("double")) /
+        lit(86400000000L).cast("double") / lit(halfLifeDays))
+    lineitem.join(broadcast(mx))
+      .select(col("l_suppkey"), wgt.as("wgt"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.Rounding.duckRound(sum(col("wgt")), 6).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score").desc, col("l_suppkey")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Latest-wins state snapshot: each key's most recent event (by the
+    * (ts, event_id) total order) — the denormalized current-state
+    * table every serving layer keeps next to the event log. One
+    * per-key window, rank-1 filter; Spark plans the per-key limit
+    * without ranking whole histories. */
+  def latestState(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  /** Weekly lifecycle matrix: per calendar week, how many active
+    * users are new (first week ever), retained (also active the
+    * previous week), or resurrected (active before, absent last
+    * week) — plus how many of the previous week's actives churned
+    * into this week. The growth-accounting decomposition
+    * (active = new + retained + resurrected; churn balances the
+    * ledger). Everything is presence-set algebra on (user, week)
+    * rows: one distinct, one min-aggregate, two self-joins shifted
+    * by exactly 7 days (calendar weeks make the shift a constant
+    * interval) — all keyed on user, so the joins co-partition; no
+    * window ever sees the raw event volume. */
+  def churnMatrix(events: DataFrame): DataFrame = {
+    val p = events.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("timestamp").as("wk"))
+      .distinct()
+    val firstWk = p.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("first_wk"))
+    val prev = p.select(col("user_id"),
+      (col("wk") + expr("INTERVAL 7 DAY")).as("wk"),
+      lit(1).as("was_prev"))
+    val cur = p.join(firstWk, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(col("wk"), (col("wk") === col("first_wk")).as("is_new"),
+        col("was_prev").isNotNull.as("was_prev"))
+    val agg = cur.groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("was_prev"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(!col("is_new") && !col("was_prev"), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+    val churn = p.as("a")
+      .join(p.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.wk") === col("a.wk") + expr("INTERVAL 7 DAY"),
+        "left_anti")
+      .groupBy((col("wk") + expr("INTERVAL 7 DAY")).as("wk"))
+      .agg(count(lit(1)).as("n_churned"))
+    agg.join(churn, Seq("wk"), "left")
+      .select(col("wk"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
+  }
+
+  /** Two-sided CUSUM change detection per key (Page): the sequential
+    * fold s⁺ₜ = max(0, s⁺ₜ₋₁ + devₜ − slack), s⁻ₜ = max(0, s⁻ₜ₋₁ −
+    * devₜ − slack) over scaled deviations from the GLOBAL mean, with
+    * an alarm when either side crosses `h` — the classic drift
+    * detector that fires on small sustained shifts a threshold test
+    * misses. Inherently a per-key sequential fold (the max(0,·) reset
+    * depends on the whole prefix — no window expresses it), so like
+    * [[anchoredDebounce]] it runs as typed `groupByKey.flatMapGroups`
+    * with an in-group (ts, event_id) sort; keys are the parallel
+    * unit. The fold is plain double arithmetic in one fixed order on
+    * both engines (the oracle walks it as a recursive CTE), so the
+    * emitted statistics are bit-identical — rounding happens only at
+    * the output surface. The reference mean is one broadcast-scale
+    * scalar, rounded before use (e36). */
+  def cusum(events: DataFrame, slack: Double = 0.05,
+            h: Double = 1.0): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    val meanS = graft.Rounding.duckRoundDouble(
+      events.agg(avg(col("value") / lit(100.0))).head().getDouble(0), 6)
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toIndexedSeq.sortBy(e => (micros(e._3), e._2))
+        var sp = 0.0
+        var sn = 0.0
+        sorted.iterator.map { e =>
+          val dev = e._4 / 100.0 - meanS
+          sp = math.max(0.0, sp + dev - slack)
+          sn = math.max(0.0, sn - dev - slack)
+          (e._1, e._2, e._3,
+            graft.Rounding.duckRoundDouble(sp, 6),
+            graft.Rounding.duckRoundDouble(sn, 6),
+            sp > h || sn > h)
+        }
+      }
+      .toDF("user_id", "event_id", "ts", "s_pos", "s_neg", "alarm")
+  }
 }

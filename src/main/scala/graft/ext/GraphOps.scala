@@ -96,4 +96,120 @@ object GraphOps {
     }
     ranks
   }
+
+  /** K-core decomposition by iterative peeling over an UNDIRECTED
+    * canonical (node_a < node_b) edge list: repeatedly drop nodes
+    * whose degree among SURVIVORS is < k; what remains is the k-core —
+    * the standard cohesion screen (spam rings, dense collaboration
+    * cores) that a plain degree cut can't express, because removing a
+    * weak node can demote its neighbors.
+    *
+    * Runs a FIXED `rounds` peels (rounds past the fixpoint are no-ops,
+    * so fixed-round semantics equals converged semantics whenever the
+    * graph settles within the budget — and lets the oracle unroll the
+    * identical chain; the co-purchase graph settles in 2). Each round
+    * is two co-partitioned semi-joins (both edge endpoints must be
+    * alive) + one partial-aggregated degree count — the message-passing
+    * topology of [[pageRank]], with the same per-round
+    * localCheckpoint lineage truncation. Returns (node, core_deg),
+    * the in-core degree of each surviving node. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    val sym = CachePins.pinCheckpoint(
+      edges.select(col("node_a").as("src"), col("node_b").as("dst"))
+        .unionByName(
+          edges.select(col("node_b").as("src"),
+            col("node_a").as("dst"))))
+    def aliveDeg(alive: DataFrame): DataFrame =
+      sym.join(alive, sym("src") === alive("node"), "left_semi")
+        .join(alive.withColumnRenamed("node", "dnode"),
+          col("dst") === col("dnode"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var alive = CachePins.pinCheckpoint(
+      sym.select(col("src").as("node")).distinct())
+    for (_ <- 1 to rounds) {
+      alive = CachePins.pinCheckpoint(
+        aliveDeg(alive).filter(col("deg") >= k)
+          .select(col("src").as("node")))
+    }
+    aliveDeg(alive)
+      .select(col("src").as("node"), col("deg").as("core_deg"))
+  }
+
+  /** BFS hop distance from `seed` over an UNDIRECTED canonical edge
+    * list, up to `maxHops`: (node, hops) for every reached node — the
+    * reachability/radius probe behind link-contamination tracing and
+    * influence neighborhoods. Frontier-expansion form: round h joins
+    * ONLY the hop-(h−1) frontier against the adjacency (co-partitioned
+    * equi-join), merges by min, and checkpoint-truncates — each node
+    * is expanded exactly once, so total work is O(edges) across all
+    * rounds, never rounds × edges. The oracle is the textbook
+    * recursive CTE; min-merge makes fixed rounds equal converged BFS
+    * within the hop budget. */
+  def hopDistance(edges: DataFrame, seed: Long,
+                  maxHops: Int = 8): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = CachePins.pinCheckpoint(
+      edges.select(col("node_a").as("src"), col("node_b").as("dst"))
+        .unionByName(
+          edges.select(col("node_b").as("src"),
+            col("node_a").as("dst"))))
+    var dist = CachePins.pinCheckpoint(
+      spark.range(1).select(lit(seed).as("node"),
+        lit(0L).as("hops")))
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1))
+      val next = sym
+        .join(frontier, sym("src") === frontier("node"))
+        .select(col("dst").as("node"), lit(h.toLong).as("hops"))
+      dist = CachePins.pinCheckpoint(
+        dist.unionByName(next)
+          .groupBy(col("node")).agg(min(col("hops")).as("hops")))
+    }
+    dist
+  }
+
+  /** Association rules over the capped bipartite memberships: for
+    * every canonical co-occurring item pair (a, b) with at least
+    * `minShared` common baskets — the e107 candidate set — the
+    * market-basket metrics: support count, both conditional
+    * confidences P(b|a), P(a|b), and lift (>1 ⇒ the pair co-occurs
+    * beyond independence). All counts are exact integers from
+    * partial-aggregated groupBys (pair counts from the capped
+    * self-join, item supports from one scan, the basket total from a
+    * 1-row agg that broadcasts); the divisions are identical double
+    * operands cross-engine. Same hot-key cap as
+    * [[bipartiteProjection]] — the cap defines the semantics and the
+    * oracle mirrors it. */
+  def associationRules(pairs: DataFrame, minShared: Long,
+                       maxDeg: Long = 1000L): DataFrame = {
+    val deg = pairs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg).select(col("c"))
+    val capped = pairs.join(deg, Seq("c"), "left_semi")
+    val co = capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") < col("b.sp"))
+      .groupBy(col("a.sp").as("node_a"), col("b.sp").as("node_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val supp = capped.groupBy(col("sp")).agg(count(lit(1)).as("supp"))
+    val baskets = capped.select(col("c")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    co
+      .join(broadcast(supp.withColumnRenamed("sp", "node_a")
+        .withColumnRenamed("supp", "supp_a")), Seq("node_a"))
+      .join(broadcast(supp.withColumnRenamed("sp", "node_b")
+        .withColumnRenamed("supp", "supp_b")), Seq("node_b"))
+      .join(broadcast(baskets))
+      .select(col("node_a"), col("node_b"), col("n_shared"),
+        col("supp_a"), col("supp_b"),
+        graft.Rounding.duckRound(
+          col("n_shared").cast("double") / col("supp_a").cast("double"),
+          6).as("conf_ab"),
+        graft.Rounding.duckRound(
+          col("n_shared").cast("double") / col("supp_b").cast("double"),
+          6).as("conf_ba"),
+        graft.Rounding.duckRound(
+          (col("n_shared") * col("n_baskets")).cast("double") /
+            (col("supp_a") * col("supp_b")).cast("double"), 6)
+          .as("lift"))
+  }
 }

@@ -442,4 +442,86 @@ object TextAnalysis {
           .as("n_dropped"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** Zipf's-law fit of the corpus frequency spectrum: least-squares
+    * slope of ln(freq) on ln(rank) over the full vocabulary — natural
+    * text sits near slope ≈ −1; synthetic/templated corpora (like this
+    * one: measured −0.18) and boilerplate floods deviate, which makes
+    * the single scalar a cheap corpus-health monitor next to the e49
+    * diversity ratios. The vocabulary aggregation is the e24 pass; the
+    * rank is one window over the VOCABULARY (size-bounded by Heaps'
+    * law, not corpus-bounded — ordering ties break on the token);
+    * the regression reuses the round-before-use co-moment discipline
+    * of EventAnalytics.trendRegression, so slope/intercept/R² are
+    * identical expression trees cross-engine. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val cnt = docs.select(explode(words(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = cnt.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val xy = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("cnt").cast("double")).as("y"))
+    val a = xy.agg(count(lit(1)).as("n_terms"),
+      Rounding.duckRound(avg(col("x")), 6).as("mx"),
+      Rounding.duckRound(avg(col("y")), 6).as("my"),
+      Rounding.duckRound(covar_pop(col("y"), col("x")), 6).as("cxy"),
+      Rounding.duckRound(var_pop(col("x")), 6).as("vx"),
+      Rounding.duckRound(var_pop(col("y")), 6).as("vy"))
+    a.select(col("n_terms"),
+      Rounding.duckRound(col("cxy") / col("vx"), 6).as("slope"),
+      Rounding.duckRound(
+        col("my") - (col("cxy") / col("vx")) * col("mx"), 6)
+        .as("intercept"),
+      Rounding.duckRound(
+        (col("cxy") * col("cxy")) / (col("vx") * col("vy")), 6)
+        .as("r2"))
+  }
+
+  /** Exact phrase search over a positional postings list: build
+    * (doc, pos, token) rows, anchor on the first term, then one
+    * co-partitioned equi-join per remaining term at `pos + i` — the
+    * inverted-index adjacency walk (tf alone cannot distinguish
+    * "table hash" from "hash table"). Candidates shrink at every
+    * join (each step keeps only positions whose next term matches),
+    * and every join keys on (doc, position) — co-partitioned, never
+    * a cross product. Returns per-doc match count and first match
+    * position (1-based). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+    val first = post.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (term, i)) =>
+        acc.join(post.filter(col("tok") === term)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pos")).as("first_pos"))
+  }
+
+  /** The hashing trick: every token hashes to one of `buckets` signed
+    * feature slots — the fixed-width featurization that needs NO
+    * vocabulary pass, no fit state, and no OOV handling (the reason
+    * Vowpal-style pipelines scale ingestion linearly). Output is the
+    * sparse representation (doc, bucket, count, signed sum); the sign
+    * bit comes from the next hash bit up, the standard unbiasing
+    * trick (collisions cancel in expectation instead of inflating).
+    * Hashing is the md5-derived [[Dedup.md5Long]] (non-negative by
+    * construction: 60 hash bits), so bucket and sign are exact
+    * cross-engine integer arithmetic — one explode + one
+    * partial-aggregated groupBy, nothing collects a vocabulary. */
+  def featureHash(docs: DataFrame, buckets: Int = 64): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("tok"))
+      .withColumn("hv", Dedup.md5Long(col("tok")))
+      .groupBy(col("doc_id"), (col("hv") % buckets).as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(expr(s"(hv DIV $buckets) % 2") === 0, 1L)
+          .otherwise(-1L)).as("signed_sum"))
 }

@@ -106,4 +106,48 @@ class QuantSeriesSpec extends SparkSpec {
     assert(r(0).getAs[Double]("acf2") == 1.0)
     assert(r(0).getAs[Double]("acf3") == 1.0)
   }
+
+  test("E128: a 2-point frequency spectrum fits its exact line") {
+    // "a" ×4, "b" ×2 → (ln 1, ln 4), (ln 2, ln 2): slope −1, R² 1
+    val docs = Seq((1L, "a a b"), (2L, "a a b"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.zipfFit(docs).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_terms") == 2L)
+    assert(math.abs(r(0).getAs[Double]("slope") + 1.0) < 1e-5)
+    assert(r(0).getAs[Double]("r2") > 0.999999)
+  }
+
+  test("E129: realized volatility sums within-day squared log " +
+    "returns; days are independent") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, 2L, ts("2024-01-01 11:00:00"), 20.0),
+      (1L, 3L, ts("2024-01-01 12:00:00"), 40.0),
+      // next day: a single event → no return, no row
+      (1L, 4L, ts("2024-01-02 09:00:00"), 80.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = EventAnalytics.realizedVolatility(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_ret") == 2L)
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    assert(r(0).getAs[Double]("rv") ==
+      Rounding.duckRoundDouble(ln2sq + ln2sq, 6))
+  }
+
+  test("E130: symmetric data has zero skew; moments follow the " +
+    "round-before-use chain") {
+    val ev = Seq((1L, "a", 100.0), (2L, "a", 200.0), (3L, "a", 300.0))
+      .toDF("event_id", "event_type", "value")
+    val r = graft.ext.DataProfile
+      .momentStats(ev, "event_type", "value").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n") == 3L)
+    assert(r(0).getAs[Double]("mean") == 200.0)
+    assert(r(0).getAs[Double]("skewness") == 0.0)
+    // replicate the rounded-moment chain: m2 = m4 = round(2/3, 6)
+    val m2 = Rounding.duckRoundDouble(2.0 / 3, 6)
+    assert(r(0).getAs[Double]("stddev_pop") ==
+      Rounding.duckRoundDouble(math.sqrt(m2) * 100, 6))
+    assert(r(0).getAs[Double]("kurtosis_excess") ==
+      Rounding.duckRoundDouble(m2 / (m2 * m2) - 3.0, 6))
+  }
 }
