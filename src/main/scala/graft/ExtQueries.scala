@@ -2625,7 +2625,23 @@ object ExtQueries {
     // E150: leakage-safe trailing 24 h features for every purchase —
     // per-key RANGE frames on microsecond integers, cents-exact sums
     "e150_trailing_features" -> ((s, dir) =>
-      EventAnalytics.trailingFeatures(Tables.load(s, dir, "events")))
+      EventAnalytics.trailingFeatures(Tables.load(s, dir, "events"))),
+
+    // E151: Roll's effective-spread estimator — the bid-ask bounce
+    // read out of the trade series alone via −cov(Δpₜ, Δpₜ₋₁)
+    "e151_roll_spread" -> ((s, dir) =>
+      EventAnalytics.rollSpread(Tables.load(s, dir, "events"))),
+
+    // E152: Lo-MacKinlay variance ratio VR(4) — the random-walk test
+    // (this corpus measures ≈ 0.25: i.i.d. noise, not a walk)
+    "e152_variance_ratio" -> ((s, dir) =>
+      EventAnalytics.varianceRatio(Tables.load(s, dir, "events"))),
+
+    // E153: day-of-week seasonal indices — the deseasonalization
+    // profile monitoring baselines divide out
+    "e153_seasonal_index" -> ((s, dir) =>
+      DataProfile.seasonalIndex(Tables.load(s, dir, "events"),
+        "event_type", "ts", "value"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5800,7 +5816,62 @@ object ExtQueries {
         |  round(CAST(sum_cents AS DOUBLE)
         |        / CAST(n_events_24h * 100 AS DOUBLE), 6)
         |    AS avg_value_24h
-        |FROM f WHERE event_type = 'purchase'""".stripMargin
+        |FROM f WHERE event_type = 'purchase'""".stripMargin,
+
+    // the covariance rounds before the √; positive autocovariance
+    // clamps to zero on both engines
+    "e151_roll_spread" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |    value - lag(value) OVER w AS dp,
+        |    lag(value) OVER w - lag(value, 2) OVER w AS dp_prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT user_id, count(*) AS n_pairs,
+        |    round(covar_pop(dp, dp_prev), 6) AS cov_dp
+        |  FROM d WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT user_id, n_pairs, cov_dp,
+        |  round(2 * sqrt(greatest(CAST(0 AS DOUBLE), -cov_dp)), 6)
+        |    AS roll_spread
+        |FROM c""".stripMargin,
+
+    // two rounded population variances, one identical division
+    "e152_variance_ratio" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    value - lag(value, 1) OVER w AS d1,
+        |    value - lag(value, 4) OVER w AS d4
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT event_type,
+        |    round(var_pop(d1), 6) AS v1,
+        |    round(var_pop(d4), 6) AS v4
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, v1, v4,
+        |  round(v4 / (CAST(4 AS DOUBLE) * v1), 6) AS vr4
+        |FROM a""".stripMargin,
+
+    // the same epoch-day dow; both means round before the ratio
+    "e153_seasonal_index" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, value
+        |  FROM events),
+        |cell AS (
+        |  SELECT event_type, dow, count(*) AS n_obs,
+        |    round(avg(value), 6) AS cell_mean
+        |  FROM d GROUP BY 1, 2),
+        |tm AS (
+        |  SELECT event_type, round(avg(value), 6) AS type_mean
+        |  FROM d GROUP BY 1)
+        |SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow, n_obs,
+        |  cell_mean, type_mean,
+        |  round(cell_mean / type_mean, 6) AS seasonal_index
+        |FROM cell c JOIN tm USING (event_type)""".stripMargin
   )
 
   /** Last-touch attribution as the causal ignore-nulls carry — shared

@@ -404,4 +404,29 @@ object DataProfile {
             (col("n_obs").cast("double") - col("expected")) /
             col("expected"), 6).as("chi2_term"))
   }
+
+  /** Day-of-week seasonal indices per group: cell mean / group mean —
+    * the multiplicative seasonality profile (index 1.1 ⇒ that weekday
+    * runs 10% hot) that deseasonalizes monitoring baselines before
+    * drift tests like CUSUM see them. Day-of-week is the same
+    * integer epoch-day arithmetic as [[chisqIndependence]]; both
+    * means round BEFORE the ratio (e36), making the index identical
+    * cross-engine. Two partial-aggregated passes, a ≤ 7·k-row
+    * broadcast join. */
+  def seasonalIndex(df: DataFrame, catCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val dow = expr(
+      s"(unix_micros($tsCol) DIV 86400000000 + 4) % 7")
+    val d = df.select(col(catCol), dow.as("dow"), col(valueCol))
+    val cell = d.groupBy(col(catCol), col("dow"))
+      .agg(count(lit(1)).as("n_obs"),
+        Rounding.duckRound(avg(col(valueCol)), 6).as("cell_mean"))
+    val tm = d.groupBy(col(catCol))
+      .agg(Rounding.duckRound(avg(col(valueCol)), 6).as("type_mean"))
+    cell.join(broadcast(tm), Seq(catCol))
+      .select(col(catCol), col("dow").cast("long").as("dow"),
+        col("n_obs"), col("cell_mean"), col("type_mean"),
+        Rounding.duckRound(col("cell_mean") / col("type_mean"), 6)
+          .as("seasonal_index"))
+  }
 }

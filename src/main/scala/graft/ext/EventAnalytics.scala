@@ -641,14 +641,18 @@ object EventAnalytics {
         col("event_type"),
         round(col("value") * lit(100)).cast("bigint").as("cents"),
         unix_micros(col("ts")).as("us"))
-      .withColumn("n_events_24h", count(lit(1)).over(w))
-      .withColumn("n_view_24h",
+      // all four aggregates in ONE projection: chained withColumns
+      // interleave Projects that block CollapseWindow, planning a
+      // Window node per aggregate instead of one shared pass
+      // (PlanShapeSpec pins the collapsed shape)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"),
+        count(lit(1)).over(w).as("n_events_24h"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L))
-          .over(w))
-      .withColumn("n_click_24h",
+          .over(w).as("n_view_24h"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .over(w))
-      .withColumn("sum_cents", sum(col("cents")).over(w))
+          .over(w).as("n_click_24h"),
+        sum(col("cents")).over(w).as("sum_cents"))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"),
         col("n_events_24h"), col("n_view_24h"), col("n_click_24h"),
@@ -748,6 +752,61 @@ object EventAnalytics {
       .select(col("wk"), col("n_active"), col("n_new"),
         col("n_retained"), col("n_resurrected"),
         coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
+  }
+
+  /** Roll's effective-spread estimator per key: 2·√(−cov(Δpₜ,
+    * Δpₜ₋₁)) — the classic microstructure trick that reads the
+    * bid-ask bounce out of trade prices alone (no quote data needed):
+    * bounce makes successive price changes negatively autocovariant,
+    * and the magnitude IS the spread. Clamped at zero covariance
+    * (positive autocovariance ⇒ estimator undefined ⇒ 0, the
+    * standard convention). Two lags in one per-key window, one
+    * partial-aggregated covariance per key, rounded before the
+    * derived √ (e36). */
+  def rollSpread(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("dp", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dp_prev",
+        lag(col("value"), 1).over(w) - lag(col("value"), 2).over(w))
+      .filter(col("dp").isNotNull && col("dp_prev").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.Rounding.duckRound(
+          covar_pop(col("dp"), col("dp_prev")), 6).as("cov_dp"))
+      .select(col("user_id"), col("n_pairs"), col("cov_dp"),
+        graft.Rounding.duckRound(
+          lit(2.0) * sqrt(greatest(lit(0.0).cast("double"),
+            -col("cov_dp"))), 6).as("roll_spread"))
+  }
+
+  /** Lo-MacKinlay variance ratio per group: VR(q) = var(q-step
+    * differences) / (q · var(1-step differences)) — the
+    * random-walk test (VR ≈ 1 for a random walk, < 1 for
+    * mean-reversion; this corpus measures ≈ 0.25, i.e. i.i.d. noise
+    * around a level, exactly what q·var additivity predicts for an
+    * uncorrelated series). Two lags in one per-group window, two
+    * rounded population variances, one identical division. */
+  def varianceRatio(events: DataFrame, q: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        col("value"))
+      .withColumn("d1", col("value") - lag(col("value"), 1).over(w))
+      .withColumn("dq", col("value") - lag(col("value"), q).over(w))
+      .groupBy(col("event_type"))
+      .agg(graft.Rounding.duckRound(var_pop(col("d1")), 6).as("v1"),
+        graft.Rounding.duckRound(var_pop(col("dq")), 6).as(s"v$q"))
+      .select(col("event_type"), col("v1"), col(s"v$q"),
+        graft.Rounding.duckRound(
+          col(s"v$q") / (lit(q.toDouble) * col("v1")), 6)
+          .as(s"vr$q"))
   }
 
   /** Two-sided CUSUM change detection per key (Page): the sequential

@@ -204,6 +204,27 @@ class PlanShapeSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("e126 k-core's final round reads checkpointed frames, never " +
+    "re-derives the edge list") {
+    val p = plan("e126_kcore")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected checkpointed LogicalRDD leaves, plan:\n$p")
+    // the peel loop must not stack 6 rounds of joins over the raw
+    // parquet tables (the e91 lineage rule)
+    assert(!p.contains("Scan parquet"),
+      s"iteration must not re-derive from the raw tables, plan:\n$p")
+  }
+
+  test("e150 trailing features run in ONE per-key window pass: all " +
+    "four aggregates share a frame, one shuffle") {
+    val p = plan("e150_trailing_features")
+    assert(raw"\(\d+\) Window\b".r.findAllIn(p).length == 1,
+      s"the four RANGE aggregates must share one Window, plan:\n$p")
+    assert(shuffleCount(p) == 1,
+      s"expected exactly one exchange (the user_id partition), " +
+        s"plan:\n$p")
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")

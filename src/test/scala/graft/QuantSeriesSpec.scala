@@ -134,6 +134,58 @@ class QuantSeriesSpec extends SparkSpec {
       Rounding.duckRoundDouble(ln2sq + ln2sq, 6))
   }
 
+  test("E151: a planted bid-ask bounce yields the Roll estimate; " +
+    "positive autocovariance clamps to zero") {
+    // alternating 10/11: successive changes are perfectly negatively
+    // autocovariant — the bounce signature
+    val ev = (1 to 5).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 10:0$i:00"),
+        if (i % 2 == 1) 10.0 else 11.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = EventAnalytics.rollSpread(ev).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_pairs") == 3L)
+    // replicate: dp = [-1,1,-1], prev = [1,-1,1] → cov_pop = -8/9
+    val cov = Rounding.duckRoundDouble(-8.0 / 9, 6)
+    assert(r(0).getAs[Double]("cov_dp") == cov)
+    assert(r(0).getAs[Double]("roll_spread") ==
+      Rounding.duckRoundDouble(2.0 * math.sqrt(-cov), 6))
+    // a trending series (positive autocov) clamps to 0
+    val trend = (1 to 5).map(i =>
+      (2L, i.toLong, ts(f"2024-01-01 10:0$i:00"), i * 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val t = EventAnalytics.rollSpread(trend).collect()
+    assert(t(0).getAs[Double]("roll_spread") == 0.0)
+  }
+
+  test("E152: a period-2 oscillation has zero 4-step variance — " +
+    "VR(4) = 0") {
+    val ev = (1 to 8).map(i =>
+      (i.toLong, ts(f"2024-01-01 10:0$i:00"), "a",
+        if (i % 2 == 1) 0.0 else 2.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.varianceRatio(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("v4") == 0.0)
+    assert(r(0).getAs[Double]("vr4") == 0.0)
+  }
+
+  test("E153: weekday means over the group mean; indices average " +
+    "out around 1") {
+    // Monday runs at 20, Tuesday at 10 → type mean 15
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 20.0), // Monday
+      ("a", ts("2024-01-01 11:00:00"), 20.0),
+      ("a", ts("2024-01-02 10:00:00"), 10.0), // Tuesday
+      ("a", ts("2024-01-02 11:00:00"), 10.0))
+      .toDF("event_type", "ts", "value")
+    val got = graft.ext.DataProfile
+      .seasonalIndex(ev, "event_type", "ts", "value")
+      .collect().map(r => r.getAs[Long]("dow") ->
+        r.getAs[Double]("seasonal_index")).toMap
+    assert(got(1L) == Rounding.duckRoundDouble(20.0 / 15, 6))
+    assert(got(2L) == Rounding.duckRoundDouble(10.0 / 15, 6))
+  }
+
   test("E130: symmetric data has zero skew; moments follow the " +
     "round-before-use chain") {
     val ev = Seq((1L, "a", 100.0), (2L, "a", 200.0), (3L, "a", 300.0))
