@@ -2641,7 +2641,113 @@ object ExtQueries {
     // profile monitoring baselines divide out
     "e153_seasonal_index" -> ((s, dir) =>
       DataProfile.seasonalIndex(Tables.load(s, dir, "events"),
-        "event_type", "ts", "value"))
+        "event_type", "ts", "value")),
+
+    // E154: personalized PageRank seeded at the smallest node — rank
+    // as PROXIMITY to the seed (the related-items walk); an empty
+    // graph at other SFs degrades to an empty result (the e127 rule)
+    "e154_personalized_pagerank" -> ((s, dir) => {
+      val edges = GraphOps.bipartiteProjection(tradePairs(s, dir),
+        minShared = 190L).select(col("node_a"), col("node_b"))
+      val row = edges.agg(min(col("node_a"))).head()
+      if (row.isNullAt(0))
+        s.range(0).select(col("id").as("node"),
+          col("id").cast("double").as("pprank"))
+      else {
+        val sym = edges
+          .select(col("node_a").as("src"), col("node_b").as("dst"))
+          .unionByName(edges.select(col("node_b").as("src"),
+            col("node_a").as("dst")))
+        GraphOps.personalizedPageRank(sym, Seq(row.getLong(0)))
+          .select(col("node"),
+            graft.Rounding.duckRound(col("rank"), 6).as("pprank"))
+      }
+    }),
+
+    // E155: HITS hubs/authorities over the customer→supplier
+    // bipartite memberships — L1-normalized mutual reinforcement
+    "e155_hits" -> ((s, dir) =>
+      GraphOps.hits(tradePairs(s, dir))),
+
+    // E156: item-item cosine top-3 — the "customers also bought"
+    // serving table from binary co-occurrence
+    "e156_item_cf" -> ((s, dir) =>
+      GraphOps.itemCosineTopK(tradePairs(s, dir), minShared = 150L)),
+
+    // E157: per-user activity coverage — active days / span / longest
+    // gap, the churned-vs-sparse discriminator
+    "e157_activity_coverage" -> ((s, dir) =>
+      EventAnalytics.activityCoverage(Tables.load(s, dir, "events"))),
+
+    // E158: golden-record survivorship — the e16 simhash clusters
+    // merged to one record per cluster with per-field survivor rules
+    // (the MDM step after "these rows are the same thing")
+    "e158_golden_record" -> ((s, dir) =>
+      Clustering.survivorship(docs(s, dir),
+        Clustering.connectedComponents(
+          Dedup.simhashPairs(docs(s, dir), 3)))),
+
+    // E159: view→purchase conversion-latency distribution over the
+    // e39 funnel — count, interpolated P50/P90, mean
+    "e159_conversion_latency" -> ((s, dir) => {
+      val f = EventAnalytics.funnel(Tables.load(s, dir, "events"))
+      f.filter(col("purchase_ts").isNotNull)
+        .select(((unix_micros(col("purchase_ts")).cast("double") -
+          unix_micros(col("view_ts")).cast("double")) /
+          lit(1000000.0)).as("latency_s"))
+        .agg(count(lit(1)).as("n_converted"),
+          graft.Rounding.duckRound(
+            expr("percentile(latency_s, 0.5)"), 6).as("p50_s"),
+          graft.Rounding.duckRound(
+            expr("percentile(latency_s, 0.9)"), 6).as("p90_s"),
+          graft.Rounding.duckRound(avg(col("latency_s")), 6)
+            .as("avg_s"))
+    }),
+
+    // E160: profile drift between snapshots — per-metric v1/v2/delta
+    // rows with a relative-threshold flag (the schema-stats
+    // companion of the e109 distribution-shape PSI)
+    "e160_profile_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.filter(col("doc_id") % 11 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, col("n_chars") + 3)
+            .otherwise(col("n_chars")))
+        .unionByName(d.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)
+          .withColumn("text", concat(col("text"), lit(" new")))
+          .withColumn("n_chars", col("n_chars") + 4))
+      def prof(df: DataFrame) = df.agg(
+        count(lit(1)).cast("double").as("n_rows"),
+        graft.Rounding.duckRound(avg(col("n_chars")), 6)
+          .as("avg_n_chars"),
+        countDistinct(col("lang")).cast("double").as("distinct_lang"),
+        countDistinct(col("source")).cast("double")
+          .as("distinct_source"))
+      val p1 = prof(d)
+      val p2 = prof(v2)
+      val metrics = Seq("n_rows", "avg_n_chars", "distinct_lang",
+        "distinct_source")
+      val one = p1.join(broadcast(
+        metrics.foldLeft(p2) { (df, m) =>
+          df.withColumnRenamed(m, s"${m}_2")
+        }))
+      metrics.map { m =>
+        val delta = graft.Rounding.duckRound(
+          col(s"${m}_2") - col(m), 6)
+        one.select(lit(m).as("metric"), col(m).as("v1"),
+          col(s"${m}_2").as("v2"), delta.as("delta"),
+          (abs(delta) > lit(0.01) * col(m)).as("drifted"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // E161: two-proportion z-test between user-parity arms — the A/B
+    // readout with the verdict on the rounded statistic
+    "e161_ab_ztest" -> ((s, dir) =>
+      EventAnalytics.abZTest(Tables.load(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5855,6 +5961,207 @@ object ExtQueries {
         |  round(v4 / (CAST(4 AS DOUBLE) * v1), 6) AS vr4
         |FROM a""".stripMargin,
 
+    // the e91 unroll with the teleport term concentrated on the seed
+    "e154_personalized_pagerank" -> pprOracle(iters = 5),
+
+    // half-rounds unrolled; the L1 normalizer rounds before each
+    // division (both engines divide by the identical scalar)
+    "e155_hits" -> hitsOracle(iters = 3),
+
+    // the association-rule counts, cosine-normalized, ranked per item
+    "e156_item_cf" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg0 AS (SELECT c FROM pairs GROUP BY c
+        |         HAVING count(*) <= 1000),
+        |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg0 USING (c)),
+        |co AS (
+        |  SELECT a.sp AS node_a, b.sp AS node_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b
+        |    ON a.c = b.c AND a.sp <> b.sp
+        |  GROUP BY 1, 2 HAVING count(*) >= 150),
+        |supp AS (SELECT sp, count(*) AS supp FROM capped GROUP BY 1),
+        |simt AS (
+        |  SELECT node_a, node_b, n_shared,
+        |    round(CAST(n_shared AS DOUBLE)
+        |      / sqrt(CAST(sa.supp AS DOUBLE)
+        |             * CAST(sb.supp AS DOUBLE)), 6) AS cosine
+        |  FROM co JOIN supp sa ON co.node_a = sa.sp
+        |          JOIN supp sb ON co.node_b = sb.sp),
+        |rk AS (
+        |  SELECT node_a, node_b, n_shared, cosine,
+        |    row_number() OVER (PARTITION BY node_a
+        |      ORDER BY cosine DESC, node_b) AS rnk
+        |  FROM simt)
+        |SELECT node_a, node_b, n_shared, cosine,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 3""".stripMargin,
+
+    // the e16 CC closure extended with the per-field survivor rules;
+    // singletons backfill via the left join
+    "e158_golden_record" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |assign AS (
+        |  SELECT d.doc_id,
+        |    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+        |    d.n_chars, d.lang
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |rep AS (
+        |  SELECT cluster_id, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM assign),
+        |lv AS (SELECT cluster_id, lang, count(*) AS c
+        |       FROM assign GROUP BY 1, 2),
+        |lr AS (
+        |  SELECT cluster_id, lang,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY c DESC, lang) AS rn
+        |  FROM lv),
+        |base AS (
+        |  SELECT cluster_id, count(*) AS n_members,
+        |    min(doc_id) AS keep_id
+        |  FROM assign GROUP BY 1)
+        |SELECT b.cluster_id, b.n_members, b.keep_id,
+        |  r.doc_id AS rep_doc_id, r.n_chars AS rep_n_chars,
+        |  l.lang AS majority_lang
+        |FROM base b
+        |JOIN rep r ON b.cluster_id = r.cluster_id AND r.rn = 1
+        |JOIN lr l ON b.cluster_id = l.cluster_id AND l.rn = 1"""
+        .stripMargin,
+
+    // the e39 funnel chain feeding interpolated percentiles (the e36
+    // quantile parity contract)
+    "e159_conversion_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS click_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts >= v.view_ts
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+        |  GROUP BY 1),
+        |lat AS (
+        |  SELECT (CAST(epoch_us(p.purchase_ts) AS DOUBLE)
+        |          - CAST(epoch_us(v.view_ts) AS DOUBLE))
+        |         / CAST(1000000 AS DOUBLE) AS latency_s
+        |  FROM v JOIN p USING (user_id))
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(latency_s, CAST(0.5 AS DOUBLE)), 6)
+        |    AS p50_s,
+        |  round(quantile_cont(latency_s, CAST(0.9 AS DOUBLE)), 6)
+        |    AS p90_s,
+        |  round(avg(latency_s), 6) AS avg_s
+        |FROM lat""".stripMargin,
+
+    // the same two 4-metric profiles; the drift flag compares the
+    // ROUNDED delta to the relative threshold
+    "e160_profile_drift" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |         ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 3
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' new', lang, source,
+        |    n_chars + 4
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |p1 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+        |    round(avg(n_chars), 6) AS avg_n_chars,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS distinct_lang,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS distinct_source
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_rows,
+        |    round(avg(n_chars), 6) AS avg_n_chars,
+        |    CAST(count(DISTINCT lang) AS DOUBLE) AS distinct_lang,
+        |    CAST(count(DISTINCT source) AS DOUBLE) AS distinct_source
+        |  FROM v2),
+        |u AS (
+        |  SELECT 'n_rows' AS metric, p1.n_rows AS v1, p2.n_rows AS v2
+        |  FROM p1, p2
+        |  UNION ALL SELECT 'avg_n_chars', p1.avg_n_chars,
+        |    p2.avg_n_chars FROM p1, p2
+        |  UNION ALL SELECT 'distinct_lang', p1.distinct_lang,
+        |    p2.distinct_lang FROM p1, p2
+        |  UNION ALL SELECT 'distinct_source', p1.distinct_source,
+        |    p2.distinct_source FROM p1, p2)
+        |SELECT metric, v1, v2, round(v2 - v1, 6) AS delta,
+        |  abs(round(v2 - v1, 6)) > CAST(0.01 AS DOUBLE) * v1
+        |    AS drifted
+        |FROM u""".stripMargin,
+
+    // exact integer counts; rates, pooled rate, and z all round
+    // before use — the verdict can never flip on a last ulp
+    "e161_ab_ztest" ->
+      """WITH arms AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |                  THEN 1 ELSE 0 END) >= 15
+        |         THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM arms),
+        |r AS (
+        |  SELECT n_a, conv_a, n_b, conv_b,
+        |    round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |      AS rate_a,
+        |    round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |      AS rate_b,
+        |    round(CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE), 6) AS pooled
+        |  FROM s)
+        |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+        |  round((rate_a - rate_b)
+        |    / sqrt(pooled * (1 - pooled)
+        |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+        |    6) AS z,
+        |  abs(round((rate_a - rate_b)
+        |    / sqrt(pooled * (1 - pooled)
+        |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
+        |    6)) > CAST(1.96 AS DOUBLE) AS significant
+        |FROM r""".stripMargin,
+
+    // integer epoch-day ordinals; the gap lag runs over the bounded
+    // per-key day set
+    "e157_activity_coverage" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS dayord
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, dayord,
+        |    dayord - lag(dayord) OVER
+        |      (PARTITION BY user_id ORDER BY dayord) AS gap
+        |  FROM d)
+        |SELECT user_id, count(*) AS active_days,
+        |  max(dayord) - min(dayord) + 1 AS span_days,
+        |  round(CAST(count(*) AS DOUBLE)
+        |        / CAST(max(dayord) - min(dayord) + 1 AS DOUBLE), 6)
+        |    AS coverage,
+        |  coalesce(CAST(max(gap) - 1 AS BIGINT), 0)
+        |    AS longest_gap_days
+        |FROM g GROUP BY 1""".stripMargin,
+
     // the same epoch-day dow; both means round before the ratio
     "e153_seasonal_index" ->
       """WITH d AS (
@@ -5954,6 +6261,73 @@ object ExtQueries {
       |sym AS (SELECT node_a AS src, node_b AS dst FROM eg
       |        UNION ALL SELECT node_b, node_a FROM eg)"""
       .stripMargin
+
+  /** Personalized PageRank unrolled to `iters` CTE rounds over the
+    * e126/e127 graph CTEs — the e91 chain with the teleport term
+    * concentrated on the min-node seed. */
+  private def pprOracle(iters: Int): String = {
+    val restart =
+      """CASE WHEN n.node = (SELECT seed FROM seeds)
+        |              THEN CAST(1 AS DOUBLE)
+        |              ELSE CAST(0 AS DOUBLE) END""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (
+        |  SELECT n.node,
+        |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |      * ($restart)
+        |      + CAST(0.85 AS DOUBLE)
+        |        * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst AS node, sum(r.rank / e.outdeg) AS c
+        |    FROM topo e JOIN r${k - 1} r ON e.src = r.node
+        |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+      |outd AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY 1),
+      |topo AS (SELECT s.src, s.dst, o.outdeg
+      |         FROM sym s JOIN outd o USING (src)),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |seeds AS (SELECT min(src) AS seed FROM sym),
+      |r0 AS (
+      |  SELECT n.node, $restart AS rank
+      |  FROM nodes n),
+      |$rounds
+      |SELECT node, round(rank, 6) AS pprank FROM r$iters"""
+      .stripMargin
+  }
+
+  /** HITS unrolled to `iters` auth/hub half-round pairs over the
+    * capped bipartite memberships; each L1 normalizer rounds before
+    * its division. */
+  private def hitsOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a${k}0 AS (
+        |  SELECT sp, sum(h.hub) AS a
+        |  FROM capped c JOIN h${k - 1} h USING (c) GROUP BY 1),
+        |an$k AS (SELECT round(sum(a), 6) AS s FROM a${k}0),
+        |a$k AS (SELECT sp, a / (SELECT s FROM an$k) AS auth
+        |        FROM a${k}0),
+        |h${k}0 AS (
+        |  SELECT cc.c, sum(a.auth) AS hh
+        |  FROM capped cc JOIN a$k a USING (sp) GROUP BY 1),
+        |hn$k AS (SELECT round(sum(hh), 6) AS s FROM h${k}0),
+        |h$k AS (SELECT c, hh / (SELECT s FROM hn$k) AS hub
+        |        FROM h${k}0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |deg0 AS (SELECT c FROM pairs GROUP BY c
+      |         HAVING count(*) <= 1000),
+      |capped AS (SELECT p.c, p.sp FROM pairs p JOIN deg0 USING (c)),
+      |h0 AS (SELECT DISTINCT c, CAST(1 AS DOUBLE) AS hub
+      |       FROM capped),
+      |$rounds
+      |SELECT 'auth' AS side, sp AS node, round(auth, 6) AS score
+      |FROM a$iters
+      |UNION ALL
+      |SELECT 'hub', c, round(hub, 6) FROM h$iters""".stripMargin
+  }
 
   /** The k-core peel unrolled to `rounds` CTE stages — the exact chain
     * GraphOps.kCore runs (sᵣ = nodes whose degree among sᵣ₋₁ is ≥ k;

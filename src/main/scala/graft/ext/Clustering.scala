@@ -187,4 +187,45 @@ object Clustering {
       .union(e.select(col("u").as("id"), col("u").as("label")))
       .distinct()
   }
+
+  /** Golden-record survivorship over duplicate clusters: one merged
+    * record per cluster (singletons included via the left-join
+    * backfill, their own cluster), with per-FIELD survivor rules —
+    * keep_id = the stable minimum id, representative text = the
+    * longest member (tie: min id), language = the cluster majority
+    * (tie: alphabetical) — the MDM merge step that turns "these rows
+    * are the same thing" (the CC closure) into "this is the thing".
+    * Every rule is a rank-1 window or an aggregate over the CLUSTER
+    * (bounded by cluster size, keyed by cluster id — clusters are
+    * the parallel unit); deterministic tie-breaks make survivors
+    * cross-engine exact. */
+  def survivorship(docs: DataFrame, comp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assign = docs.select(col("doc_id"), col("n_chars"),
+        col("lang"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        col("n_chars"), col("lang"))
+    val rep = assign.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("n_chars").as("rep_n_chars"))
+    val lv = assign.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val lr = lv.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("lang").as("majority_lang"))
+    assign.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("keep_id"))
+      .join(rep, Seq("cluster_id"))
+      .join(lr, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("keep_id"),
+        col("rep_doc_id"), col("rep_n_chars"), col("majority_lang"))
+  }
 }

@@ -754,6 +754,75 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
   }
 
+  /** Two-proportion z-test between experiment arms (user_id parity
+    * split): per-arm conversion (here: ≥ `minPurchases` purchases),
+    * the pooled-rate z statistic, and the |z| > 1.96 verdict — the
+    * A/B readout every growth experiment ends with. All counts are
+    * exact integers from one partial-aggregated per-user pass +
+    * one 1-row arm aggregate; rates and the pooled rate round BEFORE
+    * the z algebra and the verdict compares the ROUNDED z (e36 —
+    * a last-ulp difference can never flip significance). */
+  def abZTest(events: DataFrame,
+              minPurchases: Long = 15L): DataFrame = {
+    val arms = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).as("np"))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("np") >= minPurchases, 1L).otherwise(0L)
+          .as("converted"))
+    val s = arms.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+        .as("conv_b"))
+    val r = s.select(col("n_a"), col("conv_a"), col("n_b"),
+      col("conv_b"),
+      graft.Rounding.duckRound(
+        col("conv_a").cast("double") / col("n_a").cast("double"), 6)
+        .as("rate_a"),
+      graft.Rounding.duckRound(
+        col("conv_b").cast("double") / col("n_b").cast("double"), 6)
+        .as("rate_b"),
+      graft.Rounding.duckRound(
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("pooled"))
+    val z = graft.Rounding.duckRound(
+      (col("rate_a") - col("rate_b")) /
+        sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+    r.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      col("rate_a"), col("rate_b"), z.as("z"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  /** Per-key activity coverage: active days, calendar span, their
+    * ratio, and the longest inactivity gap — the data-completeness
+    * profile that tells a churned key from a sparsely-sampled one
+    * before any per-key model trains on it. Day ordinals are integer
+    * epoch-day arithmetic; one distinct, one per-key lag over the
+    * (bounded) day set, one partial-aggregated groupBy. */
+  def activityCoverage(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dayord"))
+    events
+      .select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayord"))
+      .distinct()
+      .withColumn("gap", col("dayord") - lag(col("dayord"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("active_days"),
+        (max(col("dayord")) - min(col("dayord")) + 1)
+          .as("span_days"),
+        graft.Rounding.duckRound(
+          count(lit(1)).cast("double") /
+            (max(col("dayord")) - min(col("dayord")) + 1)
+              .cast("double"), 6).as("coverage"),
+        coalesce(max(col("gap")) - 1, lit(0L)).cast("bigint")
+          .as("longest_gap_days"))
+  }
+
   /** Roll's effective-spread estimator per key: 2·√(−cov(Δpₜ,
     * Δpₜ₋₁)) — the classic microstructure trick that reads the
     * bid-ask bounce out of trade prices alone (no quote data needed):

@@ -168,6 +168,121 @@ object GraphOps {
     dist
   }
 
+  /** Personalized PageRank: the random walk RESTARTS at the seed set
+    * instead of everywhere, so rank measures proximity TO the seeds —
+    * the related-items / trust-propagation query (seeded at one
+    * account, high-PPR nodes are its neighborhood weighted by all
+    * walk paths, not just direct edges). Identical topology to
+    * [[pageRank]] — one co-partitioned join + one aggregation shuffle
+    * per round, per-round lineage truncation — with the teleport term
+    * concentrated on the seeds (total mass stays 1 by construction).
+    * Seeds are a bounded literal set (an `isin` predicate, no join). */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val topo = CachePins.pinCheckpoint(edges.join(deg, Seq("src")))
+    val nodes = CachePins.pinCheckpoint(
+      edges.select(col("src").as("node")).distinct())
+    val mass = 1.0 / seeds.size
+    val restart = when(col("node").isInCollection(seeds), lit(mass))
+      .otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", restart)
+    for (_ <- 1 to iters) {
+      val contribs = topo
+        .join(ranks, topo("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("c"))
+      ranks = CachePins.pinCheckpoint(
+        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) * restart +
+              lit(damping) * coalesce(col("c"), lit(0.0)))
+              .as("rank")))
+    }
+    ranks
+  }
+
+  /** HITS hubs and authorities over the DIRECTED bipartite
+    * memberships (c → sp): authority(sp) = Σ hub(c) over its
+    * customers, hub(c) = Σ authority(sp) over its suppliers,
+    * L1-normalized each half-round — mutually reinforcing importance,
+    * the query-dependent cousin of PageRank (a hub is good because it
+    * touches good authorities and vice versa). Each half-round is ONE
+    * co-partitioned join + one partial-aggregated groupBy; the
+    * normalizer is a 1-row broadcast whose value ROUNDS before the
+    * division (e36 — both engines then divide by the identical
+    * scalar); per-round frames checkpoint-truncate. */
+  def hits(pairs0: DataFrame, iters: Int = 3,
+           maxDeg: Long = 1000L): DataFrame = {
+    val deg = pairs0.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg).select(col("c"))
+    val pairs = CachePins.pinCheckpoint(
+      pairs0.join(deg, Seq("c"), "left_semi"))
+    var hub = CachePins.pinCheckpoint(
+      pairs.select(col("c")).distinct()
+        .withColumn("hub", lit(1.0)))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = pairs.join(hub, Seq("c"))
+        .groupBy(col("sp")).agg(sum(col("hub")).as("a"))
+      val an = a0.agg(graft.Rounding.duckRound(sum(col("a")), 6)
+        .as("s"))
+      auth = CachePins.pinCheckpoint(
+        a0.join(broadcast(an))
+          .select(col("sp"), (col("a") / col("s")).as("auth")))
+      val h0 = pairs.join(auth, Seq("sp"))
+        .groupBy(col("c")).agg(sum(col("auth")).as("hh"))
+      val hn = h0.agg(graft.Rounding.duckRound(sum(col("hh")), 6)
+        .as("s"))
+      hub = CachePins.pinCheckpoint(
+        h0.join(broadcast(hn))
+          .select(col("c"), (col("hh") / col("s")).as("hub")))
+    }
+    auth.select(lit("auth").as("side"), col("sp").as("node"),
+        graft.Rounding.duckRound(col("auth"), 6).as("score"))
+      .unionByName(hub.select(lit("hub").as("side"),
+        col("c").as("node"),
+        graft.Rounding.duckRound(col("hub"), 6).as("score")))
+  }
+
+  /** Item-item cosine recommendations from binary co-occurrence:
+    * sim(a, b) = |A∩B| / √(|A|·|B|) over the capped memberships,
+    * top-k per item by (similarity, key) — the "customers also
+    * bought" serving table, the collaborative-filtering complement
+    * of the content-based ANN stack. Counts are the [[
+    * associationRules]] machinery (bounded by the same hot-key cap);
+    * the ranking window runs over the pair table, whose size the
+    * `minShared` support floor bounds. */
+  def itemCosineTopK(pairs: DataFrame, minShared: Long,
+                     k: Int = 3, maxDeg: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = pairs.groupBy(col("c")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxDeg).select(col("c"))
+    val capped = pairs.join(deg, Seq("c"), "left_semi")
+    val co = capped.as("a").join(capped.as("b"),
+        col("a.c") === col("b.c") && col("a.sp") =!= col("b.sp"))
+      .groupBy(col("a.sp").as("node_a"), col("b.sp").as("node_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val supp = capped.groupBy(col("sp")).agg(count(lit(1)).as("supp"))
+    val sim = co
+      .join(broadcast(supp.withColumnRenamed("sp", "node_a")
+        .withColumnRenamed("supp", "supp_a")), Seq("node_a"))
+      .join(broadcast(supp.withColumnRenamed("sp", "node_b")
+        .withColumnRenamed("supp", "supp_b")), Seq("node_b"))
+      .select(col("node_a"), col("node_b"), col("n_shared"),
+        graft.Rounding.duckRound(
+          col("n_shared").cast("double") /
+            sqrt((col("supp_a") * col("supp_b")).cast("double")), 6)
+          .as("cosine"))
+    sim.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("node_a"))
+          .orderBy(col("cosine").desc, col("node_b"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Association rules over the capped bipartite memberships: for
     * every canonical co-occurring item pair (a, b) with at least
     * `minShared` common baskets — the e107 candidate set — the
