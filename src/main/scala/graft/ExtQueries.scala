@@ -2747,7 +2747,40 @@ object ExtQueries {
     // E161: two-proportion z-test between user-parity arms — the A/B
     // readout with the verdict on the rounded statistic
     "e161_ab_ztest" -> ((s, dir) =>
-      EventAnalytics.abZTest(Tables.load(s, dir, "events")))
+      EventAnalytics.abZTest(Tables.load(s, dir, "events"))),
+
+    // E162: Kaplan-Meier survival of inter-event waits — the final
+    // open gap correctly CENSORED, product-limit over exact ratios
+    "e162_kaplan_meier" -> ((s, dir) =>
+      EventAnalytics.kaplanMeier(Tables.load(s, dir, "events"))),
+
+    // E163: Gini concentration of value per type — int64-cents rank
+    // formula, exact until the one final division
+    "e163_gini_concentration" -> ((s, dir) =>
+      DataProfile.giniConcentration(Tables.load(s, dir, "events"))),
+
+    // E164: Herfindahl concentration across sources — the "really N
+    // sources or one megasource" number, by docs and by chars
+    "e164_hhi_sources" -> ((s, dir) =>
+      DataProfile.hhiSources(docs(s, dir))),
+
+    // E165: per-user behavioral entropy + evenness — the
+    // scripted-vs-organic screen (one-endpoint bots score near 0)
+    "e165_behavior_entropy" -> ((s, dir) =>
+      EventAnalytics.behaviorEntropy(Tables.load(s, dir, "events"))),
+
+    // E166: mutual information of type × day-of-week — the
+    // effect-size companion to the e146 χ² significance test
+    "e166_mutual_information" -> ((s, dir) =>
+      DataProfile.mutualInformation(Tables.load(s, dir, "events"),
+        "event_type", "ts")),
+
+    // E167: key reconciliation orders ↔ lineitem — the referential-
+    // integrity audit (this corpus ships 257 childless orders)
+    "e167_reconciliation" -> ((s, dir) =>
+      DataProfile.reconcileKeys(
+        Tables.load(s, dir, "lineitem").select(col("l_orderkey")),
+        Tables.load(s, dir, "orders").select(col("o_orderkey"))))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6140,6 +6173,155 @@ object ExtQueries {
         |      * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)),
         |    6)) > CAST(1.96 AS DOUBLE) AS significant
         |FROM r""".stripMargin,
+
+    // the product-limit walk over the aggregated duration table;
+    // exact integer ratios inside ln, terminal zero guarded
+    "e162_kaplan_meier" ->
+      """WITH horizon AS (SELECT max(epoch_us(ts)) AS hus FROM events),
+        |seq AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events),
+        |obs AS (
+        |  SELECT CASE WHEN next_us IS NOT NULL
+        |         THEN (next_us - us) // 3600000000
+        |         ELSE ((SELECT hus FROM horizon) - us) // 3600000000
+        |         END AS t,
+        |    CASE WHEN next_us IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM seq),
+        |n AS (SELECT count(*) AS n0 FROM obs),
+        |ev AS (
+        |  SELECT t, CAST(sum(died) AS BIGINT) AS d,
+        |    count(*) AS leaving
+        |  FROM obs GROUP BY 1),
+        |risk AS (
+        |  SELECT t, d,
+        |    (SELECT n0 FROM n)
+        |      - coalesce(sum(leaving) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS n_at_risk
+        |  FROM ev),
+        |km AS (
+        |  SELECT t, d, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |    CASE WHEN max(CASE WHEN n_at_risk = d AND d > 0
+        |                  THEN 1 ELSE 0 END) OVER w = 1
+        |         THEN CAST(0 AS DOUBLE)
+        |         ELSE round(exp(sum(
+        |           CASE WHEN n_at_risk > d
+        |                THEN ln(CAST(n_at_risk - d AS DOUBLE)
+        |                        / CAST(n_at_risk AS DOUBLE))
+        |                ELSE CAST(0 AS DOUBLE) END) OVER w), 6)
+        |    END AS survival
+        |  FROM risk
+        |  WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, d, n_at_risk, survival FROM km""".stripMargin,
+
+    // int64-cents rank formula: wsum and tot exact, one division
+    "e163_gini_concentration" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rk
+        |  FROM c),
+        |a AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS tot,
+        |    CAST(sum(rk * cents) AS BIGINT) AS wsum
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  round(CAST(2 * wsum AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |        - (CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS gini
+        |FROM a""".stripMargin,
+
+    // exact integer masses; share squares sum over the source table
+    "e164_hhi_sources" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+        |             CAST(sum(chars) AS BIGINT) AS nc FROM s)
+        |SELECT count(*) AS n_sources,
+        |  round(sum((CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE))
+        |          * (CAST(n_docs AS DOUBLE) / CAST(nd AS DOUBLE))), 6)
+        |    AS hhi_docs,
+        |  round(sum((CAST(chars AS DOUBLE) / CAST(nc AS DOUBLE))
+        |          * (CAST(chars AS DOUBLE) / CAST(nc AS DOUBLE))), 6)
+        |    AS hhi_chars
+        |FROM s CROSS JOIN t""".stripMargin,
+
+    // exact counts; ln ratios identical trees; the evenness
+    // denominator rounds before the division
+    "e165_behavior_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS nt,
+        |        count(*) AS n_types
+        |        FROM c GROUP BY 1),
+        |h AS (
+        |  SELECT c.user_id,
+        |    round(-sum((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+        |            * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6)
+        |      AS entropy,
+        |    any_value(n_types) AS n_types, any_value(nt) AS n_events
+        |  FROM c JOIN tot USING (user_id) GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(n_types AS BIGINT) AS n_types, entropy,
+        |  CASE WHEN n_types = 1 THEN CAST(0 AS DOUBLE)
+        |       ELSE round(entropy
+        |         / round(ln(CAST(n_types AS DOUBLE)), 6), 6)
+        |  END AS evenness
+        |FROM h""".stripMargin,
+
+    // the same cell table; marginals as window sums; one rounding
+    "e166_mutual_information" ->
+      """WITH d AS (
+        |  SELECT event_type AS x,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS y
+        |  FROM events),
+        |j AS (SELECT x, y, count(*) AS nxy FROM d GROUP BY 1, 2),
+        |t AS (
+        |  SELECT x, y, nxy,
+        |    sum(nxy) OVER (PARTITION BY x) AS nx,
+        |    sum(nxy) OVER (PARTITION BY y) AS ny,
+        |    sum(nxy) OVER () AS n
+        |  FROM j)
+        |SELECT round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln(CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |         / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6)
+        |    AS mutual_information,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(any_value(n) AS BIGINT) AS n_events
+        |FROM t""".stripMargin,
+
+    // one full-outer over the distinct key sets
+    "e167_reconciliation" ->
+      """WITH lk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |ok AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+        |j AS (
+        |  SELECT coalesce(lk.k, ok.k) AS k,
+        |    lk.k IS NOT NULL AS in_l,
+        |    ok.k IS NOT NULL AS in_r
+        |  FROM lk FULL OUTER JOIN ok ON lk.k = ok.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN in_l AND in_r THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN in_l AND NOT in_r THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_left_only,
+        |  CAST(sum(CASE WHEN in_r AND NOT in_l THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_right_only,
+        |  round(CAST(sum(CASE WHEN in_l AND in_r THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS match_rate
+        |FROM j""".stripMargin,
 
     // integer epoch-day ordinals; the gap lag runs over the bounded
     // per-key day set

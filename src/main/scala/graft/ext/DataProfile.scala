@@ -405,6 +405,104 @@ object DataProfile {
             col("expected"), 6).as("chi2_term"))
   }
 
+  /** Gini coefficient of value concentration per group — 0 = every
+    * row equal, →1 = one row holds everything — the inequality lens
+    * on spend/volume/contribution distributions (a pretraining mix
+    * with Gini ≈ 1 over sources is one source in disguise). Uses the
+    * rank formula G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the
+    * (value, id)-ordered ranks, computed in int64 CENTS so both the
+    * rank-weighted sum and the total are EXACT (the e119 contract);
+    * the only float arithmetic is the final identical division. One
+    * per-group rank window + one partial-aggregated groupBy. */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * lit(100)).cast("bigint").as("cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
+        sum(col("rk") * col("cents")).as("wsum"))
+      .select(col("event_type"), col("n"),
+        Rounding.duckRound(
+          (lit(2L) * col("wsum")).cast("double") /
+            (col("n").cast("double") * col("tot").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"),
+          6).as("gini"))
+  }
+
+  /** Herfindahl-Hirschman concentration of the corpus across sources
+    * (Σ share², by doc count and by character mass): the one-number
+    * "is this dataset really N sources or one megasource" check —
+    * 1/N at perfect balance, 1.0 at monopoly. Exact integer masses;
+    * the share squares sum over the SOURCE table (dimension-bounded)
+    * and round once. */
+  def hhiSources(docs: DataFrame): DataFrame = {
+    val s = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val t = s.agg(sum(col("n_docs")).as("nd"),
+      sum(col("chars")).as("nc"))
+    val shareD = col("n_docs").cast("double") / col("nd").cast("double")
+    val shareC = col("chars").cast("double") / col("nc").cast("double")
+    s.join(broadcast(t))
+      .agg(count(lit(1)).as("n_sources"),
+        Rounding.duckRound(sum(shareD * shareD), 6).as("hhi_docs"),
+        Rounding.duckRound(sum(shareC * shareC), 6).as("hhi_chars"))
+  }
+
+  /** Mutual information between a category column and day-of-week:
+    * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the effect-SIZE companion
+    * to [[chisqIndependence]]'s significance test (χ² says "not
+    * independent", MI says "by how many nats"). Exact cell counts,
+    * marginals as window sums over the ≤ 7·k cell table, identical
+    * ln trees, one rounding. */
+  def mutualInformation(df: DataFrame, catCol: String,
+                        tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dow = expr(
+      s"(unix_micros($tsCol) DIV 86400000000 + 4) % 7")
+    val j = df.select(col(catCol).as("x"), dow.as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+    val t = j
+      .withColumn("nx",
+        sum(col("nxy")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny",
+        sum(col("nxy")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+    t.agg(
+      Rounding.duckRound(sum(
+        (col("nxy").cast("double") / col("n").cast("double")) *
+          log(col("nxy").cast("double") * col("n").cast("double") /
+            (col("nx").cast("double") * col("ny").cast("double")))),
+        6).as("mutual_information"),
+      count(lit(1)).as("n_cells"),
+      first(col("n")).as("n_events"))
+  }
+
+  /** Key-reconciliation report between two tables: matched /
+    * left-only / right-only counts and the match rate from ONE
+    * full-outer join over the distinct key sets — the referential-
+    * integrity audit every warehouse load ends with (this corpus
+    * really does ship 257 childless orders). */
+  def reconcileKeys(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.toDF("k").distinct().withColumn("in_l", lit(1))
+    val r = right.toDF("k").distinct().withColumn("in_r", lit(1))
+    l.join(r, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("in_l").isNotNull && col("in_r").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("in_l").isNotNull && col("in_r").isNull, 1L)
+          .otherwise(0L)).as("n_left_only"),
+        sum(when(col("in_l").isNull && col("in_r").isNotNull, 1L)
+          .otherwise(0L)).as("n_right_only"),
+        Rounding.duckRound(
+          sum(when(col("in_l").isNotNull && col("in_r").isNotNull,
+            1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("match_rate"))
+  }
+
   /** Day-of-week seasonal indices per group: cell mean / group mean —
     * the multiplicative seasonality profile (index 1.1 ⇒ that weekday
     * runs 10% hot) that deseasonalizes monitoring baselines before

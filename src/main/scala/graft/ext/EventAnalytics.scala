@@ -754,6 +754,84 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
   }
 
+  /** Per-key behavioral entropy: Shannon H = −Σ p·ln p over the
+    * key's event-type mix, plus evenness H/ln(k) — the
+    * scripted-vs-organic screen (a bot hammering one endpoint scores
+    * near 0; a human mixing all five types near 1). Exact integer
+    * counts; the ln ratios are identical trees; the evenness
+    * denominator ROUNDS before the division (e36). Two
+    * partial-aggregated groupBys, keys the parallel unit. */
+  def behaviorEntropy(events: DataFrame): DataFrame = {
+    val c = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("nt"), count(lit(1)).as("n_types"))
+    val p = col("n").cast("double") / col("nt").cast("double")
+    val h = c.join(tot, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(graft.Rounding.duckRound(-sum(p * log(p)), 6)
+        .as("entropy"),
+        first(col("n_types")).as("n_types"),
+        first(col("nt")).as("n_events"))
+    h.select(col("user_id"), col("n_events"), col("n_types"),
+      col("entropy"),
+      when(col("n_types") === 1, lit(0.0))
+        .otherwise(graft.Rounding.duckRound(
+          col("entropy") / graft.Rounding.duckRound(
+            log(col("n_types").cast("double")), 6), 6))
+        .as("evenness"))
+  }
+
+  /** Kaplan-Meier survival of inter-event waiting times: how long
+    * until a key's NEXT event, with the final open gap (last event →
+    * corpus horizon) correctly treated as CENSORED — the estimator
+    * that makes recurrence analysis honest (dropping open gaps
+    * biases toward short waits; counting them as events biases the
+    * tail). Durations are integer hours via one per-key lead;
+    * the risk-set walk and the product-limit curve are windows over
+    * the AGGREGATED duration table (cardinality = distinct
+    * durations, horizon-bounded — 79 rows here, never event volume).
+    * The product is exp(Σ ln(1 − d/n)) of EXACT integer ratios —
+    * identical trees cross-engine — with the terminal
+    * zero-survivors factor guarded (S drops to exactly 0 once the
+    * risk set empties). */
+  def kaplanMeier(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val horizon = events.agg(max(unix_micros(col("ts"))).as("hus"))
+    val obs = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("ts"), col("event_id"))
+      .withColumn("next_us", lead(col("us"), 1).over(wKey))
+      .join(broadcast(horizon))
+      .select(
+        when(col("next_us").isNotNull,
+          expr("(next_us - us) DIV 3600000000"))
+          .otherwise(expr("(hus - us) DIV 3600000000")).as("t"),
+        when(col("next_us").isNotNull, 1L).otherwise(0L).as("died"))
+    val n0 = obs.agg(count(lit(1)).as("n0"))
+    val ev = obs.groupBy(col("t"))
+      .agg(sum(col("died")).as("d"), count(lit(1)).as("leaving"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val risk = ev.join(broadcast(n0))
+      .withColumn("n_at_risk",
+        col("n0") - coalesce(sum(col("leaving")).over(wPrev),
+          lit(0L)))
+    val lnTerm = when(col("n_at_risk") > col("d"),
+      log((col("n_at_risk") - col("d")).cast("double") /
+        col("n_at_risk").cast("double"))).otherwise(lit(0.0))
+    val zeroSeen = max(when(col("n_at_risk") === col("d") &&
+      col("d") > 0, 1).otherwise(0)).over(wRun)
+    risk.select(col("t"), col("d"), col("n_at_risk"),
+      when(zeroSeen === 1, lit(0.0))
+        .otherwise(graft.Rounding.duckRound(
+          exp(sum(lnTerm).over(wRun)), 6)).as("survival"))
+  }
+
   /** Two-proportion z-test between experiment arms (user_id parity
     * split): per-arm conversion (here: ≥ `minPurchases` purchases),
     * the pooled-rate z statistic, and the |z| > 1.96 verdict — the

@@ -186,6 +186,94 @@ class QuantSeriesSpec extends SparkSpec {
     assert(got(2L) == Rounding.duckRoundDouble(10.0 / 15, 6))
   }
 
+  test("E162: KM censors the open tail gap and drops to exactly 0 " +
+    "when the risk set empties") {
+    // one user at 00:00, 01:00, 03:00 → closed gaps of 1 h and 2 h
+    // plus a CENSORED 0 h tail (last event == horizon)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, 2L, ts("2024-01-01 01:00:00"), 1.0),
+      (1L, 3L, ts("2024-01-01 03:00:00"), 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = EventAnalytics.kaplanMeier(ev).collect()
+      .map(r => r.getAs[Long]("t") ->
+        (r.getAs[Long]("d"), r.getAs[Long]("n_at_risk"),
+          r.getAs[Double]("survival"))).toMap
+    // t=0: the censored tail leaves the risk set without an event
+    assert(got(0L) == (0L, 3L, 1.0))
+    assert(got(1L) == (1L, 2L, 0.5))
+    // last at-risk subject dies → survival exactly 0, not exp-tiny
+    assert(got(2L) == (1L, 1L, 0.0))
+  }
+
+  test("E163: equal values have Gini 0; concentration follows the " +
+    "exact cents rank formula") {
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (5L, "b", 0.01), (6L, "b", 0.01), (7L, "b", 0.01),
+      (8L, "b", 100.0))
+      .toDF("event_id", "event_type", "value")
+    val got = graft.ext.DataProfile.giniConcentration(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Double]("gini")).toMap
+    assert(got("a") == 0.0)
+    // cents 1,1,1,10000: wsum = 1+2+3+4·10000, tot = 10003, n = 4
+    val want = Rounding.duckRoundDouble(
+      2.0 * 40006 / (4.0 * 10003) - 5.0 / 4, 6)
+    assert(got("b") == want)
+  }
+
+  test("E164: HHI of a 1-vs-3 doc split is 0.625") {
+    val docs = Seq((1L, "s1", 10L), (2L, "s2", 10L), (3L, "s2", 10L),
+      (4L, "s2", 10L)).toDF("doc_id", "source", "n_chars")
+    val r = graft.ext.DataProfile.hhiSources(docs).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_sources") == 2L)
+    assert(r(0).getAs[Double]("hhi_docs") == 0.625)
+    assert(r(0).getAs[Double]("hhi_chars") == 0.625)
+  }
+
+  test("E165: one-type keys score zero entropy; a uniform mix " +
+    "scores evenness 1") {
+    val ev = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),        // bot: one endpoint
+      (2L, "a"), (2L, "b"), (2L, "c"), (2L, "d")) // uniform over 4
+      .toDF("user_id", "event_type")
+    val got = EventAnalytics.behaviorEntropy(ev).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("evenness")))
+      .toMap
+    assert(got(1L) == (0.0, 0.0))
+    val h4 = Rounding.duckRoundDouble(math.log(4.0), 6)
+    assert(got(2L)._1 == h4)
+    assert(got(2L)._2 == Rounding.duckRoundDouble(h4 /
+      Rounding.duckRoundDouble(math.log(4.0), 6), 6))
+  }
+
+  test("E166: an independent contingency table has zero mutual " +
+    "information") {
+    // 2 types × 2 days, equal counts — exactly independent
+    val ev = Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-02 10:00:00")),
+      ("b", ts("2024-01-01 11:00:00")), ("b", ts("2024-01-02 11:00:00")))
+      .toDF("event_type", "ts")
+    val r = graft.ext.DataProfile
+      .mutualInformation(ev, "event_type", "ts").collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("mutual_information") == 0.0)
+    assert(r(0).getAs[Long]("n_cells") == 4L)
+  }
+
+  test("E167: the reconciliation ledger counts matched and " +
+    "one-sided keys exactly") {
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k") // duplicates collapse
+    val r = Seq(2L, 3L, 4L).toDF("k")
+    val row = graft.ext.DataProfile.reconcileKeys(l, r).collect()(0)
+    assert(row.getAs[Long]("n_matched") == 2L)
+    assert(row.getAs[Long]("n_left_only") == 1L)
+    assert(row.getAs[Long]("n_right_only") == 1L)
+    assert(row.getAs[Double]("match_rate") == 0.5)
+  }
+
   test("E130: symmetric data has zero skew; moments follow the " +
     "round-before-use chain") {
     val ev = Seq((1L, "a", 100.0), (2L, "a", 200.0), (3L, "a", 300.0))
