@@ -2780,7 +2780,13 @@ object ExtQueries {
     "e167_reconciliation" -> ((s, dir) =>
       DataProfile.reconcileKeys(
         Tables.load(s, dir, "lineitem").select(col("l_orderkey")),
-        Tables.load(s, dir, "orders").select(col("o_orderkey"))))
+        Tables.load(s, dir, "orders").select(col("o_orderkey")))),
+
+    // E168: seasonal-naive forecast backtest — the baseline every
+    // forecaster must beat, scored with MAE/WAPE in exact cents
+    "e168_seasonal_naive_backtest" -> ((s, dir) =>
+      EventAnalytics.seasonalNaiveBacktest(
+        Tables.load(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6302,6 +6308,28 @@ object ExtQueries {
         |  CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(any_value(n) AS BIGINT) AS n_events
         |FROM t""".stripMargin,
+
+    // the day-keyed self-join (dayord − 7), not a row lag; exact
+    // int64-cents totals and errors, identical final divisions
+    "e168_seasonal_naive_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS dayord,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d.event_type,
+        |    abs(d.cents - p.cents) AS abs_err_cents, d.cents
+        |  FROM daily d JOIN daily p
+        |    ON d.event_type = p.event_type
+        |    AND p.dayord = d.dayord - 7)
+        |SELECT event_type, count(*) AS n_days,
+        |  round(CAST(sum(abs_err_cents) AS DOUBLE)
+        |        / CAST(count(*) * 100 AS DOUBLE), 6) AS mae,
+        |  round(CAST(sum(abs_err_cents) AS DOUBLE)
+        |        / CAST(sum(cents) AS DOUBLE), 6) AS wape
+        |FROM j GROUP BY 1""".stripMargin,
 
     // one full-outer over the distinct key sets
     "e167_reconciliation" ->

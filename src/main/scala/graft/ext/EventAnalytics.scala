@@ -754,6 +754,38 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each day's total
+    * value per group by the SAME WEEKDAY one week earlier, score
+    * with MAE and WAPE — the baseline every forecasting system must
+    * beat, and the backtest harness shape (train window → holdout →
+    * error metric) that grades it. The prediction is a day-keyed
+    * co-partitioned self-join (dayord − 7), NOT a row lag — robust
+    * to missing days. Daily totals and absolute errors accumulate in
+    * int64 CENTS (exact, the e119 contract); the error ratios are
+    * one identical division each. */
+  def seasonalNaiveBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("dayord"),
+        round(col("value") * lit(100)).cast("bigint").as("c"))
+      .groupBy(col("event_type"), col("dayord"))
+      .agg(sum(col("c")).as("cents"))
+    val pred = daily.select(col("event_type"),
+      (col("dayord") + 7).as("dayord"), col("cents").as("pred"))
+    daily.join(pred, Seq("event_type", "dayord"))
+      .select(col("event_type"),
+        abs(col("cents") - col("pred")).as("abs_err_cents"),
+        col("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        graft.Rounding.duckRound(
+          sum(col("abs_err_cents")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double"), 6).as("mae"),
+        graft.Rounding.duckRound(
+          sum(col("abs_err_cents")).cast("double") /
+            sum(col("cents")).cast("double"), 6).as("wape"))
+  }
+
   /** Per-key behavioral entropy: Shannon H = −Σ p·ln p over the
     * key's event-type mix, plus evenness H/ln(k) — the
     * scripted-vs-organic screen (a bot hammering one endpoint scores

@@ -274,6 +274,26 @@ class QuantSeriesSpec extends SparkSpec {
     assert(row.getAs[Double]("match_rate") == 0.5)
   }
 
+  test("E168: the backtest joins day-7 (not row-7) and scores exact " +
+    "cent errors") {
+    // type a: Mondays 10.00 then 14.00 (err 4.00), Tuesdays 20.00
+    // then 20.00 (err 0) → MAE 2.0, WAPE 4/34; a missing day in
+    // week 2 must NOT shift predictions (day-keyed join)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 10.0), // Mon w1
+      (2L, ts("2024-01-02 10:00:00"), "a", 20.0), // Tue w1
+      (3L, ts("2024-01-03 10:00:00"), "a", 7.0),  // Wed w1 (no pair)
+      (4L, ts("2024-01-08 10:00:00"), "a", 14.0), // Mon w2
+      (5L, ts("2024-01-09 10:00:00"), "a", 20.0)) // Tue w2
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.seasonalNaiveBacktest(ev).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_days") == 2L)
+    assert(r(0).getAs[Double]("mae") == 2.0)
+    assert(r(0).getAs[Double]("wape") ==
+      Rounding.duckRoundDouble(400.0 / 3400.0, 6))
+  }
+
   test("E130: symmetric data has zero skew; moments follow the " +
     "round-before-use chain") {
     val ev = Seq((1L, "a", 100.0), (2L, "a", 200.0), (3L, "a", 300.0))
