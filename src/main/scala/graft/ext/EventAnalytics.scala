@@ -754,6 +754,46 @@ object EventAnalytics {
         coalesce(col("n_churned"), lit(0L)).as("n_churned_in"))
   }
 
+  /** Steady-state distribution of the e122 Markov chain by power
+    * iteration: π' = πP from uniform, each round ONE co-partitioned
+    * join + one partial-aggregated groupBy over the (k², bounded)
+    * transition table, entries ROUNDED at every round boundary so
+    * the fixed-round chain is deterministic cross-engine (the oracle
+    * unrolls the identical rounds; this chain converges exactly by
+    * round 11). The long-run behavioral mix — what the one-step
+    * matrix (e122) only implies. */
+  def markovSteadyState(events: DataFrame,
+                        rounds: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = CachePins.pinCheckpoint(cnt.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type")))
+          .cast("double")))
+    val states = p.select(col("prev_type").as("s")).distinct()
+    val kk = states.agg(count(lit(1)).as("k"))
+    var pi = CachePins.pinCheckpoint(
+      states.join(broadcast(kk))
+        .select(col("s"),
+          (lit(1.0) / col("k").cast("double")).as("pi")))
+    for (_ <- 1 to rounds) {
+      pi = CachePins.pinCheckpoint(
+        pi.join(p, pi("s") === p("prev_type"))
+          .groupBy(col("next_type").as("s"))
+          .agg(graft.Rounding.duckRound(sum(col("pi") * col("p")), 6)
+            .as("pi")))
+    }
+    pi.select(col("s").as("state"), col("pi").as("steady_p"))
+  }
+
   /** Seasonal-naive forecast backtest: predict each day's total
     * value per group by the SAME WEEKDAY one week earlier, score
     * with MAE and WAPE — the baseline every forecasting system must

@@ -294,6 +294,61 @@ class QuantSeriesSpec extends SparkSpec {
       Rounding.duckRoundDouble(400.0 / 3400.0, 6))
   }
 
+  test("E169: a constant series bootstraps to a zero-width interval; " +
+    "resamples are deterministic") {
+    val ev = (1 to 10).map(i => (i.toLong, "a", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val r1 = graft.ext.DataProfile.bootstrapCI(ev).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getAs[Double]("mean_value") == 5.0)
+    assert(r1(0).getAs[Double]("ci_lo") == 5.0)
+    assert(r1(0).getAs[Double]("ci_hi") == 5.0)
+    assert(r1(0).getAs[Long]("n_resamples") == 32L)
+    // derived randomness: a second run draws the identical resamples
+    val r2 = graft.ext.DataProfile.bootstrapCI(ev).collect()
+    assert(r1(0) == r2(0))
+  }
+
+  test("E170: the Hill estimator recovers the planted log-spacing") {
+    // top-2 over threshold 1.0: values e², e → ln-sum 3 → α = 2/3
+    val ev = Seq(
+      (1L, "a", math.exp(2.0)), (2L, "a", math.exp(1.0)),
+      (3L, "a", 1.0), (4L, "a", 0.5))
+      .toDF("event_id", "event_type", "value")
+    val r = graft.ext.DataProfile.hillTail(ev, k = 2).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("xmin") == 1.0)
+    assert(r(0).getAs[Double]("alpha_hat") ==
+      Rounding.duckRoundDouble(2.0 / 3.0, 6))
+  }
+
+  test("E171: a deterministic 2-cycle stays at the uniform steady " +
+    "state") {
+    val ev = (1 to 8).map(i =>
+      (1L, i.toLong, ts(f"2024-01-01 10:0$i:00"),
+        if (i % 2 == 1) "A" else "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.markovSteadyState(ev).collect()
+      .map(r => r.getAs[String]("state") ->
+        r.getAs[Double]("steady_p")).toMap
+    assert(got == Map("A" -> 0.5, "B" -> 0.5))
+  }
+
+  test("E172: small quasi-identifier cells flag at-risk; large ones " +
+    "pass") {
+    // type a: 30 rows → deciles of 3 (pass at k=2); type b: 10 rows
+    // → deciles of 1 (at risk)
+    val ev = ((1 to 30).map(i =>
+      (i.toLong, ts("2024-01-01 10:00:00"), "a", i.toDouble)) ++
+      (31 to 40).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), "b", i.toDouble)))
+      .toDF("event_id", "ts", "event_type", "value")
+    val got = graft.ext.DataProfile.kAnonymity(ev, k = 2).collect()
+    val byType = got.groupBy(_.getAs[String]("event_type"))
+    assert(byType("a").forall(!_.getAs[Boolean]("at_risk")))
+    assert(byType("b").forall(_.getAs[Boolean]("at_risk")))
+  }
+
   test("E130: symmetric data has zero skew; moments follow the " +
     "round-before-use chain") {
     val ev = Seq((1L, "a", 100.0), (2L, "a", 200.0), (3L, "a", 300.0))
