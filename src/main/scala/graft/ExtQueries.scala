@@ -915,7 +915,7 @@ object ExtQueries {
     "e83_ivfpq_persisted_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val path = graft.Scratch.dir("ivfpq_index", dir)
-      VectorIndex.write(s, sharedIvfPq(s, dir), e, path)
+      VectorIndex.writeOnce(s, sharedIvfPq(s, dir), e, path)
       val served = VectorIndex.read(s, path)
       served.topKFromCoded(e.filter(col("vec_id") < 10),
         VectorIndex.readCoded(s, path), 3)
@@ -1968,8 +1968,10 @@ object ExtQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.ansi.enabled", "false")
       val e = emb(s, dir)
-      val path = graft.Scratch.dir("ivfpq_index_serve", dir)
-      VectorIndex.write(s, sharedIvfPq(s, dir), e, path)
+      // serve from e83's artifact (VERDICT r12 #4): same model + corpus
+      // → identical index; whichever gate runs first pays the ONE build
+      val path = graft.Scratch.dir("ivfpq_index", dir)
+      VectorIndex.writeOnce(s, sharedIvfPq(s, dir), e, path)
       val model = VectorIndex.read(s, path)
       val coded = VectorIndex.readCoded(s, path)
       val scratch = graft.Scratch.fresh("ann_serve", dir)
@@ -2376,18 +2378,20 @@ object ExtQueries {
           col("max_drawdown"))
     }),
 
-    // E126: k-core of the co-purchase graph — fixed-round iterative
-    // peeling (fixpoint in 2 on this graph; extra rounds are no-ops),
+    // E126: k-core of the co-purchase graph — iterative peeling TO THE
+    // FIXPOINT (settles in 2 on this graph, so the 6-round unrolled
+    // oracle matches exactly: peels past the fixpoint are no-ops),
     // the pageRank checkpoint-per-round topology
     "e126_kcore" -> ((s, dir) =>
       GraphOps.kCore(
         GraphOps.bipartiteProjection(tradePairs(s, dir),
           minShared = 190L).select(col("node_a"), col("node_b")),
-        k = 3, rounds = 6)),
+        k = 3)),
 
     // E127: BFS hop distance from the smallest supplier node —
-    // frontier expansion with min-merge; the oracle is the textbook
-    // recursive CTE
+    // frontier expansion with min-merge, stopping early at the
+    // fixpoint (empty frontier); the hop budget 8 is SEMANTIC here
+    // because the oracle's recursive CTE bounds at d < 8 identically
     "e127_hop_distance" -> ((s, dir) => {
       val edges = GraphOps.bipartiteProjection(tradePairs(s, dir),
         minShared = 190L).select(col("node_a"), col("node_b"))

@@ -104,16 +104,23 @@ object GraphOps {
     * cores) that a plain degree cut can't express, because removing a
     * weak node can demote its neighbors.
     *
-    * Runs a FIXED `rounds` peels (rounds past the fixpoint are no-ops,
-    * so fixed-round semantics equals converged semantics whenever the
-    * graph settles within the budget — and lets the oracle unroll the
-    * identical chain; the co-purchase graph settles in 2). Each round
-    * is two co-partitioned semi-joins (both edge endpoints must be
-    * alive) + one partial-aggregated degree count — the message-passing
+    * Peels TO THE FIXPOINT (VERDICT r12 #2): the driver-side loop
+    * stops when a round removes no node — alive counts are monotone
+    * decreasing, so count equality IS set equality — with `maxRounds`
+    * as the safety/oracle-parity cap (an unrolled-CTE oracle with N ≥
+    * the graph's settling depth matches exactly, because rounds past
+    * the fixpoint are no-ops; the co-purchase graph settles in 2).
+    * The per-round count is free: [[CachePins.pinCheckpoint]] has
+    * already materialized the frame, so counting it launches no new
+    * work beyond a metadata scan. A fixed-round variant silently
+    * under-converges on deep graphs (a 2k-node chain needs ~1k peels)
+    * — the spec pins that failure mode. Each round is two
+    * co-partitioned semi-joins (both edge endpoints must be alive) +
+    * one partial-aggregated degree count — the message-passing
     * topology of [[pageRank]], with the same per-round
     * localCheckpoint lineage truncation. Returns (node, core_deg),
     * the in-core degree of each surviving node. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
     val sym = CachePins.pinCheckpoint(
       edges.select(col("node_a").as("src"), col("node_b").as("dst"))
         .unionByName(
@@ -126,10 +133,17 @@ object GraphOps {
         .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     var alive = CachePins.pinCheckpoint(
       sym.select(col("src").as("node")).distinct())
-    for (_ <- 1 to rounds) {
+    var prev = alive.count()
+    var round = 0
+    var converged = prev == 0L
+    while (!converged && round < maxRounds) {
       alive = CachePins.pinCheckpoint(
         aliveDeg(alive).filter(col("deg") >= k)
           .select(col("src").as("node")))
+      val n = alive.count()
+      converged = n == prev
+      prev = n
+      round += 1
     }
     aliveDeg(alive)
       .select(col("src").as("node"), col("deg").as("core_deg"))
@@ -142,11 +156,21 @@ object GraphOps {
     * ONLY the hop-(h−1) frontier against the adjacency (co-partitioned
     * equi-join), merges by min, and checkpoint-truncates — each node
     * is expanded exactly once, so total work is O(edges) across all
-    * rounds, never rounds × edges. The oracle is the textbook
-    * recursive CTE; min-merge makes fixed rounds equal converged BFS
-    * within the hop budget. */
+    * rounds, never rounds × edges.
+    *
+    * Runs TO THE FIXPOINT (VERDICT r12 #2): the loop stops when the
+    * frontier empties — no node gained a hop value last round, so no
+    * node ever will — with `maxHops` as the hop-budget cap. The cap is
+    * SEMANTIC when a caller passes one (e127's oracle is the textbook
+    * recursive CTE bounded at `d < 8`, so the operator bounds
+    * identically); the default is effectively unbounded, so the
+    * default answer is full single-source reachability even on a
+    * graph deeper than any fixed constant — the spec pins a chain
+    * deeper than the old fixed-8 default. The frontier count is free
+    * post-checkpoint, and a shallow graph stops after diameter+1
+    * rounds instead of burning the full budget. */
   def hopDistance(edges: DataFrame, seed: Long,
-                  maxHops: Int = 8): DataFrame = {
+                  maxHops: Int = Int.MaxValue): DataFrame = {
     val spark = edges.sparkSession
     val sym = CachePins.pinCheckpoint(
       edges.select(col("node_a").as("src"), col("node_b").as("dst"))
@@ -156,7 +180,9 @@ object GraphOps {
     var dist = CachePins.pinCheckpoint(
       spark.range(1).select(lit(seed).as("node"),
         lit(0L).as("hops")))
-    for (h <- 1 to maxHops) {
+    var h = 1
+    var frontierSize = 1L
+    while (frontierSize > 0L && h <= maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1))
       val next = sym
         .join(frontier, sym("src") === frontier("node"))
@@ -164,6 +190,8 @@ object GraphOps {
       dist = CachePins.pinCheckpoint(
         dist.unionByName(next)
           .groupBy(col("node")).agg(min(col("hops")).as("hops")))
+      frontierSize = dist.filter(col("hops") === h).count()
+      h += 1
     }
     dist
   }

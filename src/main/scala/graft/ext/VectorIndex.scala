@@ -79,6 +79,27 @@ object VectorIndex {
     writeParts(spark, path, model.centroids, model.codebooks,
       model.subDim, residual = false, model.encode(corpus))
 
+  /** Paths [[writeOnce]] has built THIS JVM — the cross-gate sharing
+    * half of the build/serve split: the first gate to touch a shared
+    * index path pays the build (always a fresh overwrite, so a stale
+    * artifact from a previous process can never be served), later
+    * gates in the same Verify/Bench run reuse the artifact. */
+  private val writtenPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** [[write]], but at most once per (path) per JVM — for gates that
+    * share one index artifact (e83 build/serve and e94 stream-serve
+    * use the same model + corpus, so the artifact is identical; the
+    * driver bench should pay ONE build, not one per gate). Training
+    * is deterministic, so a reuse is value-identical to a rebuild. */
+  def writeOnce(spark: SparkSession, model: Similarity.IvfPqModel,
+                corpus: DataFrame, path: String): Unit =
+    if (writtenPaths.add(path)) write(spark, model, corpus, path)
+
+  /** Test seam: forget which paths were built so a spec can prove
+    * both the build and the reuse branch. */
+  private[graft] def forgetWrites(): Unit = writtenPaths.clear()
+
   /** Persist a residual IVF-PQ index. */
   def writeResidual(spark: SparkSession,
                     model: Similarity.IvfPqResidualModel,
