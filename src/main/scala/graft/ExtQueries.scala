@@ -2810,7 +2810,14 @@ object ExtQueries {
     // E172: k-anonymity audit over (type, dow, value-decile) quasi-
     // identifiers — 92 of 350 cells re-identify at k=25 here
     "e172_k_anonymity" -> ((s, dir) =>
-      DataProfile.kAnonymity(Tables.load(s, dir, "events")))
+      DataProfile.kAnonymity(Tables.load(s, dir, "events"))),
+
+    // E173: multi-iteration BPE training (VERDICT r12 #3) — 10 full
+    // merge→re-segment→recount rounds emitting the learned merge
+    // table; the oracle unrolls the identical 10 rounds (e91-style)
+    // with greedy overlap resolution as island parity
+    "e173_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir), merges = 10))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6409,6 +6416,10 @@ object ExtQueries {
         |  count(*) < 25 AS at_risk
         |FROM bins GROUP BY 1, 2, 3""".stripMargin,
 
+    // the identical 10 merge rounds unrolled; greedy non-overlap =
+    // take even offsets within each island of consecutive matches
+    "e173_bpe_train" -> bpeTrainOracle(merges = 10),
+
     // the day-keyed self-join (dayord − 7), not a row lag; exact
     // int64-cents totals and errors, identical final divisions
     "e168_seasonal_naive_backtest" ->
@@ -6690,6 +6701,72 @@ object ExtQueries {
       |  JOIN s$rounds a ON s.src = a.node
       |  JOIN s$rounds b ON s.dst = b.node
       |GROUP BY 1""".stripMargin
+  }
+
+  /** The BPE training loop unrolled to `merges` CTE rounds — round r
+    * picks the top adjacent pair of s(r−1) under the identical
+    * (cnt DESC, a, b) total order, then re-segments: positions whose
+    * (sym, next) match the pair are `hit`s; consecutive hits form
+    * islands (only possible when a = b), and greedy left-to-right
+    * non-overlap takes the EVEN offsets within each island — exactly
+    * the operator's fold semantics. A taken position emits the fused
+    * "a b" symbol and its successor drops. `MATERIALIZED` is
+    * load-bearing: each round references s(r−1) twice, so inlined
+    * CTEs would re-derive the chain 2^r times. */
+  private def bpeTrainOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b
+        |  FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |        FROM s$p WHERE len(w) >= 2) t),
+        |t$r AS MATERIALIZED (
+        |  SELECT a, b, count(*) AS cnt FROM p$r GROUP BY 1, 2
+        |  ORDER BY cnt DESC, a, b LIMIT 1),
+        |x$r AS (
+        |  SELECT sid, i, w[i] AS sym
+        |  FROM (SELECT sid, w, unnest(range(1, len(w) + 1)) AS i
+        |        FROM s$p) q),
+        |m$r AS (
+        |  SELECT sid, i, sym,
+        |    CASE WHEN sym = (SELECT a FROM t$r)
+        |          AND lead(sym) OVER (PARTITION BY sid ORDER BY i)
+        |              = (SELECT b FROM t$r)
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM x$r),
+        |g$r AS (
+        |  SELECT sid, i, sym, hit,
+        |    i - row_number() OVER (PARTITION BY sid, hit ORDER BY i)
+        |      AS grp
+        |  FROM m$r),
+        |k$r AS (
+        |  SELECT sid, i, sym, hit,
+        |    CASE WHEN hit = 1
+        |          AND (i - min(i) OVER (PARTITION BY sid, hit, grp))
+        |              % 2 = 0
+        |         THEN 1 ELSE 0 END AS taken
+        |  FROM g$r),
+        |z$r AS (
+        |  SELECT sid, i,
+        |    CASE WHEN taken = 1 THEN (SELECT a || ' ' || b FROM t$r)
+        |         ELSE sym END AS sym,
+        |    lag(taken) OVER (PARTITION BY sid ORDER BY i) AS prev_taken
+        |  FROM k$r),
+        |s$r AS MATERIALIZED (
+        |  SELECT sid, list(sym ORDER BY i) AS w FROM z$r
+        |  WHERE coalesce(prev_taken, 0) = 0 GROUP BY sid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to merges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS tok_a,
+        |  b AS tok_b, cnt FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s0 AS MATERIALIZED (
+      |  SELECT doc_id AS sid,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS w
+      |  FROM documents),
+      |$rounds
+      |$finalSel""".stripMargin
   }
 
   /** Causal drawdown chain shared by the batch operator (e118) and its

@@ -216,6 +216,70 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("tok_a"), col("tok_b"))
       .limit(n)
 
+  /** MULTI-ITERATION BPE training (VERDICT r12 #3) — the full
+    * tokenizer-training loop [[bpeMergePairs]] is one pass of: count
+    * adjacent pairs → adopt the top pair (count desc, then (a, b) — a
+    * total order, so the argmax is engine-independent) as the next
+    * merge rule → RE-SEGMENT every sequence by greedy left-to-right
+    * non-overlapping replacement of (a, b) with the fused symbol
+    * "a b" → recount. Emits the learned merge table
+    * (merge_rank, tok_a, tok_b, cnt-at-adoption), stopping early if
+    * the corpus runs out of pairs.
+    *
+    * Re-segmentation is a codegen'd `aggregate` fold per sequence:
+    * append each symbol unless the accumulator's last element is `a`
+    * and the current is `b`, in which case fuse. The fold equals
+    * lookahead-greedy because a fused emission can never itself match
+    * `a` ("a b" would have to equal its own strict prefix); runs of a
+    * repeated symbol therefore fuse at even offsets exactly like the
+    * oracle's island-parity rule. `try_element_at` keeps the
+    * empty-accumulator probe null (not an ANSI error).
+    *
+    * Scale shape: each merge is ONE corpus scan + one pair-cardinality
+    * exchange + one TakeOrdered(1) — the k-means topology: the merge
+    * table is O(merges) driver state entering each round's plan as
+    * three literals, and per-round [[CachePins.pinCheckpoint]] keeps
+    * the re-segmented corpus one plan node deep instead of `merges`
+    * folds deep. Real tokenizer training at 100 TB runs this loop on
+    * a sampled subcorpus (vocab statistics converge long before the
+    * full corpus is seen); the loop body is unchanged either way. */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seqs = CachePins.pinCheckpoint(
+      docs.select(words(col("text")).as("w")))
+    val rules =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      val top = seqs.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(w[i] AS a, w[i + 1] AS b))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        rules += ((r.toLong, a, b, c))
+        seqs = CachePins.pinCheckpoint(seqs.select(
+          aggregate(col("w"), array().cast("array<string>"),
+            (acc, x) => when(
+              try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(a + " " + b))))
+              .otherwise(concat(acc, array(x)))).as("w")))
+        r += 1
+      }
+    }
+    rules.toSeq.toDF("merge_rank", "tok_a", "tok_b", "cnt")
+  }
+
   /** Per-document top-k terms by TF-IDF with smoothed IDF
     * `ln((N + 1) / (df + 1))` — the keyword-extraction pass used to
     * label or cluster corpus slices. Ranking uses the ROUNDED score

@@ -135,6 +135,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", 4L), ("b", "a", 2L), ("b", "c", 1L)))
   }
 
+  test("E173: multi-iteration BPE training matches the hand-computed " +
+    "merge order, with greedy non-overlap on repeated-symbol runs") {
+    val d = Seq(
+      (1L, "a a a a a"), // (a,a)x4 — the overlap-run case
+      (2L, "a b a b"),   // (a,b)x2, (b,a)x1
+      (3L, "c a b"))     // (c,a), (a,b)
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, merges = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // round 1: (a,a)=4 wins; doc 1 greedily fuses to ["a a","a a","a"]
+    //   (even offsets of the run — NOT 4 overlapping fusions)
+    // round 2: (a,b)=3 wins (the run fusion removed no (a,b) pair)
+    // round 3: all pairs tie at 1; ("a a","a") wins the (a,b) order
+    assert(got == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a", "b", 3L),
+      (3L, "a a", "a", 1L)))
+  }
+
+  test("E173: BPE training stops early when the corpus runs out of " +
+    "pairs") {
+    val d = Seq((1L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, merges = 10).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(1) == "x" && got(0).getString(2) == "y")
+  }
+
   test("E38: tf-idf ranks rare terms above common ones per doc") {
     // over docsDf: 'h' appears in docs 1,2 (df=2); a..g in 1,2,3
     // (df=3); doc 4's tokens are unique (df=1). Smoothed idf
