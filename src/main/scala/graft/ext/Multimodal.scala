@@ -23,9 +23,14 @@ import org.apache.spark.sql.types._
   *    ([[Y4mCodec]], r11 — audio/image/video all real now) —
   *    YUV4MPEG2 header walk + planar 4:2:0 frame stride, oracle-gated
   *    end-to-end via `e78_y4m_codec_frames`;
+  *  - [[decodeJpegPlaneRows]]: a REAL pure-JVM baseline-JPEG decoder
+  *    ([[JpegCodec]], r13 — the entropy-coded LOSSY format web
+  *    corpora actually ship): Huffman scan decode + dequant + IDCT +
+  *    4:2:0 MCU reassembly, oracle-gated end-to-end via
+  *    `e174_jpeg_codec_rows` and ImageIO-cross-checked in spec;
   *  - [[decodeFrames]]: the deterministic generic STUB retained as the
-  *    seam shape for formats with no pure-JVM codec (compressed
-  *    codecs needing external libraries).
+  *    seam shape for the remaining formats with no pure-JVM codec
+  *    (interframe video like H.264, MP3/AAC audio).
   *
   * All use the same mapPartitions topology (iterator → iterator, codec
   * state initialized once per partition, never per row) — the shape a
@@ -359,6 +364,83 @@ object Multimodal {
             }
             VideoFrame(id, t.toLong, (w.toLong * h), sy, my, scb, scr,
               (f.y(0) & 0xff).toLong, (f.y(f.y.length - 1) & 0xff).toLong)
+          }
+        }
+      }
+  }
+
+  /** Deterministic 8×8-BLOCK-CONSTANT YCbCr planes — the closed-form
+    * pattern the JPEG gate (e174) encodes through the REAL lossy
+    * pipeline and still roundtrips bit-exactly (see [[JpegCodec]]:
+    * block-constant ⇒ DC-only; even luma divides q₀₀=16, chroma
+    * 128+17m divides q₀₀=17 ⇒ quantization is lossless), so the
+    * DuckDB oracle evaluates these formulas directly. */
+  def jpegImgW(id: Long): Int = (16 * (1 + id % 3)).toInt
+  def jpegImgH(id: Long): Int = (16 * (1 + id % 2)).toInt
+  def jpegBlockY(id: Long, bx: Int, by: Int): Int =
+    2 * (((id * 5 + 3 * bx + 7 * by) % 128).toInt)
+  def jpegBlockCb(id: Long, bx: Int, by: Int): Int =
+    128 + 17 * ((((id * 3 + bx + 2 * by) % 15).toInt) - 7)
+  def jpegBlockCr(id: Long, bx: Int, by: Int): Int =
+    128 + 17 * ((((id * 11 + 2 * bx + by) % 15).toInt) - 7)
+
+  /** Synthetic JPEG blob table: one REAL baseline 4:2:0 JFIF payload
+    * per doc_id (Huffman-coded through [[JpegCodec.encode420]])
+    * carrying the block-constant pattern. Dims cycle 16/32/48 ×
+    * 16/32 so multiple MCU grids are exercised. Partition-local —
+    * the same seam shape as the decoders. */
+  def syntheticJpeg(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = jpegImgW(id); val h = jpegImgH(id)
+          val y = Array.tabulate(w * h)(i =>
+            jpegBlockY(id, (i % w) / 8, (i / w) / 8))
+          val cb = Array.tabulate(w / 2 * h / 2)(i =>
+            jpegBlockCb(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          val cr = Array.tabulate(w / 2 * h / 2)(i =>
+            jpegBlockCr(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          (id, JpegCodec.encode420(w, h, y, cb, cr))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded JPEG plane scanline: integer-exact features per
+    * (doc, plane, row) — covers the luma AND both subsampled chroma
+    * planes, so an MCU-layout or chroma-stride bug cannot hide. */
+  case class PlaneRow(doc_id: Long, plane: String, y: Long, n_px: Long,
+                      sum_v: Long, max_v: Long, first_v: Long,
+                      last_v: Long)
+
+  /** REAL compressed-image-codec path for JPEG: decode each payload
+    * (marker walk, DHT Huffman, dequantize, IDCT, MCU reassembly)
+    * with [[JpegCodec]] and emit per-plane scanline features — same
+    * iterator→iterator partition-local topology and fail-fast
+    * contract as the other codec gates. */
+  def decodeJpegPlaneRows(blobs: DataFrame): Dataset[PlaneRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val names = IndexedSeq("y", "cb", "cr")
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val dec = JpegCodec.decodePlanes(payload)
+          dec.planes.iterator.zipWithIndex.flatMap { case (p, pi) =>
+            (0 until p.h).iterator.map { y =>
+              var s = 0L; var mx = 0L
+              var x = 0
+              while (x < p.w) {
+                val v = p.data(y * p.w + x)
+                s += v; if (v > mx) mx = v
+                x += 1
+              }
+              PlaneRow(id, names(pi), y.toLong, p.w.toLong, s, mx,
+                p.data(y * p.w).toLong,
+                p.data(y * p.w + p.w - 1).toLong)
+            }
           }
         }
       }
