@@ -88,6 +88,10 @@ object ExtQueries {
     ModelCache.cached(s"ivfpqresid|$dir|ck=8|m=4|k=8|it=2")(
       Similarity.trainIvfPqResidualWith(emb(s, dir),
         sharedCentroids(s, dir), 4, 8, 2))
+  private def sharedBpeRules(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] =
+    ModelCache.cached(s"bpe|$dir|merges=10")(
+      TextAnalysis.bpeTrainRules(docs(s, dir), 10))
 
   /** The sorted-neighborhood chain as DuckDB CTEs ending in
     * `snnj (doc_a, doc_b, jaccard)`: the global-row_number total order
@@ -2815,9 +2819,24 @@ object ExtQueries {
     // E173: multi-iteration BPE training (VERDICT r12 #3) — 10 full
     // merge→re-segment→recount rounds emitting the learned merge
     // table; the oracle unrolls the identical 10 rounds (e91-style)
-    // with greedy overlap resolution as island parity
-    "e173_bpe_train" -> ((s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir), merges = 10)),
+    // with greedy overlap resolution as island parity. The rules are
+    // ModelCache-shared with the e175 apply gate (train once, use
+    // twice — the e83/e94 index-sharing pattern for tokenizers).
+    "e173_bpe_train" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      sharedBpeRules(s, dir)
+        .toDF("merge_rank", "tok_a", "tok_b", "cnt")
+    }),
+
+    // E175: BPE APPLY — the tokenizer-serving half: the learned merge
+    // table re-segments the corpus (rank-ordered map-side folds, no
+    // shuffle) and per-doc compression stats come out; applying the
+    // rules to the training corpus reproduces the training loop's
+    // final state, so the oracle is the unrolled chain's LAST stage
+    "e175_bpe_apply" -> ((s, dir) =>
+      TextAnalysis.bpeApply(docs(s, dir),
+        sharedBpeRules(s, dir).map(r => (r._2, r._3)))),
 
     // E174: REAL baseline-JPEG codec gate (VERDICT r12 #1) — the
     // entropy-coded lossy format every web-scraped image corpus
@@ -6435,6 +6454,10 @@ object ExtQueries {
     // take even offsets within each island of consecutive matches
     "e173_bpe_train" -> bpeTrainOracle(merges = 10),
 
+    // the unrolled chain's FINAL stage vs s0 — rank-ordered rule
+    // application equals the training loop's last state
+    "e175_bpe_apply" -> bpeApplyOracle(merges = 10),
+
     // direct formula evaluation of the block-constant planes the
     // lossless-DC construction makes the real JPEG pipeline return
     // bit-exactly (luma full-res, both chromas at half dims)
@@ -6761,6 +6784,28 @@ object ExtQueries {
     * load-bearing: each round references s(r−1) twice, so inlined
     * CTEs would re-derive the chain 2^r times. */
   private def bpeTrainOracle(merges: Int): String = {
+    s"""WITH ${bpeRoundCtes(merges)}
+      |${(1 to merges).map { r =>
+         s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS tok_a,
+           |  b AS tok_b, cnt FROM t$r""".stripMargin
+       }.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** The e175 apply oracle: per-doc token counts before (s0) and
+    * after (the chain's LAST stage) — applying the learned rules to
+    * the training corpus IS the training loop's final state. LEFT
+    * join + coalesce keeps zero-token docs (they vanish from the
+    * unnest-based stages but trivially re-segment to themselves). */
+  private def bpeApplyOracle(merges: Int): String =
+    s"""WITH ${bpeRoundCtes(merges)}
+      |SELECT s0.sid AS doc_id,
+      |  CAST(len(s0.w) AS BIGINT) AS n_before,
+      |  CAST(coalesce(len(f.w), len(s0.w)) AS BIGINT) AS n_after,
+      |  CAST(len(s0.w) - coalesce(len(f.w), len(s0.w)) AS BIGINT)
+      |    AS n_merged
+      |FROM s0 LEFT JOIN s$merges f ON s0.sid = f.sid""".stripMargin
+
+  private def bpeRoundCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       val p = r - 1
       s"""p$r AS (
@@ -6804,16 +6849,11 @@ object ExtQueries {
         |  WHERE coalesce(prev_taken, 0) = 0 GROUP BY sid)"""
         .stripMargin
     }.mkString(",\n")
-    val finalSel = (1 to merges).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS tok_a,
-        |  b AS tok_b, cnt FROM t$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
       |  SELECT doc_id AS sid,
       |    list_filter(string_split(text, ' '), x -> x != '') AS w
       |  FROM documents),
-      |$rounds
-      |$finalSel""".stripMargin
+      |$rounds""".stripMargin
   }
 
   /** Causal drawdown chain shared by the batch operator (e118) and its

@@ -243,9 +243,22 @@ object TextAnalysis {
     * folds deep. Real tokenizer training at 100 TB runs this loop on
     * a sampled subcorpus (vocab statistics converge long before the
     * full corpus is seen); the loop body is unchanged either way. */
-  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** The greedy one-rule re-segmentation fold (see [[bpeTrain]]'s
+    * equivalence argument). */
+  private def mergeFold(a: String, b: String) =
+    aggregate(col("w"), array().cast("array<string>"),
+      (acc, x) => when(
+        try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(a + " " + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The training loop's DRIVER-HELD output: the learned merge table
+    * as (rank, tok_a, tok_b, count-at-adoption) — O(merges) model
+    * state, the k-means contract (callers memoize it in `ModelCache`
+    * keyed by corpus+merges so train-then-apply pays one training). */
+  def bpeTrainRules(docs: DataFrame,
+                    merges: Int): Seq[(Long, String, String, Long)] = {
     var seqs = CachePins.pinCheckpoint(
       docs.select(words(col("text")).as("w")))
     val rules =
@@ -267,17 +280,53 @@ object TextAnalysis {
         val (a, b, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         rules += ((r.toLong, a, b, c))
-        seqs = CachePins.pinCheckpoint(seqs.select(
-          aggregate(col("w"), array().cast("array<string>"),
-            (acc, x) => when(
-              try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(lit(a + " " + b))))
-              .otherwise(concat(acc, array(x)))).as("w")))
+        seqs = CachePins.pinCheckpoint(
+          seqs.select(mergeFold(a, b).as("w")))
         r += 1
       }
     }
-    rules.toSeq.toDF("merge_rank", "tok_a", "tok_b", "cnt")
+    rules.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (the e173 gate shape). */
+  def bpeTrain(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainRules(docs, merges).toDF("merge_rank", "tok_a", "tok_b", "cnt")
+  }
+
+  /** APPLY a learned merge table (the tokenizer-SERVING half of
+    * [[bpeTrain]] — training composes onto the corpus): re-segment
+    * every document by the rules IN RANK ORDER and emit per-document
+    * compression stats (token counts before/after, merges applied).
+    * Identical folds to training, so applying the rules to the
+    * training corpus reproduces the training loop's final state
+    * exactly — the oracle reuses the unrolled chain's last stage.
+    *
+    * Scale shape: `rules.size` chained map-side folds (no shuffle at
+    * all until the caller aggregates), lineage checkpoint-truncated
+    * every few rules; rules enter the plan as literals. Serving a
+    * 100 TB corpus with a trained table is exactly this — embarrassingly
+    * parallel, one pass per rule, or a fused single-pass automaton if
+    * rule count grows beyond plan-size comfort. */
+  def bpeApply(docs: DataFrame,
+               rules: Seq[(String, String)]): DataFrame = {
+    var seqs = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_before"),
+      words(col("text")).as("w"))
+    rules.zipWithIndex.foreach { case ((a, b), i) =>
+      val folded = seqs.select(col("doc_id"), col("n_before"),
+        mergeFold(a, b).as("w"))
+      // checkpoint every 3rd rule: enough to keep the fold chain's
+      // analyzed plan shallow without paying a materialization per rule
+      seqs =
+        if (i % 3 == 2 || i == rules.size - 1)
+          CachePins.pinCheckpoint(folded)
+        else folded
+    }
+    seqs.select(col("doc_id"), col("n_before"),
+      size(col("w")).cast("long").as("n_after"),
+      (col("n_before") - size(col("w")).cast("long")).as("n_merged"))
   }
 
   /** Per-document top-k terms by TF-IDF with smoothed IDF

@@ -155,6 +155,24 @@ class ExtOpsSpec extends SparkSpec {
       (3L, "a a", "a", 1L)))
   }
 
+  test("E175: applying the learned merge table reproduces the " +
+    "training loop's final segmentation (hand-computed counts)") {
+    val d = Seq(
+      (1L, "a a a a a"), // r1 (a,a): [aa,aa,a]; r3 (aa,a): [aa,aaa]
+      (2L, "a b a b"),   // r2 (a,b): [ab,ab]
+      (3L, "c a b"))     // r2: [c,ab]
+      .toDF("doc_id", "text")
+    val rules = TextAnalysis.bpeTrainRules(d, merges = 3)
+      .map(r => (r._2, r._3))
+    val got = TextAnalysis.bpeApply(d, rules).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> ((5L, 2L, 3L)),
+      2L -> ((4L, 2L, 2L)),
+      3L -> ((3L, 2L, 1L))))
+  }
+
   test("E173: BPE training stops early when the corpus runs out of " +
     "pairs") {
     val d = Seq((1L, "x y")).toDF("doc_id", "text")
