@@ -2838,6 +2838,55 @@ object ExtQueries {
       TextAnalysis.bpeApply(docs(s, dir),
         sharedBpeRules(s, dir).map(r => (r._2, r._3)))),
 
+    // E177: mergeable histogram-quantile sketch — the DISTRIBUTION
+    // member of the sketch family (Bloom membership, CMS frequency):
+    // 32 fixed-width bin counts (partial-aggregated, sketch-sized
+    // exchange), quantiles by cumulative walk + in-bin interpolation,
+    // each estimate measured against the EXACT interpolated quantile
+    // with the one-bin error bound asserted as a column
+    "e177_histogram_quantiles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Sketches.histQuantileScorecard(
+        Sketches.histCells(ev, col("value")), ev, "value",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
+    // E178: the histogram sketch maintained AS A STREAM — per-batch
+    // bin-count frames (sketch-sized, never event-sized) append into
+    // a store; counts are additive, so the summed store IS the batch
+    // histogram exactly and the replay shares e177's oracle verbatim
+    // (the e99 mergeability contract, now for distributions)
+    "e178_streaming_histogram_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+      val scratch = graft.Scratch.fresh("hist_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r =>
+          ev.filter(col("event_id") % 3 === r).select(col("value"))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Sketches.histCells(b, col("value"))
+            .write.mode("overwrite").parquet(s"$scratch/cells_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cellDirs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("cells_")).map(_.getPath).sorted
+      val merged = s.read.parquet(cellDirs.toIndexedSeq: _*)
+        .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+      Sketches.histQuantileScorecard(merged, ev, "value",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    }),
+
     // E174: REAL baseline-JPEG codec gate (VERDICT r12 #1) — the
     // entropy-coded lossy format every web-scraped image corpus
     // ships in: block-constant YCbCr planes (values chosen so DC
@@ -2851,6 +2900,16 @@ object ExtQueries {
     "e174_jpeg_codec_rows" -> ((s, dir) =>
       Multimodal.decodeJpegPlaneRows(
           Multimodal.syntheticJpeg(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
+    // E176: JPEG decode → nearest-RESIZE → extract — the e117
+    // thumbnail composition on the entropy-coded format (decode and
+    // transform compose partition-locally; the lossless-roundtrip
+    // pattern keeps the resampled features closed-form)
+    "e176_jpeg_resize_rows" -> ((s, dir) =>
+      Multimodal.decodeJpegResizeRows(
+          Multimodal.syntheticJpeg(docs(s, dir).select(col("doc_id"))),
+          ow = 8, oh = 4)
         .toDF())
   )
 
@@ -6458,6 +6517,50 @@ object ExtQueries {
     // application equals the training loop's last state
     "e175_bpe_apply" -> bpeApplyOracle(merges = 10),
 
+    // the 32-bin histogram rebuilt in SQL; identical interpolation
+    // trees, exact quantile via quantile_cont, rounded stats compared
+    "e177_histogram_quantiles" -> histQuantileOracle,
+
+    // additive bin counts: the merged per-batch store equals the
+    // batch histogram exactly — e177's oracle verbatim
+    "e178_streaming_histogram_replay" -> histQuantileOracle,
+
+    // the nearest-resampled pattern evaluated directly: source pixel
+    // (x·pw//tw, y·ph//th), value from its 8x8 block's formula
+    "e176_jpeg_resize_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, 'y' AS plane, w AS pw, h AS ph,
+        |    8 AS tw, 4 AS th FROM g
+        |  UNION ALL SELECT doc_id, 'cb', w//2, h//2, 4, 2 FROM g
+        |  UNION ALL SELECT doc_id, 'cr', w//2, h//2, 4, 2 FROM g),
+        |yy AS (SELECT doc_id, plane, pw, ph, tw, th,
+        |         unnest(generate_series(0, th - 1)) AS y FROM pl),
+        |xx AS (SELECT doc_id, plane, pw, ph, tw, th, y,
+        |         unnest(generate_series(0, tw - 1)) AS x FROM yy),
+        |px AS (
+        |  SELECT doc_id, plane, y, x,
+        |    (x * pw // tw) // 8 AS bx, (y * ph // th) // 8 AS by
+        |  FROM xx),
+        |pv AS (
+        |  SELECT doc_id, plane, y, x,
+        |    CASE plane
+        |      WHEN 'y' THEN 2*((doc_id*5 + 3*bx + 7*by) % 128)
+        |      WHEN 'cb' THEN
+        |        128 + 17*(((doc_id*3 + bx + 2*by) % 15) - 7)
+        |      ELSE 128 + 17*(((doc_id*11 + 2*bx + by) % 15) - 7)
+        |    END AS v
+        |  FROM px)
+        |SELECT doc_id, plane, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(max(v) AS BIGINT) AS max_v,
+        |  CAST(arg_min(v, x) AS BIGINT) AS first_v,
+        |  CAST(arg_max(v, x) AS BIGINT) AS last_v
+        |FROM pv GROUP BY 1, 2, 3""".stripMargin,
+
     // direct formula evaluation of the block-constant planes the
     // lossless-DC construction makes the real JPEG pipeline return
     // bit-exactly (luma full-res, both chromas at half dims)
@@ -6790,6 +6893,50 @@ object ExtQueries {
            |  b AS tok_b, cnt FROM t$r""".stripMargin
        }.mkString("\nUNION ALL\n")}""".stripMargin
   }
+
+  /** The 32-bin histogram-quantile scorecard in SQL — shared verbatim
+    * by the batch gate (e177) and the streaming replay (e178): bin
+    * counts are additive, so the merged per-batch store equals the
+    * batch histogram exactly. Estimate/exact/error expression trees
+    * mirror the Spark side operation-for-operation. */
+  private val histQuantileOracle: String =
+    """WITH cells AS (
+      |  SELECT least(31, CAST(floor(value / CAST(16 AS DOUBLE))
+      |    AS BIGINT)) AS bin, count(*) AS c
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT bin, c,
+      |    coalesce(sum(c) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM cells),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n_rows FROM cells),
+      |probs(i, prob) AS (VALUES
+      |  (0, CAST(0.25 AS DOUBLE)), (1, CAST(0.5 AS DOUBLE)),
+      |  (2, CAST(0.75 AS DOUBLE)), (3, CAST(0.9 AS DOUBLE)),
+      |  (4, CAST(0.99 AS DOUBLE))),
+      |ex AS (SELECT quantile_cont(value, [CAST(0.25 AS DOUBLE),
+      |  CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE),
+      |  CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS qs FROM events),
+      |sel AS (
+      |  SELECT p.prob, p.i, u.bin, u.c, u.cum_before,
+      |    p.prob * n.n_rows AS target
+      |  FROM probs p CROSS JOIN n JOIN cum u
+      |    ON CAST(u.cum_before AS DOUBLE) < p.prob * n.n_rows
+      |   AND p.prob * n.n_rows <= CAST(u.cum_before + u.c AS DOUBLE))
+      |SELECT s.prob,
+      |  round(CAST(16 AS DOUBLE) * s.bin
+      |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+      |      / CAST(s.c AS DOUBLE), 6) AS est_q,
+      |  round(ex.qs[s.i + 1], 6) AS exact_q,
+      |  round(abs(CAST(16 AS DOUBLE) * s.bin
+      |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+      |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6) AS abs_err,
+      |  round(abs(CAST(16 AS DOUBLE) * s.bin
+      |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+      |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6)
+      |    <= CAST(16 AS DOUBLE) AS within_bin
+      |FROM sel s CROSS JOIN ex""".stripMargin
 
   /** The e175 apply oracle: per-doc token counts before (s0) and
     * after (the chain's LAST stage) — applying the learned rules to

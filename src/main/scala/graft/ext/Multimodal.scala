@@ -446,6 +446,42 @@ object Multimodal {
       }
   }
 
+  /** JPEG decode → nearest-RESIZE → extract (the e117 composition on
+    * the entropy-coded format): each decoded plane resizes
+    * independently to its subsampling-scaled target (luma ow×oh,
+    * chroma halves) — pure integer index math over the
+    * lossless-roundtrip pattern, so the resampled features stay
+    * oracle-exact. Partition-local end to end. */
+  def decodeJpegResizeRows(blobs: DataFrame, ow: Int,
+                           oh: Int): Dataset[PlaneRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val names = IndexedSeq("y", "cb", "cr")
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val dec = JpegCodec.decodePlanes(payload)
+          dec.planes.iterator.zipWithIndex.flatMap { case (p, pi) =>
+            val tw = if (pi == 0) ow else ow / 2
+            val th = if (pi == 0) oh else oh / 2
+            val rp = resizeNearest(p.w, p.h, p.data, tw, th)
+            (0 until th).iterator.map { y =>
+              var s = 0L; var mx = 0L
+              var x = 0
+              while (x < tw) {
+                val v = rp(y * tw + x)
+                s += v; if (v > mx) mx = v
+                x += 1
+              }
+              PlaneRow(id, names(pi), y.toLong, tw.toLong, s, mx,
+                rp(y * tw).toLong, rp(y * tw + tw - 1).toLong)
+            }
+          }
+        }
+      }
+  }
+
   def decodeFrames(blobs: DataFrame): Dataset[DecodedFrame] = {
     val spark = blobs.sparkSession
     import spark.implicits._

@@ -141,4 +141,73 @@ object Sketches {
         .cast("int") + 1))
       .reduce(least(_, _))
   }
+
+  /** Histogram-quantile geometry: 32 fixed bins of width 16 over
+    * [0, 512) (the events.value domain), top bin clamped open-ended.
+    * Fixed a-priori bounds are what make the sketch MERGEABLE — the
+    * third member of the sketch family (membership = Bloom,
+    * frequency = count-min, DISTRIBUTION = this): per-shard /
+    * per-batch bin-count frames sum into the global histogram
+    * exactly, and quantiles come out of the 32-row summary instead
+    * of a corpus sort. */
+  val HistBins = 32
+  val HistWidth = 16.0
+
+  /** The bin of a value — identical floor arithmetic cross-engine
+    * (same doubles in, same IEEE divide, same floor). */
+  def histBin(value: Column): Column =
+    least(lit(HistBins - 1L), floor(value / HistWidth).cast("long"))
+
+  /** The bin-count cells over `rows` as a mergeable FRAME (bin, c):
+    * one partial-aggregated groupBy whose key space is the sketch
+    * size — each map task emits ≤ 32 rows regardless of input
+    * volume (the cmsCells contract for distributions). */
+  def histCells(rows: DataFrame, value: Column): DataFrame =
+    rows.select(histBin(value).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Quantile scorecard from a (possibly merged) cell frame: for each
+    * probability, the histogram estimate (cumulative walk + linear
+    * interpolation inside the covering bin — max error one bin width,
+    * asserted as `within_bin`) next to the EXACT interpolated
+    * quantile over `rows` — the approximation error is a measured
+    * number in the result, not a hope (the e13/e84 pattern).
+    *
+    * Scale shape: the cumulative window runs over the 32-row cell
+    * frame (global order over sketch-sized data — never the corpus);
+    * the corpus-sized work is histCells' one partial-aggregated scan
+    * plus the exact-quantile column, which exists only for the gate's
+    * error measurement (production serves from the cells alone). */
+  def histQuantileScorecard(cells: DataFrame, rows: DataFrame,
+                            valueCol: String,
+                            probs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.select(col("bin"), col("c"),
+      coalesce(sum(col("c")).over(w), lit(0L)).as("cum_before"))
+    val n = cells.agg(sum(col("c")).cast("double").as("n_rows"))
+    val pframe = cells.sparkSession.range(1)
+      .select(posexplode(typedlit(probs)).as(Seq("i", "prob")))
+    val exact = rows.select(col(valueCol).as("v"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))")
+        .as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "exact_raw")))
+    val est = lit(HistWidth) * col("bin").cast("double") +
+      lit(HistWidth) * (col("target") - col("cum_before").cast("double")) /
+        col("c").cast("double")
+    pframe.crossJoin(broadcast(n))
+      .withColumn("target", col("prob") * col("n_rows"))
+      .join(broadcast(cum),
+        col("cum_before").cast("double") < col("target") &&
+          col("target") <= (col("cum_before") + col("c")).cast("double"))
+      .join(broadcast(exact), Seq("i"))
+      .select(col("prob"),
+        graft.Rounding.duckRound(est, 6).as("est_q"),
+        graft.Rounding.duckRound(col("exact_raw"), 6).as("exact_q"),
+        graft.Rounding.duckRound(abs(est - col("exact_raw")), 6)
+          .as("abs_err"),
+        (graft.Rounding.duckRound(abs(est - col("exact_raw")), 6) <=
+          lit(HistWidth)).as("within_bin"))
+  }
 }

@@ -45,6 +45,40 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(h >= 50)
   }
 
+  test("histogram sketch: per-shard cells merge into the whole-corpus " +
+    "histogram exactly (the mergeability contract)") {
+    val vals = (0 until 1000).map(i => (i.toLong, (i % 500) * 1.01))
+      .toDF("id", "value")
+    val whole = Sketches.histCells(vals, col("value")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Sketches.histCells(vals.filter(col("id") % 2 === 0),
+        col("value"))
+      .unionByName(Sketches.histCells(vals.filter(col("id") % 2 =!= 0),
+        col("value")))
+      .groupBy(col("bin")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("histogram sketch: quantile estimates land within one bin of " +
+    "exact on a uniform distribution, exact at bin edges") {
+    // 512 values 0.5, 1.5, ..., 511.5 — exactly 16 per bin
+    val vals = (0 until 512).map(i => (i.toLong, i + 0.5))
+      .toDF("id", "value")
+    val got = Sketches.histQuantileScorecard(
+        Sketches.histCells(vals, col("value")), vals, "value",
+        Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(4))).toMap
+    // p=0.5: target 256 = exactly the end of bin 15 → est = 256.0;
+    // exact interpolated quantile of the ladder = 255.5 + 0.5 = ...
+    assert(got(0.5)._1 == 256.0)
+    assert(got.values.forall(_._3), s"within_bin violated: $got")
+    got.foreach { case (p, (est, exact, _)) =>
+      assert(math.abs(est - exact) <= 16.0, s"p=$p est=$est exact=$exact")
+    }
+  }
+
   test("pageRank: uniform on a symmetric cycle, mass conserved") {
     // every node of a 6-cycle is equivalent → rank = 1/6 exactly at
     // every iteration (the fixed point of the symmetric walk)
