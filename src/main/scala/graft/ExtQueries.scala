@@ -2887,6 +2887,20 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E179: from-scratch HyperLogLog — the CARDINALITY member of the
+    // sketch family, md5-derived end to end so the oracle rebuilds
+    // the SAME 64 registers (register-level exact, unlike e13's
+    // ε-gated built-in); two keys exercise both estimator branches
+    // (user_id → small-range ln correction, event_id → raw harmonic)
+    // with the relative error as a measured column
+    "e179_hll_cardinality" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def one(k: String) = Sketches.hllScorecard(
+        Sketches.hllRegisters(ev, col(k).cast("string")),
+        ev.agg(countDistinct(col(k)).as("n_exact")), k)
+      one("user_id").unionByName(one("event_id"))
+    }),
+
     // E174: REAL baseline-JPEG codec gate (VERDICT r12 #1) — the
     // entropy-coded lossy format every web-scraped image corpus
     // ships in: block-constant YCbCr planes (values chosen so DC
@@ -6525,6 +6539,12 @@ object ExtQueries {
     // batch histogram exactly — e177's oracle verbatim
     "e178_streaming_histogram_replay" -> histQuantileOracle,
 
+    // the identical 64 registers rebuilt in SQL (md5 hash parity,
+    // integer CASE-chain rho, exact-integer harmonic sum)
+    "e179_hll_cardinality" ->
+      (hllOracleBranch("user_id") + "\nUNION ALL\n" +
+        hllOracleBranch("event_id")),
+
     // the nearest-resampled pattern evaluated directly: source pixel
     // (x·pw//tw, y·ph//th), value from its 8x8 block's formula
     "e176_jpeg_resize_rows" ->
@@ -6937,6 +6957,45 @@ object ExtQueries {
       |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6)
       |    <= CAST(16 AS DOUBLE) AS within_bin
       |FROM sel s CROSS JOIN ex""".stripMargin
+
+  /** One HLL scorecard branch in SQL: md5-parity hash, the integer
+    * CASE-chain rho (floats would flip at exact powers of two), max
+    * per register over the full 0..63 range, the EXACT-integer
+    * harmonic sum in units of 2^-55, and the branchy estimator with
+    * the identical expression tree as [[Sketches.hllScorecard]]. */
+  private def hllOracleBranch(keyCol: String): String = {
+    val rho = "CASE WHEN w = 0 THEN 55 " +
+      (53 to 0 by -1).map(k =>
+        s"WHEN w >= ${1L << k} THEN ${54 - k}").mkString(" ") + " END"
+    val raw = """CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+      |                  / CAST(a.sum_int AS DOUBLE)""".stripMargin
+    val est = s"""CASE WHEN $raw <= CAST(160 AS DOUBLE)
+      |              AND a.v_zeros > 0
+      |             THEN CAST(64 AS DOUBLE)
+      |                  * ln(CAST(64 AS DOUBLE)
+      |                       / CAST(a.v_zeros AS DOUBLE))
+      |             ELSE $raw END""".stripMargin
+    s"""(
+      |WITH h AS (
+      |  SELECT ('0x' || substr(md5(CAST($keyCol AS VARCHAR)), 1, 15))
+      |    ::BIGINT AS h
+      |  FROM events),
+      |jw AS (SELECT h & 63 AS j, h >> 6 AS w FROM h),
+      |r0 AS (SELECT j, max($rho) AS m_rho FROM jw GROUP BY 1),
+      |regs AS (SELECT t.j, coalesce(r0.m_rho, 0) AS m_rho
+      |         FROM range(0, 64) t(j) LEFT JOIN r0 USING (j)),
+      |a AS (SELECT
+      |    CAST(sum(1::BIGINT << (55 - m_rho)) AS BIGINT) AS sum_int,
+      |    CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_zeros
+      |  FROM regs),
+      |n AS (SELECT count(DISTINCT $keyCol) AS n_exact FROM events)
+      |SELECT '$keyCol' AS key_col, n.n_exact, a.v_zeros, a.sum_int,
+      |  round($est, 6) AS hll_est,
+      |  round(abs($est - CAST(n.n_exact AS DOUBLE))
+      |        / CAST(n.n_exact AS DOUBLE), 6) AS rel_err
+      |FROM a CROSS JOIN n)""".stripMargin
+  }
 
   /** The e175 apply oracle: per-doc token counts before (s0) and
     * after (the chain's LAST stage) — applying the learned rules to

@@ -166,6 +166,64 @@ object Sketches {
     rows.select(histBin(value).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
 
+  /** HyperLogLog geometry: m = 64 registers (6 index bits off the
+    * 60-bit md5 hash, 54 rank bits). The CARDINALITY member of the
+    * sketch family — unlike e13's built-in approx_count_distinct
+    * (ε-gated because its internal hashing is JVM-specific), this one
+    * is md5-derived end to end, so the DuckDB twin rebuilds the SAME
+    * 64 registers and the gate is register-level EXACT. */
+  val HllRegisters = 64
+
+  /** rho(w) = leading-zero count of the 54-bit rank word + 1 — an
+    * integer CASE chain over powers of two (never a float log2, which
+    * could flip at exact powers cross-engine). */
+  def hllRho(w: Column): Column =
+    (53 to 0 by -1).foldLeft(when(w === lit(0L), lit(55)))(
+      (acc, k) => acc.when(w >= lit(1L << k), lit(54 - k)))
+
+  /** The 64-register frame over `keys`: (j, m_rho), absent registers
+    * filled with 0 — mergeable by max, one sketch-sized exchange
+    * (each map task emits ≤ 64 rows after combine, the cmsCells
+    * contract for cardinality). */
+  def hllRegisters(keys: DataFrame, key: Column): DataFrame = {
+    val h = Dedup.md5Long(key)
+    val grouped = keys
+      .select(h.bitwiseAND(lit(63L)).as("j"),
+        hllRho(call_function("shiftright", h, lit(6))).as("rho"))
+      .groupBy(col("j")).agg(max(col("rho")).as("m_rho"))
+    keys.sparkSession.range(HllRegisters.toLong)
+      .select(col("id").as("j"))
+      .join(grouped, Seq("j"), "left")
+      .select(col("j"), coalesce(col("m_rho"), lit(0)).as("m_rho"))
+  }
+
+  /** Estimate scorecard from a register frame next to the EXACT
+    * distinct count (the measured-error pattern): the harmonic sum is
+    * kept as an exact INTEGER in units of 2^-55 (Σ 2^(55−Mj) ≤ 2^61 —
+    * under both engines' overflow lines), so the only floats are the
+    * final α·m²·2⁵⁵/sum division and the small-range ln correction —
+    * identical expression trees, rounded once. */
+  def hllScorecard(regs: DataFrame, exact: DataFrame,
+                   label: String): DataFrame = {
+    val a = regs.agg(
+      sum(call_function("shiftleft", lit(1L),
+        (lit(55) - col("m_rho")).cast("int"))).as("sum_int"),
+      sum(when(col("m_rho") === 0, lit(1L)).otherwise(lit(0L)))
+        .as("v_zeros"))
+    val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      col("sum_int").cast("double")
+    val est = when(raw <= lit(160.0) && col("v_zeros") > 0L,
+        lit(64.0) * log(lit(64.0) / col("v_zeros").cast("double")))
+      .otherwise(raw)
+    a.crossJoin(broadcast(exact))
+      .select(lit(label).as("key_col"), col("n_exact"), col("v_zeros"),
+        col("sum_int"),
+        graft.Rounding.duckRound(est, 6).as("hll_est"),
+        graft.Rounding.duckRound(
+          abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Quantile scorecard from a (possibly merged) cell frame: for each
     * probability, the histogram estimate (cumulative walk + linear
     * interpolation inside the covering bin — max error one bin width,

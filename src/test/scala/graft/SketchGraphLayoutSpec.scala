@@ -79,6 +79,27 @@ class SketchGraphLayoutSpec extends SparkSpec {
     }
   }
 
+  test("hll: shard registers max-merge into the whole-corpus " +
+    "registers exactly, and the estimate tracks truth") {
+    val keys = (0 until 2000).map(i => s"key-$i").toDF("k")
+    val whole = Sketches.hllRegisters(keys, col("k")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = Sketches.hllRegisters(
+        keys.filter(length(col("k")) % 2 === 0), col("k"))
+      .unionByName(Sketches.hllRegisters(
+        keys.filter(length(col("k")) % 2 =!= 0), col("k")))
+      .groupBy(col("j")).agg(max(col("m_rho")).as("m_rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+    // 64 registers → rsd ≈ 1.04/√64 = 13%; duplicate keys change nothing
+    val est = Sketches.hllScorecard(
+        Sketches.hllRegisters(keys.unionByName(keys), col("k")),
+        keys.agg(countDistinct(col("k")).as("n_exact")), "k")
+      .collect()(0)
+    assert(est.getLong(1) == 2000L)
+    assert(est.getDouble(5) < 0.4, s"rel_err=${est.getDouble(5)}")
+  }
+
   test("pageRank: uniform on a symmetric cycle, mass conserved") {
     // every node of a 6-cycle is equivalent → rank = 1/6 exactly at
     // every iteration (the fixed point of the symmetric walk)
