@@ -2887,6 +2887,32 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E181: audio FEATURE extraction after the codec — per-frame
+    // zero-crossing rate and exact Σs² energy over a fast-wrapping
+    // sawtooth (the e65 signal is monotone per doc; this one actually
+    // crosses), decoded by the real WavCodec; all-integer features,
+    // partition-local end to end
+    "e181_audio_zcr_energy" -> ((s, dir) =>
+      Multimodal.decodeWavZcrEnergy(
+          Multimodal.syntheticWavOsc(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
+    // E180: single-source MIN-COST paths over the weighted co-purchase
+    // projection (Bellman-Ford relaxed to the fixpoint, hop budget as
+    // oracle parity) — the weighted refinement of e127's BFS: integer
+    // costs w = max(1, 201 − n_shared), so a chain of strong edges
+    // can beat a weak direct edge and path sums stay exact
+    "e180_weighted_shortest_path" -> ((s, dir) => {
+      val edges = GraphOps.bipartiteProjection(tradePairs(s, dir),
+          minShared = 190L)
+        .select(col("node_a"), col("node_b"),
+          greatest(lit(1L), lit(201L) - col("n_shared")).as("w"))
+      val row = edges.agg(min(col("node_a"))).head()
+      if (row.isNullAt(0))
+        s.range(0).select(col("id").as("node"), col("id").as("cost"))
+      else GraphOps.weightedShortestPath(edges, row.getLong(0))
+    }),
+
     // E179: from-scratch HyperLogLog — the CARDINALITY member of the
     // sketch family, md5-derived end to end so the oracle rebuilds
     // the SAME 64 registers (register-level exact, unlike e13's
@@ -6539,6 +6565,32 @@ object ExtQueries {
     // batch histogram exactly — e177's oracle verbatim
     "e178_streaming_histogram_replay" -> histQuantileOracle,
 
+    // Bellman-Ford relaxation unrolled to 16 rounds (the graph
+    // settles well inside; extra rounds are no-ops) over the
+    // weighted symmetrized projection
+    "e180_weighted_shortest_path" -> wspOracle(rounds = 16),
+
+    // the oscillating signal's per-frame DSP features evaluated from
+    // the formula directly (within-frame neighbor sign flips, exact
+    // integer energy and peak)
+    "e181_audio_zcr_energy" ->
+      """WITH g AS (
+        |  SELECT doc_id, 300 + doc_id % 200 AS len FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, len)) AS i FROM g),
+        |v AS (SELECT doc_id, i,
+        |        (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM s),
+        |f AS (SELECT doc_id, i // 256 AS frame_idx, s,
+        |        lag(s) OVER (PARTITION BY doc_id, i // 256 ORDER BY i)
+        |          AS prev
+        |      FROM v)
+        |SELECT doc_id, frame_idx, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |                 AND ((prev < 0) != (s < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
     // the identical 64 registers rebuilt in SQL (md5 hash parity,
     // integer CASE-chain rho, exact-integer harmonic sum)
     "e179_hll_cardinality" ->
@@ -6957,6 +7009,38 @@ object ExtQueries {
       |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6)
       |    <= CAST(16 AS DOUBLE) AS within_bin
       |FROM sel s CROSS JOIN ex""".stripMargin
+
+  /** Bellman-Ford unrolled to `rounds` relaxation stages over the
+    * weighted co-purchase projection (integer weights
+    * max(1, 201 − n_shared), so path costs are exact). MATERIALIZED
+    * per stage — each references its predecessor twice. */
+  private def wspOracle(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""d$r AS MATERIALIZED (
+        |  SELECT node, min(cost) AS cost FROM (
+        |    SELECT node, cost FROM d$p
+        |    UNION ALL
+        |    SELECT e.dst AS node, d.cost + e.w AS cost
+        |    FROM symw e JOIN d$p d ON e.src = d.node) u
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+      |egw AS (
+      |  SELECT a.sp AS node_a, b.sp AS node_b, count(*) AS n_shared
+      |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+      |  GROUP BY 1, 2 HAVING count(*) >= 190),
+      |symw AS (
+      |  SELECT node_a AS src, node_b AS dst,
+      |    greatest(1, 201 - n_shared) AS w FROM egw
+      |  UNION ALL
+      |  SELECT node_b, node_a, greatest(1, 201 - n_shared) FROM egw),
+      |seedv AS (SELECT min(src) AS seed FROM symw),
+      |d0 AS MATERIALIZED (
+      |  SELECT seed AS node, CAST(0 AS BIGINT) AS cost FROM seedv),
+      |$stages
+      |SELECT node, cost FROM d$rounds""".stripMargin
+  }
 
   /** One HLL scorecard branch in SQL: md5-parity hash, the integer
     * CASE-chain rho (floats would flip at exact powers of two), max

@@ -196,6 +196,54 @@ object GraphOps {
     dist
   }
 
+  /** Single-source MIN-COST paths (Bellman-Ford relaxation) over a
+    * weighted UNDIRECTED edge list (node_a, node_b, w) with INTEGER
+    * weights ≥ 1 — the weighted refinement of [[hopDistance]] (a
+    * cheap 3-hop route can beat an expensive direct edge, which BFS
+    * cannot see). Integer costs keep path sums exact cross-engine —
+    * no float accumulation order to tie-break.
+    *
+    * Relaxes TO THE FIXPOINT: costs are monotone non-increasing and
+    * the reached-set only grows, so the (count, total-cost) signature
+    * is stationary iff no node improved — one aggregate per round on
+    * the checkpointed frame decides termination, with `maxRounds` as
+    * the safety/oracle-parity cap (rounds past the fixpoint are
+    * no-ops, so an unrolled-CTE oracle with N ≥ the settling depth
+    * matches exactly). Each round is one co-partitioned frontier
+    * join + one min-merge aggregation — the [[pageRank]] topology. */
+  def weightedShortestPath(edges: DataFrame, seed: Long,
+                           maxRounds: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val sym = CachePins.pinCheckpoint(
+      edges.select(col("node_a").as("src"), col("node_b").as("dst"),
+          col("w"))
+        .unionByName(edges.select(col("node_b").as("src"),
+          col("node_a").as("dst"), col("w"))))
+    var dist = CachePins.pinCheckpoint(
+      spark.range(1).select(lit(seed).as("node"), lit(0L).as("cost")))
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum(col("cost")), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(dist)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val relaxed = sym
+        .join(dist, sym("src") === dist("node"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = CachePins.pinCheckpoint(
+        dist.unionByName(relaxed)
+          .groupBy(col("node")).agg(min(col("cost")).as("cost")))
+      val s = signature(dist)
+      converged = s == sig
+      sig = s
+      round += 1
+    }
+    dist
+  }
+
   /** Personalized PageRank: the random walk RESTARTS at the seed set
     * instead of everywhere, so rank measures proximity TO the seeds —
     * the related-items / trust-propagation query (seeded at one

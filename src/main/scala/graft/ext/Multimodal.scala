@@ -114,6 +114,66 @@ object Multimodal {
                         sum_abs: Long, peak: Long, first_s: Long,
                         last_s: Long)
 
+  /** Fast-wrapping sawtooth for the audio-FEATURE gate (e181): step
+    * 7919 wraps every ~8 samples, so zero crossings actually occur —
+    * the e65 signal (step 7) is monotone within every doc length and
+    * would make the crossing count vacuously zero. */
+  def synthOscSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  /** Synthetic WAV blobs carrying the oscillating signal. */
+  def syntheticWavOsc(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, WavCodec.encodePcm16(
+            Array.tabulate(synthLen(id))(i => synthOscSample(id, i))))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One analysis frame of DSP-style integer features: zero-crossing
+    * count (sign flips between in-frame neighbors — the classic
+    * voiced/unvoiced + noisiness screen), energy as the exact Σs²
+    * (≤ 2³⁸ per 256-sample frame — no float RMS needed for the gate),
+    * and |peak|. */
+  case class AudioZcrFrame(doc_id: Long, frame_idx: Long,
+                           n_samples: Long, n_zero_cross: Long,
+                           sum_sq: Long, peak: Long)
+
+  /** Decode each WAV payload and emit per-frame ZCR/energy features —
+    * the feature-EXTRACTION stage after the codec (what an audio
+    * curation pass actually computes), same partition-local
+    * iterator→iterator topology as [[decodeWavFrames]]. */
+  def decodeWavZcrEnergy(blobs: DataFrame,
+                         frameSamples: Int = 256): Dataset[AudioZcrFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodePcm16(payload)
+          samples.grouped(frameSamples).zipWithIndex.map {
+            case (fr, idx) =>
+              var zc = 0L; var sq = 0L; var pk = 0L
+              var i = 0
+              while (i < fr.length) {
+                val s = fr(i)
+                if (i > 0 && ((fr(i - 1) < 0) != (s < 0))) zc += 1
+                sq += s.toLong * s.toLong
+                val a = math.abs(s.toLong)
+                if (a > pk) pk = a
+                i += 1
+              }
+              AudioZcrFrame(id, idx.toLong, fr.length.toLong, zc, sq, pk)
+          }
+        }
+      }
+  }
+
   /** REAL codec path: decode each payload with [[WavCodec]] and emit
     * per-frame features over `frameSamples`-sized windows. The decoder
     * initializes per partition (here: stateless, but the seam is the

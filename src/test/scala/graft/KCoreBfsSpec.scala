@@ -66,6 +66,28 @@ class KCoreBfsSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("weighted shortest path: a cheap 3-hop detour beats the " +
+    "expensive direct edge (what BFS cannot see), deep chains relax " +
+    "to the fixpoint") {
+    import graft.ext.GraphOps
+    val e = Seq(
+      (1L, 5L, 10L),            // direct but expensive
+      (1L, 2L, 2L), (2L, 3L, 2L), (3L, 5L, 2L), // 3 hops, cost 6
+      (5L, 6L, 1L))
+      .toDF("node_a", "node_b", "w")
+    val got = GraphOps.weightedShortestPath(e, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 5L -> 6L, 6L -> 7L),
+      s"got $got")
+    // 30-node unit chain: cost == hops; needs 29 relaxation rounds —
+    // far past any small fixed round count
+    val chain = (1 until 30)
+      .map(i => (i.toLong, (i + 1).toLong, 1L)).toDF("node_a", "node_b", "w")
+    val far = GraphOps.weightedShortestPath(chain, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(far(30L) == 29L && far.size == 30)
+  }
+
   test("the hop budget truncates the frontier") {
     val got = GraphOps.hopDistance(
         g((1L, 2L), (2L, 3L), (3L, 4L)), seed = 1L, maxHops = 2)
