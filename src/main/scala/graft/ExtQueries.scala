@@ -2887,6 +2887,51 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E183: edge-WEIGHTED PageRank over the co-purchase projection
+    // (rank flows in proportion to n_shared — strong ties vs
+    // threshold-grazers, which the unweighted e91 walk can't see);
+    // same round topology, oracle unrolls the identical 5 iterations
+    "e183_weighted_pagerank" -> ((s, dir) => {
+      val e = GraphOps.bipartiteProjection(tradePairs(s, dir),
+        minShared = 190L)
+      val sym = e.select(col("node_a").as("src"),
+          col("node_b").as("dst"), col("n_shared").as("w"))
+        .unionByName(e.select(col("node_b").as("src"),
+          col("node_a").as("dst"), col("n_shared").as("w")))
+      GraphOps.weightedPageRank(sym, iters = 5)
+        .select(col("node"),
+          Rounding.duckRound(col("rank") * col("n_nodes"), 6)
+            .as("wrank_scaled"))
+    }),
+
+    // E182: join-size estimation by CMS inner product — the planner's
+    // question ("how big is this join?") answered from two
+    // sketch-sized summaries without running the join; the guaranteed
+    // overestimate property and the measured relative error are both
+    // columns, with the exact join size computed alongside
+    "e182_cms_join_cardinality" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val a = ev.filter(col("event_id") % 2 === 0)
+      val b = ev.filter(col("event_id") % 2 =!= 0)
+      val key = col("user_id").cast("string")
+      val est = Sketches.cmsJoinCardinality(
+        Sketches.cmsCells(a, key), Sketches.cmsCells(b, key))
+      val exact = a.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("nb")),
+          Seq("user_id"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L))
+          .as("exact_join"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est_join"), col("exact_join"),
+          (col("est_join") >= col("exact_join")).as("never_under"),
+          Rounding.duckRound(
+            (col("est_join").cast("double") -
+              col("exact_join").cast("double")) /
+              col("exact_join").cast("double"), 6)
+            .as("rel_overestimate"))
+    }),
+
     // E181: audio FEATURE extraction after the codec — per-frame
     // zero-crossing rate and exact Σs² energy over a fast-wrapping
     // sawtooth (the e65 signal is monotone per doc; this one actually
@@ -6569,6 +6614,74 @@ object ExtQueries {
     // settles well inside; extra rounds are no-ops) over the
     // weighted symmetrized projection
     "e180_weighted_shortest_path" -> wspOracle(rounds = 16),
+
+    // the identical 5 weighted rounds unrolled; rank·w/sw mirrors the
+    // operator's expression tree term for term
+    "e183_weighted_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""r$k AS (
+          |  SELECT n.node,
+          |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+          |      + CAST(0.85 AS DOUBLE)
+          |        * coalesce(s.c, CAST(0 AS DOUBLE)) AS rank
+          |  FROM nodes n CROSS JOIN nn LEFT JOIN (
+          |    SELECT e.dst AS node, sum(r.rank * e.w / e.sw) AS c
+          |    FROM topo e JOIN r${k - 1} r ON e.src = r.node
+          |    GROUP BY 1) s ON n.node = s.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgeCtes,
+        |egw AS (
+        |  SELECT a.sp AS node_a, b.sp AS node_b, count(*) AS n_shared
+        |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+        |  GROUP BY 1, 2 HAVING count(*) >= 190),
+        |symw AS (
+        |  SELECT node_a AS src, node_b AS dst, n_shared AS w FROM egw
+        |  UNION ALL SELECT node_b, node_a, n_shared FROM egw),
+        |outw AS (SELECT src, sum(w) AS sw FROM symw GROUP BY 1),
+        |topo AS (SELECT s.src, s.dst, s.w, o.sw
+        |         FROM symw s JOIN outw o USING (src)),
+        |nodes AS (SELECT DISTINCT src AS node FROM symw),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank
+        |       FROM nodes CROSS JOIN nn),
+        |$iters
+        |SELECT r5.node, round(r5.rank * nn.n, 6) AS wrank_scaled
+        |FROM r5 CROSS JOIN nn""".stripMargin
+    },
+
+    // both cell sets rebuilt in SQL (identical md5 buckets), the
+    // inner product min'd over rows, exact join size alongside
+    "e182_cms_join_cardinality" ->
+      """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
+        |a AS (SELECT user_id FROM events WHERE event_id % 2 = 0),
+        |b AS (SELECT user_id FROM events WHERE event_id % 2 != 0),
+        |ca AS (
+        |  SELECT j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h,
+        |    count(*) AS c
+        |  FROM a, jj GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h,
+        |    count(*) AS c
+        |  FROM b, jj GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT ca.j, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
+        |  FROM ca JOIN cb USING (j, h) GROUP BY 1),
+        |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join FROM ip),
+        |ex AS (
+        |  SELECT CAST(coalesce(sum(x.na * y.nb), 0) AS BIGINT)
+        |    AS exact_join
+        |  FROM (SELECT user_id, count(*) AS na FROM a GROUP BY 1) x
+        |  JOIN (SELECT user_id, count(*) AS nb FROM b GROUP BY 1) y
+        |    USING (user_id))
+        |SELECT est_join, exact_join,
+        |  est_join >= exact_join AS never_under,
+        |  round((CAST(est_join AS DOUBLE) - CAST(exact_join AS DOUBLE))
+        |        / CAST(exact_join AS DOUBLE), 6) AS rel_overestimate
+        |FROM est CROSS JOIN ex""".stripMargin,
 
     // the oscillating signal's per-frame DSP features evaluated from
     // the formula directly (within-frame neighbor sign flips, exact

@@ -196,6 +196,37 @@ object GraphOps {
     dist
   }
 
+  /** Edge-WEIGHTED power-iteration PageRank over a DIRECTED weighted
+    * edge list (src, dst, w): rank flows along edges in proportion to
+    * weight — r' = (1−d)/n + d·Σ_in r·w/sw with sw the source's total
+    * out-weight. The unweighted [[pageRank]] is the w≡1 special case;
+    * on a similarity/co-purchase graph the weighted walk
+    * discriminates strong ties from threshold-grazing ones. Same
+    * topology and lineage rules as [[pageRank]] (the loop-invariant
+    * (src, dst, w, sw) frame checkpoints once, per-round rank frames
+    * truncate); mass is conserved because Σ w/sw = 1 per source. */
+  def weightedPageRank(edges: DataFrame, iters: Int = 5,
+                       damping: Double = 0.85): DataFrame = {
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val topo = CachePins.pinCheckpoint(edges.join(sw, Seq("src")))
+    val nodes = CachePins.pinCheckpoint(
+      edges.select(col("src").as("node")).distinct())
+    val n = nodes.count().toDouble
+    var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
+    for (_ <- 1 to iters) {
+      val contribs = topo
+        .join(ranks, topo("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w") / col("sw")).as("c"))
+      ranks = CachePins.pinCheckpoint(
+        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) / lit(n) +
+              lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")))
+    }
+    ranks.withColumn("n_nodes", lit(n))
+  }
+
   /** Single-source MIN-COST paths (Bellman-Ford relaxation) over a
     * weighted UNDIRECTED edge list (node_a, node_b, w) with INTEGER
     * weights ≥ 1 — the weighted refinement of [[hopDistance]] (a

@@ -166,6 +166,25 @@ object Sketches {
     rows.select(histBin(value).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
 
+  /** Join-cardinality estimate from two CMS cell frames — the
+    * AMS/CMS inner-product application (what a distributed planner
+    * uses to SIZE a join before paying for it):
+    * |A ⋈ₖ B| = Σₖ cntA(k)·cntB(k) ≤ min_j Σ_h cA[j,h]·cB[j,h],
+    * never an undercount (hash collisions only ADD cross terms), so
+    * the estimate is a safe upper bound for reservation decisions.
+    * Both sketches share [[cmsBucket]]'s hashes by construction —
+    * the inner product is only meaningful on aligned cells.
+    *
+    * Scale shape: the two corpus scans are the cmsCells builds; this
+    * function touches only sketch-sized frames (≤ d·w rows joined on
+    * (j,h), one d-row aggregate, one 1-row min). */
+  def cmsJoinCardinality(cellsA: DataFrame,
+                         cellsB: DataFrame): DataFrame =
+    cellsA.withColumnRenamed("c", "ca")
+      .join(cellsB.withColumnRenamed("c", "cb"), Seq("j", "h"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join"))
+
   /** HyperLogLog geometry: m = 64 registers (6 index bits off the
     * 60-bit md5 hash, 54 rank bits). The CARDINALITY member of the
     * sketch family — unlike e13's built-in approx_count_distinct

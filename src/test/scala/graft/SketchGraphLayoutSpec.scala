@@ -100,6 +100,42 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(est.getDouble(5) < 0.4, s"rel_err=${est.getDouble(5)}")
   }
 
+  test("cms join cardinality: never undercounts, exact when buckets " +
+    "don't collide") {
+    val a = (0 until 50).flatMap(u => Seq.fill(u % 5 + 1)(u.toLong))
+      .toDF("k")
+    val b = (0 until 50).map(_.toLong).toDF("k")
+    val est = Sketches.cmsJoinCardinality(
+        Sketches.cmsCells(a, col("k").cast("string")),
+        Sketches.cmsCells(b, col("k").cast("string")))
+      .collect()(0).getLong(0)
+    val exact = (0 until 50).map(u => (u % 5 + 1).toLong).sum
+    assert(est >= exact, s"est=$est exact=$exact")
+    // 50 keys into 256 buckets: collisions possible but bounded —
+    // the estimate stays within a small multiple of truth
+    assert(est <= exact * 3, s"est=$est exact=$exact")
+  }
+
+  test("weightedPageRank: w=1 reduces exactly to the unweighted " +
+    "walk; a heavier edge pulls rank") {
+    val sym = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L),
+      (3L, 2L)).toDF("src", "dst")
+    val unw = GraphOps.pageRank(sym, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w1 = GraphOps.weightedPageRank(sym.withColumn("w", lit(1L)),
+        iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(unw.keySet == w1.keySet)
+    unw.foreach { case (k, v) => assert(math.abs(v - w1(k)) < 1e-12) }
+    // star: hub 1 sends rank to 2 and 3; tripling 3's in-weight
+    // must rank 3 above 2 (the unweighted walk ties them)
+    val wsym = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 3L),
+      (3L, 1L, 3L)).toDF("src", "dst", "w")
+    val ranks = GraphOps.weightedPageRank(wsym, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(3L) > ranks(2L))
+  }
+
   test("pageRank: uniform on a symmetric cycle, mass conserved") {
     // every node of a 6-cycle is equivalent → rank = 1/6 exactly at
     // every iteration (the fixed point of the symmetric walk)
