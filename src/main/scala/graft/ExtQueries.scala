@@ -2887,6 +2887,45 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E184: top-20 event-type TRIGRAMS — 3-step behavioral patterns
+    // the first-order Markov matrix (e122) is blind to; one per-user
+    // window pass, counts bounded by |types|³
+    "e184_event_trigrams" -> ((s, dir) =>
+      EventAnalytics.eventTrigrams(Tables.load(s, dir, "events"), 20)),
+
+    // E185: Luhn validation of card-number candidates — the stage
+    // AFTER e66's digit-run detection: deterministic 16-digit
+    // candidates per doc, classified by the mod-10 checksum (~1 in
+    // 10 valid), pure map-side expression arithmetic
+    "e185_luhn_card_validation" -> ((s, dir) => {
+      val num = concat(lit("4"), lpad(
+        ((col("doc_id") * 7919 + 123457) % 1000000000000000L)
+          .cast("string"), 15, "0"))
+      docs(s, dir).select(col("doc_id"), num.as("cc_candidate"),
+        TextAnalysis.luhnValid16(num).as("luhn_valid"))
+    }),
+
+    // E186: schema-evolution read — two snapshot generations (v2
+    // adds a column) written as real parquet and read back through
+    // mergeSchema; v1 rows surface the new column as NULL. The
+    // warehouse-ingestion reality check: schemas drift, readers
+    // must reconcile.
+    "e186_schema_evolution_read" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("schema_evo", dir)
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$scratch/v1")
+      d.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$scratch/v2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$scratch/v1", s"$scratch/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // E183: edge-WEIGHTED PageRank over the co-purchase projection
     // (rank flows in proportion to n_shared — strong ties vs
     // threshold-grazers, which the unweighted e91 walk can't see);
@@ -6614,6 +6653,46 @@ object ExtQueries {
     // settles well inside; extra rounds are no-ops) over the
     // weighted symmetrized projection
     "e180_weighted_shortest_path" -> wspOracle(rounds = 16),
+
+    // the identical lead-chain trigram counts with the full tie-break
+    "e184_event_trigrams" ->
+      """WITH t AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t3
+        |  FROM events)
+        |SELECT t1, t2, t3, count(*) AS cnt FROM t
+        |WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // the identical substring/CASE checksum arithmetic
+    "e185_luhn_card_validation" -> {
+      val terms = (1 to 16).map { i =>
+        val d = s"CAST(substr(cc, $i, 1) AS INTEGER)"
+        if (i % 2 == 1)
+          s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+        else d
+      }.mkString("\n      + ")
+      s"""WITH c AS (
+        |  SELECT doc_id,
+        |    '4' || lpad(CAST((doc_id*7919 + 123457)
+        |      % 1000000000000000 AS VARCHAR), 15, '0') AS cc
+        |  FROM documents)
+        |SELECT doc_id, cc AS cc_candidate,
+        |  ($terms) % 10 = 0 AS luhn_valid
+        |FROM c""".stripMargin
+    },
+
+    // union-by-name semantics derived from the base table: even docs
+    // are the v1 generation (no lang column -> NULL)
+    "e186_schema_evolution_read" ->
+      """SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // the identical 5 weighted rounds unrolled; rank·w/sw mirrors the
     // operator's expression tree term for term

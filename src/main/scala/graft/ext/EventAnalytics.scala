@@ -470,6 +470,30 @@ object EventAnalytics {
           .cast("double"), 6))
   }
 
+  /** Top-k event-type TRIGRAMS across per-user sequences — the
+    * sequence-mining complement of [[markovTransitions]]' first-order
+    * matrix: a 3-step pattern (browse→cart→purchase vs
+    * browse→cart→abandon) is invisible to pairwise transitions. One
+    * per-user window produces both leads in a single pass; counts
+    * partial-aggregate on the (t1,t2,t3) key (cardinality ≤ |types|³,
+    * never event-sized), and the top-k is TakeOrderedAndProject with
+    * a full tie-break. */
+  def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Per-group autocorrelation at lags 1–3: Pearson corr of the series
     * with its own lagged copy in (ts, event_id) order — the
     * seasonality/momentum screen (white noise ⇒ ~0 at every lag).

@@ -439,6 +439,20 @@ object TextAnalysis {
         array_join(slice(col("w"), col("start") + 1, lit(window)), " ")
           .as("chunk_text"))
 
+  /** Luhn mod-10 validity of a 16-digit string — the VALIDATION
+    * stage after [[piiScrub]]'s digit-run detector: any 16-digit run
+    * is a card-number CANDIDATE, but only a Luhn-valid one is a real
+    * leak (random digit runs pass 1-in-10). For a 16-digit number the
+    * doubled positions are the odd ones from the left. Pure
+    * substring/CASE arithmetic — the identical expression tree runs
+    * in SQL, no regex or UDF. */
+  def luhnValid16(num: Column): Column =
+    (1 to 16).map { i =>
+      val d = substring(num, i, 1).cast("int")
+      if (i % 2 == 1) when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+      else d
+    }.reduce(_ + _) % 10 === 0
+
   /** PII patterns with identical semantics in Java regex (Spark) and
     * RE2 (DuckDB): character classes, bounded quantifiers, and ASCII
     * word boundaries only — no backreferences or lookarounds (RE2 has

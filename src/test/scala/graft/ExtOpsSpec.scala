@@ -181,6 +181,35 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(0).getString(1) == "x" && got(0).getString(2) == "y")
   }
 
+  test("E185: Luhn validates the classic test number and rejects its " +
+    "off-by-one") {
+    val d = Seq("4111111111111111", "4111111111111112",
+      "4532015112830366").toDF("cc")
+    val got = d.select(col("cc"),
+        TextAnalysis.luhnValid16(col("cc")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("4111111111111111"))
+    assert(!got("4111111111111112"))
+    assert(got("4532015112830366"))
+  }
+
+  test("E184: event trigrams count 3-step patterns a pairwise matrix " +
+    "misses") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, t(0), "a"), (1L, 2L, t(1), "b"), (1L, 3L, t(2), "c"),
+      (1L, 4L, t(3), "a"), (1L, 5L, t(4), "b"), (1L, 6L, t(5), "c"),
+      (2L, 7L, t(0), "a"), (2L, 8L, t(1), "b")) // too short for a trigram
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.ext.EventAnalytics.eventTrigrams(ev, 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got(("a", "b", "c")) == 2L)
+    assert(got(("b", "c", "a")) == 1L)
+    assert(!got.contains(("a", "b", null)))
+  }
+
   test("E38: tf-idf ranks rare terms above common ones per doc") {
     // over docsDf: 'h' appears in docs 1,2 (df=2); a..g in 1,2,3
     // (df=3); doc 4's tokens are unique (df=1). Smoothed idf
