@@ -2887,6 +2887,16 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E187: JPEG decoded all the way to RGB — replication 4:2:0
+    // upsample + JFIF BT.601 on the lossless-roundtrip planes; the
+    // oracle evaluates the same conversion in SQL (post-clamp, the
+    // two engines' round conventions agree everywhere — negative
+    // halves, the only divergence, clamp to 0 on both)
+    "e187_jpeg_rgb_rows" -> ((s, dir) =>
+      Multimodal.decodeJpegRgbRows(
+          Multimodal.syntheticJpeg(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E184: top-20 event-type TRIGRAMS — 3-step behavioral patterns
     // the first-order Markov matrix (e122) is blind to; one per-user
     // window pass, counts bounded by |types|³
@@ -6653,6 +6663,46 @@ object ExtQueries {
     // settles well inside; extra rounds are no-ops) over the
     // weighted symmetrized projection
     "e180_weighted_shortest_path" -> wspOracle(rounds = 16),
+
+    // the BT.601 conversion evaluated from the block formulas at
+    // replication-upsampled coords; round-then-clamp agrees across
+    // the engines' rounding conventions (see the query comment)
+    "e187_jpeg_rgb_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
+        |  FROM documents),
+        |yy AS (SELECT doc_id, w,
+        |         unnest(generate_series(0, h - 1)) AS y FROM g),
+        |xx AS (SELECT doc_id, w, y,
+        |         unnest(generate_series(0, w - 1)) AS x FROM yy),
+        |pv AS (
+        |  SELECT doc_id, y, x,
+        |    2*((doc_id*5 + 3*(x//8) + 7*(y//8)) % 128) AS yv,
+        |    17*(((doc_id*3 + (x//2)//8 + 2*((y//2)//8)) % 15) - 7)
+        |      AS cb_c,
+        |    17*(((doc_id*11 + 2*((x//2)//8) + (y//2)//8) % 15) - 7)
+        |      AS cr_c
+        |  FROM xx),
+        |ch AS (
+        |  SELECT doc_id, y, x,
+        |    least(255, greatest(0, CAST(round(
+        |      yv + CAST(1.402 AS DOUBLE) * cr_c) AS BIGINT))) AS r,
+        |    least(255, greatest(0, CAST(round(
+        |      yv - CAST(0.344136 AS DOUBLE) * cb_c
+        |         - CAST(0.714136 AS DOUBLE) * cr_c) AS BIGINT))) AS gg,
+        |    least(255, greatest(0, CAST(round(
+        |      yv + CAST(1.772 AS DOUBLE) * cb_c) AS BIGINT))) AS b
+        |  FROM pv)
+        |SELECT doc_id, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(gg) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max((299*r + 587*gg + 114*b) // 1000) AS BIGINT)
+        |    AS max_lum,
+        |  CAST(arg_min(r*65536 + gg*256 + b, x) AS BIGINT) AS first_px,
+        |  CAST(arg_max(r*65536 + gg*256 + b, x) AS BIGINT) AS last_px
+        |FROM ch GROUP BY 1, 2""".stripMargin,
 
     // the identical lead-chain trigram counts with the full tie-break
     "e184_event_trigrams" ->

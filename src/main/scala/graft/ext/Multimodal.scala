@@ -506,6 +506,27 @@ object Multimodal {
       }
   }
 
+  /** JPEG decode all the way to PACKED RGB (replication chroma
+    * upsample + JFIF BT.601) with the standard per-scanline features —
+    * oracle-exact despite two different rounding conventions: Scala's
+    * `math.round` (floor(x+½)) and SQL `round` (half away from zero)
+    * differ ONLY at negative exact halves, and every such value
+    * clamps to 0 on both engines; identical expression trees make the
+    * pre-round doubles bit-identical, so post-clamp channels agree
+    * everywhere. */
+  def decodeJpegRgbRows(blobs: DataFrame): Dataset[ImageRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (w, h, px) = JpegCodec.decodeRgb24(payload)
+          imageRows(id, w, h, px)
+        }
+      }
+  }
+
   /** JPEG decode → nearest-RESIZE → extract (the e117 composition on
     * the entropy-coded format): each decoded plane resizes
     * independently to its subsampling-scaled target (luma ow×oh,
