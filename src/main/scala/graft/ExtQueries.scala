@@ -2887,6 +2887,20 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E188: PROGRESSIVE JPEG codec gate — the same block-constant
+    // planes as e174, but Huffman-coded through the SOF2 multi-scan
+    // architecture (interleaved DC first pass at Al=1, DC refinement
+    // at Ah=1, per-component AC band scans coded as EOBn runs over
+    // non-interleaved block grids) and decoded by the cross-scan
+    // coefficient accumulator; shares e174's oracle verbatim. General
+    // progressive content (real successive-approximation AC
+    // refinement) is spec-covered via the JDK writer's streams.
+    "e188_jpeg_progressive_rows" -> ((s, dir) =>
+      Multimodal.decodeJpegPlaneRows(
+          Multimodal.syntheticJpegProgressive(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E187: JPEG decoded all the way to RGB — replication 4:2:0
     // upsample + JFIF BT.601 on the lossless-roundtrip planes; the
     // oracle evaluates the same conversion in SQL (post-clamp, the
@@ -6878,34 +6892,11 @@ object ExtQueries {
     // direct formula evaluation of the block-constant planes the
     // lossless-DC construction makes the real JPEG pipeline return
     // bit-exactly (luma full-res, both chromas at half dims)
-    "e174_jpeg_codec_rows" ->
-      """WITH g AS (
-        |  SELECT doc_id,
-        |    16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
-        |  FROM documents),
-        |pl AS (
-        |  SELECT doc_id, 'y' AS plane, w AS pw, h AS ph FROM g
-        |  UNION ALL SELECT doc_id, 'cb', w//2, h//2 FROM g
-        |  UNION ALL SELECT doc_id, 'cr', w//2, h//2 FROM g),
-        |yy AS (SELECT doc_id, plane, pw,
-        |         unnest(generate_series(0, ph - 1)) AS y FROM pl),
-        |xx AS (SELECT doc_id, plane, y,
-        |         unnest(generate_series(0, pw - 1)) AS x FROM yy),
-        |px AS (
-        |  SELECT doc_id, plane, y, x,
-        |    CASE plane
-        |      WHEN 'y' THEN 2*((doc_id*5 + 3*(x//8) + 7*(y//8)) % 128)
-        |      WHEN 'cb' THEN
-        |        128 + 17*(((doc_id*3 + (x//8) + 2*(y//8)) % 15) - 7)
-        |      ELSE 128 + 17*(((doc_id*11 + 2*(x//8) + (y//8)) % 15) - 7)
-        |    END AS v
-        |  FROM xx)
-        |SELECT doc_id, plane, y, count(*)::BIGINT AS n_px,
-        |  CAST(sum(v) AS BIGINT) AS sum_v,
-        |  CAST(max(v) AS BIGINT) AS max_v,
-        |  CAST(arg_min(v, x) AS BIGINT) AS first_v,
-        |  CAST(arg_max(v, x) AS BIGINT) AS last_v
-        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+    "e174_jpeg_codec_rows" -> jpegPlanesOracle,
+
+    // the PROGRESSIVE scan architecture must land the identical
+    // planes — e174's oracle verbatim
+    "e188_jpeg_progressive_rows" -> jpegPlanesOracle,
 
     // the day-keyed self-join (dayord − 7), not a row lag; exact
     // int64-cents totals and errors, identical final divisions
@@ -7283,6 +7274,40 @@ object ExtQueries {
       |$stages
       |SELECT node, cost FROM d$rounds""".stripMargin
   }
+
+  /** Direct formula evaluation of the block-constant planes the
+    * lossless-DC construction makes the real JPEG pipeline return
+    * bit-exactly — shared verbatim by the baseline gate (e174) and
+    * the PROGRESSIVE gate (e188): same expected planes, different
+    * scan architecture under test. */
+  private val jpegPlanesOracle: String =
+    """WITH g AS (
+        |  SELECT doc_id,
+        |    16*(1 + doc_id % 3) AS w, 16*(1 + doc_id % 2) AS h
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, 'y' AS plane, w AS pw, h AS ph FROM g
+        |  UNION ALL SELECT doc_id, 'cb', w//2, h//2 FROM g
+        |  UNION ALL SELECT doc_id, 'cr', w//2, h//2 FROM g),
+        |yy AS (SELECT doc_id, plane, pw,
+        |         unnest(generate_series(0, ph - 1)) AS y FROM pl),
+        |xx AS (SELECT doc_id, plane, y,
+        |         unnest(generate_series(0, pw - 1)) AS x FROM yy),
+        |px AS (
+        |  SELECT doc_id, plane, y, x,
+        |    CASE plane
+        |      WHEN 'y' THEN 2*((doc_id*5 + 3*(x//8) + 7*(y//8)) % 128)
+        |      WHEN 'cb' THEN
+        |        128 + 17*(((doc_id*3 + (x//8) + 2*(y//8)) % 15) - 7)
+        |      ELSE 128 + 17*(((doc_id*11 + 2*(x//8) + (y//8)) % 15) - 7)
+        |    END AS v
+        |  FROM xx)
+        |SELECT doc_id, plane, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(max(v) AS BIGINT) AS max_v,
+        |  CAST(arg_min(v, x) AS BIGINT) AS first_v,
+        |  CAST(arg_max(v, x) AS BIGINT) AS last_v
+        |FROM px GROUP BY 1, 2, 3""".stripMargin
 
   /** One HLL scorecard branch in SQL: md5-parity hash, the integer
     * CASE-chain rho (floats would flip at exact powers of two), max

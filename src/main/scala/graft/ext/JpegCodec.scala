@@ -9,13 +9,16 @@ package graft.ext
   * ISO 10918-1), no external libraries.
   *
   * Decoder: marker walk (APPn/COM skipped), DQT (8/16-bit precision),
-  * DHT (canonical Huffman per F.2.2.3), SOF0/SOF1 with arbitrary
-  * sampling factors h,v ∈ {1,2} (4:4:4, 4:2:2, 4:2:0, grayscale), DRI +
-  * RSTn restart handling, the entropy-coded scan (byte unstuffing,
-  * DC prediction, RECEIVE/EXTEND magnitude decode, ZRL/EOB run-length),
+  * DHT (canonical Huffman per F.2.2.3), SOF0/SOF1 AND PROGRESSIVE
+  * SOF2 with arbitrary sampling factors h,v ∈ {1,2} (4:4:4, 4:2:2,
+  * 4:2:0, grayscale), DRI + RSTn restart handling, the entropy-coded
+  * scans (byte unstuffing, DC prediction, RECEIVE/EXTEND magnitude
+  * decode, ZRL/EOB run-length; for progressive: spectral-selection
+  * bands, successive-approximation DC/AC first + refinement passes,
+  * EOBn run coding, non-interleaved per-component block grids),
   * dequantize + dezigzag, separable double IDCT, level shift + clamp.
-  * Progressive (SOF2) and arithmetic-coded streams are rejected with a
-  * clear error — fail-fast, same contract as the other codecs.
+  * Arithmetic-coded and hierarchical/lossless streams are rejected
+  * with a clear error — fail-fast, same contract as the other codecs.
   *
   * Encoder: the matching baseline writer (used by the gates and specs;
   * tables travel in-stream, so decode correctness never depends on the
@@ -477,6 +480,150 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** The quantized zigzag coefficients of one block (encoder side). */
+  private def quantizeBlock(plane: Array[Int], pw: Int, ph: Int,
+                            x0: Int, y0: Int,
+                            q: Array[Int]): Array[Int] = {
+    val blk = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val x = math.min(x0 + i % 8, pw - 1)
+      val y = math.min(y0 + i / 8, ph - 1)
+      blk(i) = plane(y * pw + x) - 128.0
+      i += 1
+    }
+    val coef = fdct(blk)
+    Array.tabulate(64)(k =>
+      math.round(coef(ZigZag(k)) / q(ZigZag(k))).toInt)
+  }
+
+  /** AC table for the progressive writer's EOBn-run scans: the 15
+    * EOBn symbols (0x00=EOB … 0xE0=EOB₁₄) at code length 4, leaving
+    * the all-ones code unused per convention. */
+  private val AcEobBits =
+    Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcEobVals: Array[Byte] =
+    (0 to 14).map(r => (r << 4).toByte).toArray
+
+  /** Encode a PROGRESSIVE (SOF2) 4:2:0 stream from block-constant
+    * YCbCr planes — the e188 gate writer, exercising the decoder's
+    * progressive machinery end to end with the lossless-DC pattern:
+    * scan 1 = interleaved DC first pass at Al=1 (point-transformed
+    * diffs), scan 2 = interleaved DC REFINEMENT (Ah=1, one bit per
+    * block), scans 3–5 = per-component AC band 1–63 coded as pure
+    * EOBn runs (every AC is exactly zero for block-constant input —
+    * enforced, not assumed). General progressive ENCODING is not
+    * claimed; general progressive DECODING is (ImageIO cross-spec). */
+  def encode420Progressive(w: Int, h: Int, y: Array[Int],
+      cb: Array[Int], cr: Array[Int], qLum: Array[Int] = StdQuantLum,
+      qChr: Array[Int] = StdQuantChr): Array[Byte] = {
+    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+    require(w > 0 && h > 0 && y.length == w * h &&
+      cb.length == cw * ch && cr.length == cw * ch, "bad plane dims")
+    val mcuX = (w + 15) / 16; val mcuY = (h + 15) / 16
+    // quantized DC per block, interleaved MCU order per component
+    val planes = IndexedSeq((y, w, h, qLum, 2), (cb, cw, ch, qChr, 1),
+      (cr, cw, ch, qChr, 1))
+    // per comp: row-major block grid of DC values
+    val dcs = planes.map { case (p, pw, ph, q, f) =>
+      val bw = mcuX * f; val bh = mcuY * f
+      Array.tabulate(bw * bh) { b =>
+        val zz = quantizeBlock(p, pw, ph, (b % bw) * 8, (b / bw) * 8, q)
+        require(zz.drop(1).forall(_ == 0),
+          "progressive gate writer requires block-constant planes")
+        zz(0)
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    marker(out, 0xd8)
+    marker(out, 0xe0); u16(out, 16)
+    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte), 0, 5)
+    out.write(1); out.write(1); out.write(0)
+    u16(out, 1); u16(out, 1); out.write(0); out.write(0)
+    writeDqt(out, 0, qLum); writeDqt(out, 1, qChr)
+    marker(out, 0xc2) // SOF2: progressive
+    u16(out, 8 + 9)
+    out.write(8); u16(out, h); u16(out, w); out.write(3)
+    out.write(1); out.write(0x22); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    writeDht(out, 0x00, DcLumBits, DcLumVals)
+    writeDht(out, 0x01, DcChrBits, DcChrVals)
+    writeDht(out, 0x10, AcEobBits, AcEobVals)
+    val dcL = new HuffEncoder(DcLumBits, DcLumVals)
+    val dcC = new HuffEncoder(DcChrBits, DcChrVals)
+    val acE = new HuffEncoder(AcEobBits, AcEobVals)
+
+    def sos(compSel: Seq[(Int, Int, Int)], ss: Int, se: Int,
+            ahAl: Int): Unit = {
+      marker(out, 0xda)
+      u16(out, 6 + 2 * compSel.size)
+      out.write(compSel.size)
+      compSel.foreach { case (id, dcT, acT) =>
+        out.write(id); out.write((dcT << 4) | acT)
+      }
+      out.write(ss); out.write(se); out.write(ahAl)
+    }
+    def putMagnitude(bw: BitWriter, huff: HuffEncoder, v: Int): Unit = {
+      val s = bitSize(v)
+      bw.put(huff.codeOf(s), huff.lenOf(s))
+      if (s > 0) bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+    }
+
+    // scan 1: interleaved DC first pass, Al = 1 (arithmetic-shifted)
+    sos(Seq((1, 0, 0), (2, 1, 0), (3, 1, 0)), 0, 0, 0x01)
+    locally {
+      val bw = new BitWriter(out)
+      val pred = Array(0, 0, 0)
+      for (my <- 0 until mcuY; mx <- 0 until mcuX) {
+        for (ci <- 0 until 3) {
+          val f = planes(ci)._5
+          val gw = mcuX * f
+          val huff = if (ci == 0) dcL else dcC
+          for (by <- 0 until f; bx <- 0 until f) {
+            val v = dcs(ci)((my * f + by) * gw + (mx * f + bx)) >> 1
+            putMagnitude(bw, huff, v - pred(ci))
+            pred(ci) = v
+          }
+        }
+      }
+      bw.finish()
+    }
+    // scan 2: interleaved DC refinement, Ah = 1, Al = 0 (low bit)
+    sos(Seq((1, 0, 0), (2, 1, 0), (3, 1, 0)), 0, 0, 0x10)
+    locally {
+      val bw = new BitWriter(out)
+      for (my <- 0 until mcuY; mx <- 0 until mcuX) {
+        for (ci <- 0 until 3) {
+          val f = planes(ci)._5
+          val gw = mcuX * f
+          for (by <- 0 until f; bx <- 0 until f)
+            bw.put(dcs(ci)((my * f + by) * gw + (mx * f + bx)) & 1, 1)
+        }
+      }
+      bw.finish()
+    }
+    // scans 3-5: per-component AC band 1..63 as one EOBn run over the
+    // component's OWN (non-interleaved) block grid
+    for (ci <- 0 until 3) {
+      sos(Seq((ci + 1, 0, 0)), 1, 63, 0x00)
+      val bw = new BitWriter(out)
+      val cwP = Seq(w, cw, cw)(ci)
+      val chP = Seq(h, ch, ch)(ci)
+      var n = ((cwP + 7) / 8) * ((chP + 7) / 8)
+      while (n > 0) {
+        val r = math.min(14, 31 - Integer.numberOfLeadingZeros(n))
+        bw.put(acE.codeOf(r << 4), acE.lenOf(r << 4))
+        val run = math.min(n, (1 << r) + (1 << r) - 1)
+        if (r > 0) bw.put(run - (1 << r), r)
+        n -= run
+      }
+      bw.finish()
+    }
+    marker(out, 0xd9)
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------
   // Decoder
   // ---------------------------------------------------------------
@@ -492,10 +639,15 @@ object JpegCodec {
 
   private final case class CompSpec(id: Int, hs: Int, vs: Int, tq: Int)
 
-  /** Decode a baseline (SOF0/SOF1) JFIF stream to its component
-    * planes. Fail-fast on anything malformed: bad SOI, truncated
-    * segments, progressive/arithmetic streams, unknown quant/huff
-    * table references, invalid Huffman codes, coefficient overflow. */
+  /** Decode a baseline (SOF0/SOF1) or PROGRESSIVE (SOF2) JFIF stream
+    * to its component planes. Progressive streams accumulate
+    * QUANTIZED coefficients across scans — spectral-selection bands,
+    * successive-approximation DC/AC first+refinement passes, EOBn
+    * run coding — and render once at EOI; baseline is the one-scan
+    * special case of the same store. Fail-fast on anything
+    * malformed: bad SOI, truncated segments, arithmetic coding,
+    * hierarchical/lossless SOFs, unknown quant/huff table
+    * references, invalid Huffman codes, coefficient overflow. */
   def decodePlanes(bytes: Array[Byte]): Decoded = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "JPEG: missing SOI marker")
@@ -506,6 +658,8 @@ object JpegCodec {
     var comps: IndexedSeq[CompSpec] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    var dec: CoefDecoder = null
 
     def need(n: Int): Unit =
       if (pos + n > bytes.length)
@@ -521,9 +675,12 @@ object JpegCodec {
       m = rU8()
       while (m == 0xff) m = rU8() // fill bytes
       m match {
-        case 0xd9 => // EOI before any scan
-          throw new IllegalArgumentException("JPEG: no scan before EOI")
-        case 0xc0 | 0xc1 => // baseline / extended sequential SOF
+        case 0xd9 => // EOI — render the accumulated coefficients
+          if (dec == null)
+            throw new IllegalArgumentException("JPEG: no scan before EOI")
+          return dec.render(quant)
+        case 0xc0 | 0xc1 | 0xc2 => // baseline / ext. sequential / progressive
+          progressive = m == 0xc2
           val len = rU16(); val end = pos + len - 2
           val prec = rU8()
           require(prec == 8, s"JPEG: unsupported precision $prec")
@@ -539,13 +696,11 @@ object JpegCodec {
             cs
           }
           pos = end
-        case 0xc2 =>
-          throw new IllegalArgumentException(
-            "JPEG: progressive (SOF2) not supported; baseline only")
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
              0xce | 0xcf =>
           throw new IllegalArgumentException(
-            f"JPEG: unsupported SOF marker 0xff$m%02x; baseline only")
+            f"JPEG: unsupported SOF marker 0xff$m%02x; " +
+              "baseline and progressive only")
         case 0xdb => // DQT
           val len = rU16(); val end = pos + len - 2
           while (pos < end) {
@@ -580,24 +735,36 @@ object JpegCodec {
         case 0xdd => // DRI
           val len = rU16(); require(len == 4, "JPEG: bad DRI length")
           restartInterval = rU16()
-        case 0xda => // SOS — decode the scan and return
+        case 0xda => // SOS — decode this scan's coefficients
           require(comps != null, "JPEG: SOS before SOF")
+          if (dec == null)
+            dec = new CoefDecoder(bytes, w, h, comps, progressive)
           val len = rU16(); val end = pos + len - 2
           val ns = rU8()
-          require(ns == comps.length,
-            "JPEG: interleaved scan must cover all components")
-          // table selection indexed by SOF component position (the
-          // scan may list components in any order)
-          val tabSel = new Array[(Int, Int)](comps.length)
-          for (_ <- 0 until ns) {
+          require(ns >= 1 && ns <= comps.length, "JPEG: bad scan count")
+          val scanComps = (0 until ns).map { _ =>
             val id = rU8(); val t = rU8()
             val c = comps.indexWhere(_.id == id)
             require(c >= 0, "JPEG: scan references unknown component")
-            tabSel(c) = ((t >> 4) & 0xf, t & 0xf)
+            (c, (t >> 4) & 0xf, t & 0xf)
           }
-          pos = end // skip Ss/Se/Ah-Al (fixed for baseline)
-          return decodeScan(bytes, pos, w, h, comps, tabSel.toIndexedSeq,
-            quant, dcTabs, acTabs, restartInterval)
+          val ss = rU8(); val se = rU8(); val ahAl = rU8()
+          val ah = (ahAl >> 4) & 0xf; val al = ahAl & 0xf
+          require(pos == end, "JPEG: SOS length mismatch")
+          if (!progressive) {
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "JPEG: sequential scan must cover the full band")
+          } else {
+            require(ss <= 63 && se <= 63 && ss <= se && al <= 13,
+              "JPEG: bad progressive band")
+            if (ss == 0)
+              require(se == 0, "JPEG: progressive DC scan must have Se=0")
+            else
+              require(ns == 1,
+                "JPEG: progressive AC scan must be single-component")
+          }
+          pos = dec.decodeScan(pos, scanComps, ss, se, ah, al,
+            restartInterval, dcTabs, acTabs)
         case x if x >= 0xe0 && x <= 0xef => // APPn
           // NOT `pos += rU16() - 2`: += reads the old pos before the
           // rU16() side effect and would clobber it
@@ -607,37 +774,171 @@ object JpegCodec {
         case 0xc8 =>
           throw new IllegalArgumentException(
             "JPEG: arithmetic coding (JPG marker) not supported")
+        case 0xdc => // DNL — ignore (dims come from SOF here)
+          val len = rU16(); pos += len - 2
         case other =>
           throw new IllegalArgumentException(
             f"JPEG: unexpected marker 0xff$other%02x")
       }
     }
-    throw new IllegalArgumentException("JPEG: no SOS marker found")
+    if (dec == null)
+      throw new IllegalArgumentException("JPEG: no SOS marker found")
+    throw new IllegalArgumentException("JPEG: truncated stream (no EOI)")
   }
 
-  private def decodeScan(bytes: Array[Byte], start: Int, w: Int, h: Int,
-      comps: IndexedSeq[CompSpec],
-      tabSel: IndexedSeq[(Int, Int)], quant: Array[Array[Int]],
-      dcTabs: Array[HuffDecoder], acTabs: Array[HuffDecoder],
-      restartInterval: Int): Decoded = {
-    val hmax = comps.map(_.hs).max
-    val vmax = comps.map(_.vs).max
-    val mcuX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcuY = (h + 8 * vmax - 1) / (8 * vmax)
-    // full (block-padded) plane store per component
-    val store = comps.map { c =>
-      new Array[Int]((mcuX * c.hs * 8) * (mcuY * c.vs * 8))
-    }
-    val dcPred = new Array[Int](comps.length)
-    val br = new BitReader(bytes, start)
-    var mcu = 0
-    var my = 0
-    while (my < mcuY) {
-      var mx = 0
-      while (mx < mcuX) {
-        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-          // consume the RSTn marker (possibly already pulled in by the
-          // bit reader) and reset predictors + bit alignment
+  /** Cross-scan coefficient decoder: holds every block's QUANTIZED
+    * coefficients (natural order per block, padded interleaved grid)
+    * while scans arrive, then dequantizes + IDCTs once at EOI.
+    * Baseline's single full-band scan and progressive's
+    * band/approximation passes share the same store and walkers. */
+  private final class CoefDecoder(bytes: Array[Byte], w: Int, h: Int,
+      comps: IndexedSeq[CompSpec], progressive: Boolean) {
+    private val hmax = comps.map(_.hs).max
+    private val vmax = comps.map(_.vs).max
+    private val mcuX = (w + 8 * hmax - 1) / (8 * hmax)
+    private val mcuY = (h + 8 * vmax - 1) / (8 * vmax)
+    private val gridW = comps.map(c => mcuX * c.hs).toArray
+    private val gridH = comps.map(c => mcuY * c.vs).toArray
+    private val coefs = comps.indices
+      .map(ci => new Array[Int](gridW(ci) * gridH(ci) * 64)).toArray
+
+    /** Decode one scan's entropy segment starting at `start`; returns
+      * the position of the next marker's 0xFF. */
+    def decodeScan(start: Int, scanComps: IndexedSeq[(Int, Int, Int)],
+        ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int,
+        dcTabs: Array[HuffDecoder],
+        acTabs: Array[HuffDecoder]): Int = {
+      val br = new BitReader(bytes, start)
+      val dcPred = new Array[Int](comps.length)
+      var eobrun = 0
+
+      def receive(n: Int): Int = {
+        var v = 0; var i = 0
+        while (i < n) { v = (v << 1) | br.readBit(); i += 1 }
+        v
+      }
+
+      // --- per-block decoders over the shared store ---
+      def blockFull(ci: Int, off: Int, dc: HuffDecoder,
+                    ac: HuffDecoder): Unit = {
+        require(dc != null && ac != null,
+          "JPEG: scan references undefined Huffman table")
+        val s = dc.decode(br)
+        require(s <= 11, "JPEG: DC magnitude out of range")
+        dcPred(ci) += extend(br, s)
+        coefs(ci)(off) = dcPred(ci)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = ac.decode(br)
+          val r = (rs >> 4) & 0xf; val sz = rs & 0xf
+          if (sz == 0) {
+            if (r == 15) k += 16 else eob = true
+          } else {
+            k += r
+            require(k < 64, "JPEG: AC coefficient index overflow")
+            coefs(ci)(off + ZigZag(k)) = extend(br, sz)
+            k += 1
+          }
+        }
+      }
+      def dcFirst(ci: Int, off: Int, dc: HuffDecoder): Unit = {
+        require(dc != null,
+          "JPEG: scan references undefined Huffman table")
+        val s = dc.decode(br)
+        require(s <= 11, "JPEG: DC magnitude out of range")
+        dcPred(ci) += extend(br, s)
+        coefs(ci)(off) = dcPred(ci) << al
+      }
+      def dcRefine(ci: Int, off: Int): Unit =
+        if (br.readBit() == 1) coefs(ci)(off) |= (1 << al)
+      def acFirst(ci: Int, off: Int, ac: HuffDecoder): Unit = {
+        require(ac != null,
+          "JPEG: scan references undefined Huffman table")
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = ac.decode(br)
+          val r = (rs >> 4) & 0xf; val sz = rs & 0xf
+          if (sz == 0) {
+            if (r == 15) k += 16
+            else {
+              // EOBn: this block is the first member of the run
+              eobrun = (1 << r) - 1 + (if (r > 0) receive(r) else 0)
+              done = true
+            }
+          } else {
+            k += r
+            require(k <= se, "JPEG: AC index past band end")
+            coefs(ci)(off + ZigZag(k)) = extend(br, sz) << al
+            k += 1
+          }
+        }
+      }
+      /** AC successive-approximation refinement (T.81 G.1.2.3 /
+        * the libjpeg decode_mcu_AC_refine walk): correction bits for
+        * already-nonzero coefficients, new coefficients inserted at
+        * +-2^Al, EOB runs carrying corrections through the band. */
+      def acRefine(ci: Int, off: Int, ac: HuffDecoder): Unit = {
+        require(ac != null,
+          "JPEG: scan references undefined Huffman table")
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(idx: Int): Unit =
+          if (br.readBit() == 1 && (coefs(ci)(idx) & p1) == 0)
+            coefs(ci)(idx) += (if (coefs(ci)(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var toEob = false
+          while (k <= se && !toEob) {
+            val rs = ac.decode(br)
+            var r = (rs >> 4) & 0xf; val sz = rs & 0xf
+            var ins = 0
+            if (sz == 0) {
+              if (r != 15) {
+                // EOBn: run count includes THIS block (decremented in
+                // the EOB phase below after its corrections)
+                eobrun = (1 << r) + (if (r > 0) receive(r) else 0)
+                toEob = true
+              }
+              // r == 15: pass 16 zero-history coefficients
+            } else {
+              require(sz == 1, "JPEG: refinement magnitude must be 1")
+              ins = if (br.readBit() == 1) p1 else m1
+            }
+            if (!toEob) {
+              var stopped = false
+              while (k <= se && !stopped) {
+                val idx = off + ZigZag(k)
+                if (coefs(ci)(idx) != 0) correct(idx)
+                else {
+                  r -= 1
+                  if (r < 0) stopped = true
+                }
+                if (!stopped) k += 1
+              }
+              if (ins != 0) {
+                require(k <= se, "JPEG: refinement insert past band end")
+                coefs(ci)(off + ZigZag(k)) = ins
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val idx = off + ZigZag(k)
+            if (coefs(ci)(idx) != 0) correct(idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def restartIfDue(mcu: Int): Unit =
+        if (restartInterval > 0 && mcu > 0 &&
+          mcu % restartInterval == 0) {
           if (br.pendingMarker < 0) {
             br.align()
             var b = bytes(br.pos) & 0xff; br.pos += 1
@@ -647,83 +948,131 @@ object JpegCodec {
               f"JPEG: expected restart marker, got 0xff$m%02x")
           } else br.align()
           java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
         }
-        var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
-          val (dcT, acT) = tabSel(ci)
-          val dc = dcTabs(dcT); val ac = acTabs(acT)
-          require(dc != null && ac != null,
-            "JPEG: scan references undefined Huffman table")
-          val q = quant(c.tq)
-          require(q != null, "JPEG: undefined quantization table")
-          val planeW = mcuX * c.hs * 8
-          var by = 0
-          while (by < c.vs) {
-            var bx = 0
-            while (bx < c.hs) {
-              // --- decode one block ---
-              val s = dc.decode(br)
-              require(s <= 11, "JPEG: DC magnitude out of range")
-              dcPred(ci) += extend(br, s)
-              val coef = new Array[Double](64)
-              coef(0) = dcPred(ci).toDouble * q(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = ac.decode(br)
-                val r = (rs >> 4) & 0xf; val sz = rs & 0xf
-                if (sz == 0) {
-                  if (r == 15) k += 16 // ZRL
-                  else eob = true
-                } else {
-                  k += r
-                  require(k < 64, "JPEG: AC coefficient index overflow")
-                  val nat = ZigZag(k)
-                  coef(nat) = extend(br, sz).toDouble * q(nat)
-                  k += 1
+
+      if (scanComps.length > 1) {
+        // interleaved walk: full-band (sequential) or DC (progressive)
+        var mcu = 0
+        var my = 0
+        while (my < mcuY) {
+          var mx = 0
+          while (mx < mcuX) {
+            restartIfDue(mcu)
+            scanComps.foreach { case (ci, dcT, acT) =>
+              val c = comps(ci)
+              var by = 0
+              while (by < c.vs) {
+                var bx = 0
+                while (bx < c.hs) {
+                  val off = ((my * c.vs + by) * gridW(ci) +
+                    (mx * c.hs + bx)) * 64
+                  if (!progressive)
+                    blockFull(ci, off, dcTabs(dcT), acTabs(acT))
+                  else if (ah == 0) dcFirst(ci, off, dcTabs(dcT))
+                  else dcRefine(ci, off)
+                  bx += 1
                 }
+                by += 1
               }
-              val px = idct(coef)
-              val x0 = (mx * c.hs + bx) * 8
-              val y0 = (my * c.vs + by) * 8
-              var i = 0
-              while (i < 64) {
-                val v = math.round(px(i) + 128.0).toInt
-                store(ci)((y0 + i / 8) * planeW + (x0 + i % 8)) =
-                  math.max(0, math.min(255, v))
-                i += 1
-              }
-              bx += 1
             }
-            by += 1
+            mcu += 1
+            mx += 1
           }
-          ci += 1
+          my += 1
         }
-        mcu += 1
-        mx += 1
-      }
-      my += 1
-    }
-    // crop padded stores to natural component dims
-    val planes = comps.indices.map { ci =>
-      val c = comps(ci)
-      val cw = (w * c.hs + hmax - 1) / hmax
-      val chh = (h * c.vs + vmax - 1) / vmax
-      val planeW = mcuX * c.hs * 8
-      val data = new Array[Int](cw * chh)
-      var y = 0
-      while (y < chh) {
-        var x = 0
-        while (x < cw) {
-          data(y * cw + x) = store(ci)(y * planeW + x)
-          x += 1
+      } else {
+        // non-interleaved walk: the component's OWN block grid
+        // (ceil of its natural dims — NOT the MCU-padded grid)
+        val (ci, dcT, acT) = scanComps(0)
+        val c = comps(ci)
+        val cw = (w * c.hs + hmax - 1) / hmax
+        val chh = (h * c.vs + vmax - 1) / vmax
+        val bw = (cw + 7) / 8
+        val bh = (chh + 7) / 8
+        var mcu = 0
+        var byy = 0
+        while (byy < bh) {
+          var bxx = 0
+          while (bxx < bw) {
+            restartIfDue(mcu)
+            val off = (byy * gridW(ci) + bxx) * 64
+            if (!progressive) blockFull(ci, off, dcTabs(dcT), acTabs(acT))
+            else if (ss == 0) {
+              if (ah == 0) dcFirst(ci, off, dcTabs(dcT))
+              else dcRefine(ci, off)
+            } else {
+              if (ah == 0) acFirst(ci, off, acTabs(acT))
+              else acRefine(ci, off, acTabs(acT))
+            }
+            mcu += 1
+            bxx += 1
+          }
+          byy += 1
         }
-        y += 1
       }
-      Plane(c.id, cw, chh, c.hs, c.vs, data)
+
+      // skip to the next marker (stuffed bytes and stray RSTn pass)
+      var p = br.pos
+      while (p < bytes.length) {
+        if ((bytes(p) & 0xff) != 0xff) p += 1
+        else if (p + 1 >= bytes.length)
+          throw new IllegalArgumentException("JPEG: truncated stream")
+        else {
+          val nxt = bytes(p + 1) & 0xff
+          if (nxt == 0x00 || (nxt >= 0xd0 && nxt <= 0xd7)) p += 2
+          else return p
+        }
+      }
+      throw new IllegalArgumentException("JPEG: truncated stream")
     }
-    Decoded(w, h, planes)
+
+    /** Dequantize + IDCT every block and crop to natural component
+      * dims. */
+    def render(quant: Array[Array[Int]]): Decoded = {
+      val planes = comps.indices.map { ci =>
+        val c = comps(ci)
+        val q = quant(c.tq)
+        require(q != null, "JPEG: undefined quantization table")
+        val bw = gridW(ci)
+        val planeW = bw * 8
+        val store = new Array[Int](planeW * gridH(ci) * 8)
+        var b = 0
+        while (b < bw * gridH(ci)) {
+          val off = b * 64
+          val cf = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            cf(i) = coefs(ci)(off + i).toDouble * q(i)
+            i += 1
+          }
+          val px = idct(cf)
+          val x0 = (b % bw) * 8; val y0 = (b / bw) * 8
+          var j = 0
+          while (j < 64) {
+            val v = math.round(px(j) + 128.0).toInt
+            store((y0 + j / 8) * planeW + (x0 + j % 8)) =
+              math.max(0, math.min(255, v))
+            j += 1
+          }
+          b += 1
+        }
+        val cw = (w * c.hs + hmax - 1) / hmax
+        val chh = (h * c.vs + vmax - 1) / vmax
+        val data = new Array[Int](cw * chh)
+        var y = 0
+        while (y < chh) {
+          var x = 0
+          while (x < cw) {
+            data(y * cw + x) = store(y * planeW + x)
+            x += 1
+          }
+          y += 1
+        }
+        Plane(c.id, cw, chh, c.hs, c.vs, data)
+      }
+      Decoded(w, h, planes)
+    }
   }
 
   /** Decode to packed 0xRRGGBB pixels: replication chroma upsample +

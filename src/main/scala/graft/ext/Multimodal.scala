@@ -467,6 +467,28 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** The same block-constant pattern as [[syntheticJpeg]] encoded as
+    * a PROGRESSIVE (SOF2) stream — DC first + refinement scans and
+    * EOBn-run AC band scans — so e188 shares e174's oracle verbatim:
+    * same expected planes, a different scan architecture under test. */
+  def syntheticJpegProgressive(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = jpegImgW(id); val h = jpegImgH(id)
+          val y = Array.tabulate(w * h)(i =>
+            jpegBlockY(id, (i % w) / 8, (i / w) / 8))
+          val cb = Array.tabulate(w / 2 * h / 2)(i =>
+            jpegBlockCb(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          val cr = Array.tabulate(w / 2 * h / 2)(i =>
+            jpegBlockCr(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          (id, JpegCodec.encode420Progressive(w, h, y, cb, cr))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One decoded JPEG plane scanline: integer-exact features per
     * (doc, plane, row) — covers the luma AND both subsampled chroma
     * planes, so an MCU-layout or chroma-stride bug cannot hide. */

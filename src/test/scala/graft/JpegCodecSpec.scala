@@ -119,6 +119,105 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff <= 3, s"near-flat maxDiff=$maxDiff")
   }
 
+  test("PROGRESSIVE: block-constant planes roundtrip bit-exactly " +
+    "through DC first + refinement + EOBn-run AC scans (the e188 " +
+    "gate identity)") {
+    for (d <- Seq(0L, 7L)) {
+      val w = 48; val h = 32
+      val y = Array.tabulate(w * h)(i => blockY(d, (i % w) / 8, (i / w) / 8))
+      val cb = Array.tabulate(w / 2 * h / 2)(i =>
+        blockCb(d, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+      val cr = Array.tabulate(w / 2 * h / 2)(i =>
+        blockCr(d, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+      val bytes = JpegCodec.encode420Progressive(w, h, y, cb, cr)
+      // really progressive: SOF2 present, 5 SOS markers
+      assert(bytes.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2))
+      assert(bytes.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xda) == 5)
+      val dec = JpegCodec.decodePlanes(bytes)
+      assert(dec.planes(0).data.sameElements(y), s"d=$d luma")
+      assert(dec.planes(1).data.sameElements(cb), s"d=$d cb")
+      assert(dec.planes(2).data.sameElements(cr), s"d=$d cr")
+    }
+  }
+
+  test("PROGRESSIVE: the JDK writer's successive-approximation " +
+    "streams (real multi-scan AC refinement) decode within IDCT " +
+    "tolerance of the JDK's own decoder") {
+    System.setProperty("java.awt.headless", "true")
+    for ((w, h) <- Seq((24, 16), (37, 21))) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, (x * 13 + y * 7 + x * y) % 256)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      val bytes = bos.toByteArray
+      // confirm the writer actually emitted SOF2
+      assert(bytes.sliding(2).exists(q =>
+        (q(0) & 0xff) == 0xff && (q(1) & 0xff) == 0xc2),
+        "JDK writer did not produce a progressive stream")
+      val mine = JpegCodec.decodePlanes(bytes)
+      assert((mine.w, mine.h) == (w, h))
+      val jdk = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var maxDiff = 0
+      for (y <- 0 until h; x <- 0 until w)
+        maxDiff = math.max(maxDiff, math.abs(
+          mine.planes(0).data(y * w + x) - jdk.getRaster.getSample(x, y, 0)))
+      assert(maxDiff <= 1, s"${w}x$h progressive vs JDK maxDiff=$maxDiff")
+    }
+  }
+
+  test("PROGRESSIVE: color 4:2:0 JDK progressive streams decode " +
+    "(interleaved DC + per-component AC scans over subsampled grids)") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 36; val h = 20 // not MCU-aligned: padded vs natural grids differ
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 11 + y * 5) % 256
+      img.setRGB(x, y, (v << 16) | (((x * 3) % 256) << 8) | ((y * 9) % 256))
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert(bytes.sliding(2).exists(q =>
+      (q(0) & 0xff) == 0xff && (q(1) & 0xff) == 0xc2))
+    val mine = JpegCodec.decodePlanes(bytes)
+    assert((mine.w, mine.h) == (w, h))
+    // luma plane against the JDK decode's BT.601 luma, loose bound:
+    // chroma upsampling differences bleed via nothing here (Y plane
+    // is upsample-free); IDCT rounding only
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = jdk.getRGB(x, y)
+      val lum = math.round(
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)).toInt
+      maxDiff = math.max(maxDiff,
+        math.abs(mine.planes(0).data(y * w + x) - lum))
+    }
+    assert(maxDiff <= 3, s"color progressive luma maxDiff=$maxDiff")
+  }
+
   test("corrupt streams fail fast naming the invariant") {
     val good = JpegCodec.encodeGray(16, 16,
       Array.tabulate(256)(i => i % 256))
