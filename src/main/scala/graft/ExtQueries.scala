@@ -2887,6 +2887,34 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E189: per-type value percentiles (p50/p90/p99 + count) — the
+    // telemetry latency table every ops dashboard serves; exact
+    // interpolated percentiles, rounded before use (the e36 contract)
+    "e189_latency_percentiles" -> ((s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          Rounding.duckRound(expr("percentile(value, 0.5)"), 6)
+            .as("p50"),
+          Rounding.duckRound(expr("percentile(value, 0.9)"), 6)
+            .as("p90"),
+          Rounding.duckRound(expr("percentile(value, 0.99)"), 6)
+            .as("p99"))),
+
+    // E190: WINDOWED cardinality — per-day distinct users via
+    // per-window HLL register frames (the e179 sketch partitioned by
+    // day: mergeable across panes by register max, groups × 64 rows
+    // of state), next to the exact per-day distinct count
+    "e190_windowed_hll" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      Sketches.hllScorecardBy(
+        Sketches.hllRegistersBy(ev, day, col("user_id").cast("string")),
+        ev.groupBy(day.as("grp"))
+          .agg(countDistinct(col("user_id")).as("n_exact")))
+        .withColumnRenamed("grp", "dayord")
+    }),
+
     // E188: PROGRESSIVE JPEG codec gate — the same block-constant
     // planes as e174, but Huffman-coded through the SOF2 multi-scan
     // architecture (interleaved DC first pass at Al=1, DC refinement
@@ -6853,6 +6881,18 @@ object ExtQueries {
       (hllOracleBranch("user_id") + "\nUNION ALL\n" +
         hllOracleBranch("event_id")),
 
+    // identical exact interpolated percentiles, rounded before use
+    "e189_latency_percentiles" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  round(quantile_cont(value, CAST(0.5 AS DOUBLE)), 6) AS p50,
+        |  round(quantile_cont(value, CAST(0.9 AS DOUBLE)), 6) AS p90,
+        |  round(quantile_cont(value, CAST(0.99 AS DOUBLE)), 6) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // the e179 registers partitioned by day — same hash, rho chain,
+    // and exact-integer harmonic arithmetic, group-wise
+    "e190_windowed_hll" -> hllWindowedOracle,
+
     // the nearest-resampled pattern evaluated directly: source pixel
     // (x·pw//tw, y·ph//th), value from its 8x8 block's formula
     "e176_jpeg_resize_rows" ->
@@ -7308,6 +7348,47 @@ object ExtQueries {
         |  CAST(arg_min(v, x) AS BIGINT) AS first_v,
         |  CAST(arg_max(v, x) AS BIGINT) AS last_v
         |FROM px GROUP BY 1, 2, 3""".stripMargin
+
+  /** The e190 windowed-HLL oracle: the e179 register chain with a
+    * day group key — same md5 hash, integer CASE-chain rho, and
+    * exact-integer harmonic sum, aggregated group-wise. */
+  private def hllWindowedOracle: String = {
+    val rho = "CASE WHEN w = 0 THEN 55 " +
+      (53 to 0 by -1).map(k =>
+        s"WHEN w >= ${1L << k} THEN ${54 - k}").mkString(" ") + " END"
+    val raw = """CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+      |                  / CAST(a.sum_int AS DOUBLE)""".stripMargin
+    val est = s"""CASE WHEN $raw <= CAST(160 AS DOUBLE)
+      |              AND a.v_zeros > 0
+      |             THEN CAST(64 AS DOUBLE)
+      |                  * ln(CAST(64 AS DOUBLE)
+      |                       / CAST(a.v_zeros AS DOUBLE))
+      |             ELSE $raw END""".stripMargin
+    s"""WITH h AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS grp,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM events),
+      |jw AS (SELECT grp, h & 63 AS j, h >> 6 AS w FROM h),
+      |r0 AS (SELECT grp, j, max($rho) AS m_rho FROM jw GROUP BY 1, 2),
+      |grps AS (SELECT DISTINCT grp FROM h),
+      |regs AS (SELECT g.grp, t.j, coalesce(r0.m_rho, 0) AS m_rho
+      |         FROM grps g CROSS JOIN range(0, 64) t(j)
+      |         LEFT JOIN r0 USING (grp, j)),
+      |a AS (SELECT grp,
+      |    CAST(sum(1::BIGINT << (55 - m_rho)) AS BIGINT) AS sum_int,
+      |    CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_zeros
+      |  FROM regs GROUP BY 1),
+      |n AS (SELECT epoch_us(ts) // 86400000000 AS grp,
+      |        count(DISTINCT user_id) AS n_exact FROM events
+      |      GROUP BY 1)
+      |SELECT a.grp AS dayord, n.n_exact, a.v_zeros, a.sum_int,
+      |  round($est, 6) AS hll_est,
+      |  round(abs($est - CAST(n.n_exact AS DOUBLE))
+      |        / CAST(n.n_exact AS DOUBLE), 6) AS rel_err
+      |FROM a JOIN n USING (grp)""".stripMargin
+  }
 
   /** One HLL scorecard branch in SQL: md5-parity hash, the integer
     * CASE-chain rho (floats would flip at exact powers of two), max

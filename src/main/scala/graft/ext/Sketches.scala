@@ -216,6 +216,50 @@ object Sketches {
       .select(col("j"), coalesce(col("m_rho"), lit(0)).as("m_rho"))
   }
 
+  /** PER-GROUP register frames — the windowed/partitioned form of
+    * [[hllRegisters]] (distinct-per-day, distinct-per-shard): one
+    * grouped max on (grp, j) — still sketch-sized per group — then
+    * the full 64-register grid per group via a bounded
+    * groups × 64 expansion (the Pipeline grid-×-bounded-set shape,
+    * never data-sized). */
+  def hllRegistersBy(keys: DataFrame, grp: Column,
+                     key: Column): DataFrame = {
+    val h = Dedup.md5Long(key)
+    val grouped = keys
+      .select(grp.as("grp"), h.bitwiseAND(lit(63L)).as("j"),
+        hllRho(call_function("shiftright", h, lit(6))).as("rho"))
+      .groupBy(col("grp"), col("j")).agg(max(col("rho")).as("m_rho"))
+    keys.select(grp.as("grp")).distinct()
+      .crossJoin(keys.sparkSession.range(HllRegisters.toLong)
+        .select(col("id").as("j")))
+      .join(grouped, Seq("grp", "j"), "left")
+      .select(col("grp"), col("j"),
+        coalesce(col("m_rho"), lit(0)).as("m_rho"))
+  }
+
+  /** Per-group estimate scorecard: [[hllScorecard]]'s arithmetic
+    * applied group-wise, joined to the exact per-group distinct
+    * counts (`exact`: (grp, n_exact)). */
+  def hllScorecardBy(regs: DataFrame, exact: DataFrame): DataFrame = {
+    val a = regs.groupBy(col("grp")).agg(
+      sum(call_function("shiftleft", lit(1L),
+        (lit(55) - col("m_rho")).cast("int"))).as("sum_int"),
+      sum(when(col("m_rho") === 0, lit(1L)).otherwise(lit(0L)))
+        .as("v_zeros"))
+    val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+      col("sum_int").cast("double")
+    val est = when(raw <= lit(160.0) && col("v_zeros") > 0L,
+        lit(64.0) * log(lit(64.0) / col("v_zeros").cast("double")))
+      .otherwise(raw)
+    a.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"), col("v_zeros"),
+        col("sum_int"),
+        graft.Rounding.duckRound(est, 6).as("hll_est"),
+        graft.Rounding.duckRound(
+          abs(est - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Estimate scorecard from a register frame next to the EXACT
     * distinct count (the measured-error pattern): the harmonic sum is
     * kept as an exact INTEGER in units of 2^-55 (Σ 2^(55−Mj) ≤ 2^61 —
