@@ -2887,6 +2887,23 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E192: 4:2:2 JPEG — the third chroma geometry (half-width,
+    // FULL-height chroma; MCU = 2×1 luma blocks) through the same
+    // decoder; no other gate exercises an asymmetric sampling factor
+    "e192_jpeg_422_rows" -> ((s, dir) =>
+      Multimodal.decodeJpegPlaneRows(
+          Multimodal.syntheticJpeg422(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
+    // E191: REAL gzip text-blob ingest — the corpus as RFC 1952
+    // members (the gzipped-JSONL/WET shape compressed text corpora
+    // ship in), inflated back with CRC verification and
+    // fingerprinted against the uncompressed base table
+    "e191_gzip_text_blobs" -> ((s, dir) =>
+      Multimodal.decodeGzipText(
+          Multimodal.syntheticGzip(docs(s, dir)))
+        .toDF()),
+
     // E189: per-type value percentiles (p50/p90/p99 + count) — the
     // telemetry latency table every ops dashboard serves; exact
     // interpolated percentiles, rounded before use (the e36 contract)
@@ -6880,6 +6897,43 @@ object ExtQueries {
     "e179_hll_cardinality" ->
       (hllOracleBranch("user_id") + "\nUNION ALL\n" +
         hllOracleBranch("event_id")),
+
+    // the 4:2:2 plane formulas: chroma at half WIDTH, full height
+    "e192_jpeg_422_rows" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    16*(1 + doc_id % 3) AS w, 8*(1 + doc_id % 2) AS h
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, 'y' AS plane, w AS pw, h AS ph FROM g
+        |  UNION ALL SELECT doc_id, 'cb', w//2, h FROM g
+        |  UNION ALL SELECT doc_id, 'cr', w//2, h FROM g),
+        |yy AS (SELECT doc_id, plane, pw,
+        |         unnest(generate_series(0, ph - 1)) AS y FROM pl),
+        |xx AS (SELECT doc_id, plane, y,
+        |         unnest(generate_series(0, pw - 1)) AS x FROM yy),
+        |px AS (
+        |  SELECT doc_id, plane, y, x,
+        |    CASE plane
+        |      WHEN 'y' THEN 2*((doc_id*5 + 3*(x//8) + 7*(y//8)) % 128)
+        |      WHEN 'cb' THEN
+        |        128 + 17*(((doc_id*3 + (x//8) + 2*(y//8)) % 15) - 7)
+        |      ELSE 128 + 17*(((doc_id*11 + 2*(x//8) + (y//8)) % 15) - 7)
+        |    END AS v
+        |  FROM xx)
+        |SELECT doc_id, plane, y, count(*)::BIGINT AS n_px,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(max(v) AS BIGINT) AS max_v,
+        |  CAST(arg_min(v, x) AS BIGINT) AS first_v,
+        |  CAST(arg_max(v, x) AS BIGINT) AS last_v
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // the decoded text must fingerprint identically to the base
+    // table (md5 over the same UTF-8 bytes; length in codepoints)
+    "e191_gzip_text_blobs" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS fp
+        |FROM documents""".stripMargin,
 
     // identical exact interpolated percentiles, rounded before use
     "e189_latency_percentiles" ->

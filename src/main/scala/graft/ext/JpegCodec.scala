@@ -456,21 +456,54 @@ object JpegCodec {
     * replicate into partial MCUs. */
   def encode420(w: Int, h: Int, y: Array[Int], cb: Array[Int],
                 cr: Array[Int], qLum: Array[Int] = StdQuantLum,
-                qChr: Array[Int] = StdQuantChr): Array[Byte] = {
-    val cw = (w + 1) / 2; val ch = (h + 1) / 2
+                qChr: Array[Int] = StdQuantChr): Array[Byte] =
+    encodeSubsampled(w, h, y, cb, cr, 2, 2, qLum, qChr)
+
+  /** Encode a color baseline JPEG with luma sampling factors
+    * (hs, vs) ∈ {1,2}² — 4:4:4 (1,1), 4:2:2 (2,1), 4:4:0 (1,2),
+    * 4:2:0 (2,2); chroma planes are ⌈w/hs⌉ × ⌈h/vs⌉. One MCU is
+    * hs×vs luma blocks + one block per chroma component. */
+  def encodeSubsampled(w: Int, h: Int, y: Array[Int], cb: Array[Int],
+      cr: Array[Int], hs: Int, vs: Int,
+      qLum: Array[Int] = StdQuantLum,
+      qChr: Array[Int] = StdQuantChr): Array[Byte] = {
+    require(hs >= 1 && hs <= 2 && vs >= 1 && vs <= 2, "bad sampling")
+    val cw = (w + hs - 1) / hs; val ch = (h + vs - 1) / vs
     require(w > 0 && h > 0 && y.length == w * h &&
       cb.length == cw * ch && cr.length == cw * ch, "bad plane dims")
     val out = new java.io.ByteArrayOutputStream()
-    writeHeaders(out, w, h, gray = false, qLum, qChr)
+    marker(out, 0xd8)
+    marker(out, 0xe0); u16(out, 16)
+    out.write(Array('J', 'F', 'I', 'F', 0).map(_.toByte), 0, 5)
+    out.write(1); out.write(1); out.write(0)
+    u16(out, 1); u16(out, 1); out.write(0); out.write(0)
+    writeDqt(out, 0, qLum); writeDqt(out, 1, qChr)
+    marker(out, 0xc0)
+    u16(out, 8 + 9)
+    out.write(8); u16(out, h); u16(out, w); out.write(3)
+    out.write(1); out.write((hs << 4) | vs); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    writeDht(out, 0x00, DcLumBits, DcLumVals)
+    writeDht(out, 0x10, AcLumBits, AcLumVals)
+    writeDht(out, 0x01, DcChrBits, DcChrVals)
+    writeDht(out, 0x11, AcChrBits, AcChrVals)
+    marker(out, 0xda)
+    u16(out, 6 + 6)
+    out.write(3)
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11); out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
     val dcL = new HuffEncoder(DcLumBits, DcLumVals)
     val acL = new HuffEncoder(AcLumBits, AcLumVals)
     val dcC = new HuffEncoder(DcChrBits, DcChrVals)
     val acC = new HuffEncoder(AcChrBits, AcChrVals)
     val bw = new BitWriter(out)
     var pY = 0; var pCb = 0; var pCr = 0
-    for (my <- 0 until (h + 15) / 16; mx <- 0 until (w + 15) / 16) {
-      for (by <- 0 until 2; bx <- 0 until 2)
-        pY = encodeBlock(y, w, h, mx * 16 + bx * 8, my * 16 + by * 8,
+    val mw = 8 * hs; val mh = 8 * vs
+    for (my <- 0 until (h + mh - 1) / mh; mx <- 0 until (w + mw - 1) / mw) {
+      for (by <- 0 until vs; bx <- 0 until hs)
+        pY = encodeBlock(y, w, h, mx * mw + bx * 8, my * mh + by * 8,
           qLum, pY, dcL, acL, bw)
       pCb = encodeBlock(cb, cw, ch, mx * 8, my * 8, qChr, pCb, dcC, acC, bw)
       pCr = encodeBlock(cr, cw, ch, mx * 8, my * 8, qChr, pCr, dcC, acC, bw)

@@ -489,6 +489,31 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** 4:2:2 variant dims (h only needs MCU-height 8 alignment when
+    * vs = 1) and blob table — exercises the decoder's generic
+    * sampling walk on a geometry no other gate touches (chroma
+    * half-width, FULL height). */
+  def jpeg422ImgW(id: Long): Int = (16 * (1 + id % 3)).toInt
+  def jpeg422ImgH(id: Long): Int = (8 * (1 + id % 2)).toInt
+
+  def syntheticJpeg422(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = jpeg422ImgW(id); val h = jpeg422ImgH(id)
+          val y = Array.tabulate(w * h)(i =>
+            jpegBlockY(id, (i % w) / 8, (i / w) / 8))
+          val cb = Array.tabulate(w / 2 * h)(i =>
+            jpegBlockCb(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          val cr = Array.tabulate(w / 2 * h)(i =>
+            jpegBlockCr(id, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+          (id, JpegCodec.encodeSubsampled(w, h, y, cb, cr, 2, 1))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One decoded JPEG plane scanline: integer-exact features per
     * (doc, plane, row) — covers the luma AND both subsampled chroma
     * planes, so an MCU-layout or chroma-stride bug cannot hide. */
@@ -581,6 +606,53 @@ object Multimodal {
                 rp(y * tw).toLong, rp(y * tw + tw - 1).toLong)
             }
           }
+        }
+      }
+  }
+
+  /** Documents as REAL gzip blobs — the form compressed text corpora
+    * actually ship in (gzipped JSONL/WET files): each text gzips
+    * through the JVM's DEFLATE (real RFC 1952 members, CRC32 +
+    * ISIZE trailers verified on read), partition-local. */
+  def syntheticGzip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, t) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(t.getBytes("UTF-8")); gz.close()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded text blob: decoded length in CODEPOINTS (matching
+    * SQL length() semantics) and the md5 fingerprint of the decoded
+    * bytes — any inflate/trailer bug breaks the hash against the
+    * uncompressed base table. */
+  case class TextBlobRow(doc_id: Long, n_chars: Long, fp: String)
+
+  /** Inflate each gzip payload back to text and fingerprint it —
+    * the ingest path for compressed text corpora, same
+    * iterator→iterator partition-local topology as the media
+    * codecs. GZIPInputStream verifies the member CRC. */
+  def decodeGzipText(blobs: DataFrame): Dataset[TextBlobRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val bytes = gz.readAllBytes(); gz.close()
+          md.reset()
+          val fp = md.digest(bytes).map(b => f"$b%02x").mkString
+          val text = new String(bytes, "UTF-8")
+          TextBlobRow(id, text.codePointCount(0, text.length).toLong, fp)
         }
       }
   }

@@ -218,6 +218,26 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(maxDiff <= 3, s"color progressive luma maxDiff=$maxDiff")
   }
 
+  test("4:2:2 block-constant planes roundtrip bit-exactly (chroma at " +
+    "half width, FULL height) and parse under the JDK reader") {
+    System.setProperty("java.awt.headless", "true")
+    val w = 32; val h = 16
+    val y = Array.tabulate(w * h)(i => blockY(3L, (i % w) / 8, (i / w) / 8))
+    val cb = Array.tabulate(w / 2 * h)(i =>
+      blockCb(3L, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+    val cr = Array.tabulate(w / 2 * h)(i =>
+      blockCr(3L, (i % (w / 2)) / 8, (i / (w / 2)) / 8))
+    val bytes = JpegCodec.encodeSubsampled(w, h, y, cb, cr, 2, 1)
+    val dec = JpegCodec.decodePlanes(bytes)
+    assert(dec.planes(0).data.sameElements(y))
+    assert(dec.planes(1).w == w / 2 && dec.planes(1).h == h)
+    assert(dec.planes(1).data.sameElements(cb))
+    assert(dec.planes(2).data.sameElements(cr))
+    val jdk = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(jdk != null && jdk.getWidth == w && jdk.getHeight == h)
+  }
+
   test("corrupt streams fail fast naming the invariant") {
     val good = JpegCodec.encodeGray(16, 16,
       Array.tabulate(256)(i => i % 256))
