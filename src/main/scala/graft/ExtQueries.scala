@@ -2887,6 +2887,18 @@ object ExtQueries {
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
     }),
 
+    // E193: PER-GROUP histogram quantiles — the e177 sketch
+    // partitioned by event type (per-tenant distribution summaries
+    // from ≤ |types|·32 cells), each estimate next to the group's
+    // exact interpolated quantile with the one-bin bound asserted
+    "e193_grouped_histogram_quantiles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      Sketches.histQuantileScorecardBy(
+          Sketches.histCellsBy(ev, col("event_type"), col("value")),
+          ev, col("event_type"), "value", Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("grp", "event_type")
+    }),
+
     // E192: 4:2:2 JPEG — the third chroma geometry (half-width,
     // FULL-height chroma; MCU = 2×1 luma blocks) through the same
     // decoder; no other gate exercises an asymmetric sampling factor
@@ -6897,6 +6909,47 @@ object ExtQueries {
     "e179_hll_cardinality" ->
       (hllOracleBranch("user_id") + "\nUNION ALL\n" +
         hllOracleBranch("event_id")),
+
+    // the per-type histogram rebuilt in SQL (window partitioned by
+    // group), identical interpolation trees, per-group quantile_cont
+    "e193_grouped_histogram_quantiles" ->
+      """WITH cells AS (
+        |  SELECT event_type AS grp,
+        |    least(31, CAST(floor(value / CAST(16 AS DOUBLE))
+        |      AS BIGINT)) AS bin,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT grp, bin, c,
+        |    coalesce(sum(c) OVER (PARTITION BY grp ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM cells),
+        |n AS (SELECT grp, CAST(sum(c) AS DOUBLE) AS n_rows FROM cells
+        |      GROUP BY 1),
+        |probs(i, prob) AS (VALUES (0, CAST(0.5 AS DOUBLE)),
+        |  (1, CAST(0.9 AS DOUBLE)), (2, CAST(0.99 AS DOUBLE))),
+        |t AS (SELECT n.grp, p.i, p.prob, p.prob * n.n_rows AS target
+        |      FROM n CROSS JOIN probs p),
+        |ex AS (SELECT event_type AS grp,
+        |         quantile_cont(value, [CAST(0.5 AS DOUBLE),
+        |           CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS qs
+        |       FROM events GROUP BY 1),
+        |sel AS (
+        |  SELECT t.grp, t.i, t.prob, t.target, u.bin, u.c, u.cum_before
+        |  FROM t JOIN cum u ON t.grp = u.grp
+        |   AND CAST(u.cum_before AS DOUBLE) < t.target
+        |   AND t.target <= CAST(u.cum_before + u.c AS DOUBLE))
+        |SELECT s.grp AS event_type, s.prob,
+        |  round(CAST(16 AS DOUBLE) * s.bin
+        |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+        |      / CAST(s.c AS DOUBLE), 6) AS est_q,
+        |  round(ex.qs[s.i + 1], 6) AS exact_q,
+        |  round(abs(CAST(16 AS DOUBLE) * s.bin
+        |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+        |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6)
+        |    <= CAST(16 AS DOUBLE) AS within_bin
+        |FROM sel s JOIN ex ON s.grp = ex.grp""".stripMargin,
 
     // the 4:2:2 plane formulas: chroma at half WIDTH, full height
     "e192_jpeg_422_rows" ->

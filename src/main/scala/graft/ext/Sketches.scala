@@ -185,6 +185,52 @@ object Sketches {
       .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min(col("ip")).as("est_join"))
 
+  /** PER-GROUP histogram cells: (grp, bin, c) — the partitioned form
+    * of [[histCells]] (per-tenant / per-type distribution summaries);
+    * still one partial-aggregated scan with ≤ |groups|·32 cells. */
+  def histCellsBy(rows: DataFrame, grp: Column,
+                  value: Column): DataFrame =
+    rows.select(grp.as("grp"), histBin(value).as("bin"))
+      .groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("c"))
+
+  /** Group-wise quantile scorecard: [[histQuantileScorecard]]'s
+    * cumulative-walk interpolation per group, next to each group's
+    * EXACT interpolated quantiles. The window partitions by group
+    * over sketch-sized frames (≤ 32 rows per group). */
+  def histQuantileScorecardBy(cells: DataFrame, rows: DataFrame,
+      grp: Column, valueCol: String, probs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = cells.select(col("grp"), col("bin"), col("c"),
+      coalesce(sum(col("c")).over(w), lit(0L)).as("cum_before"))
+    val n = cells.groupBy(col("grp"))
+      .agg(sum(col("c")).cast("double").as("n_rows"))
+    val pframe = n.select(col("grp"), col("n_rows"),
+        posexplode(typedlit(probs)).as(Seq("i", "prob")))
+      .withColumn("target", col("prob") * col("n_rows"))
+    val exact = rows.select(grp.as("grp"), col(valueCol).as("v"))
+      .groupBy(col("grp"))
+      .agg(expr(s"percentile(v, array(${probs.mkString(", ")}))")
+        .as("qs"))
+      .select(col("grp"), posexplode(col("qs")).as(Seq("i", "exact_raw")))
+    val est = lit(HistWidth) * col("bin").cast("double") +
+      lit(HistWidth) * (col("target") - col("cum_before").cast("double")) /
+        col("c").cast("double")
+    pframe
+      .join(cum,
+        pframe("grp") === cum("grp") &&
+          col("cum_before").cast("double") < col("target") &&
+          col("target") <= (col("cum_before") + col("c")).cast("double"))
+      .drop(cum("grp"))
+      .join(exact, Seq("grp", "i"))
+      .select(col("grp"), col("prob"),
+        graft.Rounding.duckRound(est, 6).as("est_q"),
+        graft.Rounding.duckRound(col("exact_raw"), 6).as("exact_q"),
+        (graft.Rounding.duckRound(abs(est - col("exact_raw")), 6) <=
+          lit(HistWidth)).as("within_bin"))
+  }
+
   /** HyperLogLog geometry: m = 64 registers (6 index bits off the
     * 60-bit md5 hash, 54 rank bits). The CARDINALITY member of the
     * sketch family — unlike e13's built-in approx_count_distinct
