@@ -3075,7 +3075,15 @@ object ExtQueries {
       val row = edges.agg(min(col("node_a"))).head()
       if (row.isNullAt(0))
         s.range(0).select(col("id").as("node"), col("id").as("cost"))
-      else GraphOps.weightedShortestPath(edges, row.getLong(0))
+      // maxRounds=16 is SEMANTIC here (oracle-parity, as e127 does
+      // with maxHops): the oracle unrolls exactly 16 relaxation
+      // rounds, so the operator must cap at the same depth rather
+      // than run to an arbitrarily deeper fixpoint. At sf0.01 the
+      // projection's weighted diameter settles well before 16, so
+      // cap == fixpoint there; the cap keeps the gate well-defined
+      // at any scale factor.
+      else GraphOps.weightedShortestPath(edges, row.getLong(0),
+        maxRounds = 16)
     }),
 
     // E179: from-scratch HyperLogLog — the CARDINALITY member of the

@@ -204,7 +204,12 @@ object GraphOps {
     * discriminates strong ties from threshold-grazing ones. Same
     * topology and lineage rules as [[pageRank]] (the loop-invariant
     * (src, dst, w, sw) frame checkpoints once, per-round rank frames
-    * truncate); mass is conserved because Σ w/sw = 1 per source. */
+    * truncate). The node set is taken from DISTINCT src — matching
+    * [[pageRank]]'s convention — so mass conservation (Σ w/sw = 1 per
+    * source) holds only for inputs where every dst also appears as a
+    * src (e.g. e183's symmetrized co-purchase graph); on a general
+    * directed edge list a dst-only sink node is dropped and its
+    * incoming mass leaves the system, as in the unweighted variant. */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
                        damping: Double = 0.85): DataFrame = {
     val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))

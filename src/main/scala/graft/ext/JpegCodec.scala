@@ -213,9 +213,6 @@ object JpegCodec {
 
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0; private var nBits = 0
-    /** Set when the reader consumed an RSTn marker during a refill —
-      * the MCU loop checks and realigns. */
-    var pendingMarker: Int = -1
     def readBit(): Int = {
       if (nBits == 0) refill()
       nBits -= 1
@@ -231,16 +228,22 @@ object JpegCodec {
         val m = data(pos) & 0xff; pos += 1
         if (m == 0x00) () // stuffed 0xFF data byte
         else if (m >= 0xd0 && m <= 0xd7) {
-          // restart marker mid-refill: deliver to the MCU loop
-          pendingMarker = m
-          b = 0 // placeholder bits; the loop resets before use
+          // A valid stream never requests entropy bits across a restart
+          // marker: RSTn is byte-aligned at an MCU-interval boundary and
+          // the MCU loop realigns (restartIfDue) before the next read.
+          // Reaching one mid-refill means the interval's entropy data is
+          // truncated (or the RSTn is stray, restartInterval==0) — fail
+          // fast per the codec contract instead of feeding fake bits.
+          throw new IllegalArgumentException(
+            f"JPEG: restart marker 0xff$m%02x mid-entropy-decode " +
+              "(truncated restart interval or stray RSTn)")
         } else throw new IllegalArgumentException(
           f"JPEG: unexpected marker 0xff$m%02x inside scan")
       }
       acc = b; nBits = 8
     }
     /** Drop partial-byte bits (restart realignment). */
-    def align(): Unit = { nBits = 0; pendingMarker = -1 }
+    def align(): Unit = nBits = 0
   }
 
   /** RECEIVE+EXTEND (T.81 F.2.2.1): read `s` magnitude bits, map to
@@ -972,14 +975,17 @@ object JpegCodec {
       def restartIfDue(mcu: Int): Unit =
         if (restartInterval > 0 && mcu > 0 &&
           mcu % restartInterval == 0) {
-          if (br.pendingMarker < 0) {
-            br.align()
-            var b = bytes(br.pos) & 0xff; br.pos += 1
-            while (b != 0xff) { b = bytes(br.pos) & 0xff; br.pos += 1 }
-            val m = bytes(br.pos) & 0xff; br.pos += 1
-            require(m >= 0xd0 && m <= 0xd7,
-              f"JPEG: expected restart marker, got 0xff$m%02x")
-          } else br.align()
+          br.align()
+          def nextByte(): Int = {
+            if (br.pos >= bytes.length)
+              throw new IllegalArgumentException("JPEG: truncated scan data")
+            val b = bytes(br.pos) & 0xff; br.pos += 1; b
+          }
+          var b = nextByte()
+          while (b != 0xff) b = nextByte()
+          val m = nextByte()
+          require(m >= 0xd0 && m <= 0xd7,
+            f"JPEG: expected restart marker, got 0xff$m%02x")
           java.util.Arrays.fill(dcPred, 0)
           eobrun = 0
         }

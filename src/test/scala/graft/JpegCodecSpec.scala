@@ -257,13 +257,18 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       JpegCodec.decodePlanes(good.dropRight(16))).getMessage
       .contains("truncated"))
-    // progressive rejected by name: SOF0 (0xffc0) -> SOF2 (0xffc2)
+    // invalid progressive band rejected: flipping a BASELINE stream's
+    // SOF0 (0xffc0) to SOF2 (0xffc2) leaves the baseline scan header
+    // (Ss=0, Se=63), which violates the progressive DC-scan Se=0
+    // invariant — SOF2 itself is supported (see the progressive
+    // cross-decode tests), so assert on the band-check wording
     val prog = good.clone()
     val sofAt = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     assert(intercept[IllegalArgumentException](
-      JpegCodec.decodePlanes(prog)).getMessage.contains("progressive"))
+      JpegCodec.decodePlanes(prog)).getMessage
+      .contains("DC scan must have Se=0"))
     // garbage where a marker should be
     val junk = good.clone(); junk(2) = 0x12
     assert(intercept[IllegalArgumentException](
@@ -276,8 +281,8 @@ class JpegCodecSpec extends AnyFunSuite {
     // force a restart interval via ImageWriteParam? The JDK writer
     // doesn't expose DRI; build one ourselves instead by re-encoding
     // with manual restart injection — SKIPPED in favor of the codec's
-    // own DRI=0 default; the pendingMarker path is covered by the
-    // parser accepting (and the gate never producing) RSTn. Here we
+    // own DRI=0 default; restart realignment (restartIfDue) is covered
+    // by the encoder's own DRI streams in the 4:2:0 tests. Here we
     // at least pin that a DRI segment parses.
     val good = JpegCodec.encodeGray(16, 8, Array.fill(128)(100))
     // splice DRI (interval 4) right before SOS
