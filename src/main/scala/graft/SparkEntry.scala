@@ -424,6 +424,58 @@ object SparkEntry {
       roundedOhlc(candles, Nil)
     }),
 
+    // J2 streaming twin (VERDICT r13 #1): the reference's SIGNATURE
+    // fusion operator as a watermarked stream-stream FULL OUTER join —
+    // tick candles and the late-arriving legacy M1 feed staged as
+    // separate file streams (maxFilesPerTrigger=1 pairs the stages
+    // into micro-batches), joined ON the event-time minute, per-column
+    // coalesce. Stage 2 of the M1 stream arrives AFTER the matching
+    // tick minutes (batch 1) — the join state buffers and pairs them;
+    // the sentinel stage advances the watermark past end-of-data so
+    // every unmatched minute flushes its outer-null row. The delay is
+    // sized past the dataset span, so the replay converges to EXACTLY
+    // the batch full outer join and shares j2_combine_first's oracle.
+    // Tight-watermark late-drop semantics are pinned separately in
+    // StreamingFusionSpec.
+    "j2_streaming_fusion_replay" -> ((s, dir) => {
+      val t = tickCandles(s, dir).cache()
+      val m = m1Candles(s, dir).cache()
+      val b = t.select(col("datetime"))
+        .unionByName(m.select(col("datetime")))
+        .agg(min(col("datetime")), max(col("datetime"))).head()
+      val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+      // delay > full span → no real row is ever late in the replay
+      val delayMin = (mx.getTime - mn.getTime) / 60000L + 120
+      val flush = new java.sql.Timestamp(
+        mx.getTime + (delayMin + 1440) * 60000L)
+      def sentinel(df: DataFrame) =
+        df.limit(1).withColumn("datetime", lit(flush))
+      val tDir = Scratch.dir("fusion_t", dir)
+      val mDir = Scratch.dir("fusion_m", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        t.filter(minute(col("datetime")) % 3 =!= 2),
+        t.filter(minute(col("datetime")) % 3 === 2),
+        sentinel(t)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m.filter(minute(col("datetime")) % 4 =!= 1),
+        m.filter(minute(col("datetime")) % 4 === 1), // late vs batch-1 ticks
+        sentinel(m)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val fused = streaming.StreamingFusion.combineFirstStream(
+        stream(tDir), stream(mDir), s"$delayMin minutes")
+      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+        .filter(col("datetime") < lit(flush))
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"),
+          Rounding.duckRound(col("spread"), 6).as("spread"))
+    }),
+
     // S8: ORC round-trip — the tick candles written through the
     // day-partitioned ORC store (Spark's second built-in columnar
     // format) and read back; sharing the batch resample's oracle
@@ -1103,6 +1155,20 @@ object SparkEntry {
          |FROM tick_candles t LEFT JOIN m1_candles m USING (datetime)""".stripMargin,
 
     "j2_combine_first" ->
+      s"""$fusionWith
+         |SELECT COALESCE(t.datetime, m.datetime) AS datetime,
+         |  round(coalesce(t.open, m.open), 6) AS open,
+         |  round(coalesce(t.high, m.high), 6) AS high,
+         |  round(coalesce(t.low, m.low), 6) AS low,
+         |  round(coalesce(t.close, m.close), 6) AS close,
+         |  coalesce(t.volume, m.volume) AS volume,
+         |  round(coalesce(t.spread, m.spread), 6) AS spread
+         |FROM tick_candles t FULL OUTER JOIN m1_candles m
+         |  ON t.datetime = m.datetime""".stripMargin,
+
+    // the streaming replay converges to EXACTLY the batch fusion →
+    // shares the batch J2 oracle verbatim
+    "j2_streaming_fusion_replay" ->
       s"""$fusionWith
          |SELECT COALESCE(t.datetime, m.datetime) AS datetime,
          |  round(coalesce(t.open, m.open), 6) AS open,
