@@ -3062,6 +3062,27 @@ object ExtQueries {
           Multimodal.syntheticWavOsc(docs(s, dir).select(col("doc_id"))))
         .toDF()),
 
+    // E194: SPECTRAL audio features (VERDICT r13 #2) — the frequency-
+    // domain stage after the codec: real WAV decode → from-scratch
+    // radix-2 FFT per 256-sample frame → spectrogram stats (dominant
+    // bin, spectral centroid, 85% rolloff bin, log power). The gate
+    // signal is an EXACT two-tone (bins 64 and 128 are the only
+    // frequencies whose cosines are integer-valued at N=256), so the
+    // oracle evaluates the closed-form spectrum P[64]=(a1·128)²,
+    // P[128]=(a2·256)² from doc_id directly — any FFT indexing,
+    // twiddle, or framing bug shifts a bin and breaks the hash. FFT
+    // noise budget: ~1e-15 relative per bin ≪ round-6 on the two
+    // continuous columns; the discrete bins have ≥1e7 margin.
+    "e194_audio_spectrum" -> ((s, dir) =>
+      Multimodal.decodeWavSpectrum(
+          Multimodal.syntheticWavTone(docs(s, dir).select(col("doc_id"))))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("n_samples"),
+          col("dominant_bin"),
+          Rounding.duckRound(col("centroid"), 6).as("centroid"),
+          col("rolloff_bin"),
+          Rounding.duckRound(col("log_power"), 6).as("log_power"))),
+
     // E180: single-source MIN-COST paths over the weighted co-purchase
     // projection (Bellman-Ford relaxed to the fixpoint, hop budget as
     // oracle parity) — the weighted refinement of e127's BFS: integer
@@ -6911,6 +6932,33 @@ object ExtQueries {
         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // the closed-form two-tone spectrum evaluated from doc_id: the
+    // only nonzero bins are 64 (power (a1·128)²) and 128 ((a2·256)²),
+    // so dominant/centroid/rolloff/log-power are exact integer
+    // arithmetic + round-6 ratios
+    "e194_audio_spectrum" ->
+      """WITH g AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS k,
+        |    2*(doc_id % 350) + 201 AS a1,
+        |    100 + doc_id % 250 AS a2
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, k,
+        |    CAST(a1*128 AS BIGINT) * CAST(a1*128 AS BIGINT) AS p1,
+        |    CAST(a2*256 AS BIGINT) * CAST(a2*256 AS BIGINT) AS p2
+        |  FROM g),
+        |f AS (SELECT doc_id, unnest(range(0, k)) AS frame_idx, p1, p2
+        |      FROM p)
+        |SELECT doc_id, frame_idx, CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(CASE WHEN p1 >= p2 THEN 64 ELSE 128 END AS BIGINT)
+        |    AS dominant_bin,
+        |  round((64*p1 + 128*p2) / CAST(p1 + p2 AS DOUBLE), 6)
+        |    AS centroid,
+        |  CAST(CASE WHEN p1 >= CAST(0.85 AS DOUBLE) * (p1 + p2)
+        |       THEN 64 ELSE 128 END AS BIGINT) AS rolloff_bin,
+        |  round(log10(CAST(p1 + p2 AS DOUBLE)), 6) AS log_power
+        |FROM f""".stripMargin,
 
     // the identical 64 registers rebuilt in SQL (md5 hash parity,
     // integer CASE-chain rho, exact-integer harmonic sum)

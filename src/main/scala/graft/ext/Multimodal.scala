@@ -114,6 +114,108 @@ object Multimodal {
                         sum_abs: Long, peak: Long, first_s: Long,
                         last_s: Long)
 
+  /** Two-tone amplitudes for the SPECTRAL gate (e194). The signal is
+    * s_i = a1·cos(πi/2) + a2·cos(πi) — the two frequencies (N/4 and
+    * Nyquist at frame size N=256) whose cosines take only values in
+    * {−1, 0, 1}, so the PCM16 samples are EXACTLY the formula (no
+    * rounding) and the frame spectrum is closed-form: P[64] =
+    * (a1·128)², P[128] = (a2·256)², every other bin 0. a1 is forced
+    * odd and the bin-128 magnitude is 2·a2·128 (even), so the dominant
+    * bin never ties and flips per doc as the amplitudes race. */
+  def toneAmps(id: Long): (Int, Int) =
+    ((2 * (id % 350) + 201).toInt, (100 + id % 250).toInt)
+
+  /** Spectral frame length (power of two, radix-2 FFT). */
+  val SpectrumFrame = 256
+
+  def synthToneLen(id: Long): Int = SpectrumFrame * (1 + id % 3).toInt
+
+  def synthToneSample(id: Long, i: Int): Int = {
+    val (a1, a2) = toneAmps(id)
+    val c4 = (i % 4) match {
+      case 0 => 1; case 2 => -1; case _ => 0
+    }
+    val c2 = if (i % 2 == 0) 1 else -1
+    a1 * c4 + a2 * c2
+  }
+
+  /** Synthetic WAV blobs carrying the exact two-tone signal. */
+  def syntheticWavTone(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, WavCodec.encodePcm16(
+            Array.tabulate(synthToneLen(id))(i =>
+              synthToneSample(id, i))))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One spectral-analysis frame: the spectrogram-column stats an
+    * audio curation pass keeps per window. Discrete features
+    * (dominant/rolloff BIN indices) are FP-noise-immune by orders of
+    * magnitude on the gate signal; the two continuous ones (centroid,
+    * log10 power) carry relative FFT error ~1e-15 ≪ the round-6
+    * oracle margin. */
+  case class AudioSpectrumFrame(doc_id: Long, frame_idx: Long,
+                                n_samples: Long, dominant_bin: Long,
+                                centroid: Double, rolloff_bin: Long,
+                                log_power: Double)
+
+  /** Decode each WAV payload and emit per-frame SPECTRAL features via
+    * the from-scratch radix-2 [[Fft]] — the frequency-domain stage
+    * after the codec (e181's ZCR/energy are time-domain). Dominant =
+    * argmax power bin (lowest on ties), centroid = Σk·P/ΣP, rolloff =
+    * smallest bin whose cumulative power reaches 85% of the total,
+    * log_power = log₁₀ΣP. Same partition-local iterator→iterator
+    * topology as [[decodeWavFrames]]: decode and FFT never shuffle;
+    * only (frames × 7 columns) rows cross the exchange. */
+  def decodeWavSpectrum(blobs: DataFrame,
+                        frameSamples: Int = SpectrumFrame)
+      : Dataset[AudioSpectrumFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodePcm16(payload)
+          require(samples.length % frameSamples == 0,
+            s"doc $id: ${samples.length} samples not a whole number " +
+              s"of $frameSamples-sample spectral frames")
+          samples.grouped(frameSamples).zipWithIndex.map {
+            case (fr, idx) =>
+              val p = Fft.powerSpectrum(fr)
+              var total = 0.0
+              var weighted = 0.0
+              var domBin = 0
+              var domP = p(0)
+              var k = 0
+              while (k < p.length) {
+                total += p(k)
+                weighted += k.toDouble * p(k)
+                if (p(k) > domP) { domP = p(k); domBin = k }
+                k += 1
+              }
+              var cum = 0.0
+              var roll = p.length - 1
+              var found = false
+              k = 0
+              while (k < p.length && !found) {
+                cum += p(k)
+                if (cum >= 0.85 * total) { roll = k; found = true }
+                k += 1
+              }
+              AudioSpectrumFrame(id, idx.toLong, fr.length.toLong,
+                domBin.toLong, weighted / total, roll.toLong,
+                math.log10(total))
+          }
+        }
+      }
+  }
+
   /** Fast-wrapping sawtooth for the audio-FEATURE gate (e181): step
     * 7919 wraps every ~8 samples, so zero crossings actually occur —
     * the e65 signal (step 7) is monotone within every doc length and
