@@ -92,6 +92,10 @@ object ExtQueries {
       dir: String): Seq[(Long, String, String, Long)] =
     ModelCache.cached(s"bpe|$dir|merges=10")(
       TextAnalysis.bpeTrainRules(docs(s, dir), 10))
+  private def sharedBpeVocab(s: SparkSession, dir: String)
+      : (Long, Seq[(Long, String, String, Long, Long)]) =
+    ModelCache.cached(s"bpevocab|$dir|extra=18")(
+      TextAnalysis.bpeTrainToVocabDelta(docs(s, dir), 18))
 
   /** The sorted-neighborhood chain as DuckDB CTEs ending in
     * `snnj (doc_a, doc_b, jaccard)`: the global-row_number total order
@@ -2837,6 +2841,25 @@ object ExtQueries {
     "e175_bpe_apply" -> ((s, dir) =>
       TextAnalysis.bpeApply(docs(s, dir),
         sharedBpeRules(s, dir).map(r => (r._2, r._3)))),
+
+    // E195: BPE trained TO A TARGET VOCAB SIZE (VERDICT r13 #3) —
+    // character-level over the distinct-(word, count) table (the
+    // production BPE topology: training state is vocabulary-sized
+    // after ONE corpus aggregation), run until |vocab| = base + 18
+    // with the explicit vocab set and (count DESC, a, b) tie
+    // priority. The oracle unrolls the identical 18 weighted rounds
+    // (island-parity greedy within each word) and reconstructs the
+    // vocab trajectory as base + rank; real ties occur in this corpus
+    // (equal-count pair pools at several ranks), so the priority rule
+    // is load-bearing, not decorative.
+    "e195_bpe_vocab_train" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val (base, rules) = sharedBpeVocab(s, dir)
+      rules.map(t => (t._1, t._2, t._3, t._4, t._5, base))
+        .toDF("merge_rank", "tok_a", "tok_b", "cnt", "vocab_after",
+          "base_vocab")
+    }),
 
     // E177: mergeable histogram-quantile sketch — the DISTRIBUTION
     // member of the sketch family (Bloom membership, CMS frequency):
@@ -6750,6 +6773,7 @@ object ExtQueries {
     // the unrolled chain's FINAL stage vs s0 — rank-ordered rule
     // application equals the training loop's last state
     "e175_bpe_apply" -> bpeApplyOracle(merges = 10),
+    "e195_bpe_vocab_train" -> charBpeVocabOracle(extra = 18),
 
     // the 32-bin histogram rebuilt in SQL; identical interpolation
     // trees, exact quantile via quantile_cont, rounded stats compared
@@ -7655,6 +7679,79 @@ object ExtQueries {
       |    list_filter(string_split(text, ' '), x -> x != '') AS w
       |  FROM documents),
       |$rounds""".stripMargin
+  }
+
+  /** The e195 oracle: `extra` unrolled CHARACTER-level merge rounds
+    * over the distinct-(word, wc) table — the same island-parity
+    * greedy re-segmentation as [[bpeRoundCtes]] but weighted by word
+    * count and partitioned by word, with the vocab trajectory
+    * reconstructed as base + rank (the operator enforces novel-symbol
+    * adoption, so +1 per rank is exact, never assumed). */
+  private def charBpeVocabOracle(extra: Int): String = {
+    val rounds = (1 to extra).map { r =>
+      val p = r - 1
+      s"""p$r AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b, wc
+        |  FROM (SELECT w, wc, unnest(range(1, len(w))) AS i
+        |        FROM s$p WHERE len(w) >= 2) t),
+        |t$r AS MATERIALIZED (
+        |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS cnt FROM p$r
+        |  GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |x$r AS (
+        |  SELECT word, wc, i, w[i] AS sym
+        |  FROM (SELECT word, wc, w, unnest(range(1, len(w) + 1)) AS i
+        |        FROM s$p) q),
+        |m$r AS (
+        |  SELECT word, wc, i, sym,
+        |    CASE WHEN sym = (SELECT a FROM t$r)
+        |          AND lead(sym) OVER (PARTITION BY word ORDER BY i)
+        |              = (SELECT b FROM t$r)
+        |         THEN 1 ELSE 0 END AS hit
+        |  FROM x$r),
+        |g$r AS (
+        |  SELECT word, wc, i, sym, hit,
+        |    i - row_number() OVER (PARTITION BY word, hit ORDER BY i)
+        |      AS grp
+        |  FROM m$r),
+        |k$r AS (
+        |  SELECT word, wc, i, sym, hit,
+        |    CASE WHEN hit = 1
+        |          AND (i - min(i) OVER (PARTITION BY word, hit, grp))
+        |              % 2 = 0
+        |         THEN 1 ELSE 0 END AS taken
+        |  FROM g$r),
+        |z$r AS (
+        |  SELECT word, wc, i,
+        |    CASE WHEN taken = 1 THEN (SELECT a || ' ' || b FROM t$r)
+        |         ELSE sym END AS sym,
+        |    lag(taken) OVER (PARTITION BY word ORDER BY i)
+        |      AS prev_taken
+        |  FROM k$r),
+        |s$r AS MATERIALIZED (
+        |  SELECT word, wc, list(sym ORDER BY i) AS w FROM z$r
+        |  WHERE coalesce(prev_taken, 0) = 0 GROUP BY word, wc)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to extra).map(r =>
+      s"SELECT $r AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+      |  SELECT word, count(*) AS wc FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '),
+      |      x -> x != '')) AS word
+      |    FROM documents) GROUP BY 1),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, wc,
+      |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS w
+      |  FROM w0),
+      |$rounds,
+      |base AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS bv
+      |         FROM (SELECT unnest(w) AS c FROM s0)),
+      |rules AS ($union)
+      |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, tok_a, tok_b,
+      |  cnt, CAST(bv + merge_rank AS BIGINT) AS vocab_after,
+      |  bv AS base_vocab
+      |FROM rules CROSS JOIN base""".stripMargin
   }
 
   /** Causal drawdown chain shared by the batch operator (e118) and its

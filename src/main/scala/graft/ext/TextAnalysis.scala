@@ -295,6 +295,98 @@ object TextAnalysis {
     bpeTrainRules(docs, merges).toDF("merge_rank", "tok_a", "tok_b", "cnt")
   }
 
+  /** CHARACTER-level BPE trained TO A TARGET VOCAB SIZE (VERDICT r13
+    * #3) — the real tokenizer-training contract (Sennrich et al. 2016:
+    * run until |vocab| = N), where [[bpeTrainRules]] runs a fixed
+    * merge count. Differences, both load-bearing:
+    *
+    *  - **Distinct-word weighting**: the corpus collapses to the
+    *    (word, count) table FIRST and every round's pair statistics
+    *    are `Σ word_count` over in-word adjacent pairs. This is the
+    *    standard BPE scale topology: after one corpus-sized
+    *    aggregation, training state is VOCABULARY-sized — at 100 TB
+    *    the word table is a few million rows regardless of corpus
+    *    size, so 10k merge rounds iterate on a frame that fits in one
+    *    executor's cache. (e173's corpus-resegmenting form is the
+    *    within-document generalization; this is what production
+    *    training runs.)
+    *  - **Vocab-based stopping with an explicit vocab SET**: base
+    *    vocab = distinct characters; each adopted merge must produce
+    *    a NOVEL symbol (enforced — two merge paths arriving at the
+    *    same joined string would make |vocab| grow by less than one
+    *    per rule, silently desynchronizing any rank-indexed oracle;
+    *    fail loudly instead). Stop at |vocab| ≥ target or pair
+    *    exhaustion.
+    *  - **Deterministic tie priority**: (count DESC, tok_a, tok_b) —
+    *    pinned by a spec tie case.
+    *
+    * Returns (baseVocab, rules) with rules =
+    * (rank, tok_a, tok_b, weighted count, vocab size after adoption).
+    * Merged symbols join with a space, so "t"+"h" → "t h" (rank
+    * structure visible, and base chars — which never contain spaces —
+    * cannot collide with fusions).
+    */
+  def bpeTrainToVocab(docs: DataFrame, targetVocab: Int,
+                      maxMerges: Int = 256)
+      : (Long, Seq[(Long, String, String, Long, Long)]) =
+    trainToVocab(docs, _ => targetVocab, maxMerges)
+
+  /** [[bpeTrainToVocab]] with the target expressed RELATIVE to the
+    * discovered base vocab (base + extra) — the scale-factor-
+    * independent gate form: the unrolled oracle can assume exactly
+    * `extra` rounds whatever corpus it runs on. */
+  def bpeTrainToVocabDelta(docs: DataFrame, extra: Int,
+                           maxMerges: Int = 256)
+      : (Long, Seq[(Long, String, String, Long, Long)]) =
+    trainToVocab(docs, base => base.toInt + extra, maxMerges)
+
+  private def trainToVocab(docs: DataFrame, targetOf: Long => Int,
+                           maxMerges: Int)
+      : (Long, Seq[(Long, String, String, Long, Long)]) = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var seqs = CachePins.pinCheckpoint(
+      docs.select(explode(words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .select(col("word"), col("wc"), chars.as("w")))
+    val baseVocab = scala.collection.mutable.Set[String]()
+    seqs.select(explode(col("w")).as("c")).distinct().collect()
+      .foreach(r => baseVocab += r.getString(0))
+    val vocab = baseVocab.clone()
+    val base = baseVocab.size.toLong
+    val targetVocab = targetOf(base)
+    val rules = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (vocab.size < targetVocab && r <= maxMerges && !exhausted) {
+      val top = seqs.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(w[i] AS a, w[i + 1] AS b))""".stripMargin))
+          .as("p"), col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val fused = a + " " + b
+        require(!vocab.contains(fused),
+          s"BPE merge #$r produced an existing vocab symbol '$fused' — " +
+            "vocab would grow by <1 and rank-indexed oracles desync")
+        vocab += fused
+        rules += ((r.toLong, a, b, c, vocab.size.toLong))
+        seqs = CachePins.pinCheckpoint(
+          seqs.select(col("word"), col("wc"), mergeFold(a, b).as("w")))
+        r += 1
+      }
+    }
+    (base, rules.toSeq)
+  }
+
   /** APPLY a learned merge table (the tokenizer-SERVING half of
     * [[bpeTrain]] — training composes onto the corpus): re-segment
     * every document by the rules IN RANK ORDER and emit per-document

@@ -181,6 +181,40 @@ class ExtOpsSpec extends SparkSpec {
     assert(got(0).getString(1) == "x" && got(0).getString(2) == "y")
   }
 
+  test("E195: char-level BPE trains to EXACTLY the target vocab, " +
+    "weighting pairs by word count, with the (count, a, b) tie rule") {
+    // words: "abab" x3, "cd" x2, "ce" x1 → base chars {a,b,c,d,e} = 5
+    // round 1: in-word pairs weighted by wc: (a,b)=2·3=6, (b,a)=3,
+    //   (c,d)=2, (c,e)=1 → (a,b) wins
+    // round 2: abab → [ab,ab]: (ab,ab)=3, (c,d)=2, (c,e)=1
+    // round 3 (target 8 reached after): (c,d)=2
+    val d = Seq((1L, "abab cd abab"), (2L, "abab cd ce"))
+      .toDF("doc_id", "text")
+    val (base, rules) = TextAnalysis.bpeTrainToVocab(d, targetVocab = 8)
+    assert(base == 5L)
+    assert(rules.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
+      (1L, "a", "b", 6L, 6L),
+      (2L, "a b", "a b", 3L, 7L),
+      (3L, "c", "d", 2L, 8L)))
+    // tie case: two pairs at equal weighted count — lexicographically
+    // smaller (a, then b) wins. "xy" x2 vs "xz" x2 → (x,y) first.
+    val t = Seq((1L, "xy xz"), (2L, "xy xz")).toDF("doc_id", "text")
+    val (_, tr) = TextAnalysis.bpeTrainToVocab(t, targetVocab = 4)
+    assert(tr.head._2 == "x" && tr.head._3 == "y" && tr.head._4 == 2L)
+    // delta form: base discovered (3: x,y,z) + extra 1 → one merge
+    val (db, dr) = TextAnalysis.bpeTrainToVocabDelta(t, extra = 1)
+    assert(db == 3L && dr.length == 1)
+  }
+
+  test("E195: vocab-target training stops at pair exhaustion when " +
+    "the target is unreachable") {
+    val d = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (base, rules) = TextAnalysis.bpeTrainToVocab(d, targetVocab = 99)
+    assert(base == 2L)
+    // one merge fuses the only word to a single symbol; no pairs left
+    assert(rules == Seq((1L, "a", "b", 2L, 3L)))
+  }
+
   test("E185: Luhn validates the classic test number and rejects its " +
     "off-by-one") {
     val d = Seq("4111111111111111", "4111111111111112",
