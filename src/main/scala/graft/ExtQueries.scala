@@ -2967,6 +2967,29 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E196: SLIDING-window cardinality (VERDICT r13 #4) — overlapping
+    // 3-day windows composed from e190's tumbling per-day panes by
+    // register max (panes built once; the overlap shares them instead
+    // of re-scanning events — the production sliding-distinct
+    // topology). Estimate per window next to the exact distinct over
+    // the same 3-day span; windows labeled by their last day.
+    "e196_sliding_hll" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val panes = Sketches.hllRegistersBy(ev, day,
+        col("user_id").cast("string"))
+      val slid = Sketches.hllSlidingRegisters(panes, 3)
+      val wins = panes.select(col("grp")).distinct()
+      val exact = ev.select(day.as("d"), col("user_id"))
+        .withColumn("grp",
+          explode(sequence(col("d"), col("d") + lit(2))))
+        .join(wins, Seq("grp"), "left_semi")
+        .groupBy(col("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      Sketches.hllScorecardBy(slid, exact)
+        .withColumnRenamed("grp", "dayord")
+    }),
+
     // E188: PROGRESSIVE JPEG codec gate — the same block-constant
     // planes as e174, but Huffman-coded through the SOF2 multi-scan
     // architecture (interleaved DC first pass at Al=1, DC refinement
@@ -7079,6 +7102,7 @@ object ExtQueries {
     // the e179 registers partitioned by day — same hash, rho chain,
     // and exact-integer harmonic arithmetic, group-wise
     "e190_windowed_hll" -> hllWindowedOracle,
+    "e196_sliding_hll" -> hllSlidingOracle,
 
     // the nearest-resampled pattern evaluated directly: source pixel
     // (x·pw//tw, y·ph//th), value from its 8x8 block's formula
@@ -7577,11 +7601,59 @@ object ExtQueries {
       |FROM a JOIN n USING (grp)""".stripMargin
   }
 
+  /** The e196 sliding-HLL oracle: e190's per-day register chain,
+    * then each 3-day window (labeled by its last existing day) takes
+    * the register MAX over the panes it covers — `r0.grp BETWEEN
+    * w−2 AND w` is exactly the Spark side's pane→windows explode —
+    * next to the exact distinct over the same span. */
+  private def hllSlidingOracle: String = {
+    val rho = "CASE WHEN w = 0 THEN 55 " +
+      (53 to 0 by -1).map(k =>
+        s"WHEN w >= ${1L << k} THEN ${54 - k}").mkString(" ") + " END"
+    val raw = """CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+      |                  / CAST(a.sum_int AS DOUBLE)""".stripMargin
+    val est = s"""CASE WHEN $raw <= CAST(160 AS DOUBLE)
+      |              AND a.v_zeros > 0
+      |             THEN CAST(64 AS DOUBLE)
+      |                  * ln(CAST(64 AS DOUBLE)
+      |                       / CAST(a.v_zeros AS DOUBLE))
+      |             ELSE $raw END""".stripMargin
+    s"""WITH h AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS grp,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      ::BIGINT AS h
+      |  FROM events),
+      |jw AS (SELECT grp, h & 63 AS j, h >> 6 AS w FROM h),
+      |r0 AS (SELECT grp, j, max($rho) AS m_rho FROM jw GROUP BY 1, 2),
+      |wins AS (SELECT DISTINCT grp AS w FROM h),
+      |sl AS (SELECT wins.w, r0.j, max(r0.m_rho) AS m_rho
+      |       FROM r0 JOIN wins ON r0.grp BETWEEN wins.w - 2 AND wins.w
+      |       GROUP BY 1, 2),
+      |regs AS (SELECT wi.w, t.j, coalesce(sl.m_rho, 0) AS m_rho
+      |         FROM wins wi CROSS JOIN range(0, 64) t(j)
+      |         LEFT JOIN sl ON sl.w = wi.w AND sl.j = t.j),
+      |a AS (SELECT w,
+      |    CAST(sum(1::BIGINT << (55 - m_rho)) AS BIGINT) AS sum_int,
+      |    CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_zeros
+      |  FROM regs GROUP BY 1),
+      |ev AS (SELECT epoch_us(ts) // 86400000000 AS grp, user_id
+      |       FROM events),
+      |n AS (SELECT wins.w, count(DISTINCT ev.user_id) AS n_exact
+      |      FROM ev JOIN wins ON ev.grp BETWEEN wins.w - 2 AND wins.w
+      |      GROUP BY 1)
+      |SELECT a.w AS dayord, n.n_exact, a.v_zeros, a.sum_int,
+      |  round($est, 6) AS hll_est,
+      |  round(abs($est - CAST(n.n_exact AS DOUBLE))
+      |        / CAST(n.n_exact AS DOUBLE), 6) AS rel_err
+      |FROM a JOIN n USING (w)""".stripMargin
+  }
+
   /** One HLL scorecard branch in SQL: md5-parity hash, the integer
     * CASE-chain rho (floats would flip at exact powers of two), max
     * per register over the full 0..63 range, the EXACT-integer
     * harmonic sum in units of 2^-55, and the branchy estimator with
-    * the identical expression tree as [[Sketches.hllScorecard]]. */
+    * identical expression tree as [[Sketches.hllScorecard]]. */
   private def hllOracleBranch(keyCol: String): String = {
     val rho = "CASE WHEN w = 0 THEN 55 " +
       (53 to 0 by -1).map(k =>

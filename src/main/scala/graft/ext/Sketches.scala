@@ -283,6 +283,29 @@ object Sketches {
         coalesce(col("m_rho"), lit(0)).as("m_rho"))
   }
 
+  /** SLIDING-window register frames (VERDICT r13 #4): overlapping
+    * windows composed from the per-pane frames of [[hllRegistersBy]]
+    * by REGISTER MAX — the standard pane-sharing trick: each
+    * tumbling pane is built ONCE from the data, then every sliding
+    * window of `spanPanes` consecutive panes merges by max, so the
+    * overlap never re-scans events. A pane row fans out `spanPanes`
+    * ways (explode over the windows it feeds) — sketch-sized
+    * (groups × 64 × span rows), never data-sized — and windows are
+    * labeled by their LAST pane, kept only where that pane exists.
+    * HLL registers are max-mergeable, so the merged frame is exactly
+    * the sketch of the union of the covered panes' key sets. */
+  def hllSlidingRegisters(panes: DataFrame,
+                          spanPanes: Int): DataFrame = {
+    val wins = panes.select(col("grp").as("w")).distinct()
+    panes
+      .withColumn("w", explode(sequence(col("grp"),
+        col("grp") + lit(spanPanes - 1))))
+      .join(wins, Seq("w"), "left_semi")
+      .groupBy(col("w").as("grp"), col("j"))
+      .agg(max(col("m_rho")).as("m_rho"))
+      .select(col("grp"), col("j"), col("m_rho"))
+  }
+
   /** Per-group estimate scorecard: [[hllScorecard]]'s arithmetic
     * applied group-wise, joined to the exact per-group distinct
     * counts (`exact`: (grp, n_exact)). */

@@ -100,6 +100,30 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(est.getDouble(5) < 0.4, s"rel_err=${est.getDouble(5)}")
   }
 
+  test("hll sliding windows: each window's registers equal the " +
+    "from-scratch sketch of its covered panes' union (E196)") {
+    // panes on days 10, 11, 13 (12 missing), disjoint-ish key sets
+    val keyed = ((0 until 300).map(i => (10L, s"a-$i")) ++
+      (200 until 500).map(i => (11L, s"a-$i")) ++
+      (0 until 100).map(i => (13L, s"b-$i"))).toDF("d", "k")
+    val panes = Sketches.hllRegistersBy(keyed, col("d"), col("k"))
+    val slid = Sketches.hllSlidingRegisters(panes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    // windows are labeled by existing last days only: 10, 11, 13
+    assert(slid.keys.map(_._1).toSet == Set(10L, 11L, 13L))
+    // window 13 covers panes 11..13 (12 absent, 10 excluded);
+    // window 11 covers 10..11; window 10 covers only itself
+    def fresh(days: Long*) = Sketches.hllRegisters(
+        keyed.filter(col("d").isin(days: _*)), col("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (j <- 0L until 64L) {
+      assert(slid((10L, j)) == fresh(10L)(j), s"w=10 j=$j")
+      assert(slid((11L, j)) == fresh(10L, 11L)(j), s"w=11 j=$j")
+      assert(slid((13L, j)) == fresh(11L, 13L)(j), s"w=13 j=$j")
+    }
+  }
+
   test("cms join cardinality: never undercounts, exact when buckets " +
     "don't collide") {
     val a = (0 until 50).flatMap(u => Seq.fill(u % 5 + 1)(u.toLong))
