@@ -2990,6 +2990,30 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E197: H.264 I-frame codec, all-I_PCM streams (VERDICT r13 #7) —
+    // real Annex B bitstreams (start codes, NAL headers, emulation
+    // prevention, Exp-Golomb SPS/PPS/slice headers) decoded by the
+    // from-scratch H264Codec; the per-pixel pattern wraps through
+    // 0x00..0x03 so the escaping path is content-exercised. The
+    // oracle evaluates the pixel formula directly — any framing,
+    // ue(v), alignment, or raster-offset bug breaks the hash.
+    "e197_h264_ipcm_rows" -> ((s, dir) =>
+      Multimodal.decodeH264Rows(
+          Multimodal.syntheticH264Pcm(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
+    // E198: H.264 cross-MB INTRA PREDICTION — checkerboard streams
+    // where odd MBs are DC-predicted I_16x16 (CAVLC all-zero DC block
+    // with real nC derivation, I_PCM neighbors counting 16): the
+    // decoder must reconstruct them from the spec's neighbor means
+    // ((ΣL+ΣT+16)>>5 both, (Σ+8)>>4 one). Oracle: the same rounding
+    // on the closed-form MB values.
+    "e198_h264_intra_pred_rows" -> ((s, dir) =>
+      Multimodal.decodeH264Rows(
+          Multimodal.syntheticH264Checker(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E188: PROGRESSIVE JPEG codec gate — the same block-constant
     // planes as e174, but Huffman-coded through the SOF2 multi-scan
     // architecture (interleaved DC first pass at Al=1, DC refinement
@@ -7103,6 +7127,48 @@ object ExtQueries {
     // and exact-integer harmonic arithmetic, group-wise
     "e190_windowed_hll" -> hllWindowedOracle,
     "e196_sliding_hll" -> hllSlidingOracle,
+
+    // the I_PCM pixel formula evaluated directly per luma row
+    "e197_h264_ipcm_rows" ->
+      """WITH f AS (SELECT doc_id, unnest(range(0, 48)) AS y
+        |           FROM documents),
+        |px AS (SELECT doc_id, y, unnest(range(0, 48)) AS x FROM f),
+        |v AS (SELECT doc_id, y,
+        |        (doc_id*31 + (y*48 + x)*7) % 256 AS p FROM px)
+        |SELECT doc_id, y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(p) AS BIGINT) AS sum_y,
+        |  CAST(min(p) AS BIGINT) AS min_y,
+        |  CAST(max(p) AS BIGINT) AS max_y
+        |FROM v GROUP BY 1, 2""".stripMargin,
+
+    // the checkerboard MB values with the spec's DC-prediction
+    // rounding: both neighbors → (VL+VT+1)>>1, one → pass-through
+    // (all checkerboard neighbors are I_PCM constants)
+    "e198_h264_intra_pred_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |mb AS (SELECT doc_id, mx, my,
+        |    30 + (doc_id*7 + mx*31 + my*17) % 200 AS v,
+        |    (mx + my) % 2 AS odd
+        |  FROM f CROSS JOIN range(0,3) t1(mx)
+        |         CROSS JOIN range(0,3) t2(my)),
+        |vv AS (SELECT a.doc_id, a.mx, a.my,
+        |    CASE WHEN a.odd = 0 THEN a.v
+        |         WHEN a.mx > 0 AND a.my > 0 THEN (l.v + t.v + 1) // 2
+        |         WHEN a.mx > 0 THEN l.v
+        |         ELSE t.v END AS v
+        |  FROM mb a
+        |  LEFT JOIN mb l ON l.doc_id = a.doc_id AND l.mx = a.mx - 1
+        |    AND l.my = a.my
+        |  LEFT JOIN mb t ON t.doc_id = a.doc_id AND t.mx = a.mx
+        |    AND t.my = a.my - 1),
+        |rws AS (SELECT doc_id, unnest(range(0, 48)) AS y FROM f)
+        |SELECT r.doc_id, r.y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(v.v * 16) AS BIGINT) AS sum_y,
+        |  CAST(min(v.v) AS BIGINT) AS min_y,
+        |  CAST(max(v.v) AS BIGINT) AS max_y
+        |FROM rws r JOIN vv v ON v.doc_id = r.doc_id
+        |  AND v.my = r.y // 16
+        |GROUP BY 1, 2""".stripMargin,
 
     // the nearest-resampled pattern evaluated directly: source pixel
     // (x·pw//tw, y·ph//th), value from its 8x8 block's formula

@@ -1,0 +1,467 @@
+package graft.ext
+
+/** From-scratch H.264/AVC I-frame codec (ITU-T H.264 / ISO 14496-10,
+  * Annex B byte streams) — the INTERFRAME-VIDEO-container member of
+  * the codec family (VERDICT r13 #7), built with the same from-spec
+  * discipline as [[JpegCodec]]: no libraries, every layer real.
+  *
+  * What is fully implemented (spec section references):
+  *  - Annex B framing: start codes, NAL headers, and emulation-
+  *    prevention bytes (7.4.1: `00 00 0x` → `00 00 03 0x`) in both
+  *    directions — I_PCM payloads carry arbitrary bytes, so the gate
+  *    content actually exercises escaping;
+  *  - Exp-Golomb ue(v)/se(v) coding (9.1) and the RBSP bit reader /
+  *    writer with rbsp_trailing_bits;
+  *  - SPS/PPS (7.3.2.1/7.3.2.2): baseline profile 66,
+  *    pic_order_cnt_type 2, CAVLC entropy mode, deblocking control
+  *    present; the parser walks every field it skips;
+  *  - IDR slice header (7.3.3) with deblocking DISABLED
+  *    (disable_deblocking_filter_idc = 1), so reconstruction is
+  *    bit-exact prediction — no filter to approximate;
+  *  - Macroblock layer (7.3.5): **I_PCM** (mb_type 25 — alignment +
+  *    raw 4:2:0 samples, the spec's lossless escape) and **I_16x16
+  *    DC-predicted** MBs (mb_type 3: predMode DC, cbp 0) with the
+  *    always-present Intra16x16DCLevel parsed through real CAVLC
+  *    coeff_token decoding (9.2.1) including nC derivation from
+  *    neighbor total-coefficient counts (I_PCM neighbors count 16,
+  *    cbp-0 I_16x16 neighbors 0) and the nC≥8 fixed-length table;
+  *  - Intra 16x16 DC luma prediction (8.3.3.1: (Σtop + Σleft + 16)>>5
+  *    both neighbors, (Σ+8)>>4 one, 128 none) and DC chroma
+  *    prediction, with raster-scan availability rules.
+  *
+  * Scope contract (fail-fast, never guess): streams with nonzero
+  * residual levels (TotalCoeff > 0), I_4x4 / Plane / V / H prediction,
+  * CABAC, or P/B slices are REJECTED by name — the decoder decodes
+  * exactly the prediction-plus-PCM subset its paired encoder emits
+  * (the `JpegCodec` progressive-gate-writer precedent). Within that
+  * subset the bitstreams are fully conformant H.264 any reference
+  * decoder would reconstruct identically.
+  */
+object H264Codec {
+
+  // ------------------------------------------------------------ bits
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0
+    private var nBits = 0
+    def u(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit((v >> i) & 1); i -= 1 }
+    }
+    def putBit(b: Int): Unit = {
+      acc = (acc << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { buf += acc.toByte; acc = 0; nBits = 0 }
+    }
+    /** ue(v), 9.1: leadingZeroBits zeros, 1, then info bits. */
+    def ue(v: Int): Unit = {
+      val codeNum = v + 1
+      val bits = 32 - Integer.numberOfLeadingZeros(codeNum)
+      u(0, bits - 1)
+      u(codeNum, bits)
+    }
+    /** se(v), 9.1.1: k>0 → 2k−1, k<0 → −2k, 0 → 0. */
+    def se(v: Int): Unit = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def byteAligned: Boolean = nBits == 0
+    def alignZero(): Unit = while (nBits != 0) putBit(0)
+    def putByte(b: Int): Unit = {
+      require(byteAligned, "raw byte write requires alignment")
+      buf += b.toByte
+    }
+    def rbspTrailing(): Unit = { putBit(1); alignZero() }
+    def toBytes: Array[Byte] = {
+      require(byteAligned, "unflushed bits"); buf.toArray
+    }
+  }
+
+  private final class BitReader(data: Array[Byte]) {
+    var pos = 0
+    private var acc = 0
+    private var nBits = 0
+    def readBit(): Int = {
+      if (nBits == 0) {
+        require(pos < data.length, "H264: truncated RBSP")
+        acc = data(pos) & 0xff; pos += 1; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def u(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def ue(): Int = {
+      var zeros = 0
+      while (readBit() == 0) {
+        zeros += 1
+        require(zeros < 32, "H264: Exp-Golomb run too long")
+      }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = {
+      val k = ue()
+      if (k % 2 == 1) (k + 1) / 2 else -(k / 2)
+    }
+    def byteAligned: Boolean = nBits == 0
+    def align(): Unit = nBits = 0
+    def readByteAligned(): Int = {
+      require(byteAligned, "raw byte read requires alignment")
+      require(pos < data.length, "H264: truncated RBSP")
+      val b = data(pos) & 0xff; pos += 1; b
+    }
+  }
+
+  // ----------------------------------------------------- NAL framing
+  /** RBSP → NAL payload: insert emulation-prevention 0x03 before any
+    * byte ≤ 3 that follows two zero bytes (7.4.1). */
+  private def escapeRbsp(rbsp: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    for (b <- rbsp) {
+      if (zeros >= 2 && (b & 0xff) <= 3) { out += 3.toByte; zeros = 0 }
+      out += b
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toArray
+  }
+
+  /** NAL payload → RBSP: drop each 0x03 that follows two zero bytes. */
+  private def unescapeRbsp(nal: Array[Byte]): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var zeros = 0
+    var i = 0
+    while (i < nal.length) {
+      val b = nal(i)
+      if (zeros >= 2 && (b & 0xff) == 3) {
+        require(i + 1 >= nal.length || (nal(i + 1) & 0xff) <= 3,
+          "H264: invalid emulation-prevention byte")
+        zeros = 0 // drop the 03
+      } else {
+        out += b
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def nal(refIdc: Int, nalType: Int,
+                  rbsp: Array[Byte]): Array[Byte] =
+    Array[Byte](0, 0, 0, 1, ((refIdc << 5) | nalType).toByte) ++
+      escapeRbsp(rbsp)
+
+  // ---------------------------------------------------------- encode
+  /** Per-MB content: either raw I_PCM samples or a DC-predicted MB
+    * (no residual — reconstruction is the spec prediction). */
+  sealed trait Mb
+  /** lumaY: 256 samples (raster 16×16); chroma planes constant. */
+  final case class PcmMb(lumaY: Array[Int], cb: Int = 128,
+                         cr: Int = 128) extends Mb
+  case object DcPredMb extends Mb
+
+  /** Encode one IDR frame of `mbw`×`mbh` macroblocks as a complete
+    * Annex B stream (SPS + PPS + IDR slice). */
+  def encode(mbw: Int, mbh: Int, mbs: Seq[Mb]): Array[Byte] = {
+    require(mbs.length == mbw * mbh,
+      s"need ${mbw * mbh} MBs, got ${mbs.length}")
+    // SPS (7.3.2.1)
+    val sps = new BitWriter
+    sps.u(66, 8) // profile_idc: baseline
+    sps.u(0, 8) // constraint flags + reserved
+    sps.u(10, 8) // level_idc
+    sps.ue(0) // seq_parameter_set_id
+    sps.ue(0) // log2_max_frame_num_minus4 → 4 bits
+    sps.ue(2) // pic_order_cnt_type 2: no further POC syntax
+    sps.ue(0) // max_num_ref_frames
+    sps.putBit(0) // gaps_in_frame_num_value_allowed_flag
+    sps.ue(mbw - 1) // pic_width_in_mbs_minus1
+    sps.ue(mbh - 1) // pic_height_in_map_units_minus1
+    sps.putBit(1) // frame_mbs_only_flag
+    sps.putBit(0) // direct_8x8_inference_flag
+    sps.putBit(0) // frame_cropping_flag
+    sps.putBit(0) // vui_parameters_present_flag
+    sps.rbspTrailing()
+    // PPS (7.3.2.2)
+    val pps = new BitWriter
+    pps.ue(0); pps.ue(0) // pps id, sps id
+    pps.putBit(0) // entropy_coding_mode_flag: CAVLC
+    pps.putBit(0) // bottom_field_pic_order_in_frame_present_flag
+    pps.ue(0) // num_slice_groups_minus1
+    pps.ue(0); pps.ue(0) // num_ref_idx_l{0,1}_default_active_minus1
+    pps.putBit(0) // weighted_pred_flag
+    pps.u(0, 2) // weighted_bipred_idc
+    pps.se(0); pps.se(0) // pic_init_qp/qs_minus26
+    pps.se(0) // chroma_qp_index_offset
+    pps.putBit(1) // deblocking_filter_control_present_flag
+    pps.putBit(0) // constrained_intra_pred_flag
+    pps.putBit(0) // redundant_pic_cnt_present_flag
+    pps.rbspTrailing()
+    // IDR slice (7.3.3 + 7.3.5)
+    val sl = new BitWriter
+    sl.ue(0) // first_mb_in_slice
+    sl.ue(7) // slice_type: I (all slices of picture)
+    sl.ue(0) // pic_parameter_set_id
+    sl.u(0, 4) // frame_num (log2_max_frame_num = 4)
+    sl.ue(0) // idr_pic_id
+    sl.putBit(0); sl.putBit(0) // dec_ref_pic_marking (IDR): no_output, long_term
+    sl.se(0) // slice_qp_delta
+    sl.ue(1) // disable_deblocking_filter_idc: FILTER OFF
+    // per-MB total-coefficient map for CAVLC nC (I_PCM counts 16)
+    val tc = Array.fill(mbw * mbh)(0)
+    for (my <- 0 until mbh; mx <- 0 until mbw) {
+      val i = my * mbw + mx
+      mbs(i) match {
+        case PcmMb(y, cb, cr) =>
+          require(y.length == 256, "I_PCM luma must be 256 samples")
+          sl.ue(25) // mb_type I_PCM
+          sl.alignZero() // pcm_alignment_zero_bit
+          y.foreach(v => sl.putByte(v))
+          for (_ <- 0 until 64) sl.putByte(cb)
+          for (_ <- 0 until 64) sl.putByte(cr)
+          tc(i) = 16
+        case DcPredMb =>
+          sl.ue(3) // I_16x16: predMode DC, cbpChroma 0, cbpLuma 0
+          sl.ue(0) // intra_chroma_pred_mode: DC
+          sl.se(0) // mb_qp_delta
+          // Intra16x16DCLevel: all-zero CAVLC block, coeff_token(0,0)
+          val nC = dcNc(tc, mbw, mx, my)
+          if (nC < 2) sl.putBit(1) // '1'
+          else if (nC < 4) sl.u(3, 2) // '11'
+          else if (nC < 8) sl.u(15, 4) // '1111'
+          else sl.u(3, 6) // nC≥8 FLC: 000011
+          tc(i) = 0
+      }
+    }
+    sl.rbspTrailing()
+    nal(3, 7, sps.toBytes) ++ nal(3, 8, pps.toBytes) ++
+      nal(3, 5, sl.toBytes)
+  }
+
+  /** nC for the Intra16x16 DC block (9.2.1): mean of the neighboring
+    * 4×4 blocks' total coefficients — here MB-uniform (I_PCM ⇒ 16,
+    * cbp-0 I_16x16 ⇒ 0), rounded up, single neighbor passes through,
+    * none ⇒ 0. */
+  private def dcNc(tc: Array[Int], mbw: Int, mx: Int, my: Int): Int = {
+    val a = if (mx > 0) Some(tc(my * mbw + mx - 1)) else None
+    val b = if (my > 0) Some(tc((my - 1) * mbw + mx)) else None
+    (a, b) match {
+      case (Some(x), Some(y)) => (x + y + 1) >> 1
+      case (Some(x), None) => x
+      case (None, Some(y)) => y
+      case (None, None) => 0
+    }
+  }
+
+  // ---------------------------------------------------------- decode
+  final case class Frame(mbw: Int, mbh: Int, y: Array[Int],
+                         cb: Array[Int], cr: Array[Int]) {
+    def width: Int = mbw * 16
+    def height: Int = mbh * 16
+  }
+
+  /** Decode a complete Annex B stream (SPS + PPS + one IDR slice)
+    * within the documented prediction-plus-PCM subset. */
+  def decode(bytes: Array[Byte]): Frame = {
+    val nals = splitNals(bytes)
+    require(nals.nonEmpty, "H264: no NAL units")
+    var mbw = -1
+    var mbh = -1
+    var log2MaxFrameNum = 4
+    var sawSps = false
+    var sawPps = false
+    var frame: Frame = null
+    for ((nalType, payload) <- nals) {
+      val r = new BitReader(unescapeRbsp(payload))
+      nalType match {
+        case 7 => // SPS
+          val profile = r.u(8)
+          r.u(8); r.u(8) // constraints, level
+          require(profile == 66,
+            s"H264: unsupported profile_idc $profile (baseline only)")
+          r.ue() // sps id
+          log2MaxFrameNum = r.ue() + 4
+          val poc = r.ue()
+          require(poc == 2, s"H264: unsupported pic_order_cnt_type $poc")
+          r.ue() // max_num_ref_frames
+          r.readBit() // gaps allowed
+          mbw = r.ue() + 1
+          mbh = r.ue() + 1
+          require(r.readBit() == 1, "H264: interlaced streams unsupported")
+          r.readBit() // direct_8x8
+          require(r.readBit() == 0, "H264: frame cropping unsupported")
+          r.readBit() // vui
+          sawSps = true
+        case 8 => // PPS
+          r.ue(); r.ue()
+          require(r.readBit() == 0, "H264: CABAC unsupported (CAVLC only)")
+          r.readBit()
+          require(r.ue() == 0, "H264: slice groups unsupported")
+          r.ue(); r.ue(); r.readBit(); r.u(2)
+          r.se(); r.se(); r.se()
+          r.readBit() // deblocking control present (assumed 1 by writer)
+          r.readBit(); r.readBit()
+          sawPps = true
+        case 5 => // IDR slice
+          require(sawSps && sawPps, "H264: slice before SPS/PPS")
+          frame = decodeSlice(r, mbw, mbh, log2MaxFrameNum)
+        case t => throw new IllegalArgumentException(
+          s"H264: unsupported NAL type $t")
+      }
+    }
+    require(frame != null, "H264: no IDR slice in stream")
+    frame
+  }
+
+  private def splitNals(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i + 3 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 &&
+        (bytes(i + 2) == 1 ||
+          (bytes(i + 2) == 0 && i + 4 <= bytes.length &&
+            bytes(i + 3) == 1))) {
+        val hdr = if (bytes(i + 2) == 1) i + 3 else i + 4
+        starts += hdr
+        i = hdr
+      } else i += 1
+    }
+    starts.toSeq.zipWithIndex.map { case (hdr, k) =>
+      val end =
+        if (k + 1 < starts.length) {
+          // back off over the next start code (3 or 4 bytes)
+          val n = starts(k + 1)
+          if (bytes(n - 4) == 0) n - 4 else n - 3
+        } else bytes.length
+      val h = bytes(hdr) & 0xff
+      require((h & 0x80) == 0, "H264: forbidden_zero_bit set")
+      (h & 0x1f, bytes.slice(hdr + 1, end))
+    }
+  }
+
+  private def decodeSlice(r: BitReader, mbw: Int, mbh: Int,
+                          log2MaxFrameNum: Int): Frame = {
+    require(r.ue() == 0, "H264: multi-slice pictures unsupported")
+    val sliceType = r.ue()
+    require(sliceType == 7 || sliceType == 2,
+      s"H264: unsupported slice_type $sliceType (I only)")
+    r.ue() // pps id
+    r.u(log2MaxFrameNum) // frame_num
+    r.ue() // idr_pic_id
+    r.readBit(); r.readBit() // dec_ref_pic_marking
+    r.se() // slice_qp_delta
+    val disableDeblock = r.ue()
+    require(disableDeblock == 1,
+      "H264: deblocking filter not implemented (writer disables it)")
+    val w = mbw * 16
+    val y = new Array[Int](w * mbh * 16)
+    val cb = new Array[Int](w / 2 * mbh * 8)
+    val cr = new Array[Int](w / 2 * mbh * 8)
+    val tc = Array.fill(mbw * mbh)(0)
+    for (my <- 0 until mbh; mx <- 0 until mbw) {
+      val mbType = r.ue()
+      mbType match {
+        case 25 => // I_PCM
+          r.align()
+          val x0 = mx * 16; val y0 = my * 16
+          for (py <- 0 until 16; px <- 0 until 16)
+            y((y0 + py) * w + x0 + px) = r.readByteAligned()
+          val cx0 = mx * 8; val cy0 = my * 8
+          for (py <- 0 until 8; px <- 0 until 8)
+            cb((cy0 + py) * (w / 2) + cx0 + px) = r.readByteAligned()
+          for (py <- 0 until 8; px <- 0 until 8)
+            cr((cy0 + py) * (w / 2) + cx0 + px) = r.readByteAligned()
+          tc(my * mbw + mx) = 16
+        case 3 => // I_16x16, DC pred, cbp 0
+          val chromaPred = r.ue()
+          require(chromaPred == 0,
+            s"H264: chroma pred mode $chromaPred unsupported (DC only)")
+          r.se() // mb_qp_delta
+          val nC = dcNc(tc, mbw, mx, my)
+          val (totalCoeff, _) = coeffToken(r, nC)
+          require(totalCoeff == 0,
+            "H264: nonzero residual levels unsupported " +
+              "(prediction-plus-PCM subset)")
+          predictDc(y, w, mx, my)
+          predictChromaDc(cb, w / 2, mx, my)
+          predictChromaDc(cr, w / 2, mx, my)
+          tc(my * mbw + mx) = 0
+        case t => throw new IllegalArgumentException(
+          s"H264: unsupported mb_type $t " +
+            "(I_PCM and DC-predicted I_16x16 only)")
+      }
+    }
+    require(r.readBit() == 1, "H264: missing rbsp_stop_one_bit")
+    Frame(mbw, mbh, y, cb, cr)
+  }
+
+  /** coeff_token (9.2.1): (TotalCoeff, TrailingOnes). Implemented for
+    * the codes the prediction-plus-PCM subset can contain — the
+    * all-zero block in every nC class — plus enough structure to name
+    * anything else it meets. */
+  private def coeffToken(r: BitReader, nC: Int): (Int, Int) =
+    if (nC >= 8) {
+      val code = r.u(6)
+      if (code == 3) (0, 0)
+      else ((code >> 2) + 1, code & 3)
+    } else {
+      // (0,0) prefix per class: nC<2 '1', nC<4 '11', nC<8 '1111'
+      val want = if (nC < 2) 1 else if (nC < 4) 2 else 4
+      var seen = 0
+      while (seen < want) {
+        require(r.readBit() == 1,
+          "H264: residual coeff_token outside the all-zero subset")
+        seen += 1
+      }
+      (0, 0)
+    }
+
+  /** Intra_16x16 DC prediction, 8.3.3.1. */
+  private def predictDc(y: Array[Int], w: Int, mx: Int, my: Int): Unit = {
+    val x0 = mx * 16; val y0 = my * 16
+    val hasLeft = mx > 0
+    val hasTop = my > 0
+    var sum = 0
+    if (hasLeft) for (py <- 0 until 16) sum += y((y0 + py) * w + x0 - 1)
+    if (hasTop) for (px <- 0 until 16) sum += y((y0 - 1) * w + x0 + px)
+    val dc =
+      if (hasLeft && hasTop) (sum + 16) >> 5
+      else if (hasLeft || hasTop) (sum + 8) >> 4
+      else 128
+    for (py <- 0 until 16; px <- 0 until 16)
+      y((y0 + py) * w + x0 + px) = dc
+  }
+
+  /** Chroma DC prediction (8.3.4, mode 0) over an 8×8 plane block:
+    * per-4×4 sub-block means — corner blocks use both neighbor
+    * groups, edge-adjacent blocks their aligned group, matching the
+    * spec's per-sub-block source selection. */
+  private def predictChromaDc(c: Array[Int], w: Int, mx: Int,
+                              my: Int): Unit = {
+    val x0 = mx * 8; val y0 = my * 8
+    val hasLeft = mx > 0
+    val hasTop = my > 0
+    def leftSum(fromY: Int): Int =
+      (0 until 4).map(i => c((y0 + fromY + i) * w + x0 - 1)).sum
+    def topSum(fromX: Int): Int =
+      (0 until 4).map(i => c((y0 - 1) * w + x0 + fromX + i)).sum
+    def dcOf(useL: Boolean, useT: Boolean, fy: Int, fx: Int): Int =
+      if (useL && useT) (leftSum(fy) + topSum(fx) + 4) >> 3
+      else if (useL) (leftSum(fy) + 2) >> 2
+      else if (useT) (topSum(fx) + 2) >> 2
+      else 128
+    // sub-blocks: (0,0) both; (4,0) top else left; (0,4) left else
+    // top; (4,4) both
+    val dcs = Array(
+      dcOf(hasLeft, hasTop, 0, 0),
+      if (hasTop) dcOf(useL = false, useT = true, 0, 4)
+      else dcOf(hasLeft, useT = false, 0, 4),
+      if (hasLeft) dcOf(useL = true, useT = false, 4, 0)
+      else dcOf(useL = false, hasTop, 4, 0),
+      dcOf(hasLeft, hasTop, 4, 4))
+    for (sb <- 0 until 4) {
+      val sx = (sb & 1) * 4; val sy = (sb >> 1) * 4
+      for (py <- 0 until 4; px <- 0 until 4)
+        c((y0 + sy + py) * w + x0 + sx + px) = dcs(sb)
+    }
+  }
+}

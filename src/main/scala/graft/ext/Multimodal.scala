@@ -28,6 +28,12 @@ import org.apache.spark.sql.types._
   *    corpora actually ship): Huffman scan decode + dequant + IDCT +
   *    4:2:0 MCU reassembly, oracle-gated end-to-end via
   *    `e174_jpeg_codec_rows` and ImageIO-cross-checked in spec;
+  *  - [[decodeH264Rows]]: a REAL pure-JVM H.264/AVC I-frame decoder
+  *    ([[H264Codec]], r14 — the CODED-video container): Annex B NAL
+  *    walk with emulation prevention, Exp-Golomb headers, I_PCM and
+  *    DC-predicted I_16x16 macroblocks with CAVLC all-zero blocks,
+  *    oracle-gated via `e197_h264_ipcm_rows` /
+  *    `e198_h264_intra_pred_rows`;
   *  - [[decodeFrames]]: the deterministic generic STUB retained as the
   *    seam shape for the remaining formats with no pure-JVM codec
   *    (interframe video like H.264, MP3/AAC audio).
@@ -734,6 +740,84 @@ object Multimodal {
     * SQL length() semantics) and the md5 fingerprint of the decoded
     * bytes — any inflate/trailer bug breaks the hash against the
     * uncompressed base table. */
+  // ------------------------------------------------------ H.264 seam
+
+  /** Per-pixel luma for the all-I_PCM H.264 gate (e197): wraps the
+    * full byte range INCLUDING 0x00/0x01/0x02/0x03 runs, so the
+    * Annex B emulation-prevention path is exercised by real content,
+    * not by luck. */
+  def synthH264Px(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + (y * 48 + x).toLong * 7) % 256).toInt
+
+  /** Per-MB constant luma for the checkerboard gate (e198). */
+  def synthH264MbVal(id: Long, mx: Int, my: Int): Int =
+    (30 + (id * 7 + mx * 31 + my * 17) % 200).toInt
+
+  val H264MbGrid = 3 // 3×3 MBs → 48×48 px per frame
+
+  /** Synthetic all-I_PCM H.264 streams: every MB carries raw samples
+    * of [[synthH264Px]] (the spec's lossless escape — arbitrary exact
+    * content through a fully conformant bitstream). */
+  def syntheticH264Pcm(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            H264Codec.PcmMb(Array.tabulate(256)(i =>
+              synthH264Px(id, mx * 16 + i % 16, my * 16 + i / 16)))
+          (id, H264Codec.encode(g, g, mbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Synthetic checkerboard H.264 streams: MBs at even (mx+my) are
+    * constant-valued I_PCM, odd ones are DC-PREDICTED I_16x16 — the
+    * decoder must run real cross-MB intra prediction (left/top
+    * 16-sample means with the spec's rounding) to reconstruct them. */
+  def syntheticH264Checker(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            if ((mx + my) % 2 == 0)
+              H264Codec.PcmMb(
+                Array.fill(256)(synthH264MbVal(id, mx, my)))
+            else (H264Codec.DcPredMb: H264Codec.Mb)
+          (id, H264Codec.encode(g, g, mbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded luma row with integer-exact features. */
+  case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
+                     min_y: Long, max_y: Long)
+
+  /** Decode each H.264 payload with [[H264Codec]] and emit per-row
+    * luma features — same iterator→iterator partition-local topology
+    * as every codec seam (decode never shuffles). */
+  def decodeH264Rows(blobs: DataFrame): Dataset[LumaRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val f = H264Codec.decode(payload)
+          (0 until f.height).iterator.map { y =>
+            val row = f.y.slice(y * f.width, (y + 1) * f.width)
+            LumaRow(id, y.toLong, f.width.toLong,
+              row.map(_.toLong).sum, row.min.toLong, row.max.toLong)
+          }
+        }
+      }
+  }
+
   case class TextBlobRow(doc_id: Long, n_chars: Long, fp: String)
 
   /** Inflate each gzip payload back to text and fingerprint it —
