@@ -476,6 +476,50 @@ object SparkEntry {
           Rounding.duckRound(col("spread"), 6).as("spread"))
     }),
 
+    // J2 streaming fusion LATE-DATA gate (the g10 discipline for the
+    // stream-stream join): tick candles arrive complete in batch 1;
+    // the M1 feed splits into an on-time stage and a LATE stage two
+    // batches later. With a 7230-second delay (30s off the minute
+    // grid, so the eviction boundary never coincides with a row), the
+    // join's one-batch-lagged late filter drops exactly the late M1
+    // rows behind W1 = min(side maxima) − delay — visible as
+    // vanished m1-only minutes. The oracle applies the SAME predicate
+    // to the M1 side of the batch full outer join.
+    "j2_fusion_late_replay" -> ((s, dir) => {
+      val t = tickCandles(s, dir).cache()
+      val m = m1Candles(s, dir).cache()
+      val isLate = minute(col("datetime")) % 4 === 1
+      val mOn = m.filter(!isLate)
+      val mLate = m.filter(isLate)
+      val maxAll = t.select(col("datetime"))
+        .unionByName(m.select(col("datetime")))
+        .agg(max(col("datetime"))).head().getTimestamp(0)
+      val flush = new java.sql.Timestamp(
+        maxAll.getTime + 2L * 86400000L)
+      def sentinel(df: DataFrame) =
+        df.limit(1).withColumn("datetime", lit(flush))
+      val tDir = Scratch.dir("fusion_late_t", dir)
+      val mDir = Scratch.dir("fusion_late_m", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        t, t.limit(0), t.limit(0), sentinel(t)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        mOn, m.limit(0), mLate, sentinel(m)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val fused = streaming.StreamingFusion.combineFirstStream(
+        stream(tDir), stream(mDir), "7230 seconds")
+      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+        .filter(col("datetime") < lit(flush))
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"),
+          Rounding.duckRound(col("spread"), 6).as("spread"))
+    }),
+
     // S8: ORC round-trip — the tick candles written through the
     // day-partitioned ORC store (Spark's second built-in columnar
     // format) and read back; sharing the batch resample's oracle
@@ -1178,6 +1222,32 @@ object SparkEntry {
          |  coalesce(t.volume, m.volume) AS volume,
          |  round(coalesce(t.spread, m.spread), 6) AS spread
          |FROM tick_candles t FULL OUTER JOIN m1_candles m
+         |  ON t.datetime = m.datetime""".stripMargin,
+
+    // the late gate's oracle: the batch full outer join with the
+    // join's late-filter predicate applied to the M1 side — a late
+    // (minute%4==1) row survives only at or above W1 = min(max tick
+    // minute, max on-time M1 minute) − 7230s
+    "j2_fusion_late_replay" ->
+      s"""$fusionWith,
+         |cut AS (
+         |  SELECT least(
+         |    (SELECT max(datetime) FROM tick_candles),
+         |    (SELECT max(datetime) FROM m1_candles
+         |     WHERE minute(datetime) % 4 != 1))
+         |    - INTERVAL 7230 SECOND AS w1),
+         |m_eff AS (
+         |  SELECT * FROM m1_candles
+         |  WHERE minute(datetime) % 4 != 1
+         |     OR datetime >= (SELECT w1 FROM cut))
+         |SELECT COALESCE(t.datetime, m.datetime) AS datetime,
+         |  round(coalesce(t.open, m.open), 6) AS open,
+         |  round(coalesce(t.high, m.high), 6) AS high,
+         |  round(coalesce(t.low, m.low), 6) AS low,
+         |  round(coalesce(t.close, m.close), 6) AS close,
+         |  coalesce(t.volume, m.volume) AS volume,
+         |  round(coalesce(t.spread, m.spread), 6) AS spread
+         |FROM tick_candles t FULL OUTER JOIN m_eff m
          |  ON t.datetime = m.datetime""".stripMargin,
 
     "j3_index_intersection" ->
