@@ -2990,6 +2990,21 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E199: MFCC (the e194 stretch) — the spectral path extended
+    // through the mel filterbank (20 HTK-constant triangles to the
+    // 4 kHz Nyquist) + ln(1+E) compression + DCT-II. On the two-tone
+    // gate signal the 2000 Hz tone straddles filters 14/15 (closed-
+    // form triangle weights, expression trees mirrored in SQL);
+    // Nyquist sits on the filterbank's outer edge with zero weight —
+    // the standard convention, exercised rather than hidden. The +1
+    // log floor makes empty filters EXACTLY 0 on both engines.
+    "e199_audio_mfcc" -> ((s, dir) =>
+      Multimodal.decodeWavMfcc(
+          Multimodal.syntheticWavTone(docs(s, dir).select(col("doc_id"))))
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
+          Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
+
     // E197: H.264 I-frame codec, all-I_PCM streams (VERDICT r13 #7) —
     // real Annex B bitstreams (start codes, NAL headers, emulation
     // prevention, Exp-Golomb SPS/PPS/slice headers) decoded by the
@@ -7127,6 +7142,54 @@ object ExtQueries {
     // and exact-integer harmonic arithmetic, group-wise
     "e190_windowed_hll" -> hllWindowedOracle,
     "e196_sliding_hll" -> hllSlidingOracle,
+
+    // the closed-form two-tone MFCC: filter edges from the identical
+    // mel expressions, triangle weights at 2000/4000 Hz, ln(1+E),
+    // DCT-II — only the order-dependent DCT sum is rounded
+    "e199_audio_mfcc" ->
+      """WITH g AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS k,
+        |    2*(doc_id % 350) + 201 AS a1, 100 + doc_id % 250 AS a2
+        |  FROM documents),
+        |p AS (SELECT doc_id, k,
+        |    CAST(CAST(a1*128 AS BIGINT) * CAST(a1*128 AS BIGINT)
+        |      AS DOUBLE) AS p1,
+        |    CAST(CAST(a2*256 AS BIGINT) * CAST(a2*256 AS BIGINT)
+        |      AS DOUBLE) AS p2
+        |  FROM g),
+        |fr AS (SELECT doc_id, unnest(range(0, k)) AS frame_idx, p1, p2
+        |       FROM p),
+        |mm AS (SELECT 2595 * log10(1 + CAST(4000 AS DOUBLE) / 700)
+        |         AS melmax),
+        |flt AS (SELECT unnest(range(1, 21)) AS f),
+        |edges AS (SELECT f,
+        |    700 * (pow(10, (melmax * (f - 1)) / 21 / 2595) - 1) AS lft,
+        |    700 * (pow(10, (melmax * f) / 21 / 2595) - 1) AS mid,
+        |    700 * (pow(10, (melmax * (f + 1)) / 21 / 2595) - 1) AS rgt
+        |  FROM flt CROSS JOIN mm),
+        |w AS (SELECT f,
+        |    CASE WHEN CAST(2000 AS DOUBLE) > lft
+        |          AND CAST(2000 AS DOUBLE) <= mid
+        |         THEN (CAST(2000 AS DOUBLE) - lft) / (mid - lft)
+        |         WHEN CAST(2000 AS DOUBLE) > mid
+        |          AND CAST(2000 AS DOUBLE) < rgt
+        |         THEN (rgt - CAST(2000 AS DOUBLE)) / (rgt - mid)
+        |         ELSE 0 END AS w64,
+        |    CASE WHEN CAST(4000 AS DOUBLE) > lft
+        |          AND CAST(4000 AS DOUBLE) <= mid
+        |         THEN (CAST(4000 AS DOUBLE) - lft) / (mid - lft)
+        |         WHEN CAST(4000 AS DOUBLE) > mid
+        |          AND CAST(4000 AS DOUBLE) < rgt
+        |         THEN (rgt - CAST(4000 AS DOUBLE)) / (rgt - mid)
+        |         ELSE 0 END AS w128
+        |  FROM edges),
+        |lm AS (SELECT doc_id, frame_idx, f,
+        |    ln(1 + (w64 * p1 + w128 * p2)) AS lmel
+        |  FROM fr CROSS JOIN w)
+        |SELECT doc_id, frame_idx, n AS coef_idx,
+        |  round(sum(lmel * cos(pi() * n * (f - 0.5) / 20)), 6) AS mfcc
+        |FROM lm CROSS JOIN range(0, 6) t(n)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
     "e197_h264_ipcm_rows" ->

@@ -75,6 +75,60 @@ object Fft {
     }
   }
 
+  /** Mel scale (O'Shaughnessy 1987, the HTK constant set):
+    * m(f) = 2595·log₁₀(1 + f/700). Filter edge j of `nFilters`
+    * triangles spanning [0, fMax] in mel space, j ∈ 0..nFilters+1.
+    * The expression trees here are MIRRORED verbatim by the e199
+    * DuckDB oracle — keep the operation order if editing. */
+  def melEdgeHz(nFilters: Int, fMax: Double, j: Int): Double = {
+    val melMax = 2595.0 * math.log10(1.0 + fMax / 700.0)
+    700.0 * (math.pow(10.0, (melMax * j / (nFilters + 1.0)) / 2595.0)
+      - 1.0)
+  }
+
+  /** Triangular weight of mel filter `f` (1-based) at `freq` Hz:
+    * rises over (left, mid], falls over (mid, right), zero outside —
+    * bin frequencies exactly on the outer edges (DC, Nyquist) get
+    * zero weight, the standard filterbank convention. */
+  def melWeight(nFilters: Int, fMax: Double, f: Int,
+                freq: Double): Double = {
+    val left = melEdgeHz(nFilters, fMax, f - 1)
+    val mid = melEdgeHz(nFilters, fMax, f)
+    val right = melEdgeHz(nFilters, fMax, f + 1)
+    if (freq > left && freq <= mid) (freq - left) / (mid - left)
+    else if (freq > mid && freq < right) (right - freq) / (right - mid)
+    else 0.0
+  }
+
+  /** MFCC of a one-sided power spectrum: mel filterbank energies,
+    * ln(1 + E) compression (the +1 floor keeps empty filters exactly
+    * 0 instead of −∞ — and absorbs FFT leakage ~1e-19 on the gate
+    * signals), then DCT-II over the filter axis:
+    * c_n = Σ_f L_f · cos(π·n·(f−0.5)/F). */
+  def mfcc(power: Array[Double], binHz: Double, fMax: Double,
+           nFilters: Int, nCoefs: Int): Array[Double] = {
+    val logMel = Array.tabulate(nFilters) { i =>
+      val f = i + 1
+      var e = 0.0
+      var k = 0
+      while (k < power.length) {
+        e += melWeight(nFilters, fMax, f, k * binHz) * power(k)
+        k += 1
+      }
+      math.log(1.0 + e)
+    }
+    Array.tabulate(nCoefs) { n =>
+      var c = 0.0
+      var f = 1
+      while (f <= nFilters) {
+        c += logMel(f - 1) *
+          math.cos(math.Pi * n * (f - 0.5) / nFilters)
+        f += 1
+      }
+      c
+    }
+  }
+
   /** One-sided power spectrum of a real integer frame: bins 0..N/2,
     * `P[k] = |X[k]|²`. The frame length must be a power of two. */
   def powerSpectrum(samples: Array[Int]): Array[Double] = {

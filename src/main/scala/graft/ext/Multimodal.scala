@@ -740,6 +740,42 @@ object Multimodal {
     * SQL length() semantics) and the md5 fingerprint of the decoded
     * bytes — any inflate/trailer bug breaks the hash against the
     * uncompressed base table. */
+  /** One MFCC coefficient row. */
+  case class MfccRow(doc_id: Long, frame_idx: Long, coef_idx: Long,
+                     mfcc: Double)
+
+  /** Decode each WAV payload and emit per-frame MFCCs (the e194
+    * spectral path extended through the mel filterbank + DCT-II —
+    * what speech/audio curation actually clusters on). 8 kHz sample
+    * rate ⇒ 31.25 Hz bins, filterbank to the 4 kHz Nyquist. Same
+    * partition-local topology as every codec seam. */
+  def decodeWavMfcc(blobs: DataFrame,
+                    frameSamples: Int = SpectrumFrame,
+                    nFilters: Int = 20,
+                    nCoefs: Int = 6): Dataset[MfccRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = WavCodec.decodePcm16(payload)
+          require(samples.length % frameSamples == 0,
+            s"doc $id: ${samples.length} samples not a whole number " +
+              s"of $frameSamples-sample frames")
+          samples.grouped(frameSamples).zipWithIndex.flatMap {
+            case (fr, idx) =>
+              val cs = Fft.mfcc(Fft.powerSpectrum(fr),
+                binHz = 8000.0 / frameSamples, fMax = 4000.0,
+                nFilters = nFilters, nCoefs = nCoefs)
+              cs.iterator.zipWithIndex.map { case (c, n) =>
+                MfccRow(id, idx.toLong, n.toLong, c)
+              }
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------------ H.264 seam
 
   /** Per-pixel luma for the all-I_PCM H.264 gate (e197): wraps the

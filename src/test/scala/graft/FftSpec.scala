@@ -69,6 +69,41 @@ class FftSpec extends AnyFunSuite {
       1e-9 * exact.toDouble)
   }
 
+  test("mel filterbank: triangles partition (0, fMax) — weights at " +
+    "any interior frequency sum to 1 across filters; DC and Nyquist " +
+    "sit on the outer edges with zero weight everywhere") {
+    for (freq <- Seq(100.0, 433.0, 2000.0, 3500.0)) {
+      val ws = (1 to 20).map(f => Fft.melWeight(20, 4000.0, f, freq))
+      assert(math.abs(ws.sum - 1.0) < 1e-12, s"freq $freq: ${ws.sum}")
+      assert(ws.forall(w => w >= 0.0 && w <= 1.0))
+    }
+    assert((1 to 20).forall(f => Fft.melWeight(20, 4000.0, f, 0.0) == 0.0))
+    assert((1 to 20).forall(f =>
+      Fft.melWeight(20, 4000.0, f, 4000.0) == 0.0))
+    // the 2000 Hz gate tone straddles exactly filters 14 and 15
+    val at2k = (1 to 20).filter(f =>
+      Fft.melWeight(20, 4000.0, f, 2000.0) > 0.0)
+    assert(at2k == Seq(14, 15))
+  }
+
+  test("mfcc: c0 equals the plain sum of log-mel energies (cos(0) " +
+    "column), and a single-tone frame yields exactly two nonzero " +
+    "filters") {
+    val n = 256
+    val tone = Array.tabulate(n)(i => i % 4 match {
+      case 0 => 300; case 2 => -300; case _ => 0
+    })
+    val p = Fft.powerSpectrum(tone)
+    val logMel = (1 to 20).map { f =>
+      val e = p.indices.map(k =>
+        Fft.melWeight(20, 4000.0, f, k * 31.25) * p(k)).sum
+      math.log(1.0 + e)
+    }
+    assert(logMel.count(_ > 1e-9) == 2)
+    val cs = Fft.mfcc(p, 31.25, 4000.0, 20, 6)
+    assert(math.abs(cs(0) - logMel.sum) < 1e-9)
+  }
+
   test("non-power-of-two frames are rejected, not silently padded") {
     intercept[IllegalArgumentException] {
       Fft.fft(new Array[Double](6), new Array[Double](6))
