@@ -2990,6 +2990,41 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E200: SLIDING-window heavy hitters — the CMS member of the
+    // sliding family (e196 is the HLL one): per-day cell panes summed
+    // (counts are additive) across overlapping 3-day windows, probed
+    // by the window's active users; est >= 12 selects a SUPERSET of
+    // the true per-window heavies (min-of-rows never undercounts —
+    // the gate output carries both collision-driven false positives
+    // and the 153 true ones), exact window count as the measured
+    // column
+    "e200_sliding_cms_heavy" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val key = col("user_id").cast("string")
+      val winCells = Sketches.cmsSlidingCells(
+        Sketches.cmsCellsBy(ev, day, key), 3)
+        .withColumnRenamed("grp", "w")
+      val wins = winCells.select(col("w")).distinct()
+      val evW = ev.select(day.as("d"), col("user_id"))
+        .withColumn("w", explode(sequence(col("d"), col("d") + lit(2))))
+        .join(wins, Seq("w"), "left_semi")
+      val probe = evW.select(col("w"), col("user_id")).distinct()
+        .select(col("w"), col("user_id"),
+          posexplode(array((0 until Sketches.CmsDepth).map(j =>
+            Sketches.cmsBucket(col("user_id").cast("string"),
+              lit(j))): _*)).as(Seq("j", "h")))
+      val est = probe.join(winCells, Seq("w", "j", "h"))
+        .groupBy(col("w"), col("user_id"))
+        .agg(min(col("c")).as("cms_est"))
+        .filter(col("cms_est") >= 12L)
+      val exact = evW.groupBy(col("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      est.join(exact, Seq("w", "user_id"))
+        .select(col("w").as("dayord"), col("user_id"), col("cms_est"),
+          col("n_events"), (col("n_events") >= 12L).as("is_heavy"))
+    }),
+
     // E199: MFCC (the e194 stretch) — the spectral path extended
     // through the mel filterbank (20 HTK-constant triangles to the
     // 4 kHz Nyquist) + ln(1+E) compression + DCT-II. On the two-tone
@@ -7142,6 +7177,47 @@ object ExtQueries {
     // and exact-integer harmonic arithmetic, group-wise
     "e190_windowed_hll" -> hllWindowedOracle,
     "e196_sliding_hll" -> hllSlidingOracle,
+
+    // per-day cells rebuilt in SQL, summed over each 3-day window
+    // (`pane.grp BETWEEN w−2 AND w` ≡ the Spark pane→windows
+    // explode), min-of-rows probe, exact window counts
+    "e200_sliding_cms_heavy" ->
+      """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
+        |e AS (SELECT epoch_us(ts) // 86400000000 AS grp, user_id
+        |      FROM events),
+        |wins AS (SELECT DISTINCT grp AS w FROM e),
+        |pane AS (
+        |  SELECT grp, j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h,
+        |    count(*) AS c
+        |  FROM e, jj GROUP BY 1, 2, 3),
+        |wc AS (SELECT wins.w, pane.j, pane.h,
+        |         CAST(sum(pane.c) AS BIGINT) AS c
+        |       FROM pane JOIN wins
+        |         ON pane.grp BETWEEN wins.w - 2 AND wins.w
+        |       GROUP BY 1, 2, 3),
+        |wu AS (SELECT DISTINCT wins.w, e.user_id
+        |       FROM e JOIN wins
+        |         ON e.grp BETWEEN wins.w - 2 AND wins.w),
+        |probe AS (
+        |  SELECT w, user_id, j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h
+        |  FROM wu, jj),
+        |est AS (
+        |  SELECT p.w, p.user_id, min(c.c) AS cms_est
+        |  FROM probe p JOIN wc c USING (w, j, h)
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT wins.w, e.user_id, count(*) AS n_events
+        |          FROM e JOIN wins
+        |            ON e.grp BETWEEN wins.w - 2 AND wins.w
+        |          GROUP BY 1, 2)
+        |SELECT est.w AS dayord, est.user_id, est.cms_est,
+        |  exact.n_events, exact.n_events >= 12 AS is_heavy
+        |FROM est JOIN exact
+        |  ON est.w = exact.w AND est.user_id = exact.user_id
+        |WHERE est.cms_est >= 12""".stripMargin,
 
     // the closed-form two-tone MFCC: filter edges from the identical
     // mel expressions, triangle weights at 2000/4000 Hz, ln(1+E),

@@ -113,6 +113,31 @@ object Sketches {
         cmsBucket(key, lit(j))): _*)).as(Seq("j", "h")))
       .groupBy(col("j"), col("h")).agg(count(lit(1)).as("c"))
 
+  /** PER-GROUP cell frames — the tumbling-pane form of [[cmsCells]]
+    * (per-day frequency sketches, groups × d·w rows of state). */
+  def cmsCellsBy(rows: DataFrame, grp: Column, key: Column): DataFrame =
+    rows
+      .select(grp.as("grp"),
+        posexplode(array((0 until CmsDepth).map(j =>
+          cmsBucket(key, lit(j))): _*)).as(Seq("j", "h")))
+      .groupBy(col("grp"), col("j"), col("h"))
+      .agg(count(lit(1)).as("c"))
+
+  /** SLIDING-window cell frames: the CMS twin of
+    * [[hllSlidingRegisters]] — counts are ADDITIVE, so overlapping
+    * windows SUM the covered panes' cells (where HLL max-merges
+    * registers). Same pane-sharing topology: each pane row fans out
+    * `spanPanes` ways, sketch-sized, events scanned once. */
+  def cmsSlidingCells(panes: DataFrame, spanPanes: Int): DataFrame = {
+    val wins = panes.select(col("grp").as("w")).distinct()
+    panes
+      .withColumn("w", explode(sequence(col("grp"),
+        col("grp") + lit(spanPanes - 1))))
+      .join(wins, Seq("w"), "left_semi")
+      .groupBy(col("w").as("grp"), col("j"), col("h"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Collect a (j, h, c) cell frame into the dense flat counter array
     * (index j·w + bucket; missing cells 0) — O(d·w) driver model
     * state. */
