@@ -2990,6 +2990,23 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E201: label-propagation communities over the co-purchase
+    // projection — the COMMUNITY member of the graph family (rank =
+    // PageRank, reach = BFS/Bellman-Ford, cohesion = k-core,
+    // components = CC): 6 synchronous rounds of (max neighbor-label
+    // count, min label) adoption, a deterministic total order both
+    // engines replay exactly; the cap is semantic (sync LPA can
+    // 2-cycle), per the e127/e180 convention
+    "e201_label_propagation" -> ((s, dir) => {
+      val pairs = GraphOps.bipartiteProjection(tradePairs(s, dir),
+        minShared = 190L)
+      val edges = pairs
+        .select(col("node_a").as("src"), col("node_b").as("dst"))
+        .unionByName(pairs
+          .select(col("node_b").as("src"), col("node_a").as("dst")))
+      GraphOps.labelPropagation(edges, 6)
+    }),
+
     // E200: SLIDING-window heavy hitters — the CMS member of the
     // sliding family (e196 is the HLL one): per-day cell panes summed
     // (counts are additive) across overlapping 3-day windows, probed
@@ -6884,6 +6901,7 @@ object ExtQueries {
     // settles well inside; extra rounds are no-ops) over the
     // weighted symmetrized projection
     "e180_weighted_shortest_path" -> wspOracle(rounds = 16),
+    "e201_label_propagation" -> lpaOracle(rounds = 6),
 
     // the BT.601 conversion evaluated from the block formulas at
     // replication-upsampled coords; round-then-clamp agrees across
@@ -7729,6 +7747,39 @@ object ExtQueries {
       |  SELECT seed AS node, CAST(0 AS BIGINT) AS cost FROM seedv),
       |$stages
       |SELECT node, cost FROM d$rounds""".stripMargin
+  }
+
+  /** The e201 oracle: 6 unrolled synchronous LPA rounds over the
+    * symmetrized min_shared=190 co-purchase projection — per round
+    * the neighbor-label counts, the per-node max, and the min label
+    * attaining it (all integer logic, no rounding anywhere). */
+  private def lpaOracle(rounds: Int): String = {
+    val stages = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""n$r AS (
+        |  SELECT e.dst AS node, l.lbl, count(*) AS c
+        |  FROM symlp e JOIN l$p l ON e.src = l.node GROUP BY 1, 2),
+        |m$r AS (SELECT node, max(c) AS mc FROM n$r GROUP BY 1),
+        |l$r AS MATERIALIZED (
+        |  SELECT n.node, min(n.lbl) AS lbl
+        |  FROM n$r n JOIN m$r m ON n.node = m.node AND n.c = m.mc
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtes,
+      |eglp AS (
+      |  SELECT a.sp AS node_a, b.sp AS node_b
+      |  FROM capped a JOIN capped b ON a.c = b.c AND a.sp < b.sp
+      |  GROUP BY 1, 2 HAVING count(*) >= 190),
+      |symlp AS (
+      |  SELECT node_a AS src, node_b AS dst FROM eglp
+      |  UNION ALL SELECT node_b, node_a FROM eglp),
+      |l0 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM symlp),
+      |$stages,
+      |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS comm_size
+      |          FROM l$rounds GROUP BY 1)
+      |SELECT l.node, l.lbl AS label, s.comm_size
+      |FROM l$rounds l JOIN sizes s ON l.lbl = s.lbl""".stripMargin
   }
 
   /** Direct formula evaluation of the block-constant planes the

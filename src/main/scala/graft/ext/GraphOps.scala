@@ -42,6 +42,43 @@ object GraphOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) over a
+    * SYMMETRIZED edge list for a FIXED round count: labels init to
+    * the node id; each round every node adopts the SMALLEST among its
+    * neighbors' most frequent labels ((max count, min label) — a
+    * total order, so the rounds are deterministic on both engines,
+    * unlike the randomized-order original). The round cap is
+    * SEMANTIC, not a convergence shortcut: synchronous LPA can
+    * 2-cycle on bipartite structure, so "the labeling after R
+    * rounds" is the well-defined quantity (the e127/e180
+    * oracle-parity convention).
+    *
+    * Scale shape: per round one co-partitioned join (edges ⋈ labels
+    * on src) + two aggregations keyed by node — the pageRank
+    * topology; label frames truncate lineage per round, the edge
+    * frame checkpoints once. Output: (node, label, comm_size). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val topo = CachePins.pinCheckpoint(
+      edges.select(col("src"), col("dst")))
+    var labels = CachePins.pinCheckpoint(
+      topo.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      val counts = topo.join(labels, topo("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val mx = counts.groupBy(col("dst")).agg(max(col("c")).as("mc"))
+      labels = CachePins.pinCheckpoint(
+        counts.join(mx, Seq("dst"))
+          .filter(col("c") === col("mc"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+          .select(col("dst").as("node"), col("lbl")))
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("comm_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node"), col("lbl").as("label"), col("comm_size"))
+  }
+
   /** Per-node triangle participation over an UNDIRECTED edge list
     * given as canonical (node_a < node_b) rows: enumerate each
     * triangle once via the ordered 3-way equi-join

@@ -9,6 +9,33 @@ import graft.ext.{EventAnalytics, GraphOps}
 class GraphRankSpec extends SparkSpec {
   import spark.implicits._
 
+  test("E201: label propagation converges to per-clique min-id " +
+    "communities on two bridged triangles; the bare-edge 2-cycle " +
+    "confirms the round cap is semantic") {
+    // triangles {1,2,3} and {10,11,12} bridged by 3–10
+    def und(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("src", "dst")
+    val g = und((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (3L, 10L))
+    val got = GraphOps.labelPropagation(g, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // hand trace: by round 3 triangle A settles on label 1 and the
+    // bridge has seeded node 3's id into triangle B, which settles on
+    // label 3 (rounds 4..6 are stable) — two communities of size 3
+    assert(Seq(1L, 2L, 3L).forall(n => got(n) == (1L, 3L)), got.toString)
+    assert(Seq(10L, 11L, 12L).forall(n => got(n) == (3L, 3L)),
+      got.toString)
+    // a single undirected edge 2-cycles under synchronous updates:
+    // odd rounds swap the labels, even rounds restore them
+    val pair = und((5L, 6L))
+    val odd = GraphOps.labelPropagation(pair, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(5L -> 6L, 6L -> 5L))
+    val even = GraphOps.labelPropagation(pair, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(5L -> 5L, 6L -> 6L))
+  }
+
   test("E154: PPR mass stays 1; the seeded star center dominates " +
     "its symmetric leaves") {
     // star: center 1 — leaves 2, 3, 4 (a path fixture would
