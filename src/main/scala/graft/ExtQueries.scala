@@ -2990,6 +2990,67 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E203: char-BPE APPLY at the learned vocab (the e195→serving
+    // composition, the e173→e175 pattern at char level): the trained
+    // merge table folds over the DISTINCT word table once, then
+    // documents re-expand against it with a broadcast join — the
+    // memoized production tokenizer; per-doc char/token/word counts
+    "e203_bpe_vocab_apply" -> ((s, dir) => {
+      val (_, rules) = sharedBpeVocab(s, dir)
+      TextAnalysis.charBpeApplyStats(docs(s, dir),
+        rules.map(r => (r._2, r._3)))
+    }),
+
+    // E202: the sliding-HLL maintained AS A STREAM — per-batch
+    // register frames appended to a store (the e178 sketch-store
+    // pattern, with MAX-merge instead of sum: registers are
+    // max-mergeable, so the maxed store IS the batch register table
+    // exactly), then the e196 pane→window merge; the replay shares
+    // e196's oracle verbatim — mergeability proven at the hash level
+    "e202_streaming_sliding_hll_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val scratch = graft.Scratch.fresh("slhll_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r =>
+          ev.filter(col("event_id") % 3 === r)
+            .select(col("ts"), col("user_id"))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Sketches.hllRegistersBy(b,
+              expr("unix_micros(ts) div 86400000000"),
+              col("user_id").cast("string"))
+            .write.mode("overwrite").parquet(s"$scratch/regs_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val regDirs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("regs_")).map(_.getPath).sorted
+      val merged = s.read.parquet(regDirs.toIndexedSeq: _*)
+        .groupBy(col("grp"), col("j"))
+        .agg(max(col("m_rho")).as("m_rho"))
+      val slid = Sketches.hllSlidingRegisters(merged, 3)
+      val wins = merged.select(col("grp")).distinct()
+      val exact = ev.select(day.as("d"), col("user_id"))
+        .withColumn("grp",
+          explode(sequence(col("d"), col("d") + lit(2))))
+        .join(wins, Seq("grp"), "left_semi")
+        .groupBy(col("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      Sketches.hllScorecardBy(slid, exact)
+        .withColumnRenamed("grp", "dayord")
+    }),
+
     // E201: label-propagation communities over the co-purchase
     // projection — the COMMUNITY member of the graph family (rank =
     // PageRank, reach = BFS/Bellman-Ford, cohesion = k-core,
@@ -6888,6 +6949,7 @@ object ExtQueries {
     // application equals the training loop's last state
     "e175_bpe_apply" -> bpeApplyOracle(merges = 10),
     "e195_bpe_vocab_train" -> charBpeVocabOracle(extra = 18),
+    "e203_bpe_vocab_apply" -> charBpeApplyOracle(extra = 18),
 
     // the 32-bin histogram rebuilt in SQL; identical interpolation
     // trees, exact quantile via quantile_cont, rounded stats compared
@@ -7195,6 +7257,8 @@ object ExtQueries {
     // and exact-integer harmonic arithmetic, group-wise
     "e190_windowed_hll" -> hllWindowedOracle,
     "e196_sliding_hll" -> hllSlidingOracle,
+    // max-merged per-batch partials == the batch registers exactly
+    "e202_streaming_sliding_hll_replay" -> hllSlidingOracle,
 
     // per-day cells rebuilt in SQL, summed over each 3-day window
     // (`pane.grp BETWEEN w−2 AND w` ≡ the Spark pane→windows
@@ -8015,7 +8079,7 @@ object ExtQueries {
     * count and partitioned by word, with the vocab trajectory
     * reconstructed as base + rank (the operator enforces novel-symbol
     * adoption, so +1 per rank is exact, never assumed). */
-  private def charBpeVocabOracle(extra: Int): String = {
+  private def charBpeRoundCtes(extra: Int): String = {
     val rounds = (1 to extra).map { r =>
       val p = r - 1
       s"""p$r AS (
@@ -8060,10 +8124,7 @@ object ExtQueries {
         |  WHERE coalesce(prev_taken, 0) = 0 GROUP BY word, wc)"""
         .stripMargin
     }.mkString(",\n")
-    val union = (1 to extra).map(r =>
-      s"SELECT $r AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM t$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
       |  SELECT word, count(*) AS wc FROM (
       |    SELECT unnest(list_filter(string_split(text, ' '),
       |      x -> x != '')) AS word
@@ -8072,7 +8133,14 @@ object ExtQueries {
       |  SELECT word, wc,
       |    list_transform(range(1, len(word) + 1), i -> word[i:i]) AS w
       |  FROM w0),
-      |$rounds,
+      |$rounds""".stripMargin
+  }
+
+  private def charBpeVocabOracle(extra: Int): String = {
+    val union = (1 to extra).map(r =>
+      s"SELECT $r AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${charBpeRoundCtes(extra)},
       |base AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS bv
       |         FROM (SELECT unnest(w) AS c FROM s0)),
       |rules AS ($union)
@@ -8081,6 +8149,25 @@ object ExtQueries {
       |  bv AS base_vocab
       |FROM rules CROSS JOIN base""".stripMargin
   }
+
+  /** The e203 apply oracle: the chain's FINAL segmentation (s<extra>)
+    * gives tokens-per-word; documents re-expand their word lists
+    * against it (the memoized word-table serving shape, mirrored). */
+  private def charBpeApplyOracle(extra: Int): String =
+    s"""WITH ${charBpeRoundCtes(extra)},
+      |tok AS (SELECT word, CAST(len(w) AS BIGINT) AS n_tok
+      |        FROM s$extra),
+      |dw AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+      |    x -> x != '')) AS word FROM documents),
+      |ag AS (SELECT dw.doc_id,
+      |    CAST(sum(len(dw.word)) AS BIGINT) AS n_word_chars,
+      |    CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_words
+      |  FROM dw JOIN tok t USING (word) GROUP BY 1)
+      |SELECT d.doc_id, coalesce(ag.n_word_chars, 0) AS n_word_chars,
+      |  coalesce(ag.n_tokens, 0) AS n_tokens,
+      |  coalesce(ag.n_words, 0) AS n_words
+      |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id""".stripMargin
 
   /** Causal drawdown chain shared by the batch operator (e118) and its
     * streaming replay (e125): peak = running max, drawdown = rounded

@@ -476,6 +476,56 @@ object SparkEntry {
           Rounding.duckRound(col("spread"), 6).as("spread"))
     }),
 
+    // J2 streaming fusion BY KEY: the multi-symbol form — the
+    // stream-stream full outer join keyed on (sym, datetime), the
+    // composite-key shape a real multi-pair live fusion runs (state
+    // partitions by symbol AND minute; Spark accepts the composite
+    // equi-join because the watermarked column is among the
+    // equalities). Same staging discipline as the flat gate.
+    "j2_streaming_fusion_by_key_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def cand(src: DataFrame) = Resample.ohlc1min(
+        src.select(col("ts").as("datetime"),
+          col("event_id").as("tick_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread"),
+          (col("user_id") % 3).as("sym")), Seq("sym")).drop("spread")
+      val t = cand(ev).cache()
+      val m = cand(ev.filter(col("event_type").isin("click", "view")))
+        .cache()
+      val b = t.select(col("datetime"))
+        .unionByName(m.select(col("datetime")))
+        .agg(min(col("datetime")), max(col("datetime"))).head()
+      val (mn, mx) = (b.getTimestamp(0), b.getTimestamp(1))
+      val delayMin = (mx.getTime - mn.getTime) / 60000L + 120
+      val flush = new java.sql.Timestamp(
+        mx.getTime + (delayMin + 1440) * 60000L)
+      def sentinel(df: DataFrame) =
+        df.limit(1).withColumn("datetime", lit(flush))
+      val tDir = Scratch.dir("fusion_kt", dir)
+      val mDir = Scratch.dir("fusion_km", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        t.filter(minute(col("datetime")) % 3 =!= 2),
+        t.filter(minute(col("datetime")) % 3 === 2),
+        sentinel(t)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m.filter(minute(col("datetime")) % 4 =!= 1),
+        m.filter(minute(col("datetime")) % 4 === 1),
+        sentinel(m)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val fused = streaming.StreamingFusion.combineFirstStream(
+        stream(tDir), stream(mDir), s"$delayMin minutes", Seq("sym"))
+      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+        .filter(col("datetime") < lit(flush))
+        .select(col("sym"), col("datetime"),
+          Rounding.duckRound(col("open"), 6).as("open"),
+          Rounding.duckRound(col("high"), 6).as("high"),
+          Rounding.duckRound(col("low"), 6).as("low"),
+          Rounding.duckRound(col("close"), 6).as("close"),
+          col("volume"))
+    }),
+
     // J2 streaming fusion LATE-DATA gate (the g10 discipline for the
     // stream-stream join): tick candles arrive complete in batch 1;
     // the M1 feed splits into an on-time stage and a LATE stage two
@@ -1223,6 +1273,37 @@ object SparkEntry {
          |  round(coalesce(t.spread, m.spread), 6) AS spread
          |FROM tick_candles t FULL OUTER JOIN m1_candles m
          |  ON t.datetime = m.datetime""".stripMargin,
+
+    // the keyed fusion: full outer on (sym, datetime), rounding after
+    // the coalesce exactly as the flat J2 oracle
+    "j2_streaming_fusion_by_key_replay" ->
+      """WITH ke AS (
+         |  SELECT user_id % 3 AS sym, ts, event_id, value FROM events),
+         |kt AS (
+         |  SELECT sym, date_trunc('minute', ts) AS datetime,
+         |    first(value ORDER BY ts, event_id) AS open,
+         |    max(value) AS high, min(value) AS low,
+         |    last(value ORDER BY ts, event_id) AS close,
+         |    count(value) AS volume
+         |  FROM ke GROUP BY 1, 2),
+         |km AS (
+         |  SELECT user_id % 3 AS sym, date_trunc('minute', ts)
+         |      AS datetime,
+         |    first(value ORDER BY ts, event_id) AS open,
+         |    max(value) AS high, min(value) AS low,
+         |    last(value ORDER BY ts, event_id) AS close,
+         |    count(value) AS volume
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY 1, 2)
+         |SELECT COALESCE(t.sym, m.sym) AS sym,
+         |  COALESCE(t.datetime, m.datetime) AS datetime,
+         |  round(coalesce(t.open, m.open), 6) AS open,
+         |  round(coalesce(t.high, m.high), 6) AS high,
+         |  round(coalesce(t.low, m.low), 6) AS low,
+         |  round(coalesce(t.close, m.close), 6) AS close,
+         |  coalesce(t.volume, m.volume) AS volume
+         |FROM kt t FULL OUTER JOIN km m
+         |  ON t.sym = m.sym AND t.datetime = m.datetime""".stripMargin,
 
     // the late gate's oracle: the batch full outer join with the
     // join's late-filter predicate applied to the M1 side — a late

@@ -340,6 +340,46 @@ object TextAnalysis {
       : (Long, Seq[(Long, String, String, Long, Long)]) =
     trainToVocab(docs, base => base.toInt + extra, maxMerges)
 
+  /** APPLY a char-level merge table (the serving half of
+    * [[bpeTrainToVocab]]): rules fold over the DISTINCT word table —
+    * the memoized tokenizer-serving shape (tokens-per-word computed
+    * once per TYPE, then documents re-expand against the word table
+    * with a broadcast join). At 100 TB this is the production
+    * topology: the word table is vocabulary-sized, the folds touch
+    * only it, and the corpus pays one explode + one broadcast join.
+    * Emits per-doc (n_word_chars, n_tokens, n_words); docs with no
+    * words keep a zero row. */
+  def charBpeApplyStats(docs: DataFrame,
+                        rules: Seq[(String, String)]): DataFrame = {
+    val chars = expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var seqs = docs
+      .select(explode(words(col("text"))).as("word")).distinct()
+      .select(col("word"), chars.as("w"))
+    rules.zipWithIndex.foreach { case ((a, b), i) =>
+      val folded = seqs.select(col("word"), mergeFold(a, b).as("w"))
+      seqs =
+        if (i % 3 == 2 || i == rules.size - 1)
+          CachePins.pinCheckpoint(folded)
+        else folded
+    }
+    val tokPerWord = seqs.select(col("word"),
+      size(col("w")).cast("long").as("n_tok"),
+      length(col("word")).cast("long").as("wchars"))
+    val ag = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .join(broadcast(tokPerWord), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wchars")).as("n_word_chars"),
+        sum(col("n_tok")).as("n_tokens"),
+        count(lit(1)).as("n_words"))
+    docs.select(col("doc_id")).join(ag, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"))
+  }
+
   private def trainToVocab(docs: DataFrame, targetOf: Long => Int,
                            maxMerges: Int)
       : (Long, Seq[(Long, String, String, Long, Long)]) = {

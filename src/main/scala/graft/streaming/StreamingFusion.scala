@@ -47,28 +47,36 @@ object StreamingFusion {
     * columns pass through, m1-only columns fill the tick-absent
     * minutes.
     */
+  /** @param extraKeys additional equi-join key columns beyond the
+    *                   minute timestamp (the multi-symbol form: join
+    *                   on (sym, datetime); Spark accepts a composite
+    *                   stream-stream key as long as the watermarked
+    *                   column is among the equalities). */
   def combineFirstStream(ticks: DataFrame, m1: DataFrame,
-                         watermark: String): DataFrame = {
-    val tCols = ticks.columns.filterNot(_ == "datetime").toSeq
-    val mCols = m1.columns.filterNot(_ == "datetime").toSeq
+                         watermark: String,
+                         extraKeys: Seq[String] = Nil): DataFrame = {
+    val keyCols = "datetime" +: extraKeys
+    val tCols = ticks.columns.filterNot(keyCols.contains).toSeq
+    val mCols = m1.columns.filterNot(keyCols.contains).toSeq
     // watermark FIRST, then rename: the event-time tag lives in the
     // attribute metadata and survives the aliases
-    val t = tCols.foldLeft(
-      ticks.withWatermark("datetime", watermark)
-        .withColumnRenamed("datetime", "t_datetime"))(
-      (d, c) => d.withColumnRenamed(c, s"_t_$c"))
-    val m = mCols.foldLeft(
-      m1.withWatermark("datetime", watermark)
-        .withColumnRenamed("datetime", "m_datetime"))(
-      (d, c) => d.withColumnRenamed(c, s"_m_$c"))
-    val joined = t.join(m,
-      col("t_datetime") === col("m_datetime"), "full_outer")
+    val t = (tCols.map(c => c -> s"_t_$c") ++
+      keyCols.map(k => k -> s"t_$k"))
+      .foldLeft(ticks.withWatermark("datetime", watermark))(
+        (d, r) => d.withColumnRenamed(r._1, r._2))
+    val m = (mCols.map(c => c -> s"_m_$c") ++
+      keyCols.map(k => k -> s"m_$k"))
+      .foldLeft(m1.withWatermark("datetime", watermark))(
+        (d, r) => d.withColumnRenamed(r._1, r._2))
+    val cond = keyCols.map(k => col(s"t_$k") === col(s"m_$k"))
+      .reduce(_ && _)
+    val joined = t.join(m, cond, "full_outer")
+    val mergedKeys = keyCols.map(k =>
+      coalesce(col(s"t_$k"), col(s"m_$k")).as(k))
     val merged = tCols.map { c =>
       if (mCols.contains(c)) coalesce(col(s"_t_$c"), col(s"_m_$c")).as(c)
       else col(s"_t_$c").as(c)
     } ++ mCols.filterNot(tCols.contains).map(c => col(s"_m_$c").as(c))
-    joined.select(
-      (coalesce(col("t_datetime"), col("m_datetime")).as("datetime") +:
-        merged): _*)
+    joined.select(mergedKeys ++ merged: _*)
   }
 }
