@@ -2990,6 +2990,18 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E204: FLAC codec gate (compressed audio — the seam left after
+    // r13's JPEG and this round's H.264): the e181 oscillating signal
+    // FLAC-encoded (rice-coded FIXED-predictor residuals, VERBATIM
+    // every fifth doc, real CRC-8/CRC-16 + STREAMINFO MD5 verified on
+    // decode) and decoded back to the identical per-frame features —
+    // shares e181's oracle verbatim: same expected rows, different
+    // codec under test (the e116/e71 precedent)
+    "e204_flac_codec_frames" -> ((s, dir) =>
+      Multimodal.decodeFlacZcrEnergy(
+          Multimodal.syntheticFlacOsc(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E203: char-BPE APPLY at the learned vocab (the e195→serving
     // composition, the e173→e175 pattern at char level): the trained
     // merge table folds over the DISTINCT word table once, then
@@ -7117,6 +7129,25 @@ object ExtQueries {
     // the formula directly (within-frame neighbor sign flips, exact
     // integer energy and peak)
     "e181_audio_zcr_energy" ->
+      """WITH g AS (
+        |  SELECT doc_id, 300 + doc_id % 200 AS len FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, len)) AS i FROM g),
+        |v AS (SELECT doc_id, i,
+        |        (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM s),
+        |f AS (SELECT doc_id, i // 256 AS frame_idx, s,
+        |        lag(s) OVER (PARTITION BY doc_id, i // 256 ORDER BY i)
+        |          AS prev
+        |      FROM v)
+        |SELECT doc_id, frame_idx, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |                 AND ((prev < 0) != (s < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // identical expected rows — the FLAC path decodes the same signal
+    "e204_flac_codec_frames" ->
       """WITH g AS (
         |  SELECT doc_id, 300 + doc_id % 200 AS len FROM documents),
         |s AS (SELECT doc_id, unnest(range(0, len)) AS i FROM g),

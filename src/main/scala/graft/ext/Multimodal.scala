@@ -740,6 +740,57 @@ object Multimodal {
     * SQL length() semantics) and the md5 fingerprint of the decoded
     * bytes — any inflate/trailer bug breaks the hash against the
     * uncompressed base table. */
+  /** Synthetic FLAC blobs carrying the SAME oscillating signal as the
+    * WAV gate (e181) — so the FLAC gate shares e181's oracle verbatim
+    * (same expected features, different codec under test: the
+    * e116/e71 PNG-vs-BMP precedent, now for compressed audio).
+    * Per-doc variety exercises the whole subframe surface: FIXED
+    * order 1 or 2 by doc parity, frame 0 forced VERBATIM every fifth
+    * doc; CONSTANT is spec-covered (the osc signal never flattens). */
+  def syntheticFlacOsc(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, FlacCodec.encode(
+            Array.tabulate(synthLen(id))(i => synthOscSample(id, i)),
+            fixedOrder = (id % 2).toInt + 1,
+            forceVerbatim = f => f == 0 && id % 5 == 0))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode each FLAC payload (CRC-8/CRC-16/MD5 verified) and emit
+    * the SAME per-frame ZCR/energy features as the WAV path. */
+  def decodeFlacZcrEnergy(blobs: DataFrame,
+                          frameSamples: Int = 256)
+      : Dataset[AudioZcrFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val samples = FlacCodec.decode(payload)
+          samples.grouped(frameSamples).zipWithIndex.map {
+            case (fr, idx) =>
+              var zc = 0L; var sq = 0L; var pk = 0L
+              var i = 0
+              while (i < fr.length) {
+                val s = fr(i)
+                if (i > 0 && ((fr(i - 1) < 0) != (s < 0))) zc += 1
+                sq += s.toLong * s.toLong
+                val a = math.abs(s.toLong)
+                if (a > pk) pk = a
+                i += 1
+              }
+              AudioZcrFrame(id, idx.toLong, fr.length.toLong, zc, sq, pk)
+          }
+        }
+      }
+  }
+
   /** One MFCC coefficient row. */
   case class MfccRow(doc_id: Long, frame_idx: Long, coef_idx: Long,
                      mfcc: Double)
