@@ -2990,6 +2990,27 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E205: SLIDING-window histogram quantiles — the DISTRIBUTION
+    // member of the sliding-sketch trilogy (e196 HLL max-merge, e200
+    // CMS sum-merge): per-day bin panes summed across overlapping
+    // 3-day windows, each window's interpolated quantile estimates
+    // next to the exact quantile over the same span with the one-bin
+    // bound asserted
+    "e205_sliding_histogram_quantiles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val panes = Sketches.histCellsBy(ev, day, col("value"))
+      val slid = Sketches.histSlidingCells(panes, 3)
+      val wins = panes.select(col("grp")).distinct()
+      val evW = ev.select(day.as("d"), col("value"))
+        .withColumn("grp",
+          explode(sequence(col("d"), col("d") + lit(2))))
+        .join(wins, Seq("grp"), "left_semi")
+      Sketches.histQuantileScorecardBy(slid, evW, col("grp"), "value",
+        Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("grp", "dayord")
+    }),
+
     // E204: FLAC codec gate (compressed audio — the seam left after
     // r13's JPEG and this round's H.264): the e181 oscillating signal
     // FLAC-encoded (rice-coded FIXED-predictor residuals, VERBATIM
@@ -7164,6 +7185,57 @@ object ExtQueries {
         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // e193's interpolation chain over window-summed panes, exact
+    // quantile_cont over each 3-day span
+    "e205_sliding_histogram_quantiles" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS grp, value
+        |           FROM events),
+        |wins AS (SELECT DISTINCT grp AS w FROM e),
+        |pane AS (
+        |  SELECT grp,
+        |    least(31, CAST(floor(value / CAST(16 AS DOUBLE))
+        |      AS BIGINT)) AS bin,
+        |    count(*) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT wins.w, pane.bin, CAST(sum(pane.c) AS BIGINT) AS c
+        |  FROM pane JOIN wins
+        |    ON pane.grp BETWEEN wins.w - 2 AND wins.w
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT w, bin, c,
+        |    coalesce(sum(c) OVER (PARTITION BY w ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM cells),
+        |n AS (SELECT w, CAST(sum(c) AS DOUBLE) AS n_rows FROM cells
+        |      GROUP BY 1),
+        |probs(i, prob) AS (VALUES (0, CAST(0.5 AS DOUBLE)),
+        |  (1, CAST(0.9 AS DOUBLE)), (2, CAST(0.99 AS DOUBLE))),
+        |t AS (SELECT n.w, p.i, p.prob, p.prob * n.n_rows AS target
+        |      FROM n CROSS JOIN probs p),
+        |ew AS (SELECT wins.w, e.value FROM e JOIN wins
+        |       ON e.grp BETWEEN wins.w - 2 AND wins.w),
+        |ex AS (SELECT w,
+        |         quantile_cont(value, [CAST(0.5 AS DOUBLE),
+        |           CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS qs
+        |       FROM ew GROUP BY 1),
+        |sel AS (
+        |  SELECT t.w, t.i, t.prob, t.target, u.bin, u.c, u.cum_before
+        |  FROM t JOIN cum u ON t.w = u.w
+        |   AND CAST(u.cum_before AS DOUBLE) < t.target
+        |   AND t.target <= CAST(u.cum_before + u.c AS DOUBLE))
+        |SELECT s.w AS dayord, s.prob,
+        |  round(CAST(16 AS DOUBLE) * s.bin
+        |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+        |      / CAST(s.c AS DOUBLE), 6) AS est_q,
+        |  round(ex.qs[s.i + 1], 6) AS exact_q,
+        |  round(abs(CAST(16 AS DOUBLE) * s.bin
+        |    + CAST(16 AS DOUBLE) * (s.target - CAST(s.cum_before AS DOUBLE))
+        |      / CAST(s.c AS DOUBLE) - ex.qs[s.i + 1]), 6)
+        |    <= CAST(16 AS DOUBLE) AS within_bin
+        |FROM sel s JOIN ex ON s.w = ex.w""".stripMargin,
 
     // the closed-form two-tone spectrum evaluated from doc_id: the
     // only nonzero bins are 64 (power (a1·128)²) and 128 ((a2·256)²),

@@ -138,6 +138,21 @@ object Sketches {
       .agg(sum(col("c")).as("c"))
   }
 
+  /** SLIDING-window histogram cells — the DISTRIBUTION member of the
+    * sliding-sketch trilogy (cardinality = [[hllSlidingRegisters]]
+    * max-merge, frequency = [[cmsSlidingCells]] sum-merge): bin
+    * counts are additive, so overlapping windows SUM the covered
+    * panes' cells. Same pane-sharing fan-out, sketch-sized. */
+  def histSlidingCells(panes: DataFrame, spanPanes: Int): DataFrame = {
+    val wins = panes.select(col("grp").as("w")).distinct()
+    panes
+      .withColumn("w", explode(sequence(col("grp"),
+        col("grp") + lit(spanPanes - 1))))
+      .join(wins, Seq("w"), "left_semi")
+      .groupBy(col("w").as("grp"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+  }
+
   /** Collect a (j, h, c) cell frame into the dense flat counter array
     * (index j·w + bucket; missing cells 0) — O(d·w) driver model
     * state. */
