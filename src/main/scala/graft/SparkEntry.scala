@@ -465,7 +465,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(p)
       val fused = streaming.StreamingFusion.combineFirstStream(
         stream(tDir), stream(mDir), s"$delayMin minutes")
-      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+      streaming.StreamingOhlc.replayWithStatePartitions(s, fused, 8)
         .filter(col("datetime") < lit(flush))
         .select(col("datetime"),
           Rounding.duckRound(col("open"), 6).as("open"),
@@ -516,7 +516,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(p)
       val fused = streaming.StreamingFusion.combineFirstStream(
         stream(tDir), stream(mDir), s"$delayMin minutes", Seq("sym"))
-      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+      streaming.StreamingOhlc.replayWithStatePartitions(s, fused, 8)
         .filter(col("datetime") < lit(flush))
         .select(col("sym"), col("datetime"),
           Rounding.duckRound(col("open"), 6).as("open"),
@@ -559,7 +559,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(p)
       val fused = streaming.StreamingFusion.combineFirstStream(
         stream(tDir), stream(mDir), "7230 seconds")
-      streaming.StreamingOhlc.replayToBatchAppend(s, fused)
+      streaming.StreamingOhlc.replayWithStatePartitions(s, fused, 8)
         .filter(col("datetime") < lit(flush))
         .select(col("datetime"),
           Rounding.duckRound(col("open"), 6).as("open"),

@@ -81,6 +81,24 @@ object StreamingOhlc {
     spark.table(name)
   }
 
+  /** [[replayToBatchAppend]] with the state-store partition count
+    * pinned for the query's lifetime: a streaming query snapshots
+    * `spark.sql.shuffle.partitions` at its FIRST batch and keeps one
+    * state-store instance per partition per stateful operator side —
+    * for a bounded replay whose state is candle-sized, 32 instances
+    * are pure per-batch floor, so the join replays pin a smaller
+    * count (the production query would size this to its key volume).
+    * The session value is restored afterwards. */
+  def replayWithStatePartitions(spark: SparkSession,
+                                streamingResult: DataFrame,
+                                partitions: Int): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions.toString)
+    try replayToBatchAppend(spark, streamingResult)
+    finally spark.conf.set(key, prev)
+  }
+
   /** [[replayToBatch]] for APPEND-mode streaming plans —
     * `flatMapGroupsWithState(Append, …)` operators (StreamingDedup,
     * StreamingGapBridge) reject complete mode, and unlike a windowed
