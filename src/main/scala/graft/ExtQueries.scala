@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext._
@@ -2988,6 +2988,114 @@ object ExtQueries {
         .agg(countDistinct(col("user_id")).as("n_exact"))
       Sketches.hllScorecardBy(slid, exact)
         .withColumnRenamed("grp", "dayord")
+    }),
+
+    // E206: the sliding-CMS maintained AS A STREAM — per-batch cell
+    // frames appended to a store and SUMMED (the e202 pattern with
+    // the CMS merge law instead of register max); the summed store
+    // IS the batch pane table exactly, so the replay shares e200's
+    // oracle verbatim
+    "e206_streaming_sliding_cms_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val ev = Tables.load(s, dir, "events")
+      val day = expr("unix_micros(ts) div 86400000000")
+      val scratch = graft.Scratch.fresh("slcms_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(r =>
+          ev.filter(col("event_id") % 3 === r)
+            .select(col("ts"), col("user_id"))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Sketches.cmsCellsBy(b,
+              expr("unix_micros(ts) div 86400000000"),
+              col("user_id").cast("string"))
+            .write.mode("overwrite").parquet(s"$scratch/cells_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cellDirs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("cells_")).map(_.getPath).sorted
+      val panes = s.read.parquet(cellDirs.toIndexedSeq: _*)
+        .groupBy(col("grp"), col("j"), col("h"))
+        .agg(sum(col("c")).as("c"))
+      val winCells = Sketches.cmsSlidingCells(panes, 3)
+        .withColumnRenamed("grp", "w")
+      val wins = winCells.select(col("w")).distinct()
+      val evW = ev.select(day.as("d"), col("user_id"))
+        .withColumn("w", explode(sequence(col("d"), col("d") + lit(2))))
+        .join(wins, Seq("w"), "left_semi")
+      val probe = evW.select(col("w"), col("user_id")).distinct()
+        .select(col("w"), col("user_id"),
+          posexplode(array((0 until Sketches.CmsDepth).map(j =>
+            Sketches.cmsBucket(col("user_id").cast("string"),
+              lit(j))): _*)).as(Seq("j", "h")))
+      val est = probe.join(winCells, Seq("w", "j", "h"))
+        .groupBy(col("w"), col("user_id"))
+        .agg(min(col("c")).as("cms_est"))
+        .filter(col("cms_est") >= 12L)
+      val exact = evW.groupBy(col("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      est.join(exact, Seq("w", "user_id"))
+        .select(col("w").as("dayord"), col("user_id"), col("cms_est"),
+          col("n_events"), (col("n_events") >= 12L).as("is_heavy"))
+    }),
+
+    // E207: HLL SET OPERATIONS — audience overlap: the purchase
+    // cohort vs the click cohort as register frames; the UNION is the
+    // register MAX (exact sketch identity), the INTERSECTION is
+    // inclusion-exclusion est(A)+est(B)-est(A∪B) — the standard
+    // HLL-overlap estimator with its signed error priced against the
+    // exact intersection as a measured column. All three register
+    // sets are md5-exact, so the oracle rebuilds them bit-for-bit.
+    "e207_hll_set_ops" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      def regs(t: String) = Sketches.hllRegisters(
+        ev.filter(col("event_type") === t), col("user_id").cast("string"))
+      val a = regs("purchase")
+      val b = regs("click")
+      val u = a.unionByName(b).groupBy(col("j"))
+        .agg(max(col("m_rho")).as("m_rho"))
+      def estOf(r: DataFrame, name: String) = r.agg(
+        sum(call_function("shiftleft", lit(1L),
+          (lit(55) - col("m_rho")).cast("int"))).as(s"sum_$name"),
+        sum(when(col("m_rho") === 0, lit(1L)).otherwise(lit(0L)))
+          .as(s"z_$name"))
+      def est(sumC: Column, zC: Column): Column = {
+        val raw = lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+          sumC.cast("double")
+        when(raw <= lit(160.0) && zC > 0L,
+          lit(64.0) * log(lit(64.0) / zC.cast("double"))).otherwise(raw)
+      }
+      val exact = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id")).distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("n_exact_overlap"))
+      val ix = est(col("sum_a"), col("z_a")) +
+        est(col("sum_b"), col("z_b")) - est(col("sum_u"), col("z_u"))
+      estOf(a, "a").crossJoin(estOf(b, "b")).crossJoin(estOf(u, "u"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_exact_overlap"),
+          Rounding.duckRound(est(col("sum_a"), col("z_a")), 6)
+            .as("est_a"),
+          Rounding.duckRound(est(col("sum_b"), col("z_b")), 6)
+            .as("est_b"),
+          Rounding.duckRound(est(col("sum_u"), col("z_u")), 6)
+            .as("est_union"),
+          Rounding.duckRound(ix, 6).as("est_overlap"),
+          Rounding.duckRound(
+            abs(ix - col("n_exact_overlap").cast("double")) /
+              greatest(col("n_exact_overlap").cast("double"), lit(1.0)),
+            6).as("rel_err"))
     }),
 
     // E205: SLIDING-window histogram quantiles — the DISTRIBUTION
@@ -7362,11 +7470,51 @@ object ExtQueries {
     "e196_sliding_hll" -> hllSlidingOracle,
     // max-merged per-batch partials == the batch registers exactly
     "e202_streaming_sliding_hll_replay" -> hllSlidingOracle,
+    "e207_hll_set_ops" -> hllSetOpsOracle,
 
     // per-day cells rebuilt in SQL, summed over each 3-day window
     // (`pane.grp BETWEEN w−2 AND w` ≡ the Spark pane→windows
     // explode), min-of-rows probe, exact window counts
     "e200_sliding_cms_heavy" ->
+      """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
+        |e AS (SELECT epoch_us(ts) // 86400000000 AS grp, user_id
+        |      FROM events),
+        |wins AS (SELECT DISTINCT grp AS w FROM e),
+        |pane AS (
+        |  SELECT grp, j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h,
+        |    count(*) AS c
+        |  FROM e, jj GROUP BY 1, 2, 3),
+        |wc AS (SELECT wins.w, pane.j, pane.h,
+        |         CAST(sum(pane.c) AS BIGINT) AS c
+        |       FROM pane JOIN wins
+        |         ON pane.grp BETWEEN wins.w - 2 AND wins.w
+        |       GROUP BY 1, 2, 3),
+        |wu AS (SELECT DISTINCT wins.w, e.user_id
+        |       FROM e JOIN wins
+        |         ON e.grp BETWEEN wins.w - 2 AND wins.w),
+        |probe AS (
+        |  SELECT w, user_id, j, ('0x' || substr(md5(concat('cms',
+        |      CAST(j AS VARCHAR), '|', CAST(user_id AS VARCHAR))),
+        |      1, 15))::BIGINT % 256 AS h
+        |  FROM wu, jj),
+        |est AS (
+        |  SELECT p.w, p.user_id, min(c.c) AS cms_est
+        |  FROM probe p JOIN wc c USING (w, j, h)
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT wins.w, e.user_id, count(*) AS n_events
+        |          FROM e JOIN wins
+        |            ON e.grp BETWEEN wins.w - 2 AND wins.w
+        |          GROUP BY 1, 2)
+        |SELECT est.w AS dayord, est.user_id, est.cms_est,
+        |  exact.n_events, exact.n_events >= 12 AS is_heavy
+        |FROM est JOIN exact
+        |  ON est.w = exact.w AND est.user_id = exact.user_id
+        |WHERE est.cms_est >= 12""".stripMargin,
+
+    // per-batch cell partials summed == the batch panes exactly
+    "e206_streaming_sliding_cms_replay" ->
       """WITH jj AS (SELECT unnest(range(0, 4)) AS j),
         |e AS (SELECT epoch_us(ts) // 86400000000 AS grp, user_id
         |      FROM events),
@@ -8070,6 +8218,58 @@ object ExtQueries {
       |  round(abs($est - CAST(n.n_exact AS DOUBLE))
       |        / CAST(n.n_exact AS DOUBLE), 6) AS rel_err
       |FROM a JOIN n USING (w)""".stripMargin
+  }
+
+
+  /** The e207 oracle: three md5-exact register sets (purchase
+    * cohort, click cohort, their union = registers over the combined
+    * rows), the identical branchy estimator per set, and the
+    * inclusion-exclusion overlap next to the exact intersection. */
+  private def hllSetOpsOracle: String = {
+    val rho = "CASE WHEN w = 0 THEN 55 " +
+      (53 to 0 by -1).map(k =>
+        s"WHEN w >= ${1L << k} THEN ${54 - k}").mkString(" ") + " END"
+    def setCtes(x: String, where: String) =
+      s"""h$x AS (
+        |  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT AS h
+        |  FROM events $where),
+        |jw$x AS (SELECT h & 63 AS j, h >> 6 AS w FROM h$x),
+        |r$x AS (SELECT j, max($rho) AS m_rho FROM jw$x GROUP BY 1),
+        |g$x AS (SELECT t.j, coalesce(r$x.m_rho, 0) AS m_rho
+        |        FROM range(0, 64) t(j) LEFT JOIN r$x USING (j)),
+        |a$x AS (SELECT
+        |    CAST(sum(1::BIGINT << (55 - m_rho)) AS BIGINT) AS sum_int,
+        |    CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_zeros
+        |  FROM g$x)""".stripMargin
+    def est(x: String) = {
+      val raw = s"""CAST(0.709 AS DOUBLE) * 4096 * 36028797018963968
+        |      / CAST(a$x.sum_int AS DOUBLE)""".stripMargin
+      s"""CASE WHEN $raw <= CAST(160 AS DOUBLE) AND a$x.v_zeros > 0
+        |     THEN CAST(64 AS DOUBLE)
+        |          * ln(CAST(64 AS DOUBLE) / CAST(a$x.v_zeros AS DOUBLE))
+        |     ELSE $raw END""".stripMargin
+    }
+    val ix = s"(${est("a")}) + (${est("b")}) - (${est("u")})"
+    s"""WITH ${setCtes("a", "WHERE event_type = 'purchase'")},
+      |${setCtes("b", "WHERE event_type = 'click'")},
+      |${setCtes("u", "WHERE event_type IN ('purchase', 'click')")},
+      |ex AS (
+      |  SELECT count(*) AS n_exact_overlap FROM (
+      |    SELECT DISTINCT user_id FROM events
+      |    WHERE event_type = 'purchase') pa
+      |  JOIN (SELECT DISTINCT user_id FROM events
+      |        WHERE event_type = 'click') cl USING (user_id))
+      |SELECT ex.n_exact_overlap,
+      |  round(${est("a")}, 6) AS est_a,
+      |  round(${est("b")}, 6) AS est_b,
+      |  round(${est("u")}, 6) AS est_union,
+      |  round($ix, 6) AS est_overlap,
+      |  round(abs(($ix) - CAST(ex.n_exact_overlap AS DOUBLE))
+      |    / greatest(CAST(ex.n_exact_overlap AS DOUBLE),
+      |               CAST(1 AS DOUBLE)), 6) AS rel_err
+      |FROM aa CROSS JOIN ab CROSS JOIN au CROSS JOIN ex""".stripMargin
   }
 
   /** One HLL scorecard branch in SQL: md5-parity hash, the integer
