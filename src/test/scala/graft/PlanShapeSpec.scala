@@ -225,6 +225,36 @@ class PlanShapeSpec extends SparkSpec {
         s"plan:\n$p")
   }
 
+  test("e200 sliding CMS: pane-sharing fan-out is pure equi-join — " +
+    "no nested-loop, no cartesian (e196's only cross joins are the " +
+    "documented 64-row register grids)") {
+    val p = plan("e200_sliding_cms_heavy")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pane->window fan-out must be an equi-join, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian expansion, plan:\n$p")
+    // the HLL variant 0-fills via grp × range(64) cross joins — the
+    // sanctioned bounded-grid shape; assert they are the ONLY ones
+    val ph = plan("e196_sliding_hll")
+    val bnlj = raw"BroadcastNestedLoopJoin".r
+      .findAllIn(ph.split("\n").takeWhile(!_.startsWith("(1)"))
+        .mkString("\n")).length
+    assert(!ph.contains("CartesianProduct"),
+      s"e196: no unbounded cartesian, plan:\n$ph")
+    assert(bnlj <= 3,
+      s"e196: only the register-grid cross joins allowed, plan:\n$ph")
+  }
+
+  test("e201 label propagation's final round reads checkpointed " +
+    "frames: rounds never re-derive from raw events") {
+    val p = plan("e201_label_propagation")
+    // the co-purchase projection self-join appears ONCE (inside the
+    // checkpointed topo frame); the 6 label rounds reuse scans of
+    // the checkpoint RDDs instead of re-deriving the projection
+    assert(raw"Scan ExistingRDD".r.findAllIn(p).length >= 2,
+      s"expected checkpointed label/topo frames, plan:\n$p")
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")
