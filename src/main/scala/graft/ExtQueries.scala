@@ -3119,6 +3119,18 @@ object ExtQueries {
         .withColumnRenamed("grp", "dayord")
     }),
 
+    // E208: STEREO FLAC with mid/side decorrelation — the stereo
+    // form of e204: left = the e181 signal, right = a correlated
+    // derivation, frames alternating MID/SIDE and INDEPENDENT
+    // assignments; both channels reconstruct through the exact
+    // integer decorrelation ((mid<<1)|(side&1) restores L+R) and the
+    // per-channel features are formula-evaluated by the oracle
+    "e208_flac_stereo_frames" -> ((s, dir) =>
+      Multimodal.decodeFlacStereoZcr(
+          Multimodal.syntheticFlacStereo(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E204: FLAC codec gate (compressed audio — the seam left after
     // r13's JPEG and this round's H.264): the e181 oscillating signal
     // FLAC-encoded (rice-coded FIXED-predictor residuals, VERBATIM
@@ -7274,6 +7286,30 @@ object ExtQueries {
         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // the per-channel formula: left = the e181 signal, right =
+    // truncating half minus a small sawtooth (DuckDB // truncates
+    // toward zero, mirrored by Scala Int division)
+    "e208_flac_stereo_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 300 + doc_id % 200 AS len FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, len)) AS i FROM g),
+        |v AS (SELECT doc_id, i,
+        |        (doc_id*31 + i*7919) % 65536 - 32768 AS l FROM s),
+        |c AS (SELECT doc_id, i, 'l' AS channel, l AS s FROM v
+        |      UNION ALL
+        |      SELECT doc_id, i, 'r', (l // 2) - (i % 7) FROM v),
+        |f AS (SELECT doc_id, channel, i // 256 AS frame_idx, s,
+        |        lag(s) OVER (PARTITION BY doc_id, channel, i // 256
+        |          ORDER BY i) AS prev
+        |      FROM c)
+        |SELECT doc_id, channel, frame_idx, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |                 AND ((prev < 0) != (s < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM f GROUP BY 1, 2, 3""".stripMargin,
 
     // identical expected rows — the FLAC path decodes the same signal
     "e204_flac_codec_frames" ->

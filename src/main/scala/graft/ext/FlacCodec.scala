@@ -20,8 +20,13 @@ package graft.ext
   * rice-partitioned residual, 4-bit parameters, escape-to-raw
   * partitions, zigzag fold); the order-k polynomial reconstruction
   * (1,-1 / 2,-1 / 3,-3,1 / 4,-6,4,-1); and the frame-trailing CRC-16
-  * (poly 0x8005). Rejected fail-fast by name: LPC subframes, stereo
-  * decorrelation, variable blocksize, non-16-bit depths.
+  * (poly 0x8005); STEREO with all four channel assignments —
+  * independent L/R, left/side, right/side, and mid/side (mid =
+  * (L+R)>>1, side = L−R; the decoder restores L+R exactly as
+  * (mid<<1)|(side&1), so decorrelation is lossless integer math,
+  * with the SIDE subframe read at 17 bits per the spec). Rejected
+  * fail-fast by name: LPC subframes, variable blocksize, >2
+  * channels, non-16-bit depths.
   *
   * Scale shape: like every codec here, encode/decode are
   * partition-local byte-blob functions behind the [[Multimodal]]
@@ -194,18 +199,31 @@ object FlacCodec {
     if (bsCode == 7L) w.u((bs - 1).toLong, 16)
     w.alignZero()
     w.buf += crc8(w.buf.toArray, 0, w.buf.length).toByte
-    // ---- subframe
+    writeSubframe(w, samples, off, bs, 16, fixedOrder, verbatim)
+    w.alignZero()
+    val body = w.buf
+    val c16 = crc16(body.toArray, 0, body.length)
+    body += ((c16 >> 8) & 0xff).toByte
+    body += (c16 & 0xff).toByte
+    body.toArray
+  }
+
+  /** One subframe at `bits` sample width (17 for a SIDE channel). */
+  private def writeSubframe(w: BitWriter, samples: Array[Int], off: Int,
+                            bs: Int, bits: Int, fixedOrder: Int,
+                            verbatim: Boolean): Unit = {
+    val mask = (1L << bits) - 1
     val const = (1 until bs).forall(i => samples(off + i) == samples(off))
     if (const) {
       w.u(0, 1); w.u(0, 6); w.u(0, 1) // CONSTANT
-      w.u(samples(off).toLong & 0xffff, 16)
+      w.u(samples(off).toLong & mask, bits)
     } else if (verbatim) {
       w.u(0, 1); w.u(1, 6); w.u(0, 1)
-      for (i <- 0 until bs) w.u(samples(off + i).toLong & 0xffff, 16)
+      for (i <- 0 until bs) w.u(samples(off + i).toLong & mask, bits)
     } else {
       val k = math.min(fixedOrder, bs - 1)
       w.u(0, 1); w.u(8L + k, 6); w.u(0, 1) // FIXED order k
-      for (i <- 0 until k) w.u(samples(off + i).toLong & 0xffff, 16)
+      for (i <- 0 until k) w.u(samples(off + i).toLong & mask, bits)
       val res = residual(samples, off, bs, k)
       w.u(0, 2) // residual method: 4-bit rice
       w.u(0, 4) // partition order 0
@@ -235,12 +253,72 @@ object FlacCodec {
           w.u(r.toLong & ((1L << rawBits) - 1), rawBits))
       }
     }
-    w.alignZero()
-    val body = w.buf
-    val c16 = crc16(body.toArray, 0, body.length)
-    body += ((c16 >> 8) & 0xff).toByte
-    body += (c16 & 0xff).toByte
-    body.toArray
+  }
+
+  /** Encode STEREO 16-bit at 8 kHz: per-frame channel decorrelation —
+    * MID/SIDE (assignment 0b1010: mid = (L+R)>>1 at 16 bits, side =
+    * L−R at 17) where `midSide` marks the frame, INDEPENDENT L/R
+    * (0b0001) otherwise. The reconstruction is exact integer
+    * arithmetic: (mid<<1)|(side&1) restores L+R, so both channels
+    * roundtrip losslessly; the STREAMINFO MD5 hashes the
+    * channel-interleaved little-endian samples. */
+  def encodeStereo(left: Array[Int], right: Array[Int],
+                   fixedOrder: Int = 1,
+                   midSide: Int => Boolean = _ => true): Array[Byte] = {
+    require(left.length == right.length, "channel length mismatch")
+    val n = left.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "fLaC".getBytes("US-ASCII")
+    val si = new BitWriter
+    si.u(1, 1); si.u(0, 7); si.u(34, 24)
+    si.u(BlockSize.toLong, 16); si.u(BlockSize.toLong, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20)
+    si.u(1, 3) // channels - 1
+    si.u(15, 5)
+    si.u(n.toLong, 36)
+    si.alignZero()
+    out ++= si.buf
+    val inter = new Array[Int](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = left(i); inter(2 * i + 1) = right(i) }
+    out ++= sampleMd5(inter)
+    var frameIdx = 0
+    var off = 0
+    while (off < n) {
+      val bs = math.min(BlockSize, n - off)
+      val w = new BitWriter
+      w.u(0x3ffeL, 14); w.u(0, 1); w.u(0, 1)
+      val bsCode = if (bs == BlockSize) 8L else 7L
+      w.u(bsCode, 4)
+      w.u(0, 4)
+      val ms = midSide(frameIdx)
+      w.u(if (ms) 10L else 1L, 4) // mid/side vs independent
+      w.u(4, 3); w.u(0, 1)
+      codedNumber(w, frameIdx)
+      if (bsCode == 7L) w.u((bs - 1).toLong, 16)
+      w.alignZero()
+      w.buf += crc8(w.buf.toArray, 0, w.buf.length).toByte
+      if (ms) {
+        val mid = Array.tabulate(bs)(i =>
+          (left(off + i) + right(off + i)) >> 1)
+        val side = Array.tabulate(bs)(i =>
+          left(off + i) - right(off + i))
+        writeSubframe(w, mid, 0, bs, 16, fixedOrder, verbatim = false)
+        writeSubframe(w, side, 0, bs, 17, fixedOrder, verbatim = false)
+      } else {
+        writeSubframe(w, left, off, bs, 16, fixedOrder, verbatim = false)
+        writeSubframe(w, right, off, bs, 16, fixedOrder, verbatim = false)
+      }
+      w.alignZero()
+      val body = w.buf
+      val c16 = crc16(body.toArray, 0, body.length)
+      body += ((c16 >> 8) & 0xff).toByte
+      body += (c16 & 0xff).toByte
+      out ++= body
+      off += bs
+      frameIdx += 1
+    }
+    out.toArray
   }
 
   private def zigzag(r: Int): Long =
@@ -269,41 +347,12 @@ object FlacCodec {
     * every frame, each frame's CRC-16, and the STREAMINFO MD5 of the
     * reassembled samples. */
   def decode(bytes: Array[Byte]): Array[Int] = {
-    require(bytes.length >= 4 &&
-      new String(bytes, 0, 4, "US-ASCII") == "fLaC",
-      "FLAC: bad stream marker")
-    var pos = 4
-    var last = false
-    var total = -1L
-    var declaredMd5: Array[Byte] = null
-    while (!last) {
-      require(pos + 4 <= bytes.length, "FLAC: truncated metadata")
-      val hdr = bytes(pos) & 0xff
-      last = (hdr & 0x80) != 0
-      val btype = hdr & 0x7f
-      val len = ((bytes(pos + 1) & 0xff) << 16) |
-        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
-      pos += 4
-      require(pos + len <= bytes.length, "FLAC: truncated metadata body")
-      if (btype == 0) {
-        val r = new BitReader(bytes, pos)
-        val minBs = r.u(16); val maxBs = r.u(16)
-        require(minBs == BlockSize && maxBs == BlockSize,
-          s"FLAC: unsupported blocksize $minBs..$maxBs " +
-            s"(fixed $BlockSize only)")
-        r.u(24); r.u(24)
-        val rate = r.u(20)
-        require(rate == 8000, s"FLAC: unsupported sample rate $rate")
-        val ch = r.u(3)
-        require(ch == 0, "FLAC: stereo decorrelation not implemented")
-        val bps = r.u(5)
-        require(bps == 15, "FLAC: 16-bit samples only")
-        total = r.u(36)
-        declaredMd5 = bytes.slice(pos + 18, pos + 34)
-      }
-      pos += len
-    }
-    require(total >= 0, "FLAC: missing STREAMINFO")
+    val (meta, framesAt) = parseMetadata(bytes)
+    require(meta.channels == 1,
+      s"FLAC: expected mono, STREAMINFO says ${meta.channels} — " +
+        "use decodeStereo")
+    val total = meta.total
+    var pos = framesAt
     val out = new Array[Int](total.toInt)
     var got = 0
     var expectIdx = 0
@@ -314,7 +363,7 @@ object FlacCodec {
       expectIdx += 1
     }
     val md = sampleMd5(out)
-    require(java.util.Arrays.equals(md, declaredMd5),
+    require(java.util.Arrays.equals(md, meta.md5),
       "FLAC: MD5 mismatch — decoded audio does not match STREAMINFO")
     out
   }
@@ -335,9 +384,83 @@ object FlacCodec {
       "FLAC: coded number form unsupported")
   }
 
+  /** One subframe at `bits` width into a fresh array. */
+  private def readSubframe(r: BitReader, bs: Int,
+                           bits: Int): Array[Int] = {
+    val out = new Array[Int](bs)
+    require(r.u(1) == 0L, "FLAC: subframe padding bit set")
+    val stype = r.u(6).toInt
+    val wasted = r.u(1).toInt
+    require(wasted == 0, "FLAC: wasted-bits subframes unsupported")
+    if (stype == 0) { // CONSTANT
+      java.util.Arrays.fill(out, signExtend(r.u(bits), bits))
+    } else if (stype == 1) { // VERBATIM
+      for (i <- 0 until bs) out(i) = signExtend(r.u(bits), bits)
+    } else if (stype >= 8 && stype <= 12) { // FIXED order k
+      val k = stype - 8
+      for (i <- 0 until k) out(i) = signExtend(r.u(bits), bits)
+      val method = r.u(2).toInt
+      require(method == 0 || method == 1,
+        s"FLAC: reserved residual method $method")
+      val pBits = if (method == 0) 4 else 5
+      val escape = if (method == 0) 0xf else 0x1f
+      val partOrder = r.u(4).toInt
+      val nParts = 1 << partOrder
+      require(bs % nParts == 0, "FLAC: partition does not divide block")
+      var i = k
+      for (part <- 0 until nParts) {
+        val count = (bs >> partOrder) - (if (part == 0) k else 0)
+        val p = r.u(pBits).toInt
+        if (p == escape) {
+          val raw = r.u(5).toInt
+          for (_ <- 0 until count) {
+            out(i) = signExtend(r.u(raw), raw); i += 1
+          }
+        } else {
+          for (_ <- 0 until count) {
+            val q = r.unary()
+            val u = (q.toLong << p) | r.u(p)
+            out(i) = unzigzag(u)
+            i += 1
+          }
+        }
+      }
+      // reconstruct the fixed prediction in place
+      for (j <- k until bs) {
+        k match {
+          case 0 => ()
+          case 1 => out(j) += out(j - 1)
+          case 2 => out(j) += 2 * out(j - 1) - out(j - 2)
+          case 3 => out(j) += 3 * out(j - 1) - 3 * out(j - 2) +
+            out(j - 3)
+          case 4 => out(j) += 4 * out(j - 1) - 6 * out(j - 2) +
+            4 * out(j - 3) - out(j - 4)
+        }
+      }
+    } else if (stype >= 32) throw new IllegalArgumentException(
+      "FLAC: LPC subframes not implemented (FIXED subset)")
+    else throw new IllegalArgumentException(
+      s"FLAC: reserved subframe type $stype")
+    out
+  }
+
   private def decodeFrame(bytes: Array[Byte], start: Int,
                           out: Array[Int], outOff: Int,
                           expectIdx: Int): (Int, Int) = {
+    val (chs, bs, next) = decodeFrameChannels(bytes, start, expectIdx,
+      expectChannels = 1)
+    System.arraycopy(chs(0), 0, out, outOff, bs)
+    (bs, next)
+  }
+
+  /** Frame decode for 1 or 2 declared channels; returns the decoded
+    * channel arrays, the block size, and the next byte position.
+    * Stereo decorrelation modes: independent (0b0001), left/side
+    * (0b1000), right/side (0b1001), mid/side (0b1010) — all exact
+    * integer reconstructions; the SIDE channel reads bits+1. */
+  private def decodeFrameChannels(bytes: Array[Byte], start: Int,
+                                  expectIdx: Int, expectChannels: Int)
+      : (Array[Array[Int]], Int, Int) = {
     val r = new BitReader(bytes, start)
     require(r.u(14) == 0x3ffeL, "FLAC: lost frame sync")
     require(r.u(1) == 0L, "FLAC: reserved bit set")
@@ -347,9 +470,13 @@ object FlacCodec {
     val chan = r.u(4).toInt
     val ssCode = r.u(3).toInt
     r.u(1)
-    require(chan == 0, "FLAC: mono frames only")
     require(ssCode == 4, "FLAC: 16-bit frames only")
     require(srCode == 0, "FLAC: expected sample rate from STREAMINFO")
+    val nCh = if (chan == 0) 1 else 2
+    require(nCh == expectChannels,
+      s"FLAC: frame channel assignment $chan does not match STREAMINFO")
+    require(chan == 0 || chan == 1 || (chan >= 8 && chan <= 10),
+      s"FLAC: unsupported channel assignment $chan")
     val idx = readCodedNumber(r)
     require(idx == expectIdx,
       s"FLAC: frame number $idx, expected $expectIdx")
@@ -365,64 +492,104 @@ object FlacCodec {
     }
     require(r.aligned, "FLAC: header not byte aligned")
     val headerCrc = crc8(bytes, start, r.pos)
-    require(r.u(8).toInt == headerCrc, "FLAC: frame header CRC-8 mismatch")
-    // ---- subframe
-    require(r.u(1) == 0L, "FLAC: subframe padding bit set")
-    val stype = r.u(6).toInt
-    val wasted = r.u(1).toInt
-    require(wasted == 0, "FLAC: wasted-bits subframes unsupported")
-    if (stype == 0) { // CONSTANT
-      val v = signExtend(r.u(16), 16)
-      java.util.Arrays.fill(out, outOff, outOff + bs, v)
-    } else if (stype == 1) { // VERBATIM
-      for (i <- 0 until bs) out(outOff + i) = signExtend(r.u(16), 16)
-    } else if (stype >= 8 && stype <= 12) { // FIXED order k
-      val k = stype - 8
-      for (i <- 0 until k) out(outOff + i) = signExtend(r.u(16), 16)
-      val method = r.u(2).toInt
-      require(method == 0 || method == 1,
-        s"FLAC: reserved residual method $method")
-      val pBits = if (method == 0) 4 else 5
-      val escape = if (method == 0) 0xf else 0x1f
-      val partOrder = r.u(4).toInt
-      val nParts = 1 << partOrder
-      require(bs % nParts == 0, "FLAC: partition does not divide block")
-      var i = k
-      for (part <- 0 until nParts) {
-        val count = (bs >> partOrder) - (if (part == 0) k else 0)
-        val p = r.u(pBits).toInt
-        if (p == escape) {
-          val raw = r.u(5).toInt
-          for (_ <- 0 until count)
-            out(outOff + i) = { val v = signExtend(r.u(raw), raw); i += 1; v }
-        } else {
-          for (_ <- 0 until count) {
-            val q = r.unary()
-            val u = (q.toLong << p) | r.u(p)
-            out(outOff + i) = unzigzag(u)
-            i += 1
-          }
+    require(r.u(8).toInt == headerCrc,
+      "FLAC: frame header CRC-8 mismatch")
+    val chs: Array[Array[Int]] = chan match {
+      case 0 => Array(readSubframe(r, bs, 16))
+      case 1 => Array(readSubframe(r, bs, 16), readSubframe(r, bs, 16))
+      case 8 => // left/side: R = L - side
+        val l = readSubframe(r, bs, 16)
+        val s = readSubframe(r, bs, 17)
+        Array(l, Array.tabulate(bs)(i => l(i) - s(i)))
+      case 9 => // right/side: L = R + side
+        val s = readSubframe(r, bs, 17)
+        val rr = readSubframe(r, bs, 16)
+        Array(Array.tabulate(bs)(i => rr(i) + s(i)), rr)
+      case 10 => // mid/side: (mid<<1)|(side&1) restores L+R exactly
+        val m = readSubframe(r, bs, 16)
+        val s = readSubframe(r, bs, 17)
+        val l = Array.tabulate(bs) { i =>
+          val sum = (m(i) << 1) | (s(i) & 1)
+          (sum + s(i)) >> 1
         }
-      }
-      // reconstruct the fixed prediction in place
-      for (j <- (outOff + k) until (outOff + bs)) {
-        val s = out
-        k match {
-          case 0 => ()
-          case 1 => s(j) += s(j - 1)
-          case 2 => s(j) += 2 * s(j - 1) - s(j - 2)
-          case 3 => s(j) += 3 * s(j - 1) - 3 * s(j - 2) + s(j - 3)
-          case 4 => s(j) += 4 * s(j - 1) - 6 * s(j - 2) +
-            4 * s(j - 3) - s(j - 4)
+        val rr = Array.tabulate(bs) { i =>
+          val sum = (m(i) << 1) | (s(i) & 1)
+          (sum - s(i)) >> 1
         }
-      }
-    } else if (stype >= 32) throw new IllegalArgumentException(
-      "FLAC: LPC subframes not implemented (FIXED subset)")
-    else throw new IllegalArgumentException(
-      s"FLAC: reserved subframe type $stype")
+        Array(l, rr)
+    }
     r.align()
     val frameCrc = crc16(bytes, start, r.pos)
     require(r.u(16).toInt == frameCrc, "FLAC: frame CRC-16 mismatch")
-    (bs, r.pos)
+    (chs, bs, r.pos)
+  }
+
+  /** Decode a STEREO stream to (left, right); the STREAMINFO MD5 is
+    * verified over the channel-interleaved reassembly. */
+  def decodeStereo(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val (meta, framesAt) = parseMetadata(bytes)
+    require(meta.channels == 2,
+      s"FLAC: expected stereo, STREAMINFO says ${meta.channels}")
+    val n = meta.total.toInt
+    val left = new Array[Int](n)
+    val right = new Array[Int](n)
+    var got = 0
+    var pos = framesAt
+    var expectIdx = 0
+    while (got < n) {
+      val (chs, bs, next) = decodeFrameChannels(bytes, pos, expectIdx,
+        expectChannels = 2)
+      System.arraycopy(chs(0), 0, left, got, bs)
+      System.arraycopy(chs(1), 0, right, got, bs)
+      got += bs
+      pos = next
+      expectIdx += 1
+    }
+    val inter = new Array[Int](2 * n)
+    for (i <- 0 until n) { inter(2 * i) = left(i); inter(2 * i + 1) = right(i) }
+    require(java.util.Arrays.equals(sampleMd5(inter), meta.md5),
+      "FLAC: MD5 mismatch — decoded audio does not match STREAMINFO")
+    (left, right)
+  }
+
+  private case class StreamMeta(channels: Int, total: Long,
+                                md5: Array[Byte])
+
+  private def parseMetadata(bytes: Array[Byte]): (StreamMeta, Int) = {
+    require(bytes.length >= 4 &&
+      new String(bytes, 0, 4, "US-ASCII") == "fLaC",
+      "FLAC: bad stream marker")
+    var pos = 4
+    var last = false
+    var meta: StreamMeta = null
+    while (!last) {
+      require(pos + 4 <= bytes.length, "FLAC: truncated metadata")
+      val hdr = bytes(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      pos += 4
+      require(pos + len <= bytes.length, "FLAC: truncated metadata body")
+      if (btype == 0) {
+        val r = new BitReader(bytes, pos)
+        val minBs = r.u(16); val maxBs = r.u(16)
+        require(minBs == BlockSize && maxBs == BlockSize,
+          s"FLAC: unsupported blocksize $minBs..$maxBs " +
+            s"(fixed $BlockSize only)")
+        r.u(24); r.u(24)
+        val rate = r.u(20)
+        require(rate == 8000, s"FLAC: unsupported sample rate $rate")
+        val ch = r.u(3).toInt + 1
+        require(ch <= 2, s"FLAC: $ch channels unsupported")
+        val bps = r.u(5)
+        require(bps == 15, "FLAC: 16-bit samples only")
+        val total = r.u(36)
+        meta = StreamMeta(ch, total, bytes.slice(pos + 18, pos + 34))
+      }
+      pos += len
+    }
+    require(meta != null, "FLAC: missing STREAMINFO")
+    (meta, pos)
   }
 }

@@ -791,6 +791,67 @@ object Multimodal {
       }
   }
 
+  /** Per-channel ZCR/energy frame (the stereo gate shape). */
+  case class AudioZcrChFrame(doc_id: Long, channel: String,
+                             frame_idx: Long, n_samples: Long,
+                             n_zero_cross: Long, sum_sq: Long,
+                             peak: Long)
+
+  /** Synthetic STEREO FLAC blobs: left = the e181 oscillating signal,
+    * right = a correlated derivation (truncating half + a small
+    * sawtooth, so the SIDE channel is genuinely non-trivial);
+    * mid/side and independent frames alternate by (frame + doc)
+    * parity, exercising both decorrelation paths per stream. */
+  def syntheticFlacStereo(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = synthLen(id)
+          val l = Array.tabulate(n)(i => synthOscSample(id, i))
+          val r = Array.tabulate(n)(i => l(i) / 2 - (i % 7))
+          (id, FlacCodec.encodeStereo(l, r,
+            fixedOrder = (id % 2).toInt + 1,
+            midSide = f => (f + id) % 2 == 0))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Decode stereo FLAC payloads and emit the per-channel ZCR/energy
+    * features (both channels through the full CRC/MD5-verified
+    * decorrelation path). */
+  def decodeFlacStereoZcr(blobs: DataFrame,
+                          frameSamples: Int = 256)
+      : Dataset[AudioZcrChFrame] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val (l, r) = FlacCodec.decodeStereo(payload)
+          Iterator(("l", l), ("r", r)).flatMap { case (ch, samples) =>
+            samples.grouped(frameSamples).zipWithIndex.map {
+              case (fr, idx) =>
+                var zc = 0L; var sq = 0L; var pk = 0L
+                var i = 0
+                while (i < fr.length) {
+                  val s = fr(i)
+                  if (i > 0 && ((fr(i - 1) < 0) != (s < 0))) zc += 1
+                  sq += s.toLong * s.toLong
+                  val a = math.abs(s.toLong)
+                  if (a > pk) pk = a
+                  i += 1
+                }
+                AudioZcrChFrame(id, ch, idx.toLong, fr.length.toLong,
+                  zc, sq, pk)
+            }
+          }
+        }
+      }
+  }
+
   /** One MFCC coefficient row. */
   case class MfccRow(doc_id: Long, frame_idx: Long, coef_idx: Long,
                      mfcc: Double)

@@ -60,6 +60,33 @@ class FlacCodecSpec extends AnyFunSuite {
       FlacCodec.decode("nope".getBytes("US-ASCII")))
   }
 
+  test("stereo: mid/side, independent, and mixed assignments all " +
+    "roundtrip bit-exactly, including odd L+R parities and extremes") {
+    val l = Array.tabulate(700)(i => ((i * 7919 + 5) % 65536) - 32768)
+    val r = Array.tabulate(700)(i => l(i) / 2 - (i % 7))
+    for (ms <- Seq[Int => Boolean](_ => true, _ => false, _ % 2 == 0)) {
+      val enc = FlacCodec.encodeStereo(l, r, fixedOrder = 2, midSide = ms)
+      val (dl, dr) = FlacCodec.decodeStereo(enc)
+      assert(dl.sameElements(l) && dr.sameElements(r))
+    }
+    // parity corners: (mid<<1)|(side&1) must restore odd sums, and
+    // the 17-bit side must carry the full ±65535 range
+    val le = Array(-32768, 32767, -32768, 1, 0)
+    val re = Array(32767, -32768, -32768, 0, -1)
+    val (el, er) = FlacCodec.decodeStereo(FlacCodec.encodeStereo(le, re))
+    assert(el.sameElements(le) && er.sameElements(re))
+  }
+
+  test("channel-count contracts: the mono API rejects stereo streams " +
+    "and vice versa, by name") {
+    val mono = FlacCodec.encode(Array.tabulate(300)(i => i - 150))
+    val st = FlacCodec.encodeStereo(Array.fill(300)(7), Array.fill(300)(9))
+    assert(intercept[IllegalArgumentException](
+      FlacCodec.decode(st)).getMessage.contains("decodeStereo"))
+    assert(intercept[IllegalArgumentException](
+      FlacCodec.decodeStereo(mono)).getMessage.contains("stereo"))
+  }
+
   test("MD5 integrity: a forged STREAMINFO hash is rejected even " +
     "when every frame CRC passes") {
     val enc = FlacCodec.encode(Array.tabulate(300)(i => i - 150))
