@@ -3131,6 +3131,17 @@ object ExtQueries {
             docs(s, dir).select(col("doc_id"))))
         .toDF()),
 
+    // E209: FLAC LPC subframes — the last residual FLAC seam after
+    // e204 (FIXED) and e208 (stereo): the e181 signal coded with
+    // Levinson-Durbin-quantized linear predictors (orders 2..5 by
+    // doc), decoded through the exact-integer LPC reconstruction
+    // (64-bit coefficient sums, arithmetic shift); shares e181's
+    // oracle verbatim — same expected rows, the LPC path under test
+    "e209_flac_lpc_frames" -> ((s, dir) =>
+      Multimodal.decodeFlacZcrEnergy(
+          Multimodal.syntheticFlacLpc(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E204: FLAC codec gate (compressed audio — the seam left after
     // r13's JPEG and this round's H.264): the e181 oscillating signal
     // FLAC-encoded (rice-coded FIXED-predictor residuals, VERBATIM
@@ -7310,6 +7321,26 @@ object ExtQueries {
         |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
         |  CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM f GROUP BY 1, 2, 3""".stripMargin,
+
+    // identical expected rows — the LPC-coded FLAC path decodes the
+    // same signal (lossless for any coefficient choice)
+    "e209_flac_lpc_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 300 + doc_id % 200 AS len FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, len)) AS i FROM g),
+        |v AS (SELECT doc_id, i,
+        |        (doc_id*31 + i*7919) % 65536 - 32768 AS s FROM s),
+        |f AS (SELECT doc_id, i // 256 AS frame_idx, s,
+        |        lag(s) OVER (PARTITION BY doc_id, i // 256 ORDER BY i)
+        |          AS prev
+        |      FROM v)
+        |SELECT doc_id, frame_idx, count(*) AS n_samples,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL
+        |                 AND ((prev < 0) != (s < 0))
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+        |  CAST(sum(s*s) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM f GROUP BY 1, 2""".stripMargin,
 
     // identical expected rows — the FLAC path decodes the same signal
     "e204_flac_codec_frames" ->

@@ -24,9 +24,19 @@ package graft.ext
   * independent L/R, left/side, right/side, and mid/side (mid =
   * (L+R)>>1, side = L−R; the decoder restores L+R exactly as
   * (mid<<1)|(side&1), so decorrelation is lossless integer math,
-  * with the SIDE subframe read at 17 bits per the spec). Rejected
-  * fail-fast by name: LPC subframes, variable blocksize, >2
-  * channels, non-16-bit depths.
+  * with the SIDE subframe read at 17 bits per the spec); and LPC
+  * subframes (types 32–63, orders 1–32): warmup + 4-bit coefficient
+  * precision + 5-bit signed shift + quantized coefficients + the
+  * same rice residual, reconstructed as
+  * `s(n) = res(n) + ((Σ c_j·s(n-1-j)) >> shift)` in 64-bit
+  * accumulation. The ENCODER's Levinson-Durbin stage uses doubles
+  * only to CHOOSE coefficients; the coded residual is computed with
+  * the quantized integers, so the roundtrip is bit-exact for ANY
+  * coefficient choice — the lossless-by-construction property that
+  * keeps this codec inside the repo's hash-exact oracle contract.
+  * Rejected fail-fast by name: variable blocksize, >2 channels,
+  * non-16-bit depths, negative LPC shifts, the reserved precision
+  * code 0b1111.
   *
   * Scale shape: like every codec here, encode/decode are
   * partition-local byte-blob functions behind the [[Multimodal]]
@@ -141,8 +151,10 @@ object FlacCodec {
     * the block is constant, VERBATIM when `forceVerbatim` marks the
     * frame, else FIXED with the given predictor order. */
   def encode(samples: Array[Int], fixedOrder: Int = 1,
-             forceVerbatim: Int => Boolean = _ => false): Array[Byte] = {
+             forceVerbatim: Int => Boolean = _ => false,
+             lpcOrder: Int = 0): Array[Byte] = {
     require(fixedOrder >= 0 && fixedOrder <= 4, "fixed order 0..4")
+    require(lpcOrder >= 0 && lpcOrder <= 32, "LPC order 0..32")
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
     out ++= "fLaC".getBytes("US-ASCII")
     // STREAMINFO: last-metadata flag + type 0, length 34
@@ -163,7 +175,7 @@ object FlacCodec {
       val bs = math.min(BlockSize, samples.length - off)
       if (bs > 0) {
         out ++= encodeFrame(samples, off, bs, frameIdx, fixedOrder,
-          forceVerbatim(frameIdx))
+          forceVerbatim(frameIdx), lpcOrder)
         off += bs
       }
       frameIdx += 1
@@ -184,7 +196,8 @@ object FlacCodec {
 
   private def encodeFrame(samples: Array[Int], off: Int, bs: Int,
                           frameIdx: Int, fixedOrder: Int,
-                          verbatim: Boolean): Array[Byte] = {
+                          verbatim: Boolean,
+                          lpcOrder: Int = 0): Array[Byte] = {
     val w = new BitWriter
     w.u(0x3ffeL, 14) // sync
     w.u(0, 1) // reserved
@@ -199,7 +212,8 @@ object FlacCodec {
     if (bsCode == 7L) w.u((bs - 1).toLong, 16)
     w.alignZero()
     w.buf += crc8(w.buf.toArray, 0, w.buf.length).toByte
-    writeSubframe(w, samples, off, bs, 16, fixedOrder, verbatim)
+    writeSubframe(w, samples, off, bs, 16, fixedOrder, verbatim,
+      lpcOrder)
     w.alignZero()
     val body = w.buf
     val c16 = crc16(body.toArray, 0, body.length)
@@ -208,10 +222,16 @@ object FlacCodec {
     body.toArray
   }
 
-  /** One subframe at `bits` sample width (17 for a SIDE channel). */
+  /** One subframe at `bits` sample width (17 for a SIDE channel).
+    * `lpcOrder > 0` switches non-constant, non-verbatim blocks to an
+    * LPC subframe with Levinson-Durbin-quantized coefficients;
+    * `pinnedLpc` (spec hook) forces an explicit (coefs, shift,
+    * precision) triple so tests can pin the exact bit layout. */
   private def writeSubframe(w: BitWriter, samples: Array[Int], off: Int,
                             bs: Int, bits: Int, fixedOrder: Int,
-                            verbatim: Boolean): Unit = {
+                            verbatim: Boolean, lpcOrder: Int = 0,
+                            pinnedLpc: Option[(Array[Int], Int, Int)] =
+                              None): Unit = {
     val mask = (1L << bits) - 1
     val const = (1 until bs).forall(i => samples(off + i) == samples(off))
     if (const) {
@@ -220,39 +240,206 @@ object FlacCodec {
     } else if (verbatim) {
       w.u(0, 1); w.u(1, 6); w.u(0, 1)
       for (i <- 0 until bs) w.u(samples(off + i).toLong & mask, bits)
+    } else if (pinnedLpc.isDefined) {
+      val (qc, shift, prec) = pinnedLpc.get
+      writeLpcSubframe(w, samples, off, bs, bits, qc, shift, prec)
+    } else if (lpcOrder > 0 && bs > 1) {
+      val k = math.min(lpcOrder, bs - 1)
+      val (qc, shift) = quantizedLpc(samples, off, bs, k, LpcPrecision)
+      writeLpcSubframe(w, samples, off, bs, bits, qc, shift,
+        LpcPrecision)
     } else {
       val k = math.min(fixedOrder, bs - 1)
       w.u(0, 1); w.u(8L + k, 6); w.u(0, 1) // FIXED order k
       for (i <- 0 until k) w.u(samples(off + i).toLong & mask, bits)
-      val res = residual(samples, off, bs, k)
-      w.u(0, 2) // residual method: 4-bit rice
-      w.u(0, 4) // partition order 0
-      val maxU = res.foldLeft(0L)((m, r) => math.max(m, zigzag(r)))
-      val bitsNeeded = 64 - java.lang.Long.numberOfLeadingZeros(
-        math.max(maxU, 1L))
-      val p = math.max(0, bitsNeeded - 4) // bounds unary runs at 15
-      if (p <= 14) {
-        w.u(p.toLong, 4)
-        res.foreach { r =>
-          val u = zigzag(r)
-          w.unary((u >> p).toInt)
-          w.u(u & ((1L << p) - 1), p)
-        }
-      } else {
-        // high-order predictors on wrapping signals can exceed the
-        // 4-bit rice range — use the spec's escape-to-raw partition
-        def signedBits(r: Int): Int =
-          64 - java.lang.Long.numberOfLeadingZeros(
-            if (r < 0) ~r.toLong else r.toLong).toInt + 1
-        val rawBits = res.foldLeft(1)((m, r) =>
-          math.max(m, signedBits(r)))
-        require(rawBits <= 31, "raw residual width out of range")
-        w.u(0xfL, 4) // escape
-        w.u(rawBits.toLong, 5)
-        res.foreach(r =>
-          w.u(r.toLong & ((1L << rawBits) - 1), rawBits))
-      }
+      writeRiceResidual(w, residual(samples, off, bs, k))
     }
+  }
+
+  /** Encoder-side LPC coefficient precision (qlp precision − 1 = 11
+    * goes in the 4-bit field; the spec ceiling is 15, 0b1111 is
+    * reserved). */
+  private val LpcPrecision = 12
+
+  /** LPC subframe: type 0b1xxxxx carrying order−1, warmup samples,
+    * 4-bit precision−1, 5-bit signed shift, `order` signed quantized
+    * coefficients, then the shared rice residual. The residual is
+    * computed with the QUANTIZED integers — exactly what the decoder
+    * inverts — so losslessness never depends on coefficient quality. */
+  private def writeLpcSubframe(w: BitWriter, samples: Array[Int],
+                               off: Int, bs: Int, bits: Int,
+                               qcoef: Array[Int], shift: Int,
+                               precision: Int): Unit = {
+    val order = qcoef.length
+    require(order >= 1 && order <= 32 && order < bs,
+      s"LPC order $order out of range for block $bs")
+    require(shift >= 0 && shift <= 15, "LPC shift 0..15")
+    require(precision >= 2 && precision <= 15, "LPC precision 2..15")
+    val lim = 1 << (precision - 1)
+    qcoef.foreach(c => require(c >= -lim && c < lim,
+      s"coefficient $c exceeds $precision-bit range"))
+    val mask = (1L << bits) - 1
+    w.u(0, 1); w.u(32L + (order - 1), 6); w.u(0, 1)
+    for (i <- 0 until order) w.u(samples(off + i).toLong & mask, bits)
+    w.u((precision - 1).toLong, 4)
+    w.u(shift.toLong & 0x1f, 5)
+    val cMask = (1L << precision) - 1
+    qcoef.foreach(c => w.u(c.toLong & cMask, precision))
+    val res = Array.tabulate(bs - order) { j =>
+      val i = off + order + j
+      var acc = 0L
+      var c = 0
+      while (c < order) {
+        acc += qcoef(c).toLong * samples(i - 1 - c); c += 1
+      }
+      val r = samples(i).toLong - (acc >> shift)
+      require(r >= Int.MinValue && r <= Int.MaxValue,
+        "LPC residual out of 32-bit range")
+      r.toInt
+    }
+    writeRiceResidual(w, res)
+  }
+
+  /** Levinson-Durbin over the block's autocorrelation, quantized to
+    * signed `precision`-bit coefficients with a power-of-two shift.
+    * Doubles appear ONLY here, in coefficient CHOICE — a degenerate
+    * or ill-conditioned block falls back to all-zero coefficients
+    * (residual = the samples themselves), still lossless. */
+  private def quantizedLpc(s: Array[Int], off: Int, bs: Int,
+                           order: Int, precision: Int)
+      : (Array[Int], Int) = {
+    val ac = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var sum = 0.0
+      var i = lag
+      while (i < bs) {
+        sum += s(off + i).toDouble * s(off + i - lag); i += 1
+      }
+      ac(lag) = sum
+      lag += 1
+    }
+    val lpc = new Array[Double](order)
+    var err = ac(0)
+    var i = 0
+    var ok = err > 0.0
+    while (ok && i < order) {
+      var acc = ac(i + 1)
+      var j = 0
+      while (j < i) { acc -= lpc(j) * ac(i - j); j += 1 }
+      val kr = acc / err
+      // reflect the existing coefficients around the new one
+      var a = 0
+      val half = i / 2
+      while (a < half) {
+        val tmp = lpc(a)
+        lpc(a) = tmp - kr * lpc(i - 1 - a)
+        lpc(i - 1 - a) -= kr * tmp
+        a += 1
+      }
+      if (i % 2 == 1) lpc(half) -= kr * lpc(half)
+      lpc(i) = kr
+      err *= 1.0 - kr * kr
+      if (java.lang.Double.isNaN(kr) || !(err > 0.0)) ok = false
+      i += 1
+    }
+    var cmax = 0.0
+    lpc.foreach { c =>
+      val a = math.abs(c)
+      if (java.lang.Double.isNaN(a) || a > cmax) cmax =
+        if (java.lang.Double.isNaN(a)) Double.NaN else a
+    }
+    if (!(cmax > 0.0) || java.lang.Double.isInfinite(cmax) ||
+      java.lang.Double.isNaN(cmax))
+      (new Array[Int](order), 0)
+    else {
+      val e = math.getExponent(cmax) // floor(log2 cmax)
+      val shift = math.max(0, math.min(15, precision - 2 - e))
+      val lim = 1 << (precision - 1)
+      val q = lpc.map { c =>
+        val v = math.round(c * (1L << shift).toDouble)
+        math.max(-lim.toLong, math.min((lim - 1).toLong, v)).toInt
+      }
+      (q, shift)
+    }
+  }
+
+  /** Partition-order-0 rice residual: 4-bit parameter sized to bound
+    * unary runs at 15, with the spec's escape-to-raw partition when
+    * the residual range exceeds the 4-bit rice parameter space. */
+  private def writeRiceResidual(w: BitWriter, res: Array[Int]): Unit = {
+    w.u(0, 2) // residual method: 4-bit rice
+    w.u(0, 4) // partition order 0
+    val maxU = res.foldLeft(0L)((m, r) => math.max(m, zigzag(r)))
+    val bitsNeeded = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(maxU, 1L))
+    val p = math.max(0, bitsNeeded - 4) // bounds unary runs at 15
+    if (p <= 14) {
+      w.u(p.toLong, 4)
+      res.foreach { r =>
+        val u = zigzag(r)
+        w.unary((u >> p).toInt)
+        w.u(u & ((1L << p) - 1), p)
+      }
+    } else {
+      // high-order predictors on wrapping signals can exceed the
+      // 4-bit rice range — use the spec's escape-to-raw partition
+      def signedBits(r: Int): Int =
+        64 - java.lang.Long.numberOfLeadingZeros(
+          if (r < 0) ~r.toLong else r.toLong).toInt + 1
+      val rawBits = res.foldLeft(1)((m, r) =>
+        math.max(m, signedBits(r)))
+      require(rawBits <= 31, "raw residual width out of range")
+      w.u(0xfL, 4) // escape
+      w.u(rawBits.toLong, 5)
+      res.foreach(r =>
+        w.u(r.toLong & ((1L << rawBits) - 1), rawBits))
+    }
+  }
+
+  /** Spec hook: a mono stream whose every frame is an LPC subframe
+    * with EXACTLY the given coefficients/shift/precision — lets the
+    * test suite pin the bit layout and reconstruction arithmetic
+    * against hand-authored expectations. */
+  private[graft] def encodePinnedLpc(samples: Array[Int],
+                                     qcoef: Array[Int], shift: Int,
+                                     precision: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "fLaC".getBytes("US-ASCII")
+    val si = new BitWriter
+    si.u(1, 1); si.u(0, 7); si.u(34, 24)
+    si.u(BlockSize.toLong, 16); si.u(BlockSize.toLong, 16)
+    si.u(0, 24); si.u(0, 24)
+    si.u(8000, 20); si.u(0, 3); si.u(15, 5)
+    si.u(samples.length.toLong, 36)
+    si.alignZero()
+    out ++= si.buf
+    out ++= sampleMd5(samples)
+    var frameIdx = 0
+    var off = 0
+    while (off < samples.length) {
+      val bs = math.min(BlockSize, samples.length - off)
+      val w = new BitWriter
+      w.u(0x3ffeL, 14); w.u(0, 1); w.u(0, 1)
+      val bsCode = if (bs == BlockSize) 8L else 7L
+      w.u(bsCode, 4); w.u(0, 4); w.u(0, 4); w.u(4, 3); w.u(0, 1)
+      codedNumber(w, frameIdx)
+      if (bsCode == 7L) w.u((bs - 1).toLong, 16)
+      w.alignZero()
+      w.buf += crc8(w.buf.toArray, 0, w.buf.length).toByte
+      writeSubframe(w, samples, off, bs, 16, fixedOrder = 1,
+        verbatim = false, lpcOrder = 0,
+        pinnedLpc = Some((qcoef, shift, precision)))
+      w.alignZero()
+      val body = w.buf
+      val c16 = crc16(body.toArray, 0, body.length)
+      body += ((c16 >> 8) & 0xff).toByte
+      body += (c16 & 0xff).toByte
+      out ++= body
+      off += bs
+      frameIdx += 1
+    }
+    out.toArray
   }
 
   /** Encode STEREO 16-bit at 8 kHz: per-frame channel decorrelation —
@@ -264,7 +451,8 @@ object FlacCodec {
     * channel-interleaved little-endian samples. */
   def encodeStereo(left: Array[Int], right: Array[Int],
                    fixedOrder: Int = 1,
-                   midSide: Int => Boolean = _ => true): Array[Byte] = {
+                   midSide: Int => Boolean = _ => true,
+                   lpcOrder: Int = 0): Array[Byte] = {
     require(left.length == right.length, "channel length mismatch")
     val n = left.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
@@ -303,11 +491,15 @@ object FlacCodec {
           (left(off + i) + right(off + i)) >> 1)
         val side = Array.tabulate(bs)(i =>
           left(off + i) - right(off + i))
-        writeSubframe(w, mid, 0, bs, 16, fixedOrder, verbatim = false)
-        writeSubframe(w, side, 0, bs, 17, fixedOrder, verbatim = false)
+        writeSubframe(w, mid, 0, bs, 16, fixedOrder, verbatim = false,
+          lpcOrder)
+        writeSubframe(w, side, 0, bs, 17, fixedOrder, verbatim = false,
+          lpcOrder)
       } else {
-        writeSubframe(w, left, off, bs, 16, fixedOrder, verbatim = false)
-        writeSubframe(w, right, off, bs, 16, fixedOrder, verbatim = false)
+        writeSubframe(w, left, off, bs, 16, fixedOrder,
+          verbatim = false, lpcOrder)
+        writeSubframe(w, right, off, bs, 16, fixedOrder,
+          verbatim = false, lpcOrder)
       }
       w.alignZero()
       val body = w.buf
@@ -399,32 +591,7 @@ object FlacCodec {
     } else if (stype >= 8 && stype <= 12) { // FIXED order k
       val k = stype - 8
       for (i <- 0 until k) out(i) = signExtend(r.u(bits), bits)
-      val method = r.u(2).toInt
-      require(method == 0 || method == 1,
-        s"FLAC: reserved residual method $method")
-      val pBits = if (method == 0) 4 else 5
-      val escape = if (method == 0) 0xf else 0x1f
-      val partOrder = r.u(4).toInt
-      val nParts = 1 << partOrder
-      require(bs % nParts == 0, "FLAC: partition does not divide block")
-      var i = k
-      for (part <- 0 until nParts) {
-        val count = (bs >> partOrder) - (if (part == 0) k else 0)
-        val p = r.u(pBits).toInt
-        if (p == escape) {
-          val raw = r.u(5).toInt
-          for (_ <- 0 until count) {
-            out(i) = signExtend(r.u(raw), raw); i += 1
-          }
-        } else {
-          for (_ <- 0 until count) {
-            val q = r.unary()
-            val u = (q.toLong << p) | r.u(p)
-            out(i) = unzigzag(u)
-            i += 1
-          }
-        }
-      }
+      readRiceResidual(r, bs, k, out)
       // reconstruct the fixed prediction in place
       for (j <- k until bs) {
         k match {
@@ -437,11 +604,67 @@ object FlacCodec {
             4 * out(j - 3) - out(j - 4)
         }
       }
-    } else if (stype >= 32) throw new IllegalArgumentException(
-      "FLAC: LPC subframes not implemented (FIXED subset)")
+    } else if (stype >= 32) { // LPC order k = stype − 31
+      val k = stype - 31
+      require(k < bs, s"FLAC: LPC order $k exceeds block size $bs")
+      for (i <- 0 until k) out(i) = signExtend(r.u(bits), bits)
+      val precRaw = r.u(4).toInt
+      require(precRaw != 0xf,
+        "FLAC: invalid LPC precision code 0b1111")
+      val precision = precRaw + 1
+      val shift = signExtend(r.u(5), 5)
+      require(shift >= 0, "FLAC: negative LPC shift unsupported")
+      val coef = Array.fill(k)(signExtend(r.u(precision), precision))
+      readRiceResidual(r, bs, k, out)
+      // s(n) = res(n) + ((Σ c_j·s(n-1-j)) >> shift), 64-bit sums
+      var j = k
+      while (j < bs) {
+        var acc = 0L
+        var c = 0
+        while (c < k) { acc += coef(c).toLong * out(j - 1 - c); c += 1 }
+        out(j) += (acc >> shift).toInt
+        j += 1
+      }
+    }
     else throw new IllegalArgumentException(
       s"FLAC: reserved subframe type $stype")
     out
+  }
+
+  /** Rice-partitioned residual into `out(k until bs)` — shared by the
+    * FIXED and LPC subframe readers. Handles both the 4-bit (method
+    * 0) and 5-bit (method 1) parameter widths, multi-partition
+    * layouts, and escaped raw partitions (including 0-width = all
+    * zero). */
+  private def readRiceResidual(r: BitReader, bs: Int, k: Int,
+                               out: Array[Int]): Unit = {
+    val method = r.u(2).toInt
+    require(method == 0 || method == 1,
+      s"FLAC: reserved residual method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val partOrder = r.u(4).toInt
+    val nParts = 1 << partOrder
+    require(bs % nParts == 0, "FLAC: partition does not divide block")
+    var i = k
+    for (part <- 0 until nParts) {
+      val count = (bs >> partOrder) - (if (part == 0) k else 0)
+      val p = r.u(pBits).toInt
+      if (p == escape) {
+        val raw = r.u(5).toInt
+        for (_ <- 0 until count) {
+          out(i) = if (raw == 0) 0 else signExtend(r.u(raw), raw)
+          i += 1
+        }
+      } else {
+        for (_ <- 0 until count) {
+          val q = r.unary()
+          val u = (q.toLong << p) | r.u(p)
+          out(i) = unzigzag(u)
+          i += 1
+        }
+      }
+    }
   }
 
   private def decodeFrame(bytes: Array[Byte], start: Int,

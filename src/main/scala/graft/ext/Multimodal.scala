@@ -761,6 +761,25 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic FLAC blobs carrying the SAME oscillating signal as
+    * e181/e204, coded with LPC SUBFRAMES — orders 2..5 by doc id,
+    * Levinson-Durbin-chosen quantized coefficients, exact-integer
+    * reconstruction on decode. Same expected features as e204; the
+    * LPC decode path (warmup + precision/shift/coefficient fields +
+    * 64-bit prediction sums) is what's under test. */
+  def syntheticFlacLpc(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, FlacCodec.encode(
+            Array.tabulate(synthLen(id))(i => synthOscSample(id, i)),
+            lpcOrder = 2 + (id % 4).toInt))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** Decode each FLAC payload (CRC-8/CRC-16/MD5 verified) and emit
     * the SAME per-frame ZCR/energy features as the WAV path. */
   def decodeFlacZcrEnergy(blobs: DataFrame,
