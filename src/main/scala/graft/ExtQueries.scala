@@ -3282,6 +3282,28 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E210: H.264 CAVLC DC RESIDUALS — the post-r14 seam: I_16x16
+    // MBs whose Intra16x16DCLevel carries one quantized coefficient,
+    // parsed through real coeff_token VLC/FLC tables, trailing-one
+    // signs, level prefix/suffix escapes, total_zeros, the inverse
+    // Hadamard, and QP-26 dequantization; the oracle chains the
+    // closed-form MB values (pred + ((13·L+2)//4 + 32)//64, clipped)
+    "e210_h264_cavlc_residual_rows" -> ((s, dir) =>
+      Multimodal.decodeH264Rows(
+          Multimodal.syntheticH264DcResidual(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
+    // E211: H.264 I_4x4 PREDICTION — per-4x4-block Vertical /
+    // Horizontal modes with the spec's most-probable-mode coding,
+    // reconstructed block-by-block against per-pixel I_PCM anchors;
+    // the oracle evaluates the copy-propagation closed form
+    "e211_h264_i4x4_rows" -> ((s, dir) =>
+      Multimodal.decodeH264Rows(
+          Multimodal.syntheticH264I4x4(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E197: H.264 I-frame codec, all-I_PCM streams (VERDICT r13 #7) —
     // real Annex B bitstreams (start codes, NAL headers, emulation
     // prevention, Exp-Golomb SPS/PPS/slice headers) decoded by the
@@ -7668,6 +7690,71 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the QP-26 dequant chain in closed form: r(L) = ((13·L + 2)//4
+    // + 32)//64 (all terms non-negative, so // = the spec's
+    // arithmetic shifts), MB values chained through the DC
+    // prediction with LEAST(255,·) as the spec clip
+    "e210_h264_cavlc_residual_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |base AS (SELECT doc_id,
+        |  30 + (doc_id*7 + 0*31) % 200 AS p0,
+        |  30 + (doc_id*7 + 1*31) % 200 AS p1,
+        |  30 + (doc_id*7 + 2*31) % 200 AS p2,
+        |  ((13*((doc_id*13 + 0*71 + 1*37) % 700) + 2) // 4 + 32) // 64 AS r01,
+        |  ((13*((doc_id*13 + 1*71 + 1*37) % 700) + 2) // 4 + 32) // 64 AS r11,
+        |  ((13*((doc_id*13 + 2*71 + 1*37) % 700) + 2) // 4 + 32) // 64 AS r21,
+        |  ((13*((doc_id*13 + 0*71 + 2*37) % 700) + 2) // 4 + 32) // 64 AS r02,
+        |  ((13*((doc_id*13 + 1*71 + 2*37) % 700) + 2) // 4 + 32) // 64 AS r12,
+        |  ((13*((doc_id*13 + 2*71 + 2*37) % 700) + 2) // 4 + 32) // 64 AS r22
+        | FROM f),
+        |c1 AS (SELECT *, LEAST(255, p0 + r01) AS v01 FROM base),
+        |c2 AS (SELECT *, LEAST(255, (v01 + p1 + 1)//2 + r11) AS v11 FROM c1),
+        |c3 AS (SELECT *, LEAST(255, (v11 + p2 + 1)//2 + r21) AS v21 FROM c2),
+        |c4 AS (SELECT *, LEAST(255, v01 + r02) AS v02 FROM c3),
+        |c5 AS (SELECT *, LEAST(255, (v02 + v11 + 1)//2 + r12) AS v12 FROM c4),
+        |c6 AS (SELECT *, LEAST(255, (v12 + v21 + 1)//2 + r22) AS v22 FROM c5),
+        |cells AS (
+        |  SELECT doc_id, 0 AS my, p0 AS v FROM c6
+        |  UNION ALL SELECT doc_id, 0, p1 FROM c6
+        |  UNION ALL SELECT doc_id, 0, p2 FROM c6
+        |  UNION ALL SELECT doc_id, 1, v01 FROM c6
+        |  UNION ALL SELECT doc_id, 1, v11 FROM c6
+        |  UNION ALL SELECT doc_id, 1, v21 FROM c6
+        |  UNION ALL SELECT doc_id, 2, v02 FROM c6
+        |  UNION ALL SELECT doc_id, 2, v12 FROM c6
+        |  UNION ALL SELECT doc_id, 2, v22 FROM c6),
+        |rws AS (SELECT doc_id, unnest(range(0, 48)) AS y FROM f)
+        |SELECT r.doc_id, r.y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(c.v * 16) AS BIGINT) AS sum_y,
+        |  CAST(min(c.v) AS BIGINT) AS min_y,
+        |  CAST(max(c.v) AS BIGINT) AS max_y
+        |FROM rws r JOIN cells c ON c.doc_id = r.doc_id
+        |  AND c.my = r.y // 16
+        |GROUP BY 1, 2""".stripMargin,
+
+    // copy-propagation closed form: V MBs repeat the bottom row of
+    // the MB above, H MBs the right column of the MB left — the
+    // interior therefore evaluates to three pattern lookups
+    "e211_h264_i4x4_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |rws AS (SELECT doc_id, unnest(range(0, 48)) AS y FROM f),
+        |px AS (SELECT doc_id, y, unnest(range(0, 48)) AS x FROM rws),
+        |v AS (SELECT doc_id, y, x,
+        |  CASE
+        |    WHEN x < 16 OR y < 16 THEN (doc_id*31 + (y*48 + x)*7) % 256
+        |    WHEN x < 32 AND y < 32
+        |      THEN (doc_id*31 + (15*48 + x)*7) % 256
+        |    WHEN y < 32 THEN (doc_id*31 + (15*48 + 31)*7) % 256
+        |    WHEN x < 32 THEN (doc_id*31 + (y*48 + 15)*7) % 256
+        |    ELSE (doc_id*31 + (15*48 + 31)*7) % 256
+        |  END AS p
+        | FROM px)
+        |SELECT doc_id, y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(p) AS BIGINT) AS sum_y,
+        |  CAST(min(p) AS BIGINT) AS min_y,
+        |  CAST(max(p) AS BIGINT) AS max_y
+        |FROM v GROUP BY 1, 2""".stripMargin,
+
     "e197_h264_ipcm_rows" ->
       """WITH f AS (SELECT doc_id, unnest(range(0, 48)) AS y
         |           FROM documents),

@@ -29,11 +29,33 @@ package graft.ext
   *    both neighbors, (Σ+8)>>4 one, 128 none) and DC chroma
   *    prediction, with raster-scan availability rules.
   *
-  * Scope contract (fail-fast, never guess): streams with nonzero
-  * residual levels (TotalCoeff > 0), I_4x4 / Plane / V / H prediction,
-  * CABAC, or P/B slices are REJECTED by name — the decoder decodes
-  * exactly the prediction-plus-PCM subset its paired encoder emits
-  * (the `JpegCodec` progressive-gate-writer precedent). Within that
+  * Extended beyond the r14 close with two more macroblock layers:
+  *  - **CAVLC DC residuals** (9.2 + 8.5.10/8.5.12): I_16x16 MBs whose
+  *    Intra16x16DCLevel carries ONE nonzero coefficient — real
+  *    coeff_token VLC (the 0≤nC<2 column of Table 9-5 through
+  *    TotalCoeff 5, plus the nC≥8 fixed-length class), trailing-one
+  *    sign bits, the full level_prefix/level_suffix algorithm
+  *    including the 4-bit prefix-14 and 12-bit prefix-15 escapes,
+  *    the TotalCoeff-1 total_zeros row, the 4x4 zigzag, the inverse
+  *    Hadamard DC transform, and dequantization at the stream's
+  *    fixed QP 26 (LevelScale 13: dcY = (f·13 + 2) >> 2, then
+  *    r = (dcY + 32) >> 6 per 4x4 block with all-zero AC) — exact
+  *    integer arithmetic end to end;
+  *  - **I_4x4 prediction** (mb_type 0, 8.3.1): per-4x4-block
+  *    Vertical / Horizontal / DC modes with the spec's most-probable-
+  *    mode coding (prev_intra4x4_pred_mode_flag + 3-bit remainder,
+  *    predMode = min(left, top), either-unavailable → DC, non-I4x4
+  *    neighbors count as DC), cbp 0 via the Table 9-4 intra me(v)
+  *    mapping, block-by-block reconstruction in luma4x4BlkIdx order
+  *    so within-MB blocks predict from already-reconstructed pixels.
+  *
+  * Scope contract (fail-fast, never guess): DC residual blocks with
+  * TotalCoeff > 1, coeff_token codes outside the implemented table
+  * rows, the 2≤nC<8 VLC columns, diagonal I_4x4 modes (3..8),
+  * nonzero coded_block_pattern, nonzero qp deltas (the QP-26
+  * contract), CABAC, or P/B slices are REJECTED by name — the
+  * decoder decodes exactly the subset its paired encoder emits (the
+  * `JpegCodec` progressive-gate-writer precedent). Within that
   * subset the bitstreams are fully conformant H.264 any reference
   * decoder would reconstruct identically.
   */
@@ -158,6 +180,19 @@ object H264Codec {
   final case class PcmMb(lumaY: Array[Int], cb: Int = 128,
                          cr: Int = 128) extends Mb
   case object DcPredMb extends Mb
+  /** DC-predicted I_16x16 whose Intra16x16DCLevel carries ONE
+    * nonzero coefficient `level` at zigzag position `zigzagPos` —
+    * with all-zero AC the reconstruction adds a per-4x4-block
+    * quantized offset to the DC prediction (uniform across the MB
+    * when zigzagPos = 0). */
+  final case class DcResidualMb(level: Int,
+                                zigzagPos: Int = 0) extends Mb
+  /** I_NxN (mb_type 0) with cbp 0: 16 per-block intra modes in
+    * luma4x4BlkIdx order — 0 Vertical, 1 Horizontal, 2 DC. */
+  final case class I4x4Mb(modes: Array[Int]) extends Mb
+  object I4x4Mb {
+    def uniform(mode: Int): I4x4Mb = I4x4Mb(Array.fill(16)(mode))
+  }
 
   /** Encode one IDR frame of `mbw`×`mbh` macroblocks as a complete
     * Annex B stream (SPS + PPS + IDR slice). */
@@ -206,8 +241,14 @@ object H264Codec {
     sl.putBit(0); sl.putBit(0) // dec_ref_pic_marking (IDR): no_output, long_term
     sl.se(0) // slice_qp_delta
     sl.ue(1) // disable_deblocking_filter_idc: FILTER OFF
-    // per-MB total-coefficient map for CAVLC nC (I_PCM counts 16)
+    // per-MB total-coefficient map for CAVLC nC (I_PCM counts 16;
+    // an I_16x16 MB's 4x4 blocks count their Intra16x16ACLevel
+    // coefficients — always 0 here since cbpLuma = 0; the DC block
+    // does NOT contribute, per the 9.2.1 neighbor rule), plus the
+    // per-4x4-block intra-mode grid for I_NxN most-probable-mode
+    // coding (non-I4x4 MBs count as DC = 2)
     val tc = Array.fill(mbw * mbh)(0)
+    val modeGrid = Array.fill(mbw * 4 * mbh * 4)(2)
     for (my <- 0 until mbh; mx <- 0 until mbw) {
       val i = my * mbw + mx
       mbs(i) match {
@@ -223,12 +264,31 @@ object H264Codec {
           sl.ue(3) // I_16x16: predMode DC, cbpChroma 0, cbpLuma 0
           sl.ue(0) // intra_chroma_pred_mode: DC
           sl.se(0) // mb_qp_delta
-          // Intra16x16DCLevel: all-zero CAVLC block, coeff_token(0,0)
-          val nC = dcNc(tc, mbw, mx, my)
-          if (nC < 2) sl.putBit(1) // '1'
-          else if (nC < 4) sl.u(3, 2) // '11'
-          else if (nC < 8) sl.u(15, 4) // '1111'
-          else sl.u(3, 6) // nC≥8 FLC: 000011
+          writeCavlcDcBlock(sl, 0, 0, dcNc(tc, mbw, mx, my))
+          tc(i) = 0
+        case DcResidualMb(level, pos) =>
+          require(pos >= 0 && pos < 16, "zigzag position 0..15")
+          sl.ue(3) // same I_16x16 type — the DC block is always coded
+          sl.ue(0) // intra_chroma_pred_mode: DC
+          sl.se(0) // mb_qp_delta (QP-26 contract)
+          writeCavlcDcBlock(sl, level, pos, dcNc(tc, mbw, mx, my))
+          tc(i) = 0
+        case I4x4Mb(modes) =>
+          require(modes.length == 16, "I_4x4 needs 16 block modes")
+          sl.ue(0) // mb_type I_NxN
+          for (b <- 0 until 16) {
+            val (bx, by) = blk4x4Pos(b)
+            val gx = mx * 4 + bx / 4
+            val gy = my * 4 + by / 4
+            val pred = predMode4x4(modeGrid, mbw * 4, gx, gy)
+            val m = modes(b)
+            require(m >= 0 && m <= 2, "modes 0 (V) / 1 (H) / 2 (DC)")
+            if (m == pred) sl.putBit(1)
+            else { sl.putBit(0); sl.u(if (m < pred) m else m - 1, 3) }
+            modeGrid(gy * mbw * 4 + gx) = m
+          }
+          sl.ue(0) // intra_chroma_pred_mode: DC
+          sl.ue(3) // coded_block_pattern: codeNum 3 → cbp 0 (Table 9-4)
           tc(i) = 0
       }
     }
@@ -250,6 +310,212 @@ object H264Codec {
       case (None, Some(y)) => y
       case (None, None) => 0
     }
+  }
+
+  // --------------------------------------------------- CAVLC residual
+  /** 4x4 zigzag scan (Table 8-13), index → (row, col). */
+  private val Zigzag4x4: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+  /** coeff_token, the 0 ≤ nC < 2 column of Table 9-5 through
+    * TotalCoeff 5 — the implemented VLC subset (richer rows and the
+    * 2≤nC<8 columns are rejected by name). Entries are
+    * (totalCoeff, trailingOnes, codeLength, codeValue). */
+  private val CoeffTokenNc0: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 1, 0x1), (1, 1, 2, 0x1), (2, 2, 3, 0x1), (3, 3, 5, 0x3),
+    (1, 0, 6, 0x5), (2, 1, 6, 0x4), (4, 3, 6, 0x3),
+    (3, 2, 7, 0x5), (5, 3, 7, 0x4),
+    (2, 0, 8, 0x7), (3, 1, 8, 0x6), (4, 2, 8, 0x5),
+    (3, 0, 9, 0x7), (4, 1, 9, 0x6), (5, 2, 9, 0x5),
+    (4, 0, 10, 0x7), (5, 1, 10, 0x6), (5, 0, 11, 0x7))
+
+  /** total_zeros for TotalCoeff = 1 (Table 9-7 row 1): the only row
+    * a single-coefficient DC block can need. tz → (length, code). */
+  private val TotalZeros1: Array[(Int, Int)] = Array(
+    (1, 1), (3, 3), (3, 2), (4, 3), (4, 2), (5, 3), (5, 2), (6, 3),
+    (6, 2), (7, 3), (7, 2), (8, 3), (8, 2), (9, 3), (9, 2), (9, 1))
+
+  private def writeCoeffToken(w: BitWriter, nC: Int, tcf: Int,
+                              t1: Int): Unit =
+    if (nC >= 8) w.u(if (tcf == 0) 3 else ((tcf - 1) << 2) | t1, 6)
+    else if (nC < 2) {
+      val e = CoeffTokenNc0.find(x => x._1 == tcf && x._2 == t1)
+      require(e.isDefined,
+        s"H264: coeff_token ($tcf,$t1) outside implemented subset")
+      w.u(e.get._4, e.get._3)
+    } else throw new IllegalArgumentException(
+      s"H264: coeff_token VLC column for nC=$nC not implemented " +
+        "(0≤nC<2 and nC≥8 only)")
+
+  /** level_prefix/level_suffix (9.2.2) at suffixLength 0 — the form a
+    * first coded level takes; handles the prefix-14 4-bit and
+    * prefix-15 12-bit escapes. `first`+`trailingOnes<3` applies the
+    * spec's +2 levelCode bias (inverted here). */
+  private def writeLevel(w: BitWriter, level: Int,
+                         trailingOnes: Int): Unit = {
+    require(level != 0, "coded levels are nonzero")
+    var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+    if (trailingOnes < 3) levelCode -= 2
+    require(levelCode >= 0, "|level| = 1 must be coded as a trailing one")
+    if (levelCode < 14) { w.u(0, levelCode); w.putBit(1) }
+    else if (levelCode < 30) {
+      w.u(0, 14); w.putBit(1); w.u(levelCode - 14, 4)
+    } else {
+      require(levelCode - 30 < 4096,
+        "H264: level beyond the 12-bit suffix escape")
+      w.u(0, 15); w.putBit(1); w.u(levelCode - 30, 12)
+    }
+  }
+
+  /** Inverse of [[writeLevel]] — the general 9.2.2.2 algorithm at
+    * suffixLength 0 (single-coefficient blocks never adapt). */
+  private def readLevel(r: BitReader, trailingOnes: Int): Int = {
+    var prefix = 0
+    while (r.readBit() == 0) {
+      prefix += 1
+      require(prefix <= 15,
+        "H264: level_prefix beyond the implemented escape range")
+    }
+    val suffixSize =
+      if (prefix >= 15) prefix - 3
+      else if (prefix == 14) 4
+      else 0
+    var levelCode = math.min(15, prefix)
+    if (suffixSize > 0) levelCode += r.u(suffixSize)
+    if (prefix >= 15) levelCode += 15
+    if (trailingOnes < 3) levelCode += 2
+    if (levelCode % 2 == 0) (levelCode + 2) >> 1
+    else -((levelCode + 1) >> 1)
+  }
+
+  /** The Intra16x16DCLevel block for a single coefficient `level` at
+    * zigzag position `pos` (or the all-zero block when level = 0):
+    * coeff_token, trailing-one sign or coded level, and the
+    * TotalCoeff-1 total_zeros row (tz = the coefficient's zigzag
+    * index; run_before never occurs with one coefficient). */
+  private def writeCavlcDcBlock(w: BitWriter, level: Int, pos: Int,
+                                nC: Int): Unit =
+    if (level == 0) writeCoeffToken(w, nC, 0, 0)
+    else {
+      val t1 = if (level == 1 || level == -1) 1 else 0
+      writeCoeffToken(w, nC, 1, t1)
+      if (t1 == 1) w.putBit(if (level < 0) 1 else 0)
+      else writeLevel(w, level, trailingOnes = 0)
+      val (len, code) = TotalZeros1(pos)
+      w.u(code, len)
+    }
+
+  /** Spec hook: the raw zero-padded bits of one CAVLC DC block, so
+    * tests can pin the field layout against hand-derived strings. */
+  private[graft] def cavlcDcBlockBits(level: Int, pos: Int,
+                                      nC: Int): Array[Byte] = {
+    val w = new BitWriter
+    writeCavlcDcBlock(w, level, pos, nC)
+    w.alignZero()
+    w.toBytes
+  }
+
+  private def readCoeffTokenNc0(r: BitReader): (Int, Int) = {
+    var code = 0
+    var len = 0
+    while (len < 11) {
+      code = (code << 1) | r.readBit()
+      len += 1
+      val hit = CoeffTokenNc0.find(e => e._3 == len && e._4 == code)
+      if (hit.isDefined) return (hit.get._1, hit.get._2)
+    }
+    throw new IllegalArgumentException(
+      "H264: coeff_token code outside implemented subset (0≤nC<2, " +
+        "TotalCoeff ≤ 5)")
+  }
+
+  private def readTotalZeros1(r: BitReader): Int = {
+    var code = 0
+    var len = 0
+    while (len < 9) {
+      code = (code << 1) | r.readBit()
+      len += 1
+      var tz = 0
+      while (tz < 16) {
+        if (TotalZeros1(tz)._1 == len && TotalZeros1(tz)._2 == code)
+          return tz
+        tz += 1
+      }
+    }
+    throw new IllegalArgumentException("H264: invalid total_zeros code")
+  }
+
+  /** Inverse Hadamard DC transform + dequantization at the fixed
+    * QP-26 contract (8.5.10): f = H·c·H with the ±1 Hadamard rows,
+    * then dcY = (f·13 + 2) >> 2 (LevelScale(26%6,0,0) = 13,
+    * shift terms from qP/6 = 4). */
+  private val HadamardRows: Array[Array[Int]] = Array(
+    Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+    Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+
+  private def dequantDc26(c: Array[Array[Int]]): Array[Array[Int]] = {
+    val f = Array.ofDim[Int](4, 4)
+    for (i <- 0 until 4; j <- 0 until 4) {
+      var s = 0
+      for (k <- 0 until 4; l <- 0 until 4)
+        s += HadamardRows(i)(k) * c(k)(l) * HadamardRows(j)(l)
+      f(i)(j) = (s * 13 + 2) >> 2
+    }
+    f
+  }
+
+  // ------------------------------------------------------ I_4x4 layer
+  /** luma4x4BlkIdx → pixel offset within the MB (the 2x2-quad Z
+    * order of 6.4.3). */
+  private def blk4x4Pos(idx: Int): (Int, Int) = {
+    val quad = idx >> 2
+    val sub = idx & 3
+    ((((quad & 1) << 1) | (sub & 1)) * 4,
+      (((quad >> 1) << 1) | (sub >> 1)) * 4)
+  }
+
+  /** predIntra4x4PredMode (8.3.1.1): min(left, top) block modes;
+    * either neighbor outside the picture → DC (2); neighbors in
+    * non-I4x4 MBs already hold 2 in the grid. */
+  private def predMode4x4(grid: Array[Int], gw: Int, gx: Int,
+                          gy: Int): Int =
+    if (gx == 0 || gy == 0) 2
+    else math.min(grid(gy * gw + gx - 1), grid((gy - 1) * gw + gx))
+
+  /** Intra_4x4 prediction (8.3.1.2): V copies the 4 pixels above, H
+    * the 4 left pixels, DC the rounded neighbor mean — operating on
+    * the reconstructed plane so within-MB blocks chain correctly. */
+  private def predict4x4(y: Array[Int], w: Int, x0: Int, y0: Int,
+                         mode: Int): Unit = mode match {
+    case 0 =>
+      require(y0 > 0,
+        "H264: Intra_4x4_Vertical requires an available top neighbor")
+      for (px <- 0 until 4) {
+        val v = y((y0 - 1) * w + x0 + px)
+        for (py <- 0 until 4) y((y0 + py) * w + x0 + px) = v
+      }
+    case 1 =>
+      require(x0 > 0,
+        "H264: Intra_4x4_Horizontal requires an available left neighbor")
+      for (py <- 0 until 4) {
+        val v = y((y0 + py) * w + x0 - 1)
+        for (px <- 0 until 4) y((y0 + py) * w + x0 + px) = v
+      }
+    case 2 =>
+      val hasL = x0 > 0
+      val hasT = y0 > 0
+      var s = 0
+      if (hasL) for (py <- 0 until 4) s += y((y0 + py) * w + x0 - 1)
+      if (hasT) for (px <- 0 until 4) s += y((y0 - 1) * w + x0 + px)
+      val dc =
+        if (hasL && hasT) (s + 4) >> 3
+        else if (hasL || hasT) (s + 2) >> 2
+        else 128
+      for (py <- 0 until 4; px <- 0 until 4)
+        y((y0 + py) * w + x0 + px) = dc
+    case m => throw new IllegalArgumentException(
+      s"H264: intra4x4 pred mode $m unsupported (V/H/DC only)")
   }
 
   // ---------------------------------------------------------- decode
@@ -297,7 +563,9 @@ object H264Codec {
           r.readBit()
           require(r.ue() == 0, "H264: slice groups unsupported")
           r.ue(); r.ue(); r.readBit(); r.u(2)
-          r.se(); r.se(); r.se()
+          require(r.se() == 0,
+            "H264: nonzero pic_init_qp unsupported (QP-26 contract)")
+          r.se(); r.se()
           r.readBit() // deblocking control present (assumed 1 by writer)
           r.readBit(); r.readBit()
           sawPps = true
@@ -348,7 +616,8 @@ object H264Codec {
     r.u(log2MaxFrameNum) // frame_num
     r.ue() // idr_pic_id
     r.readBit(); r.readBit() // dec_ref_pic_marking
-    r.se() // slice_qp_delta
+    require(r.se() == 0,
+      "H264: nonzero slice_qp_delta unsupported (QP-26 contract)")
     val disableDeblock = r.ue()
     require(disableDeblock == 1,
       "H264: deblocking filter not implemented (writer disables it)")
@@ -357,6 +626,7 @@ object H264Codec {
     val cb = new Array[Int](w / 2 * mbh * 8)
     val cr = new Array[Int](w / 2 * mbh * 8)
     val tc = Array.fill(mbw * mbh)(0)
+    val modeGrid = Array.fill(mbw * 4 * mbh * 4)(2)
     for (my <- 0 until mbh; mx <- 0 until mbw) {
       val mbType = r.ue()
       mbType match {
@@ -371,64 +641,107 @@ object H264Codec {
           for (py <- 0 until 8; px <- 0 until 8)
             cr((cy0 + py) * (w / 2) + cx0 + px) = r.readByteAligned()
           tc(my * mbw + mx) = 16
-        case 3 => // I_16x16, DC pred, cbp 0
+        case 0 => // I_NxN: per-4x4-block intra prediction, cbp 0
+          val modes = new Array[Int](16)
+          for (b <- 0 until 16) {
+            val (bx, by) = blk4x4Pos(b)
+            val gx = mx * 4 + bx / 4
+            val gy = my * 4 + by / 4
+            val pred = predMode4x4(modeGrid, mbw * 4, gx, gy)
+            val m =
+              if (r.readBit() == 1) pred
+              else {
+                val rem = r.u(3)
+                if (rem < pred) rem else rem + 1
+              }
+            require(m <= 2,
+              s"H264: intra4x4 pred mode $m unsupported (V/H/DC only)")
+            modeGrid(gy * mbw * 4 + gx) = m
+            modes(b) = m
+          }
           val chromaPred = r.ue()
           require(chromaPred == 0,
             s"H264: chroma pred mode $chromaPred unsupported (DC only)")
-          r.se() // mb_qp_delta
+          val cbpCode = r.ue()
+          require(cbpCode == 3, // Table 9-4 intra: codeNum 3 → cbp 0
+            "H264: nonzero coded_block_pattern unsupported for I_4x4 " +
+              "(prediction-only subset)")
+          // cbp 0 → no mb_qp_delta, no residual; reconstruct in
+          // blkIdx order so within-MB blocks see decoded pixels
+          for (b <- 0 until 16) {
+            val (bx, by) = blk4x4Pos(b)
+            predict4x4(y, w, mx * 16 + bx, my * 16 + by, modes(b))
+          }
+          predictChromaDc(cb, w / 2, mx, my)
+          predictChromaDc(cr, w / 2, mx, my)
+          tc(my * mbw + mx) = 0
+        case 3 => // I_16x16, DC pred, cbp 0 (DC residual allowed)
+          val chromaPred = r.ue()
+          require(chromaPred == 0,
+            s"H264: chroma pred mode $chromaPred unsupported (DC only)")
+          require(r.se() == 0,
+            "H264: nonzero mb_qp_delta unsupported (QP-26 contract)")
           val nC = dcNc(tc, mbw, mx, my)
-          val (totalCoeff, _) = coeffToken(r, nC)
-          require(totalCoeff == 0,
-            "H264: nonzero residual levels unsupported " +
-              "(prediction-plus-PCM subset)")
-          predictDc(y, w, mx, my)
+          val (totalCoeff, trailingOnes) =
+            if (nC >= 8) {
+              val code = r.u(6)
+              if (code == 3) (0, 0) else ((code >> 2) + 1, code & 3)
+            } else if (nC < 2) readCoeffTokenNc0(r)
+            else throw new IllegalArgumentException(
+              s"H264: coeff_token VLC column for nC=$nC not " +
+                "implemented (0≤nC<2 and nC≥8 only)")
+          require(totalCoeff <= 1,
+            "H264: DC residual blocks with TotalCoeff > 1 unsupported " +
+              "(single-coefficient subset)")
+          val pred = dcPredValue(y, w, mx, my)
+          val x0 = mx * 16; val y0 = my * 16
+          if (totalCoeff == 0) {
+            for (py <- 0 until 16; px <- 0 until 16)
+              y((y0 + py) * w + x0 + px) = pred
+          } else {
+            val level =
+              if (trailingOnes == 1) { if (r.readBit() == 1) -1 else 1 }
+              else readLevel(r, trailingOnes = 0)
+            val tz = readTotalZeros1(r)
+            // TotalCoeff 1: total_zeros IS the coefficient's zigzag
+            // index; no run_before follows
+            val c = Array.ofDim[Int](4, 4)
+            val (zr, zc) = Zigzag4x4(tz)
+            c(zr)(zc) = level
+            val dcY = dequantDc26(c)
+            for (bi <- 0 until 4; bj <- 0 until 4) {
+              // all-zero AC ⇒ each 4x4 block's residual is the
+              // constant (dcY + 32) >> 6 (8.5.12.2 with DC only)
+              val rblk = (dcY(bi)(bj) + 32) >> 6
+              val v = math.max(0, math.min(255, pred + rblk))
+              for (py <- 0 until 4; px <- 0 until 4)
+                y((y0 + bi * 4 + py) * w + x0 + bj * 4 + px) = v
+            }
+          }
           predictChromaDc(cb, w / 2, mx, my)
           predictChromaDc(cr, w / 2, mx, my)
           tc(my * mbw + mx) = 0
         case t => throw new IllegalArgumentException(
           s"H264: unsupported mb_type $t " +
-            "(I_PCM and DC-predicted I_16x16 only)")
+            "(I_PCM, I_NxN, and DC-predicted I_16x16 only)")
       }
     }
     require(r.readBit() == 1, "H264: missing rbsp_stop_one_bit")
     Frame(mbw, mbh, y, cb, cr)
   }
 
-  /** coeff_token (9.2.1): (TotalCoeff, TrailingOnes). Implemented for
-    * the codes the prediction-plus-PCM subset can contain — the
-    * all-zero block in every nC class — plus enough structure to name
-    * anything else it meets. */
-  private def coeffToken(r: BitReader, nC: Int): (Int, Int) =
-    if (nC >= 8) {
-      val code = r.u(6)
-      if (code == 3) (0, 0)
-      else ((code >> 2) + 1, code & 3)
-    } else {
-      // (0,0) prefix per class: nC<2 '1', nC<4 '11', nC<8 '1111'
-      val want = if (nC < 2) 1 else if (nC < 4) 2 else 4
-      var seen = 0
-      while (seen < want) {
-        require(r.readBit() == 1,
-          "H264: residual coeff_token outside the all-zero subset")
-        seen += 1
-      }
-      (0, 0)
-    }
-
-  /** Intra_16x16 DC prediction, 8.3.3.1. */
-  private def predictDc(y: Array[Int], w: Int, mx: Int, my: Int): Unit = {
+  /** Intra_16x16 DC prediction value, 8.3.3.1. */
+  private def dcPredValue(y: Array[Int], w: Int, mx: Int,
+                          my: Int): Int = {
     val x0 = mx * 16; val y0 = my * 16
     val hasLeft = mx > 0
     val hasTop = my > 0
     var sum = 0
     if (hasLeft) for (py <- 0 until 16) sum += y((y0 + py) * w + x0 - 1)
     if (hasTop) for (px <- 0 until 16) sum += y((y0 - 1) * w + x0 + px)
-    val dc =
-      if (hasLeft && hasTop) (sum + 16) >> 5
-      else if (hasLeft || hasTop) (sum + 8) >> 4
-      else 128
-    for (py <- 0 until 16; px <- 0 until 16)
-      y((y0 + py) * w + x0 + px) = dc
+    if (hasLeft && hasTop) (sum + 16) >> 5
+    else if (hasLeft || hasTop) (sum + 8) >> 4
+    else 128
   }
 
   /** Chroma DC prediction (8.3.4, mode 0) over an 8×8 plane block:

@@ -961,6 +961,61 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Quantized DC residual level for the CAVLC gate (e210): 0..699
+    * spans zero blocks, trailing-one ±1 levels, 1-bit prefixes, and
+    * both the prefix-14 and prefix-15 level escapes. */
+  def synthH264DcLevel(id: Long, mx: Int, my: Int): Int =
+    ((id * 13 + mx * 71 + my * 37) % 700).toInt
+
+  /** Synthetic H.264 streams for the CAVLC DC-residual gate: row 0
+    * anchors the prediction chain with constant I_PCM MBs; rows 1..2
+    * are DC-predicted I_16x16 each carrying ONE quantized DC level —
+    * the decoder must run real coeff_token/level/total_zeros parsing,
+    * the inverse Hadamard, and the QP-26 dequant to reconstruct.
+    * Row-1 MBs see I_PCM tops (nC ≥ 8, the FLC class); row-2 MBs see
+    * I_16x16 neighbors (nC 0, the VLC class) — both tables
+    * content-exercised. */
+  def syntheticH264DcResidual(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            if (my == 0)
+              (H264Codec.PcmMb(Array.fill(256)(
+                synthH264MbVal(id, mx, 0))): H264Codec.Mb)
+            else H264Codec.DcResidualMb(synthH264DcLevel(id, mx, my))
+          (id, H264Codec.encode(g, g, mbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Synthetic H.264 streams for the I_4x4 gate: row 0 and column 0
+    * are per-pixel I_PCM anchors (the e197 pattern); interior MBs
+    * alternate uniform Vertical / Horizontal I_4x4 prediction — the
+    * decoder copies actual varying neighbor rows/columns through the
+    * per-4x4-block chain. */
+  def syntheticH264I4x4(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            if (my == 0 || mx == 0)
+              (H264Codec.PcmMb(Array.tabulate(256)(i =>
+                synthH264Px(id, mx * 16 + i % 16,
+                  my * 16 + i / 16))): H264Codec.Mb)
+            else if ((mx + my) % 2 == 0) H264Codec.I4x4Mb.uniform(0)
+            else H264Codec.I4x4Mb.uniform(1)
+          (id, H264Codec.encode(g, g, mbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One decoded luma row with integer-exact features. */
   case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
                      min_y: Long, max_y: Long)

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.H264Codec
-import graft.ext.H264Codec.{DcPredMb, Mb, PcmMb}
+import graft.ext.H264Codec.{DcPredMb, DcResidualMb, I4x4Mb, Mb, PcmMb}
 
 /** From-scratch H.264 I-frame codec (VERDICT r13 #7): Annex B framing
   * with emulation prevention, Exp-Golomb headers, I_PCM exactness,
@@ -59,6 +59,100 @@ class H264CodecSpec extends AnyFunSuite {
     for (my <- 0 until 3; mx <- 0 until 3; py <- 0 until 16;
          px <- 0 until 16)
       assert(f.y((my * 16 + py) * 48 + mx * 16 + px) == mbVal(mx, my))
+  }
+
+  /** The spec dequant chain for a uniform DC level at QP 26,
+    * re-derived independently of the codec: f = L (Hadamard of a
+    * DC-only block is uniform), dcY = (13·f + 2) >> 2,
+    * residual = (dcY + 32) >> 6. */
+  private def uniformResidual(level: Int): Int =
+    (((13 * level + 2) >> 2) + 32) >> 6
+
+  test("DC residual levels reconstruct to pred + the QP-26 dequant " +
+    "chain, across sign bits, prefix-14 and prefix-15 escapes") {
+    for (l <- Seq(0, 1, -1, 2, 9, 16, 17, 64, 300, 699, -300, -699)) {
+      val f = H264Codec.decode(H264Codec.encode(1, 1,
+        Seq(DcResidualMb(l))))
+      val expect = math.max(0, math.min(255, 128 + uniformResidual(l)))
+      assert(f.y.forall(_ == expect), s"level $l → ${f.y(0)}, " +
+        s"want $expect")
+    }
+    // FLC class (nC ≥ 8): residual MB with an I_PCM left neighbor
+    val two = H264Codec.decode(H264Codec.encode(2, 1,
+      Seq(flat(100), DcResidualMb(300))))
+    val expect = 100 + uniformResidual(300)
+    assert((0 until 16).forall(y =>
+      (16 until 32).forall(x => two.y(y * 32 + x) == expect)))
+  }
+
+  test("a coefficient at zigzag position 1 splits the MB by block " +
+    "column: +L on the left half, −L on the right (f = L·H(j,1))") {
+    val f = H264Codec.decode(H264Codec.encode(1, 1,
+      Seq(DcResidualMb(300, zigzagPos = 1))))
+    val plus = 128 + uniformResidual(300)
+    val minus = 128 + ((((-300 * 13) + 2) >> 2) + 32 >> 6)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (x < 8) plus else minus
+      assert(f.y(y * 16 + x) == want, s"($x,$y)")
+    }
+  }
+
+  test("CAVLC DC block bits match hand-derived Table 9-5 / 9-7 / " +
+    "level-coding strings") {
+    def bits(l: Int, pos: Int, nC: Int): Seq[Int] =
+      H264Codec.cavlcDcBlockBits(l, pos, nC).map(_ & 0xff).toSeq
+    // all-zero block, class 0: coeff_token(0,0) = '1'
+    assert(bits(0, 0, 0) == Seq(0x80))
+    // ±1: token (1,1) '01' + sign + total_zeros(0) '1'
+    assert(bits(1, 0, 0) == Seq(0x50)) // 0101
+    assert(bits(-1, 0, 0) == Seq(0x70)) // 0111
+    // level 2: token (1,0) '000101', levelCode 0 → '1', tz '1'
+    assert(bits(2, 0, 0) == Seq(0x17)) // 00010111
+    // level 9: levelCode 14 → prefix-14 escape + 4-bit suffix 0
+    assert(bits(9, 0, 0) == Seq(0x14, 0x00, 0x08, 0x40))
+    // level 17: levelCode 30 → prefix-15 escape + 12-bit suffix 0
+    assert(bits(17, 0, 0) == Seq(0x14, 0x00, 0x04, 0x00, 0x20))
+    // zigzag position rides total_zeros: pos 3 → '0011'
+    assert(bits(5, 3, 0) == Seq(0x14, 0x09, 0x80)) // 000101 0000001 0011
+    // FLC class: (0,0) → 000011; (1,0) → 000000 + '1' + '1'
+    assert(bits(0, 0, 16) == Seq(0x0c))
+    assert(bits(2, 0, 8) == Seq(0x03))
+    assert(bits(1, 0, 8) == Seq(0x05)) // 000001 + sign 0 + tz 1
+  }
+
+  test("I_4x4: DC with no neighbors is 128; H copies the left " +
+    "column through every block; V copies the top row; mixed modes " +
+    "exercise all four most-probable-mode coding paths") {
+    val alone = H264Codec.decode(H264Codec.encode(1, 1,
+      Seq(I4x4Mb.uniform(2))))
+    assert(alone.y.forall(_ == 128))
+    // H against a row-gradient PCM: every row carries its left pixel
+    val rowGrad = PcmMb(Array.tabulate(256)(i => 10 + 3 * (i / 16)))
+    val h = H264Codec.decode(H264Codec.encode(2, 1,
+      Seq(rowGrad, I4x4Mb.uniform(1))))
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(h.y(y * 32 + x) == 10 + 3 * y, s"($x,$y)")
+    // V against a column-gradient PCM above
+    val colGrad = PcmMb(Array.tabulate(256)(i => 5 * (i % 16)))
+    val v = H264Codec.decode(H264Codec.encode(1, 2,
+      Seq(colGrad, I4x4Mb.uniform(0))))
+    for (y <- 16 until 32; x <- 0 until 16)
+      assert(v.y(y * 16 + x) == 5 * x, s"($x,$y)")
+    // mixed modes: block 0 DC (pred hit), block 1 H (remainder),
+    // later blocks H with pred 1 (flag hit) — all reconstruct to the
+    // left PCM constant
+    val modes = Array.fill(16)(1); modes(0) = 2
+    val mixed = H264Codec.decode(H264Codec.encode(2, 1,
+      Seq(flat(83), I4x4Mb(modes))))
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert(mixed.y(y * 32 + x) == 83, s"($x,$y)")
+  }
+
+  test("I_4x4 Vertical with no top neighbor is rejected by name") {
+    val msg = intercept[IllegalArgumentException](
+      H264Codec.decode(H264Codec.encode(1, 1,
+        Seq(I4x4Mb.uniform(0))))).getMessage
+    assert(msg.contains("Vertical"), msg)
   }
 
   test("malformed streams fail fast by name") {
