@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E212: MP3 FRAME-HEADER SCAN — the audio-inventory operator a
+    // corpus pipeline runs over raw .mp3 blobs without decoding:
+    // ID3v2 syncsafe skip, MPEG-1 Layer III header fields, the
+    // 144·bitrate/rate + padding frame walk (immune to false syncs
+    // in payloads), CBR/VBR detection, duration from 1152
+    // samples/frame; oracle evaluates the generation formulas
+    "e212_mp3_frame_scan" -> ((s, dir) =>
+      Multimodal.scanMp3Rows(
+          Multimodal.syntheticMp3(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E210: H.264 CAVLC DC RESIDUALS — the post-r14 seam: I_16x16
     // MBs whose Intra16x16DCLevel carries one quantized coefficient,
     // parsed through real coeff_token VLC/FLC tables, trailing-one
@@ -7690,6 +7701,39 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the synthesis formulas re-evaluated: per-frame bitrates from
+    // the Layer-III table, frame bytes 144000·kbps//rate + pad, the
+    // ID3v2 tag 10 + 40 + doc_id%30 on every fourth doc
+    "e212_mp3_frame_scan" ->
+      """WITH f AS (SELECT doc_id, 5 + doc_id % 7 AS nf,
+        |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |      ELSE 32000 END AS rate,
+        |    CASE WHEN doc_id % 4 = 0 THEN 50 + doc_id % 30
+        |      ELSE 0 END AS tag
+        |  FROM documents),
+        |fr AS (SELECT doc_id, nf, rate, tag, unnest(range(0, nf)) AS fi
+        |       FROM f),
+        |kk AS (SELECT doc_id, nf, rate, tag, fi,
+        |    CASE WHEN doc_id % 5 = 0 THEN 128
+        |      ELSE list_extract([32,40,48,56,64,80,96,112,128,160,
+        |                         192,224,256,320],
+        |        CAST(1 + (doc_id*3 + fi) % 14 AS INTEGER)) END AS kbps,
+        |    CASE WHEN (doc_id + fi) % 3 = 0 THEN 1 ELSE 0 END AS pad
+        |  FROM fr)
+        |SELECT doc_id,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(rate) AS BIGINT) AS sample_rate,
+        |  CAST(sum(pad) AS BIGINT) AS n_padded,
+        |  CAST(min(kbps) AS BIGINT) AS min_kbps,
+        |  CAST(max(kbps) AS BIGINT) AS max_kbps,
+        |  CAST(CASE WHEN min(kbps) = max(kbps) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS cbr,
+        |  CAST(max(nf) * 1152 * 1000 // max(rate) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(max(tag) + sum(144000 * kbps // rate + pad) AS BIGINT)
+        |    AS total_bytes
+        |FROM kk GROUP BY 1""".stripMargin,
+
     // the QP-26 dequant chain in closed form: r(L) = ((13·L + 2)//4
     // + 32)//64 (all terms non-negative, so // = the spec's
     // arithmetic shifts), MB values chained through the DC

@@ -1016,6 +1016,80 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  // -------------------------------------------------------- MP3 seam
+
+  /** Synthetic MP3 streams for the frame-scan gate (e212): a quarter
+    * of the docs carry an ID3v2 tag (syncsafe length), frames are
+    * real MPEG-1 Layer III headers with per-frame bitrate indices
+    * (every fifth doc CBR at 128 kbps, the rest VBR across the full
+    * 32..320 table), alternating padding bits, and filler payloads
+    * sized by the spec's 144·bitrate/rate + padding rule — payload
+    * bytes freely contain false 0xFF syncs, which the length-walk
+    * must ignore. */
+  def syntheticMp3(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val kbpsTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val rateTab = Array(44100, 48000, 32000)
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          if (id % 4 == 0) {
+            val ts = (40 + id % 30).toInt
+            buf ++= "ID3".getBytes("US-ASCII")
+            buf += 3; buf += 0 // v2.3.0
+            buf += 0 // flags
+            buf += ((ts >> 21) & 0x7f).toByte
+            buf += ((ts >> 14) & 0x7f).toByte
+            buf += ((ts >> 7) & 0x7f).toByte
+            buf += (ts & 0x7f).toByte
+            for (j <- 0 until ts) buf += ((id + j * 11) % 256).toByte
+          }
+          val nf = (5 + id % 7).toInt
+          val ridx = (id % 3).toInt
+          val rate = rateTab(ridx)
+          for (f <- 0 until nf) {
+            val bidx =
+              if (id % 5 == 0) 9
+              else (1 + ((id * 3 + f) % 14)).toInt
+            val pad = if ((id + f) % 3 == 0) 1 else 0
+            val flen = 144000 * kbpsTab(bidx) / rate + pad
+            buf += 0xff.toByte
+            buf += 0xfb.toByte // sync tail + MPEG-1 + Layer III + no CRC
+            buf += ((bidx << 4) | (ridx << 2) | (pad << 1)).toByte
+            buf += 0xc0.toByte // mono
+            for (j <- 4 until flen)
+              buf += ((id + f * 7 + j) % 256).toByte
+          }
+          (id, buf.toArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Per-doc MP3 inventory row (the [[Mp3Scan]] aggregates). */
+  case class Mp3Row(doc_id: Long, n_frames: Long, sample_rate: Long,
+                    n_padded: Long, min_kbps: Long, max_kbps: Long,
+                    cbr: Long, duration_ms: Long, total_bytes: Long)
+
+  /** Scan each MP3 payload with [[Mp3Scan]] — same partition-local
+    * byte-blob topology as every codec seam. */
+  def scanMp3Rows(blobs: DataFrame): Dataset[Mp3Row] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = Mp3Scan.scan(payload)
+          Mp3Row(id, m.n_frames, m.sample_rate, m.n_padded,
+            m.min_kbps, m.max_kbps, m.cbr, m.duration_ms,
+            m.total_bytes)
+        }
+      }
+  }
+
   /** One decoded luma row with integer-exact features. */
   case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
                      min_y: Long, max_y: Long)
