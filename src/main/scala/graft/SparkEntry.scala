@@ -424,6 +424,48 @@ object SparkEntry {
       roundedOhlc(candles, Nil)
     }),
 
+    // J7 streaming INTERVAL join: the time-BAND stream-stream shape
+    // (the fusion gates join on event-time equality; this one joins
+    // an event stream to variable-length day windows via a range
+    // condition — canonical band for the state bound, residual
+    // predicate for the true window end). The two sides are staged
+    // in OPPOSITE orders (events split by id, windows by day parity)
+    // so both buffer directions of the symmetric hash join carry
+    // rows; inner-join matches emit per batch, so the replay
+    // converges to the batch interval join with no sentinel.
+    "j7_streaming_interval_join_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value"))
+        .withColumn("dayord", expr("unix_micros(ts) div 86400000000"))
+        .cache()
+      val wins = ev.select(col("dayord")).distinct()
+        .withColumn("wstart", expr(
+          "timestamp_seconds(dayord*86400 + 7200 + (dayord % 3)*2700)"))
+        .withColumn("wend", expr(
+          "timestamp_seconds(dayord*86400 + 7200 + (dayord % 3)*2700" +
+            " + (45 + (dayord % 4)*30)*60)"))
+        .cache()
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      // delay > full span → nothing is late in the bounded replay
+      val delayMin = (b.getTimestamp(1).getTime -
+        b.getTimestamp(0).getTime) / 60000L + 240
+      val eDir = Scratch.dir("ivj_e", dir)
+      val wDir = Scratch.dir("ivj_w", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 === 0)), eDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        wins.filter(col("dayord") % 2 === 0),
+        wins.filter(col("dayord") % 2 =!= 0)), wDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val joined = streaming.StreamingIntervalJoin.eventsInWindows(
+        stream(eDir), stream(wDir), s"$delayMin minutes",
+        "135 minutes")
+      streaming.StreamingOhlc.replayWithStatePartitions(s, joined, 8)
+    }),
+
     // J2 streaming twin (VERDICT r13 #1): the reference's SIGNATURE
     // fusion operator as a watermarked stream-stream FULL OUTER join —
     // tick candles and the late-arriving legacy M1 feed staged as
@@ -1259,6 +1301,23 @@ object SparkEntry {
          |  round(coalesce(t.spread, m.spread), 6) AS spread
          |FROM tick_candles t FULL OUTER JOIN m1_candles m
          |  ON t.datetime = m.datetime""".stripMargin,
+
+    // the inner interval-join replay converges to the batch interval
+    // join: variable-length day windows re-derived in SQL, the same
+    // [wstart, wend) containment
+    "j7_streaming_interval_join_replay" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS dayord, ts,
+         |            event_id, value FROM events),
+         |d AS (SELECT DISTINCT dayord FROM e),
+         |w AS (SELECT dayord,
+         |    epoch_ms((dayord*86400 + 7200 + (dayord % 3)*2700) * 1000)
+         |      AS wstart,
+         |    epoch_ms((dayord*86400 + 7200 + (dayord % 3)*2700
+         |              + (45 + (dayord % 4)*30)*60) * 1000) AS wend
+         |  FROM d)
+         |SELECT e.event_id, e.dayord, w.wstart, e.value
+         |FROM e JOIN w ON e.dayord = w.dayord
+         |  AND e.ts >= w.wstart AND e.ts < w.wend""".stripMargin,
 
     // the streaming replay converges to EXACTLY the batch fusion →
     // shares the batch J2 oracle verbatim
