@@ -3282,6 +3282,16 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E213: AAC ADTS SCAN — e212's companion for the other dominant
+    // web-audio transport: explicit 13-bit frame-length walk,
+    // sampling-frequency-index table, raw-data-block counting (1024
+    // samples each → duration sums blocks, not frames), VBR marker
+    // from the buffer-fullness field
+    "e213_aac_adts_scan" -> ((s, dir) =>
+      Multimodal.scanAacRows(
+          Multimodal.syntheticAac(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E212: MP3 FRAME-HEADER SCAN — the audio-inventory operator a
     // corpus pipeline runs over raw .mp3 blobs without decoding:
     // ID3v2 syncsafe skip, MPEG-1 Layer III header fields, the
@@ -7701,6 +7711,35 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the ADTS synthesis formulas re-evaluated: explicit frame
+    // lengths 57 + (id·7 + f·13)%400, alternating 1/2 raw data
+    // blocks, duration over blocks at 1024 samples each
+    "e213_aac_adts_scan" ->
+      """WITH f AS (SELECT doc_id, 6 + doc_id % 9 AS nf,
+        |    CASE doc_id % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      ELSE 32000 END AS rate,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS vbr
+        |  FROM documents),
+        |fr AS (SELECT doc_id, nf, rate, ch, vbr,
+        |         unnest(range(0, nf)) AS fi FROM f),
+        |kk AS (SELECT doc_id, nf, rate, ch, vbr,
+        |    57 + (doc_id*7 + fi*13) % 400 AS flen,
+        |    fi % 2 + 1 AS blocks
+        |  FROM fr)
+        |SELECT doc_id,
+        |  CAST(max(nf) AS BIGINT) AS n_frames,
+        |  CAST(max(rate) AS BIGINT) AS sample_rate,
+        |  CAST(max(ch) AS BIGINT) AS channels,
+        |  CAST(sum(blocks) AS BIGINT) AS n_blocks,
+        |  CAST(sum(blocks) * 1024 * 1000 // max(rate) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(min(flen) AS BIGINT) AS min_frame_len,
+        |  CAST(max(flen) AS BIGINT) AS max_frame_len,
+        |  CAST(max(vbr) AS BIGINT) AS vbr,
+        |  CAST(sum(flen) AS BIGINT) AS total_bytes
+        |FROM kk GROUP BY 1""".stripMargin,
+
     // the synthesis formulas re-evaluated: per-frame bitrates from
     // the Layer-III table, frame bytes 144000·kbps//rate + pad, the
     // ID3v2 tag 10 + 40 + doc_id%30 on every fourth doc

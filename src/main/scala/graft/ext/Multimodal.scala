@@ -1090,6 +1090,62 @@ object Multimodal {
       }
   }
 
+  /** Synthetic ADTS AAC streams for the e213 scan gate: per-frame
+    * explicit 13-bit lengths (filler payloads of varying size),
+    * alternating 1/2 raw-data blocks per frame, VBR buffer-fullness
+    * markers on most docs, mono/stereo by doc parity. */
+  def syntheticAac(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          val nf = (6 + id % 9).toInt
+          val sfi = (3 + id % 3).toInt // 48000 / 44100 / 32000
+          val ch = (1 + id % 2).toInt
+          for (f <- 0 until nf) {
+            val flen = (57 + (id * 7 + f * 13) % 400).toInt
+            val rdb = f % 2 // 1 or 2 raw data blocks
+            val fullness = if (id % 5 == 0) 0x123 else 0x7ff
+            buf += 0xff.toByte
+            buf += 0xf1.toByte // sync + MPEG-4 + layer 00 + no CRC
+            // profile AAC LC (1), sfi, private 0, chan high bit
+            buf += ((1 << 6) | (sfi << 2) | (ch >> 2)).toByte
+            buf += (((ch & 3) << 6) | ((flen >> 11) & 3)).toByte
+            buf += ((flen >> 3) & 0xff).toByte
+            buf += (((flen & 7) << 5) | ((fullness >> 6) & 0x1f)).toByte
+            buf += (((fullness & 0x3f) << 2) | rdb).toByte
+            for (j <- 7 until flen)
+              buf += ((id + f * 11 + j) % 256).toByte
+          }
+          (id, buf.toArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Per-doc AAC inventory row (the [[AacScan]] aggregates). */
+  case class AacRow(doc_id: Long, n_frames: Long, sample_rate: Long,
+                    channels: Long, n_blocks: Long, duration_ms: Long,
+                    min_frame_len: Long, max_frame_len: Long,
+                    vbr: Long, total_bytes: Long)
+
+  /** Scan each ADTS payload with [[AacScan]]. */
+  def scanAacRows(blobs: DataFrame): Dataset[AacRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = AacScan.scan(payload)
+          AacRow(id, m.n_frames, m.sample_rate, m.channels,
+            m.n_blocks, m.duration_ms, m.min_frame_len,
+            m.max_frame_len, m.vbr, m.total_bytes)
+        }
+      }
+  }
+
   /** One decoded luma row with integer-exact features. */
   case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
                      min_y: Long, max_y: Long)
