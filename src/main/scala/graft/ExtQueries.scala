@@ -3282,6 +3282,16 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E214: AVRO OBJECT-CONTAINER INGEST — the data-lake interchange
+    // format (CDC/Kafka hand-off) decoded from the public spec with
+    // no Avro libraries: zigzag varints, schema-order field decode,
+    // per-block sync verification, null + deflate codecs; dyadic
+    // scores keep the doubles engine-exact
+    "e214_avro_ingest" -> ((s, dir) =>
+      Multimodal.decodeAvroRows(
+          Multimodal.syntheticAvro(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E213: AAC ADTS SCAN — e212's companion for the other dominant
     // web-audio transport: explicit 13-bit frame-length walk,
     // sampling-frequency-index table, raw-data-block counting (1024
@@ -7711,6 +7721,19 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the record formulas re-evaluated; 0.5/0.25 are dyadic so the
+    // double arithmetic is exact on both engines
+    "e214_avro_ingest" ->
+      """WITH f AS (SELECT doc_id, 3 + doc_id % 5 AS nrec
+        |           FROM documents),
+        |r AS (SELECT doc_id, unnest(range(0, nrec)) AS rid FROM f)
+        |SELECT doc_id,
+        |  CAST(doc_id*100 + rid AS BIGINT) AS rec_id,
+        |  (doc_id % 97) * CAST(0.5 AS DOUBLE)
+        |    + rid * CAST(0.25 AS DOUBLE) AS score,
+        |  't' || CAST((doc_id + rid) % 10 AS VARCHAR) AS tag
+        |FROM r""".stripMargin,
+
     // the ADTS synthesis formulas re-evaluated: explicit frame
     // lengths 57 + (id·7 + f·13)%400, alternating 1/2 raw data
     // blocks, duration over blocks at 1024 samples each

@@ -1146,6 +1146,45 @@ object Multimodal {
       }
   }
 
+  /** Synthetic Avro object containers (e214): per doc 3..7 records
+    * of the (rec_id, score, tag) shape, two data blocks, deflate
+    * codec on even docs — scores are dyadic (k·0.5 + r·0.25) so the
+    * IEEE doubles are exact on both engines. */
+  def syntheticAvro(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val recs = (0 until (3 + id % 5).toInt).map { r =>
+            AvroBlob.Rec(id * 100 + r,
+              (id % 97) * 0.5 + r * 0.25,
+              "t" + ((id + r) % 10))
+          }
+          (id, AvroBlob.encode(recs, deflate = id % 2 == 0,
+            syncSeed = id))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded Avro record row. */
+  case class AvroRecRow(doc_id: Long, rec_id: Long, score: Double,
+                        tag: String)
+
+  /** Decode each Avro container with [[AvroBlob]]. */
+  def decodeAvroRows(blobs: DataFrame): Dataset[AvroRecRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          AvroBlob.decode(payload).map(r =>
+            AvroRecRow(id, r.rec_id, r.score, r.tag))
+        }
+      }
+  }
+
   /** One decoded luma row with integer-exact features. */
   case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
                      min_y: Long, max_y: Long)
