@@ -3282,6 +3282,16 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E215: ID3v2.3 METADATA EXTRACTION — the tag [[Mp3Scan]] skips,
+    // parsed for real: syncsafe tag size, plain-big-endian v2.3
+    // frame sizes (the classic trap), text frames decoded, non-text
+    // frames skipped by size, padding-terminated walk
+    "e215_id3v2_text_frames" -> ((s, dir) =>
+      Multimodal.extractId3Rows(
+          Multimodal.syntheticMp3Tagged(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E214: AVRO OBJECT-CONTAINER INGEST — the data-lake interchange
     // format (CDC/Kafka hand-off) decoded from the public spec with
     // no Avro libraries: zigzag varints, schema-order field decode,
@@ -7721,6 +7731,19 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the four text frames per doc, formula-evaluated
+    "e215_id3v2_text_frames" ->
+      """SELECT doc_id, frame_id,
+        |  CASE frame_id
+        |    WHEN 'TIT2' THEN 'Title ' || CAST(doc_id % 50 AS VARCHAR)
+        |    WHEN 'TPE1' THEN 'Artist ' || CAST(doc_id % 20 AS VARCHAR)
+        |    WHEN 'TALB' THEN 'Album ' || CAST(doc_id % 10 AS VARCHAR)
+        |    ELSE CAST(1 + doc_id % 12 AS VARCHAR)
+        |  END AS text_value
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['TIT2','TPE1','TALB','TRCK'])
+        |            AS frame_id)""".stripMargin,
+
     // the record formulas re-evaluated; 0.5/0.25 are dyadic so the
     // double arithmetic is exact on both engines
     "e214_avro_ingest" ->

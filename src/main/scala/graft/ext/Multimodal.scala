@@ -1068,6 +1068,80 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic MP3 blobs with REAL ID3v2.3 tags (e215): four text
+    * frames (TIT2/TPE1/TALB/TRCK, ISO-8859-1), one non-text frame
+    * the extractor must skip by size, trailing padding, then two
+    * audio frames. */
+  def syntheticMp3Tagged(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val frames = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          def textFrame(fid: String, text: String): Unit = {
+            frames ++= fid.getBytes("ISO-8859-1")
+            val fsize = 1 + text.length
+            frames += ((fsize >> 24) & 0xff).toByte
+            frames += ((fsize >> 16) & 0xff).toByte
+            frames += ((fsize >> 8) & 0xff).toByte
+            frames += (fsize & 0xff).toByte
+            frames += 0; frames += 0 // flags
+            frames += 0 // encoding: ISO-8859-1
+            frames ++= text.getBytes("ISO-8859-1")
+          }
+          textFrame("TIT2", s"Title ${id % 50}")
+          textFrame("TPE1", s"Artist ${id % 20}")
+          textFrame("TALB", s"Album ${id % 10}")
+          textFrame("TRCK", s"${1 + id % 12}")
+          // a non-text frame (private data) the walk must skip
+          frames ++= "PRIV".getBytes("ISO-8859-1")
+          val plen = (8 + id % 16).toInt
+          frames += 0; frames += 0; frames += 0; frames += plen.toByte
+          frames += 0; frames += 0
+          for (j <- 0 until plen) frames += ((id + j) % 256).toByte
+          val pad = (10 + id % 20).toInt
+          val ts = frames.length + pad
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          buf ++= "ID3".getBytes("ISO-8859-1")
+          buf += 3; buf += 0; buf += 0
+          buf += ((ts >> 21) & 0x7f).toByte
+          buf += ((ts >> 14) & 0x7f).toByte
+          buf += ((ts >> 7) & 0x7f).toByte
+          buf += (ts & 0x7f).toByte
+          buf ++= frames
+          for (_ <- 0 until pad) buf += 0
+          // two audio frames so the blob is a real MP3 stream
+          val rate = 44100
+          for (f <- 0 until 2) {
+            val flen = 144000 * 128 / rate
+            buf += 0xff.toByte; buf += 0xfb.toByte
+            buf += ((9 << 4) | (0 << 2)).toByte; buf += 0xc0.toByte
+            for (j <- 4 until flen) buf += ((id + f + j) % 256).toByte
+          }
+          (id, buf.toArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One extracted metadata row. */
+  case class Id3Row(doc_id: Long, frame_id: String, text_value: String)
+
+  /** Extract ID3v2.3 text frames from each payload with [[Id3v2]]. */
+  def extractId3Rows(blobs: DataFrame): Dataset[Id3Row] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Id3v2.textFrames(payload).map { case (fid, t) =>
+            Id3Row(id, fid, t)
+          }
+        }
+      }
+  }
+
   /** Per-doc MP3 inventory row (the [[Mp3Scan]] aggregates). */
   case class Mp3Row(doc_id: Long, n_frames: Long, sample_rate: Long,
                     n_padded: Long, min_kbps: Long, max_kbps: Long,
