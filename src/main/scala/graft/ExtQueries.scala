@@ -3282,6 +3282,16 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E216: HTML TEXT/BOILERPLATE EXTRACTION — the crawl-curation
+    // primitive: one linear scan strips markup, drops script/style
+    // bodies (incl. scripts containing bare '<'), separates link
+    // text from body text (link density, the boilerpipe signal),
+    // captures the title; oracle evaluates the generation lengths
+    "e216_html_extract" -> ((s, dir) =>
+      Multimodal.extractHtmlRows(
+          Multimodal.syntheticHtml(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E215: ID3v2.3 METADATA EXTRACTION — the tag [[Mp3Scan]] skips,
     // parsed for real: syncsafe tag size, plain-big-endian v2.3
     // frame sizes (the classic trap), text frames decoded, non-text
@@ -7731,6 +7741,29 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // paragraph and anchor text lengths summed from the generation
+    // formulas; density = 100·link//text in BIGINT
+    "e216_html_extract" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS np,
+        |             1 + doc_id % 2 AS nl FROM documents),
+        |pc AS (SELECT doc_id,
+        |         CAST(sum(5 + (doc_id + g) % 7) AS BIGINT) AS pchars
+        |       FROM (SELECT doc_id, unnest(range(0, np)) AS g FROM f)
+        |       GROUP BY 1),
+        |lc AS (SELECT doc_id,
+        |         CAST(sum(2 + (doc_id + g) % 3) AS BIGINT) AS lchars,
+        |         CAST(count(*) AS BIGINT) AS nl
+        |       FROM (SELECT doc_id, unnest(range(0, nl)) AS g FROM f)
+        |       GROUP BY 1)
+        |SELECT f.doc_id,
+        |  'T' || CAST(f.doc_id % 100 AS VARCHAR) AS title,
+        |  lc.nl AS n_links,
+        |  pc.pchars + lc.lchars AS text_chars,
+        |  lc.lchars AS link_chars,
+        |  CAST(100 * lc.lchars // (pc.pchars + lc.lchars) AS BIGINT)
+        |    AS link_density_pct
+        |FROM f JOIN pc USING(doc_id) JOIN lc USING(doc_id)""".stripMargin,
+
     // the four text frames per doc, formula-evaluated
     "e215_id3v2_text_frames" ->
       """SELECT doc_id, frame_id,

@@ -1142,6 +1142,54 @@ object Multimodal {
       }
   }
 
+  /** Synthetic crawl HTML for the extraction gate (e216): title +
+    * head script, body paragraphs of known lengths, a body script
+    * whose code contains a bare '<' (the naive-stripper trap), and
+    * anchor spans whose text lengths drive the link density. */
+  def syntheticHtml(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val sb = new StringBuilder
+          sb.append("<html><head><title>T").append(id % 100)
+            .append("</title><script>if(x<").append(id)
+            .append(")x=1;</script></head><body>")
+          for (p <- 0 until (2 + id % 3).toInt)
+            sb.append("<p>").append("t" * (5 + (id + p) % 7).toInt)
+              .append("</p>")
+          sb.append("<script>var q=").append(id)
+            .append(";if(q<9)q=0;</script>")
+          for (l <- 0 until (1 + id % 2).toInt)
+            sb.append("<a href=\"u").append(l).append("\">")
+              .append("L" * (2 + (id + l) % 3).toInt).append("</a>")
+          sb.append("</body></html>")
+          (id, sb.toString)
+        }
+      }.toDF("doc_id", "html")
+  }
+
+  /** One extracted page row. */
+  case class HtmlRow(doc_id: Long, title: String, n_links: Long,
+                     text_chars: Long, link_chars: Long,
+                     link_density_pct: Long)
+
+  /** Extract each page with [[HtmlExtract]]. */
+  def extractHtmlRows(pages: DataFrame): Dataset[HtmlRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id"), col("html"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, html) =>
+          val d = HtmlExtract.extract(html)
+          HtmlRow(id, d.title, d.n_links, d.text_chars, d.link_chars,
+            d.linkDensityPct)
+        }
+      }
+  }
+
   /** Per-doc MP3 inventory row (the [[Mp3Scan]] aggregates). */
   case class Mp3Row(doc_id: Long, n_frames: Long, sample_rate: Long,
                     n_padded: Long, min_kbps: Long, max_kbps: Long,
