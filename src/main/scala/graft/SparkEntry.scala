@@ -466,6 +466,57 @@ object SparkEntry {
       streaming.StreamingOhlc.replayWithStatePartitions(s, joined, 8)
     }),
 
+    // J8 streaming interval join, LEFT OUTER: every event emits —
+    // matched rows when both sides arrive, UNMATCHED rows only when
+    // the watermark proves no window can still match, so the replay
+    // needs sentinel stages on BOTH sides (the fusion-gate
+    // discipline) to flush the trailing nulls. Oracle = the batch
+    // left join over the same derived windows.
+    "j8_streaming_interval_left_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value"))
+        .withColumn("dayord", expr("unix_micros(ts) div 86400000000"))
+        .cache()
+      val wins = ev.select(col("dayord")).distinct()
+        .withColumn("wstart", expr(
+          "timestamp_seconds(dayord*86400 + 7200 + (dayord % 3)*2700)"))
+        .withColumn("wend", expr(
+          "timestamp_seconds(dayord*86400 + 7200 + (dayord % 3)*2700" +
+            " + (45 + (dayord % 4)*30)*60)"))
+        .cache()
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val delayMin = (b.getTimestamp(1).getTime -
+        b.getTimestamp(0).getTime) / 60000L + 240
+      val flush = new java.sql.Timestamp(
+        b.getTimestamp(1).getTime + (delayMin + 1440) * 60000L)
+      val evSentinel = ev.limit(1)
+        .withColumn("ts", lit(flush))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("dayord", lit(-1L))
+      val wSentinel = wins.limit(1)
+        .withColumn("dayord", lit(-1L))
+        .withColumn("wstart", lit(flush))
+        .withColumn("wend", lit(flush))
+      val eDir = Scratch.dir("ivjl_e", dir)
+      val wDir = Scratch.dir("ivjl_w", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(col("event_id") % 3 =!= 0),
+        ev.filter(col("event_id") % 3 === 0),
+        evSentinel), eDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        wins.filter(col("dayord") % 2 === 0),
+        wins.filter(col("dayord") % 2 =!= 0),
+        wSentinel), wDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val joined = streaming.StreamingIntervalJoin.eventsInWindowsLeft(
+        stream(eDir), stream(wDir), s"$delayMin minutes",
+        "135 minutes")
+      streaming.StreamingOhlc.replayWithStatePartitions(s, joined, 8)
+        .filter(col("ts") < lit(flush))
+    }),
+
     // J2 streaming twin (VERDICT r13 #1): the reference's SIGNATURE
     // fusion operator as a watermarked stream-stream FULL OUTER join —
     // tick candles and the late-arriving legacy M1 feed staged as
@@ -1317,6 +1368,22 @@ object SparkEntry {
          |  FROM d)
          |SELECT e.event_id, e.dayord, w.wstart, e.value
          |FROM e JOIN w ON e.dayord = w.dayord
+         |  AND e.ts >= w.wstart AND e.ts < w.wend""".stripMargin,
+
+    // the left-outer replay (with sentinels flushing trailing
+    // unmatched events) converges to the batch LEFT join
+    "j8_streaming_interval_left_replay" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS dayord, ts,
+         |            event_id, value FROM events),
+         |d AS (SELECT DISTINCT dayord FROM e),
+         |w AS (SELECT dayord,
+         |    epoch_ms((dayord*86400 + 7200 + (dayord % 3)*2700) * 1000)
+         |      AS wstart,
+         |    epoch_ms((dayord*86400 + 7200 + (dayord % 3)*2700
+         |              + (45 + (dayord % 4)*30)*60) * 1000) AS wend
+         |  FROM d)
+         |SELECT e.ts, e.event_id, e.dayord, w.wstart, e.value
+         |FROM e LEFT JOIN w ON e.dayord = w.dayord
          |  AND e.ts >= w.wstart AND e.ts < w.wend""".stripMargin,
 
     // the streaming replay converges to EXACTLY the batch fusion →

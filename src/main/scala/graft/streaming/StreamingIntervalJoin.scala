@@ -53,4 +53,24 @@ object StreamingIntervalJoin {
       .select(col("ev.event_id"), col("ev.dayord"), col("w.wstart"),
         col("ev.value"))
   }
+
+  /** LEFT-OUTER form: every event emits — matched events in the
+    * micro-batch where both sides are present, UNMATCHED events only
+    * when the watermark passes their state bound (event time + band
+    * width), the point Spark can prove no future window will match.
+    * A bounded replay therefore needs the fusion gates' sentinel
+    * discipline: a final stage on both sides advances the watermark
+    * past end-of-data or the trailing null rows never flush. */
+  def eventsInWindowsLeft(events: DataFrame, windows: DataFrame,
+                          delay: String, maxSpan: String): DataFrame = {
+    val ev = events.withWatermark("ts", delay).alias("ev")
+    val w = windows.withWatermark("wstart", delay).alias("w")
+    ev.join(w,
+      expr(s"""ev.dayord = w.dayord
+               AND ev.ts >= w.wstart
+               AND ev.ts <= w.wstart + interval $maxSpan
+               AND ev.ts < w.wend"""), "leftOuter")
+      .select(col("ev.ts"), col("ev.event_id"), col("ev.dayord"),
+        col("w.wstart"), col("ev.value"))
+  }
 }

@@ -64,6 +64,36 @@ class StreamingIntervalJoinSpec extends SparkSpec {
     assert(got.forall(_._2 == ts("2024-01-01 10:00:00")))
   }
 
+  test("left outer: matched events pair, unmatched events flush " +
+    "their null row once the sentinel advances the watermark") {
+    val ev = events(
+      (1L, "2024-01-01 10:05:00", 1.0), // inside → matched
+      (2L, "2024-01-01 17:00:00", 2.0)) // no window → null row
+    val sentinelEv = events((-1L, "2024-01-20 00:00:00", 0.0))
+    val w = windows(("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+    val sentinelW = Seq((-1L, ts("2024-01-20 00:00:00"),
+      ts("2024-01-20 00:00:00"))).toDF("dayord", "wstart", "wend")
+    val eDir = StagedReplay.stageFiles(Seq(ev, sentinelEv),
+      "target/test-fixtures/ivj_left/e")
+    val wDir = StagedReplay.stageFiles(Seq(w, sentinelW),
+      "target/test-fixtures/ivj_left/w")
+    def stream(p: String, sch: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+    val got = StreamingOhlc.replayToBatchAppend(spark,
+      graft.streaming.StreamingIntervalJoin.eventsInWindowsLeft(
+        stream(eDir, ev.schema), stream(wDir, w.schema),
+        delay = "2 days", maxSpan = "60 minutes"))
+      .filter(col("event_id") >= 0)
+      .select(col("event_id"), col("wstart"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1))))
+      .sortBy(_._1)
+    assert(got == Seq(
+      (1L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, None)))
+  }
+
   test("symmetric buffering: an event staged before its window and a " +
     "window staged before its event both pair") {
     // stage 1: event A (window arrives later) + window W2 (its event
