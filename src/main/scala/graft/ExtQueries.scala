@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E217: H.264 P-FRAME MOTION COMPENSATION — the interframe seam:
+    // a two-picture stream (I_PCM IDR + P frame) decoded through
+    // real mb_skip_run coding, median motion-vector prediction, and
+    // even-full-pel edge-clamped reference copies; the oracle
+    // evaluates the shift formula per pixel on both frames
+    "e217_h264_pframe_rows" -> ((s, dir) =>
+      Multimodal.decodeH264FrameRows(
+          Multimodal.syntheticH264PFrame(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E216: HTML TEXT/BOILERPLATE EXTRACTION — the crawl-curation
     // primitive: one linear scan strips markup, drops script/style
     // bodies (incl. scripts containing bare '<'), separates link
@@ -7741,6 +7752,29 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // frame 0 = the I_PCM pattern; frame 1 rows 16..31 = the
+    // edge-clamped shift (2·(mx−1), −10), skip rows = exact copies
+    "e217_h264_pframe_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |fr AS (SELECT doc_id, unnest([0, 1]) AS frame_idx FROM f),
+        |rws AS (SELECT doc_id, frame_idx, unnest(range(0, 48)) AS y
+        |        FROM fr),
+        |px AS (SELECT doc_id, frame_idx, y, unnest(range(0, 48)) AS x
+        |       FROM rws),
+        |v AS (SELECT doc_id, frame_idx, y, x,
+        |  CASE
+        |    WHEN frame_idx = 0 OR y < 16 OR y >= 32
+        |      THEN (doc_id*31 + (y*48 + x)*7) % 256
+        |    ELSE (doc_id*31 + ((y - 10)*48
+        |      + LEAST(47, GREATEST(0, x + 2*(x // 16) - 2)))*7) % 256
+        |  END AS p
+        | FROM px)
+        |SELECT doc_id, frame_idx, y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(p) AS BIGINT) AS sum_y,
+        |  CAST(min(p) AS BIGINT) AS min_y,
+        |  CAST(max(p) AS BIGINT) AS max_y
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
     // paragraph and anchor text lengths summed from the generation
     // formulas; density = 100·link//text in BIGINT
     "e216_html_extract" ->

@@ -194,11 +194,30 @@ object H264Codec {
     def uniform(mode: Int): I4x4Mb = I4x4Mb(Array.fill(16)(mode))
   }
 
+  /** P-slice macroblock content: P_SKIP (derived motion, exact
+    * reference copy) or P_L0_16x16 with an explicit quarter-pel
+    * motion vector — restricted to multiples of 8 (even full-pel) so
+    * both luma and chroma compensation are exact copies with no
+    * fractional-pel interpolation. */
+  sealed trait PMb
+  case object PSkip extends PMb
+  final case class PMvMb(mvxQ: Int, mvyQ: Int) extends PMb
+
   /** Encode one IDR frame of `mbw`×`mbh` macroblocks as a complete
     * Annex B stream (SPS + PPS + IDR slice). */
-  def encode(mbw: Int, mbh: Int, mbs: Seq[Mb]): Array[Byte] = {
+  def encode(mbw: Int, mbh: Int, mbs: Seq[Mb]): Array[Byte] =
+    encodeIP(mbw, mbh, mbs, Seq.empty)
+
+  /** Encode an IDR frame followed (when `pMbs` is non-empty) by one
+    * motion-compensated P frame: mb_skip_run coding, P_L0_16x16
+    * motion-vector-difference coding against the spec's median
+    * predictor, cbp 0 (residual-free inter MBs). */
+  def encodeIP(mbw: Int, mbh: Int, mbs: Seq[Mb],
+               pMbs: Seq[PMb]): Array[Byte] = {
     require(mbs.length == mbw * mbh,
       s"need ${mbw * mbh} MBs, got ${mbs.length}")
+    require(pMbs.isEmpty || pMbs.length == mbw * mbh,
+      "P frame needs one PMb per macroblock")
     // SPS (7.3.2.1)
     val sps = new BitWriter
     sps.u(66, 8) // profile_idc: baseline
@@ -207,7 +226,7 @@ object H264Codec {
     sps.ue(0) // seq_parameter_set_id
     sps.ue(0) // log2_max_frame_num_minus4 → 4 bits
     sps.ue(2) // pic_order_cnt_type 2: no further POC syntax
-    sps.ue(0) // max_num_ref_frames
+    sps.ue(1) // max_num_ref_frames (the P frame references the IDR)
     sps.putBit(0) // gaps_in_frame_num_value_allowed_flag
     sps.ue(mbw - 1) // pic_width_in_mbs_minus1
     sps.ue(mbh - 1) // pic_height_in_map_units_minus1
@@ -293,8 +312,96 @@ object H264Codec {
       }
     }
     sl.rbspTrailing()
-    nal(3, 7, sps.toBytes) ++ nal(3, 8, pps.toBytes) ++
+    val head = nal(3, 7, sps.toBytes) ++ nal(3, 8, pps.toBytes) ++
       nal(3, 5, sl.toBytes)
+    if (pMbs.isEmpty) head
+    else head ++ nal(2, 1, buildPSlice(mbw, mbh, pMbs))
+  }
+
+  /** One P slice (frame_num 1) over the whole picture. */
+  private def buildPSlice(mbw: Int, mbh: Int,
+                          pMbs: Seq[PMb]): Array[Byte] = {
+    val sl = new BitWriter
+    sl.ue(0) // first_mb_in_slice
+    sl.ue(5) // slice_type: P (all slices of picture)
+    sl.ue(0) // pic_parameter_set_id
+    sl.u(1, 4) // frame_num = 1
+    sl.putBit(0) // num_ref_idx_active_override_flag
+    sl.putBit(0) // ref_pic_list_modification_flag_l0
+    sl.putBit(0) // adaptive_ref_pic_marking_mode_flag (nal_ref_idc>0)
+    sl.se(0) // slice_qp_delta (QP-26 contract)
+    sl.ue(1) // disable_deblocking_filter_idc
+    // (mvx, mvy, refIdx); refIdx −1 = unavailable/none yet
+    val mvs = Array.fill(mbw * mbh)((0, 0, -1))
+    var run = 0
+    for (my <- 0 until mbh; mx <- 0 until mbw) {
+      val i = my * mbw + mx
+      pMbs(i) match {
+        case PSkip =>
+          run += 1
+          val (sx, sy) = skipMv(mvs, mbw, mx, my)
+          mvs(i) = (sx, sy, 0)
+        case PMvMb(vx, vy) =>
+          require(vx % 8 == 0 && vy % 8 == 0,
+            "even full-pel MVs only (no fractional-pel interpolation)")
+          sl.ue(run); run = 0
+          sl.ue(0) // mb_type P_L0_16x16
+          // ref_idx_l0 absent: one active reference
+          val (px, py) = mvPred16(mvs, mbw, mx, my)
+          sl.se(vx - px) // mvd_l0 x
+          sl.se(vy - py) // mvd_l0 y
+          sl.ue(0) // coded_block_pattern: inter codeNum 0 → cbp 0
+          mvs(i) = (vx, vy, 0)
+      }
+    }
+    if (run > 0) sl.ue(run)
+    sl.rbspTrailing()
+    sl.toBytes
+  }
+
+  /** Median motion-vector predictor for a 16x16 partition (8.4.1.3):
+    * neighbors A (left), B (top), C (top-right, D top-left fallback);
+    * unavailable → (0,0, refIdx −1); B,C both unavailable with A
+    * available → mvA; exactly one neighbor sharing refIdx 0 → that
+    * mv; else the componentwise median. */
+  private def mvPred16(mvs: Array[(Int, Int, Int)], mbw: Int,
+                       mx: Int, my: Int): (Int, Int) = {
+    val un = (0, 0, -1)
+    val a = if (mx > 0) mvs(my * mbw + mx - 1) else un
+    val b = if (my > 0) mvs((my - 1) * mbw + mx) else un
+    val cAvail = my > 0 && mx + 1 < mbw
+    val dAvail = my > 0 && mx > 0
+    val c =
+      if (cAvail) mvs((my - 1) * mbw + mx + 1)
+      else if (dAvail) mvs((my - 1) * mbw + mx - 1)
+      else un
+    val bUnavail = my == 0
+    val cUnavail = !cAvail && !dAvail
+    if (bUnavail && cUnavail && mx > 0) (a._1, a._2)
+    else {
+      val same = Seq(a, b, c).filter(_._3 == 0)
+      if (same.length == 1) (same.head._1, same.head._2)
+      else {
+        def med(x: Int, y: Int, z: Int): Int =
+          math.max(math.min(x, y), math.min(math.max(x, y), z))
+        (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+      }
+    }
+  }
+
+  /** P_Skip motion derivation (8.4.1.1): the 16x16 predictor, forced
+    * to zero when A or B is unavailable or is a zero-motion
+    * reference-0 block. */
+  private def skipMv(mvs: Array[(Int, Int, Int)], mbw: Int,
+                     mx: Int, my: Int): (Int, Int) = {
+    val aAvail = mx > 0
+    val bAvail = my > 0
+    lazy val a = mvs(my * mbw + mx - 1)
+    lazy val b = mvs((my - 1) * mbw + mx)
+    if (!aAvail || !bAvail ||
+      (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
+      (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
+    else mvPred16(mvs, mbw, mx, my)
   }
 
   /** nC for the Intra16x16 DC block (9.2.1): mean of the neighboring
@@ -525,9 +632,20 @@ object H264Codec {
     def height: Int = mbh * 16
   }
 
-  /** Decode a complete Annex B stream (SPS + PPS + one IDR slice)
-    * within the documented prediction-plus-PCM subset. */
+  /** Decode a complete Annex B stream containing exactly one
+    * picture. */
   def decode(bytes: Array[Byte]): Frame = {
+    val fs = decodeSequence(bytes)
+    require(fs.length == 1,
+      s"H264: expected one picture, stream has ${fs.length} — " +
+        "use decodeSequence")
+    fs.head
+  }
+
+  /** Decode a complete Annex B stream (SPS + PPS + an IDR slice,
+    * optionally followed by motion-compensated P slices) within the
+    * documented subset. */
+  def decodeSequence(bytes: Array[Byte]): Seq[Frame] = {
     val nals = splitNals(bytes)
     require(nals.nonEmpty, "H264: no NAL units")
     var mbw = -1
@@ -535,7 +653,7 @@ object H264Codec {
     var log2MaxFrameNum = 4
     var sawSps = false
     var sawPps = false
-    var frame: Frame = null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
     for ((nalType, payload) <- nals) {
       val r = new BitReader(unescapeRbsp(payload))
       nalType match {
@@ -571,13 +689,111 @@ object H264Codec {
           sawPps = true
         case 5 => // IDR slice
           require(sawSps && sawPps, "H264: slice before SPS/PPS")
-          frame = decodeSlice(r, mbw, mbh, log2MaxFrameNum)
+          frames += decodeSlice(r, mbw, mbh, log2MaxFrameNum)
+        case 1 => // non-IDR (P) slice
+          require(frames.nonEmpty,
+            "H264: P slice before any reference picture")
+          frames += decodePSlice(r, mbw, mbh, log2MaxFrameNum,
+            frames.last)
         case t => throw new IllegalArgumentException(
           s"H264: unsupported NAL type $t")
       }
     }
-    require(frame != null, "H264: no IDR slice in stream")
-    frame
+    require(frames.nonEmpty, "H264: no coded picture in stream")
+    frames.toSeq
+  }
+
+  /** One P slice against `ref`: mb_skip_run walk, P_L0_16x16 with
+    * median-predicted motion, cbp 0 — each MB is an exact (even
+    * full-pel) copy from the edge-clamped reference. */
+  private def decodePSlice(r: BitReader, mbw: Int, mbh: Int,
+                           log2MaxFrameNum: Int, ref: Frame): Frame = {
+    require(r.ue() == 0, "H264: multi-slice pictures unsupported")
+    val st = r.ue()
+    require(st == 5 || st == 0,
+      s"H264: unsupported slice_type $st for non-IDR (P only)")
+    r.ue() // pps id
+    r.u(log2MaxFrameNum) // frame_num
+    require(r.readBit() == 0,
+      "H264: num_ref_idx override unsupported (one reference)")
+    require(r.readBit() == 0,
+      "H264: ref_pic_list_modification unsupported")
+    require(r.readBit() == 0,
+      "H264: adaptive ref-pic marking unsupported")
+    require(r.se() == 0,
+      "H264: nonzero slice_qp_delta unsupported (QP-26 contract)")
+    require(r.ue() == 1,
+      "H264: deblocking filter not implemented (writer disables it)")
+    val w = mbw * 16
+    val y = new Array[Int](w * mbh * 16)
+    val cb = new Array[Int](w / 2 * mbh * 8)
+    val cr = new Array[Int](w / 2 * mbh * 8)
+    val mvs = Array.fill(mbw * mbh)((0, 0, -1))
+    val total = mbw * mbh
+    var i = 0
+    def copyMb(idx: Int, vx: Int, vy: Int): Unit = {
+      val mx = idx % mbw
+      val my = idx / mbw
+      motionCopy(ref, y, cb, cr, w, mx, my, vx, vy)
+      mvs(idx) = (vx, vy, 0)
+    }
+    while (i < total) {
+      val run = r.ue()
+      require(i + run <= total, "H264: mb_skip_run overruns slice")
+      var k = 0
+      while (k < run) {
+        val (sx, sy) = skipMv(mvs, mbw, i % mbw, i / mbw)
+        copyMb(i, sx, sy)
+        i += 1
+        k += 1
+      }
+      if (i < total) {
+        val mbType = r.ue()
+        require(mbType == 0,
+          s"H264: P mb_type $mbType unsupported (P_L0_16x16 only)")
+        val (px, py) = mvPred16(mvs, mbw, i % mbw, i / mbw)
+        val vx = px + r.se()
+        val vy = py + r.se()
+        require(r.ue() == 0,
+          "H264: nonzero coded_block_pattern unsupported for P MBs")
+        copyMb(i, vx, vy)
+        i += 1
+      }
+    }
+    require(r.readBit() == 1, "H264: missing rbsp_stop_one_bit")
+    Frame(mbw, mbh, y, cb, cr)
+  }
+
+  /** Motion-compensated copy of one 16x16 MB from the reference,
+    * edge-clamped per the spec's boundary sample replication. Only
+    * even full-pel vectors (quarter-pel multiples of 8) are
+    * supported — luma shifts by mv/4 pels, chroma by mv/8 — so the
+    * copy is exact with no interpolation filter. */
+  private def motionCopy(ref: Frame, y: Array[Int], cb: Array[Int],
+                         cr: Array[Int], w: Int, mx: Int, my: Int,
+                         vxQ: Int, vyQ: Int): Unit = {
+    require(vxQ % 8 == 0 && vyQ % 8 == 0,
+      "H264: fractional-pel motion unsupported (even full-pel only)")
+    val h = ref.mbh * 16
+    val dx = vxQ / 4
+    val dy = vyQ / 4
+    val x0 = mx * 16; val y0 = my * 16
+    for (py <- 0 until 16; px <- 0 until 16) {
+      val sx = math.max(0, math.min(w - 1, x0 + px + dx))
+      val sy = math.max(0, math.min(h - 1, y0 + py + dy))
+      y((y0 + py) * w + x0 + px) = ref.y(sy * w + sx)
+    }
+    val cw = w / 2
+    val chh = h / 2
+    val cdx = vxQ / 8
+    val cdy = vyQ / 8
+    val cx0 = mx * 8; val cy0 = my * 8
+    for (py <- 0 until 8; px <- 0 until 8) {
+      val sx = math.max(0, math.min(cw - 1, cx0 + px + cdx))
+      val sy = math.max(0, math.min(chh - 1, cy0 + py + cdy))
+      cb((cy0 + py) * cw + cx0 + px) = ref.cb(sy * cw + sx)
+      cr((cy0 + py) * cw + cx0 + px) = ref.cr(sy * cw + sx)
+    }
   }
 
   private def splitNals(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {

@@ -1307,6 +1307,66 @@ object Multimodal {
       }
   }
 
+  /** Synthetic two-picture H.264 streams for the P-frame gate
+    * (e217): a per-pixel I_PCM IDR, then a P frame whose top and
+    * bottom MB rows are P_SKIP (exact copy) and whose middle row is
+    * P_L0_16x16 with even-full-pel vectors (2·(mx−1), −10) px —
+    * shifted, edge-clamped copies through real mb_skip_run, mvd, and
+    * median-predictor coding. */
+  def syntheticH264PFrame(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            (H264Codec.PcmMb(Array.tabulate(256)(i =>
+              synthH264Px(id, mx * 16 + i % 16,
+                my * 16 + i / 16))): H264Codec.Mb)
+          val pmbs = for (my <- 0 until g; mx <- 0 until g) yield
+            if (my == 1)
+              (H264Codec.PMvMb(8 * (mx - 1), -40): H264Codec.PMb)
+            else H264Codec.PSkip
+          (id, H264Codec.encodeIP(g, g, mbs, pmbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded luma row of one picture in a sequence. */
+  case class VideoLumaRow(doc_id: Long, frame_idx: Long, y: Long,
+                          n_px: Long, sum_y: Long, min_y: Long,
+                          max_y: Long)
+
+  /** Decode each multi-picture H.264 payload and emit per-row luma
+    * features for every frame. */
+  def decodeH264FrameRows(blobs: DataFrame): Dataset[VideoLumaRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          H264Codec.decodeSequence(payload).zipWithIndex.flatMap {
+            case (f, fi) =>
+              (0 until f.height).map { yy =>
+                var s = 0L; var mn = Long.MaxValue; var mx = 0L
+                var x = 0
+                while (x < f.width) {
+                  val v = f.y(yy * f.width + x).toLong
+                  s += v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  x += 1
+                }
+                VideoLumaRow(id, fi.toLong, yy.toLong,
+                  f.width.toLong, s, mn, mx)
+              }
+          }
+        }
+      }
+  }
+
   /** One decoded luma row with integer-exact features. */
   case class LumaRow(doc_id: Long, y: Long, n_px: Long, sum_y: Long,
                      min_y: Long, max_y: Long)

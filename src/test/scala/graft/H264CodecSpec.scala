@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.H264Codec
-import graft.ext.H264Codec.{DcPredMb, DcResidualMb, I4x4Mb, Mb, PcmMb}
+import graft.ext.H264Codec.{DcPredMb, DcResidualMb, I4x4Mb, Mb, PMb,
+  PMvMb, PSkip, PcmMb}
 
 /** From-scratch H.264 I-frame codec (VERDICT r13 #7): Annex B framing
   * with emulation prevention, Exp-Golomb headers, I_PCM exactness,
@@ -153,6 +154,74 @@ class H264CodecSpec extends AnyFunSuite {
       H264Codec.decode(H264Codec.encode(1, 1,
         Seq(I4x4Mb.uniform(0))))).getMessage
     assert(msg.contains("Vertical"), msg)
+  }
+
+  private def pcmPattern(seed: Int): Seq[Mb] =
+    for (my <- 0 until 3; mx <- 0 until 3) yield
+      (PcmMb(Array.tabulate(256)(i =>
+        (seed + (my * 16 + i / 16) * 48 + mx * 16 + i % 16) % 256)):
+        Mb)
+
+  test("an all-P_SKIP frame reproduces the reference exactly " +
+    "(derived zero motion at every edge/zero-neighbor)") {
+    val fs = H264Codec.decodeSequence(H264Codec.encodeIP(3, 3,
+      pcmPattern(11), Seq.fill[PMb](9)(PSkip)))
+    assert(fs.length == 2)
+    assert(fs(1).y.sameElements(fs(0).y))
+    assert(fs(1).cb.sameElements(fs(0).cb))
+  }
+
+  test("P_L0_16x16 even-full-pel vectors copy shifted, edge-clamped " +
+    "reference pixels; skip rows around them stay exact copies") {
+    // row 1 coded with mv (8·(mx−1), −40) quarter-pel = pixel shift
+    // (2·(mx−1), −10); rows 0 and 2 skip (their derived mv is 0 —
+    // row 2's left neighbor chain starts at an unavailable A)
+    val pmbs: Seq[PMb] = for (my <- 0 until 3; mx <- 0 until 3) yield
+      if (my == 1) (PMvMb(8 * (mx - 1), -40): PMb) else PSkip
+    val fs = H264Codec.decodeSequence(H264Codec.encodeIP(3, 3,
+      pcmPattern(7), pmbs))
+    val f0 = fs(0); val f1 = fs(1)
+    for (yy <- 0 until 48; xx <- 0 until 48) {
+      val want =
+        if (yy < 16 || yy >= 32) f0.y(yy * 48 + xx)
+        else {
+          val dx = 2 * (xx / 16) - 2
+          val sx = math.max(0, math.min(47, xx + dx))
+          f0.y((yy - 10) * 48 + sx)
+        }
+      assert(f1.y(yy * 48 + xx) == want, s"($xx,$yy)")
+    }
+  }
+
+  test("the mvA pass-through rule: in a single row, a second coded " +
+    "MB predicts from its left neighbor (B and C unavailable)") {
+    val mbs: Seq[Mb] = Seq(flat(60), flat(70), flat(80))
+    val pmbs: Seq[PMb] = Seq(PMvMb(16, 0), PMvMb(16, 0), PSkip)
+    // both coded MBs shift 4 px left-to-right source; the second's
+    // mvd is (0,0) thanks to mvp = mvA — roundtrip must still land
+    // the same copy
+    val fs = H264Codec.decodeSequence(H264Codec.encodeIP(3, 1, mbs,
+      pmbs))
+    val f0 = fs(0); val f1 = fs(1)
+    for (yy <- 0 until 16; xx <- 0 until 32) {
+      val sx = math.min(47, xx + 4)
+      assert(f1.y(yy * 48 + xx) == f0.y(yy * 48 + sx), s"($xx,$yy)")
+    }
+    // the skip MB: B unavailable → zero motion → in-place copy
+    for (yy <- 0 until 16; xx <- 32 until 48)
+      assert(f1.y(yy * 48 + xx) == f0.y(yy * 48 + xx))
+  }
+
+  test("fractional/odd-pel motion is rejected by name; decode() " +
+    "refuses multi-picture streams by name") {
+    val msg = intercept[IllegalArgumentException](
+      H264Codec.encodeIP(1, 1, Seq(flat(9)),
+        Seq(PMvMb(4, 0)))).getMessage
+    assert(msg.contains("full-pel"), msg)
+    val two = H264Codec.encodeIP(1, 1, Seq(flat(9)), Seq(PSkip))
+    val msg2 = intercept[IllegalArgumentException](
+      H264Codec.decode(two)).getMessage
+    assert(msg2.contains("decodeSequence"), msg2)
   }
 
   test("malformed streams fail fast by name") {
