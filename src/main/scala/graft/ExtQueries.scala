@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E218: H.264 SUB-PEL MOTION — the P frame's middle rows move at
+    // HALF-PEL positions, so the decoder runs the real 6-tap
+    // (1,−5,20,20,−5,1) interpolation with +16>>5 rounding and edge
+    // clamping; the oracle evaluates the identical filter in SQL
+    // (horizontal taps row 1, vertical taps row 2)
+    "e218_h264_subpel_rows" -> ((s, dir) =>
+      Multimodal.decodeH264FrameRows(
+          Multimodal.syntheticH264SubPel(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E217: H.264 P-FRAME MOTION COMPENSATION — the interframe seam:
     // a two-picture stream (I_PCM IDR + P frame) decoded through
     // real mb_skip_run coding, median motion-vector prediction, and
@@ -7752,6 +7763,50 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the 6-tap half-pel filter mirrored in SQL: row 1 horizontal
+    // (x-taps clamped at the frame edge), row 2 vertical; the
+    // GREATEST/LEAST clip commutes with // vs >> on negatives
+    // because every negative shift result clips to 0 either way
+    "e218_h264_subpel_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |fr AS (SELECT doc_id, unnest([0, 1]) AS frame_idx FROM f),
+        |rws AS (SELECT doc_id, frame_idx, unnest(range(0, 48)) AS y
+        |        FROM fr),
+        |px AS (SELECT doc_id, frame_idx, y, unnest(range(0, 48)) AS x
+        |       FROM rws),
+        |v AS (SELECT doc_id, frame_idx, y, x,
+        |  CASE
+        |    WHEN frame_idx = 0 OR y < 16
+        |      THEN (doc_id*31 + (y*48 + x)*7) % 256
+        |    WHEN y < 32 THEN GREATEST(0, LEAST(255, (
+        |        (doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16 - 3)))*7) % 256
+        |      - 5*((doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16 - 2)))*7) % 256)
+        |      + 20*((doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16 - 1)))*7) % 256)
+        |      + 20*((doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16)))*7) % 256)
+        |      - 5*((doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16 + 1)))*7) % 256)
+        |      + ((doc_id*31 + ((y-10)*48
+        |          + LEAST(47, GREATEST(0, x + x//16 + 2)))*7) % 256)
+        |      + 16) // 32))
+        |    ELSE GREATEST(0, LEAST(255, (
+        |        (doc_id*31 + ((y-12)*48 + x)*7) % 256
+        |      - 5*((doc_id*31 + ((y-11)*48 + x)*7) % 256)
+        |      + 20*((doc_id*31 + ((y-10)*48 + x)*7) % 256)
+        |      + 20*((doc_id*31 + ((y-9)*48 + x)*7) % 256)
+        |      - 5*((doc_id*31 + ((y-8)*48 + x)*7) % 256)
+        |      + ((doc_id*31 + ((y-7)*48 + x)*7) % 256)
+        |      + 16) // 32))
+        |  END AS p FROM px)
+        |SELECT doc_id, frame_idx, y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(p) AS BIGINT) AS sum_y,
+        |  CAST(min(p) AS BIGINT) AS min_y,
+        |  CAST(max(p) AS BIGINT) AS max_y
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
     // frame 0 = the I_PCM pattern; frame 1 rows 16..31 = the
     // edge-clamped shift (2·(mx−1), −10), skip rows = exact copies
     "e217_h264_pframe_rows" ->

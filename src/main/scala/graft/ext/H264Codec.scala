@@ -196,9 +196,9 @@ object H264Codec {
 
   /** P-slice macroblock content: P_SKIP (derived motion, exact
     * reference copy) or P_L0_16x16 with an explicit quarter-pel
-    * motion vector — restricted to multiples of 8 (even full-pel) so
-    * both luma and chroma compensation are exact copies with no
-    * fractional-pel interpolation. */
+    * motion vector at ANY fractional position — the 6-tap half-pel
+    * filter, quarter-pel averaging, and eighth-pel chroma bilinear
+    * are all exact integer arithmetic. */
   sealed trait PMb
   case object PSkip extends PMb
   final case class PMvMb(mvxQ: Int, mvyQ: Int) extends PMb
@@ -342,8 +342,6 @@ object H264Codec {
           val (sx, sy) = skipMv(mvs, mbw, mx, my)
           mvs(i) = (sx, sy, 0)
         case PMvMb(vx, vy) =>
-          require(vx % 8 == 0 && vy % 8 == 0,
-            "even full-pel MVs only (no fractional-pel interpolation)")
           sl.ue(run); run = 0
           sl.ue(0) // mb_type P_L0_16x16
           // ref_idx_l0 absent: one active reference
@@ -764,36 +762,91 @@ object H264Codec {
     Frame(mbw, mbh, y, cb, cr)
   }
 
-  /** Motion-compensated copy of one 16x16 MB from the reference,
-    * edge-clamped per the spec's boundary sample replication. Only
-    * even full-pel vectors (quarter-pel multiples of 8) are
-    * supported — luma shifts by mv/4 pels, chroma by mv/8 — so the
-    * copy is exact with no interpolation filter. */
+  /** Motion-compensated copy of one 16x16 MB from the reference at
+    * FULL quarter-pel luma / eighth-pel chroma resolution (8.4.2.2):
+    * the 6-tap (1,−5,20,20,−5,1) half-pel filter with +16>>5
+    * rounding, the center position j from unrounded intermediates
+    * (+512>>10), quarter positions as +1>>1 averages of the spec's
+    * neighbor pairs, chroma as the (8−xF)(8−yF) bilinear — every
+    * stage exact integer arithmetic, reference edge-clamped per the
+    * spec's boundary replication. */
   private def motionCopy(ref: Frame, y: Array[Int], cb: Array[Int],
                          cr: Array[Int], w: Int, mx: Int, my: Int,
                          vxQ: Int, vyQ: Int): Unit = {
-    require(vxQ % 8 == 0 && vyQ % 8 == 0,
-      "H264: fractional-pel motion unsupported (even full-pel only)")
     val h = ref.mbh * 16
-    val dx = vxQ / 4
-    val dy = vyQ / 4
     val x0 = mx * 16; val y0 = my * 16
-    for (py <- 0 until 16; px <- 0 until 16) {
-      val sx = math.max(0, math.min(w - 1, x0 + px + dx))
-      val sy = math.max(0, math.min(h - 1, y0 + py + dy))
-      y((y0 + py) * w + x0 + px) = ref.y(sy * w + sx)
-    }
+    for (py <- 0 until 16; px <- 0 until 16)
+      y((y0 + py) * w + x0 + px) =
+        lumaSubpel(ref.y, w, h, x0 + px, y0 + py, vxQ, vyQ)
     val cw = w / 2
     val chh = h / 2
-    val cdx = vxQ / 8
-    val cdy = vyQ / 8
     val cx0 = mx * 8; val cy0 = my * 8
     for (py <- 0 until 8; px <- 0 until 8) {
-      val sx = math.max(0, math.min(cw - 1, cx0 + px + cdx))
-      val sy = math.max(0, math.min(chh - 1, cy0 + py + cdy))
-      cb((cy0 + py) * cw + cx0 + px) = ref.cb(sy * cw + sx)
-      cr((cy0 + py) * cw + cx0 + px) = ref.cr(sy * cw + sx)
+      cb((cy0 + py) * cw + cx0 + px) =
+        chromaSubpel(ref.cb, cw, chh, cx0 + px, cy0 + py, vxQ, vyQ)
+      cr((cy0 + py) * cw + cx0 + px) =
+        chromaSubpel(ref.cr, cw, chh, cx0 + px, cy0 + py, vxQ, vyQ)
     }
+  }
+
+  /** One luma sample at quarter-pel position (8.4.2.2.1/2). */
+  private def lumaSubpel(refY: Array[Int], w: Int, h: Int, x: Int,
+                         y: Int, mvx: Int, mvy: Int): Int = {
+    val xI = x + (mvx >> 2)
+    val yI = y + (mvy >> 2)
+    val xF = mvx & 3
+    val yF = mvy & 3
+    def P(dx: Int, dy: Int): Int = {
+      val sx = math.max(0, math.min(w - 1, xI + dx))
+      val sy = math.max(0, math.min(h - 1, yI + dy))
+      refY(sy * w + sx)
+    }
+    def clip(v: Int): Int = math.max(0, math.min(255, v))
+    def bRaw(dy: Int): Int = P(-2, dy) - 5 * P(-1, dy) +
+      20 * P(0, dy) + 20 * P(1, dy) - 5 * P(2, dy) + P(3, dy)
+    def hRaw(dx: Int): Int = P(dx, -2) - 5 * P(dx, -1) +
+      20 * P(dx, 0) + 20 * P(dx, 1) - 5 * P(dx, 2) + P(dx, 3)
+    lazy val b = clip((bRaw(0) + 16) >> 5)
+    lazy val hv = clip((hRaw(0) + 16) >> 5)
+    lazy val m = clip((hRaw(1) + 16) >> 5)
+    lazy val s = clip((bRaw(1) + 16) >> 5)
+    lazy val j = clip((bRaw(-2) - 5 * bRaw(-1) + 20 * bRaw(0) +
+      20 * bRaw(1) - 5 * bRaw(2) + bRaw(3) + 512) >> 10)
+    (xF, yF) match {
+      case (0, 0) => P(0, 0)
+      case (1, 0) => (P(0, 0) + b + 1) >> 1
+      case (2, 0) => b
+      case (3, 0) => (P(1, 0) + b + 1) >> 1
+      case (0, 1) => (P(0, 0) + hv + 1) >> 1
+      case (0, 2) => hv
+      case (0, 3) => (P(0, 1) + hv + 1) >> 1
+      case (1, 1) => (b + hv + 1) >> 1
+      case (3, 1) => (b + m + 1) >> 1
+      case (1, 3) => (hv + s + 1) >> 1
+      case (3, 3) => (m + s + 1) >> 1
+      case (2, 1) => (b + j + 1) >> 1
+      case (2, 2) => j
+      case (2, 3) => (j + s + 1) >> 1
+      case (1, 2) => (hv + j + 1) >> 1
+      case (3, 2) => (j + m + 1) >> 1
+    }
+  }
+
+  /** One chroma sample at eighth-pel position: the spec's bilinear
+    * ((8−xF)(8−yF)A + xF(8−yF)B + (8−xF)yF C + xF·yF·D + 32) >> 6. */
+  private def chromaSubpel(p: Array[Int], cw: Int, ch: Int, x: Int,
+                           y: Int, mvx: Int, mvy: Int): Int = {
+    val xI = x + (mvx >> 3)
+    val yI = y + (mvy >> 3)
+    val xf = mvx & 7
+    val yf = mvy & 7
+    def C(dx: Int, dy: Int): Int = {
+      val sx = math.max(0, math.min(cw - 1, xI + dx))
+      val sy = math.max(0, math.min(ch - 1, yI + dy))
+      p(sy * cw + sx)
+    }
+    ((8 - xf) * (8 - yf) * C(0, 0) + xf * (8 - yf) * C(1, 0) +
+      (8 - xf) * yf * C(0, 1) + xf * yf * C(1, 1) + 32) >> 6
   }
 
   private def splitNals(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {

@@ -1333,6 +1333,34 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic H.264 streams for the SUB-PEL motion gate (e218):
+    * same I_PCM reference as e217, but the P frame's middle row
+    * moves at HALF-PEL positions — row 1 horizontal (xF=2, shift
+    * (mx−1, −10) full-pel), row 2 vertical (yF=2, shift (0, −10)) —
+    * so the decoder must run the real 6-tap (1,−5,20,20,−5,1)
+    * interpolation with edge clamping; the oracle evaluates the
+    * identical filter in SQL. */
+  def syntheticH264SubPel(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            (H264Codec.PcmMb(Array.tabulate(256)(i =>
+              synthH264Px(id, mx * 16 + i % 16,
+                my * 16 + i / 16))): H264Codec.Mb)
+          val pmbs = for (my <- 0 until g; mx <- 0 until g) yield
+            if (my == 1)
+              (H264Codec.PMvMb(4 * (mx - 1) + 2, -40): H264Codec.PMb)
+            else if (my == 2) H264Codec.PMvMb(0, -38) // yF = 2
+            else H264Codec.PSkip
+          (id, H264Codec.encodeIP(g, g, mbs, pmbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One decoded luma row of one picture in a sequence. */
   case class VideoLumaRow(doc_id: Long, frame_idx: Long, y: Long,
                           n_px: Long, sum_y: Long, min_y: Long,

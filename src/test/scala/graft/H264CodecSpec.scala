@@ -212,16 +212,57 @@ class H264CodecSpec extends AnyFunSuite {
       assert(f1.y(yy * 48 + xx) == f0.y(yy * 48 + xx))
   }
 
-  test("fractional/odd-pel motion is rejected by name; decode() " +
-    "refuses multi-picture streams by name") {
-    val msg = intercept[IllegalArgumentException](
-      H264Codec.encodeIP(1, 1, Seq(flat(9)),
-        Seq(PMvMb(4, 0)))).getMessage
-    assert(msg.contains("full-pel"), msg)
+  test("decode() refuses multi-picture streams by name") {
     val two = H264Codec.encodeIP(1, 1, Seq(flat(9)), Seq(PSkip))
     val msg2 = intercept[IllegalArgumentException](
       H264Codec.decode(two)).getMessage
     assert(msg2.contains("decodeSequence"), msg2)
+  }
+
+  test("sub-pel motion: half-pel matches the hand-computed 6-tap " +
+    "filter, quarter-pel the rounded average, the center j the " +
+    "two-stage unrounded filter, chroma the bilinear seam blend") {
+    def p(x: Int, yy: Int): Int = (7 * x + 11 * yy) % 256
+    val iMbs: Seq[Mb] = for (my <- 0 until 3; mx <- 0 until 3) yield
+      PcmMb(Array.tabulate(256)(i =>
+        p(mx * 16 + i % 16, my * 16 + i / 16)),
+        cb = 100 + 50 * mx, cr = 60)
+    def pc(x: Int): Int = math.max(0, math.min(47, x))
+    def bAt(x: Int, yy: Int): Int = { // spec 6-tap, re-derived here
+      val s = p(pc(x - 2), yy) - 5 * p(pc(x - 1), yy) +
+        20 * p(pc(x), yy) + 20 * p(pc(x + 1), yy) -
+        5 * p(pc(x + 2), yy) + p(pc(x + 3), yy)
+      math.max(0, math.min(255, (s + 16) >> 5))
+    }
+    def decodeWithMv(vx: Int, vy: Int): H264Codec.Frame = {
+      val pmbs: Seq[PMb] = Seq.tabulate(9)(i =>
+        if (i == 4) PMvMb(vx, vy) else PSkip) // center MB (1,1)
+      H264Codec.decodeSequence(
+        H264Codec.encodeIP(3, 3, iMbs, pmbs))(1)
+    }
+    // half-pel horizontal at the center MB: sample (20, 20)
+    val fH = decodeWithMv(2, 0)
+    assert(fH.y(20 * 48 + 20) == bAt(20, 20))
+    assert(fH.y(20 * 48 + 31) == bAt(31, 20)) // MB-edge taps
+    // quarter-pel (1,0) = avg(G, b) rounded up
+    val fQ = decodeWithMv(1, 0)
+    assert(fQ.y(20 * 48 + 20) == (p(20, 20) + bAt(20, 20) + 1) >> 1)
+    // center j at (2,2): vertical 6-tap over UNROUNDED horizontal
+    // intermediates, +512 >> 10
+    def bRaw(x: Int, yy: Int): Int =
+      p(pc(x - 2), yy) - 5 * p(pc(x - 1), yy) + 20 * p(pc(x), yy) +
+        20 * p(pc(x + 1), yy) - 5 * p(pc(x + 2), yy) + p(pc(x + 3), yy)
+    val fJ = decodeWithMv(2, 2)
+    val j1 = bRaw(20, 18) - 5 * bRaw(20, 19) + 20 * bRaw(20, 20) +
+      20 * bRaw(20, 21) - 5 * bRaw(20, 22) + bRaw(20, 23)
+    assert(fJ.y(20 * 48 + 20) ==
+      math.max(0, math.min(255, (j1 + 512) >> 10)))
+    // chroma half-pel (xf=4) at the cb seam between MB columns 1 and
+    // 2 (values 150 and 200): blend = (4·8·150 + 4·8·200 + 32) >> 6
+    val fC = decodeWithMv(4, 0)
+    assert(fC.cb(10 * 24 + 15) == ((32 * 150 + 32 * 200 + 32) >> 6))
+    // constant-region chroma is unchanged by fractional motion
+    assert(fC.cr(10 * 24 + 12) == 60)
   }
 
   test("malformed streams fail fast by name") {
