@@ -3282,6 +3282,16 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E219: WARC CRAWL INGEST — the Common-Crawl composition in one
+    // operator chain: WARC record walk (Content-Length framed, so
+    // bodies with CRLFs or 'WARC/' strings can't derail it) → HTTP
+    // status/header split → HTML boilerplate extraction on text/html
+    // responses; the oracle evaluates every layer's formulas
+    "e219_warc_ingest" -> ((s, dir) =>
+      Multimodal.extractWarcRows(
+          Multimodal.syntheticWarc(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E218: H.264 SUB-PEL MOTION — the P frame's middle rows move at
     // HALF-PEL positions, so the decoder runs the real 6-tap
     // (1,−5,20,20,−5,1) interpolation with +16>>5 rounding and edge
@@ -7763,6 +7773,60 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // every layer's generation formulas: the warcinfo row, per-record
+    // URIs/status/content-type, and the e216 HTML metrics at the
+    // per-record seed doc_id·7 + rr
+    "e219_warc_ingest" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 3 AS nr
+        |           FROM documents),
+        |rs AS (SELECT doc_id, unnest(range(0, nr)) AS rr FROM f),
+        |rx AS (SELECT doc_id, rr, doc_id*7 + rr AS s,
+        |    CASE WHEN (doc_id + rr) % 4 = 0 THEN 1 ELSE 0 END AS nf
+        |  FROM rs),
+        |pc AS (SELECT doc_id, rr,
+        |    CAST(sum(5 + (s + g) % 7) AS BIGINT) AS pchars
+        |  FROM (SELECT doc_id, rr, s, unnest(range(0, 2 + s % 3)) AS g
+        |        FROM rx) GROUP BY 1, 2),
+        |lc AS (SELECT doc_id, rr,
+        |    CAST(sum(2 + (s + g) % 3) AS BIGINT) AS lchars,
+        |    CAST(count(*) AS BIGINT) AS nl
+        |  FROM (SELECT doc_id, rr, s, unnest(range(0, 1 + s % 2)) AS g
+        |        FROM rx) GROUP BY 1, 2),
+        |resp AS (
+        |  SELECT r.doc_id, r.rr + 1 AS rec_idx,
+        |    'response' AS warc_type,
+        |    'http://ex.test/d' || CAST(r.doc_id AS VARCHAR) || '/p'
+        |      || CAST(r.rr AS VARCHAR) AS target_uri,
+        |    CASE WHEN r.nf = 1 THEN 404 ELSE 200 END AS http_status,
+        |    CASE WHEN r.nf = 1 THEN 'text/plain'
+        |      ELSE 'text/html' END AS content_type,
+        |    CASE WHEN r.nf = 1 THEN ''
+        |      ELSE 'T' || CAST(r.s % 100 AS VARCHAR) END AS title,
+        |    CASE WHEN r.nf = 1 THEN 0 ELSE lc.nl END AS n_links,
+        |    CASE WHEN r.nf = 1
+        |      THEN length('not found ' || CAST(r.doc_id AS VARCHAR))
+        |      ELSE pc.pchars + lc.lchars END AS text_chars,
+        |    CASE WHEN r.nf = 1 THEN 0 ELSE lc.lchars END AS link_chars,
+        |    CASE WHEN r.nf = 1 THEN 0
+        |      ELSE 100 * lc.lchars // (pc.pchars + lc.lchars) END
+        |      AS link_density_pct
+        |  FROM rx r JOIN pc ON pc.doc_id = r.doc_id AND pc.rr = r.rr
+        |            JOIN lc ON lc.doc_id = r.doc_id AND lc.rr = r.rr)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        |  'warcinfo' AS warc_type, '' AS target_uri,
+        |  CAST(0 AS BIGINT) AS http_status, '' AS content_type,
+        |  '' AS title, CAST(0 AS BIGINT) AS n_links,
+        |  CAST(17 AS BIGINT) AS text_chars,
+        |  CAST(0 AS BIGINT) AS link_chars,
+        |  CAST(0 AS BIGINT) AS link_density_pct
+        |FROM f
+        |UNION ALL
+        |SELECT doc_id, CAST(rec_idx AS BIGINT), warc_type, target_uri,
+        |  CAST(http_status AS BIGINT), content_type, title,
+        |  CAST(n_links AS BIGINT), CAST(text_chars AS BIGINT),
+        |  CAST(link_chars AS BIGINT), CAST(link_density_pct AS BIGINT)
+        |FROM resp""".stripMargin,
+
     // the 6-tap half-pel filter mirrored in SQL: row 1 horizontal
     // (x-taps clamped at the frame edge), row 2 vertical; the
     // GREATEST/LEAST clip commutes with // vs >> on negatives

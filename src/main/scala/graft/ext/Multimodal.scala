@@ -1146,28 +1146,92 @@ object Multimodal {
     * head script, body paragraphs of known lengths, a body script
     * whose code contains a bare '<' (the naive-stripper trap), and
     * anchor spans whose text lengths drive the link density. */
+  /** The deterministic page generator shared by the HTML gate (e216,
+    * seed = doc_id) and the WARC gate (e219, per-record seeds). */
+  def synthHtmlFor(seed: Long): String = {
+    val sb = new StringBuilder
+    sb.append("<html><head><title>T").append(seed % 100)
+      .append("</title><script>if(x<").append(seed)
+      .append(")x=1;</script></head><body>")
+    for (p <- 0 until (2 + seed % 3).toInt)
+      sb.append("<p>").append("t" * (5 + (seed + p) % 7).toInt)
+        .append("</p>")
+    sb.append("<script>var q=").append(seed)
+      .append(";if(q<9)q=0;</script>")
+    for (l <- 0 until (1 + seed % 2).toInt)
+      sb.append("<a href=\"u").append(l).append("\">")
+        .append("L" * (2 + (seed + l) % 3).toInt).append("</a>")
+    sb.append("</body></html>")
+    sb.toString
+  }
+
   def syntheticHtml(ids: DataFrame): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.select(col("doc_id")).as[Long]
       .mapPartitions { it =>
-        it.map { id =>
-          val sb = new StringBuilder
-          sb.append("<html><head><title>T").append(id % 100)
-            .append("</title><script>if(x<").append(id)
-            .append(")x=1;</script></head><body>")
-          for (p <- 0 until (2 + id % 3).toInt)
-            sb.append("<p>").append("t" * (5 + (id + p) % 7).toInt)
-              .append("</p>")
-          sb.append("<script>var q=").append(id)
-            .append(";if(q<9)q=0;</script>")
-          for (l <- 0 until (1 + id % 2).toInt)
-            sb.append("<a href=\"u").append(l).append("\">")
-              .append("L" * (2 + (id + l) % 3).toInt).append("</a>")
-          sb.append("</body></html>")
-          (id, sb.toString)
-        }
+        it.map(id => (id, synthHtmlFor(id)))
       }.toDF("doc_id", "html")
+  }
+
+  /** Synthetic WARC blobs (e219): a warcinfo record, then 2..4 HTTP
+    * response records — mostly 200 text/html pages from the shared
+    * generator, every fourth a 404 text/plain. Bodies are framed by
+    * Content-Length, so HTML freely containing CRLFs or 'WARC/'
+    * strings cannot derail the walk. */
+  def syntheticWarc(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nr = (2 + id % 3).toInt
+          var blob = Warc.record("warcinfo", "", "software: graft\r\n")
+          for (rr <- 0 until nr) {
+            val uri = s"http://ex.test/d$id/p$rr"
+            blob = blob ++ (if ((id + rr) % 4 == 0)
+              Warc.record("response", uri,
+                Warc.httpResponse(404, "text/plain", s"not found $id"))
+            else
+              Warc.record("response", uri,
+                Warc.httpResponse(200, "text/html",
+                  synthHtmlFor(id * 7 + rr))))
+          }
+          (id, blob)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One WARC record row: record fields + HTML features when the
+    * payload is an HTML response (the full crawl-ingest composition:
+    * WARC walk → HTTP split → boilerplate extraction). */
+  case class WarcRow(doc_id: Long, rec_idx: Long, warc_type: String,
+                     target_uri: String, http_status: Long,
+                     content_type: String, title: String,
+                     n_links: Long, text_chars: Long,
+                     link_chars: Long, link_density_pct: Long)
+
+  def extractWarcRows(blobs: DataFrame): Dataset[WarcRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          Warc.parse(payload).zipWithIndex.map { case (rec, idx) =>
+            if (rec.warc_type == "response" &&
+              rec.content_type.startsWith("text/html")) {
+              val d = HtmlExtract.extract(rec.body)
+              WarcRow(id, idx.toLong, rec.warc_type, rec.target_uri,
+                rec.http_status, rec.content_type, d.title,
+                d.n_links, d.text_chars, d.link_chars,
+                d.linkDensityPct)
+            } else WarcRow(id, idx.toLong, rec.warc_type,
+              rec.target_uri, rec.http_status, rec.content_type, "",
+              0L, rec.body.length.toLong, 0L, 0L)
+          }
+        }
+      }
   }
 
   /** One extracted page row. */
