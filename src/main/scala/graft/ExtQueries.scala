@@ -3282,6 +3282,15 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E220: TAR ARCHIVE ENUMERATION — dataset bundles walked via
+    // real ustar headers: octal size/mtime fields, the
+    // checksum-as-spaces verification, 512-block padding; the oracle
+    // evaluates the member formulas
+    "e220_tar_ingest" -> ((s, dir) =>
+      Multimodal.enumerateTarRows(
+          Multimodal.syntheticTar(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E219: WARC CRAWL INGEST — the Common-Crawl composition in one
     // operator chain: WARC record walk (Content-Length framed, so
     // bodies with CRLFs or 'WARC/' strings can't derail it) → HTTP
@@ -7773,6 +7782,20 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // member formulas: names, sizes 20 + (id+m)%50, mtimes, and the
+    // fill character 'a' + (id+m)%26
+    "e220_tar_ingest" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS nm
+        |           FROM documents),
+        |m AS (SELECT doc_id, unnest(range(0, nm)) AS mi FROM f)
+        |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+        |  'd' || CAST(doc_id AS VARCHAR) || '/f'
+        |    || CAST(mi AS VARCHAR) || '.txt' AS name,
+        |  CAST(20 + (doc_id + mi) % 50 AS BIGINT) AS size,
+        |  CAST(1700000000 + doc_id*60 + mi AS BIGINT) AS mtime,
+        |  chr(CAST(97 + (doc_id + mi) % 26 AS INTEGER)) AS first_char
+        |FROM m""".stripMargin,
+
     // every layer's generation formulas: the warcinfo row, per-record
     // URIs/status/content-type, and the e216 HTML metrics at the
     // per-record seed doc_id·7 + rr

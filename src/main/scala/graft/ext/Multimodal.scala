@@ -1234,6 +1234,46 @@ object Multimodal {
       }
   }
 
+  /** Synthetic ustar archives (e220): 2..5 text members per doc with
+    * formula-driven names, sizes, and mtimes. */
+  def syntheticTar(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val members = (0 until (2 + id % 4).toInt).map { m =>
+            val len = (20 + (id + m) % 50).toInt
+            val ch = ('a' + (id + m) % 26).toChar
+            TarBlob.Member(s"d$id/f$m.txt", len.toLong,
+              1700000000L + id * 60 + m,
+              Array.fill[Byte](len)(ch.toByte))
+          }
+          (id, TarBlob.encode(members))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One enumerated archive member. */
+  case class TarRow(doc_id: Long, member_idx: Long, name: String,
+                    size: Long, mtime: Long, first_char: String)
+
+  def enumerateTarRows(blobs: DataFrame): Dataset[TarRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          TarBlob.decode(payload).zipWithIndex.map { case (m, i) =>
+            TarRow(id, i.toLong, m.name, m.size, m.mtime,
+              if (m.content.isEmpty) ""
+              else new String(m.content, 0, 1, "US-ASCII"))
+          }
+        }
+      }
+  }
+
   /** One extracted page row. */
   case class HtmlRow(doc_id: Long, title: String, n_links: Long,
                      text_chars: Long, link_chars: Long,
