@@ -3282,6 +3282,15 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E221: ZIP ARCHIVE ENUMERATION — the end-first walk: backward
+    // EOCD scan, central-directory entries by recorded local
+    // offsets, STORED + DEFLATE members, CRC-32 verified per member;
+    // the oracle evaluates the member formulas
+    "e221_zip_ingest" -> ((s, dir) =>
+      Multimodal.enumerateZipRows(
+          Multimodal.syntheticZip(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E220: TAR ARCHIVE ENUMERATION — dataset bundles walked via
     // real ustar headers: octal size/mtime fields, the
     // checksum-as-spaces verification, 512-block padding; the oracle
@@ -7782,6 +7791,22 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // member formulas: alternating methods (0 stored / 8 deflate),
+    // sizes 30 + (id+m)%70, fill char 'a' + (id·3+m)%26
+    "e221_zip_ingest" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS nm
+        |           FROM documents),
+        |m AS (SELECT doc_id, unnest(range(0, nm)) AS mi FROM f)
+        |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+        |  'z' || CAST(doc_id AS VARCHAR) || '/m'
+        |    || CAST(mi AS VARCHAR) || '.txt' AS name,
+        |  CAST(30 + (doc_id + mi) % 70 AS BIGINT) AS size,
+        |  CAST(CASE WHEN (doc_id + mi) % 2 = 0 THEN 8 ELSE 0 END
+        |    AS BIGINT) AS method,
+        |  chr(CAST(97 + (doc_id*3 + mi) % 26 AS INTEGER))
+        |    AS first_char
+        |FROM m""".stripMargin,
+
     // member formulas: names, sizes 20 + (id+m)%50, mtimes, and the
     // fill character 'a' + (id+m)%26
     "e220_tar_ingest" ->

@@ -1274,6 +1274,48 @@ object Multimodal {
       }
   }
 
+  /** Synthetic ZIP archives (e221): 2..5 members, alternating STORED
+    * and DEFLATE, formula-driven names and repeated-character
+    * contents (highly compressible, so the deflate path genuinely
+    * shrinks and the recorded sizes diverge). */
+  def syntheticZip(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val entries = (0 until (2 + id % 4).toInt).map { m =>
+            val len = (30 + (id + m) % 70).toInt
+            val ch = ('a' + (id * 3 + m) % 26).toChar
+            ZipBlob.Entry(s"z$id/m$m.txt",
+              Array.fill[Byte](len)(ch.toByte),
+              deflate = (id + m) % 2 == 0)
+          }
+          (id, ZipBlob.encode(entries))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One enumerated ZIP member (CRC-verified). */
+  case class ZipRow(doc_id: Long, member_idx: Long, name: String,
+                    size: Long, method: Long, first_char: String)
+
+  def enumerateZipRows(blobs: DataFrame): Dataset[ZipRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          ZipBlob.decode(payload).zipWithIndex.map { case (m, i) =>
+            ZipRow(id, i.toLong, m.name, m.size, m.method,
+              if (m.content.isEmpty) ""
+              else new String(m.content, 0, 1, "US-ASCII"))
+          }
+        }
+      }
+  }
+
   /** One extracted page row. */
   case class HtmlRow(doc_id: Long, title: String, n_links: Long,
                      text_chars: Long, link_chars: Long,
