@@ -3282,6 +3282,14 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E222: .TAR.GZ COMPOSITION — the distribution format for real:
+    // gzip inflate (JDK zlib) feeding the ustar walk, with a
+    // member-formula seed distinct from e220's
+    "e222_targz_ingest" -> ((s, dir) =>
+      Multimodal.enumerateTarGzRows(
+          Multimodal.syntheticTarGz(docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E221: ZIP ARCHIVE ENUMERATION — the end-first walk: backward
     // EOCD scan, central-directory entries by recorded local
     // offsets, STORED + DEFLATE members, CRC-32 verified per member;
@@ -7791,6 +7799,20 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the e222 member formulas (seeds distinct from e220)
+    "e222_targz_ingest" ->
+      """WITH f AS (SELECT doc_id, 1 + doc_id % 5 AS nm
+        |           FROM documents),
+        |m AS (SELECT doc_id, unnest(range(0, nm)) AS mi FROM f)
+        |SELECT doc_id, CAST(mi AS BIGINT) AS member_idx,
+        |  'g' || CAST(doc_id AS VARCHAR) || '/t'
+        |    || CAST(mi AS VARCHAR) || '.txt' AS name,
+        |  CAST(15 + (doc_id*2 + mi) % 40 AS BIGINT) AS size,
+        |  CAST(1710000000 + doc_id + mi AS BIGINT) AS mtime,
+        |  chr(CAST(97 + (doc_id + mi*5) % 26 AS INTEGER))
+        |    AS first_char
+        |FROM m""".stripMargin,
+
     // member formulas: alternating methods (0 stored / 8 deflate),
     // sizes 30 + (id+m)%70, fill char 'a' + (id·3+m)%26
     "e221_zip_ingest" ->

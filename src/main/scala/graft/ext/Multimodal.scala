@@ -1296,6 +1296,54 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic .tar.gz blobs (e222): the e220 archive shape under a
+    * gzip layer — the composition real dataset distribution uses. A
+    * DIFFERENT member-formula seed keeps the two gates' oracles
+    * independent. */
+  def syntheticTarGz(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val members = (0 until (1 + id % 5).toInt).map { m =>
+            val len = (15 + (id * 2 + m) % 40).toInt
+            val ch = ('a' + (id + m * 5) % 26).toChar
+            TarBlob.Member(s"g$id/t$m.txt", len.toLong,
+              1710000000L + id + m,
+              Array.fill[Byte](len)(ch.toByte))
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          val tar = TarBlob.encode(members)
+          gz.write(tar, 0, tar.length)
+          gz.close()
+          (id, bo.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Inflate the gzip layer, then enumerate the tar. */
+  def enumerateTarGzRows(blobs: DataFrame): Dataset[TarRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val tar = gz.readAllBytes()
+          gz.close()
+          TarBlob.decode(tar).zipWithIndex.map { case (m, i) =>
+            TarRow(id, i.toLong, m.name, m.size, m.mtime,
+              if (m.content.isEmpty) ""
+              else new String(m.content, 0, 1, "US-ASCII"))
+          }
+        }
+      }
+  }
+
   /** One enumerated ZIP member (CRC-verified). */
   case class ZipRow(doc_id: Long, member_idx: Long, name: String,
                     size: Long, method: Long, first_char: String)
