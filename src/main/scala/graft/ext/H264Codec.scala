@@ -49,15 +49,31 @@ package graft.ext
   *    mapping, block-by-block reconstruction in luma4x4BlkIdx order
   *    so within-MB blocks predict from already-reconstructed pixels.
   *
+  * And with INTERFRAME coding (the last named multimodal seam):
+  *  - **P slices** (7.3.3/7.4.3 + 8.4): mb_skip_run coding, P_SKIP
+  *    with the 8.4.1.1 zero-motion conditions, P_L0_16x16 with
+  *    mvd_l0 coded against the 8.4.1.3 median predictor (A/B/C with
+  *    the D fallback, the B∧C-unavailable→mvA rule, and the
+  *    exactly-one-matching-refIdx rule), cbp 0 (residual-free inter);
+  *  - **motion compensation at FULL sub-pel resolution** (8.4.2.2):
+  *    quarter-pel luma via the 6-tap (1,−5,20,20,−5,1) half-pel
+  *    filter (+16>>5), the center position j from unrounded
+  *    intermediates (+512>>10), quarter positions as +1>>1 neighbor
+  *    averages, and eighth-pel chroma via the spec bilinear — every
+  *    stage exact integer arithmetic over the edge-replicated
+  *    reference, so interframe reconstruction stays inside the
+  *    hash-exact oracle contract.
+  *
   * Scope contract (fail-fast, never guess): DC residual blocks with
   * TotalCoeff > 1, coeff_token codes outside the implemented table
   * rows, the 2≤nC<8 VLC columns, diagonal I_4x4 modes (3..8),
   * nonzero coded_block_pattern, nonzero qp deltas (the QP-26
-  * contract), CABAC, or P/B slices are REJECTED by name — the
-  * decoder decodes exactly the subset its paired encoder emits (the
-  * `JpegCodec` progressive-gate-writer precedent). Within that
-  * subset the bitstreams are fully conformant H.264 any reference
-  * decoder would reconstruct identically.
+  * contract), CABAC, B slices, multi-reference lists, or non-16x16
+  * inter partitions are REJECTED by name — the decoder decodes
+  * exactly the subset its paired encoder emits (the `JpegCodec`
+  * progressive-gate-writer precedent). Within that subset the
+  * bitstreams are fully conformant H.264 any reference decoder would
+  * reconstruct identically.
   */
 object H264Codec {
 

@@ -28,15 +28,18 @@ import org.apache.spark.sql.types._
   *    corpora actually ship): Huffman scan decode + dequant + IDCT +
   *    4:2:0 MCU reassembly, oracle-gated end-to-end via
   *    `e174_jpeg_codec_rows` and ImageIO-cross-checked in spec;
-  *  - [[decodeH264Rows]]: a REAL pure-JVM H.264/AVC I-frame decoder
-  *    ([[H264Codec]], r14 — the CODED-video container): Annex B NAL
-  *    walk with emulation prevention, Exp-Golomb headers, I_PCM and
-  *    DC-predicted I_16x16 macroblocks with CAVLC all-zero blocks,
-  *    oracle-gated via `e197_h264_ipcm_rows` /
-  *    `e198_h264_intra_pred_rows`;
-  *  - [[decodeFrames]]: the deterministic generic STUB retained as the
-  *    seam shape for the remaining formats with no pure-JVM codec
-  *    (interframe video like H.264, MP3/AAC audio).
+  *  - [[decodeH264Rows]] / [[decodeH264FrameRows]]: a REAL pure-JVM
+  *    H.264/AVC decoder ([[H264Codec]], r14): Annex B NAL walk with
+  *    emulation prevention, Exp-Golomb headers, I_PCM, DC-predicted
+  *    I_16x16 with CAVLC DC residuals, I_4x4 V/H/DC prediction, and
+  *    INTERFRAME P slices with sub-pel motion compensation —
+  *    oracle-gated via `e197`/`e198`/`e210`/`e211`/`e217`/`e218`;
+  *  - [[scanMp3Rows]] / [[scanAacRows]] / [[extractId3Rows]]: the
+  *    audio-inventory layer (frame-structure walks + metadata) for
+  *    the lossy formats whose sample decode is float-transform-based
+  *    and therefore outside the hash-exact oracle contract;
+  *  - [[decodeFrames]]: the deterministic generic STUB retained as
+  *    the seam shape for any format with no pure-JVM codec.
   *
   * All use the same mapPartitions topology (iterator → iterator, codec
   * state initialized once per partition, never per row) — the shape a
