@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E223: H.264 B-FRAME BI-PREDICTION — the third slice type:
+    // list-0/list-1 single-list copies and the default-weight
+    // bi-predicted average (predL0 + predL1 + 1) >> 1, per-list
+    // median mvd prediction, non-reference NAL (no marking syntax);
+    // oracle = clamped shift lookups and the rounded average
+    "e223_h264_bframe_rows" -> ((s, dir) =>
+      Multimodal.decodeH264FrameRows(
+          Multimodal.syntheticH264BFrame(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E222: .TAR.GZ COMPOSITION — the distribution format for real:
     // gzip inflate (JDK zlib) feeding the ustar walk, with a
     // member-formula seed distinct from e220's
@@ -7799,6 +7810,32 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the three B rows: +2 px (L0), the rounded ±2 px average (Bi),
+    // 4 px up (L1) — frame 0 is the raw pattern
+    "e223_h264_bframe_rows" ->
+      """WITH f AS (SELECT doc_id FROM documents),
+        |fr AS (SELECT doc_id, unnest([0, 1]) AS frame_idx FROM f),
+        |rws AS (SELECT doc_id, frame_idx, unnest(range(0, 48)) AS y
+        |        FROM fr),
+        |px AS (SELECT doc_id, frame_idx, y, unnest(range(0, 48)) AS x
+        |       FROM rws),
+        |v AS (SELECT doc_id, frame_idx, y, x,
+        |  CASE
+        |    WHEN frame_idx = 0 THEN (doc_id*31 + (y*48 + x)*7) % 256
+        |    WHEN y < 16
+        |      THEN (doc_id*31 + (y*48 + LEAST(47, x + 2))*7) % 256
+        |    WHEN y < 32 THEN (
+        |        (doc_id*31 + (y*48 + LEAST(47, x + 2))*7) % 256
+        |      + (doc_id*31 + (y*48 + GREATEST(0, x - 2))*7) % 256
+        |      + 1) // 2
+        |    ELSE (doc_id*31 + ((y - 4)*48 + x)*7) % 256
+        |  END AS p FROM px)
+        |SELECT doc_id, frame_idx, y, CAST(48 AS BIGINT) AS n_px,
+        |  CAST(sum(p) AS BIGINT) AS sum_y,
+        |  CAST(min(p) AS BIGINT) AS min_y,
+        |  CAST(max(p) AS BIGINT) AS max_y
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
     // the e222 member formulas (seeds distinct from e220)
     "e222_targz_ingest" ->
       """WITH f AS (SELECT doc_id, 1 + doc_id % 5 AS nm

@@ -219,10 +219,79 @@ object H264Codec {
   case object PSkip extends PMb
   final case class PMvMb(mvxQ: Int, mvyQ: Int) extends PMb
 
+  /** B-slice macroblock content: single-list or BI-predicted 16x16
+    * partitions. With one reference picture in the DPB both default
+    * lists are [that picture], and bi-prediction is the spec's
+    * default average (predL0 + predL1 + 1) >> 1 — exact integers. */
+  sealed trait BMb
+  final case class BL0Mb(mvxQ: Int, mvyQ: Int) extends BMb
+  final case class BL1Mb(mvxQ: Int, mvyQ: Int) extends BMb
+  final case class BBiMb(l0x: Int, l0y: Int, l1x: Int,
+                         l1y: Int) extends BMb
+
   /** Encode one IDR frame of `mbw`×`mbh` macroblocks as a complete
     * Annex B stream (SPS + PPS + IDR slice). */
   def encode(mbw: Int, mbh: Int, mbs: Seq[Mb]): Array[Byte] =
     encodeIP(mbw, mbh, mbs, Seq.empty)
+
+  /** Encode an IDR frame followed by one NON-REFERENCE B frame
+    * (nal_ref_idc 0, so no dec_ref_pic_marking): every MB coded as
+    * B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 with per-list
+    * median-predicted mvd coding, cbp 0. */
+  def encodeIB(mbw: Int, mbh: Int, mbs: Seq[Mb],
+               bMbs: Seq[BMb]): Array[Byte] = {
+    require(bMbs.length == mbw * mbh,
+      "B frame needs one BMb per macroblock")
+    val head = encodeIP(mbw, mbh, mbs, Seq.empty)
+    head ++ nal(0, 1, buildBSlice(mbw, mbh, bMbs))
+  }
+
+  private def buildBSlice(mbw: Int, mbh: Int,
+                          bMbs: Seq[BMb]): Array[Byte] = {
+    val sl = new BitWriter
+    sl.ue(0) // first_mb_in_slice
+    sl.ue(6) // slice_type: B (all slices of picture)
+    sl.ue(0) // pic_parameter_set_id
+    sl.u(1, 4) // frame_num
+    sl.putBit(0) // direct_spatial_mv_pred_flag
+    sl.putBit(0) // num_ref_idx_active_override_flag
+    sl.putBit(0) // ref_pic_list_modification_flag_l0
+    sl.putBit(0) // ref_pic_list_modification_flag_l1
+    // nal_ref_idc = 0 → NO dec_ref_pic_marking
+    sl.se(0) // slice_qp_delta
+    sl.ue(1) // disable_deblocking_filter_idc
+    val mv0 = Array.fill(mbw * mbh)((0, 0, -1))
+    val mv1 = Array.fill(mbw * mbh)((0, 0, -1))
+    for (my <- 0 until mbh; mx <- 0 until mbw) {
+      val i = my * mbw + mx
+      sl.ue(0) // mb_skip_run: every MB coded
+      bMbs(i) match {
+        case BL0Mb(vx, vy) =>
+          sl.ue(1) // B_L0_16x16
+          val (px, py) = mvPred16(mv0, mbw, mx, my)
+          sl.se(vx - px); sl.se(vy - py)
+          sl.ue(0) // cbp 0 (inter me(v): codeNum 0 → 0)
+          mv0(i) = (vx, vy, 0)
+        case BL1Mb(vx, vy) =>
+          sl.ue(2) // B_L1_16x16
+          val (px, py) = mvPred16(mv1, mbw, mx, my)
+          sl.se(vx - px); sl.se(vy - py)
+          sl.ue(0)
+          mv1(i) = (vx, vy, 0)
+        case BBiMb(v0x, v0y, v1x, v1y) =>
+          sl.ue(3) // B_Bi_16x16
+          val (p0x, p0y) = mvPred16(mv0, mbw, mx, my)
+          val (p1x, p1y) = mvPred16(mv1, mbw, mx, my)
+          sl.se(v0x - p0x); sl.se(v0y - p0y)
+          sl.se(v1x - p1x); sl.se(v1y - p1y)
+          sl.ue(0)
+          mv0(i) = (v0x, v0y, 0)
+          mv1(i) = (v1x, v1y, 0)
+      }
+    }
+    sl.rbspTrailing()
+    sl.toBytes
+  }
 
   /** Encode an IDR frame followed (when `pMbs` is non-empty) by one
     * motion-compensated P frame: mb_skip_run coding, P_L0_16x16
@@ -667,8 +736,9 @@ object H264Codec {
     var log2MaxFrameNum = 4
     var sawSps = false
     var sawPps = false
+    var lastRef: Frame = null // most recent REFERENCE picture
     val frames = scala.collection.mutable.ArrayBuffer.empty[Frame]
-    for ((nalType, payload) <- nals) {
+    for ((refIdc, nalType, payload) <- nals) {
       val r = new BitReader(unescapeRbsp(payload))
       nalType match {
         case 7 => // SPS
@@ -703,12 +773,16 @@ object H264Codec {
           sawPps = true
         case 5 => // IDR slice
           require(sawSps && sawPps, "H264: slice before SPS/PPS")
-          frames += decodeSlice(r, mbw, mbh, log2MaxFrameNum)
-        case 1 => // non-IDR (P) slice
-          require(frames.nonEmpty,
-            "H264: P slice before any reference picture")
-          frames += decodePSlice(r, mbw, mbh, log2MaxFrameNum,
-            frames.last)
+          val f = decodeSlice(r, mbw, mbh, log2MaxFrameNum)
+          frames += f
+          lastRef = f
+        case 1 => // non-IDR (P or B) slice
+          require(lastRef != null,
+            "H264: inter slice before any reference picture")
+          val f = decodeNonIdr(r, mbw, mbh, log2MaxFrameNum,
+            lastRef, refIdc)
+          frames += f
+          if (refIdc > 0) lastRef = f
         case t => throw new IllegalArgumentException(
           s"H264: unsupported NAL type $t")
       }
@@ -717,22 +791,33 @@ object H264Codec {
     frames.toSeq
   }
 
-  /** One P slice against `ref`: mb_skip_run walk, P_L0_16x16 with
-    * median-predicted motion, cbp 0 — each MB is an exact (even
-    * full-pel) copy from the edge-clamped reference. */
-  private def decodePSlice(r: BitReader, mbw: Int, mbh: Int,
-                           log2MaxFrameNum: Int, ref: Frame): Frame = {
+  /** Dispatch a non-IDR slice on its slice_type: P (5/0) or B (6/1). */
+  private def decodeNonIdr(r: BitReader, mbw: Int, mbh: Int,
+                           log2MaxFrameNum: Int, ref: Frame,
+                           refIdc: Int): Frame = {
     require(r.ue() == 0, "H264: multi-slice pictures unsupported")
     val st = r.ue()
-    require(st == 5 || st == 0,
-      s"H264: unsupported slice_type $st for non-IDR (P only)")
+    if (st == 5 || st == 0)
+      decodePBody(r, mbw, mbh, log2MaxFrameNum, ref, refIdc)
+    else if (st == 6 || st == 1)
+      decodeBBody(r, mbw, mbh, log2MaxFrameNum, ref, refIdc)
+    else throw new IllegalArgumentException(
+      s"H264: unsupported slice_type $st for non-IDR (P/B only)")
+  }
+
+  /** One P slice against `ref`: mb_skip_run walk, P_L0_16x16 with
+    * median-predicted motion, cbp 0 — each MB is a sub-pel
+    * motion-compensated copy from the edge-clamped reference. */
+  private def decodePBody(r: BitReader, mbw: Int, mbh: Int,
+                          log2MaxFrameNum: Int, ref: Frame,
+                          refIdc: Int): Frame = {
     r.ue() // pps id
     r.u(log2MaxFrameNum) // frame_num
     require(r.readBit() == 0,
       "H264: num_ref_idx override unsupported (one reference)")
     require(r.readBit() == 0,
       "H264: ref_pic_list_modification unsupported")
-    require(r.readBit() == 0,
+    if (refIdc > 0) require(r.readBit() == 0,
       "H264: adaptive ref-pic marking unsupported")
     require(r.se() == 0,
       "H264: nonzero slice_qp_delta unsupported (QP-26 contract)")
@@ -776,6 +861,109 @@ object H264Codec {
     }
     require(r.readBit() == 1, "H264: missing rbsp_stop_one_bit")
     Frame(mbw, mbh, y, cb, cr)
+  }
+
+  /** One B slice against `ref` (both default lists = [ref], the one
+    * reference in the DPB): B_L0_16x16 / B_L1_16x16 / B_Bi_16x16
+    * with per-list median mvd prediction, cbp 0; bi-prediction is
+    * the default average (predL0 + predL1 + 1) >> 1. B_Skip and
+    * B_Direct are rejected by name (they need direct-mode motion
+    * inference). */
+  private def decodeBBody(r: BitReader, mbw: Int, mbh: Int,
+                          log2MaxFrameNum: Int, ref: Frame,
+                          refIdc: Int): Frame = {
+    r.ue() // pps id
+    r.u(log2MaxFrameNum) // frame_num
+    r.readBit() // direct_spatial_mv_pred_flag (no direct MBs here)
+    require(r.readBit() == 0,
+      "H264: num_ref_idx override unsupported (one reference)")
+    require(r.readBit() == 0,
+      "H264: ref_pic_list_modification (L0) unsupported")
+    require(r.readBit() == 0,
+      "H264: ref_pic_list_modification (L1) unsupported")
+    if (refIdc > 0) require(r.readBit() == 0,
+      "H264: adaptive ref-pic marking unsupported")
+    require(r.se() == 0,
+      "H264: nonzero slice_qp_delta unsupported (QP-26 contract)")
+    require(r.ue() == 1,
+      "H264: deblocking filter not implemented (writer disables it)")
+    val w = mbw * 16
+    val y = new Array[Int](w * mbh * 16)
+    val cb = new Array[Int](w / 2 * mbh * 8)
+    val cr = new Array[Int](w / 2 * mbh * 8)
+    val mv0 = Array.fill(mbw * mbh)((0, 0, -1))
+    val mv1 = Array.fill(mbw * mbh)((0, 0, -1))
+    val total = mbw * mbh
+    var i = 0
+    while (i < total) {
+      require(r.ue() == 0,
+        "H264: B_Skip/B_Direct unsupported (explicit-motion subset)")
+      val mbType = r.ue()
+      val mx = i % mbw
+      val my = i / mbw
+      mbType match {
+        case 1 => // B_L0_16x16
+          val (px, py) = mvPred16(mv0, mbw, mx, my)
+          val vx = px + r.se(); val vy = py + r.se()
+          require(r.ue() == 0,
+            "H264: nonzero coded_block_pattern unsupported for B MBs")
+          motionCopy(ref, y, cb, cr, w, mx, my, vx, vy)
+          mv0(i) = (vx, vy, 0)
+        case 2 => // B_L1_16x16
+          val (px, py) = mvPred16(mv1, mbw, mx, my)
+          val vx = px + r.se(); val vy = py + r.se()
+          require(r.ue() == 0,
+            "H264: nonzero coded_block_pattern unsupported for B MBs")
+          motionCopy(ref, y, cb, cr, w, mx, my, vx, vy)
+          mv1(i) = (vx, vy, 0)
+        case 3 => // B_Bi_16x16
+          val (p0x, p0y) = mvPred16(mv0, mbw, mx, my)
+          val (p1x, p1y) = mvPred16(mv1, mbw, mx, my)
+          val v0x = p0x + r.se(); val v0y = p0y + r.se()
+          val v1x = p1x + r.se(); val v1y = p1y + r.se()
+          require(r.ue() == 0,
+            "H264: nonzero coded_block_pattern unsupported for B MBs")
+          biMotionCopy(ref, y, cb, cr, w, mx, my, v0x, v0y, v1x, v1y)
+          mv0(i) = (v0x, v0y, 0)
+          mv1(i) = (v1x, v1y, 0)
+        case t => throw new IllegalArgumentException(
+          s"H264: B mb_type $t unsupported (L0/L1/Bi 16x16 only)")
+      }
+      i += 1
+    }
+    require(r.readBit() == 1, "H264: missing rbsp_stop_one_bit")
+    Frame(mbw, mbh, y, cb, cr)
+  }
+
+  /** Bi-predicted MB: the default-weight average of the two
+    * motion-compensated predictions (8.4.2.3 with
+    * weighted_bipred_idc 0). */
+  private def biMotionCopy(ref: Frame, y: Array[Int], cb: Array[Int],
+                           cr: Array[Int], w: Int, mx: Int, my: Int,
+                           v0x: Int, v0y: Int, v1x: Int,
+                           v1y: Int): Unit = {
+    val h = ref.mbh * 16
+    val x0 = mx * 16; val y0 = my * 16
+    for (py <- 0 until 16; px <- 0 until 16) {
+      val a = lumaSubpel(ref.y, w, h, x0 + px, y0 + py, v0x, v0y)
+      val b = lumaSubpel(ref.y, w, h, x0 + px, y0 + py, v1x, v1y)
+      y((y0 + py) * w + x0 + px) = (a + b + 1) >> 1
+    }
+    val cw = w / 2
+    val chh = h / 2
+    val cx0 = mx * 8; val cy0 = my * 8
+    for (py <- 0 until 8; px <- 0 until 8) {
+      val a0 = chromaSubpel(ref.cb, cw, chh, cx0 + px, cy0 + py,
+        v0x, v0y)
+      val a1 = chromaSubpel(ref.cb, cw, chh, cx0 + px, cy0 + py,
+        v1x, v1y)
+      cb((cy0 + py) * cw + cx0 + px) = (a0 + a1 + 1) >> 1
+      val b0 = chromaSubpel(ref.cr, cw, chh, cx0 + px, cy0 + py,
+        v0x, v0y)
+      val b1 = chromaSubpel(ref.cr, cw, chh, cx0 + px, cy0 + py,
+        v1x, v1y)
+      cr((cy0 + py) * cw + cx0 + px) = (b0 + b1 + 1) >> 1
+    }
   }
 
   /** Motion-compensated copy of one 16x16 MB from the reference at
@@ -865,7 +1053,8 @@ object H264Codec {
       (8 - xf) * yf * C(0, 1) + xf * yf * C(1, 1) + 32) >> 6
   }
 
-  private def splitNals(bytes: Array[Byte]): Seq[(Int, Array[Byte])] = {
+  private def splitNals(bytes: Array[Byte])
+      : Seq[(Int, Int, Array[Byte])] = {
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i + 3 < bytes.length) {
@@ -887,7 +1076,7 @@ object H264Codec {
         } else bytes.length
       val h = bytes(hdr) & 0xff
       require((h & 0x80) == 0, "H264: forbidden_zero_bit set")
-      (h & 0x1f, bytes.slice(hdr + 1, end))
+      ((h >> 5) & 3, h & 0x1f, bytes.slice(hdr + 1, end))
     }
   }
 

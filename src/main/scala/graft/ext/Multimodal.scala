@@ -1558,6 +1558,33 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** Synthetic H.264 streams for the B-frame gate (e223): I_PCM IDR
+    * + one non-reference B frame — row 0 B_L0 (+2 px right), row 1
+    * B_Bi (the default-weight average of ±2 px), row 2 B_L1 (4 px
+    * up); all full-pel so the oracle is three clamped lookups and
+    * one rounded average. */
+  def syntheticH264BFrame(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val g = H264MbGrid
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val mbs = for (my <- 0 until g; mx <- 0 until g) yield
+            (H264Codec.PcmMb(Array.tabulate(256)(i =>
+              synthH264Px(id, mx * 16 + i % 16,
+                my * 16 + i / 16))): H264Codec.Mb)
+          val bMbs = for (my <- 0 until g; _ <- 0 until g) yield
+            (my match {
+              case 0 => H264Codec.BL0Mb(8, 0)
+              case 1 => H264Codec.BBiMb(8, 0, -8, 0)
+              case _ => H264Codec.BL1Mb(0, -16)
+            }): H264Codec.BMb
+          (id, H264Codec.encodeIB(g, g, mbs, bMbs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
   /** One decoded luma row of one picture in a sequence. */
   case class VideoLumaRow(doc_id: Long, frame_idx: Long, y: Long,
                           n_px: Long, sum_y: Long, min_y: Long,

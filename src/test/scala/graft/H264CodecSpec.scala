@@ -3,8 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ext.H264Codec
-import graft.ext.H264Codec.{DcPredMb, DcResidualMb, I4x4Mb, Mb, PMb,
-  PMvMb, PSkip, PcmMb}
+import graft.ext.H264Codec.{BBiMb, BL0Mb, BL1Mb, BMb, DcPredMb,
+  DcResidualMb, I4x4Mb, Mb, PMb, PMvMb, PSkip, PcmMb}
 
 /** From-scratch H.264 I-frame codec (VERDICT r13 #7): Annex B framing
   * with emulation prevention, Exp-Golomb headers, I_PCM exactness,
@@ -263,6 +263,47 @@ class H264CodecSpec extends AnyFunSuite {
     assert(fC.cb(10 * 24 + 15) == ((32 * 150 + 32 * 200 + 32) >> 6))
     // constant-region chroma is unchanged by fractional motion
     assert(fC.cr(10 * 24 + 12) == 60)
+  }
+
+  test("B slice: L0 and L1 single-list copies and the bi-predicted " +
+    "average (predL0 + predL1 + 1) >> 1, including a sub-pel side") {
+    def p(x: Int, yy: Int): Int = (3 * x + 13 * yy) % 256
+    val iMbs: Seq[Mb] = for (my <- 0 until 3; mx <- 0 until 3) yield
+      PcmMb(Array.tabulate(256)(i =>
+        p(mx * 16 + i % 16, my * 16 + i / 16)))
+    val bMbs: Seq[BMb] = for (my <- 0 until 3; mx <- 0 until 3) yield
+      my match {
+        case 0 => BL0Mb(8, 0) // +2 px right
+        case 1 => BBiMb(8, 0, -8, 0) // avg of ±2 px
+        case 2 => BL1Mb(0, -16) // 4 px up
+      }
+    val fs = H264Codec.decodeSequence(
+      H264Codec.encodeIB(3, 3, iMbs, bMbs))
+    assert(fs.length == 2)
+    val f0 = fs(0); val f1 = fs(1)
+    def cl(v: Int): Int = math.max(0, math.min(47, v))
+    for (yy <- 0 until 48; xx <- 0 until 48) {
+      val want =
+        if (yy < 16) f0.y(yy * 48 + cl(xx + 2))
+        else if (yy < 32)
+          (f0.y(yy * 48 + cl(xx + 2)) + f0.y(yy * 48 + cl(xx - 2)) +
+            1) >> 1
+        else f0.y(cl(yy - 4) * 48 + xx)
+      assert(f1.y(yy * 48 + xx) == want, s"($xx,$yy)")
+    }
+    // a bi MB with one half-pel side: average of the 6-tap result
+    // and the plain pixel
+    val biSub: Seq[BMb] = Seq.tabulate(9)(i =>
+      if (i == 4) BBiMb(2, 0, 0, 0) else BL0Mb(0, 0))
+    val g = H264Codec.decodeSequence(
+      H264Codec.encodeIB(3, 3, iMbs, biSub))(1)
+    def b6(x: Int, yy: Int): Int = {
+      val s = p(cl(x - 2), yy) - 5 * p(cl(x - 1), yy) +
+        20 * p(cl(x), yy) + 20 * p(cl(x + 1), yy) -
+        5 * p(cl(x + 2), yy) + p(cl(x + 3), yy)
+      math.max(0, math.min(255, (s + 16) >> 5))
+    }
+    assert(g.y(20 * 48 + 20) == (b6(20, 20) + p(20, 20) + 1) >> 1)
   }
 
   test("malformed streams fail fast by name") {
