@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E224: TFRECORD + PROTOBUF INGEST — the ML-dataset path:
+    // TFRecord framing with BOTH masked-CRC32C checks verified per
+    // record, then the protobuf wire walk (varints, length-delimited,
+    // fixed64, unknown-field skip-by-wire-type); dyadic scores keep
+    // the doubles engine-exact
+    "e224_tfrecord_ingest" -> ((s, dir) =>
+      Multimodal.decodeTfRecordRows(
+          Multimodal.syntheticTfRecord(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E223: H.264 B-FRAME BI-PREDICTION — the third slice type:
     // list-0/list-1 single-list copies and the default-weight
     // bi-predicted average (predL0 + predL1 + 1) >> 1, per-list
@@ -7810,6 +7821,18 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the record formulas; scores are dyadic (0.5/0.25 steps)
+    "e224_tfrecord_ingest" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS nr
+        |           FROM documents),
+        |r AS (SELECT doc_id, unnest(range(0, nr)) AS ri FROM f)
+        |SELECT doc_id, CAST(ri AS BIGINT) AS rec_idx,
+        |  CAST(doc_id*1000 + ri AS BIGINT) AS msg_id,
+        |  CAST(3 + (doc_id + ri) % 6 AS BIGINT) AS text_len,
+        |  (doc_id % 50) * CAST(0.5 AS DOUBLE)
+        |    + ri * CAST(0.25 AS DOUBLE) AS score
+        |FROM r""".stripMargin,
+
     // the three B rows: +2 px (L0), the rounded ±2 px average (Bi),
     // 4 px up (L1) — frame 0 is the raw pattern
     "e223_h264_bframe_rows" ->

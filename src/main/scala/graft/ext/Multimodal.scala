@@ -1347,6 +1347,55 @@ object Multimodal {
       }
   }
 
+  /** Synthetic TFRecord streams of proto messages (e224): 2..5
+    * records per doc with dyadic scores, an UNKNOWN varint field
+    * (field 7) injected into every other message so the
+    * skip-by-wire-type path is content-exercised. */
+  def syntheticTfRecord(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val recs = (0 until (2 + id % 4).toInt).map { r =>
+            val base = TfRecord.encodeMsg(TfRecord.Msg(
+              id * 1000 + r,
+              "m" * (3 + (id + r) % 6).toInt,
+              (id % 50) * 0.5 + r * 0.25))
+            if ((id + r) % 2 == 0) {
+              // prepend an unknown field-7 varint the decoder skips
+              val out = new java.io.ByteArrayOutputStream()
+              out.write(((7 << 3) | 0)) // tag
+              out.write(42)
+              out.write(base, 0, base.length)
+              out.toByteArray
+            } else base
+          }
+          (id, TfRecord.encode(recs))
+        }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** One decoded TFRecord proto row. */
+  case class TfRow(doc_id: Long, rec_idx: Long, msg_id: Long,
+                   text_len: Long, score: Double)
+
+  def decodeTfRecordRows(blobs: DataFrame): Dataset[TfRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          TfRecord.decode(payload).zipWithIndex.map { case (r, i) =>
+            val m = TfRecord.decodeMsg(r)
+            TfRow(id, i.toLong, m.msg_id, m.text.length.toLong,
+              m.score)
+          }
+        }
+      }
+  }
+
   /** One enumerated ZIP member (CRC-verified). */
   case class ZipRow(doc_id: Long, member_idx: Long, name: String,
                     size: Long, method: Long, first_char: String)
