@@ -3282,6 +3282,17 @@ object ExtQueries {
         .select(col("doc_id"), col("frame_idx"), col("coef_idx"),
           Rounding.duckRound(col("mfcc"), 6).as("mfcc"))),
 
+    // E225: MIXED-CORPUS AUDIO DISPATCH — the triage operator a real
+    // crawl needs before any audio analysis: sniff the container
+    // magic (RIFF / fLaC / ID3 / MPEG sync with layer bits deciding
+    // MP3 vs ADTS) and route each blob to the right codec/scanner,
+    // emitting one unified inventory row per doc
+    "e225_audio_dispatch" -> ((s, dir) =>
+      Multimodal.dispatchAudioRows(
+          Multimodal.syntheticAudioMixed(
+            docs(s, dir).select(col("doc_id"))))
+        .toDF()),
+
     // E224: TFRECORD + PROTOBUF INGEST — the ML-dataset path:
     // TFRecord framing with BOTH masked-CRC32C checks verified per
     // record, then the protobuf wire walk (varints, length-delimited,
@@ -7821,6 +7832,37 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // the four per-format formulas selected by doc_id % 4
+    "e225_audio_dispatch" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+        |    WHEN 2 THEN 'mp3' ELSE 'aac' END AS format,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 8000
+        |    WHEN 2 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+        |      WHEN 1 THEN 48000 ELSE 32000 END
+        |    ELSE CASE doc_id % 3 WHEN 0 THEN 48000
+        |      WHEN 1 THEN 44100 ELSE 32000 END
+        |  END AS BIGINT) AS sample_rate,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN (300 + doc_id % 200) * 1000 // 8000
+        |    WHEN 1 THEN (300 + doc_id % 200) * 1000 // 8000
+        |    WHEN 2 THEN (5 + doc_id % 7) * 1152 * 1000
+        |      // (CASE doc_id % 3 WHEN 0 THEN 44100
+        |          WHEN 1 THEN 48000 ELSE 32000 END)
+        |    ELSE ((6 + doc_id % 9) + (6 + doc_id % 9) // 2)
+        |      * 1024 * 1000
+        |      // (CASE doc_id % 3 WHEN 0 THEN 48000
+        |          WHEN 1 THEN 44100 ELSE 32000 END)
+        |  END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN 300 + doc_id % 200
+        |    WHEN 1 THEN 300 + doc_id % 200
+        |    WHEN 2 THEN 5 + doc_id % 7
+        |    ELSE 6 + doc_id % 9
+        |  END AS BIGINT) AS n_units
+        |FROM documents""".stripMargin,
+
     // the record formulas; scores are dyadic (0.5/0.25 steps)
     "e224_tfrecord_ingest" ->
       """WITH f AS (SELECT doc_id, 2 + doc_id % 4 AS nr

@@ -1436,6 +1436,76 @@ object Multimodal {
       }
   }
 
+  /** Synthetic MIXED audio corpus (e225): each doc carries ONE of
+    * the four audio containers by id%4 — WAV and FLAC share the osc
+    * signal, MP3/AAC reuse the e212/e213 frame synthesis — so the
+    * dispatcher must actually sniff, not trust a column. */
+  def syntheticAudioMixed(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val wav = syntheticWavOsc(ids.filter(col("doc_id") % 4 === 0))
+    val flac = ids.filter(col("doc_id") % 4 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, FlacCodec.encode(
+        Array.tabulate(synthLen(id))(i => synthOscSample(id, i)),
+        lpcOrder = 2))))
+      .toDF("doc_id", "payload")
+    val mp3 = syntheticMp3(ids.filter(col("doc_id") % 4 === 2))
+    val aac = syntheticAac(ids.filter(col("doc_id") % 4 === 3))
+    wav.unionByName(flac).unionByName(mp3).unionByName(aac)
+  }
+
+  /** One unified audio-inventory row: sniffed format, sample rate,
+    * duration, and the per-format unit count (samples for decoded
+    * containers, frames for the scanned lossy ones). */
+  case class AudioInventoryRow(doc_id: Long, format: String,
+                               sample_rate: Long, duration_ms: Long,
+                               n_units: Long)
+
+  /** Sniff each blob by magic (RIFF / fLaC / ID3-or-MPEG sync with
+    * the layer bits separating MP3 from ADTS) and route to the
+    * matching codec/scanner — the mixed-corpus triage operator. */
+  def dispatchAudioRows(blobs: DataFrame): Dataset[AudioInventoryRow] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, b) =>
+          require(b.length >= 4, "audio: blob too short to sniff")
+          if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+            val samples = WavCodec.decodePcm16(b)
+            AudioInventoryRow(id, "wav", 8000L,
+              samples.length.toLong * 1000 / 8000,
+              samples.length.toLong)
+          } else if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+            b(3) == 'C') {
+            val samples = FlacCodec.decode(b)
+            AudioInventoryRow(id, "flac", 8000L,
+              samples.length.toLong * 1000 / 8000,
+              samples.length.toLong)
+          } else if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+            val m = Mp3Scan.scan(b) // ID3 prefix → an MP3 stream
+            AudioInventoryRow(id, "mp3", m.sample_rate,
+              m.duration_ms, m.n_frames)
+          } else if ((b(0) & 0xff) == 0xff &&
+            (b(1) & 0xf0) == 0xf0) {
+            // MPEG sync: layer bits 01 → MP3 Layer III, 00 → ADTS
+            if ((b(1) & 0x06) == 0x02) {
+              val m = Mp3Scan.scan(b)
+              AudioInventoryRow(id, "mp3", m.sample_rate,
+                m.duration_ms, m.n_frames)
+            } else {
+              val a = AacScan.scan(b)
+              AudioInventoryRow(id, "aac", a.sample_rate,
+                a.duration_ms, a.n_frames)
+            }
+          } else throw new IllegalArgumentException(
+            "audio: unrecognized container magic")
+        }
+      }
+  }
+
   /** Per-doc MP3 inventory row (the [[Mp3Scan]] aggregates). */
   case class Mp3Row(doc_id: Long, n_frames: Long, sample_rate: Long,
                     n_padded: Long, min_kbps: Long, max_kbps: Long,
