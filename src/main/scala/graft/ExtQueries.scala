@@ -453,6 +453,34 @@ object ExtQueries {
         .select(col("fp"), col("doc_id").as("keep_id"))
     }),
 
+    // E226: NATIVE streaming dedup — Spark's own
+    // dropDuplicatesWithinWatermark (the functions-not-UDFs principle
+    // applied to streaming state: where the built-in operator's
+    // semantics fit, prefer it over custom flatMapGroupsWithState —
+    // the custom StreamingDedup documents exactly why ITS semantics
+    // differ). Re-deliveries of a third of the events arrive in two
+    // later micro-batches; first arrivals emit immediately, the
+    // duplicates drop inside the watermark, and the bounded replay
+    // equals the original distinct set.
+    "e226_streaming_native_dedup_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value")).cache()
+      val dupes = ev.filter(col("event_id") % 3 === 1)
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val delayMin = (b.getTimestamp(1).getTime -
+        b.getTimestamp(0).getTime) / 60000L + 240
+      val eDir = graft.Scratch.dir("native_dedup", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(ev, dupes, dupes), eDir)
+      val stream = s.readStream
+        .schema(s.read.parquet(eDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(eDir)
+        .withWatermark("ts", s"$delayMin minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      graft.streaming.StreamingOhlc
+        .replayWithStatePartitions(s, stream, 8)
+    }),
+
     // E58: STREAMING near-dup — the delta-dedup SignatureIndex wired
     // into the streaming path (VERDICT r7 #3, closing the last
     // batch/streaming asymmetry): a document stream replayed as three
@@ -7832,6 +7860,11 @@ object ExtQueries {
         |GROUP BY 1, 2, 3""".stripMargin,
 
     // the I_PCM pixel formula evaluated directly per luma row
+    // duplicates are exact re-deliveries, so the deduped stream is
+    // the original event set
+    "e226_streaming_native_dedup_replay" ->
+      "SELECT ts, event_id, value FROM events",
+
     // the four per-format formulas selected by doc_id % 4
     "e225_audio_dispatch" ->
       """SELECT doc_id,
