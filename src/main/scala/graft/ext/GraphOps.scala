@@ -241,29 +241,42 @@ object GraphOps {
     * discriminates strong ties from threshold-grazing ones. Same
     * topology and lineage rules as [[pageRank]] (the loop-invariant
     * (src, dst, w, sw) frame checkpoints once, per-round rank frames
-    * truncate). The node set is taken from DISTINCT src — matching
-    * [[pageRank]]'s convention — so mass conservation (Σ w/sw = 1 per
-    * source) holds only for inputs where every dst also appears as a
-    * src (e.g. e183's symmetrized co-purchase graph); on a general
-    * directed edge list a dst-only sink node is dropped and its
-    * incoming mass leaves the system, as in the unweighted variant. */
+    * truncate). Unlike [[pageRank]] (whose contract requires every
+    * node to appear as a src), this variant handles a GENERAL directed
+    * edge list: the node set is distinct(src ∪ dst), and each round
+    * the mass held by dangling nodes (no out-edges) re-spreads
+    * uniformly — the standard dangling-node treatment (Page et al.
+    * 1999) — so Σ rank = 1 exactly, including on sink-bearing graphs
+    * (spec-pinned). The per-round dangling mass is a single scalar
+    * (an exact 0.0 on symmetrized inputs like e183's, so the
+    * symmetric special case is bit-identical to the src-only walk);
+    * collecting it is O(1), never O(nodes). */
   def weightedPageRank(edges: DataFrame, iters: Int = 5,
                        damping: Double = 0.85): DataFrame = {
     val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
     val topo = CachePins.pinCheckpoint(edges.join(sw, Seq("src")))
     val nodes = CachePins.pinCheckpoint(
-      edges.select(col("src").as("node")).distinct())
+      edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct())
     val n = nodes.count().toDouble
+    val srcs = topo.select(col("src")).distinct()
     var ranks = nodes.withColumn("rank", lit(1.0) / lit(n))
     for (_ <- 1 to iters) {
       val contribs = topo
         .join(ranks, topo("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("w") / col("sw")).as("c"))
+      // exact dangling mass: Σ rank over nodes with no out-edge —
+      // empty (0.0 exactly) on symmetrized graphs, so this branch
+      // costs one scalar action and perturbs nothing when unused
+      val dangling = ranks
+        .join(srcs, ranks("node") === srcs("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head.getDouble(0)
       ranks = CachePins.pinCheckpoint(
         nodes.join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
-            (lit(1.0 - damping) / lit(n) +
+            (lit((1.0 - damping) / n + damping * dangling / n) +
               lit(damping) * coalesce(col("c"), lit(0.0))).as("rank")))
     }
     ranks.withColumn("n_nodes", lit(n))

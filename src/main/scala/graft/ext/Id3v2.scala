@@ -51,6 +51,10 @@ object Id3v2 {
           ((bytes(pos + 6) & 0xff) << 8) | (bytes(pos + 7) & 0xff)
         require((bytes(pos + 9) & 0xc0) == 0,
           "ID3v2: compressed/encrypted frames unsupported")
+        // A plain-BE size with the top bit set wraps negative in an Int;
+        // without this guard a corrupt non-text frame passes the bounds
+        // check below and the walk stops advancing (infinite loop).
+        require(fsize >= 1, "ID3v2: non-positive frame size")
         require(pos + 10 + fsize <= end, "ID3v2: truncated frame")
         if (id.startsWith("T")) {
           require(fsize >= 1, "ID3v2: empty text frame")

@@ -126,7 +126,12 @@ object ZipBlob {
     }
     require(eocd >= 0, "ZIP: no end-of-central-directory record")
     val n = rd16(bytes, eocd + 10)
-    var cd = rd32(bytes, eocd + 16).toInt
+    val cd0 = rd32(bytes, eocd + 16)
+    require(cd0 != 0xffffffffL,
+      "ZIP: ZIP64 end-of-central-directory unsupported")
+    require(cd0 + 46L * n <= bytes.length,
+      "ZIP: central directory offset exceeds stream")
+    var cd = cd0.toInt
     val out = scala.collection.mutable.ArrayBuffer.empty[Member]
     for (_ <- 0 until n) {
       require(cd + 46 <= bytes.length &&
@@ -136,27 +141,37 @@ object ZipBlob {
       require(method == 0 || method == 8,
         s"ZIP: compression method $method unsupported (stored/deflate)")
       val crc = rd32(bytes, cd + 16)
-      val csize = rd32(bytes, cd + 20).toInt
-      val usize = rd32(bytes, cd + 24).toInt
+      // Keep the 32-bit size/offset fields as Long: narrowing ≥2^31
+      // values to Int wraps negative and defeats every bounds check
+      // below. The all-ones sentinel means "see ZIP64 extra field",
+      // which this codec rejects by name rather than mis-reading.
+      val csize = rd32(bytes, cd + 20)
+      val usize = rd32(bytes, cd + 24)
+      require(csize != 0xffffffffL && usize != 0xffffffffL,
+        "ZIP: ZIP64 member sizes unsupported")
+      require(csize <= bytes.length && usize <= Int.MaxValue.toLong,
+        "ZIP: member size exceeds stream")
       val nameLen = rd16(bytes, cd + 28)
       val extraLen = rd16(bytes, cd + 30)
       val commentLen = rd16(bytes, cd + 32)
-      val off = rd32(bytes, cd + 42).toInt
+      val off = rd32(bytes, cd + 42)
+      require(off != 0xffffffffL, "ZIP: ZIP64 member offset unsupported")
+      require(off + 30L <= bytes.length,
+        "ZIP: central entry offset exceeds stream")
       val name = new String(bytes, cd + 46, nameLen, "US-ASCII")
       // local header: its own (possibly different-length) name/extra
-      require(off + 30 <= bytes.length &&
-        rd32(bytes, off) == 0x04034b50L,
+      require(rd32(bytes, off.toInt) == 0x04034b50L,
         "ZIP: central entry points at no local header")
-      val lNameLen = rd16(bytes, off + 26)
-      val lExtraLen = rd16(bytes, off + 28)
-      require(new String(bytes, off + 30, lNameLen, "US-ASCII") == name,
-        "ZIP: central/local name mismatch")
-      val dataAt = off + 30 + lNameLen + lExtraLen
+      val lNameLen = rd16(bytes, off.toInt + 26)
+      val lExtraLen = rd16(bytes, off.toInt + 28)
+      require(new String(bytes, off.toInt + 30, lNameLen,
+        "US-ASCII") == name, "ZIP: central/local name mismatch")
+      val dataAt = off + 30L + lNameLen + lExtraLen
       require(dataAt + csize <= bytes.length, "ZIP: truncated member")
-      val raw = java.util.Arrays.copyOfRange(bytes, dataAt,
-        dataAt + csize)
+      val raw = java.util.Arrays.copyOfRange(bytes, dataAt.toInt,
+        (dataAt + csize).toInt)
       val content =
-        if (method == 8) inflateRaw(raw, usize)
+        if (method == 8) inflateRaw(raw, usize.toInt)
         else { require(csize == usize, "ZIP: stored size mismatch"); raw }
       val check = new java.util.zip.CRC32()
       check.update(content)

@@ -65,4 +65,25 @@ class Id3v2Spec extends AnyFunSuite {
     overrun(7) = 100
     expectMsg(tag(overrun, 0), "truncated")
   }
+
+  test("top-bit frame size on a NON-text frame fails by name instead " +
+    "of looping forever (ADVICE r14)") {
+    // plain-BE size 0x80000000 wraps negative in an Int; before the
+    // guard, `pos + 10 + fsize <= end` passed and the walk stopped
+    // advancing — an executor hang, not an error. Non-text id (PRIV)
+    // so the old text-frame-only size check never ran.
+    val neg = "PRIV".getBytes("ISO-8859-1") ++
+      Array[Byte](0x80.toByte, 0, 0, 0, 0, 0) ++ Array[Byte](1, 2)
+    val msg = intercept[IllegalArgumentException](
+      Id3v2.textFrames(tag(neg, 0))).getMessage
+    assert(msg.contains("non-positive frame size"), msg)
+    // a literal zero size on a non-text frame is the same trap
+    // (pos += 10 forever over the same header is fine, but spec-wise
+    // a zero-size frame is malformed — reject it too)
+    val zero = "PRIV".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0, 0, 0)
+    val msg2 = intercept[IllegalArgumentException](
+      Id3v2.textFrames(tag(zero, 0))).getMessage
+    assert(msg2.contains("non-positive frame size"), msg2)
+  }
 }

@@ -294,4 +294,37 @@ class JpegCodecSpec extends AnyFunSuite {
     val dec = JpegCodec.decodePlanes(spliced)
     assert(dec.planes(0).data.forall(v => math.abs(v - 100) <= 1))
   }
+
+  test("stray RSTn mid-entropy fails by name, never decodes fake " +
+    "bits (VERDICT r14 defect 1)") {
+    // no DRI in the stream, so ANY RSTn inside the scan is stray;
+    // splice FF D0 at the very start of the entropy data — the old
+    // BitReader fed 8 fake zero bits here and decoded wrong pixels
+    val good = JpegCodec.encodeGray(16, 8, Array.fill(128)(100))
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val entropyAt = sosAt + 2 + 8 // FF DA + Ls=8 (single-component)
+    val strayed = good.take(entropyAt) ++
+      Array(0xff.toByte, 0xd0.toByte) ++ good.drop(entropyAt)
+    val msg = intercept[IllegalArgumentException](
+      JpegCodec.decodePlanes(strayed)).getMessage
+    assert(msg.contains("mid-entropy-decode"), msg)
+  }
+
+  test("truncation at a restart boundary throws the contract error, " +
+    "not ArrayIndexOutOfBounds (VERDICT r14 defect 2)") {
+    // DRI interval 1 over 2 MCUs: after MCU 0 the decoder scans for
+    // the RSTn that should follow; with the tail (EOI) cut off the
+    // scan runs out of bytes — the fixed restartIfDue must fail with
+    // the codec's named "truncated" error, not an unguarded index
+    val good = JpegCodec.encodeGray(16, 8, Array.fill(128)(100))
+    val sosAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda).get
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
+    val spliced = good.take(sosAt) ++ dri ++ good.drop(sosAt)
+    val cut = spliced.dropRight(2) // strip EOI
+    val msg = intercept[IllegalArgumentException](
+      JpegCodec.decodePlanes(cut)).getMessage
+    assert(msg.contains("truncated"), msg)
+  }
 }

@@ -160,6 +160,23 @@ class SketchGraphLayoutSpec extends SparkSpec {
     assert(ranks(3L) > ranks(2L))
   }
 
+  test("weightedPageRank: dst-only sink joins the node set and mass " +
+    "is conserved on a general directed graph") {
+    // 3 is a pure sink (appears only as dst): it must surface in the
+    // output, and its absorbed mass must re-spread — Σ rank stays 1
+    // exactly (the VERDICT r14 defect: sinks were dropped and their
+    // incoming mass left the system)
+    val e = Seq((1L, 2L, 1L), (1L, 3L, 2L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val pr = GraphOps.weightedPageRank(e, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-12)
+    // 3 receives from 1 (2/3 of its rank) and all of 2's — it must
+    // out-rank 2, which receives only 1/3 of 1's
+    assert(pr(3L) > pr(2L))
+  }
+
   test("pageRank: uniform on a symmetric cycle, mass conserved") {
     // every node of a 6-cycle is equivalent → rank = 1/6 exactly at
     // every iteration (the fixed point of the symmetric walk)

@@ -64,4 +64,31 @@ class ZipBlobSpec extends AnyFunSuite {
     m(cd + 10) = 12
     expectMsg(m, "method")
   }
+
+  test("ZIP64 sentinels and >2^31 sizes fail by name, never wrap " +
+    "negative through an Int (ADVICE r14)") {
+    def expectMsg(bytes: Array[Byte], word: String): Unit = {
+      val msg = intercept[IllegalArgumentException](
+        ZipBlob.decode(bytes)).getMessage
+      assert(msg.toLowerCase.contains(word.toLowerCase), msg)
+    }
+    val one = ZipBlob.encode(Seq(Entry("x", Array[Byte](1, 2, 3),
+      deflate = false)))
+    val cd = new String(one, "ISO-8859-1").indexOf("PK\u0001\u0002")
+    // csize = 0xFFFFFFFF (the ZIP64 "see extra field" sentinel)
+    val z64 = one.clone()
+    for (i <- 0 until 4) z64(cd + 20 + i) = 0xff.toByte
+    expectMsg(z64, "ZIP64")
+    // csize = 0x80000000: wraps negative as an Int; before the fix
+    // the bounds guard passed and copyOfRange threw a bare
+    // IllegalArgumentException with no ZIP-named message
+    val big = one.clone()
+    big(cd + 20) = 0; big(cd + 21) = 0; big(cd + 22) = 0
+    big(cd + 23) = 0x80.toByte
+    expectMsg(big, "exceeds stream")
+    // ZIP64 local-header offset sentinel
+    val off64 = one.clone()
+    for (i <- 0 until 4) off64(cd + 42 + i) = 0xff.toByte
+    expectMsg(off64, "ZIP64")
+  }
 }
