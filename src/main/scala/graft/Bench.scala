@@ -101,8 +101,15 @@ object Bench {
     // writing to a fresh BENCHFULL_<epoch>.json can never clobber it
     // (the r01/r02/r05/r06 phantom-regression pattern). Set
     // SPARK_GRAFT_BENCH_OUT to write a fixed path deliberately.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"BENCHFULL_${System.currentTimeMillis() / 1000}.json")
+    // Run-stamped snapshots go STRAIGHT into bench_history/ (VERDICT
+    // r14 hygiene: fixing the generator, not sweeping the root).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val dir = java.nio.file.Paths.get("bench_history")
+      try java.nio.file.Files.createDirectories(dir)
+      catch { case scala.util.control.NonFatal(_) => () }
+      dir.resolve(
+        s"BENCHFULL_${System.currentTimeMillis() / 1000}.json").toString
+    })
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), line + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
