@@ -118,6 +118,26 @@ object SparkEntry {
       col("is_flat").cast("int").as("is_flat"))
   }
 
+  /** Gate select of the streaming composed pipeline: the replayed
+    * tail emits doubles, so the float32 precision contract (P12) is
+    * applied HERE with the identical cast chain pipeline_hybrid_full's
+    * select evaluates on the batch output — the two gates share one
+    * oracle. */
+  private def pipelineStreamingSelect(df: DataFrame): DataFrame =
+    df.select(col("datetime"),
+      Rounding.duckRound(col("open").cast("float").cast("double"), 5)
+        .as("open"),
+      Rounding.duckRound(col("high").cast("float").cast("double"), 5)
+        .as("high"),
+      Rounding.duckRound(col("low").cast("float").cast("double"), 5)
+        .as("low"),
+      Rounding.duckRound(col("close").cast("float").cast("double"), 5)
+        .as("close"),
+      col("volume").cast("float").cast("double").as("volume"),
+      Rounding.duckRound(col("spread").cast("float").cast("double"), 5)
+        .as("spread"),
+      col("is_flat").cast("int").as("is_flat"))
+
   /** Events with a spread that is NULL on 'error' rows — input for the
     * null-handling operators (W3 ffill, U3 median fill). */
   private def eventsWithNullableSpread(s: SparkSession, dir: String): DataFrame =
@@ -1154,6 +1174,137 @@ object SparkEntry {
     "pipeline_hybrid_by_key_day_part" -> ((s, dir) =>
       keyedPipeline(s, dir, dayWindows = true)),
 
+    // The reference's FULL run() as ONE continuous streaming query
+    // (VERDICT r14 #2): scan → prep → windowed OHLC (both feeds) →
+    // consensus full-outer window join → transformWithState tail
+    // (spread recovery, validation, grid bridge) — four chained
+    // stateful operators, no foreachBatch, no intermediate sink.
+    // Staged multi-batch replay with cross-batch disorder on both
+    // sides; the watermark delay exceeds the span, a sentinel stage
+    // flushes the join, and the tail's end-of-replay timer drains the
+    // W1 lookahead — so the replay converges to EXACTLY the batch
+    // pipeline and shares pipeline_hybrid_full's oracle. G5's median
+    // is the documented two-pass parameter: computed batch-exact
+    // first (the reference's own first pass), passed as config.
+    "pipeline_hybrid_streaming_replay" -> ((s, dir) => {
+      val tCand = tickCandles(s, dir).cache()
+      val mCand = m1Candles(s, dir).cache()
+      val med = SpreadOps.medianSpread(FusionOps.combineFirst(
+        FusionOps.rejectCatastrophes(tCand,
+          FusionOps.catastrophes(tCand, mCand, ConsensusThreshold)),
+        mCand))
+      val ev = Tables.load(s, dir, "events")
+      val m1ev = ev.filter(col("event_type").isin("click", "view"))
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (mn, mx) = (b.getTimestamp(0).getTime,
+        b.getTimestamp(1).getTime)
+      val delayMin = (mx - mn) / 60000L + 120
+      // weekday sentinel: must survive the F2 filter on the tick side
+      val flush = new java.sql.Timestamp(
+        streaming.StreamingPipeline.weekdaySentinelMs(
+          mx + (delayMin + 1440) * 60000L))
+      val flushFireMs = mx + 10 * 60000L
+      def sentinel(df: DataFrame) = df.limit(1)
+        .withColumn("ts", lit(flush))
+        .withColumn("value", lit(1.0)) // survives the F1 filter
+      val tDir = Scratch.dir("sp_ticks", dir)
+      val mDir = Scratch.dir("sp_m1", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(minute(col("ts")) % 3 =!= 2),
+        ev.filter(minute(col("ts")) % 3 === 2),
+        sentinel(ev)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m1ev.filter(minute(col("ts")) % 4 =!= 1),
+        m1ev.filter(minute(col("ts")) % 4 === 1),
+        sentinel(m1ev)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val result = streaming.StreamingPipeline.run(
+        TickPrep(Tables.ticksFromEvents(stream(tDir))),
+        stream(mDir).select(col("ts").as("datetime"),
+          col("event_id").as("tick_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread")),
+        s"$delayMin minutes", med, SpikeThreshold, ConsensusThreshold,
+        cutoffMs = flushFireMs, flushFireMs = flushFireMs)
+      pipelineStreamingSelect(
+        streaming.StreamingPipeline.replayWithRocksDb(s, result))
+    }),
+
+    // The composed streaming pipeline under the g10 LATE-DATA
+    // discipline: the tick feed's stage-3 rows arrive two batches
+    // late with a tight 7230 s watermark — rows whose minute window
+    // closed at or before W1 (max on-time prepped event time − 7230 s)
+    // are dropped at the OHLC aggregation; survivors merge into their
+    // still-open windows and flow through the join and tail. The M1
+    // feed arrives complete in batch 1 (never late). The oracle runs
+    // the whole batch pipeline over exactly the admitted tick set.
+    "pipeline_hybrid_streaming_late_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val m1ev = ev.filter(col("event_type").isin("click", "view"))
+      // staging bands are defined over PREPPED event times (the
+      // watermark node sits after the prep filters)
+      val mxP = TickPrep(Tables.ticks(s, dir))
+        .agg(max(col("datetime"))).head().getTimestamp(0)
+      def cutH(h: Long) =
+        lit(new java.sql.Timestamp(mxP.getTime - h * 3600000L))
+      val isLateDrop = col("event_id") % 7 === 3 &&
+        col("ts") < cutH(10)
+      val isLateAdmit = col("event_id") % 7 === 4 &&
+        col("ts") >= cutH(3) && col("ts") < cutH(2)
+      val isStage2 = col("event_id") % 7 === 5 &&
+        col("ts") >= cutH(6) && col("ts") < cutH(5)
+      val delaySec = 7230L
+      val flush = new java.sql.Timestamp(
+        streaming.StreamingPipeline.weekdaySentinelMs(
+          mxP.getTime + delaySec * 1000L + 1440 * 60000L))
+      val flushFireMs = mxP.getTime + 10 * 60000L
+      def sentinel(df: DataFrame) = df.limit(1)
+        .withColumn("ts", lit(flush))
+        .withColumn("value", lit(1.0))
+      val tDir = Scratch.dir("spl_ticks", dir)
+      val mDir = Scratch.dir("spl_m1", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(!isLateDrop && !isLateAdmit && !isStage2),
+        ev.filter(isStage2),
+        ev.filter(isLateDrop || isLateAdmit),
+        sentinel(ev)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m1ev, sentinel(m1ev)), mDir)
+      // two-pass median over the fused frame the ADMITTED ticks build
+      // (mirrors the oracle's own median CTE). W1 is the GLOBAL
+      // watermark batch 3's filter sees: min over both sources' maxima
+      // through batch 1 (the one-batch filter lag), minus the delay.
+      val mxM1 = m1ev.agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime
+      val w1Ms = math.min(mxP.getTime, mxM1) - delaySec * 1000L
+      val admitted = Tables.ticks(s, dir).filter(
+        !(col("tick_id") % 7 === 3 && col("datetime") < cutH(10) ||
+          col("tick_id") % 7 === 4 && col("datetime") >= cutH(3) &&
+            col("datetime") < cutH(2)) ||
+        date_trunc("minute", col("datetime")) +
+          expr("INTERVAL 1 MINUTE") >
+          lit(new java.sql.Timestamp(w1Ms)))
+      val tCand = Resample.ohlc1min(TickPrep(admitted)).cache()
+      val mCand = m1Candles(s, dir).cache()
+      val med = SpreadOps.medianSpread(FusionOps.combineFirst(
+        FusionOps.rejectCatastrophes(tCand,
+          FusionOps.catastrophes(tCand, mCand, ConsensusThreshold)),
+        mCand))
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val result = streaming.StreamingPipeline.run(
+        TickPrep(Tables.ticksFromEvents(stream(tDir))),
+        stream(mDir).select(col("ts").as("datetime"),
+          col("event_id").as("tick_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread")),
+        s"$delaySec seconds", med, SpikeThreshold, ConsensusThreshold,
+        cutoffMs = flushFireMs, flushFireMs = flushFireMs)
+      pipelineStreamingSelect(
+        streaming.StreamingPipeline.replayWithRocksDb(s, result))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -1706,6 +1857,15 @@ object SparkEntry {
 
     // day-backend twins: same semantics, same oracle (VERDICT r3 #1)
     "pipeline_hybrid_day_part" -> pipelineHybridOracle,
+
+    // the ONE-QUERY streaming composition converges to the batch
+    // pipeline (delay > span + sentinel flush) → same oracle
+    "pipeline_hybrid_streaming_replay" -> pipelineHybridOracle,
+
+    // tight-watermark variant: the same pipeline over exactly the
+    // tick rows the g10 watermark contract admits
+    "pipeline_hybrid_streaming_late_replay" ->
+      pipelineStreamingLateOracle,
     "pipeline_audit_day_part" -> pipelineAuditOracle,
 
     "pipeline_audit" -> pipelineAuditOracle,
@@ -1854,21 +2014,67 @@ object SparkEntry {
 
   /** Composed-pipeline candle oracle, shared by the global-window and
     * day-partitioned backends (identical semantics by construction). */
+  /** Final candle select of the composed-pipeline oracle (float32
+    * precision contract mirrored through REAL), shared by the batch
+    * and streaming-replay gates. */
+  private lazy val pipelineCandleSelect: String =
+    """SELECT datetime,
+      |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
+      |    AS REAL) AS DOUBLE), 5) AS open,
+      |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
+      |    AS REAL) AS DOUBLE), 5) AS high,
+      |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
+      |    AS REAL) AS DOUBLE), 5) AS low,
+      |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
+      |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
+      |    AS REAL) AS DOUBLE) AS volume,
+      |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
+      |  is_flat
+      |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
+
   private lazy val pipelineHybridOracle: String =
-    s"""$pipelineCtes
-       |SELECT datetime,
-       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE open END
-       |    AS REAL) AS DOUBLE), 5) AS open,
-       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE high END
-       |    AS REAL) AS DOUBLE), 5) AS high,
-       |  round(CAST(CAST(CASE WHEN is_flat = 1 THEN fclose ELSE low END
-       |    AS REAL) AS DOUBLE), 5) AS low,
-       |  round(CAST(CAST(fclose AS REAL) AS DOUBLE), 5) AS close,
-       |  CAST(CAST(CASE WHEN is_flat = 1 THEN 0 ELSE volume END
-       |    AS REAL) AS DOUBLE) AS volume,
-       |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
-       |  is_flat
-       |FROM bridged WHERE fclose IS NOT NULL""".stripMargin
+    s"$pipelineCtes\n$pipelineCandleSelect"
+
+  /** Oracle of the streaming-late composed pipeline: the g10
+    * watermark contract applied to the TICK FEED of the full
+    * pipeline — stage-3 tick rows are admitted iff their minute
+    * window outlives W1 (max prepped event time across stages 1-2
+    * minus the 7230 s delay; the one-batch filter lag makes that the
+    * watermark batch 3 sees), then the ENTIRE batch pipeline runs on
+    * the admitted set. The M1 feed arrives complete in batch 1 and is
+    * never late. */
+  private lazy val pipelineStreamingLateOracle: String = {
+    val preppedAll =
+      preppedCte.replaceFirst("prepped AS", "prepped_all AS")
+    val prefix =
+      s"""WITH $ticksCte, $preppedAll,
+         |mxp AS (SELECT max(datetime) AS m FROM prepped_all),
+         |staged AS (
+         |  SELECT p.*, CASE
+         |    WHEN tick_id % 7 = 3
+         |         AND datetime < m - INTERVAL 10 HOUR THEN 3
+         |    WHEN tick_id % 7 = 4
+         |         AND datetime >= m - INTERVAL 3 HOUR
+         |         AND datetime < m - INTERVAL 2 HOUR THEN 3
+         |    WHEN tick_id % 7 = 5
+         |         AND datetime >= m - INTERVAL 6 HOUR
+         |         AND datetime < m - INTERVAL 5 HOUR THEN 2
+         |    ELSE 1 END AS stage
+         |  FROM prepped_all p CROSS JOIN mxp),
+         |w1 AS (SELECT least(
+         |         (SELECT max(datetime) FROM staged WHERE stage = 1),
+         |         (SELECT max(ts) FROM events
+         |          WHERE event_type IN ('click', 'view')))
+         |       - INTERVAL 7230 SECOND AS w1),
+         |prepped AS (
+         |  SELECT s.datetime, s.tick_id, s.ask, s.bid, s.mid, s.spread
+         |  FROM staged s CROSS JOIN w1
+         |  WHERE stage <> 3
+         |     OR date_trunc('minute', s.datetime) + INTERVAL 1 MINUTE
+         |        > w1),
+         |$tickCandlesCte, $m1CandlesCte""".stripMargin
+    s"${pipelineCtesFrom(prefix)}\n$pipelineCandleSelect"
+  }
 
   /** Composed-pipeline audit oracle, shared by both backends. */
   private lazy val pipelineAuditOracle: String =
@@ -1985,8 +2191,14 @@ object SparkEntry {
   /** Shared CTE chain of the composed pipeline oracle (through
     * `bridged`); finals select either the candle output
     * (pipeline_hybrid_full) or the audit log (pipeline_audit). */
-  private lazy val pipelineCtes: String =
-      s"""$fusionWith,
+  private lazy val pipelineCtes: String = pipelineCtesFrom(fusionWith)
+
+  /** [[pipelineCtes]] with a caller-supplied WITH prefix that must end
+    * by defining `tick_candles` and `m1_candles` — the streaming-late
+    * oracle swaps in a watermark-filtered tick feed, everything
+    * downstream identical. */
+  private def pipelineCtesFrom(prefix: String): String =
+      s"""$prefix,
          |cata AS (
          |  SELECT t.datetime FROM tick_candles t
          |  LEFT JOIN m1_candles m USING (datetime)
