@@ -481,6 +481,36 @@ object ExtQueries {
         .replayWithStatePartitions(s, stream, 8)
     }),
 
+    // E227: UNIGRAM-LM tokenizer training (VERDICT r14 #6;
+    // Kudo 2018, SentencePiece's model family) — the other mainstream
+    // LLM tokenizer next to BPE (e34/e173/e195): seed vocab = alphabet
+    // + top-120 substrings (≤3 chars) by corpus count, TWO soft-EM
+    // rounds (forward-backward expected counts over ALL segmentations
+    // — no argmax, no ties), one prune to alphabet + top-48 multis,
+    // renormalized. Oracle unrolls the identical EM in SQL: the α/β
+    // DPs as recursive CTEs carrying a 3-wide window, the same
+    // summation shapes, round-6 expected counts, round-12 probs.
+    // Model state is O(vocab) on the driver (ModelCache-shared with
+    // e228's Viterbi serving half and e62's scoring shape).
+    "e227_unigram_lm_train" -> ((s, dir) =>
+      UnigramLm.trainedModel(docs(s, dir), seedMulti = 120,
+        emRounds = 2, keepMulti = 48)),
+
+    // E228: Viterbi segmentation with the e227 model (the serving
+    // half): per distinct word, the best log-likelihood and its piece
+    // count. Log-probs snap to 9 decimals BEFORE the DP so every
+    // comparison is bit-identical across engines (ln() can differ by
+    // an ulp); ties prefer the longer arriving piece (spec-pinned).
+    // Model trained once per JVM via ModelCache.
+    "e228_unigram_lm_viterbi" -> ((s, dir) => {
+      val model = ModelCache.cached[UnigramLm.Model](
+        s"uniglm|$dir|120|2|48") {
+        UnigramLm.train(docs(s, dir), seedMulti = 120, emRounds = 2,
+          keepMulti = 48)
+      }
+      UnigramLm.viterbiStats(docs(s, dir), model)
+    }),
+
     // E58: STREAMING near-dup — the delta-dedup SignatureIndex wired
     // into the streaming path (VERDICT r7 #3, closing the last
     // batch/streaming asymmetry): a document stream replayed as three
@@ -3701,7 +3731,161 @@ object ExtQueries {
         .toDF())
   )
 
+  /** Unrolled unigram-LM EM in SQL (e227/e228): the α/β forward-
+    * backward DPs as recursive CTEs carrying a 3-wide sliding window
+    * (piece length ≤ 3), one pair per EM round, with the EXACT
+    * summation shapes of [[graft.ext.UnigramLm]] — (l1 + l2) + l3 per
+    * position, ((α·p)·β)/Z·wc per occurrence, round-6 expected
+    * counts, round-12 probabilities. β is α run on `reverse(word)`
+    * against the reversed-piece model, the same trick the engine
+    * fold uses. */
+  private def unigramCtes(seedMulti: Int, rounds: Int,
+                          keepMulti: Int): String = {
+    def alphaRec(name: String, wordExpr: String,
+                 modelCte: String): String =
+      s"""$name AS (
+         |  SELECT word, 0 AS j, CAST(1 AS DOUBLE) AS a0,
+         |         CAST(0 AS DOUBLE) AS a1, CAST(0 AS DOUBLE) AS a2
+         |  FROM uwt
+         |  UNION ALL
+         |  SELECT a.word, a.j + 1,
+         |    a.a0 * coalesce(p1.p, CAST(0 AS DOUBLE))
+         |      + CASE WHEN a.j >= 1
+         |          THEN a.a1 * coalesce(p2.p, CAST(0 AS DOUBLE))
+         |          ELSE CAST(0 AS DOUBLE) END
+         |      + CASE WHEN a.j >= 2
+         |          THEN a.a2 * coalesce(p3.p, CAST(0 AS DOUBLE))
+         |          ELSE CAST(0 AS DOUBLE) END AS a0,
+         |    a.a0 AS a1, a.a1 AS a2
+         |  FROM $name a
+         |  JOIN uwt w ON w.word = a.word
+         |  LEFT JOIN $modelCte p1
+         |    ON p1.piece = substring($wordExpr, a.j + 1, 1)
+         |  LEFT JOIN $modelCte p2
+         |    ON a.j >= 1 AND p2.piece = substring($wordExpr, a.j, 2)
+         |  LEFT JOIN $modelCte p3
+         |    ON a.j >= 2 AND p3.piece = substring($wordExpr, a.j - 1, 3)
+         |  WHERE a.j < length(w.word))""".stripMargin
+    val emRounds = (1 to rounds).map { r =>
+      s"""${alphaRec(s"ualpha$r", "w.word", s"model${r - 1}")},
+         |${alphaRec(s"ubeta$r", "reverse(w.word)", s"modelrev${r - 1}")},
+         |uec$r AS (
+         |  SELECT o.piece, round(sum(
+         |    A.a0 * m.p * B.a0 / Z.a0 * CAST(o.wc AS DOUBLE)), 6) AS ec
+         |  FROM uocc o
+         |  JOIN model${r - 1} m ON m.piece = o.piece
+         |  JOIN ualpha$r A ON A.word = o.word AND A.j = o.s - 1
+         |  JOIN ubeta$r B ON B.word = o.word
+         |    AND B.j = length(o.word) - (o.s + o.len - 1)
+         |  JOIN ualpha$r Z ON Z.word = o.word AND Z.j = length(o.word)
+         |  GROUP BY 1),
+         |utot$r AS (
+         |  SELECT round(sum(coalesce(e.ec, CAST(0 AS DOUBLE))), 6) AS t
+         |  FROM model${r - 1} mm
+         |  LEFT JOIN uec$r e ON e.piece = mm.piece),
+         |model$r AS (
+         |  SELECT mm.piece,
+         |    round(coalesce(e.ec, CAST(0 AS DOUBLE)) / t.t, 12) AS p
+         |  FROM model${r - 1} mm
+         |  LEFT JOIN uec$r e ON e.piece = mm.piece
+         |  CROSS JOIN utot$r t),
+         |modelrev$r AS (SELECT reverse(piece) AS piece, p FROM model$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |uwords AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |    x -> x != '')) AS word FROM documents),
+       |uwt AS (SELECT word, count(*) AS wc FROM uwords GROUP BY 1),
+       |uocc AS (
+       |  SELECT word, wc, s, len, substring(word, s, len) AS piece
+       |  FROM (SELECT word, wc,
+       |          unnest(range(1, length(word) + 1)) AS s FROM uwt) a
+       |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS len) l
+       |  WHERE s + len - 1 <= length(word)),
+       |ucnt AS (SELECT piece, len, sum(wc) AS cnt
+       |         FROM uocc GROUP BY 1, 2),
+       |useed AS (
+       |  SELECT piece, cnt FROM ucnt WHERE len = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM ucnt WHERE len > 1
+       |    ORDER BY cnt DESC, piece LIMIT $seedMulti)),
+       |utot0 AS (SELECT sum(cnt) AS t FROM useed),
+       |model0 AS (SELECT piece,
+       |    round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 12) AS p
+       |  FROM useed CROSS JOIN utot0),
+       |modelrev0 AS (SELECT reverse(piece) AS piece, p FROM model0),
+       |$emRounds,
+       |ukept AS (
+       |  SELECT piece, p FROM model$rounds WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, p FROM (
+       |    SELECT piece, p FROM model$rounds WHERE length(piece) > 1
+       |    ORDER BY p DESC, piece LIMIT $keepMulti)),
+       |utotk AS (SELECT round(sum(p), 12) AS t FROM ukept),
+       |ufinal AS (SELECT piece, round(p / t, 12) AS p
+       |           FROM ukept CROSS JOIN utotk)""".stripMargin
+  }
+
+  private lazy val unigramTrainOracle: String =
+    s"""${unigramCtes(120, 2, 48)}
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars,
+       |  CAST(row_number() OVER (ORDER BY p DESC, piece) AS BIGINT)
+       |    AS rank,
+       |  round(p, 9) AS prob
+       |FROM ufinal""".stripMargin
+
+  private lazy val unigramViterbiOracle: String =
+    s"""${unigramCtes(120, 2, 48)},
+       |ulp AS (SELECT piece, round(ln(p), 9) AS lp FROM ufinal),
+       |uvit AS (
+       |  SELECT word, 0 AS j, CAST(0 AS DOUBLE) AS v0, 0 AS n0,
+       |    CAST(0 AS DOUBLE) AS v1, 0 AS n1,
+       |    CAST(0 AS DOUBLE) AS v2, 0 AS n2
+       |  FROM uwt
+       |  UNION ALL
+       |  SELECT a.word, a.j + 1,
+       |    CASE
+       |      WHEN a.j >= 2 AND c3.lp IS NOT NULL
+       |        AND (a.v2 + c3.lp) >= coalesce(
+       |          CASE WHEN a.j >= 1 THEN a.v1 + c2.lp END,
+       |          CAST('-infinity' AS DOUBLE))
+       |        AND (a.v2 + c3.lp) >= (a.v0 + c1.lp)
+       |      THEN a.v2 + c3.lp
+       |      WHEN a.j >= 1 AND c2.lp IS NOT NULL
+       |        AND (a.v1 + c2.lp) >= (a.v0 + c1.lp)
+       |      THEN a.v1 + c2.lp
+       |      ELSE a.v0 + c1.lp END AS v0,
+       |    CASE
+       |      WHEN a.j >= 2 AND c3.lp IS NOT NULL
+       |        AND (a.v2 + c3.lp) >= coalesce(
+       |          CASE WHEN a.j >= 1 THEN a.v1 + c2.lp END,
+       |          CAST('-infinity' AS DOUBLE))
+       |        AND (a.v2 + c3.lp) >= (a.v0 + c1.lp)
+       |      THEN a.n2 + 1
+       |      WHEN a.j >= 1 AND c2.lp IS NOT NULL
+       |        AND (a.v1 + c2.lp) >= (a.v0 + c1.lp)
+       |      THEN a.n1 + 1
+       |      ELSE a.n0 + 1 END AS n0,
+       |    a.v0 AS v1, a.n0 AS n1, a.v1 AS v2, a.n1 AS n2
+       |  FROM uvit a JOIN uwt w ON w.word = a.word
+       |  LEFT JOIN ulp c1 ON c1.piece = substring(w.word, a.j + 1, 1)
+       |  LEFT JOIN ulp c2
+       |    ON a.j >= 1 AND c2.piece = substring(w.word, a.j, 2)
+       |  LEFT JOIN ulp c3
+       |    ON a.j >= 2 AND c3.piece = substring(w.word, a.j - 1, 3)
+       |  WHERE a.j < length(w.word))
+       |SELECT w.word, w.wc, CAST(v.n0 AS BIGINT) AS n_pieces,
+       |  round(v.v0, 6) AS best_lp
+       |FROM uvit v JOIN uwt w
+       |  ON w.word = v.word AND v.j = length(w.word)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "e227_unigram_lm_train" -> unigramTrainOracle,
+
+    "e228_unigram_lm_viterbi" -> unigramViterbiOracle,
 
     "e1_dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +

@@ -1,0 +1,221 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Rounding
+
+/** Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+  * mainstream LLM tokenizer family next to BPE (VERDICT r14 #6;
+  * Kudo 2018, "Subword Regularization"): a vocabulary of substring
+  * pieces with probabilities, trained by EM over all segmentations of
+  * the corpus words, then applied by Viterbi segmentation.
+  *
+  * The implementation follows the published algorithm with three
+  * documented, oracle-parity-driven choices:
+  *
+  *  - '''Seeding''': candidate pieces are all substrings up to
+  *    [[MaxPieceLen]] chars, scored by corpus frequency (Σ word-count
+  *    over every occurrence, overlaps included); the seed vocabulary
+  *    is every single character (the base alphabet can never be
+  *    pruned — segmentation totality) plus the top `seedMulti`
+  *    multi-char pieces (count DESC, piece ASC — a total order).
+  *  - '''Soft EM''' (forward-backward over ALL segmentations, the
+  *    paper's E-step — not the hard Viterbi-count variant): expected
+  *    counts come from α/β products, so no argmax ties exist anywhere
+  *    in training. Fixed summation shapes keep both engines
+  *    bit-comparable: α(j) = ((l1 + l2) + l3) in position order,
+  *    contributions ((α·p)·β)/Z·wc, and the repo's standing round-6
+  *    on accumulation-order-dependent sums (expected counts), with
+  *    probabilities snapped to 12 decimals each M-step.
+  *  - '''One final prune + renorm''': keep the alphabet plus the top
+  *    `keepMulti` multis by (prob DESC, piece ASC), renormalize. (The
+  *    paper prunes iteratively by likelihood loss; the single
+  *    frequency-EM prune is the oracle-tractable form and is pinned
+  *    as such.)
+  *
+  * Scale shape: training state is VOCABULARY-sized driver data (the
+  * k-means/BPE contract — callers memoize via [[ModelCache]]). The
+  * corpus collapses once to the distinct (word, count) table; every
+  * EM pass is one scan of that table with the model entering the plan
+  * as a map literal inside codegen'd `aggregate` folds (zero UDFs,
+  * zero shuffles beyond the word-table aggregations). At a production
+  * 32k vocab the map literal gives way to a broadcast-join DP over an
+  * exploded position table — same algebra, plan-size-friendly; the
+  * fold form is the small-vocab gate path.
+  */
+object UnigramLm {
+
+  val MaxPieceLen = 3
+
+  /** Trained model: (piece, prob) with probs rounded to 12 decimals,
+    * alphabet pieces always present. */
+  final case class Model(pieces: Seq[(String, Double)])
+
+  private def words(text: Column): Column =
+    expr(s"filter(split($text, ' '), x -> x != '')")
+
+  /** Distinct (word, wc) table — the O(vocab) training frame. */
+  def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** All (s, len, piece) occurrences (1-based s, overlaps included)
+    * of substrings up to [[MaxPieceLen]] chars. */
+  private def occCol: Column = expr(
+    s"""flatten(transform(sequence(1, length(word)), s ->
+       |  transform(sequence(s, least(length(word), s + ${MaxPieceLen - 1})), e ->
+       |    struct(s AS s, e - s + 1 AS len,
+       |           substring(word, s, e - s + 1) AS piece))))""".stripMargin)
+
+  private def occurrences(wt: DataFrame): DataFrame =
+    wt.select(col("word"), col("wc"), explode(occCol).as("o"))
+      .select(col("word"), col("wc"), col("o.s").as("s"),
+        col("o.len").as("len"), col("o.piece").as("piece"))
+
+  /** p(piece) lookup against a map literal; absent piece → 0.0. */
+  private def pieceP(m: Column, w: Column, start: Column,
+                     len: Int): Column =
+    coalesce(element_at(m, w.substr(start, lit(len))), lit(0.0))
+
+  /** Forward DP as a codegen'd fold: acc(i) = α(i−1) over 1-based
+    * array positions; α(0) = 1. Summation shape (l1 + l2) + l3 is the
+    * oracle contract. Run on `reverse(word)` with a reversed-piece
+    * model to obtain β (β(j) of the word = α(L−j) of the reverse). */
+  private def alphaCol(m: Column, w: Column): Column =
+    aggregate(sequence(lit(1), length(w)),
+      array(lit(1.0)),
+      (acc, j) => concat(acc, array(
+        element_at(acc, j) * pieceP(m, w, j, 1)
+          + when(j >= 2,
+              element_at(acc, j - 1) * pieceP(m, w, j - lit(1), 2))
+            .otherwise(lit(0.0))
+          + when(j >= 3,
+              element_at(acc, j - 2) * pieceP(m, w, j - lit(2), 3))
+            .otherwise(lit(0.0)))))
+
+  private def mapLit(pieces: Seq[(String, Double)],
+                     rev: Boolean): Column = {
+    val entries = pieces.map { case (p, v) =>
+      (if (rev) p.reverse else p) -> v
+    }.toMap
+    typedLit(entries)
+  }
+
+  /** Seed + `emRounds` soft-EM passes + one prune/renorm. */
+  def train(docs: DataFrame, seedMulti: Int, emRounds: Int,
+            keepMulti: Int): Model = {
+    val wt = CachePins.pinCheckpoint(wordTable(docs))
+    val occ = CachePins.pinCheckpoint(occurrences(wt))
+
+    // seed: every char + top multis by exact integer corpus count
+    val counts = occ.groupBy(col("piece"), col("len"))
+      .agg(sum(col("wc")).as("cnt"))
+    val chars = counts.filter(col("len") === 1)
+      .select(col("piece"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val multis = counts.filter(col("len") > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(seedMulti)
+      .select(col("piece"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val seed = chars ++ multis
+    val totalCnt = seed.map(_._2).sum // exact integer
+    var model: Seq[(String, Double)] = seed.map { case (p, c) =>
+      p -> Rounding.duckRoundDouble(c.toDouble / totalCnt.toDouble, 12)
+    }
+
+    for (_ <- 1 to emRounds) {
+      val m = mapLit(model, rev = false)
+      val mRev = mapLit(model, rev = true)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val probs = model.toDF("piece", "p")
+      val withDp = wt
+        .withColumn("aarr", alphaCol(m, col("word")))
+        .withColumn("barr", alphaCol(mRev, reverse(col("word"))))
+      // E[count(piece)] = Σ_occ wc · α(s−1)·p·β(e) / Z, fixed shape
+      val ec = occ
+        .join(broadcast(probs), Seq("piece"))
+        .join(withDp.select(col("word"), col("aarr"), col("barr")),
+          Seq("word"))
+        .select(col("piece"),
+          (element_at(col("aarr"), col("s")) * col("p")
+            * element_at(col("barr"),
+                length(col("word")) - (col("s") + col("len") - 1) + 1)
+            / element_at(col("aarr"), length(col("word")) + 1)
+            * col("wc").cast("double")).as("contrib"))
+        .groupBy(col("piece"))
+        .agg(Rounding.duckRound(sum(col("contrib")), 6).as("ec"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // M-step on the driver, piece-ascending order (deterministic)
+      val ordered = model.map(_._1).sorted.map(p => p -> ec.getOrElse(p, 0.0))
+      val tot = Rounding.duckRoundDouble(ordered.map(_._2).sum, 6)
+      model = ordered.map { case (p, e) =>
+        p -> Rounding.duckRoundDouble(e / tot, 12)
+      }
+    }
+
+    // prune: alphabet + top keepMulti multis, then renormalize
+    val (alpha, multi) = model.partition(_._1.length == 1)
+    val kept = alpha ++ multi
+      .sortBy { case (p, v) => (-v, p) }.take(keepMulti)
+    val totKept = Rounding.duckRoundDouble(
+      kept.sortBy(_._1).map(_._2).sum, 12)
+    Model(kept.map { case (p, v) =>
+      p -> Rounding.duckRoundDouble(v / totKept, 12)
+    }.sortBy(_._1))
+  }
+
+  /** Gate shape of [[train]]: (piece, n_chars, rank, prob) with rank
+    * by (prob DESC, piece ASC). */
+  def trainedModel(docs: DataFrame, seedMulti: Int, emRounds: Int,
+                   keepMulti: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = train(docs, seedMulti, emRounds, keepMulti)
+    model.pieces.sortBy { case (p, v) => (-v, p) }.zipWithIndex
+      .map { case ((p, v), i) =>
+        (p, p.length.toLong, (i + 1).toLong, Rounding.duckRoundDouble(v, 9))
+      }
+      .toDF("piece", "n_chars", "rank", "prob")
+  }
+
+  /** Viterbi segmentation stats over the distinct word table: per
+    * word the best log-likelihood and its piece count. Log-probs snap
+    * to 9 decimals BEFORE the DP (ln() may differ by an ulp across
+    * engines; the snap makes every DP comparison bit-identical on
+    * both sides), ties prefer the LONGER arriving piece — pinned. */
+  def viterbiStats(docs: DataFrame, model: Model): DataFrame = {
+    val lp = model.pieces.map { case (p, v) =>
+      p -> Rounding.duckRoundDouble(math.log(v), 9)
+    }
+    val mlp = typedLit(lp.toMap)
+    def cand(acc: Column, w: Column, j: Column, len: Int): Column = {
+      val piece = w.substr(j - lit(len - 1), lit(len))
+      val prev = element_at(acc, j - lit(len - 1))
+      val guard = if (len == 1) lit(true) else j >= len
+      when(guard && element_at(mlp, piece).isNotNull,
+        struct(
+          (prev.getField("v") + element_at(mlp, piece)).as("v"),
+          lit(len).as("l"),
+          (prev.getField("np") + 1).as("np")))
+        .otherwise(lit(null))
+    }
+    // acc(i) = best state for prefix length i−1: struct(v, l, np);
+    // array_max picks (v, then l, then np) — v DESC with longer-piece
+    // tie preference, np never reached (equal v+l ⇒ same candidate)
+    val vit = aggregate(sequence(lit(1), length(col("word"))),
+      array(struct(lit(0.0).as("v"), lit(0).as("l"), lit(0).as("np"))),
+      (acc, j) => concat(acc, array(array_max(filter(
+        array(cand(acc, col("word"), j, 1),
+          cand(acc, col("word"), j, 2),
+          cand(acc, col("word"), j, 3)),
+        x => x.isNotNull)))))
+    wordTable(docs)
+      .withColumn("vit", element_at(vit, length(col("word")) + 1))
+      .select(col("word"), col("wc"),
+        col("vit.np").cast("long").as("n_pieces"),
+        Rounding.duckRound(col("vit.v"), 6).as("best_lp"))
+  }
+}

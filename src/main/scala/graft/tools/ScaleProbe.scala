@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+import graft.{Pipeline, Tables}
+
+/** Measured scale probe of the DayWindows claim (VERDICT r14 #4):
+  * synthesizes an N× time-span replica of an sf dir's `events` table
+  * (shifted whole-table copies — spec'd in TESTDATA.md §scale-probe),
+  * then times every global-window pipeline stage against its
+  * day-partitioned backend on the SAME candle frame, recording wall
+  * time and the longest single task (the serialization evidence: a
+  * global `WindowExec` collapses to ONE task regardless of cores).
+  *
+  * Usage: `sbt "runMain graft.tools.ScaleProbe <srcSfDir> <workDir>
+  * [factor]"` — results print as a markdown table for SCALE.md.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_scale_probe")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- task-skew listener: longest task + count per timed section
+    @volatile var maxTaskMs = 0L
+    @volatile var nTasks = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val d = t.taskInfo.duration
+        synchronized { if (d > maxTaskMs) maxTaskMs = d; nTasks += 1 }
+      }
+    })
+    // force EVERY column to evaluate (a bare count() lets Catalyst
+    // prune the window/ffill columns away and times an empty plan)
+    def force(df: DataFrame): Long =
+      df.select(xxhash64(df.columns.map(col): _*).as("h"))
+        .agg(sum(col("h")), count(lit(1))).head().getLong(1)
+
+    def timed(name: String)(f: => Long): Unit = {
+      // medians-of-3 keep the table honest about JVM noise
+      val runs = (1 to 3).map { _ =>
+        synchronized { maxTaskMs = 0L; nTasks = 0 }
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, maxTaskMs / 1e3, nTasks, n)
+      }
+      val m = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
+      println(f"| $name%-34s | ${m._1}%8.2f | ${m._2}%10.2f | ${m._3}%6d | ${m._4}%9d |")
+    }
+
+    // ---- synthesize the N× span replica (idempotent)
+    val evPath = s"$work/events.parquet"
+    if (!new java.io.File(evPath).exists()) {
+      val ev = Tables.load(spark, src, "events")
+      val spanUs = ev.agg(unix_micros(max(col("ts"))) -
+        unix_micros(min(col("ts")))).head().getLong(0) +
+        86400L * 1000000L
+      val copies = (0 until factor).map { k =>
+        ev.withColumn("ts",
+            timestamp_micros(unix_micros(col("ts")) + k * spanUs))
+          .withColumn("event_id",
+            col("event_id") + lit(k.toLong * 1000000000L))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evPath)
+    }
+
+    val ticks = Tables.ticks(spark, work)
+    val m1 = Resample.ohlc1min(
+      Tables.load(spark, work, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("ts").as("datetime"),
+          col("event_id").as("tick_id"), col("value").as("mid"),
+          lit(null).cast("double").as("spread")))
+    val tickCandles = Resample.ohlc1min(TickPrep(ticks)).cache()
+    val nCandles = tickCandles.count()
+    val days = tickCandles
+      .select(to_date(col("datetime"))).distinct().count()
+    println(s"probe: factor=$factor candles=$nCandles days=$days " +
+      s"(src=$src)")
+    println("| stage                              | wall s   | " +
+      "max task s | tasks  | rows      |")
+    println("|------------------------------------|----------|" +
+      "------------|--------|-----------|")
+
+    // W1 spread stage: global single-task window vs (day)-parallel
+    timed("W1+U3 spread: global window")(
+      force(SpreadOps(tickCandles)))
+    timed("W1+U3 spread: DayWindows")(
+      force(SpreadOps.applyByDay(tickCandles)))
+    val spreadDone = SpreadOps(tickCandles).cache()
+    spreadDone.count()
+
+    // U1+W3 repair/ffill
+    timed("U1+W3 repair+ffill: global")(
+      force(CleanOps.structuralRepair(CleanOps.dropInverted(spreadDone))))
+    timed("U1+W3 repair+ffill: DayWindows")(
+      force(CleanOps.structuralRepairByDay(
+        CleanOps.dropInverted(spreadDone))))
+
+    // F6 spike lag
+    timed("F6 spike filter: global lag")(
+      force(CleanOps.spikeFilter(spreadDone, 2.0)))
+    timed("F6 spike filter: DayWindows lag")(
+      force(CleanOps.spikeFilterByDay(spreadDone, 2.0)))
+
+    // full composed pipeline, both backends
+    timed("pipeline run: global windows")(
+      force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0).candles))
+    timed("pipeline run: DayWindows")(
+      force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0,
+        dayWindows = true).candles))
+
+    spark.stop()
+  }
+}
