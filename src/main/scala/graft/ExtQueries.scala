@@ -3769,7 +3769,7 @@ object ExtQueries {
     val emRounds = (1 to rounds).map { r =>
       s"""${alphaRec(s"ualpha$r", "w.word", s"model${r - 1}")},
          |${alphaRec(s"ubeta$r", "reverse(w.word)", s"modelrev${r - 1}")},
-         |uec$r AS (
+         |uec$r AS MATERIALIZED (
          |  SELECT o.piece, round(sum(
          |    A.a0 * m.p * B.a0 / Z.a0 * CAST(o.wc AS DOUBLE)), 6) AS ec
          |  FROM uocc o
@@ -3783,21 +3783,23 @@ object ExtQueries {
          |  SELECT round(sum(coalesce(e.ec, CAST(0 AS DOUBLE))), 6) AS t
          |  FROM model${r - 1} mm
          |  LEFT JOIN uec$r e ON e.piece = mm.piece),
-         |model$r AS (
+         |model$r AS MATERIALIZED (
          |  SELECT mm.piece,
          |    round(coalesce(e.ec, CAST(0 AS DOUBLE)) / t.t, 12) AS p
          |  FROM model${r - 1} mm
          |  LEFT JOIN uec$r e ON e.piece = mm.piece
          |  CROSS JOIN utot$r t),
-         |modelrev$r AS (SELECT reverse(piece) AS piece, p FROM model$r)"""
+         |modelrev$r AS MATERIALIZED (
+         |  SELECT reverse(piece) AS piece, p FROM model$r)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH RECURSIVE
        |uwords AS (
        |  SELECT unnest(list_filter(string_split(text, ' '),
        |    x -> x != '')) AS word FROM documents),
-       |uwt AS (SELECT word, count(*) AS wc FROM uwords GROUP BY 1),
-       |uocc AS (
+       |uwt AS MATERIALIZED (
+       |  SELECT word, count(*) AS wc FROM uwords GROUP BY 1),
+       |uocc AS MATERIALIZED (
        |  SELECT word, wc, s, len, substring(word, s, len) AS piece
        |  FROM (SELECT word, wc,
        |          unnest(range(1, length(word) + 1)) AS s FROM uwt) a
@@ -3812,10 +3814,11 @@ object ExtQueries {
        |    SELECT piece, cnt FROM ucnt WHERE len > 1
        |    ORDER BY cnt DESC, piece LIMIT $seedMulti)),
        |utot0 AS (SELECT sum(cnt) AS t FROM useed),
-       |model0 AS (SELECT piece,
+       |model0 AS MATERIALIZED (SELECT piece,
        |    round(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE), 12) AS p
        |  FROM useed CROSS JOIN utot0),
-       |modelrev0 AS (SELECT reverse(piece) AS piece, p FROM model0),
+       |modelrev0 AS MATERIALIZED (
+       |  SELECT reverse(piece) AS piece, p FROM model0),
        |$emRounds,
        |ukept AS (
        |  SELECT piece, p FROM model$rounds WHERE length(piece) = 1
@@ -3824,7 +3827,7 @@ object ExtQueries {
        |    SELECT piece, p FROM model$rounds WHERE length(piece) > 1
        |    ORDER BY p DESC, piece LIMIT $keepMulti)),
        |utotk AS (SELECT round(sum(p), 12) AS t FROM ukept),
-       |ufinal AS (SELECT piece, round(p / t, 12) AS p
+       |ufinal AS MATERIALIZED (SELECT piece, round(p / t, 12) AS p
        |           FROM ukept CROSS JOIN utotk)""".stripMargin
   }
 
@@ -3838,7 +3841,7 @@ object ExtQueries {
 
   private lazy val unigramViterbiOracle: String =
     s"""${unigramCtes(120, 2, 48)},
-       |ulp AS (SELECT piece, round(ln(p), 9) AS lp FROM ufinal),
+       |ulp AS MATERIALIZED (SELECT piece, round(ln(p), 9) AS lp FROM ufinal),
        |uvit AS (
        |  SELECT word, 0 AS j, CAST(0 AS DOUBLE) AS v0, 0 AS n0,
        |    CAST(0 AS DOUBLE) AS v1, 0 AS n1,
@@ -3876,7 +3879,7 @@ object ExtQueries {
        |  LEFT JOIN ulp c3
        |    ON a.j >= 2 AND c3.piece = substring(w.word, a.j - 1, 3)
        |  WHERE a.j < length(w.word))
-       |SELECT w.word, w.wc, CAST(v.n0 AS BIGINT) AS n_pieces,
+       |SELECT w.word AS word, w.wc, CAST(v.n0 AS BIGINT) AS n_pieces,
        |  round(v.v0, 6) AS best_lp
        |FROM uvit v JOIN uwt w
        |  ON w.word = v.word AND v.j = length(w.word)""".stripMargin

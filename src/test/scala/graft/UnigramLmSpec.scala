@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.UnigramLm
+
+/** Unigram-LM trainer pins (VERDICT r14 #6 "tie/pruning specs"):
+  * deterministic seed/prune tie-breaks, the alphabet-never-pruned
+  * invariant, EM mass conservation, and the Viterbi longer-piece tie
+  * preference on an exact dyadic tie. */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("seed + prune tie-breaks are (count/prob DESC, piece ASC); " +
+    "the alphabet survives pruning regardless of probability") {
+    // "xy" and "yx" tie on count; with room for ONE multi, "xy" wins
+    // the piece-ASC tie. 'q' appears once — its prob is far below
+    // both multis, but single chars are never pruned.
+    val d = docsOf("xy yx xy yx q")
+    val m = UnigramLm.train(d, seedMulti = 10, emRounds = 1,
+      keepMulti = 1)
+    val pieces = m.pieces.map(_._1)
+    assert(pieces.count(_.length > 1) == 1)
+    assert(pieces.contains("xy") && !pieces.contains("yx"))
+    assert(pieces.contains("q")) // alphabet never pruned
+    // probabilities renormalize to 1 after the prune
+    assert(math.abs(m.pieces.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("EM keeps probability mass on pieces that explain the corpus") {
+    val d = docsOf("abc abc abc abc", "abc abc", "zz")
+    val m = UnigramLm.train(d, seedMulti = 20, emRounds = 2,
+      keepMulti = 8)
+    val p = m.pieces.toMap
+    // the whole-word piece "abc" must out-weigh any single char of it
+    assert(p("abc") > p("a") && p("abc") > p("b") && p("abc") > p("c"))
+    assert(math.abs(m.pieces.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("Viterbi prefers the LONGER piece on an exact log-prob tie") {
+    // dyadic probs: lp(ab) = lp(a) + lp(b) exactly after the round-9
+    // snap (0.0625 = 0.25², all powers of two) — the [ab] and [a, b]
+    // segmentations tie on v, and the longer arriving piece must win
+    val model = UnigramLm.Model(Seq(
+      "a" -> 0.25, "b" -> 0.25, "ab" -> 0.0625,
+      "c" -> 0.4375))
+    val got = UnigramLm.viterbiStats(docsOf("ab"), model)
+      .select(col("word"), col("n_pieces")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("ab") == 1L, "longer piece must win the tie")
+  }
+
+  test("Viterbi picks the higher-likelihood segmentation when there " +
+    "is no tie, and counts pieces correctly") {
+    val model = UnigramLm.Model(Seq(
+      "a" -> 0.05, "b" -> 0.05, "ab" -> 0.6, "c" -> 0.3))
+    val got = UnigramLm.viterbiStats(docsOf("abc cab"), model)
+      .select(col("word"), col("n_pieces"), col("best_lp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    // "abc" → [ab, c] (2 pieces); "cab" → [c, ab] (2 pieces)
+    assert(got.map(t => t._1 -> t._2) ==
+      List("abc" -> 2L, "cab" -> 2L))
+    val lpAb = Rounding.duckRoundDouble(math.log(0.6), 9)
+    val lpC = Rounding.duckRoundDouble(math.log(0.3), 9)
+    got.foreach(t => assert(math.abs(
+      t._3 - Rounding.duckRoundDouble(lpAb + lpC, 6)) < 1e-9))
+  }
+}
