@@ -138,6 +138,23 @@ object SparkEntry {
         .as("spread"),
       col("is_flat").cast("int").as("is_flat"))
 
+  /** [[pipelineStreamingSelect]] with the symbol key. */
+  private def pipelineStreamingSelectKeyed(df: DataFrame): DataFrame =
+    df.select(col("sym"),
+      col("datetime"),
+      Rounding.duckRound(col("open").cast("float").cast("double"), 5)
+        .as("open"),
+      Rounding.duckRound(col("high").cast("float").cast("double"), 5)
+        .as("high"),
+      Rounding.duckRound(col("low").cast("float").cast("double"), 5)
+        .as("low"),
+      Rounding.duckRound(col("close").cast("float").cast("double"), 5)
+        .as("close"),
+      col("volume").cast("float").cast("double").as("volume"),
+      Rounding.duckRound(col("spread").cast("float").cast("double"), 5)
+        .as("spread"),
+      col("is_flat").cast("int").as("is_flat"))
+
   /** Events with a spread that is NULL on 'error' rows — input for the
     * null-handling operators (W3 ffill, U3 median fill). */
   private def eventsWithNullableSpread(s: SparkSession, dir: String): DataFrame =
@@ -1305,6 +1322,85 @@ object SparkEntry {
         streaming.StreamingPipeline.replayWithRocksDb(s, result))
     }),
 
+    // The composed streaming pipeline BY SYMBOL: aggregations group
+    // on (sym, window), the consensus join equates (sym, window), and
+    // the tail's transformWithState state partitions BY SYMBOL — the
+    // multi-pair production shape, where each key's serial candle
+    // logic is an independent state machine sharded by the grouping
+    // key. Two documented replay-adapter parameters mirror the batch
+    // keyed pipeline's GLOBAL design choices (SURVEY §2.12): the G5
+    // median stays global (computed batch-exact, passed as config),
+    // and the grid end is global (every symbol bridges to the LAST
+    // validated minute across all symbols — a live stream has no
+    // end, so the adapter passes it like the flush sentinel). Shares
+    // pipeline_hybrid_by_key's oracle.
+    "pipeline_hybrid_streaming_by_key_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
+      def kticksOf(df: DataFrame) = df.select(
+        col("ts").as("datetime"), col("event_id").as("tick_id"),
+        (col("value") + half).as("ask"),
+        (col("value") - half).as("bid"),
+        (col("user_id") % 3).as("sym"))
+      def km1Of(df: DataFrame) = df.select(
+        col("ts").as("datetime"), col("event_id").as("tick_id"),
+        col("value").as("mid"), lit(null).cast("double").as("spread"),
+        (col("user_id") % 3).as("sym"))
+      // batch twins for the two global parameters
+      val keys = Seq("sym", "datetime")
+      val tCand = Resample.ohlc1min(TickPrep(kticksOf(ev)),
+        Seq("sym")).cache()
+      val km1 = Resample.ohlc1min(
+        km1Of(ev.filter(col("event_type").isin("click", "view"))),
+        Seq("sym")).cache()
+      val fusedB = FusionOps.combineFirst(
+        FusionOps.rejectCatastrophes(tCand,
+          FusionOps.catastrophes(tCand, km1, ConsensusThreshold, keys),
+          keys),
+        km1, keys)
+      val med = SpreadOps.medianSpread(fusedB)
+      val validated = CleanOps.spikeFilter(
+        CleanOps.structuralRepair(
+          CleanOps.dropInverted(SpreadOps(fusedB, Seq("sym"))),
+          Seq("sym")),
+        SpikeThreshold, Seq("sym"))
+      val bridgeEnd = Math.floorDiv(
+        validated.agg(max(col("datetime"))).head()
+          .getTimestamp(0).getTime, 60000L)
+      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val (mn, mx) = (b.getTimestamp(0).getTime,
+        b.getTimestamp(1).getTime)
+      val delayMin = (mx - mn) / 60000L + 120
+      val flush = new java.sql.Timestamp(
+        streaming.StreamingPipeline.weekdaySentinelMs(
+          mx + (delayMin + 1440) * 60000L))
+      val flushFireMs = mx + 10 * 60000L
+      def sentinel(df: DataFrame) = df.limit(1)
+        .withColumn("ts", lit(flush))
+        .withColumn("value", lit(1.0))
+      val m1ev = ev.filter(col("event_type").isin("click", "view"))
+      val tDir = Scratch.dir("spk_ticks", dir)
+      val mDir = Scratch.dir("spk_m1", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(minute(col("ts")) % 3 =!= 2),
+        ev.filter(minute(col("ts")) % 3 === 2),
+        sentinel(ev)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m1ev.filter(minute(col("ts")) % 4 =!= 1),
+        m1ev.filter(minute(col("ts")) % 4 === 1),
+        sentinel(m1ev)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val result = streaming.StreamingPipeline.runKeyed(
+        TickPrep(kticksOf(stream(tDir))), km1Of(stream(mDir)),
+        s"$delayMin minutes", med, SpikeThreshold, ConsensusThreshold,
+        cutoffMs = flushFireMs, flushFireMs = flushFireMs,
+        bridgeEndMin = bridgeEnd)
+      pipelineStreamingSelectKeyed(
+        streaming.StreamingPipeline.replayWithRocksDb(s, result))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -1866,6 +1962,11 @@ object SparkEntry {
     // tick rows the g10 watermark contract admits
     "pipeline_hybrid_streaming_late_replay" ->
       pipelineStreamingLateOracle,
+
+    // the keyed streaming composition converges to the batch keyed
+    // pipeline (global median + global grid end as replay-adapter
+    // parameters) → same oracle as pipeline_hybrid_by_key
+    "pipeline_hybrid_streaming_by_key_replay" -> pipelineKeyedOracle,
     "pipeline_audit_day_part" -> pipelineAuditOracle,
 
     "pipeline_audit" -> pipelineAuditOracle,

@@ -63,10 +63,11 @@ object StreamingPipeline {
     * the window column itself (the window-join shape); `window.start`
     * alone loses the event-time tag. Values identical to
     * [[StreamingOhlc.ohlc1min]] / the batch resampler (g1 gate). */
-  def ohlcWindowed(ticks: DataFrame, watermark: String): DataFrame =
+  def ohlcWindowed(ticks: DataFrame, watermark: String,
+                   keyCols: Seq[String] = Nil): DataFrame =
     ticks
       .withWatermark("datetime", watermark)
-      .groupBy(window(col("datetime"), "1 minute"))
+      .groupBy(keyCols.map(col) :+ window(col("datetime"), "1 minute"): _*)
       .agg(
         Resample.firstBy(col("mid"), col("datetime"), col("tick_id"))
           .as("open"),
@@ -85,20 +86,27 @@ object StreamingPipeline {
     * exactly `CASE WHEN reject THEN m.* ELSE coalesce(t.*, m.*) END`
     * per column. One join, same semantics, half the state. */
   def fuseConsensus(tickCandles: DataFrame, m1Candles: DataFrame,
-                    consensusThreshold: Double): DataFrame = {
+                    consensusThreshold: Double,
+                    extraKeys: Seq[String] = Nil): DataFrame = {
     val cols = Seq("open", "high", "low", "close", "volume", "spread")
     val t = tickCandles.select(col("window").as("t_w") +:
-      cols.map(c => col(c).as(s"t_$c")): _*)
+      (extraKeys.map(k => col(k).as(s"t_$k")) ++
+        cols.map(c => col(c).as(s"t_$c"))): _*)
     val m = m1Candles.select(col("window").as("m_w") +:
-      cols.map(c => col(c).as(s"m_$c")): _*)
-    val joined = t.join(m, col("t_w") === col("m_w"), "full_outer")
+      (extraKeys.map(k => col(k).as(s"m_$k")) ++
+        cols.map(c => col(c).as(s"m_$c"))): _*)
+    val cond = ((col("t_w") === col("m_w")) +:
+      extraKeys.map(k => col(s"t_$k") === col(s"m_$k")))
+      .reduce(_ && _)
+    val joined = t.join(m, cond, "full_outer")
     val reject = col("t_w").isNotNull && col("m_w").isNotNull &&
       abs(col("t_close") - col("m_close")) > consensusThreshold
     def pick(c: String) =
       when(reject, col(s"m_$c"))
         .otherwise(coalesce(col(s"t_$c"), col(s"m_$c"))).as(c)
     joined.select(
-      coalesce(col("t_w.start"), col("m_w.start")).as("datetime") +:
+      (extraKeys.map(k => coalesce(col(s"t_$k"), col(s"m_$k")).as(k)) :+
+        coalesce(col("t_w.start"), col("m_w.start")).as("datetime")) ++
         cols.map(pick): _*)
   }
 
@@ -115,16 +123,49 @@ object StreamingPipeline {
     val fused = fuseConsensus(
       ohlcWindowed(ticks, watermark), ohlcWindowed(m1, watermark),
       consensusThreshold)
+    tailOf(fused.withColumn("sym", lit(0L)), medianSpread,
+      spikeThreshold, cutoffMs, flushFireMs,
+      bridgeEndMin = Long.MinValue)
+      .drop("sym")
+  }
+
+  /** The MULTI-SYMBOL composition: every stage keys by `sym` — the
+    * aggregations group on (sym, window), the consensus join equates
+    * (sym, window), and the tail's transformWithState state
+    * partitions BY SYMBOL (the 100 TB shape: each key's serial
+    * candle logic is an independent state machine, sharded across
+    * the cluster by the grouping key). The batch keyed pipeline
+    * bridges every symbol to the GLOBAL last validated minute (its
+    * grid cross-joins the symbol set); a live stream has no end, so
+    * the replay adapter passes that end as `bridgeEndMin` — the
+    * keyed analogue of the flush sentinel. */
+  def runKeyed(ticks: DataFrame, m1: DataFrame, watermark: String,
+               medianSpread: Double, spikeThreshold: Double,
+               consensusThreshold: Double, cutoffMs: Long,
+               flushFireMs: Long, bridgeEndMin: Long): DataFrame = {
+    val fused = fuseConsensus(
+      ohlcWindowed(ticks, watermark, Seq("sym")),
+      ohlcWindowed(m1, watermark, Seq("sym")),
+      consensusThreshold, Seq("sym"))
+    tailOf(fused, medianSpread, spikeThreshold, cutoffMs, flushFireMs,
+      bridgeEndMin)
+  }
+
+  private def tailOf(fused: DataFrame, medianSpread: Double,
+                     spikeThreshold: Double, cutoffMs: Long,
+                     flushFireMs: Long, bridgeEndMin: Long): DataFrame = {
     import fused.sparkSession.implicits._
-    val ds = fused.select(col("datetime"), col("open"), col("high"),
-        col("low"), col("close"), col("volume"), col("spread"))
-      .as[PipelineTail.FusedRow]
-    ds.groupByKey(_ => "all")
+    val ds = fused.select(col("sym"), col("datetime"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"),
+        col("spread"))
+      .as[PipelineTail.KeyedFused]
+    ds.groupByKey(_.sym)
       .transformWithState(
         new PipelineTailProcessor(medianSpread, spikeThreshold,
-          cutoffMs, flushFireMs),
+          cutoffMs, flushFireMs, bridgeEndMin),
         TimeMode.EventTime(), OutputMode.Append())
-      .toDF()
+      .toDF("sym", "datetime", "open", "high", "low", "close",
+        "volume", "spread", "is_flat")
   }
 
   /** First instant at/after `afterMs` that is a Wednesday 12:00 UTC —
@@ -203,6 +244,20 @@ object PipelineTail {
   case class FusedRow(datetime: Timestamp, open: Double, high: Double,
                       low: Double, close: Double, volume: Long,
                       spread: Option[Double])
+
+  /** [[FusedRow]] with its grouping key (sym = 0 for the single-
+    * symbol composition). */
+  case class KeyedFused(sym: Long, datetime: Timestamp, open: Double,
+                        high: Double, low: Double, close: Double,
+                        volume: Long, spread: Option[Double]) {
+    def row: FusedRow =
+      FusedRow(datetime, open, high, low, close, volume, spread)
+  }
+
+  case class KeyedOut(sym: Long, datetime: Timestamp, open: Double,
+                      high: Double, low: Double, close: Double,
+                      volume: Long, spread: Option[Double],
+                      is_flat: Int)
 
   /** A row through U3, pending its W1 lookahead. */
   case class Pend(minuteMs: Long, open: Double, high: Double,
@@ -288,6 +343,19 @@ object PipelineTail {
     (s, out.result())
   }
 
+  /** Trailing bridge to an externally-known grid end (the batch
+    * keyed pipeline's global max validated minute): flats from the
+    * last survivor to `endMinute` inclusive. A no-op when no
+    * survivor exists or the end precedes the frontier. */
+  def bridgeTo(st: State, endMinute: Long): Seq[CandleOut] =
+    (st.bridgeMin, st.bridgeClose) match {
+      case (Some(bm), Some(c)) if endMinute > bm =>
+        ((bm + 1) to endMinute).map(g =>
+          CandleOut(new Timestamp(g * MinuteMs), c, c, c, c, 0L,
+            st.bridgeSpread, is_flat = 1))
+      case _ => Nil
+    }
+
   /** Stages F5 → U1+W3 → F6 → bridge for one W1-finalized row. */
   private def downstream(st: State, p: Pend, smoothedSp: Double,
                          spikeThr: Double): (State, Seq[CandleOut]) = {
@@ -342,9 +410,10 @@ object PipelineTail {
   * `flushFireMs` end-of-replay timer. Rows at/after `cutoffMs`
   * (sentinel minutes) never enter the frame. */
 class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
-                            cutoffMs: Long, flushFireMs: Long)
-  extends StatefulProcessor[String, PipelineTail.FusedRow,
-    PipelineTail.CandleOut] {
+                            cutoffMs: Long, flushFireMs: Long,
+                            bridgeEndMin: Long)
+  extends StatefulProcessor[Long, PipelineTail.KeyedFused,
+    PipelineTail.KeyedOut] {
   import PipelineTail._
 
   @transient private var buf: ListState[FusedRow] = _
@@ -357,8 +426,12 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
       Encoders.product[State], TTLConfig.NONE)
   }
 
-  override def handleInputRows(key: String, rows: Iterator[FusedRow],
-      timerValues: TimerValues): Iterator[CandleOut] = {
+  private def keyed(key: Long, c: CandleOut): KeyedOut =
+    KeyedOut(key, c.datetime, c.open, c.high, c.low, c.close,
+      c.volume, c.spread, c.is_flat)
+
+  override def handleInputRows(key: Long, rows: Iterator[KeyedFused],
+      timerValues: TimerValues): Iterator[KeyedOut] = {
     var st = Option(ctrl.get()).getOrElse(empty)
     var maxMin = Long.MinValue
     // ONE appendList per batch: appendValue's RocksDB merge re-reads
@@ -366,11 +439,10 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     // appends are O(buffer²) over a batch — the 292 s flush-batch
     // pathology the first profile caught. One merge per batch is
     // O(buffer).
-    val batch = rows.filter { r =>
-      val ms = r.datetime.getTime
-      val keep = ms < cutoffMs
-      if (keep && ms > maxMin) maxMin = ms
-      keep
+    val batch = rows.collect {
+      case r if r.datetime.getTime < cutoffMs =>
+        if (r.datetime.getTime > maxMin) maxMin = r.datetime.getTime
+        r.row
     }.toArray
     if (batch.nonEmpty) buf.appendList(batch)
     if (!st.flushRegistered) {
@@ -387,8 +459,8 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     Iterator.empty
   }
 
-  override def handleExpiredTimer(key: String, timerValues: TimerValues,
-      expiredTimerInfo: ExpiredTimerInfo): Iterator[CandleOut] = {
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyedOut] = {
     var st = Option(ctrl.get()).getOrElse(empty)
     val endFlush = expiredTimerInfo.getExpiryTimeInMs == flushFireMs
     val boundary = if (endFlush) Long.MaxValue else st.lastWm
@@ -402,12 +474,15 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     if (endFlush) {
       val (s2, o) = finish(st, spikeThreshold)
       st = s2; out ++= o
+      // keyed-replay adapter: bridge to the batch grid's global end
+      if (bridgeEndMin != Long.MinValue)
+        out ++= bridgeTo(st, bridgeEndMin)
     }
     buf.clear()
     if (rest.nonEmpty) buf.appendList(rest.toArray)
     st = st.copy(lastWm =
       math.max(st.lastWm, timerValues.getCurrentWatermarkInMs()))
     ctrl.update(st)
-    out.result().iterator
+    out.result().iterator.map(keyed(key, _))
   }
 }
