@@ -138,6 +138,57 @@ object SparkEntry {
         .as("spread"),
       col("is_flat").cast("int").as("is_flat"))
 
+  /** The replayed TAPE of the single-symbol composed streaming
+    * pipeline (candles + A1 anomaly rows): scan → prep → windowed
+    * OHLC (both feeds) → consensus full-outer window join →
+    * transformWithState tail, staged as a multi-batch replay with
+    * cross-batch disorder, flushed by a weekday sentinel. Shared by
+    * the candle gate (reason IS NULL) and the audit gate. */
+  private def streamingHybridTape(s: SparkSession,
+                                  dir: String): DataFrame = {
+    val tCand = tickCandles(s, dir).cache()
+    val mCand = m1Candles(s, dir).cache()
+    val med = SpreadOps.medianSpread(FusionOps.combineFirst(
+      FusionOps.rejectCatastrophes(tCand,
+        FusionOps.catastrophes(tCand, mCand, ConsensusThreshold)),
+      mCand))
+    val ev = Tables.load(s, dir, "events")
+    val m1ev = ev.filter(col("event_type").isin("click", "view"))
+    val b = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val (mn, mx) = (b.getTimestamp(0).getTime,
+      b.getTimestamp(1).getTime)
+    val delayMin = (mx - mn) / 60000L + 120
+    // weekday sentinel: must survive the F2 filter on the tick side
+    val flush = new java.sql.Timestamp(
+      streaming.StreamingPipeline.weekdaySentinelMs(
+        mx + (delayMin + 1440) * 60000L))
+    val flushFireMs = mx + 10 * 60000L
+    def sentinel(df: DataFrame) = df.limit(1)
+      .withColumn("ts", lit(flush))
+      .withColumn("value", lit(1.0)) // survives the F1 filter
+    val tDir = Scratch.dir("sp_ticks", dir)
+    val mDir = Scratch.dir("sp_m1", dir)
+    streaming.StagedReplay.stageFiles(Seq(
+      ev.filter(minute(col("ts")) % 3 =!= 2),
+      ev.filter(minute(col("ts")) % 3 === 2),
+      sentinel(ev)), tDir)
+    streaming.StagedReplay.stageFiles(Seq(
+      m1ev.filter(minute(col("ts")) % 4 =!= 1),
+      m1ev.filter(minute(col("ts")) % 4 === 1),
+      sentinel(m1ev)), mDir)
+    def stream(p: String) = s.readStream
+      .schema(s.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+    val tape = streaming.StreamingPipeline.runTape(
+      TickPrep(Tables.ticksFromEvents(stream(tDir))),
+      stream(mDir).select(col("ts").as("datetime"),
+        col("event_id").as("tick_id"), col("value").as("mid"),
+        lit(null).cast("double").as("spread")),
+      s"$delayMin minutes", med, SpikeThreshold, ConsensusThreshold,
+      cutoffMs = flushFireMs, flushFireMs = flushFireMs)
+    streaming.StreamingPipeline.replayWithRocksDb(s, tape)
+  }
+
   /** [[pipelineStreamingSelect]] with the symbol key. */
   private def pipelineStreamingSelectKeyed(df: DataFrame): DataFrame =
     df.select(col("sym"),
@@ -1203,49 +1254,39 @@ object SparkEntry {
     // pipeline and shares pipeline_hybrid_full's oracle. G5's median
     // is the documented two-pass parameter: computed batch-exact
     // first (the reference's own first pass), passed as config.
-    "pipeline_hybrid_streaming_replay" -> ((s, dir) => {
-      val tCand = tickCandles(s, dir).cache()
-      val mCand = m1Candles(s, dir).cache()
-      val med = SpreadOps.medianSpread(FusionOps.combineFirst(
-        FusionOps.rejectCatastrophes(tCand,
-          FusionOps.catastrophes(tCand, mCand, ConsensusThreshold)),
-        mCand))
-      val ev = Tables.load(s, dir, "events")
-      val m1ev = ev.filter(col("event_type").isin("click", "view"))
-      val b = ev.agg(min(col("ts")), max(col("ts"))).head()
-      val (mn, mx) = (b.getTimestamp(0).getTime,
-        b.getTimestamp(1).getTime)
-      val delayMin = (mx - mn) / 60000L + 120
-      // weekday sentinel: must survive the F2 filter on the tick side
-      val flush = new java.sql.Timestamp(
-        streaming.StreamingPipeline.weekdaySentinelMs(
-          mx + (delayMin + 1440) * 60000L))
-      val flushFireMs = mx + 10 * 60000L
-      def sentinel(df: DataFrame) = df.limit(1)
-        .withColumn("ts", lit(flush))
-        .withColumn("value", lit(1.0)) // survives the F1 filter
-      val tDir = Scratch.dir("sp_ticks", dir)
-      val mDir = Scratch.dir("sp_m1", dir)
-      streaming.StagedReplay.stageFiles(Seq(
-        ev.filter(minute(col("ts")) % 3 =!= 2),
-        ev.filter(minute(col("ts")) % 3 === 2),
-        sentinel(ev)), tDir)
-      streaming.StagedReplay.stageFiles(Seq(
-        m1ev.filter(minute(col("ts")) % 4 =!= 1),
-        m1ev.filter(minute(col("ts")) % 4 === 1),
-        sentinel(m1ev)), mDir)
-      def stream(p: String) = s.readStream
-        .schema(s.read.parquet(p).schema)
-        .option("maxFilesPerTrigger", "1").parquet(p)
-      val result = streaming.StreamingPipeline.run(
-        TickPrep(Tables.ticksFromEvents(stream(tDir))),
-        stream(mDir).select(col("ts").as("datetime"),
-          col("event_id").as("tick_id"), col("value").as("mid"),
-          lit(null).cast("double").as("spread")),
-        s"$delayMin minutes", med, SpikeThreshold, ConsensusThreshold,
-        cutoffMs = flushFireMs, flushFireMs = flushFireMs)
-      pipelineStreamingSelect(
-        streaming.StreamingPipeline.replayWithRocksDb(s, result))
+    "pipeline_hybrid_streaming_replay" -> ((s, dir) =>
+      pipelineStreamingSelect(streamingHybridTape(s, dir)
+        .filter(col("reason").isNull))),
+
+    // A1 over the composed STREAMING pipeline: the tail emits every
+    // anomaly class onto the same tape as the candles (catastrophe
+    // rejections pass the rejected tick close through the join's
+    // CASE; F5/U1/F6 record their stage's values; flats come off the
+    // candle lane) — one continuous query produces BOTH of run()'s
+    // outputs, closing the audit asymmetry. Shares pipeline_audit's
+    // oracle.
+    "pipeline_audit_streaming_replay" -> ((s, dir) => {
+      val tape = streamingHybridTape(s, dir).cache()
+      val anomalies = tape.filter(col("reason").isNotNull)
+        .select(col("datetime"),
+          Rounding.duckRound(col("open"), 5).as("open"),
+          Rounding.duckRound(col("high"), 5).as("high"),
+          Rounding.duckRound(col("low"), 5).as("low"),
+          Rounding.duckRound(col("close"), 5).as("close"),
+          Rounding.duckRound(col("volume").cast("double"), 5)
+            .as("volume"),
+          col("reason"))
+      // the flat class reads the float32-cast candle output, exactly
+      // like the batch audit (it tags result rows post-finalCast)
+      val fclose =
+        Rounding.duckRound(col("close").cast("float").cast("double"), 5)
+      val flats = tape
+        .filter(col("reason").isNull && col("is_flat") === 1)
+        .select(col("datetime"), fclose.as("open"), fclose.as("high"),
+          fclose.as("low"), fclose.as("close"),
+          lit(0.0).as("volume"),
+          lit(AuditOps.ReasonGapBridged).as("reason"))
+      anomalies.unionByName(flats)
     }),
 
     // The composed streaming pipeline under the g10 LATE-DATA
@@ -1967,6 +2008,10 @@ object SparkEntry {
     // pipeline (global median + global grid end as replay-adapter
     // parameters) → same oracle as pipeline_hybrid_by_key
     "pipeline_hybrid_streaming_by_key_replay" -> pipelineKeyedOracle,
+
+    // the streaming tape's anomaly projection converges to the batch
+    // audit log → same oracle as pipeline_audit
+    "pipeline_audit_streaming_replay" -> pipelineAuditOracle,
     "pipeline_audit_day_part" -> pipelineAuditOracle,
 
     "pipeline_audit" -> pipelineAuditOracle,

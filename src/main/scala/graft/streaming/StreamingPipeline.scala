@@ -107,7 +107,9 @@ object StreamingPipeline {
     joined.select(
       (extraKeys.map(k => coalesce(col(s"t_$k"), col(s"m_$k")).as(k)) :+
         coalesce(col("t_w.start"), col("m_w.start")).as("datetime")) ++
-        cols.map(pick): _*)
+        cols.map(pick) :+
+        // A1 passthrough: the rejected tick close, for the audit tape
+        when(reject, col("t_close")).as("cataClose"): _*)
   }
 
   /** The composed query: both feeds already prepped to the canonical
@@ -120,13 +122,26 @@ object StreamingPipeline {
           medianSpread: Double, spikeThreshold: Double,
           consensusThreshold: Double, cutoffMs: Long,
           flushFireMs: Long): DataFrame = {
+    runTape(ticks, m1, watermark, medianSpread, spikeThreshold,
+      consensusThreshold, cutoffMs, flushFireMs)
+      .filter(col("reason").isNull)
+      .drop("sym", "reason")
+  }
+
+  /** The FULL tape of the single-symbol composition: candles (null
+    * reason) interleaved with the A1 audit rows each stage emits —
+    * `run` is its candle projection, the audit replay gate its
+    * anomaly projection. */
+  def runTape(ticks: DataFrame, m1: DataFrame, watermark: String,
+              medianSpread: Double, spikeThreshold: Double,
+              consensusThreshold: Double, cutoffMs: Long,
+              flushFireMs: Long): DataFrame = {
     val fused = fuseConsensus(
       ohlcWindowed(ticks, watermark), ohlcWindowed(m1, watermark),
       consensusThreshold)
     tailOf(fused.withColumn("sym", lit(0L)), medianSpread,
       spikeThreshold, cutoffMs, flushFireMs,
       bridgeEndMin = Long.MinValue)
-      .drop("sym")
   }
 
   /** The MULTI-SYMBOL composition: every stage keys by `sym` — the
@@ -149,6 +164,8 @@ object StreamingPipeline {
       consensusThreshold, Seq("sym"))
     tailOf(fused, medianSpread, spikeThreshold, cutoffMs, flushFireMs,
       bridgeEndMin)
+      .filter(col("reason").isNull)
+      .drop("reason")
   }
 
   private def tailOf(fused: DataFrame, medianSpread: Double,
@@ -157,7 +174,7 @@ object StreamingPipeline {
     import fused.sparkSession.implicits._
     val ds = fused.select(col("sym"), col("datetime"), col("open"),
         col("high"), col("low"), col("close"), col("volume"),
-        col("spread"))
+        col("spread"), col("cataClose"))
       .as[PipelineTail.KeyedFused]
     ds.groupByKey(_.sym)
       .transformWithState(
@@ -165,7 +182,7 @@ object StreamingPipeline {
           cutoffMs, flushFireMs, bridgeEndMin),
         TimeMode.EventTime(), OutputMode.Append())
       .toDF("sym", "datetime", "open", "high", "low", "close",
-        "volume", "spread", "is_flat")
+        "volume", "spread", "is_flat", "reason")
   }
 
   /** First instant at/after `afterMs` that is a Wednesday 12:00 UTC —
@@ -243,25 +260,40 @@ object PipelineTail {
     * exactly where both feeds were null (M1-backfilled minutes). */
   case class FusedRow(datetime: Timestamp, open: Double, high: Double,
                       low: Double, close: Double, volume: Long,
-                      spread: Option[Double])
+                      spread: Option[Double],
+                      cataClose: Option[Double] = None)
 
   /** [[FusedRow]] with its grouping key (sym = 0 for the single-
     * symbol composition). */
   case class KeyedFused(sym: Long, datetime: Timestamp, open: Double,
                         high: Double, low: Double, close: Double,
-                        volume: Long, spread: Option[Double]) {
+                        volume: Long, spread: Option[Double],
+                        cataClose: Option[Double] = None) {
     def row: FusedRow =
-      FusedRow(datetime, open, high, low, close, volume, spread)
+      FusedRow(datetime, open, high, low, close, volume, spread,
+        cataClose)
   }
 
-  case class KeyedOut(sym: Long, datetime: Timestamp, open: Double,
-                      high: Double, low: Double, close: Double,
-                      volume: Long, spread: Option[Double],
-                      is_flat: Int)
+  /** Unified output tape: candles carry every value + `is_flat` and
+    * a null reason; A1 audit rows carry the anomaly class in
+    * `reason` with exactly the columns the batch audit log records
+    * (the catastrophe class keeps only the rejected tick close). */
+  case class TapeOut(sym: Long, datetime: Timestamp,
+                     open: Option[Double], high: Option[Double],
+                     low: Option[Double], close: Option[Double],
+                     volume: Option[Long], spread: Option[Double],
+                     is_flat: Option[Int], reason: Option[String])
+
+  /** An A1 audit emission (see [[graft.ops.AuditOps]] reasons). */
+  case class AuditRow(minuteMs: Long, open: Option[Double],
+                      high: Option[Double], low: Option[Double],
+                      close: Option[Double], volume: Option[Long],
+                      reason: String)
 
   /** A row through U3, pending its W1 lookahead. */
   case class Pend(minuteMs: Long, open: Double, high: Double,
-                  low: Double, close: Double, volume: Long, sp0: Double)
+                  low: Double, close: Double, volume: Long,
+                  sp0: Double, cata: Option[Double] = None)
 
   case class CandleOut(datetime: Timestamp, open: Double, high: Double,
                        low: Double, close: Double, volume: Long,
@@ -298,11 +330,13 @@ object PipelineTail {
     lo + (hi - lo) * 0.5
   }
 
-  /** Push one fused row (caller guarantees final minute order). */
-  def push(st: State, r: FusedRow, median: Double,
-           spikeThr: Double): (State, Seq[CandleOut]) = {
+  /** Push one fused row (caller guarantees final minute order).
+    * A1 anomaly rows append to `audit` as their stage decides. */
+  def push(st: State, r: FusedRow, median: Double, spikeThr: Double,
+           audit: scala.collection.mutable.ListBuffer[AuditRow])
+      : (State, Seq[CandleOut]) = {
     val p = Pend(r.datetime.getTime, r.open, r.high, r.low, r.close,
-      r.volume, r.spread.getOrElse(median))
+      r.volume, r.spread.getOrElse(median), r.cataClose)
     (st.pend1, st.pend2) match {
       case (None, _) => (st.copy(pend1 = Some(p)), Nil)
       case (Some(_), None) => (st.copy(pend2 = Some(p)), Nil)
@@ -310,7 +344,8 @@ object PipelineTail {
         // p1 now has its 2 successors: W1 window = left2 ++ [p1,p2,p]
         val frame = Seq(st.leftSp1, st.leftSp2).flatten ++
           Seq(p1.sp0, p2.sp0, p.sp0)
-        val (st2, out) = downstream(st, p1, median5(frame), spikeThr)
+        val (st2, out) = downstream(st, p1, median5(frame), spikeThr,
+          audit)
         (st2.copy(leftSp1 = st.leftSp2, leftSp2 = Some(p1.sp0),
           pend1 = Some(p2), pend2 = Some(p)), out)
     }
@@ -318,23 +353,25 @@ object PipelineTail {
 
   /** End-of-frame: drain the ≤2 pending rows with the truncated
     * centered windows the batch frame edge produces. */
-  def finish(st: State, spikeThr: Double): (State, Seq[CandleOut]) = {
+  def finish(st: State, spikeThr: Double,
+             audit: scala.collection.mutable.ListBuffer[AuditRow])
+      : (State, Seq[CandleOut]) = {
     var s = st
     val out = Seq.newBuilder[CandleOut]
     (st.pend1, st.pend2) match {
       case (Some(p1), Some(p2)) =>
         val f1 = Seq(s.leftSp1, s.leftSp2).flatten ++ Seq(p1.sp0, p2.sp0)
-        val (s2, o1) = downstream(s, p1, median5(f1), spikeThr)
+        val (s2, o1) = downstream(s, p1, median5(f1), spikeThr, audit)
         out ++= o1
         s = s2.copy(leftSp1 = s.leftSp2, leftSp2 = Some(p1.sp0),
           pend1 = None, pend2 = None)
         val f2 = Seq(s.leftSp1, s.leftSp2).flatten ++ Seq(p2.sp0)
-        val (s3, o2) = downstream(s, p2, median5(f2), spikeThr)
+        val (s3, o2) = downstream(s, p2, median5(f2), spikeThr, audit)
         out ++= o2
         s = s3.copy(leftSp1 = s.leftSp2, leftSp2 = Some(p2.sp0))
       case (Some(p1), None) =>
         val f1 = Seq(s.leftSp1, s.leftSp2).flatten :+ p1.sp0
-        val (s2, o1) = downstream(s, p1, median5(f1), spikeThr)
+        val (s2, o1) = downstream(s, p1, median5(f1), spikeThr, audit)
         out ++= o1
         s = s2.copy(leftSp1 = s.leftSp2, leftSp2 = Some(p1.sp0),
           pend1 = None)
@@ -356,14 +393,33 @@ object PipelineTail {
       case _ => Nil
     }
 
-  /** Stages F5 → U1+W3 → F6 → bridge for one W1-finalized row. */
+  /** Stages F5 → U1+W3 → F6 → bridge for one W1-finalized row,
+    * appending the batch audit log's anomaly rows (A1) stage by
+    * stage: the catastrophe class records only the rejected tick
+    * close (the fused row already carries the M1 replacement), F5
+    * records the pre-drop values, U1 the PRE-repair values, F6 the
+    * post-repair values — exactly the frames the batch oracle's
+    * smoothed/marked/repaired CTEs read. */
   private def downstream(st: State, p: Pend, smoothedSp: Double,
-                         spikeThr: Double): (State, Seq[CandleOut]) = {
+                         spikeThr: Double,
+                         audit: scala.collection.mutable.ListBuffer[AuditRow])
+      : (State, Seq[CandleOut]) = {
+    import graft.ops.AuditOps
+    p.cata.foreach(tc => audit += AuditRow(p.minuteMs, None, None,
+      None, Some(tc), None, AuditOps.ReasonRejectedCatastrophe))
     // F5: inverted candle — vanishes before repair/lag/bridge
-    if (p.low > p.high) return (st, Nil)
+    if (p.low > p.high) {
+      audit += AuditRow(p.minuteMs, Some(p.open), Some(p.high),
+        Some(p.low), Some(p.close), Some(p.volume),
+        AuditOps.ReasonDroppedInverted)
+      return (st, Nil)
+    }
     // U1: widen + punch spread where open/close escape [low, high]
     val bad = p.open > p.high || p.open < p.low ||
       p.close > p.high || p.close < p.low
+    if (bad) audit += AuditRow(p.minuteMs, Some(p.open), Some(p.high),
+      Some(p.low), Some(p.close), Some(p.volume),
+      AuditOps.ReasonFixedStructure)
     val high2 = if (bad) math.max(math.max(p.open, p.close), p.high)
                 else p.high
     val low2 = if (bad) math.min(math.min(p.open, p.close), p.low)
@@ -382,7 +438,12 @@ object PipelineTail {
         else math.abs(p.close / lc - 1) > spikeThr
     }
     val st2 = st.copy(ffillCarry = carry, prevClose = Some(p.close))
-    if (amp || pct) return (st2, Nil)
+    if (amp || pct) {
+      audit += AuditRow(p.minuteMs, Some(p.open), Some(high2),
+        Some(low2), Some(p.close), Some(p.volume),
+        AuditOps.ReasonDroppedSpike)
+      return (st2, Nil)
+    }
     // bridge: flats for every gap minute, then the real candle
     val out = Seq.newBuilder[CandleOut]
     val minute = Math.floorDiv(p.minuteMs, MinuteMs)
@@ -413,7 +474,7 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
                             cutoffMs: Long, flushFireMs: Long,
                             bridgeEndMin: Long)
   extends StatefulProcessor[Long, PipelineTail.KeyedFused,
-    PipelineTail.KeyedOut] {
+    PipelineTail.TapeOut] {
   import PipelineTail._
 
   @transient private var buf: ListState[FusedRow] = _
@@ -426,12 +487,16 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
       Encoders.product[State], TTLConfig.NONE)
   }
 
-  private def keyed(key: Long, c: CandleOut): KeyedOut =
-    KeyedOut(key, c.datetime, c.open, c.high, c.low, c.close,
-      c.volume, c.spread, c.is_flat)
+  private def candle(key: Long, c: CandleOut): TapeOut =
+    TapeOut(key, c.datetime, Some(c.open), Some(c.high), Some(c.low),
+      Some(c.close), Some(c.volume), c.spread, Some(c.is_flat), None)
+
+  private def anomaly(key: Long, a: AuditRow): TapeOut =
+    TapeOut(key, new Timestamp(a.minuteMs), a.open, a.high, a.low,
+      a.close, a.volume, None, None, Some(a.reason))
 
   override def handleInputRows(key: Long, rows: Iterator[KeyedFused],
-      timerValues: TimerValues): Iterator[KeyedOut] = {
+      timerValues: TimerValues): Iterator[TapeOut] = {
     var st = Option(ctrl.get()).getOrElse(empty)
     var maxMin = Long.MinValue
     // ONE appendList per batch: appendValue's RocksDB merge re-reads
@@ -460,19 +525,20 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-      expiredTimerInfo: ExpiredTimerInfo): Iterator[KeyedOut] = {
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TapeOut] = {
     var st = Option(ctrl.get()).getOrElse(empty)
     val endFlush = expiredTimerInfo.getExpiryTimeInMs == flushFireMs
     val boundary = if (endFlush) Long.MaxValue else st.lastWm
     val all = buf.get().toSeq
     val (ready, rest) = all.partition(_.datetime.getTime < boundary)
     val out = Seq.newBuilder[CandleOut]
+    val audit = scala.collection.mutable.ListBuffer.empty[AuditRow]
     ready.sortBy(_.datetime.getTime).foreach { r =>
-      val (s2, o) = push(st, r, medianSpread, spikeThreshold)
+      val (s2, o) = push(st, r, medianSpread, spikeThreshold, audit)
       st = s2; out ++= o
     }
     if (endFlush) {
-      val (s2, o) = finish(st, spikeThreshold)
+      val (s2, o) = finish(st, spikeThreshold, audit)
       st = s2; out ++= o
       // keyed-replay adapter: bridge to the batch grid's global end
       if (bridgeEndMin != Long.MinValue)
@@ -483,6 +549,7 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     st = st.copy(lastWm =
       math.max(st.lastWm, timerValues.getCurrentWatermarkInMs()))
     ctrl.update(st)
-    out.result().iterator.map(keyed(key, _))
+    out.result().iterator.map(candle(key, _)) ++
+      audit.iterator.map(anomaly(key, _))
   }
 }

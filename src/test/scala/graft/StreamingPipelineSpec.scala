@@ -31,14 +31,17 @@ class StreamingPipelineSpec extends SparkSpec {
     // med(1..5)=3, med(2..5)=3.5, med(3,4,5)=4
     var st = PipelineTail.empty
     val out = Seq.newBuilder[PipelineTail.CandleOut]
+    val audit =
+      scala.collection.mutable.ListBuffer.empty[PipelineTail.AuditRow]
     (1 to 5).foreach { i =>
       val (s2, o) = PipelineTail.push(st,
         fused(s"2024-01-02 10:0$i:00", 1, 1, 1, 1, 1L, Some(i.toDouble)),
-        median = 99.0, spikeThr = 100.0)
+        median = 99.0, spikeThr = 100.0, audit)
       st = s2; out ++= o
     }
-    val (s3, o3) = PipelineTail.finish(st, spikeThr = 100.0)
+    val (s3, o3) = PipelineTail.finish(st, spikeThr = 100.0, audit)
     out ++= o3
+    assert(audit.isEmpty)
     val got = out.result().filter(_.is_flat == 0).map(_.spread.get)
     assert(got == Seq(2.0, 2.5, 3.0, 3.5, 4.0))
     assert(s3.pend1.isEmpty && s3.pend2.isEmpty)
@@ -63,12 +66,20 @@ class StreamingPipelineSpec extends SparkSpec {
       // calm vs lag 14.4 (F6's lag advanced through the dropped row);
       // 3 minutes after the last survivor → flats at 10:03, 10:04
       fused("2024-01-02 10:05:00", 14, 14.2, 13.9, 14.0, 5L, Some(0.5)))
+    val audit =
+      scala.collection.mutable.ListBuffer.empty[PipelineTail.AuditRow]
     rows.foreach { r =>
-      val (s2, o) = PipelineTail.push(st, r, 0.5, thr)
+      val (s2, o) = PipelineTail.push(st, r, 0.5, thr, audit)
       st = s2; out ++= o
     }
-    val (_, of) = PipelineTail.finish(st, thr)
+    val (_, of) = PipelineTail.finish(st, thr, audit)
     out ++= of
+    // the audit tape records each anomaly with its stage's values
+    assert(audit.map(a => (new java.sql.Timestamp(a.minuteMs),
+      a.reason)).toList == List(
+      (ts("2024-01-02 10:01:00"), "dropped_inverted"),
+      (ts("2024-01-02 10:02:00"), "fixed_structure_integrity"),
+      (ts("2024-01-02 10:03:00"), "dropped_volatility_spike")))
     val got = out.result()
     val real = got.filter(_.is_flat == 0)
     val flats = got.filter(_.is_flat == 1)
