@@ -511,6 +511,27 @@ object ExtQueries {
       UnigramLm.viterbiStats(docs(s, dir), model)
     }),
 
+    // E229: streaming tokenizer SERVING (the e94 pattern for the
+    // text family): the e227 model trains once (ModelCache, O(vocab)
+    // driver state), then a document stream is scored STATELESSLY —
+    // the per-word Viterbi DP runs inside a codegen'd transform/
+    // aggregate fold over each doc's word array, zero state stores,
+    // so a bounded replay trivially equals batch. Per-word scores
+    // snap to 6 decimals before the doc sum (the fold is array-
+    // ordered; the oracle's SQL sum is not — round-6 on both).
+    "e229_unigram_streaming_serve_replay" -> ((s, dir) => {
+      val model = ModelCache.cached[UnigramLm.Model](
+        s"uniglm|$dir|120|2|48") {
+        UnigramLm.train(docs(s, dir), seedMulti = 120, emRounds = 2,
+          keepMulti = 48)
+      }
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      StreamingOhlc.replayToBatchAppend(s,
+        UnigramLm.viterbiDocStats(stream, model))
+    }),
+
     // E58: STREAMING near-dup — the delta-dedup SignatureIndex wired
     // into the streaming path (VERDICT r7 #3, closing the last
     // batch/streaming asymmetry): a document stream replayed as three
@@ -3839,7 +3860,8 @@ object ExtQueries {
        |  round(p, 9) AS prob
        |FROM ufinal""".stripMargin
 
-  private lazy val unigramViterbiOracle: String =
+  /** Shared model + per-word Viterbi CTE chain (e228/e229). */
+  private lazy val unigramVitCtes: String =
     s"""${unigramCtes(120, 2, 48)},
        |ulp AS MATERIALIZED (SELECT piece, round(ln(p), 9) AS lp FROM ufinal),
        |uvit AS (
@@ -3878,17 +3900,47 @@ object ExtQueries {
        |    ON a.j >= 1 AND c2.piece = substring(w.word, a.j, 2)
        |  LEFT JOIN ulp c3
        |    ON a.j >= 2 AND c3.piece = substring(w.word, a.j - 1, 3)
-       |  WHERE a.j < length(w.word))
+       |  WHERE a.j < length(w.word))""".stripMargin
+
+  private lazy val unigramViterbiOracle: String =
+    s"""$unigramVitCtes
        |SELECT w.word AS word, w.wc, CAST(v.n0 AS BIGINT) AS n_pieces,
        |  round(v.v0, 6) AS best_lp
        |FROM uvit v JOIN uwt w
        |  ON w.word = v.word AND v.j = length(w.word)""".stripMargin
+
+  /** e229: per-document serving stats — per-word best_lp snaps to 6
+    * decimals BEFORE the doc sum, mirroring the engine's stateless
+    * fold; the doc sum re-rounds at 6 (the one order-dependent
+    * accumulation). */
+  private lazy val unigramDocServeOracle: String =
+    s"""$unigramVitCtes,
+       |docw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |    x -> x != '')) AS word FROM documents),
+       |perw AS (
+       |  SELECT d.doc_id, CAST(v.n0 AS BIGINT) AS np,
+       |         round(v.v0, 6) AS lp6
+       |  FROM docw d JOIN uvit v
+       |    ON v.word = d.word AND v.j = length(d.word)),
+       |dsum AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(np) AS BIGINT) AS n_pieces,
+       |    round(sum(lp6), 6) AS doc_lp
+       |  FROM perw GROUP BY 1)
+       |SELECT d0.doc_id,
+       |  coalesce(w.n_words, 0) AS n_words,
+       |  coalesce(w.n_pieces, 0) AS n_pieces,
+       |  coalesce(w.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp
+       |FROM documents d0 LEFT JOIN dsum w USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
 
     "e228_unigram_lm_viterbi" -> unigramViterbiOracle,
+
+    "e229_unigram_streaming_serve_replay" -> unigramDocServeOracle,
 
     "e1_dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +

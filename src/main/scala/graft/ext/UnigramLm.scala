@@ -187,11 +187,26 @@ object UnigramLm {
     * engines; the snap makes every DP comparison bit-identical on
     * both sides), ties prefer the LONGER arriving piece — pinned. */
   def viterbiStats(docs: DataFrame, model: Model): DataFrame = {
-    val lp = model.pieces.map { case (p, v) =>
+    val mlp = lpMapLit(model)
+    wordTable(docs)
+      .withColumn("vit", vitCol(col("word"), mlp))
+      .select(col("word"), col("wc"),
+        col("vit.np").cast("long").as("n_pieces"),
+        Rounding.duckRound(col("vit.v"), 6).as("best_lp"))
+  }
+
+  private def lpMapLit(model: Model): Column =
+    typedLit(model.pieces.map { case (p, v) =>
       p -> Rounding.duckRoundDouble(math.log(v), 9)
-    }
-    val mlp = typedLit(lp.toMap)
-    def cand(acc: Column, w: Column, j: Column, len: Int): Column = {
+    }.toMap)
+
+  /** The per-word Viterbi DP as a pure column: best final state
+    * struct(v, l, np) for `w`. acc(i) = best state for prefix length
+    * i−1; array_max picks (v, then l, then np) — v DESC with
+    * longer-piece tie preference, np never reached (equal v+l ⇒ same
+    * candidate). */
+  private def vitCol(w: Column, mlp: Column): Column = {
+    def cand(acc: Column, j: Column, len: Int): Column = {
       val piece = w.substr(j - lit(len - 1), lit(len))
       val prev = element_at(acc, j - lit(len - 1))
       val guard = if (len == 1) lit(true) else j >= len
@@ -202,20 +217,37 @@ object UnigramLm {
           (prev.getField("np") + 1).as("np")))
         .otherwise(lit(null))
     }
-    // acc(i) = best state for prefix length i−1: struct(v, l, np);
-    // array_max picks (v, then l, then np) — v DESC with longer-piece
-    // tie preference, np never reached (equal v+l ⇒ same candidate)
-    val vit = aggregate(sequence(lit(1), length(col("word"))),
-      array(struct(lit(0.0).as("v"), lit(0).as("l"), lit(0).as("np"))),
-      (acc, j) => concat(acc, array(array_max(filter(
-        array(cand(acc, col("word"), j, 1),
-          cand(acc, col("word"), j, 2),
-          cand(acc, col("word"), j, 3)),
-        x => x.isNotNull)))))
-    wordTable(docs)
-      .withColumn("vit", element_at(vit, length(col("word")) + 1))
-      .select(col("word"), col("wc"),
-        col("vit.np").cast("long").as("n_pieces"),
-        Rounding.duckRound(col("vit.v"), 6).as("best_lp"))
+    element_at(
+      aggregate(sequence(lit(1), length(w)),
+        array(struct(lit(0.0).as("v"), lit(0).as("l"),
+          lit(0).as("np"))),
+        (acc, j) => concat(acc, array(array_max(filter(
+          array(cand(acc, j, 1), cand(acc, j, 2), cand(acc, j, 3)),
+          x => x.isNotNull))))),
+      length(w) + 1)
+  }
+
+  /** Per-DOCUMENT Viterbi serving stats — the STATELESS projection a
+    * tokenizer-serving stream runs (train once on the driver, serve
+    * every micro-batch with zero state): for each document, the word
+    * count, total piece count, and the round-6 sum of per-word best
+    * log-likelihoods (each word's score snaps to 6 decimals before
+    * the doc sum, so the only order-dependent float is the final
+    * per-doc accumulation — round-6 both sides, the standing
+    * convention). Empty documents keep a zero row. */
+  def viterbiDocStats(docs: DataFrame, model: Model): DataFrame = {
+    val mlp = lpMapLit(model)
+    val w = words(col("text"))
+    val per = transform(w, wv => {
+      val v = vitCol(wv, mlp)
+      struct(Rounding.duckRound(v.getField("v"), 6).as("lp6"),
+        v.getField("np").cast("long").as("np"))
+    })
+    docs.select(col("doc_id"),
+      size(w).cast("long").as("n_words"),
+      aggregate(per, lit(0L),
+        (acc, x) => acc + x.getField("np")).as("n_pieces"),
+      Rounding.duckRound(aggregate(per, lit(0.0),
+        (acc, x) => acc + x.getField("lp6")), 6).as("doc_lp"))
   }
 }

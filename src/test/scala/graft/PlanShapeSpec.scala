@@ -255,6 +255,40 @@ class PlanShapeSpec extends SparkSpec {
       s"expected checkpointed label/topo frames, plan:\n$p")
   }
 
+  test("composed streaming pipeline plans exactly four chained " +
+    "stateful operators, window-join keyed, no cartesian") {
+    import org.apache.spark.sql.functions._
+    // analyzed logical plan of the UNSTARTED streaming query: the
+    // whole composition must be 2 aggregates + 1 full-outer join +
+    // 1 transformWithState — nothing stateful hides elsewhere, and
+    // the join is an equi-join on the window column (state evictable
+    // by watermark), never a cartesian
+    def emptyDir(n: String) = {
+      val d = java.nio.file.Paths.get("target", "test-fixtures", n)
+      java.nio.file.Files.createDirectories(d)
+      d.toString
+    }
+    val t = spark.readStream
+      .schema("datetime timestamp, tick_id long, mid double, spread double")
+      .parquet(emptyDir("plan-pin-t"))
+    val m = spark.readStream
+      .schema("datetime timestamp, tick_id long, mid double, spread double")
+      .parquet(emptyDir("plan-pin-m"))
+    val q = graft.streaming.StreamingPipeline.run(t, m, "10 minutes",
+      medianSpread = 0.0, spikeThreshold = 1.0,
+      consensusThreshold = 1.0, cutoffMs = Long.MaxValue,
+      flushFireMs = Long.MaxValue)
+    val p = q.queryExecution.analyzed.toString()
+    assert(raw"(?m)^\s*[~+:\- ]*Aggregate ".r.findAllIn(p).length == 2,
+      s"expected exactly the two OHLC aggregates, plan:\n$p")
+    assert(p.contains("Join FullOuter, (t_w"),
+      s"expected the full-outer window equi-join, plan:\n$p")
+    assert(p.contains("TransformWithState"),
+      s"expected the transformWithState tail, plan:\n$p")
+    assert(!p.contains("Join Cross") && !p.contains("Join Inner, None"),
+      s"no condition-less join may appear, plan:\n$p")
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")
