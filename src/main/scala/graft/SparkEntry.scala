@@ -1442,6 +1442,97 @@ object SparkEntry {
         streaming.StreamingPipeline.replayWithRocksDb(s, result))
     }),
 
+    // The KEYED composed pipeline under the late-data discipline:
+    // the same g10 staging as the flat late gate, but every operator
+    // keyed by symbol — late tick rows drop at the (sym, window)
+    // aggregation against the GLOBAL watermark (watermarks are
+    // per-source, never per-key: one slow symbol cannot hold back
+    // eviction, and one fast one ages the others' state — the
+    // multi-tenant reality this gate pins). Oracle = the keyed batch
+    // pipeline over exactly the admitted tick set.
+    "pipeline_hybrid_streaming_by_key_late_replay" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
+      def kticksOf(df: DataFrame) = df.select(
+        col("ts").as("datetime"), col("event_id").as("tick_id"),
+        (col("value") + half).as("ask"),
+        (col("value") - half).as("bid"),
+        (col("user_id") % 3).as("sym"))
+      def km1Of(df: DataFrame) = df.select(
+        col("ts").as("datetime"), col("event_id").as("tick_id"),
+        col("value").as("mid"), lit(null).cast("double").as("spread"),
+        (col("user_id") % 3).as("sym"))
+      val m1ev = ev.filter(col("event_type").isin("click", "view"))
+      // bands over PREPPED tick event times (the watermark node sits
+      // after the prep filters; the keyed prep admits the same rows)
+      val mxP = TickPrep(Tables.ticks(s, dir))
+        .agg(max(col("datetime"))).head().getTimestamp(0)
+      def cutH(h: Long) =
+        lit(new java.sql.Timestamp(mxP.getTime - h * 3600000L))
+      val isLateDrop = col("event_id") % 7 === 3 &&
+        col("ts") < cutH(10)
+      val isLateAdmit = col("event_id") % 7 === 4 &&
+        col("ts") >= cutH(3) && col("ts") < cutH(2)
+      val isStage2 = col("event_id") % 7 === 5 &&
+        col("ts") >= cutH(6) && col("ts") < cutH(5)
+      val delaySec = 7230L
+      val flush = new java.sql.Timestamp(
+        streaming.StreamingPipeline.weekdaySentinelMs(
+          mxP.getTime + delaySec * 1000L + 1440 * 60000L))
+      val flushFireMs = mxP.getTime + 10 * 60000L
+      def sentinel(df: DataFrame) = df.limit(1)
+        .withColumn("ts", lit(flush))
+        .withColumn("value", lit(1.0))
+      // batch twins over the ADMITTED keyed tick set
+      val mxM1 = m1ev.agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime
+      val w1Ms = math.min(mxP.getTime, mxM1) - delaySec * 1000L
+      val admitted = kticksOf(ev).filter(
+        !(col("tick_id") % 7 === 3 && col("datetime") < cutH(10) ||
+          col("tick_id") % 7 === 4 && col("datetime") >= cutH(3) &&
+            col("datetime") < cutH(2)) ||
+        date_trunc("minute", col("datetime")) +
+          expr("INTERVAL 1 MINUTE") >
+          lit(new java.sql.Timestamp(w1Ms)))
+      val keys = Seq("sym", "datetime")
+      val tCand = Resample.ohlc1min(TickPrep(admitted),
+        Seq("sym")).cache()
+      val km1 = Resample.ohlc1min(km1Of(m1ev), Seq("sym")).cache()
+      val fusedB = FusionOps.combineFirst(
+        FusionOps.rejectCatastrophes(tCand,
+          FusionOps.catastrophes(tCand, km1, ConsensusThreshold, keys),
+          keys),
+        km1, keys)
+      val med = SpreadOps.medianSpread(fusedB)
+      val validated = CleanOps.spikeFilter(
+        CleanOps.structuralRepair(
+          CleanOps.dropInverted(SpreadOps(fusedB, Seq("sym"))),
+          Seq("sym")),
+        SpikeThreshold, Seq("sym"))
+      val bridgeEnd = Math.floorDiv(
+        validated.agg(max(col("datetime"))).head()
+          .getTimestamp(0).getTime, 60000L)
+      val tDir = Scratch.dir("spkl_ticks", dir)
+      val mDir = Scratch.dir("spkl_m1", dir)
+      streaming.StagedReplay.stageFiles(Seq(
+        ev.filter(!isLateDrop && !isLateAdmit && !isStage2),
+        ev.filter(isStage2),
+        ev.filter(isLateDrop || isLateAdmit),
+        sentinel(ev)), tDir)
+      streaming.StagedReplay.stageFiles(Seq(
+        m1ev, sentinel(m1ev)), mDir)
+      def stream(p: String) = s.readStream
+        .schema(s.read.parquet(p).schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val result = streaming.StreamingPipeline.runKeyed(
+        TickPrep(kticksOf(stream(tDir))), km1Of(stream(mDir)),
+        s"$delaySec seconds", med, SpikeThreshold, ConsensusThreshold,
+        cutoffMs = flushFireMs, flushFireMs = flushFireMs,
+        bridgeEndMin = bridgeEnd)
+      pipelineStreamingSelectKeyed(
+        streaming.StreamingPipeline.replayWithRocksDb(s, result))
+    }),
+
     // Validator entry point (validator.py): mismatch report, first 5 by time
     "validator_report" -> ((s, dir) => {
       val t = tickCandles(s, dir)
@@ -2012,6 +2103,11 @@ object SparkEntry {
     // the streaming tape's anomaly projection converges to the batch
     // audit log → same oracle as pipeline_audit
     "pipeline_audit_streaming_replay" -> pipelineAuditOracle,
+
+    // keyed late variant: the keyed batch pipeline over exactly the
+    // admitted tick set (CTE surgery on the keyed oracle)
+    "pipeline_hybrid_streaming_by_key_late_replay" ->
+      pipelineKeyedStreamingLateOracle,
     "pipeline_audit_day_part" -> pipelineAuditOracle,
 
     "pipeline_audit" -> pipelineAuditOracle,
@@ -2157,6 +2253,46 @@ object SparkEntry {
        |  round(CAST(CAST(fspread AS REAL) AS DOUBLE), 5) AS spread,
        |  is_flat
        |FROM kbridged WHERE fclose IS NOT NULL""".stripMargin
+
+  /** Keyed late-data oracle: [[pipelineKeyedOracle]] with the tick
+    * feed reduced to the rows the g10 watermark contract admits —
+    * kprepped becomes the admitted set (stage-3 rows survive iff
+    * their minute window outlives W1 = min(max on-time prepped tick
+    * time, max M1 event time) − 7230 s), everything downstream
+    * identical. Built by CTE surgery on the keyed oracle so the two
+    * can never drift. */
+  private lazy val pipelineKeyedStreamingLateOracle: String = {
+    val lateCtes =
+      s"""kmxp AS (SELECT max(datetime) AS m FROM kprepped_all),
+         |kstaged AS (
+         |  SELECT p.*, CASE
+         |    WHEN tick_id % 7 = 3
+         |         AND datetime < m - INTERVAL 10 HOUR THEN 3
+         |    WHEN tick_id % 7 = 4
+         |         AND datetime >= m - INTERVAL 3 HOUR
+         |         AND datetime < m - INTERVAL 2 HOUR THEN 3
+         |    WHEN tick_id % 7 = 5
+         |         AND datetime >= m - INTERVAL 6 HOUR
+         |         AND datetime < m - INTERVAL 5 HOUR THEN 2
+         |    ELSE 1 END AS stage
+         |  FROM kprepped_all p CROSS JOIN kmxp),
+         |kw1 AS (SELECT least(
+         |         (SELECT max(datetime) FROM kstaged WHERE stage = 1),
+         |         (SELECT max(ts) FROM events
+         |          WHERE event_type IN ('click', 'view')))
+         |       - INTERVAL 7230 SECOND AS w1),
+         |kprepped AS (
+         |  SELECT s.datetime, s.tick_id, s.ask, s.bid, s.sym, s.mid,
+         |         s.spread
+         |  FROM kstaged s CROSS JOIN kw1
+         |  WHERE stage <> 3
+         |     OR date_trunc('minute', s.datetime) + INTERVAL 1 MINUTE
+         |        > w1),
+         |""".stripMargin
+    pipelineKeyedOracle
+      .replace("kprepped AS (", "kprepped_all AS (")
+      .replace("ktick_candles AS (", lateCtes + "ktick_candles AS (")
+  }
 
   /** Composed-pipeline candle oracle, shared by the global-window and
     * day-partitioned backends (identical semantics by construction). */
