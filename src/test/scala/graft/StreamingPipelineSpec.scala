@@ -99,6 +99,26 @@ class StreamingPipelineSpec extends SparkSpec {
       f.spread.contains(0.5)))
   }
 
+  test("weekdaySentinelMs lands on a Wednesday 12:00 UTC at/after " +
+    "the floor — never inside the F2 closure band") {
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    Seq(
+      ts("2024-01-05 23:00:00"), // Friday night
+      ts("2024-01-06 03:00:00"), // Saturday
+      ts("2024-01-07 10:00:00"), // Sunday morning
+      ts("2024-01-10 12:00:00"), // Wednesday noon exactly
+      ts("2024-01-10 12:00:01")  // just past Wednesday noon
+    ).foreach { t =>
+      val ms = StreamingPipeline.weekdaySentinelMs(t.getTime)
+      assert(ms >= t.getTime)
+      val inst = java.time.Instant.ofEpochMilli(ms)
+      val z = inst.atZone(java.time.ZoneOffset.UTC)
+      assert(z.getDayOfWeek == java.time.DayOfWeek.WEDNESDAY &&
+        z.getHour == 12 && z.getMinute == 0,
+        s"${fmt.format(inst)} for floor $t")
+    }
+  }
+
   // ------------------------------------------------ composed-query parity
 
   /** Raw ticks: a Tuesday; minute layout exercises catastrophe
@@ -143,6 +163,91 @@ class StreamingPipelineSpec extends SparkSpec {
       Rounding.duckRound(col("spread").cast("float").cast("double"), 5)
         .as("spread"),
       col("is_flat").cast("int").as("is_flat"))
+
+  test("KEYED composed streaming pipeline == batch keyed Pipeline.run " +
+    "(per-sym state, trailing flats to the global grid end)") {
+    val (ticks0, m10) = fixture()
+    def keyedCopy(df: DataFrame) =
+      df.withColumn("sym", lit(0L)).unionByName(
+        df.withColumn("datetime",
+            col("datetime") + expr("INTERVAL 1 HOUR"))
+          .withColumn("tick_id", col("tick_id") + 100)
+          .withColumn("sym", lit(1L)))
+    // sym 1 = the same series shifted +1h → different per-sym spans,
+    // so sym 0 must bridge trailing flats to the GLOBAL grid end
+    val kticks = keyedCopy(ticks0)
+    val km1rows = keyedCopy(m10)
+    val km1 = Resample.ohlc1min(km1rows, Seq("sym"))
+    val spikeThr = 0.10
+    val consThr = 1.0
+    val batch = Pipeline.run(spark, kticks, Some(km1), spikeThr,
+      consThr, partitionBy = Seq("sym"))
+    def keySelect(df: DataFrame) = df.select(col("sym"),
+      col("datetime"),
+      Rounding.duckRound(col("open").cast("float").cast("double"), 5)
+        .as("open"),
+      Rounding.duckRound(col("high").cast("float").cast("double"), 5)
+        .as("high"),
+      Rounding.duckRound(col("low").cast("float").cast("double"), 5)
+        .as("low"),
+      Rounding.duckRound(col("close").cast("float").cast("double"), 5)
+        .as("close"),
+      col("volume").cast("float").cast("double").as("volume"),
+      Rounding.duckRound(col("spread").cast("float").cast("double"), 5)
+        .as("spread"),
+      col("is_flat").cast("int").as("is_flat"))
+    val want = rows(keySelect(batch.candles)
+      .orderBy(col("sym"), col("datetime")))
+
+    // global parameters, batch-exact (the replay-adapter contract)
+    val keys = Seq("sym", "datetime")
+    val tCand = Resample.ohlc1min(graft.ops.TickPrep(kticks), Seq("sym"))
+    val fusedB = FusionOps.combineFirst(
+      FusionOps.rejectCatastrophes(tCand,
+        FusionOps.catastrophes(tCand, km1, consThr, keys), keys),
+      km1, keys)
+    val med = SpreadOps.medianSpread(fusedB)
+    val validated = graft.ops.CleanOps.spikeFilter(
+      graft.ops.CleanOps.structuralRepair(
+        graft.ops.CleanOps.dropInverted(SpreadOps(fusedB, Seq("sym"))),
+        Seq("sym")),
+      spikeThr, Seq("sym"))
+    val bridgeEnd = Math.floorDiv(
+      validated.agg(max(col("datetime"))).head()
+        .getTimestamp(0).getTime, 60000L)
+
+    val mx = validated.agg(max(col("datetime"))).head()
+      .getTimestamp(0).getTime
+    val delayMin = 10000L
+    val flush = new java.sql.Timestamp(
+      StreamingPipeline.weekdaySentinelMs(
+        mx + (delayMin + 1440) * 60000L))
+    val flushFireMs = mx + 10 * 60000L
+    def sentinel(df: DataFrame) =
+      df.limit(1).withColumn("datetime", lit(flush))
+    val tDir = StagedReplay.stageFiles(Seq(
+      kticks.filter(minute(col("datetime")) % 3 =!= 2),
+      kticks.filter(minute(col("datetime")) % 3 === 2),
+      sentinel(kticks)), "target/test-fixtures/spk_ticks")
+    val mDir = StagedReplay.stageFiles(Seq(
+      km1rows.filter(minute(col("datetime")) % 4 =!= 1),
+      km1rows.filter(minute(col("datetime")) % 4 === 1),
+      sentinel(km1rows)), "target/test-fixtures/spk_m1")
+    def stream(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+
+    val result = StreamingPipeline.runKeyed(
+      graft.ops.TickPrep(stream(tDir)), stream(mDir),
+      s"$delayMin minutes", med, spikeThr, consThr,
+      cutoffMs = flushFireMs, flushFireMs = flushFireMs,
+      bridgeEndMin = bridgeEnd)
+    val replayed = StreamingPipeline.replayWithRocksDb(
+      spark, result, 4)
+    val got = rows(keySelect(replayed)
+      .orderBy(col("sym"), col("datetime")))
+    assert(got == want)
+  }
 
   test("composed streaming pipeline == batch Pipeline.run on a staged " +
     "multi-batch replay") {
