@@ -189,7 +189,7 @@ object UnigramLm {
   def viterbiStats(docs: DataFrame, model: Model): DataFrame = {
     val mlp = lpMapLit(model)
     wordTable(docs)
-      .withColumn("vit", vitCol(col("word"), mlp))
+      .withColumn("vit", guardOov(vitCol(col("word"), mlp), col("word")))
       .select(col("word"), col("wc"),
         col("vit.np").cast("long").as("n_pieces"),
         Rounding.duckRound(col("vit.v"), 6).as("best_lp"))
@@ -199,6 +199,22 @@ object UnigramLm {
     typedLit(model.pieces.map { case (p, v) =>
       p -> Rounding.duckRoundDouble(math.log(v), 9)
     }.toMap)
+
+  /** A word with a character OUTSIDE the model alphabet has no
+    * candidate at that position (null DP state there); later
+    * positions then build structs whose FIELDS are null (a struct
+    * literal with null members is itself non-null), so the poison
+    * shows up as a null `v` in the final state. Fail by name instead
+    * of silently propagating null into n_pieces/best_lp (ADVICE
+    * r15): the alphabet always covers the TRAINING corpus (single
+    * chars are never pruned), so this fires only when serving
+    * genuinely unseen text — exactly when a silent null would be
+    * most misleading. */
+  private def guardOov(vit: Column, w: Column): Column =
+    when(vit.isNotNull && vit.getField("v").isNotNull, vit)
+      .otherwise(raise_error(concat(
+        lit("unigram-lm: word contains a character outside the model " +
+          "alphabet: "), w)))
 
   /** The per-word Viterbi DP as a pure column: best final state
     * struct(v, l, np) for `w`. acc(i) = best state for prefix length
@@ -265,7 +281,7 @@ object UnigramLm {
     val w = words(col("text"))
     val per = transform(w, wv => {
       val hit = element_at(memoLit, wv)
-      val miss = vitCol(wv, mlp)
+      val miss = guardOov(vitCol(wv, mlp), wv)
       when(hit.isNotNull,
         struct(hit.getField("_2").as("lp6"),
           hit.getField("_1").as("np")))

@@ -158,6 +158,10 @@ object ZipBlob {
       require(off != 0xffffffffL, "ZIP: ZIP64 member offset unsupported")
       require(off + 30L <= bytes.length,
         "ZIP: central entry offset exceeds stream")
+      // the variable-length tail (name + extra + comment) must fit too,
+      // or the name read below walks off a truncated buffer unnamed
+      require(cd + 46L + nameLen + extraLen + commentLen <= bytes.length,
+        "ZIP: truncated central directory entry")
       val name = new String(bytes, cd + 46, nameLen, "US-ASCII")
       // local header: its own (possibly different-length) name/extra
       require(rd32(bytes, off.toInt) == 0x04034b50L,

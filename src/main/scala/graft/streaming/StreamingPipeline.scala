@@ -477,6 +477,17 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     PipelineTail.TapeOut] {
   import PipelineTail._
 
+  // handleExpiredTimer detects the end-of-replay flush by
+  // expiryTimeMs == flushFireMs; a prefix timer registers at the
+  // newest ADMITTED minute, which is < cutoffMs, so the equality is
+  // unambiguous only under cutoffMs <= flushFireMs — pin it (ADVICE
+  // r15) rather than rely on every caller happening to pass
+  // cutoffMs == flushFireMs.
+  require(cutoffMs <= flushFireMs,
+    s"PipelineTailProcessor: cutoffMs ($cutoffMs) must be <= " +
+      s"flushFireMs ($flushFireMs) or a prefix timer could collide " +
+      "with the end-of-replay flush timer")
+
   @transient private var buf: ListState[FusedRow] = _
   @transient private var ctrl: ValueState[State] = _
 

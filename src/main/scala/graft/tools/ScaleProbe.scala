@@ -33,15 +33,28 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // ---- task-skew listener: longest task + count per timed section
+    // ---- task-skew listener: longest task + count per timed section.
+    // ONE lock object shared by the listener and the timing loop (the
+    // listener's own monitor and the enclosing object's are different
+    // locks — ADVICE r15), and a post-action settle before read/reset:
+    // the listener bus delivers task-end events asynchronously, so
+    // without the drain a slow event from one timed stage could bleed
+    // into the next stage's counters.
+    val counterLock = new Object
     @volatile var maxTaskMs = 0L
     @volatile var nTasks = 0
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val d = t.taskInfo.duration
-        synchronized { if (d > maxTaskMs) maxTaskMs = d; nTasks += 1 }
+        counterLock.synchronized {
+          if (d > maxTaskMs) maxTaskMs = d; nTasks += 1
+        }
       }
     })
+    // best-effort bus drain: the public API exposes no waitUntilEmpty,
+    // so settle with a short sleep (events arrive within milliseconds
+    // of the action returning; 300 ms is orders beyond that)
+    def drainBus(): Unit = Thread.sleep(300)
     // force EVERY column to evaluate (a bare count() lets Catalyst
     // prune the window/ffill columns away and times an empty plan)
     def force(df: DataFrame): Long =
@@ -51,10 +64,13 @@ object ScaleProbe {
     def timed(name: String)(f: => Long): Unit = {
       // medians-of-3 keep the table honest about JVM noise
       val runs = (1 to 3).map { _ =>
-        synchronized { maxTaskMs = 0L; nTasks = 0 }
+        counterLock.synchronized { maxTaskMs = 0L; nTasks = 0 }
         val t0 = System.nanoTime()
         val n = f
-        ((System.nanoTime() - t0) / 1e9, maxTaskMs / 1e3, nTasks, n)
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        val (mt, nt) = counterLock.synchronized((maxTaskMs, nTasks))
+        (wall, mt / 1e3, nt, n)
       }
       val m = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
       println(f"| $name%-34s | ${m._1}%8.2f | ${m._2}%10.2f | ${m._3}%6d | ${m._4}%9d |")

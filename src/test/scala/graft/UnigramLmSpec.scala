@@ -71,6 +71,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(bare.last == Seq(2L, 0L, 0L, 0.0))
   }
 
+  test("a word with an out-of-alphabet character fails BY NAME, " +
+    "never silently nulling n_pieces/best_lp (ADVICE r15)") {
+    val model = UnigramLm.Model(Seq("a" -> 0.5, "b" -> 0.5))
+    val ex = intercept[Exception] {
+      UnigramLm.viterbiStats(docsOf("ab zb"), model).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("outside the model alphabet")),
+      s"expected the named OOV error, got: $ex")
+    // same guard on the doc-serving inline-DP miss branch
+    val ex2 = intercept[Exception] {
+      UnigramLm.viterbiDocStats(docsOf("ab zb"), model).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("outside the model alphabet")))
+  }
+
   test("Viterbi picks the higher-likelihood segmentation when there " +
     "is no tie, and counts pieces correctly") {
     val model = UnigramLm.Model(Seq(
