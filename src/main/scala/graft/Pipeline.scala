@@ -50,11 +50,28 @@ object Pipeline {
     *                   distributions, where a plain keyed window still
     *                   serializes the dominant key's whole span into one
     *                   task.
+    * @param w1Day per-stage override of `dayWindows` for the W1 rolling-
+    *              median smoothing alone. The r15 ScaleProbe measured the
+    *              crossover (SCALE.md): at 100× span the day backend wins
+    *              ONLY where the per-row window work is superlinear — W1's
+    *              sorted 5-row median (4.65 s vs 9.02 s global) — and
+    *              LOSES for the trivial ffill/lag windows, whose exchanges
+    *              cost more than the serialization they remove. The
+    *              measured-best large-span single-key shape is therefore
+    *              the MIXED run: `w1Day = Some(true)` with everything else
+    *              global (gated as `pipeline_hybrid_mixed_part`).
+    * @param fillLagDay per-stage override of `dayWindows` for the cheap
+    *                   sequential stages: U1's W3 ffill, F6's lag, and
+    *                   the W4/W5 grid bridge.
     */
   def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
           partitionBy: Seq[String] = Nil,
-          dayWindows: Boolean = false): Result = {
+          dayWindows: Boolean = false,
+          w1Day: Option[Boolean] = None,
+          fillLagDay: Option[Boolean] = None): Result = {
+    val w1ByDay = w1Day.getOrElse(dayWindows)
+    val fillByDay = fillLagDay.getOrElse(dayWindows)
 
     // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles").
     // Cached: the candle frame feeds three join branches (consensus,
@@ -87,7 +104,7 @@ object Pipeline {
     // re-runs it. Like tickCandles, its cardinality is candle-bounded, so
     // the cache stays small at any tick volume.
     val spreadDone = (
-      if (dayWindows) SpreadOps.applyByDay(fused, partitionBy)
+      if (w1ByDay) SpreadOps.applyByDay(fused, partitionBy)
       else SpreadOps(fused, partitionBy)).cache()
 
     // Stage 5: validation & repair (audit complements computed explicitly)
@@ -97,15 +114,15 @@ object Pipeline {
     // Cached for the same reason: repaired feeds the F6 filter AND its
     // audit complement, and its plan carries the U1/W3 ffill stage.
     val repaired = (
-      if (dayWindows)
+      if (fillByDay)
         CleanOps.structuralRepairByDay(noInverted, partitionBy)
       else CleanOps.structuralRepair(noInverted, partitionBy)).cache()
     val spikes =
-      if (dayWindows)
+      if (fillByDay)
         CleanOps.spikeRowsByDay(repaired, spikeThreshold, partitionBy)
       else CleanOps.spikeRows(repaired, spikeThreshold, partitionBy)
     val validated =
-      if (dayWindows)
+      if (fillByDay)
         CleanOps.spikeFilterByDay(repaired, spikeThreshold, partitionBy)
       else CleanOps.spikeFilter(repaired, spikeThreshold, partitionBy)
 
@@ -123,7 +140,7 @@ object Pipeline {
           else grid0.crossJoin(
             validated.select(partitionBy.map(col): _*).distinct())
         GridOps.finalCast(
-          if (dayWindows)
+          if (fillByDay)
             GridOps.flatCandleBridgeByDay(validated, grid, partitionBy)
           else GridOps.flatCandleBridge(validated, grid, partitionBy))
       }

@@ -1211,6 +1211,28 @@ object SparkEntry {
         col("is_flat").cast("int").as("is_flat"))
     }),
 
+    // The MIXED-backend composed pipeline (VERDICT r15 #1): the r15
+    // ScaleProbe measured that at 100× span the day backend wins ONLY
+    // for W1's rolling median (superlinear per-row work) and loses for
+    // the trivial ffill/lag windows (the patch-table exchanges cost
+    // more than the single-task serialization they remove). This is
+    // the measured-best large-span single-key shape: W1 through
+    // DayWindows, everything else global. Identical semantics — shares
+    // pipeline_hybrid_full's oracle.
+    "pipeline_hybrid_mixed_part" -> ((s, dir) => {
+      val out = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold,
+        w1Day = Some(true)).candles
+      out.select(col("datetime"),
+        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
+        col("volume").cast("double").as("volume"),
+        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
+        col("is_flat").cast("int").as("is_flat"))
+    }),
+
     // The audit log on the day-partitioned backends — exercises the
     // spikeRowsByDay complement and the gap-bridged class through the
     // day-parallel plan; shares pipeline_audit's oracle.
@@ -2085,6 +2107,10 @@ object SparkEntry {
 
     // day-backend twins: same semantics, same oracle (VERDICT r3 #1)
     "pipeline_hybrid_day_part" -> pipelineHybridOracle,
+
+    // mixed backend (r15 #1): W1 via DayWindows, ffill/lag/bridge
+    // global — the measured-best large-span shape, same oracle
+    "pipeline_hybrid_mixed_part" -> pipelineHybridOracle,
 
     // the ONE-QUERY streaming composition converges to the batch
     // pipeline (delay > span + sentinel flush) → same oracle

@@ -132,12 +132,17 @@ object ScaleProbe {
     timed("F6 spike filter: DayWindows lag")(
       force(CleanOps.spikeFilterByDay(spreadDone, 2.0)))
 
-    // full composed pipeline, both backends
+    // full composed pipeline: global, all-day, and the MIXED backend
+    // (W1 day, ffill/lag/bridge global — VERDICT r15 #1, the shape the
+    // r15 crossover measurement predicts wins at large spans)
     timed("pipeline run: global windows")(
       force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0).candles))
     timed("pipeline run: DayWindows")(
       force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0,
         dayWindows = true).candles))
+    timed("pipeline run: MIXED (W1 day)")(
+      force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0,
+        w1Day = Some(true)).candles))
 
     spark.stop()
   }

@@ -153,6 +153,39 @@ class PipelineSpec extends SparkSpec {
     plain.release(); byDay.release()
   }
 
+  test("MIXED backend (W1 day, ffill/lag/bridge global) equals the " +
+    "global run: candles and audit, day-boundary windows included") {
+    // same three-day fixture as the all-day parity test: the W1 edge
+    // strip engages across both day boundaries while the ffill/lag/
+    // bridge stages run on the global backend — the measured-best
+    // large-span shape (VERDICT r15 #1)
+    val ticks = Seq(
+      (ts("2024-01-02 23:57:10"), 1L, 1.005, 0.995),
+      (ts("2024-01-02 23:58:20"), 2L, 1.015, 1.005),
+      (ts("2024-01-02 23:59:30"), 3L, 1.025, 1.015),
+      (ts("2024-01-03 00:00:40"), 4L, 1.035, 1.025),
+      (ts("2024-01-03 00:01:50"), 5L, 9.005, 8.995),
+      (ts("2024-01-03 00:04:15"), 6L, 1.045, 1.035),
+      (ts("2024-01-04 00:01:05"), 7L, 1.055, 1.045))
+      .toDF("datetime", "tick_id", "ask", "bid")
+    val m1 = Seq(
+      (ts("2024-01-03 00:01:00"), 1.03, 1.04, 1.02, 1.03, 5L,
+        null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-03 00:02:00"), 1.04, 1.03, 1.05, 1.04, 4L,
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("datetime", "open", "high", "low", "close", "volume", "spread")
+    val global = Pipeline.run(spark, ticks, Some(m1),
+      spikeThreshold = 0.5, consensusThreshold = 0.5)
+    val mixed = Pipeline.run(spark, ticks, Some(m1),
+      spikeThreshold = 0.5, consensusThreshold = 0.5,
+      w1Day = Some(true))
+    assert(rows(mixed.candles.orderBy("datetime")) ==
+      rows(global.candles.orderBy("datetime")))
+    assert(rows(mixed.audit.orderBy("datetime", "reason")) ==
+      rows(global.audit.orderBy("datetime", "reason")))
+    global.release(); mixed.release()
+  }
+
   test("pipeline without an M1 feed degrades to the pure tick path") {
     val ticks = Seq(
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
