@@ -102,9 +102,25 @@ object UnigramLm {
     typedLit(entries)
   }
 
-  /** Seed + `emRounds` soft-EM passes + one prune/renorm. */
+  /** Seed + `emRounds` soft-EM passes + one prune/renorm: the
+    * single-stage form of [[trainSchedule]]. */
   def train(docs: DataFrame, seedMulti: Int, emRounds: Int,
-            keepMulti: Int): Model = {
+            keepMulti: Int): Model =
+    trainSchedule(docs, seedMulti, Seq(emRounds -> keepMulti))
+
+  /** The full SentencePiece-style training loop (VERDICT r15 #4 — the
+    * e195/e203 BPE target-vocab analogue): seed, then for each
+    * `(emPasses, keepMulti)` stage run that many soft-EM passes and
+    * PRUNE to alphabet + top-`keepMulti` multis by (prob DESC, piece
+    * ASC), renormalizing — iterating toward a target vocabulary. The
+    * paper prunes by likelihood loss; the prob-rank prune is the
+    * oracle-tractable form, pinned as such (same adjudication as the
+    * single-prune e227). A descending keep schedule shrinks the EM's
+    * own working set stage by stage — exactly how production
+    * SentencePiece walks a big seed vocab down to 32k. */
+  def trainSchedule(docs: DataFrame, seedMulti: Int,
+                    schedule: Seq[(Int, Int)]): Model = {
+    require(schedule.nonEmpty, "unigram-lm: empty training schedule")
     val wt = CachePins.pinCheckpoint(wordTable(docs))
     val occ = CachePins.pinCheckpoint(occurrences(wt))
 
@@ -125,61 +141,68 @@ object UnigramLm {
       p -> Rounding.duckRoundDouble(c.toDouble / totalCnt.toDouble, 12)
     }
 
-    for (_ <- 1 to emRounds) {
-      val m = mapLit(model, rev = false)
-      val mRev = mapLit(model, rev = true)
-      val spark = docs.sparkSession
-      import spark.implicits._
-      val probs = model.toDF("piece", "p")
-      val withDp = wt
-        .withColumn("aarr", alphaCol(m, col("word")))
-        .withColumn("barr", alphaCol(mRev, reverse(col("word"))))
-      // E[count(piece)] = Σ_occ wc · α(s−1)·p·β(e) / Z, fixed shape
-      val ec = occ
-        .join(broadcast(probs), Seq("piece"))
-        .join(withDp.select(col("word"), col("aarr"), col("barr")),
-          Seq("word"))
-        .select(col("piece"),
-          (element_at(col("aarr"), col("s")) * col("p")
-            * element_at(col("barr"),
-                length(col("word")) - (col("s") + col("len") - 1) + 1)
-            / element_at(col("aarr"), length(col("word")) + 1)
-            * col("wc").cast("double")).as("contrib"))
-        .groupBy(col("piece"))
-        .agg(Rounding.duckRound(sum(col("contrib")), 6).as("ec"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      // M-step on the driver, piece-ascending order (deterministic)
-      val ordered = model.map(_._1).sorted.map(p => p -> ec.getOrElse(p, 0.0))
-      val tot = Rounding.duckRoundDouble(ordered.map(_._2).sum, 6)
-      model = ordered.map { case (p, e) =>
-        p -> Rounding.duckRoundDouble(e / tot, 12)
+    for ((emPasses, keepMulti) <- schedule) {
+      for (_ <- 1 to emPasses) {
+        val m = mapLit(model, rev = false)
+        val mRev = mapLit(model, rev = true)
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val probs = model.toDF("piece", "p")
+        val withDp = wt
+          .withColumn("aarr", alphaCol(m, col("word")))
+          .withColumn("barr", alphaCol(mRev, reverse(col("word"))))
+        // E[count(piece)] = Σ_occ wc · α(s−1)·p·β(e) / Z, fixed shape
+        val ec = occ
+          .join(broadcast(probs), Seq("piece"))
+          .join(withDp.select(col("word"), col("aarr"), col("barr")),
+            Seq("word"))
+          .select(col("piece"),
+            (element_at(col("aarr"), col("s")) * col("p")
+              * element_at(col("barr"),
+                  length(col("word")) - (col("s") + col("len") - 1) + 1)
+              / element_at(col("aarr"), length(col("word")) + 1)
+              * col("wc").cast("double")).as("contrib"))
+          .groupBy(col("piece"))
+          .agg(Rounding.duckRound(sum(col("contrib")), 6).as("ec"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // M-step on the driver, piece-ascending order (deterministic)
+        val ordered = model.map(_._1).sorted
+          .map(p => p -> ec.getOrElse(p, 0.0))
+        val tot = Rounding.duckRoundDouble(ordered.map(_._2).sum, 6)
+        model = ordered.map { case (p, e) =>
+          p -> Rounding.duckRoundDouble(e / tot, 12)
+        }
       }
+      // prune: alphabet + top keepMulti multis, then renormalize
+      val (alpha, multi) = model.partition(_._1.length == 1)
+      val kept = alpha ++ multi
+        .sortBy { case (p, v) => (-v, p) }.take(keepMulti)
+      val totKept = Rounding.duckRoundDouble(
+        kept.sortBy(_._1).map(_._2).sum, 12)
+      model = kept.map { case (p, v) =>
+        p -> Rounding.duckRoundDouble(v / totKept, 12)
+      }.sortBy(_._1)
     }
-
-    // prune: alphabet + top keepMulti multis, then renormalize
-    val (alpha, multi) = model.partition(_._1.length == 1)
-    val kept = alpha ++ multi
-      .sortBy { case (p, v) => (-v, p) }.take(keepMulti)
-    val totKept = Rounding.duckRoundDouble(
-      kept.sortBy(_._1).map(_._2).sum, 12)
-    Model(kept.map { case (p, v) =>
-      p -> Rounding.duckRoundDouble(v / totKept, 12)
-    }.sortBy(_._1))
+    Model(model)
   }
 
-  /** Gate shape of [[train]]: (piece, n_chars, rank, prob) with rank
-    * by (prob DESC, piece ASC). */
-  def trainedModel(docs: DataFrame, seedMulti: Int, emRounds: Int,
-                   keepMulti: Int): DataFrame = {
+  /** Gate shape of a trained model: (piece, n_chars, rank, prob)
+    * with rank by (prob DESC, piece ASC). */
+  def modelFrame(docs: DataFrame, model: Model): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val model = train(docs, seedMulti, emRounds, keepMulti)
     model.pieces.sortBy { case (p, v) => (-v, p) }.zipWithIndex
       .map { case ((p, v), i) =>
-        (p, p.length.toLong, (i + 1).toLong, Rounding.duckRoundDouble(v, 9))
+        (p, p.length.toLong, (i + 1).toLong,
+          Rounding.duckRoundDouble(v, 9))
       }
       .toDF("piece", "n_chars", "rank", "prob")
   }
+
+  /** Gate shape of [[train]]. */
+  def trainedModel(docs: DataFrame, seedMulti: Int, emRounds: Int,
+                   keepMulti: Int): DataFrame =
+    modelFrame(docs, train(docs, seedMulti, emRounds, keepMulti))
 
   /** Viterbi segmentation stats over the distinct word table: per
     * word the best log-likelihood and its piece count. Log-probs snap
@@ -200,6 +223,58 @@ object UnigramLm {
       p -> Rounding.duckRoundDouble(math.log(v), 9)
     }.toMap)
 
+  /** [[viterbiStats]] with the model entering the plan as a BROADCAST
+    * JOIN instead of a `typedLit` map (VERDICT r15 #4): the literal
+    * embeds O(vocab) constants in the expression tree — fine at the
+    * 80-piece gate vocab, constant-pool/codegen bloat at a production
+    * 32k vocab. Here the (piece, lp) table broadcast-joins against the
+    * exploded per-position candidate table; each word then carries an
+    * O(word-length × 3) lp array and the SAME DP fold runs over it
+    * (identical summation shapes and tie-breaks ⇒ hash-identical
+    * output, pinned by UnigramLmSpec and the e231 gate). The plan:
+    * one explode (word length ≤ bounded), one broadcast hash join —
+    * vocab never rides the expression tree, words never leave their
+    * partitions except the wordTable aggregation both paths share. */
+  def viterbiStatsJoin(docs: DataFrame, model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lpDf = model.pieces
+      .map { case (p, v) =>
+        (p, Rounding.duckRoundDouble(math.log(v), 9))
+      }.toDF("piece", "lp")
+    val wt = wordTable(docs)
+    // every (j, len) candidate piece, len ≤ min(j, MaxPieceLen)
+    val cands = wt
+      .select(col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("j"))
+      .select(col("word"), col("j"), explode(filter(array(
+        (1 to MaxPieceLen).map(l =>
+          when(col("j") >= l, struct(lit(l).as("len"),
+            col("word").substr(col("j") - lit(l - 1), lit(l))
+              .as("piece")))): _*),
+        x => x.isNotNull)).as("c"))
+      .select(col("word"), col("j"), col("c.len").as("len"),
+        col("c.piece").as("piece"))
+    // absent pieces keep a null lp — the DP's "not in vocab" signal,
+    // identical to the literal path's element_at miss
+    val perLen = (1 to MaxPieceLen).map(l =>
+      max(when(col("len") === l, col("lp"))).as(s"lp$l"))
+    val lps = cands.join(broadcast(lpDf), Seq("piece"), "left")
+      .groupBy(col("word"), col("j"))
+      .agg(perLen.head, perLen.tail: _*)
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("j") +:
+        (1 to MaxPieceLen).map(l => col(s"lp$l")): _*))).as("lps"))
+    wt.join(lps, Seq("word"))
+      .withColumn("vit", guardOov(
+        vitFold(length(col("word")), (j, len) =>
+          element_at(col("lps"), j).getField(s"lp$len")),
+        col("word")))
+      .select(col("word"), col("wc"),
+        col("vit.np").cast("long").as("n_pieces"),
+        Rounding.duckRound(col("vit.v"), 6).as("best_lp"))
+  }
+
   /** A word with a character OUTSIDE the model alphabet has no
     * candidate at that position (null DP state there); later
     * positions then build structs whose FIELDS are null (a struct
@@ -217,31 +292,40 @@ object UnigramLm {
           "alphabet: "), w)))
 
   /** The per-word Viterbi DP as a pure column: best final state
-    * struct(v, l, np) for `w`. acc(i) = best state for prefix length
-    * i−1; array_max picks (v, then l, then np) — v DESC with
-    * longer-piece tie preference, np never reached (equal v+l ⇒ same
-    * candidate). */
-  private def vitCol(w: Column, mlp: Column): Column = {
+    * struct(v, l, np) for a word of length `wlen`. acc(i) = best
+    * state for prefix length i−1; array_max picks (v, then l, then
+    * np) — v DESC with longer-piece tie preference, np never reached
+    * (equal v+l ⇒ same candidate). The log-prob lookup `lpAt(j, len)`
+    * (round-9 lp of the piece ENDING at 1-based position j, null when
+    * absent) is pluggable: a map literal at gate-scale vocabs, a
+    * broadcast-joined per-position array at production vocabs — same
+    * DP, same tie-breaks, different model transport. */
+  private def vitFold(wlen: Column,
+                      lpAt: (Column, Int) => Column): Column = {
     def cand(acc: Column, j: Column, len: Int): Column = {
-      val piece = w.substr(j - lit(len - 1), lit(len))
+      val lp = lpAt(j, len)
       val prev = element_at(acc, j - lit(len - 1))
       val guard = if (len == 1) lit(true) else j >= len
-      when(guard && element_at(mlp, piece).isNotNull,
+      when(guard && lp.isNotNull,
         struct(
-          (prev.getField("v") + element_at(mlp, piece)).as("v"),
+          (prev.getField("v") + lp).as("v"),
           lit(len).as("l"),
           (prev.getField("np") + 1).as("np")))
         .otherwise(lit(null))
     }
     element_at(
-      aggregate(sequence(lit(1), length(w)),
+      aggregate(sequence(lit(1), wlen),
         array(struct(lit(0.0).as("v"), lit(0).as("l"),
           lit(0).as("np"))),
         (acc, j) => concat(acc, array(array_max(filter(
           array(cand(acc, j, 1), cand(acc, j, 2), cand(acc, j, 3)),
           x => x.isNotNull))))),
-      length(w) + 1)
+      wlen + 1)
   }
+
+  private def vitCol(w: Column, mlp: Column): Column =
+    vitFold(length(w), (j, len) =>
+      element_at(mlp, w.substr(j - lit(len - 1), lit(len))))
 
   /** Word → (piece count, round-6 best log-likelihood) over a
     * corpus's distinct words — the serving MEMO: like the trained

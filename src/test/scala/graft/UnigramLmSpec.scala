@@ -71,6 +71,38 @@ class UnigramLmSpec extends SparkSpec {
     assert(bare.last == Seq(2L, 0L, 0L, 0.0))
   }
 
+  test("broadcast-join Viterbi equals the map-literal path exactly, " +
+    "ties and OOV-null semantics included (VERDICT r15 #4)") {
+    // dyadic tie (ab vs a+b) plus a no-tie segmentation, multi-word
+    // docs — the join path must reproduce the literal path bit-for-bit
+    val model = UnigramLm.Model(Seq(
+      "a" -> 0.25, "b" -> 0.25, "ab" -> 0.0625, "c" -> 0.4375))
+    val d = docsOf("ab abc cab", "ba ac b", "abcabc")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("word").collect().map(_.toSeq).toSeq
+    assert(sorted(UnigramLm.viterbiStatsJoin(d, model)) ==
+      sorted(UnigramLm.viterbiStats(d, model)))
+  }
+
+  test("scheduled training: one-stage schedule equals train(); a " +
+    "descending schedule prunes toward the target vocab each stage") {
+    val d = docsOf("abc abc ab bc", "abc ab ab c", "zz az")
+    val single = UnigramLm.train(d, seedMulti = 20, emRounds = 2,
+      keepMulti = 8)
+    val viaSchedule = UnigramLm.trainSchedule(d, seedMulti = 20,
+      schedule = Seq(2 -> 8))
+    assert(single.pieces == viaSchedule.pieces)
+    // two prune stages: the final vocab hits the last stage's target,
+    // the alphabet survives every prune, mass renormalizes to 1
+    val sched = UnigramLm.trainSchedule(d, seedMulti = 20,
+      schedule = Seq(1 -> 6, 1 -> 2))
+    assert(sched.pieces.count(_._1.length > 1) <= 2)
+    val alphabet = d.select(explode(split(col("text"), " ")))
+      .collect().flatMap(_.getString(0)).toSet.filter(_ != ' ')
+    assert(alphabet.forall(ch => sched.pieces.exists(_._1 == ch.toString)))
+    assert(math.abs(sched.pieces.map(_._2).sum - 1.0) < 1e-9)
+  }
+
   test("a word with an out-of-alphabet character fails BY NAME, " +
     "never silently nulling n_pieces/best_lp (ADVICE r15)") {
     val model = UnigramLm.Model(Seq("a" -> 0.5, "b" -> 0.5))
