@@ -464,6 +464,28 @@ object PipelineTail {
   }
 }
 
+/** Test-only boundedness observer (VERDICT r15 #5): when enabled,
+  * [[PipelineTailProcessor]] records (key, bufferedBefore,
+  * bufferedAfter, endFlush) at every timer settle, turning the
+  * "state is bounded by watermark delay × candle rate" contract into
+  * an assertable per-firing trace instead of prose. Local-mode only
+  * (samples live in this JVM); production queries never enable it,
+  * and when disabled the processor's hot path pays one volatile
+  * read. */
+object PipelineTailObserver {
+  @volatile var enabled = false
+  private val q = new java.util.concurrent
+    .ConcurrentLinkedQueue[(Long, Int, Int, Boolean)]
+  private[streaming] def record(key: Long, before: Int, after: Int,
+                                endFlush: Boolean): Unit =
+    if (enabled) q.add((key, before, after, endFlush))
+  def samples(): Seq[(Long, Int, Int, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    q.iterator().asScala.toSeq
+  }
+  def reset(): Unit = q.clear()
+}
+
 /** `transformWithState` adapter around [[PipelineTail]]: buffers fused
   * rows, settles the prefix behind the PREVIOUS firing's watermark in
   * minute order (the lagged boundary makes the chained-operator
@@ -542,6 +564,7 @@ class PipelineTailProcessor(medianSpread: Double, spikeThreshold: Double,
     val boundary = if (endFlush) Long.MaxValue else st.lastWm
     val all = buf.get().toSeq
     val (ready, rest) = all.partition(_.datetime.getTime < boundary)
+    PipelineTailObserver.record(key, all.size, rest.size, endFlush)
     val out = Seq.newBuilder[CandleOut]
     val audit = scala.collection.mutable.ListBuffer.empty[AuditRow]
     ready.sortBy(_.datetime.getTime).foreach { r =>

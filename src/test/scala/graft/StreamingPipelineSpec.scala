@@ -249,6 +249,85 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("tail state is WATERMARK-BOUNDED, not replay-length-bounded: " +
+    "an 8-batch ordered replay never buffers more than delay+span " +
+    "candles and drains to zero at the flush (VERDICT r15 #5)") {
+    import graft.streaming.PipelineTailObserver
+    // 32 minutes of one-tick-per-minute data (Tue, inside trading
+    // hours), staged as 8 in-order files of 4 minutes each; watermark
+    // delay 2 minutes → at any settle the tail may hold at most the
+    // unsettled trailing window (delay + current batch span + the
+    // one-batch boundary lag), NEVER the whole replay.
+    val nMin = 32
+    val batchSpan = 4
+    val delayMin = 2
+    val t0 = ts("2024-01-02 10:00:00").getTime
+    val ticks = (0 until nMin).map { i =>
+      (new java.sql.Timestamp(t0 + i * 60000L + 5000L), i.toLong + 1,
+        1.10 + (i % 5) * 0.001, 1.09 + (i % 5) * 0.001)
+    }.toDF("datetime", "tick_id", "ask", "bid")
+    val m1rows = (0 until nMin).map { i =>
+      (new java.sql.Timestamp(t0 + i * 60000L + 10000L),
+        100L + i, 1.095 + (i % 5) * 0.001)
+    }.toDF("datetime", "tick_id", "mid")
+      .withColumn("spread", lit(null).cast("double"))
+
+    val mx = t0 + (nMin - 1) * 60000L + 10000L
+    val flushFireMs = mx + 10 * 60000L
+    val flush = new java.sql.Timestamp(
+      StreamingPipeline.weekdaySentinelMs(
+        flushFireMs + (delayMin + 1440) * 60000L))
+    def sentinel(df: DataFrame) =
+      df.limit(1).withColumn("datetime", lit(flush))
+    def batches(df: DataFrame) = (0 until nMin / batchSpan).map { b =>
+      df.filter(col("datetime") >=
+        new java.sql.Timestamp(t0 + b * batchSpan * 60000L) &&
+        col("datetime") <
+          new java.sql.Timestamp(t0 + (b + 1) * batchSpan * 60000L))
+    } :+ sentinel(df)
+    val tDir = StagedReplay.stageFiles(batches(ticks),
+      "target/test-fixtures/spb_ticks")
+    val mDir = StagedReplay.stageFiles(batches(m1rows),
+      "target/test-fixtures/spb_m1")
+    def stream(p: String) = spark.readStream
+      .schema(spark.read.parquet(p).schema)
+      .option("maxFilesPerTrigger", "1").parquet(p)
+
+    PipelineTailObserver.reset()
+    PipelineTailObserver.enabled = true
+    try {
+      val result = StreamingPipeline.run(
+        TickPrep(stream(tDir)), stream(mDir), s"$delayMin minutes",
+        0.01, 100.0, 1.0, cutoffMs = flushFireMs,
+        flushFireMs = flushFireMs)
+      val replayed =
+        StreamingPipeline.replayWithRocksDb(spark, result, 1)
+      assert(replayed.count() == nMin) // no gaps: every minute real
+    } finally PipelineTailObserver.enabled = false
+
+    val samples = PipelineTailObserver.samples()
+    // the replay really settled incrementally (many firings), not in
+    // one end-of-data drain
+    assert(samples.size >= 6, s"expected >=6 settles, got $samples")
+    // candle rate = 1/min here, so rows == minutes: the buffer may
+    // hold the unsettled trailing window (delay + batch span + one
+    // batch of boundary lag ≈ 2+4+4+2) but NEVER the 32-minute replay
+    val bound = delayMin + 2 * batchSpan + 2
+    val maxBefore = samples.map(_._2).max
+    assert(maxBefore <= bound,
+      s"buffer peaked at $maxBefore rows (> $bound): state is " +
+        s"accumulating with replay length; samples=$samples")
+    samples.filterNot(_._4).foreach { case (_, _, after, _) =>
+      assert(after <= delayMin + batchSpan + 2,
+        s"post-settle buffer $after exceeds the watermark window; " +
+          s"samples=$samples")
+    }
+    // the end-of-replay flush drains the buffer completely
+    val flushes = samples.filter(_._4)
+    assert(flushes.nonEmpty && flushes.forall(_._3 == 0),
+      s"flush did not drain: $samples")
+  }
+
   test("composed streaming pipeline == batch Pipeline.run on a staged " +
     "multi-batch replay") {
     val (ticks, m1rows) = fixture()
