@@ -2124,6 +2124,65 @@ object ExtQueries {
       s.read.parquet(outs.toIndexedSeq: _*)
     }),
 
+    // E231: streaming ANN serving WITH incremental index append
+    // (VERDICT r15 #7 — e94's serving loop composed with e86's append
+    // path as ONE continuous query): the index is built and persisted
+    // on the pre-append corpus (vec_id % 10 != 0); the stream then
+    // carries tagged records — micro-batches 0-1 APPEND the held-out
+    // vectors (encoded with the persisted model halves, no retrain,
+    // no re-encode of the old corpus), micro-batch 2 carries the
+    // probes. Each batch appends BEFORE it serves and re-reads the
+    // cell-partitioned coded store, so batch N+1's probes see batch
+    // N's appends through nothing but the storage layer (the model
+    // halves load once and never change — the production contract).
+    // The probes therefore serve against the FULL corpus and the gate
+    // shares e86's oracle; StreamingAnnAppendSpec additionally pins
+    // MID-replay visibility (a probe between the appends sees exactly
+    // the corpus-so-far).
+    "e231_streaming_index_append_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val e = emb(s, dir)
+      val old = e.filter(col("vec_id") % 10 =!= 0)
+      val model = ModelCache.cached(
+        s"ivfpq|$dir|old10|ck=8|m=4|k=8|it=2")(
+        Similarity.trainIvfPq(old))
+      val scratch = graft.Scratch.fresh("ann_serve_append", dir)
+      val path = s"$scratch/index"
+      VectorIndex.write(s, model, old, path)
+      val served = VectorIndex.read(s, path)
+      graft.streaming.StagedReplay.stageFiles(Seq(
+        e.filter(col("vec_id") % 20 === 0).withColumn("kind",
+          lit("append")),
+        e.filter(col("vec_id") % 10 === 0 &&
+          col("vec_id") % 20 =!= 0).withColumn("kind", lit("append")),
+        e.filter(col("vec_id") < 10).withColumn("kind", lit("query"))),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val adds = b.filter(col("kind") === "append").drop("kind")
+          if (!adds.isEmpty) VectorIndex.append(s, path, adds)
+          // re-read coded AFTER this batch's append: the serve sees
+          // every vector appended so far, through storage alone
+          served.topKFromCoded(b.filter(col("kind") === "query")
+              .drop("kind"),
+            VectorIndex.readCoded(s, path), 3)
+            .write.mode("overwrite").parquet(s"$scratch/out_$id")
+          ()
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
     // E93: exact all-pairs TF-IDF cosine ≥ 0.3 over 5-shingle features
     // via Bayardo prefix filtering — candidates from suffix-bounded
     // inverted-index prefixes only, then exact verification; the oracle
@@ -5745,6 +5804,21 @@ object ExtQueries {
     // exactly what "encode the batch with the persisted model" must
     // equal
     "e86_ivfpq_append_topk" ->
+      s"""WITH emb4 AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS e
+        |  FROM embeddings),
+        |emb AS (SELECT vec_id, e FROM emb4),
+        |${ivfpqChainCtes("ap", "vec_id % 10 <> 0", m = 4, L = 16,
+           kc = 8, np = 2, rr = 0)}
+        |SELECT q_id, n_id, adc, rank FROM apranked
+        |WHERE rank <= 3""".stripMargin,
+
+    // the streaming append-then-serve replay converges to the same
+    // full-corpus serve as the batch append path — probes run after
+    // every append lands, with the model frozen at the old-corpus
+    // build, so e86's oracle gates the whole loop
+    "e231_streaming_index_append_replay" ->
       s"""WITH emb4 AS (
         |  SELECT vec_id, label,
         |    list_transform(embedding, x -> x::DOUBLE) AS e
