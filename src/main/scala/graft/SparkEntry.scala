@@ -90,7 +90,8 @@ object SparkEntry {
     * ticks + a legacy candle feed, and the full 15-stage Pipeline runs
     * with partitionBy = Seq("sym"). */
   private def keyedPipeline(s: SparkSession, dir: String,
-                            dayWindows: Boolean): DataFrame = {
+                            dayWindows: Boolean,
+                            w1Day: Option[Boolean] = None): DataFrame = {
     val ev = Tables.load(s, dir, "events")
     val half = (lit(0.01) + (col("event_id") % 10) * lit(0.001)) / 2
     val kticks = ev.select(
@@ -107,7 +108,7 @@ object SparkEntry {
       Seq("sym"))
     val out = Pipeline.run(s, kticks, Some(km1), SpikeThreshold,
       ConsensusThreshold, partitionBy = Seq("sym"),
-      dayWindows = dayWindows).candles
+      dayWindows = dayWindows, w1Day = w1Day).candles
     out.select(col("sym"), col("datetime"),
       Rounding.duckRound(col("open").cast("double"), 5).as("open"),
       Rounding.duckRound(col("high").cast("double"), 5).as("high"),
@@ -1264,6 +1265,13 @@ object SparkEntry {
     "pipeline_hybrid_by_key_day_part" -> ((s, dir) =>
       keyedPipeline(s, dir, dayWindows = true)),
 
+    // The keyed pipeline on the MIXED backend (r16): W1 runs
+    // (sym, day)-parallel, ffill/lag/bridge stay plain-keyed — the
+    // measured-best shape composed with partitionBy. Shares
+    // pipeline_hybrid_by_key's oracle: backend changed, hash didn't.
+    "pipeline_hybrid_by_key_mixed_part" -> ((s, dir) =>
+      keyedPipeline(s, dir, dayWindows = false, w1Day = Some(true))),
+
     // The reference's FULL run() as ONE continuous streaming query
     // (VERDICT r14 #2): scan → prep → windowed OHLC (both feeds) →
     // consensus full-outer window join → transformWithState tail
@@ -2150,7 +2158,11 @@ object SparkEntry {
     "pipeline_hybrid_by_key" -> pipelineKeyedOracle,
 
     // (key, day)-composed backend — same semantics, same oracle
-    "pipeline_hybrid_by_key_day_part" -> pipelineKeyedOracle
+    "pipeline_hybrid_by_key_day_part" -> pipelineKeyedOracle,
+
+    // keyed MIXED backend (r16): W1 (sym, day)-parallel, the cheap
+    // fills/lag plain-keyed — same semantics, same oracle
+    "pipeline_hybrid_by_key_mixed_part" -> pipelineKeyedOracle
   )
 
   /** The composed-pipeline oracle generalized per symbol: every
