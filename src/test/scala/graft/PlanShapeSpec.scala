@@ -289,6 +289,31 @@ class PlanShapeSpec extends SparkSpec {
       s"no condition-less join may appear, plan:\n$p")
   }
 
+  test("mixed pipeline routes ONLY W1 through the day backend: the " +
+    "global mode plans zero day-partitioned windows, the mixed mode " +
+    "some, the all-day mode strictly more") {
+    val key = "spark.sql.maxPlanStringLength"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "10000000") // pipeline plans exceed the 65k
+    try {                           // default and would truncate counts
+      def dayMarks(name: String): Int = {
+        val n = "_dw_day".r.findAllIn(plan(name)).length
+        spark.sharedState.cacheManager.clearCache()
+        n
+      }
+      val global = dayMarks("pipeline_hybrid_full")
+      val mixed = dayMarks("pipeline_hybrid_mixed_part")
+      val allDay = dayMarks("pipeline_hybrid_day_part")
+      assert(global == 0,
+        s"global mode must not touch DayWindows ($global marks)")
+      assert(mixed > 0,
+        "mixed mode must route W1 through DayWindows")
+      assert(mixed < allDay,
+        s"mixed mode must route ONLY W1 day-side: $mixed marks vs " +
+          s"all-day $allDay")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")
