@@ -750,6 +750,25 @@ object ExtQueries {
     "e62_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // E233: interpolated KNESER-NEY bigram LM scoring (r16) — the
+    // perplexity signal production quality filters rank by (CCNet /
+    // MassiveText), upgrading e62's unigram proxy to the smoothing
+    // family real pipelines use: P = max(c−D,0)/ctot +
+    // D·N1+(w1,·)/ctot · N1+(·,w2)/N1+(·,·), D = 0.75, trained on
+    // and scored over the corpus. The model is a (w1, w2, lp) TABLE
+    // equi-joined to the scoring bigrams — never an expression-tree
+    // literal — so a 10⁹-bigram model shards like a fact table.
+    // Per-bigram lp snaps to round-9 before the per-doc round-6 sum.
+    "e233_kn_bigram_logprob" -> ((s, dir) =>
+      KneserNey.docLogProb(docs(s, dir))),
+
+    // E234: the curation operator the score exists for — keep docs at
+    // or below the corpus-median perplexity (the low-ppl head, the
+    // CCNet shape). The threshold is the G5 two-pass pattern: one
+    // exact-percentile driver scalar, then a filtered scan.
+    "e234_kn_perplexity_filter" -> ((s, dir) =>
+      KneserNey.perplexityFilter(docs(s, dir), q = 0.5)),
+
     // E8: language-ID heuristic (marker stopword argmax)
     "e8_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
 
@@ -4080,6 +4099,39 @@ object ExtQueries {
        |  coalesce(w.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp
        |FROM documents d0 LEFT JOIN dsum w USING (doc_id)""".stripMargin
 
+  /** Kneser-Ney bigram training + per-doc scoring as shared CTEs
+    * (e233/e234): exact integer counts, ONE fixed probability
+    * expression shape (matching [[graft.ext.KneserNey]] term for
+    * term), round-9 per-bigram lp, round-6 per-doc sum. */
+  private val knDocCtes: String =
+    """knw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |knbig AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM knw)),
+      |kntyp AS (SELECT w1, w2, count(*) AS cnt FROM knbig
+      |          GROUP BY 1, 2),
+      |knhist AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |           FROM kntyp GROUP BY 1),
+      |knleft AS (SELECT w2, count(*) AS n1l FROM kntyp GROUP BY 1),
+      |kntot AS (SELECT count(*) AS n1tot FROM kntyp),
+      |knlp AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM kntyp t JOIN knhist h USING (w1) JOIN knleft l USING (w2)
+      |  CROSS JOIN kntot s),
+      |kndoc AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM knbig b JOIN knlp p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
@@ -4091,6 +4143,31 @@ object ExtQueries {
     "e230_unigram_target_vocab" -> unigramSchedTrainOracle,
 
     "e232_unigram_viterbi_join" -> unigramSchedViterbiOracle,
+
+    "e233_kn_bigram_logprob" ->
+      s"""WITH $knDocCtes
+        |SELECT d.doc_id,
+        |  coalesce(k.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+        |  CASE WHEN k.n_bigrams IS NOT NULL
+        |       THEN round(exp(-k.doc_lp / k.n_bigrams), 6) END AS ppl
+        |FROM documents d LEFT JOIN kndoc k USING (doc_id)""".stripMargin,
+
+    // corpus-median exact-percentile cut over the SCORED rows (NULL
+    // ppl rows drop — a rate-free doc has no quality evidence)
+    "e234_kn_perplexity_filter" ->
+      s"""WITH $knDocCtes,
+        |knfinal AS (
+        |  SELECT d.doc_id,
+        |    coalesce(k.n_bigrams, 0) AS n_bigrams,
+        |    coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+        |    CASE WHEN k.n_bigrams IS NOT NULL
+        |         THEN round(exp(-k.doc_lp / k.n_bigrams), 6) END AS ppl
+        |  FROM documents d LEFT JOIN kndoc k USING (doc_id)),
+        |kncut AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
+        |          FROM knfinal)
+        |SELECT f.* FROM knfinal f CROSS JOIN kncut
+        |WHERE f.ppl <= kncut.c""".stripMargin,
 
     "e1_dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Rounding
+
+/** Interpolated Kneser-Ney bigram language model scoring — the
+  * perplexity-filter quality signal mainstream LLM-data pipelines
+  * (CCNet, Gopher/MassiveText) rank documents by, complementing the
+  * corpus-unigram proxy (e62) with the smoothing family production
+  * filters actually use (Kneser-Ney 1995; Chen & Goodman 1999):
+  *
+  *   P(w2|w1) = max(c(w1,w2) − D, 0) / ctot(w1)
+  *            + D · N1+(w1,·) / ctot(w1) · N1+(·,w2) / N1+(·,·)
+  *
+  * with fixed discount D, ctot(w1) = Σ_w2 c(w1,w2) (history mass),
+  * N1+(w1,·) / N1+(·,w2) the right/left continuation type counts and
+  * N1+(·,·) the distinct-bigram total. Trained on the corpus itself
+  * and scored over the same corpus (the self-scoring shape every
+  * quality filter runs before thresholding), so every scored bigram
+  * is seen and P > 0 without an unseen-history branch.
+  *
+  * Determinism contract (the standing engine/oracle conventions):
+  * counts are exact integers; the probability is ONE fixed expression
+  * shape evaluated in doubles on both engines; per-bigram log-probs
+  * snap to 9 decimals BEFORE the per-doc sum; the per-doc sum — the
+  * only accumulation-order-dependent float — rounds to 6.
+  *
+  * Scale shape: training is three hash aggregations over the exploded
+  * bigram table (one shuffle each, partial aggregation map-side);
+  * the model is a (w1, w2, lp) table JOINED to the scoring bigrams —
+  * an equi-join on the bigram key, never a literal in the expression
+  * tree, so a 10⁹-bigram model shards like any fact table. Scoring
+  * re-aggregates per doc_id: one more shuffle, linear everywhere.
+  */
+object KneserNey {
+
+  private def words(text: Column): Column =
+    expr(s"filter(split($text, ' '), x -> x != '')")
+
+  /** Per-document bigram OCCURRENCES (doc_id, w1, w2) in document
+    * order; documents with fewer than 2 words contribute none.
+    * Pairing is zip_with over the two (n−1)-prefixes offset by one —
+    * NOT `sequence(1, n−1)`, which DESCENDS ([1, 0]) when n < 2 and
+    * would fault on element_at(…, 0) for empty/one-word docs. */
+  private def bigrams(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val n1 = greatest(size(w) - 1, lit(0))
+    docs.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), n1), slice(w, lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** The trained model: (w1, w2, lp) with lp = round-9
+    * ln P_KN(w2|w1) for every bigram TYPE in the corpus. */
+  def bigramLogProbs(docs: DataFrame,
+                     discount: Double = 0.75): DataFrame = {
+    val big = bigrams(docs)
+    val typ = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    // history mass + right continuation types, one pass over types
+    val hist = typ.groupBy(col("w1")).agg(
+      sum(col("cnt")).as("ctot"),
+      count(lit(1)).as("n1r"))
+    // left continuation types + the distinct-bigram total
+    val left = typ.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val tot = typ.agg(count(lit(1)).as("n1tot"))
+    val d = lit(discount)
+    typ.join(hist, Seq("w1")).join(left, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), Rounding.duckRound(log(
+        greatest(col("cnt") - d, lit(0.0)) / col("ctot")
+          + d * col("n1r") / col("ctot")
+          * (col("n1l").cast("double") / col("n1tot"))), 9).as("lp"))
+  }
+
+  /** Per-document KN score: bigram count, round-6 total log-prob, and
+    * round-6 perplexity exp(−lp/n). Documents with < 2 words keep a
+    * zero row (n_bigrams 0, doc_lp 0, ppl NULL — no defined rate). */
+  def docLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val scored = bigrams(docs)
+      .join(bigramLogProbs(docs, discount), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Rounding.duckRound(sum(col("lp")), 6).as("doc_lp"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
+        when(col("n_bigrams").isNotNull, Rounding.duckRound(
+          exp(-col("doc_lp") / col("n_bigrams")), 6)).as("ppl"))
+  }
+
+  /** The CURATION operator the score exists for: keep documents with
+    * perplexity at or below the exact q-quantile of the scored corpus
+    * (CCNet keeps the low-perplexity head; the threshold is the
+    * reference's G5 two-pass shape — one small driver scalar, then a
+    * broadcast-filtered scan). Wordless docs carry NULL ppl and drop:
+    * a rate-free doc has no evidence of quality. */
+  def perplexityFilter(docs: DataFrame, q: Double,
+                       discount: Double = 0.75): DataFrame = {
+    val scored = docLogProb(docs, discount)
+    val cut = scored.agg(
+      percentile(col("ppl"), lit(q)).as("c")).head().getDouble(0)
+    scored.filter(col("ppl") <= lit(cut))
+  }
+}
