@@ -769,6 +769,30 @@ object ExtQueries {
     "e234_kn_perplexity_filter" -> ((s, dir) =>
       KneserNey.perplexityFilter(docs(s, dir), q = 0.5)),
 
+    // E235: KN perplexity SERVING on a document stream via a
+    // STREAM-STATIC equi-join — the third serving transport in the
+    // tokenizer/LM family and the one production-sized models use
+    // (e229 ships the model as a literal, e232 as a broadcast join
+    // inside one batch; here the batch-trained (w1,w2,lp) TABLE joins
+    // a live stream, so model size is bounded by the join, not the
+    // plan). Per-doc aggregation replays in complete mode (the e24
+    // windowless-agg shape — bounded replay state = one row per doc;
+    // a production stream would window by ingest time); wordless docs
+    // re-attach batch-side. Converges to e233 exactly — shares its
+    // oracle.
+    "e235_kn_streaming_serve_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val model = KneserNey.bigramLogProbs(d)
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      KneserNey.finalizeScores(d,
+        StreamingOhlc.replayToBatch(s,
+          KneserNey.docScores(stream, model)))
+    }),
+
     // E8: language-ID heuristic (marker stopword argmax)
     "e8_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
 
@@ -4168,6 +4192,16 @@ object ExtQueries {
         |          FROM knfinal)
         |SELECT f.* FROM knfinal f CROSS JOIN kncut
         |WHERE f.ppl <= kncut.c""".stripMargin,
+
+    // the stream-static-join replay converges to the batch scorer
+    "e235_kn_streaming_serve_replay" ->
+      s"""WITH $knDocCtes
+        |SELECT d.doc_id,
+        |  coalesce(k.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+        |  CASE WHEN k.n_bigrams IS NOT NULL
+        |       THEN round(exp(-k.doc_lp / k.n_bigrams), 6) END AS ppl
+        |FROM documents d LEFT JOIN kndoc k USING (doc_id)""".stripMargin,
 
     "e1_dedup_exact" ->
       ("SELECT md5(text) AS fp, min(doc_id) AS keep_id, " +

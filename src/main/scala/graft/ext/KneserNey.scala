@@ -76,22 +76,34 @@ object KneserNey {
           * (col("n1l").cast("double") / col("n1tot"))), 9).as("lp"))
   }
 
-  /** Per-document KN score: bigram count, round-6 total log-prob, and
-    * round-6 perplexity exp(−lp/n). Documents with < 2 words keep a
-    * zero row (n_bigrams 0, doc_lp 0, ppl NULL — no defined rate). */
-  def docLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
-    val scored = bigrams(docs)
-      .join(bigramLogProbs(docs, discount), Seq("w1", "w2"))
+  /** Per-doc raw scores against an already-trained model — the
+    * SERVING half, stream-safe: bigram explode (narrow), equi-join on
+    * the bigram key against the static model table, one per-doc
+    * aggregation. Only docs with ≥1 scored bigram appear; callers
+    * re-attach zero rows via [[finalizeScores]]. */
+  def docScores(docs: DataFrame, model: DataFrame): DataFrame =
+    bigrams(docs)
+      .join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         Rounding.duckRound(sum(col("lp")), 6).as("doc_lp"))
-    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+
+  /** Gate shape over raw scores: every doc keeps a row (< 2 words →
+    * n_bigrams 0, doc_lp 0, ppl NULL — no defined rate), scored docs
+    * get round-6 perplexity exp(−lp/n). */
+  def finalizeScores(allDocs: DataFrame, scored: DataFrame): DataFrame =
+    allDocs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
         when(col("n_bigrams").isNotNull, Rounding.duckRound(
           exp(-col("doc_lp") / col("n_bigrams")), 6)).as("ppl"))
-  }
+
+  /** Per-document KN score: bigram count, round-6 total log-prob, and
+    * round-6 perplexity. */
+  def docLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame =
+    finalizeScores(docs,
+      docScores(docs, bigramLogProbs(docs, discount)))
 
   /** The CURATION operator the score exists for: keep documents with
     * perplexity at or below the exact q-quantile of the scored corpus
