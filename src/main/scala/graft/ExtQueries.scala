@@ -769,6 +769,16 @@ object ExtQueries {
     "e234_kn_perplexity_filter" -> ((s, dir) =>
       KneserNey.perplexityFilter(docs(s, dir), q = 0.5)),
 
+    // E236: TRIGRAM interpolated KN (the KenLM-family shape, one
+    // order below the usual 5): highest order discounts raw trigram
+    // counts and backs off into the Chen-Goodman lower-order bigram
+    // built from CONTINUATION counts (distinct left contexts), which
+    // backs off into the bigram-left continuation unigram. Same
+    // determinism contract as e233; docs with < 3 words keep zero
+    // rows.
+    "e236_kn_trigram_logprob" -> ((s, dir) =>
+      KneserNey.trigramDocLogProb(docs(s, dir))),
+
     // E235: KN perplexity SERVING on a document stream via a
     // STREAM-STATIC equi-join — the third serving transport in the
     // tokenizer/LM family and the one production-sized models use
@@ -4156,6 +4166,50 @@ object ExtQueries {
       |  FROM knbig b JOIN knlp p ON p.w1 = b.w1 AND p.w2 = b.w2
       |  GROUP BY 1)""".stripMargin
 
+  /** Trigram interpolated KN on top of [[knDocCtes]] (e236): the
+    * Chen-Goodman lower-order bigram from continuation counts, the
+    * bigram-left continuation unigram at the bottom, ONE probability
+    * expression mirroring [[graft.ext.KneserNey.trigramLogProbs]]
+    * term for term. */
+  private val kn3DocCtes: String =
+    s"""$knDocCtes,
+      |kn3tri AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      |        FROM knw)),
+      |kn3typ AS (SELECT w1, w2, w3, count(*) AS cnt FROM kn3tri
+      |           GROUP BY 1, 2, 3),
+      |kn3hist AS (SELECT w1, w2, sum(cnt) AS ctot, count(*) AS n1r
+      |            FROM kn3typ GROUP BY 1, 2),
+      |kn3cont AS (SELECT w2, w3, count(*) AS n1l3 FROM kn3typ
+      |            GROUP BY 1, 2),
+      |kn3mid AS (SELECT w2, sum(n1l3) AS nmid, count(*) AS n1rctx
+      |           FROM kn3cont GROUP BY 1),
+      |kn3leftb AS (SELECT w2 AS w3, count(*) AS n1lb FROM kntyp
+      |             GROUP BY 1),
+      |kn3totb AS (SELECT count(*) AS nbtot FROM kntyp),
+      |kn3lp AS (
+      |  SELECT t.w1, t.w2, t.w3, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (greatest(c.n1l3 - CAST(0.75 AS DOUBLE),
+      |                  CAST(0 AS DOUBLE)) / m.nmid
+      |        + CAST(0.75 AS DOUBLE) * m.n1rctx / m.nmid
+      |        * (CAST(l.n1lb AS DOUBLE) / s.nbtot))), 9) AS lp
+      |  FROM kn3typ t
+      |  JOIN kn3hist h ON h.w1 = t.w1 AND h.w2 = t.w2
+      |  JOIN kn3cont c ON c.w2 = t.w2 AND c.w3 = t.w3
+      |  JOIN kn3mid m ON m.w2 = t.w2
+      |  JOIN kn3leftb l ON l.w3 = t.w3
+      |  CROSS JOIN kn3totb s),
+      |kn3doc AS (
+      |  SELECT b.doc_id, count(*) AS n_trigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM kn3tri b JOIN kn3lp p
+      |    ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
+      |  GROUP BY 1)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
@@ -4192,6 +4246,15 @@ object ExtQueries {
         |          FROM knfinal)
         |SELECT f.* FROM knfinal f CROSS JOIN kncut
         |WHERE f.ppl <= kncut.c""".stripMargin,
+
+    "e236_kn_trigram_logprob" ->
+      s"""WITH $kn3DocCtes
+        |SELECT d.doc_id,
+        |  coalesce(k.n_trigrams, 0) AS n_trigrams,
+        |  coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+        |  CASE WHEN k.n_trigrams IS NOT NULL
+        |       THEN round(exp(-k.doc_lp / k.n_trigrams), 6) END AS ppl
+        |FROM documents d LEFT JOIN kn3doc k USING (doc_id)""".stripMargin,
 
     // the stream-static-join replay converges to the batch scorer
     "e235_kn_streaming_serve_replay" ->

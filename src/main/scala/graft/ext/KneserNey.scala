@@ -105,6 +105,87 @@ object KneserNey {
     finalizeScores(docs,
       docScores(docs, bigramLogProbs(docs, discount)))
 
+  /** Per-document trigram OCCURRENCES (doc_id, w1, w2, w3); docs with
+    * fewer than 3 words contribute none (same offset-slice pairing as
+    * [[bigrams]] — never a descending `sequence`). */
+  private def trigrams(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val n2 = greatest(size(w) - 2, lit(0))
+    docs.select(col("doc_id"), explode(zip_with(
+        slice(w, lit(1), n2),
+        zip_with(slice(w, lit(2), n2), slice(w, lit(3), n2),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, bc) => struct(a.as("w1"), bc.getField("w2").as("w2"),
+          bc.getField("w3").as("w3")))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"),
+        col("t.w2").as("w2"), col("t.w3").as("w3"))
+  }
+
+  /** TRIGRAM interpolated Kneser-Ney (the KenLM-family shape
+    * production perplexity filters actually run, one order below the
+    * usual 5): the highest order discounts raw trigram counts and
+    * backs off into the Chen-Goodman LOWER-ORDER bigram distribution
+    * built from CONTINUATION counts (how many distinct left contexts
+    * a bigram completes), which itself backs off into the bigram-left
+    * continuation unigram:
+    *
+    *   P3(w3|w1w2) = max(c3 − D, 0)/c(w1w2·)
+    *               + D·N1+(w1w2·)/c(w1w2·) · P2c(w3|w2)
+    *   P2c(w3|w2)  = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+    *               + D·N1+ctx(w2)/N1+(·w2·) · N1+(·w3)/N1+(··)
+    *
+    * with N1+(·w2w3) = |{w1 : c3 > 0}|, N1+(·w2·) = trigram types
+    * with middle w2, N1+ctx(w2) = distinct w3 completing w2 in
+    * trigram tails, and the unigram level over BIGRAM types. Every
+    * count is an exact integer aggregation; the probability is one
+    * fixed double expression (oracle-mirrored term for term). */
+  def trigramLogProbs(docs: DataFrame,
+                      discount: Double = 0.75): DataFrame = {
+    val typ3 = trigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist3 = typ3.groupBy(col("w1"), col("w2")).agg(
+      sum(col("cnt")).as("ctot"), count(lit(1)).as("n1r"))
+    // continuation counts of the (w2, w3) completion
+    val cont = typ3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1l3"))
+    val mid = cont.groupBy(col("w2")).agg(
+      sum(col("n1l3")).as("nmid"), count(lit(1)).as("n1rctx"))
+    // lowest order: bigram-left continuation unigram
+    val typ2 = bigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val leftB = typ2.groupBy(col("w2")).agg(count(lit(1)).as("n1lb"))
+      .withColumnRenamed("w2", "w3")
+    val totB = typ2.agg(count(lit(1)).as("nbtot"))
+    val d = lit(discount)
+    typ3.join(hist3, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(leftB, Seq("w3"))
+      .crossJoin(broadcast(totB))
+      .select(col("w1"), col("w2"), col("w3"), Rounding.duckRound(log(
+        greatest(col("cnt") - d, lit(0.0)) / col("ctot")
+          + d * col("n1r") / col("ctot")
+          * (greatest(col("n1l3") - d, lit(0.0)) / col("nmid")
+            + d * col("n1rctx") / col("nmid")
+            * (col("n1lb").cast("double") / col("nbtot")))), 9)
+        .as("lp"))
+  }
+
+  /** Per-doc trigram KN score: docs with < 3 words keep a zero row
+    * (ppl NULL). */
+  def trigramDocLogProb(docs: DataFrame,
+                        discount: Double = 0.75): DataFrame = {
+    val scored = trigrams(docs)
+      .join(trigramLogProbs(docs, discount), Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        Rounding.duckRound(sum(col("lp")), 6).as("doc_lp"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
+        when(col("n_trigrams").isNotNull, Rounding.duckRound(
+          exp(-col("doc_lp") / col("n_trigrams")), 6)).as("ppl"))
+  }
+
   /** The CURATION operator the score exists for: keep documents with
     * perplexity at or below the exact q-quantile of the scored corpus
     * (CCNet keeps the low-perplexity head; the threshold is the

@@ -27,6 +27,29 @@ class KneserNeySpec extends SparkSpec {
     assert(math.abs(lps.values.map(math.exp).sum - 1.0) < 1e-8)
   }
 
+  test("trigram KN matches the closed form: lower-order mass comes " +
+    "from continuation counts, not raw bigram counts") {
+    // corpus {"a b c", "a b c", "a b d"}: c3(abc)=2, c3(abd)=1,
+    // ctot(ab)=3, N1+(ab·)=2; continuation bigram: N1+(·bc)=N1+(·bd)=1,
+    // N1+(·b·)=2, N1+ctx(b)=2; bigram-left unigram: N1+(·c)=N1+(·d)=1
+    // over 3 bigram types. P2c(c|b) = 0.25/2 + 0.75·(2/2)·(1/3) = 0.375
+    // P3(c|ab) = 1.25/3 + 0.75·(2/3)·0.375 = 0.604166…
+    // P3(d|ab) = 0.25/3 + 0.1875 = 0.270833…
+    val d = docsOf("a b c", "a b c", "a b d")
+    val lps = KneserNey.trigramLogProbs(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(3)).toMap
+    assert(math.abs(lps(("a", "b", "c")) -
+      math.log(1.25 / 3 + 0.75 * 2 / 3 * 0.375)) < 1e-8)
+    assert(math.abs(lps(("a", "b", "d")) -
+      math.log(0.25 / 3 + 0.75 * 2 / 3 * 0.375)) < 1e-8)
+    // short docs keep zero rows with NULL ppl
+    val short = KneserNey.trigramDocLogProb(docsOf("a b c", "a b", ""))
+      .orderBy("doc_id").collect()
+    assert(short.map(_.getLong(1)).toSeq == Seq(1L, 0L, 0L))
+    assert(short(1).isNullAt(3) && short(2).isNullAt(3))
+  }
+
   test("doc scores, perplexity, zero-rows for wordless docs, and the " +
     "median-ppl filter keeping the low-perplexity head") {
     val d = docsOf("a b", "a b", "a c", "")
