@@ -80,7 +80,15 @@ object KneserNey {
     * SERVING half, stream-safe: bigram explode (narrow), equi-join on
     * the bigram key against the static model table, one per-doc
     * aggregation. Only docs with ≥1 scored bigram appear; callers
-    * re-attach zero rows via [[finalizeScores]]. */
+    * re-attach zero rows via [[finalizeScores]].
+    *
+    * OOV contract: a bigram absent from the model is SKIPPED — it
+    * neither scores nor counts toward `n_bigrams` (the standard
+    * perplexity-filter OOV-skip, which biases ppl optimistic for
+    * heavily-OOV docs rather than infinite). Self-scored corpora (the
+    * gates) never hit it; a serving deployment that must fail loudly
+    * instead should left-join and null-guard like the unigram-LM
+    * serving path does. */
   def docScores(docs: DataFrame, model: DataFrame): DataFrame =
     bigrams(docs)
       .join(model, Seq("w1", "w2"))

@@ -314,6 +314,19 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("KN scoring joins on the n-gram key: no CartesianProduct, the " +
+    "only nested-loop is the broadcast 1-row totals") {
+    Seq("e233_kn_bigram_logprob", "e236_kn_trigram_logprob").foreach {
+      name =>
+        val p = plan(name)
+        assert(!p.contains("CartesianProduct"),
+          s"$name must never plan a cartesian, plan:\n$p")
+        // the distinct-type total enters via broadcast (1 row); every
+        // count/model join is an equi-join on the n-gram key
+        assert(p.contains("BroadcastExchange"), name)
+    }
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")
