@@ -64,14 +64,31 @@ object Pipeline {
     *                   sequential stages: U1's W3 ffill, F6's lag, and
     *                   the W4/W5 grid bridge.
     */
+  /** The measured three-regime backend rule (SCALE.md §r16, probed at
+    * 100×/1000× of sf0.1): below ~1 M candle rows per key every
+    * backend tax loses — stay global; between ~1 M and ~10 M only
+    * W1's superlinear rolling median is worth day-routing (the MIXED
+    * winner at 2.8 M); past ~10 M the chained global single-task
+    * stages themselves become the straggler — day-route everything
+    * (the all-day winner at 28 M). Returns (w1Day, fillLagDay). */
+  def chooseBackends(candleRows: Long): (Boolean, Boolean) =
+    if (candleRows < 1000000L) (false, false)
+    else if (candleRows < 10000000L) (true, false)
+    else (true, true)
+
+  /** @param autoWindows pick the window backends from the measured
+    *                    three-regime rule ([[chooseBackends]]) using
+    *                    the candle count `run` materializes anyway
+    *                    for its cache pin — zero extra actions.
+    *                    Explicit `dayWindows`/`w1Day`/`fillLagDay`
+    *                    all override it. */
   def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
           partitionBy: Seq[String] = Nil,
           dayWindows: Boolean = false,
           w1Day: Option[Boolean] = None,
-          fillLagDay: Option[Boolean] = None): Result = {
-    val w1ByDay = w1Day.getOrElse(dayWindows)
-    val fillByDay = fillLagDay.getOrElse(dayWindows)
+          fillLagDay: Option[Boolean] = None,
+          autoWindows: Boolean = false): Result = {
 
     // Stage 1-2: tick prep + 1-minute resample (the "Superior Candles").
     // Cached: the candle frame feeds three join branches (consensus,
@@ -80,8 +97,17 @@ object Pipeline {
     // cache is small even when the tick input is 100 TB.
     val prepped = TickPrep(ticks)
     val tickCandles = Resample.ohlc1min(prepped, partitionBy).cache()
-    tickCandles.count() // eager: unmaterialized caches rebuild per branch
+    // eager: unmaterialized caches rebuild per branch. The count also
+    // feeds autoWindows (TOTAL rows — conservative for keyed runs,
+    // where the per-key span is what serializes; a dominant key still
+    // benefits from the same regime thresholds).
+    val nCandles = tickCandles.count()
     m1.foreach { df => df.cache(); df.count() }
+    val (autoW1, autoFill) =
+      if (autoWindows) chooseBackends(nCandles)
+      else (dayWindows, dayWindows)
+    val w1ByDay = w1Day.getOrElse(autoW1)
+    val fillByDay = fillLagDay.getOrElse(autoFill)
 
     // Stage 3: consensus cross-check against the legacy feed
     val keys = partitionBy :+ "datetime"

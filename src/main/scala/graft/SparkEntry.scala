@@ -1234,6 +1234,26 @@ object SparkEntry {
         col("is_flat").cast("int").as("is_flat"))
     }),
 
+    // AUTO backend selection (r16): the measured three-regime rule
+    // (SCALE.md §r16 — global < 1 M candle rows, mixed 1-10 M,
+    // all-day > 10 M) applied from the candle count run materializes
+    // anyway. At gate scale the dispatch picks the global regime, so
+    // this shares pipeline_hybrid_full's oracle; PipelineSpec pins
+    // the thresholds and that auto equals the explicit modes.
+    "pipeline_hybrid_auto_part" -> ((s, dir) => {
+      val out = Pipeline.run(s, Tables.ticks(s, dir),
+        Some(m1Candles(s, dir)), SpikeThreshold, ConsensusThreshold,
+        autoWindows = true).candles
+      out.select(col("datetime"),
+        Rounding.duckRound(col("open").cast("double"), 5).as("open"),
+        Rounding.duckRound(col("high").cast("double"), 5).as("high"),
+        Rounding.duckRound(col("low").cast("double"), 5).as("low"),
+        Rounding.duckRound(col("close").cast("double"), 5).as("close"),
+        col("volume").cast("double").as("volume"),
+        Rounding.duckRound(col("spread").cast("double"), 5).as("spread"),
+        col("is_flat").cast("int").as("is_flat"))
+    }),
+
     // The audit log on the day-partitioned backends — exercises the
     // spikeRowsByDay complement and the gap-bridged class through the
     // day-parallel plan; shares pipeline_audit's oracle.
@@ -2119,6 +2139,9 @@ object SparkEntry {
     // mixed backend (r15 #1): W1 via DayWindows, ffill/lag/bridge
     // global — the measured-best large-span shape, same oracle
     "pipeline_hybrid_mixed_part" -> pipelineHybridOracle,
+
+    // auto backend dispatch — same semantics whatever regime fires
+    "pipeline_hybrid_auto_part" -> pipelineHybridOracle,
 
     // the ONE-QUERY streaming composition converges to the batch
     // pipeline (delay > span + sentinel flush) → same oracle

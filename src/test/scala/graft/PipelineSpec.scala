@@ -186,6 +186,28 @@ class PipelineSpec extends SparkSpec {
     global.release(); mixed.release()
   }
 
+  test("autoWindows dispatches by the measured three-regime rule and " +
+    "explicit overrides win") {
+    assert(Pipeline.chooseBackends(500000L) == (false, false))
+    assert(Pipeline.chooseBackends(2800000L) == (true, false))
+    assert(Pipeline.chooseBackends(28000000L) == (true, true))
+    // boundary values land on the larger-data regime's side
+    assert(Pipeline.chooseBackends(1000000L) == (true, false))
+    assert(Pipeline.chooseBackends(10000000L) == (true, true))
+    // an auto run at fixture scale equals the explicit global run
+    val ticks = Seq(
+      (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
+      (ts("2024-01-03 10:02:30"), 2L, 1.015, 1.005))
+      .toDF("datetime", "tick_id", "ask", "bid")
+    val auto = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      autoWindows = true)
+    val explicit = Pipeline.run(spark, ticks, None,
+      spikeThreshold = 0.5)
+    assert(rows(auto.candles.orderBy("datetime")) ==
+      rows(explicit.candles.orderBy("datetime")))
+    auto.release(); explicit.release()
+  }
+
   test("pipeline without an M1 feed degrades to the pure tick path") {
     val ticks = Seq(
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
