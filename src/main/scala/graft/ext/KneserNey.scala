@@ -203,8 +203,11 @@ object KneserNey {
   def perplexityFilter(docs: DataFrame, q: Double,
                        discount: Double = 0.75): DataFrame = {
     val scored = docLogProb(docs, discount)
-    val cut = scored.agg(
-      percentile(col("ppl"), lit(q)).as("c")).head().getDouble(0)
-    scored.filter(col("ppl") <= lit(cut))
+    val row = scored.agg(percentile(col("ppl"), lit(q)).as("c")).head()
+    // a corpus with NO scored doc (every doc < 2 words) has no
+    // quantile: the filter keeps nothing, rather than NPE-ing on the
+    // null percentile
+    if (row.isNullAt(0)) scored.filter(lit(false))
+    else scored.filter(col("ppl") <= lit(row.getDouble(0)))
   }
 }

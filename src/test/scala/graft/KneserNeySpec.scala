@@ -63,5 +63,8 @@ class KneserNeySpec extends SparkSpec {
     val kept = KneserNey.perplexityFilter(d, q = 0.5)
       .select(col("doc_id")).collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(0L, 1L))
+    // an all-wordless corpus has no quantile: keep nothing, no NPE
+    assert(KneserNey.perplexityFilter(docsOf("", "x"), q = 0.5)
+      .count() == 0L)
   }
 }
