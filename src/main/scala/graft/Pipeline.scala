@@ -76,12 +76,42 @@ object Pipeline {
     else if (candleRows < 10000000L) (true, false)
     else (true, true)
 
+  /** The row count the auto dispatch regimes key on: the TOTAL candle
+    * count for a single-series run, but the DOMINANT key's span for a
+    * keyed run (VERDICT r16 #1) — a global window serializes the whole
+    * frame into one task, a keyed window serializes each key's span,
+    * so the straggler is max-per-key, not the sum. One tiny
+    * per-key-count aggregate over the (cached) candle frame. */
+  def dispatchRows(candles: DataFrame, partitionBy: Seq[String]): Long =
+    if (partitionBy.isEmpty) candles.count()
+    else TwoPass.scalar(candles.groupBy(partitionBy.map(col): _*)
+      .count().agg(max(col("count")))).getLong(0)
+
+  /** Backend-precedence resolution (pinned by PipelineSpec):
+    * per-stage `w1Day`/`fillLagDay` win outright; next an explicit
+    * `dayWindows = true` wins over `autoWindows` (ADVICE r16 — auto
+    * must not silently discard a requested all-day run); only with
+    * `dayWindows` at its false default does `autoWindows` apply the
+    * measured [[chooseBackends]] regimes to `rows`. */
+  def resolveBackends(rows: => Long, dayWindows: Boolean,
+                      autoWindows: Boolean, w1Day: Option[Boolean],
+                      fillLagDay: Option[Boolean]): (Boolean, Boolean) = {
+    val (autoW1, autoFill) =
+      if (autoWindows && !dayWindows) chooseBackends(rows)
+      else (dayWindows, dayWindows)
+    (w1Day.getOrElse(autoW1), fillLagDay.getOrElse(autoFill))
+  }
+
   /** @param autoWindows pick the window backends from the measured
-    *                    three-regime rule ([[chooseBackends]]) using
-    *                    the candle count `run` materializes anyway
-    *                    for its cache pin — zero extra actions.
-    *                    Explicit `dayWindows`/`w1Day`/`fillLagDay`
-    *                    all override it. */
+    *                    three-regime rule ([[chooseBackends]]) applied
+    *                    to [[dispatchRows]] — the candle count `run`
+    *                    materializes anyway for its cache pin
+    *                    (single-series: zero extra actions), or the
+    *                    dominant key's count for keyed runs (one tiny
+    *                    agg on the cached frame). Explicit per-stage
+    *                    `w1Day`/`fillLagDay` override it, and so does
+    *                    an explicit `dayWindows = true`
+    *                    ([[resolveBackends]]). */
   def run(spark: SparkSession, ticks: DataFrame, m1: Option[DataFrame],
           spikeThreshold: Double = 0.005, consensusThreshold: Double = 0.01,
           partitionBy: Seq[String] = Nil,
@@ -98,16 +128,16 @@ object Pipeline {
     val prepped = TickPrep(ticks)
     val tickCandles = Resample.ohlc1min(prepped, partitionBy).cache()
     // eager: unmaterialized caches rebuild per branch. The count also
-    // feeds autoWindows (TOTAL rows — conservative for keyed runs,
-    // where the per-key span is what serializes; a dominant key still
-    // benefits from the same regime thresholds).
+    // feeds autoWindows for single-series runs; keyed runs dispatch on
+    // the DOMINANT key's span instead (dispatchRows — the per-key
+    // window straggler is the max, not the sum), computed lazily so a
+    // non-auto run never pays the per-key agg.
     val nCandles = tickCandles.count()
     m1.foreach { df => df.cache(); df.count() }
-    val (autoW1, autoFill) =
-      if (autoWindows) chooseBackends(nCandles)
-      else (dayWindows, dayWindows)
-    val w1ByDay = w1Day.getOrElse(autoW1)
-    val fillByDay = fillLagDay.getOrElse(autoFill)
+    val (w1ByDay, fillByDay) = resolveBackends(
+      if (partitionBy.isEmpty) nCandles
+      else dispatchRows(tickCandles, partitionBy),
+      dayWindows, autoWindows, w1Day, fillLagDay)
 
     // Stage 3: consensus cross-check against the legacy feed
     val keys = partitionBy :+ "datetime"
@@ -153,8 +183,8 @@ object Pipeline {
       else CleanOps.spikeFilter(repaired, spikeThreshold, partitionBy)
 
     // Stage 6: immutable time grid + flat-candle gap bridging
-    val bounds = validated.agg(min(col("datetime")), max(col("datetime")))
-      .head()
+    val bounds = TwoPass.scalar(
+      validated.agg(min(col("datetime")), max(col("datetime"))))
     val result =
       if (bounds.isNullAt(0)) GridOps.finalCast(validated
         .withColumn("is_flat", lit(0)))

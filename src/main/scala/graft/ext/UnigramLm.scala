@@ -231,7 +231,7 @@ object UnigramLm {
     * exploded per-position candidate table; each word then carries an
     * O(word-length × 3) lp array and the SAME DP fold runs over it
     * (identical summation shapes and tie-breaks ⇒ hash-identical
-    * output, pinned by UnigramLmSpec and the e231 gate). The plan:
+    * output, pinned by UnigramLmSpec and the e232 gate). The plan:
     * one explode (word length ≤ bounded), one broadcast hash join —
     * vocab never rides the expression tree, words never leave their
     * partitions except the wordTable aggregation both paths share. */

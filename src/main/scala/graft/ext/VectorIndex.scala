@@ -168,6 +168,27 @@ object VectorIndex {
       .parquet(s"$path/coded")
   }
 
+  /** [[append]] guarded for AT-LEAST-ONCE callers (ADVICE r16):
+    * `foreachBatch` re-delivers a failed micro-batch, and the parquet
+    * `append` is not self-idempotent — a retry would double the
+    * batch's vectors. A marker file under `applied/` records each
+    * completed batchId; a redelivery that finds its marker skips the
+    * append. The marker lands AFTER the data, so a crash BETWEEN
+    * append and marker still re-appends — the standard at-least-once
+    * residue (exactly-once needs the data and the marker in one
+    * atomic commit, which plain parquet does not offer); the window
+    * is the marker write, not the batch. */
+  def appendOnce(spark: SparkSession, path: String, batch: DataFrame,
+                 batchId: Long): Unit = {
+    val marker = new java.io.File(s"$path/applied/batch_$batchId")
+    if (!marker.exists()) {
+      append(spark, path, batch)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      ()
+    }
+  }
+
   /** The persisted coded corpus, columns re-ordered to the
     * [[Similarity.IvfPqModel.encode]] layout (partitionBy moves `cell`
     * last on disk). */

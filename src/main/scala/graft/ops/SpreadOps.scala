@@ -18,7 +18,8 @@ object SpreadOps {
     * `hybrid_merger.py:205`). Returns 0.0 when every spread is NULL
     * (reference's no-ticks fallback, `:207-208`). */
   def medianSpread(df: DataFrame): Double = {
-    val row = df.agg(percentile(col("spread"), lit(0.5)).as("m")).head()
+    val row = graft.TwoPass.scalar(
+      df.agg(percentile(col("spread"), lit(0.5)).as("m")))
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 

@@ -51,10 +51,23 @@ object ScaleProbe {
         }
       }
     })
-    // best-effort bus drain: the public API exposes no waitUntilEmpty,
-    // so settle with a short sleep (events arrive within milliseconds
-    // of the action returning; 300 ms is orders beyond that)
-    def drainBus(): Unit = Thread.sleep(300)
+    // bus drain before reading counters: LiveListenerBus HAS a
+    // waitUntilEmpty, it is just private[spark] — reach it via
+    // reflection (ADVICE r16: a fixed sleep can still let a loaded
+    // machine bleed one stage's late task-end events into the next
+    // stage's counters). Fallback to the settle sleep only if the
+    // private surface ever changes shape.
+    def drainBus(): Unit = {
+      val drained =
+        try {
+          val bus = spark.sparkContext.getClass
+            .getMethod("listenerBus").invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+            .invoke(bus, java.lang.Long.valueOf(30000L))
+          true
+        } catch { case _: ReflectiveOperationException => false }
+      if (!drained) Thread.sleep(300)
+    }
     // force EVERY column to evaluate (a bare count() lets Catalyst
     // prune the window/ffill columns away and times an empty plan)
     def force(df: DataFrame): Long =
@@ -143,6 +156,46 @@ object ScaleProbe {
     timed("pipeline run: MIXED (W1 day)")(
       force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0,
         w1Day = Some(true)).candles))
+
+    // ---- keyed dominant-skew probe (VERDICT r16 #6): the per-key
+    // dispatch evidence. One key ("BIG") carries the full N× span,
+    // ten keys the base 1× span — the skew shape where a plain keyed
+    // window serializes the dominant key's whole span into one task
+    // while the small keys finish instantly. The serializing quantity
+    // is therefore max-per-key (what Pipeline.dispatchRows feeds the
+    // auto regimes), not the total. m1 = None: the window backends
+    // are what is under test, not the consensus join. Each run is
+    // released so reps don't stack caches.
+    def forceRun(r: Pipeline.Result): Long = {
+      val n = force(r.candles); r.release(); n
+    }
+    val bigTicks = Tables.ticks(spark, work)
+      .withColumn("sym", lit("BIG"))
+    val smallTicks = Tables.ticks(spark, src)
+      .crossJoin(spark.range(1, 11).select(
+        concat(lit("S"), col("id")).as("sym")))
+      .select(col("datetime"), col("tick_id"), col("ask"), col("bid"),
+        col("sym"))
+    val kticks = bigTicks.unionByName(smallTicks)
+    val keyedCandles = Resample.ohlc1min(TickPrep(kticks), Seq("sym"))
+      .cache()
+    keyedCandles.count()
+    println(s"keyed probe: dominant-key candles = " +
+      s"${Pipeline.dispatchRows(keyedCandles, Seq("sym"))}, " +
+      s"total = ${keyedCandles.count()}")
+    keyedCandles.unpersist()
+    timed("keyed pipeline: plain keyed")(
+      forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
+        partitionBy = Seq("sym"))))
+    timed("keyed pipeline: MIXED (W1 day)")(
+      forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), w1Day = Some(true))))
+    timed("keyed pipeline: all (key,day)")(
+      forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), dayWindows = true)))
+    timed("keyed pipeline: AUTO (per-key)")(
+      forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), autoWindows = true)))
 
     spark.stop()
   }

@@ -194,6 +194,21 @@ class PipelineSpec extends SparkSpec {
     // boundary values land on the larger-data regime's side
     assert(Pipeline.chooseBackends(1000000L) == (true, false))
     assert(Pipeline.chooseBackends(10000000L) == (true, true))
+    // precedence (ADVICE r16): an explicit dayWindows = true beats
+    // autoWindows — auto must never silently discard a requested
+    // all-day run; per-stage overrides beat both
+    assert(Pipeline.resolveBackends(500000L, dayWindows = true,
+      autoWindows = true, None, None) == (true, true))
+    assert(Pipeline.resolveBackends(2800000L, dayWindows = false,
+      autoWindows = true, None, None) == (true, false))
+    assert(Pipeline.resolveBackends(2800000L, dayWindows = false,
+      autoWindows = true, w1Day = Some(false), fillLagDay = Some(true))
+      == (false, true))
+    // a non-auto, non-day call never evaluates the row count at all
+    assert(Pipeline.resolveBackends(
+      throw new IllegalStateException("rows must stay lazy"),
+      dayWindows = false, autoWindows = false, None, None)
+      == (false, false))
     // an auto run at fixture scale equals the explicit global run
     val ticks = Seq(
       (ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
@@ -205,6 +220,33 @@ class PipelineSpec extends SparkSpec {
       spikeThreshold = 0.5)
     assert(rows(auto.candles.orderBy("datetime")) ==
       rows(explicit.candles.orderBy("datetime")))
+    auto.release(); explicit.release()
+  }
+
+  test("keyed auto-dispatch follows the DOMINANT key's span, not the " +
+    "total (VERDICT r16 #1)") {
+    // one dominant key with 15 rows + ten small keys with 2 each:
+    // the keyed-window straggler is the dominant key's 15, even
+    // though the frame totals 35 rows
+    val candles = (1 to 15).map(i => ("BIG", i.toLong)) ++
+      (for (k <- 1 to 10; i <- 1 to 2)
+        yield (s"S$k", (100 * k + i).toLong))
+    val df = candles.toDF("sym", "tick_id")
+    assert(Pipeline.dispatchRows(df, Seq("sym")) == 15L)
+    assert(Pipeline.dispatchRows(df, Nil) == 35L)
+    // an auto keyed run at fixture scale equals the explicit keyed
+    // global run (every key below the 1 M regime boundary)
+    val ticks = Seq(
+      ("EURUSD", ts("2024-01-03 10:00:10"), 1L, 1.005, 0.995),
+      ("EURUSD", ts("2024-01-03 10:02:30"), 2L, 1.015, 1.005),
+      ("GBPUSD", ts("2024-01-03 10:01:05"), 3L, 2.005, 1.995))
+      .toDF("sym", "datetime", "tick_id", "ask", "bid")
+    val auto = Pipeline.run(spark, ticks, None, spikeThreshold = 0.5,
+      partitionBy = Seq("sym"), autoWindows = true)
+    val explicit = Pipeline.run(spark, ticks, None,
+      spikeThreshold = 0.5, partitionBy = Seq("sym"))
+    assert(rows(auto.candles.orderBy("sym", "datetime")) ==
+      rows(explicit.candles.orderBy("sym", "datetime")))
     auto.release(); explicit.release()
   }
 

@@ -108,6 +108,27 @@ class VectorIndexSpec extends SparkSpec {
       rows(model.topK(q, c, 3, 2).orderBy(col("q_id"), col("rank"))))
   }
 
+  test("appendOnce is idempotent per batchId — a redelivered " +
+    "micro-batch does not double its vectors (ADVICE r16)") {
+    val c = corpus
+    val old = c.filter(col("vec_id") >= 10)
+    val batch = c.filter(col("vec_id") < 10)
+    val model = Similarity.trainIvfPq(c, coarseK = 4, m = 3,
+      kCodes = 4, iters = 2)
+    val path = tmp("ivfpq_append_once")
+    VectorIndex.write(spark, model, old, path)
+    VectorIndex.appendOnce(spark, path, batch, batchId = 7L)
+    val once = VectorIndex.readCoded(spark, path).count()
+    // the at-least-once redelivery: same batchId → no-op
+    VectorIndex.appendOnce(spark, path, batch, batchId = 7L)
+    assert(VectorIndex.readCoded(spark, path).count() === once)
+    assert(once === 40L)
+    // a NEW batchId still appends
+    VectorIndex.appendOnce(spark, path,
+      batch.withColumn("vec_id", col("vec_id") + 1000L), batchId = 8L)
+    assert(VectorIndex.readCoded(spark, path).count() === 50L)
+  }
+
   test("ModelCache evaluates a key's training exactly once and " +
     "returns the identical instance") {
     ModelCache.clear()
