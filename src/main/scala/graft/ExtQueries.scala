@@ -362,13 +362,15 @@ object ExtQueries {
 
   /** The e7 quality pipeline as a DuckDB CTE chain ending in `qual`
     * (doc_id, n_words, rounded ratio columns, rounded composite
-    * quality). Shared by the e7 oracle and e20's per-cluster canonical
-    * pick. */
-  private val qualityCtes =
-    """base AS (
+    * quality), over an arbitrary (doc_id, text) source CTE/table —
+    * parametrized so e237's curation chain can run it over the
+    * deduped corpus. Shared by the e7 oracle and e20's per-cluster
+    * canonical pick (both over `documents`). */
+  private def qualityCtesFrom(src: String): String =
+    s"""base AS (
       |  SELECT doc_id, text,
       |    list_filter(string_split(text, ' '), x -> x != '') AS w
-      |  FROM documents),
+      |  FROM $src),
       |stats AS (
       |  SELECT doc_id, len(w) AS n_words,
       |    length(replace(text, ' ', ''))::DOUBLE / len(w)
@@ -389,6 +391,8 @@ object ExtQueries {
       |        + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio)
       |        + CAST(0.3 AS DOUBLE) * stopword_ratio, 6) AS quality
       |  FROM stats)""".stripMargin
+
+  private val qualityCtes = qualityCtesFrom("documents")
 
   private val jaccardTailSql =
     """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -769,6 +773,26 @@ object ExtQueries {
     "e234_kn_perplexity_filter" -> ((s, dir) =>
       KneserNey.perplexityFilter(docs(s, dir), q = 0.5)),
 
+    // E237: the END-TO-END curation chain (VERDICT r16 #2) — the
+    // production ordering a daily 100 TB corpus run composes from
+    // stages the engine already gates individually: exact dedup (e1)
+    // → absolute quality cut (e7 composite ≥ 0.5, keeps 297/500 at
+    // sf0.01 — a real split) → corpus-median KN perplexity cut (e234)
+    // → survivor stats. The sf corpus has no duplicate texts, so the
+    // gate PLANTS them (every doc_id % 5 = 0 doc cloned at +100000 —
+    // the e98 synthesis pattern) and the dedup stage provably removes
+    // the clones (min-doc_id keeps the originals). One lazy plan per
+    // stage boundary; the quality-surviving corpus is cache-pinned so
+    // the KN stage's four plan branches and the quantile pass never
+    // re-run dedup+quality from the raw scan (CurationSpec pins it).
+    // The oracle chains the SAME e1/e7/e234 CTEs.
+    "e237_curation_chain" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.chain(d.unionByName(
+        d.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L)))
+    }),
+
     // E236: TRIGRAM interpolated KN (the KenLM-family shape, one
     // order below the usual 5): highest order discounts raw trigram
     // counts and backs off into the Chen-Goodman lower-order bigram
@@ -801,6 +825,63 @@ object ExtQueries {
       KneserNey.finalizeScores(d,
         StreamingOhlc.replayToBatch(s,
           KneserNey.docScores(stream, model)))
+    }),
+
+    // E239: streaming KN model REFRESH (VERDICT r16 #5) — the
+    // production perplexity-serving loop, composing the e231 storage
+    // pattern with e235's model-as-table serving: micro-batch N first
+    // lands its docs in the corpus store (overwrite-idempotent per
+    // batch dir), RETRAINS the bigram table on the corpus-so-far
+    // (inclusive prefix: batches 0..N), writes it as version v_N, and
+    // scores batch N's docs against that newest version read back
+    // THROUGH STORAGE ALONE — no driver state carries the model
+    // between batches, so a restarted query re-reads the same
+    // versions. The per-batch oracle scores each batch against the
+    // model trained on exactly its inclusive prefix (three unrolled
+    // CTE families); StreamingKnRefreshSpec adversarially pins
+    // mid-replay staleness (batch N's recorded scores match the
+    // prefix model and NOT the final model).
+    "e239_kn_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn_refresh", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScore(s, b, id, scratch)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
+    // E238: KN serving with EXPLICIT OOV accounting (VERDICT r16 #3)
+    // on a train/serve SPLIT corpus — the model trains on half the
+    // docs (doc_id % 2 = 0) and scores the OTHER half, so model-absent
+    // bigrams actually occur and the OOV paths execute: model hits
+    // keep their KN lp, misses back off to the continuation-unigram
+    // table the model already materializes (n1l/n1tot), and bigrams
+    // whose right word was never a continuation are counted (n_unk)
+    // and excluded from the perplexity rate instead of silently
+    // biasing it. Two LEFT equi-joins + one per-doc agg.
+    "e238_kn_oov_serve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val serve = d.filter(col("doc_id") % 2 =!= 0)
+      KneserNey.finalizeOovScores(serve,
+        KneserNey.docScoresOov(serve,
+          KneserNey.bigramLogProbs(train),
+          KneserNey.continuationUnigram(train)))
     }),
 
     // E8: language-ID heuristic (marker stopword argmax)
@@ -2218,7 +2299,11 @@ object ExtQueries {
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
           val adds = b.filter(col("kind") === "append").drop("kind")
-          if (!adds.isEmpty) VectorIndex.append(s, path, adds)
+          // appendOnce, not append: foreachBatch is at-least-once, and
+          // a redelivered batch must not double its vectors (the
+          // parquet sink below is overwrite-idempotent; the index
+          // append needs the batchId marker — ADVICE r16)
+          if (!adds.isEmpty) VectorIndex.appendOnce(s, path, adds, id)
           // re-read coded AFTER this batch's append: the serve sees
           // every vector appended so far, through storage alone
           served.topKFromCoded(b.filter(col("kind") === "query")
@@ -4134,14 +4219,16 @@ object ExtQueries {
        |FROM documents d0 LEFT JOIN dsum w USING (doc_id)""".stripMargin
 
   /** Kneser-Ney bigram training + per-doc scoring as shared CTEs
-    * (e233/e234): exact integer counts, ONE fixed probability
-    * expression shape (matching [[graft.ext.KneserNey]] term for
-    * term), round-9 per-bigram lp, round-6 per-doc sum. */
-  private val knDocCtes: String =
-    """knw AS (
+    * (e233/e234), over an arbitrary (doc_id, text) source —
+    * parametrized so e237's curation chain can run it over its
+    * quality-surviving corpus: exact integer counts, ONE fixed
+    * probability expression shape (matching [[graft.ext.KneserNey]]
+    * term for term), round-9 per-bigram lp, round-6 per-doc sum. */
+  private def knDocCtesFrom(src: String): String =
+    s"""knw AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x != '') AS ws
-      |  FROM documents),
+      |  FROM $src),
       |knbig AS (
       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
@@ -4165,6 +4252,8 @@ object ExtQueries {
       |    round(sum(p.lp), 6) AS doc_lp
       |  FROM knbig b JOIN knlp p ON p.w1 = b.w1 AND p.w2 = b.w2
       |  GROUP BY 1)""".stripMargin
+
+  private val knDocCtes: String = knDocCtesFrom("documents")
 
   /** Trigram interpolated KN on top of [[knDocCtes]] (e236): the
     * Chen-Goodman lower-order bigram from continuation counts, the
@@ -4210,7 +4299,154 @@ object ExtQueries {
       |    ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
       |  GROUP BY 1)""".stripMargin
 
+  /** e238: the split-corpus OOV-serving oracle — trains the KN model
+    * CTEs on even doc_ids only, scores odd doc_ids through the same
+    * left-join + continuation-backoff shape as
+    * [[graft.ext.KneserNey.docScoresOov]], term for term. */
+  private val knOovServeOracle: String =
+    """WITH knw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |knbig AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM knw)),
+      |kntyp AS (SELECT w1, w2, count(*) AS cnt FROM knbig
+      |          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |knhist AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |           FROM kntyp GROUP BY 1),
+      |knleft AS (SELECT w2, count(*) AS n1l FROM kntyp GROUP BY 1),
+      |kntot AS (SELECT count(*) AS n1tot FROM kntyp),
+      |knlp AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM kntyp t JOIN knhist h USING (w1) JOIN knleft l USING (w2)
+      |  CROSS JOIN kntot s),
+      |kncont AS (
+      |  SELECT l.w2, round(ln(CAST(l.n1l AS DOUBLE) / s.n1tot), 9)
+      |    AS clp
+      |  FROM knleft l CROSS JOIN kntot s),
+      |sjoin AS (
+      |  SELECT b.doc_id, p.lp, c.clp
+      |  FROM (SELECT * FROM knbig WHERE doc_id % 2 = 1) b
+      |  LEFT JOIN knlp p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  LEFT JOIN kncont c ON c.w2 = b.w2),
+      |sdoc AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    count(CASE WHEN lp IS NULL AND clp IS NOT NULL THEN 1 END)
+      |      AS n_oov,
+      |    count(CASE WHEN lp IS NULL AND clp IS NULL THEN 1 END)
+      |      AS n_unk,
+      |    round(coalesce(sum(coalesce(lp, clp)), CAST(0 AS DOUBLE)), 6)
+      |      AS doc_lp
+      |  FROM sjoin GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(k.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(k.n_oov, 0) AS n_oov,
+      |  coalesce(k.n_unk, 0) AS n_unk,
+      |  coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |  CASE WHEN k.n_bigrams IS NOT NULL AND k.n_bigrams - k.n_unk > 0
+      |       THEN round(exp(-k.doc_lp / (k.n_bigrams - k.n_unk)), 6)
+      |  END AS ppl
+      |FROM documents d LEFT JOIN sdoc k USING (doc_id)
+      |WHERE d.doc_id % 2 = 1""".stripMargin
+
+  /** e237: the curation-chain oracle — chains the e1 dedup CTE, the
+    * e7 quality CTEs (over the deduped corpus), and the e234 KN +
+    * median-cut CTEs (over the quality survivors), exactly the stage
+    * ordering [[graft.ext.Curation.chain]] runs. */
+  private val curationChainOracle: String =
+    s"""WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+      |ded AS (
+      |  SELECT min(doc_id) AS doc_id FROM alldocs GROUP BY md5(text)),
+      |corpus AS (
+      |  SELECT d.doc_id, d.text FROM alldocs d JOIN ded USING (doc_id)),
+      |${qualityCtesFrom("corpus")},
+      |kept AS (
+      |  SELECT q.doc_id, q.n_words, q.quality, c.text
+      |  FROM qual q JOIN corpus c USING (doc_id)
+      |  WHERE q.quality >= CAST(0.5 AS DOUBLE)),
+      |${knDocCtesFrom("kept")},
+      |knfinal AS (
+      |  SELECT t.doc_id,
+      |    coalesce(k.n_bigrams, 0) AS n_bigrams,
+      |    coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |    CASE WHEN k.n_bigrams IS NOT NULL
+      |         THEN round(exp(-k.doc_lp / k.n_bigrams), 6) END AS ppl
+      |  FROM kept t LEFT JOIN kndoc k USING (doc_id)),
+      |kncut AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
+      |          FROM knfinal)
+      |SELECT f.doc_id, t.n_words, t.quality,
+      |  f.n_bigrams, f.doc_lp, f.ppl
+      |FROM knfinal f JOIN kept t USING (doc_id) CROSS JOIN kncut
+      |WHERE f.ppl <= kncut.c""".stripMargin
+
+  /** e239: one batch's KN CTE family, every name suffixed with the
+    * batch index — the model trains on the INCLUSIVE prefix
+    * (doc_id % 3 <= k) and `kndoc<k>` scores exactly batch k's docs
+    * against it, mirroring
+    * [[graft.ext.KneserNey.refreshAndScore]]'s per-batch retrain. */
+  private def knRefreshBatchCtes(k: Int): String =
+    s"""knw$k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents WHERE doc_id % 3 <= $k),
+      |knbig$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM knw$k)),
+      |kntyp$k AS (SELECT w1, w2, count(*) AS cnt FROM knbig$k
+      |            GROUP BY 1, 2),
+      |knhist$k AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |             FROM kntyp$k GROUP BY 1),
+      |knleft$k AS (SELECT w2, count(*) AS n1l FROM kntyp$k GROUP BY 1),
+      |kntot$k AS (SELECT count(*) AS n1tot FROM kntyp$k),
+      |knlp$k AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM kntyp$k t JOIN knhist$k h USING (w1)
+      |  JOIN knleft$k l USING (w2)
+      |  CROSS JOIN kntot$k s),
+      |kndoc$k AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM knbig$k b JOIN knlp$k p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  WHERE b.doc_id % 3 = $k
+      |  GROUP BY 1)""".stripMargin
+
+  private def knRefreshBatchSelect(k: Int): String =
+    s"""SELECT $k AS batch, d.doc_id,
+      |  coalesce(x.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |  CASE WHEN x.n_bigrams IS NOT NULL
+      |       THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $k) d
+      |LEFT JOIN kndoc$k x USING (doc_id)""".stripMargin
+
+  /** e239: each batch scored against the model trained on its
+    * inclusive prefix — three unrolled CTE families, one UNION ALL. */
+  private val knRefreshOracle: String =
+    s"""WITH ${(0 to 2).map(knRefreshBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(knRefreshBatchSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "e237_curation_chain" -> curationChainOracle,
+
+    "e239_kn_refresh_replay" -> knRefreshOracle,
+
+    "e238_kn_oov_serve" -> knOovServeOracle,
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
 

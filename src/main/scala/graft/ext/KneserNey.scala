@@ -86,15 +86,80 @@ object KneserNey {
     * neither scores nor counts toward `n_bigrams` (the standard
     * perplexity-filter OOV-skip, which biases ppl optimistic for
     * heavily-OOV docs rather than infinite). Self-scored corpora (the
-    * gates) never hit it; a serving deployment that must fail loudly
-    * instead should left-join and null-guard like the unigram-LM
-    * serving path does. */
+    * gates) never hit it; a train/serve SPLIT deployment should use
+    * [[docScoresOov]], which accounts OOV explicitly and backs off to
+    * the continuation unigram (e238). */
   def docScores(docs: DataFrame, model: DataFrame): DataFrame =
     bigrams(docs)
       .join(model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         Rounding.duckRound(sum(col("lp")), 6).as("doc_lp"))
+
+  /** The continuation-unigram backoff table from a TRAIN corpus
+    * (VERDICT r16 #3): (w2, clp) with clp = round-9
+    * ln(N1+(·,w2) / N1+(·,·)) — the lowest-order Kneser-Ney
+    * distribution the trained model already materializes as
+    * `n1l/n1tot`, exposed as its own joinable table so serving can
+    * back off for model-absent bigrams instead of silently skipping
+    * them. Same scale shape as the model: a (word, lp) fact table,
+    * one hash agg + a broadcast 1-row total. */
+  def continuationUnigram(docs: DataFrame): DataFrame = {
+    val typ = bigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val left = typ.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val tot = typ.agg(count(lit(1)).as("n1tot"))
+    left.crossJoin(broadcast(tot))
+      .select(col("w2"), Rounding.duckRound(
+        log(col("n1l").cast("double") / col("n1tot")), 9).as("clp"))
+  }
+
+  /** [[docScores]] with EXPLICIT OOV accounting — the train/serve
+    * SPLIT shape (VERDICT r16 #3), where serve-corpus bigrams really
+    * can be absent from the model and the self-scoring contract's
+    * "skip silently" bias becomes wrong. LEFT-joins the model, then
+    * the [[continuationUnigram]] backoff:
+    *
+    *  - model hit        → the bigram's KN log-prob;
+    *  - model miss, w2 a known continuation → backoff clp,
+    *    counted in `n_oov`;
+    *  - w2 never seen as a continuation → nothing to score,
+    *    counted in `n_unk` and excluded from the perplexity rate.
+    *
+    * Plan: two LEFT equi-joins (bigram key, then word key) + one
+    * per-doc agg — the backoff adds one join against an
+    * O(vocab)-row table, no new shuffle family. */
+  def docScoresOov(docs: DataFrame, model: DataFrame,
+                   cont: DataFrame): DataFrame =
+    bigrams(docs)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("lp").isNull && col("clp").isNotNull, 1))
+          .as("n_oov"),
+        count(when(col("lp").isNull && col("clp").isNull, 1))
+          .as("n_unk"),
+        Rounding.duckRound(coalesce(
+          sum(coalesce(col("lp"), col("clp"))), lit(0.0)), 6)
+          .as("doc_lp"))
+
+  /** Gate shape over [[docScoresOov]] rows: every serve doc keeps a
+    * row; ppl's rate denominator is the SCORED bigram count
+    * (n_bigrams − n_unk), NULL when nothing scored (< 2 words, or
+    * every bigram unk). */
+  def finalizeOovScores(allDocs: DataFrame,
+                        scored: DataFrame): DataFrame =
+    allDocs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
+        when(col("n_bigrams").isNotNull &&
+            col("n_bigrams") - col("n_unk") > 0,
+          Rounding.duckRound(exp(-col("doc_lp") /
+            (col("n_bigrams") - col("n_unk"))), 6)).as("ppl"))
 
   /** Gate shape over raw scores: every doc keeps a row (< 2 words →
     * n_bigrams 0, doc_lp 0, ppl NULL — no defined rate), scored docs
@@ -194,16 +259,46 @@ object KneserNey {
           exp(-col("doc_lp") / col("n_trigrams")), 6)).as("ppl"))
   }
 
+  /** One micro-batch of the streaming model-REFRESH serving loop
+    * (e239, VERDICT r16 #5), shaped for `foreachBatch`: land the
+    * batch's docs in the corpus store, retrain on the corpus-so-far
+    * (inclusive prefix), write the model as version `v<batchId>`, and
+    * score the batch against that newest version read back through
+    * storage alone. Every write is an overwrite of a per-batch path,
+    * so an at-least-once redelivery reproduces identical state
+    * instead of doubling it (the e231 idempotence lesson); no driver
+    * state carries the model between batches — a restarted query
+    * re-reads the same versions. Scoring uses the plain equi-join
+    * path ([[docScores]]): under the inclusive protocol every scored
+    * bigram is in the model (the train/serve-split OOV story is
+    * e238's). */
+  def refreshAndScore(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, batchId: Long,
+                      store: String): Unit = {
+    batch.write.mode("overwrite").parquet(s"$store/corpus/batch_$batchId")
+    val parts = new java.io.File(s"$store/corpus").listFiles()
+      .map(_.getPath).sorted.toIndexedSeq
+    bigramLogProbs(spark.read.parquet(parts: _*))
+      .write.mode("overwrite").parquet(s"$store/model/v$batchId")
+    val newest = spark.read.parquet(s"$store/model/v$batchId")
+    finalizeScores(batch, docScores(batch, newest))
+      .withColumn("batch", lit(batchId).cast("int"))
+      .write.mode("overwrite").parquet(s"$store/out_$batchId")
+    ()
+  }
+
   /** The CURATION operator the score exists for: keep documents with
     * perplexity at or below the exact q-quantile of the scored corpus
     * (CCNet keeps the low-perplexity head; the threshold is the
-    * reference's G5 two-pass shape — one small driver scalar, then a
-    * broadcast-filtered scan). Wordless docs carry NULL ppl and drop:
-    * a rate-free doc has no evidence of quality. */
+    * reference's G5 two-pass shape — [[graft.TwoPass]], one small
+    * driver scalar, then a broadcast-filtered scan). Wordless docs
+    * carry NULL ppl and drop: a rate-free doc has no evidence of
+    * quality. */
   def perplexityFilter(docs: DataFrame, q: Double,
                        discount: Double = 0.75): DataFrame = {
     val scored = docLogProb(docs, discount)
-    val row = scored.agg(percentile(col("ppl"), lit(q)).as("c")).head()
+    val row = graft.TwoPass.scalar(
+      scored.agg(percentile(col("ppl"), lit(q)).as("c")))
     // a corpus with NO scored doc (every doc < 2 words) has no
     // quantile: the filter keeps nothing, rather than NPE-ing on the
     // null percentile

@@ -50,6 +50,32 @@ class KneserNeySpec extends SparkSpec {
     assert(short(1).isNullAt(3) && short(2).isNullAt(3))
   }
 
+  test("OOV serving (e238): model hits keep their KN lp, misses back " +
+    "off to the continuation unigram, unknowns are excluded from the " +
+    "rate") {
+    // model from {"a b","a b","a c"}: bigrams (a,b) lp=ln(2/3),
+    // (a,c) lp=ln(1/3); continuations {b, c} each clp=ln(1/2); "a"
+    // never appears as a continuation
+    val train = docsOf("a b", "a b", "a c")
+    val model = KneserNey.bigramLogProbs(train)
+    val cont = KneserNey.continuationUnigram(train)
+    val serve = docsOf("a b", "b c", "c a", "x", "a b c a")
+    val got = KneserNey.finalizeOovScores(serve,
+      KneserNey.docScoresOov(serve, model, cont))
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == Seq((1L, 0L, 0L), (1L, 1L, 0L), (1L, 0L, 1L),
+        (0L, 0L, 0L), (3L, 1L, 1L)))
+    assert(math.abs(got(0).getDouble(5) - 1.5) < 5e-6)  // pure hit
+    assert(math.abs(got(1).getDouble(5) - 2.0) < 5e-6)  // pure backoff
+    // all-unk and wordless docs have no defined rate
+    assert(got(2).isNullAt(5) && got(3).isNullAt(5))
+    // mixed doc "a b c a": hit ln(2/3) + backoff ln(1/2), rate over
+    // the 2 scored bigrams → ppl = sqrt(3)
+    assert(math.abs(got(4).getDouble(4) - math.log(1.0 / 3)) < 5e-6)
+    assert(math.abs(got(4).getDouble(5) - math.sqrt(3.0)) < 5e-6)
+  }
+
   test("doc scores, perplexity, zero-rows for wordless docs, and the " +
     "median-ppl filter keeping the low-perplexity head") {
     val d = docsOf("a b", "a b", "a c", "")

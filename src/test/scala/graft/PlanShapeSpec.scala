@@ -315,14 +315,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("KN scoring joins on the n-gram key: no CartesianProduct, the " +
-    "only nested-loop is the broadcast 1-row totals") {
-    Seq("e233_kn_bigram_logprob", "e236_kn_trigram_logprob").foreach {
+    "only nested-loop is the broadcast 1-row totals (incl. the e238 " +
+    "OOV-backoff left joins)") {
+    Seq("e233_kn_bigram_logprob", "e236_kn_trigram_logprob",
+      "e238_kn_oov_serve").foreach {
       name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"),
           s"$name must never plan a cartesian, plan:\n$p")
         // the distinct-type total enters via broadcast (1 row); every
-        // count/model join is an equi-join on the n-gram key
+        // count/model/backoff join is an equi-join on its n-gram or
+        // word key
         assert(p.contains("BroadcastExchange"), name)
     }
   }
