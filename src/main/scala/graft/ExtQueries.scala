@@ -865,6 +865,46 @@ object ExtQueries {
       s.read.parquet(outs.toIndexedSeq: _*)
     }),
 
+    // E240: the e237 curation chain as a CONTINUOUS STREAMING ingest
+    // loop — cross-batch first-seen-wins dedup against a fingerprint
+    // store (the e57 bootstrap pattern), the stateless e7 quality
+    // cut, and a KN perplexity cut whose model retrains per batch on
+    // the CURATED prefix (the e239 refresh pattern) with the batch's
+    // own median as threshold (the per-shard quantile CCNet runs —
+    // corpus-global quantiles don't exist mid-stream). Clones planted
+    // at +100000 land in a DIFFERENT batch than their original
+    // ((x+100000) % 3 = (x+1) % 3), so the cross-batch dedup path
+    // provably executes — including the adversarial direction where
+    // the clone's batch comes FIRST and the original drops. All
+    // stores are per-batch overwrites (redelivery-idempotent); the
+    // oracle replays the identical first-seen window + per-batch
+    // prefix-trained CTE families.
+    "e240_streaming_curation_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_stream", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatch(s, b, id, scratch)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
     // E238: KN serving with EXPLICIT OOV accounting (VERDICT r16 #3)
     // on a train/serve SPLIT corpus — the model trains on half the
     // docs (doc_id % 2 = 0) and scores the OTHER half, so model-absent
@@ -4440,11 +4480,90 @@ object ExtQueries {
       |${(0 to 2).map(knRefreshBatchSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  /** e240: one batch's prefix-trained KN CTE family over the
+    * quality-surviving stream (`keptq`), names suffixed with the
+    * batch index; `ckndoc<k>` scores exactly batch k's kept docs
+    * against the model trained on kept batches 0..k. */
+  private def knCurateBatchCtes(k: Int): String =
+    s"""cknw$k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM keptq WHERE batch <= $k),
+      |cknbig$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM cknw$k)),
+      |ckntyp$k AS (SELECT w1, w2, count(*) AS cnt FROM cknbig$k
+      |             GROUP BY 1, 2),
+      |cknhist$k AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |              FROM ckntyp$k GROUP BY 1),
+      |cknleft$k AS (SELECT w2, count(*) AS n1l FROM ckntyp$k
+      |              GROUP BY 1),
+      |ckntot$k AS (SELECT count(*) AS n1tot FROM ckntyp$k),
+      |cknlp$k AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM ckntyp$k t JOIN cknhist$k h USING (w1)
+      |  JOIN cknleft$k l USING (w2)
+      |  CROSS JOIN ckntot$k s),
+      |ckndoc$k AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM cknbig$k b JOIN cknlp$k p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  WHERE b.doc_id % 3 = $k
+      |  GROUP BY 1),
+      |cfin$k AS (
+      |  SELECT q.batch, q.doc_id, q.n_words, q.quality,
+      |    coalesce(x.n_bigrams, 0) AS n_bigrams,
+      |    coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |    CASE WHEN x.n_bigrams IS NOT NULL
+      |         THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
+      |  FROM (SELECT * FROM keptq WHERE batch = $k) q
+      |  LEFT JOIN ckndoc$k x USING (doc_id)),
+      |ccut$k AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
+      |           FROM cfin$k)""".stripMargin
+
+  private def knCurateBatchSelect(k: Int): String =
+    s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
+      |  f.doc_lp, f.ppl
+      |FROM cfin$k f CROSS JOIN ccut$k WHERE f.ppl <= ccut$k.c"""
+      .stripMargin
+
+  /** e240: the streaming-curation oracle — the same planted-clone
+    * corpus, first-seen-wins dedup as ONE row_number window ordered
+    * by (batch, doc_id), the shared quality CTEs over the survivor
+    * stream, then three per-batch prefix-trained KN families with
+    * per-batch median cuts. */
+  private val streamingCurationOracle: String =
+    s"""WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+      |firsts AS (
+      |  SELECT doc_id, text, doc_id % 3 AS batch,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |                       ORDER BY doc_id % 3, doc_id) AS rn
+      |  FROM alldocs),
+      |surv AS (SELECT doc_id, text, batch FROM firsts WHERE rn = 1),
+      |${qualityCtesFrom("surv")},
+      |keptq AS (
+      |  SELECT s.batch, q.doc_id, q.n_words, q.quality, s.text
+      |  FROM qual q JOIN surv s USING (doc_id)
+      |  WHERE q.quality >= CAST(0.5 AS DOUBLE)),
+      |${(0 to 2).map(knCurateBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(knCurateBatchSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "e237_curation_chain" -> curationChainOracle,
 
     "e239_kn_refresh_replay" -> knRefreshOracle,
+
+    "e240_streaming_curation_replay" -> streamingCurationOracle,
 
     "e238_kn_oov_serve" -> knOovServeOracle,
 

@@ -69,4 +69,85 @@ object Curation {
       .select(col("doc_id"), col("n_words"), col("quality"),
         col("n_bigrams"), col("doc_lp"), col("ppl"))
   }
+
+  /** One micro-batch of the STREAMING curation loop (e240) — the
+    * [[chain]] semantics re-expressed as a continuous ingest
+    * pipeline, shaped for `foreachBatch` and composed from the
+    * engine's established streaming patterns:
+    *
+    *  1. dedup: first-seen-wins across the whole stream — within the
+    *     batch each fingerprint keeps its min-doc_id copy, then a
+    *     LEFT ANTI join against the fingerprint store-so-far drops
+    *     content any earlier batch already carried (the e57
+    *     bootstrap-store pattern); the batch's fingerprints land in
+    *     the store for later batches.
+    *  2. quality: the stateless e7 composite cut (per-row, no state).
+    *  3. perplexity: the KN model retrains on the CURATED
+    *     corpus-so-far (quality survivors of batches 0..N — the e239
+    *     refresh pattern), lands as version v_N, and scores this
+    *     batch through storage alone; the cut is the batch's own
+    *     median (the per-shard quantile CCNet actually runs —
+    *     corpus-global quantiles don't exist mid-stream).
+    *
+    * Every write is an overwrite of a per-batch path, so an
+    * at-least-once redelivery reproduces identical store state (the
+    * e231/e239 idempotence contract). No driver state survives
+    * between batches; a restarted query re-reads the same stores. */
+  def curateBatch(spark: org.apache.spark.sql.SparkSession,
+                  batch: DataFrame, batchId: Long, store: String,
+                  qualityMin: Double = 0.5,
+                  pplQ: Double = 0.5): Unit = {
+    import graft.TwoPass
+    // 1. within-batch canonical copy per fingerprint (min doc_id)...
+    val canon = batch
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+      .select(col("fp"), col("m.doc_id").as("doc_id"),
+        col("m.text").as("text"))
+    // ...minus content an earlier batch already carried
+    val prior = new java.io.File(s"$store/fps").listFiles()
+    val fresh =
+      if (prior == null || prior.isEmpty) canon
+      else canon.join(
+        spark.read.parquet(prior.map(_.getPath).sorted.toIndexedSeq: _*),
+        Seq("fp"), "left_anti")
+    fresh.select(col("fp")).write.mode("overwrite")
+      .parquet(s"$store/fps/batch_$batchId")
+    // 2. stateless quality cut; survivors join the curated store
+    val kept = fresh.select(col("doc_id"), col("text"))
+      .join(TextAnalysis.qualityScore(fresh)
+          .filter(col("quality") >= qualityMin)
+          .select(col("doc_id"), col("n_words"), col("quality")),
+        Seq("doc_id"))
+    kept.write.mode("overwrite").parquet(s"$store/curated/batch_$batchId")
+    // 3. retrain on the curated prefix (batches 0..N), score batch N
+    //    against the version just written, cut at the batch median.
+    //    The batch's kept docs are RE-READ from the store they just
+    //    landed in — one materialization feeds the model, the scorer,
+    //    and the stats join, instead of re-running dedup+quality per
+    //    consumer (the e237 cache pin, realized through storage).
+    val curated = new java.io.File(s"$store/curated").listFiles()
+      .map(_.getPath).sorted.toIndexedSeq
+    KneserNey.bigramLogProbs(
+        spark.read.parquet(curated: _*).select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$store/model/v$batchId")
+    val model = spark.read.parquet(s"$store/model/v$batchId")
+    val keptStored = spark.read.parquet(s"$store/curated/batch_$batchId")
+    val scored = KneserNey.finalizeScores(
+      keptStored.select(col("doc_id")),
+      KneserNey.docScores(
+        keptStored.select(col("doc_id"), col("text")), model))
+    val cut = TwoPass.scalar(
+      scored.agg(percentile(col("ppl"), lit(pplQ)).as("c")))
+    val low =
+      if (cut.isNullAt(0)) scored.filter(lit(false))
+      else scored.filter(col("ppl") <= lit(cut.getDouble(0)))
+    low.join(keptStored.select(col("doc_id"), col("n_words"),
+        col("quality")), Seq("doc_id"))
+      .select(lit(batchId).cast("int").as("batch"), col("doc_id"),
+        col("n_words"), col("quality"), col("n_bigrams"),
+        col("doc_lp"), col("ppl"))
+      .write.mode("overwrite").parquet(s"$store/out_$batchId")
+    ()
+  }
 }

@@ -24,6 +24,11 @@ object ScaleProbe {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_scale_probe")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg restricts sections ("keyed" = dominant-skew
+    // keyed probe only, "uni10" = uniform-10-key discriminator only)
+    // — the other sections' numbers are already in SCALE.md;
+    // re-measuring them per invocation wastes a quiesced box
+    val only = args.lift(3)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -73,10 +78,20 @@ object ScaleProbe {
     def force(df: DataFrame): Long =
       df.select(xxhash64(df.columns.map(col): _*).as("h"))
         .agg(sum(col("h")), count(lit(1))).head().getLong(1)
+    // force + release, for sections that time whole Pipeline.run
+    // results: reps must not stack the run's internal caches
+    def forceRun(r: Pipeline.Result): Long = {
+      val n = force(r.candles); r.release(); n
+    }
 
+    // medians-of-3 keep the table honest about JVM noise; deep-scale
+    // rows (1000× keyed: ~8 min/rep) can drop to 1 reputably — at
+    // that wall length the backend question is a 2-5× signal, not a
+    // ±10% one (set SPARK_GRAFT_PROBE_RUNS=1)
+    val probeRuns = sys.env.get("SPARK_GRAFT_PROBE_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     def timed(name: String)(f: => Long): Unit = {
-      // medians-of-3 keep the table honest about JVM noise
-      val runs = (1 to 3).map { _ =>
+      val runs = (1 to probeRuns).map { _ =>
         counterLock.synchronized { maxTaskMs = 0L; nTasks = 0 }
         val t0 = System.nanoTime()
         val n = f
@@ -85,7 +100,8 @@ object ScaleProbe {
         val (mt, nt) = counterLock.synchronized((maxTaskMs, nTasks))
         (wall, mt / 1e3, nt, n)
       }
-      val m = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)(1)
+      val m = runs.sortBy(_._1)(Ordering.Double.TotalOrdering)
+        .apply((runs.size - 1) / 2)
       println(f"| $name%-34s | ${m._1}%8.2f | ${m._2}%10.2f | ${m._3}%6d | ${m._4}%9d |")
     }
 
@@ -124,6 +140,7 @@ object ScaleProbe {
     println("|------------------------------------|----------|" +
       "------------|--------|-----------|")
 
+    if (only.isEmpty) {
     // W1 spread stage: global single-task window vs (day)-parallel
     timed("W1+U3 spread: global window")(
       force(SpreadOps(tickCandles)))
@@ -156,7 +173,12 @@ object ScaleProbe {
     timed("pipeline run: MIXED (W1 day)")(
       force(Pipeline.run(spark, ticks, Some(m1), 2.0, 50.0,
         w1Day = Some(true)).candles))
+    }
 
+    // "keyed2" = the keyed section minus the plain-keyed row (for
+    // re-runs after a measured row: the 1000× plain-keyed run costs
+    // 20+ minutes of single-task straggler by itself)
+    if (only.isEmpty || only.exists(_.startsWith("keyed"))) {
     // ---- keyed dominant-skew probe (VERDICT r16 #6): the per-key
     // dispatch evidence. One key ("BIG") carries the full N× span,
     // ten keys the base 1× span — the skew shape where a plain keyed
@@ -166,9 +188,6 @@ object ScaleProbe {
     // auto regimes), not the total. m1 = None: the window backends
     // are what is under test, not the consensus join. Each run is
     // released so reps don't stack caches.
-    def forceRun(r: Pipeline.Result): Long = {
-      val n = force(r.candles); r.release(); n
-    }
     val bigTicks = Tables.ticks(spark, work)
       .withColumn("sym", lit("BIG"))
     val smallTicks = Tables.ticks(spark, src)
@@ -184,9 +203,10 @@ object ScaleProbe {
       s"${Pipeline.dispatchRows(keyedCandles, Seq("sym"))}, " +
       s"total = ${keyedCandles.count()}")
     keyedCandles.unpersist()
-    timed("keyed pipeline: plain keyed")(
-      forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
-        partitionBy = Seq("sym"))))
+    if (!only.contains("keyed2"))
+      timed("keyed pipeline: plain keyed")(
+        forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
+          partitionBy = Seq("sym"))))
     timed("keyed pipeline: MIXED (W1 day)")(
       forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
         partitionBy = Seq("sym"), w1Day = Some(true))))
@@ -196,6 +216,37 @@ object ScaleProbe {
     timed("keyed pipeline: AUTO (per-key)")(
       forceRun(Pipeline.run(spark, kticks, None, 2.0, 50.0,
         partitionBy = Seq("sym"), autoWindows = true)))
+    }
+
+    if (only.isEmpty || only.contains("uni10")) {
+    // ---- max-vs-sum DISCRIMINATOR: ten uniform keys, each carrying
+    // the full N× span. The TOTAL candle count (~10 × N×span) would
+    // dispatch all-day at N=100 (28 M > the 10 M boundary) while the
+    // per-key max (2.8 M) correctly dispatches MIXED — so if mixed
+    // beats all-day here, dispatching on the dominant key's span is
+    // not just spec-pinned but measured-right where the two rules
+    // disagree.
+    val uni10 = Tables.ticks(spark, work)
+      .crossJoin(spark.range(1, 11).select(
+        concat(lit("U"), col("id")).as("sym")))
+      .select(col("datetime"), col("tick_id"), col("ask"), col("bid"),
+        col("sym"))
+    val uniCandles = Resample.ohlc1min(TickPrep(uni10), Seq("sym"))
+      .cache()
+    println(s"uniform-10 probe: per-key candles = " +
+      s"${Pipeline.dispatchRows(uniCandles, Seq("sym"))}, " +
+      s"total = ${uniCandles.count()}")
+    uniCandles.unpersist()
+    timed("uniform10: MIXED (per-key rule)")(
+      forceRun(Pipeline.run(spark, uni10, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), w1Day = Some(true))))
+    timed("uniform10: all-day (total rule)")(
+      forceRun(Pipeline.run(spark, uni10, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), dayWindows = true)))
+    timed("uniform10: AUTO (per-key)")(
+      forceRun(Pipeline.run(spark, uni10, None, 2.0, 50.0,
+        partitionBy = Seq("sym"), autoWindows = true)))
+    }
 
     spark.stop()
   }

@@ -330,6 +330,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e237 curation chain: stage boundaries read the cache pin, " +
+    "every join is an equi-join (no cartesian beyond the broadcast " +
+    "1-row KN total)") {
+    val p = plan("e237_curation_chain")
+    assert(!p.contains("CartesianProduct"),
+      s"the chain must never plan a cartesian, plan:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the KN stage must read the pinned quality-surviving corpus, " +
+        s"plan:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("e124 skyline prunes through broadcasts: exactly two windows " +
     "(B-row suffix + survivor scan), bucket stats join broadcast") {
     val p = plan("e124_skyline")
