@@ -868,10 +868,12 @@ object ExtQueries {
     // E240: the e237 curation chain as a CONTINUOUS STREAMING ingest
     // loop — cross-batch first-seen-wins dedup against a fingerprint
     // store (the e57 bootstrap pattern), the stateless e7 quality
-    // cut, and a KN perplexity cut whose model retrains per batch on
-    // the CURATED prefix (the e239 refresh pattern) with the batch's
-    // own median as threshold (the per-shard quantile CCNet runs —
-    // corpus-global quantiles don't exist mid-stream). Clones planted
+    // cut, and a KN perplexity cut whose model covers the CURATED
+    // prefix per batch — derived incrementally from merged per-batch
+    // count partials (the e241 refresh shape; hash-identical to a
+    // full prefix retrain) — with the batch's own median as threshold
+    // (the per-shard quantile CCNet runs; the corpus-global running
+    // quantile is e243's). Clones planted
     // at +100000 land in a DIFFERENT batch than their original
     // ((x+100000) % 3 = (x+1) % 3), so the cross-batch dedup path
     // provably executes — including the adversarial direction where
@@ -903,6 +905,99 @@ object ExtQueries {
       val outs = new java.io.File(scratch).listFiles()
         .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
       s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
+    // E241: the INCREMENTAL KN model refresh (VERDICT r17 #1) — the
+    // same staged replay, protocol, and ORACLE as e239 (knRefreshOracle
+    // verbatim: the gate asserts hash-identity with the naive
+    // full-prefix retrain), but each trigger's raw-doc work is
+    // O(batch): the batch reduces once to its bigram COUNT PARTIAL
+    // (counts/batch_N), and version v_N derives from one hash
+    // aggregation over the merged partials of batches 0..N — type
+    // counts are additive, so the merged statistic (and therefore the
+    // model, therefore every score) is bit-identical while nothing
+    // ever re-reads batches 0..N-1's documents (KnIncrementalSpec pins
+    // that the raw docs are UNRECOVERABLE by construction: no corpus
+    // store exists at all).
+    "e241_kn_incremental_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn_refresh_inc", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreIncremental(s, b, id, scratch)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
+    // E243: the streaming curation loop with a CORPUS-GLOBAL running
+    // quantile cut (VERDICT r17 #5) — same planted-clone corpus,
+    // dedup, and quality stages as e240, but batch N is cut at the
+    // median of the MERGED perplexity scores of kept batches 0..N
+    // (each batch's scores frozen as recorded against its own version
+    // model), maintained as per-batch score vectors in the store —
+    // the running-quantile structure a long-lived ingest wants
+    // instead of e240's per-shard batch median. The exact prefix
+    // quantile is the gate contract; the e23a GK sketch rides along
+    // over the same merged store and its rank-space ε-flag
+    // (cut_within) is oracle-asserted as constant 1.
+    "e243_streaming_curation_global_cut" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_global", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchGlobalCut(s, b, id, scratch)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
+    // E242: TRIGRAM KN serving with explicit OOV accounting (VERDICT
+    // r17 #4) — e238's train/serve split one order up: the trigram
+    // model trains on even doc_ids and scores the odd half, backing
+    // off at serve time through the model's own lower-order tables,
+    // P3 → P2c (continuation-bigram) → continuation unigram — the
+    // KenLM-family chain — with per-level counts (n_oov3/n_oov2) and
+    // never-seen tails (n_unk) excluded from the perplexity rate.
+    // Three LEFT equi-joins + one per-doc agg; no cartesian
+    // (PlanShapeSpec).
+    "e242_kn_trigram_oov_serve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val serve = d.filter(col("doc_id") % 2 =!= 0)
+      KneserNey.finalizeOov3Scores(serve,
+        KneserNey.docScoresOov3(serve,
+          KneserNey.trigramLogProbs(train),
+          KneserNey.continuationBigram(train),
+          KneserNey.continuationUnigram(train)))
     }),
 
     // E238: KN serving with EXPLICIT OOV accounting (VERDICT r16 #3)
@@ -4480,11 +4575,13 @@ object ExtQueries {
       |${(0 to 2).map(knRefreshBatchSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
-  /** e240: one batch's prefix-trained KN CTE family over the
+  /** e240/e243: one batch's prefix-trained KN CTE family over the
     * quality-surviving stream (`keptq`), names suffixed with the
     * batch index; `ckndoc<k>` scores exactly batch k's kept docs
-    * against the model trained on kept batches 0..k. */
-  private def knCurateBatchCtes(k: Int): String =
+    * against the model trained on kept batches 0..k, `cfin<k>` is the
+    * batch's finalized score rows. Shared by the per-batch-median
+    * (e240) and prefix-global (e243) cut variants. */
+  private def knCurateBatchCoreCtes(k: Int): String =
     s"""cknw$k AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x != '') AS ws
@@ -4522,9 +4619,22 @@ object ExtQueries {
       |    CASE WHEN x.n_bigrams IS NOT NULL
       |         THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
       |  FROM (SELECT * FROM keptq WHERE batch = $k) q
-      |  LEFT JOIN ckndoc$k x USING (doc_id)),
+      |  LEFT JOIN ckndoc$k x USING (doc_id))""".stripMargin
+
+  /** e240: the core family plus the batch's OWN median cut. */
+  private def knCurateBatchCtes(k: Int): String =
+    s"""${knCurateBatchCoreCtes(k)},
       |ccut$k AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
       |           FROM cfin$k)""".stripMargin
+
+  /** e243: the core family plus the PREFIX-GLOBAL median cut — the
+    * quantile of the merged score vectors of batches 0..k, each
+    * batch's scores as recorded against its own version model. */
+  private def knCurateGlobalBatchCtes(k: Int): String =
+    s"""${knCurateBatchCoreCtes(k)},
+      |gcut$k AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
+      |           FROM (${(0 to k).map(j => s"SELECT ppl FROM cfin$j")
+        .mkString(" UNION ALL ")}))""".stripMargin
 
   private def knCurateBatchSelect(k: Int): String =
     s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
@@ -4557,15 +4667,149 @@ object ExtQueries {
       |${(0 to 2).map(knCurateBatchSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  private def knCurateGlobalSelect(k: Int): String =
+    s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
+      |  f.doc_lp, f.ppl, 1 AS cut_within
+      |FROM cfin$k f CROSS JOIN gcut$k WHERE f.ppl <= gcut$k.c"""
+      .stripMargin
+
+  /** e243: the global-cut streaming-curation oracle — identical
+    * dedup/quality/per-batch-model families to e240's, but each
+    * batch's cut is the quantile over the UNION of batches 0..k's
+    * score rows, and the engine-side GK rank flag is asserted as the
+    * constant 1 (the e23a ε-gate pattern: the exact VALUES are
+    * hash-gated here, the sketch must sit inside its documented rank
+    * bound). */
+  private val streamingCurationGlobalOracle: String =
+    s"""WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+      |firsts AS (
+      |  SELECT doc_id, text, doc_id % 3 AS batch,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |                       ORDER BY doc_id % 3, doc_id) AS rn
+      |  FROM alldocs),
+      |surv AS (SELECT doc_id, text, batch FROM firsts WHERE rn = 1),
+      |${qualityCtesFrom("surv")},
+      |keptq AS (
+      |  SELECT s.batch, q.doc_id, q.n_words, q.quality, s.text
+      |  FROM qual q JOIN surv s USING (doc_id)
+      |  WHERE q.quality >= CAST(0.5 AS DOUBLE)),
+      |${(0 to 2).map(knCurateGlobalBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(knCurateGlobalSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
+  /** e242: the trigram train/serve-split OOV-serving oracle — trains
+    * the full trigram KN CTE family on even doc_ids, scores odd
+    * doc_ids through the same three-level left-join backoff as
+    * [[graft.ext.KneserNey.docScoresOov3]] (P3 → P2c → continuation
+    * unigram), term for term. */
+  private val knTrigramOovServeOracle: String =
+    """WITH knw AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents),
+      |knbig AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM knw)),
+      |kn3tri AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      |        FROM knw)),
+      |kntyp AS (SELECT w1, w2, count(*) AS cnt FROM knbig
+      |          WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |kn3typ AS (SELECT w1, w2, w3, count(*) AS cnt FROM kn3tri
+      |           WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |kn3hist AS (SELECT w1, w2, sum(cnt) AS ctot, count(*) AS n1r
+      |            FROM kn3typ GROUP BY 1, 2),
+      |kn3cont AS (SELECT w2, w3, count(*) AS n1l3 FROM kn3typ
+      |            GROUP BY 1, 2),
+      |kn3mid AS (SELECT w2, sum(n1l3) AS nmid, count(*) AS n1rctx
+      |           FROM kn3cont GROUP BY 1),
+      |kn3leftb AS (SELECT w2 AS w3, count(*) AS n1lb FROM kntyp
+      |             GROUP BY 1),
+      |kn3totb AS (SELECT count(*) AS nbtot FROM kntyp),
+      |kn3lp AS (
+      |  SELECT t.w1, t.w2, t.w3, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (greatest(c.n1l3 - CAST(0.75 AS DOUBLE),
+      |                  CAST(0 AS DOUBLE)) / m.nmid
+      |        + CAST(0.75 AS DOUBLE) * m.n1rctx / m.nmid
+      |        * (CAST(l.n1lb AS DOUBLE) / s.nbtot))), 9) AS lp
+      |  FROM kn3typ t
+      |  JOIN kn3hist h ON h.w1 = t.w1 AND h.w2 = t.w2
+      |  JOIN kn3cont c ON c.w2 = t.w2 AND c.w3 = t.w3
+      |  JOIN kn3mid m ON m.w2 = t.w2
+      |  JOIN kn3leftb l ON l.w3 = t.w3
+      |  CROSS JOIN kn3totb s),
+      |kn2clp AS (
+      |  SELECT c.w2, c.w3, round(ln(
+      |      greatest(c.n1l3 - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / m.nmid
+      |      + CAST(0.75 AS DOUBLE) * m.n1rctx / m.nmid
+      |      * (CAST(l.n1lb AS DOUBLE) / s.nbtot)), 9) AS lp2c
+      |  FROM kn3cont c JOIN kn3mid m USING (w2)
+      |  JOIN kn3leftb l USING (w3)
+      |  CROSS JOIN kn3totb s),
+      |knleft AS (SELECT w2, count(*) AS n1l FROM kntyp GROUP BY 1),
+      |kntot AS (SELECT count(*) AS n1tot FROM kntyp),
+      |kn1clp AS (
+      |  SELECT l.w2 AS w3, round(ln(CAST(l.n1l AS DOUBLE) / s.n1tot), 9)
+      |    AS clp
+      |  FROM knleft l CROSS JOIN kntot s),
+      |sjoin AS (
+      |  SELECT b.doc_id, p.lp, c2.lp2c, c1.clp
+      |  FROM (SELECT * FROM kn3tri WHERE doc_id % 2 = 1) b
+      |  LEFT JOIN kn3lp p
+      |    ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
+      |  LEFT JOIN kn2clp c2 ON c2.w2 = b.w2 AND c2.w3 = b.w3
+      |  LEFT JOIN kn1clp c1 ON c1.w3 = b.w3),
+      |sdoc AS (
+      |  SELECT doc_id, count(*) AS n_trigrams,
+      |    count(CASE WHEN lp IS NULL AND lp2c IS NOT NULL THEN 1 END)
+      |      AS n_oov3,
+      |    count(CASE WHEN lp IS NULL AND lp2c IS NULL
+      |               AND clp IS NOT NULL THEN 1 END) AS n_oov2,
+      |    count(CASE WHEN lp IS NULL AND lp2c IS NULL
+      |               AND clp IS NULL THEN 1 END) AS n_unk,
+      |    round(coalesce(sum(coalesce(lp, lp2c, clp)),
+      |                   CAST(0 AS DOUBLE)), 6) AS doc_lp
+      |  FROM sjoin GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(k.n_trigrams, 0) AS n_trigrams,
+      |  coalesce(k.n_oov3, 0) AS n_oov3,
+      |  coalesce(k.n_oov2, 0) AS n_oov2,
+      |  coalesce(k.n_unk, 0) AS n_unk,
+      |  coalesce(k.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |  CASE WHEN k.n_trigrams IS NOT NULL
+      |       AND k.n_trigrams - k.n_unk > 0
+      |       THEN round(exp(-k.doc_lp / (k.n_trigrams - k.n_unk)), 6)
+      |  END AS ppl
+      |FROM documents d LEFT JOIN sdoc k USING (doc_id)
+      |WHERE d.doc_id % 2 = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "e237_curation_chain" -> curationChainOracle,
 
     "e239_kn_refresh_replay" -> knRefreshOracle,
 
+    // the incremental refresh shares e239's oracle VERBATIM — the
+    // gate is precisely "merged count partials give the identical
+    // per-batch scores a full prefix retrain gives"
+    "e241_kn_incremental_refresh_replay" -> knRefreshOracle,
+
     "e240_streaming_curation_replay" -> streamingCurationOracle,
 
+    "e243_streaming_curation_global_cut" -> streamingCurationGlobalOracle,
+
     "e238_kn_oov_serve" -> knOovServeOracle,
+
+    "e242_kn_trigram_oov_serve" -> knTrigramOovServeOracle,
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
 

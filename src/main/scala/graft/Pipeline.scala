@@ -84,8 +84,14 @@ object Pipeline {
     * per-key-count aggregate over the (cached) candle frame. */
   def dispatchRows(candles: DataFrame, partitionBy: Seq[String]): Long =
     if (partitionBy.isEmpty) candles.count()
-    else TwoPass.scalar(candles.groupBy(partitionBy.map(col): _*)
-      .count().agg(max(col("count")))).getLong(0)
+    else {
+      // an EMPTY keyed frame has zero groups, so max(count) is a NULL
+      // scalar (ADVICE r17): dispatch on 0 rows — the global regime —
+      // like the single-series count() path does
+      val r = TwoPass.scalar(candles.groupBy(partitionBy.map(col): _*)
+        .count().agg(max(col("count"))))
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
 
   /** Backend-precedence resolution (pinned by PipelineSpec):
     * per-stage `w1Day`/`fillLagDay` win outright; next an explicit

@@ -53,13 +53,24 @@ object KneserNey {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
   }
 
-  /** The trained model: (w1, w2, lp) with lp = round-9
-    * ln P_KN(w2|w1) for every bigram TYPE in the corpus. */
-  def bigramLogProbs(docs: DataFrame,
-                     discount: Double = 0.75): DataFrame = {
-    val big = bigrams(docs)
-    val typ = big.groupBy(col("w1"), col("w2"))
+  /** The per-corpus bigram TYPE counts (w1, w2, cnt) — the model's
+    * sufficient statistic. Counts are ADDITIVE across corpus shards:
+    * summing per-shard type counts gives exactly the whole-corpus type
+    * counts, which is what makes the incremental model refresh
+    * ([[refreshAndScoreIncremental]]) hash-identical to a full
+    * retrain. */
+  def bigramTypeCounts(docs: DataFrame): DataFrame =
+    bigrams(docs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The types→model step: derive (w1, w2, lp) from an already-
+    * aggregated TYPE-count table (w1, w2, cnt). Every downstream
+    * quantity (history mass, continuation types, distinct-bigram
+    * total) is a function of the type counts alone, so a model built
+    * from MERGED per-batch count partials is bit-identical to one
+    * built from the raw corpus. */
+  def modelFromTypeCounts(typ: DataFrame,
+                          discount: Double = 0.75): DataFrame = {
     // history mass + right continuation types, one pass over types
     val hist = typ.groupBy(col("w1")).agg(
       sum(col("cnt")).as("ctot"),
@@ -75,6 +86,12 @@ object KneserNey {
           + d * col("n1r") / col("ctot")
           * (col("n1l").cast("double") / col("n1tot"))), 9).as("lp"))
   }
+
+  /** The trained model: (w1, w2, lp) with lp = round-9
+    * ln P_KN(w2|w1) for every bigram TYPE in the corpus. */
+  def bigramLogProbs(docs: DataFrame,
+                     discount: Double = 0.75): DataFrame =
+    modelFromTypeCounts(bigramTypeCounts(docs), discount)
 
   /** Per-doc raw scores against an already-trained model — the
     * SERVING half, stream-safe: bigram explode (narrow), equi-join on
@@ -242,6 +259,89 @@ object KneserNey {
         .as("lp"))
   }
 
+  /** The Chen–Goodman LOWER-ORDER bigram distribution of the trigram
+    * model, materialized as its own joinable table (w2, w3, lp2c) with
+    * lp2c = round-9 ln P2c(w3|w2) — exactly the middle term of
+    * [[trigramLogProbs]]'s interpolation, exposed so a train/serve
+    * SPLIT deployment can back off model-absent trigrams one order at
+    * SERVE time (VERDICT r17 #4): P3 → P2c → continuation unigram,
+    * the KenLM-family backoff chain. Same scale shape as the model:
+    * hash aggregations over n-gram types, a broadcast 1-row total. */
+  def continuationBigram(docs: DataFrame,
+                         discount: Double = 0.75): DataFrame = {
+    val typ3 = trigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+    val cont = typ3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1l3"))
+    val mid = cont.groupBy(col("w2")).agg(
+      sum(col("n1l3")).as("nmid"), count(lit(1)).as("n1rctx"))
+    val typ2 = bigrams(docs).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val leftB = typ2.groupBy(col("w2")).agg(count(lit(1)).as("n1lb"))
+      .withColumnRenamed("w2", "w3")
+    val totB = typ2.agg(count(lit(1)).as("nbtot"))
+    val d = lit(discount)
+    cont.join(mid, Seq("w2")).join(leftB, Seq("w3"))
+      .crossJoin(broadcast(totB))
+      .select(col("w2"), col("w3"), Rounding.duckRound(log(
+        greatest(col("n1l3") - d, lit(0.0)) / col("nmid")
+          + d * col("n1rctx") / col("nmid")
+          * (col("n1lb").cast("double") / col("nbtot"))), 9)
+        .as("lp2c"))
+  }
+
+  /** TRIGRAM serving with EXPLICIT OOV accounting — [[docScoresOov]]
+    * one order up (VERDICT r17 #4). Serve-corpus trigrams LEFT-join
+    * the trained trigram model, then back off through the model's own
+    * lower-order tables:
+    *
+    *  - model hit                     → the trigram's KN log-prob;
+    *  - miss, (w2,w3) a known continuation bigram → [[continuationBigram]]'s
+    *    lp2c, counted in `n_oov3`;
+    *  - miss, w3 a known continuation word → [[continuationUnigram]]'s
+    *    clp, counted in `n_oov2`;
+    *  - w3 never seen as a continuation → nothing to score, counted
+    *    in `n_unk` and excluded from the perplexity rate.
+    *
+    * Plan: three LEFT equi-joins (trigram key, bigram key, word key)
+    * + one per-doc agg — each backoff table is strictly smaller than
+    * the model, no new shuffle family, no cartesian
+    * (PlanShapeSpec). */
+  def docScoresOov3(docs: DataFrame, model: DataFrame,
+                    cont2: DataFrame, cont1: DataFrame): DataFrame =
+    trigrams(docs)
+      .join(model, Seq("w1", "w2", "w3"), "left")
+      .join(cont2, Seq("w2", "w3"), "left")
+      .join(cont1.withColumnRenamed("w2", "w3"), Seq("w3"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("lp").isNull && col("lp2c").isNotNull, 1))
+          .as("n_oov3"),
+        count(when(col("lp").isNull && col("lp2c").isNull &&
+          col("clp").isNotNull, 1)).as("n_oov2"),
+        count(when(col("lp").isNull && col("lp2c").isNull &&
+          col("clp").isNull, 1)).as("n_unk"),
+        Rounding.duckRound(coalesce(
+          sum(coalesce(col("lp"), col("lp2c"), col("clp"))),
+          lit(0.0)), 6).as("doc_lp"))
+
+  /** Gate shape over [[docScoresOov3]] rows: every serve doc keeps a
+    * row; ppl's rate denominator is the SCORED trigram count
+    * (n_trigrams − n_unk), NULL when nothing scored. */
+  def finalizeOov3Scores(allDocs: DataFrame,
+                         scored: DataFrame): DataFrame =
+    allDocs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_oov3"), lit(0L)).as("n_oov3"),
+        coalesce(col("n_oov2"), lit(0L)).as("n_oov2"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
+        when(col("n_trigrams").isNotNull &&
+            col("n_trigrams") - col("n_unk") > 0,
+          Rounding.duckRound(exp(-col("doc_lp") /
+            (col("n_trigrams") - col("n_unk"))), 6)).as("ppl"))
+
   /** Per-doc trigram KN score: docs with < 3 words keep a zero row
     * (ppl NULL). */
   def trigramDocLogProb(docs: DataFrame,
@@ -271,14 +371,65 @@ object KneserNey {
     * re-reads the same versions. Scoring uses the plain equi-join
     * path ([[docScores]]): under the inclusive protocol every scored
     * bigram is in the model (the train/serve-split OOV story is
-    * e238's). */
+    * e238's).
+    *
+    * THIS IS THE NAIVE REFERENCE FORM (VERDICT r17 #1): it re-reads
+    * and retrains on the ENTIRE raw prefix every trigger — O(prefix)
+    * work per batch, O(N²) over a stream's life — kept as the
+    * semantics-defining twin the incremental form is gated
+    * hash-identical against. Production runs
+    * [[refreshAndScoreIncremental]], which merges additive per-batch
+    * COUNT partials instead: O(batch) new raw-doc work, the same
+    * model bit for bit. */
   def refreshAndScore(spark: org.apache.spark.sql.SparkSession,
                       batch: DataFrame, batchId: Long,
                       store: String): Unit = {
     batch.write.mode("overwrite").parquet(s"$store/corpus/batch_$batchId")
-    val parts = new java.io.File(s"$store/corpus").listFiles()
-      .map(_.getPath).sorted.toIndexedSeq
+    val parts = graft.StoreFs.batchDirs(spark, s"$store/corpus",
+      upTo = batchId)
     bigramLogProbs(spark.read.parquet(parts: _*))
+      .write.mode("overwrite").parquet(s"$store/model/v$batchId")
+    val newest = spark.read.parquet(s"$store/model/v$batchId")
+    finalizeScores(batch, docScores(batch, newest))
+      .withColumn("batch", lit(batchId).cast("int"))
+      .write.mode("overwrite").parquet(s"$store/out_$batchId")
+    ()
+  }
+
+  /** The INCREMENTAL model refresh (VERDICT r17 #1) — same contract
+    * as [[refreshAndScore]] (inclusive-prefix model v_N, scores
+    * through storage alone, per-batch overwrite idempotence), but the
+    * per-trigger work is O(batch), not O(prefix):
+    *
+    *  1. the batch's raw docs reduce ONCE to their bigram TYPE-count
+    *     partial (w1, w2, cnt), overwritten at `counts/batch_N` —
+    *     after this step the batch's raw text is never read again;
+    *  2. version v_N derives from ONE hash aggregation over the
+    *     MERGED count partials of batches 0..N (count-cardinality
+    *     data — the model's sufficient statistic, not the corpus),
+    *     then the identical types→model expression
+    *     ([[modelFromTypeCounts]]); bigram counts are additive, so
+    *     the model is HASH-IDENTICAL to the naive full retrain (the
+    *     e241 gate shares e239's oracle verbatim);
+    *  3. scoring is unchanged.
+    *
+    * The prefix listing is numerically bounded at `batchId`
+    * ([[graft.StoreFs.batchDirs]]), so a redelivered batch recomputes
+    * from exactly its first attempt's inputs even with later batches
+    * on disk. KnIncrementalSpec additionally pins that the refresh
+    * works with NO raw-doc store at all — earlier batches' documents
+    * are unrecoverable by construction, only their count partials
+    * exist. */
+  def refreshAndScoreIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String): Unit = {
+    bigramTypeCounts(batch)
+      .write.mode("overwrite").parquet(s"$store/counts/batch_$batchId")
+    val parts = graft.StoreFs.batchDirs(spark, s"$store/counts",
+      upTo = batchId)
+    val merged = spark.read.parquet(parts: _*)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
+    modelFromTypeCounts(merged)
       .write.mode("overwrite").parquet(s"$store/model/v$batchId")
     val newest = spark.read.parquet(s"$store/model/v$batchId")
     finalizeScores(batch, docScores(batch, newest))

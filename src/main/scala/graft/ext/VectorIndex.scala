@@ -177,15 +177,16 @@ object VectorIndex {
     * append and marker still re-appends — the standard at-least-once
     * residue (exactly-once needs the data and the marker in one
     * atomic commit, which plain parquet does not offer); the window
-    * is the marker write, not the batch. */
+    * is the marker write, not the batch. The marker probe and create
+    * go through the Hadoop `FileSystem` resolved from the index path
+    * itself ([[graft.StoreFs]], VERDICT r17 #2), so the same loop
+    * serves a file://, hdfs://, or s3a:// index. */
   def appendOnce(spark: SparkSession, path: String, batch: DataFrame,
                  batchId: Long): Unit = {
-    val marker = new java.io.File(s"$path/applied/batch_$batchId")
-    if (!marker.exists()) {
+    val marker = s"$path/applied/batch_$batchId"
+    if (!graft.StoreFs.exists(spark, marker)) {
       append(spark, path, batch)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
-      ()
+      graft.StoreFs.touch(spark, marker)
     }
   }
 

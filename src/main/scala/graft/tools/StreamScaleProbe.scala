@@ -28,14 +28,22 @@ import graft.streaming.{StagedReplay, StreamingPipeline}
   *
   * Usage: `sbt "runMain graft.tools.StreamScaleProbe <workDir>
   * [keysCsv] [spanMin] [batches] [statePartitions]"` — prints a
-  * markdown table per K for SCALE.md.
-  */
+  * markdown table per K for SCALE.md. A `keysCsv` entry of the form
+  * `skew<M>` (VERDICT r17 #6, arg-gated like ScaleProbe's sections —
+  * a quiesced box never re-measures recorded rows) runs the
+  * DOMINANT-SKEW shape instead of a uniform K: 11 symbols where
+  * `BIG` (sym 0) carries M ticks per 10 s slot and S1..S10 one each,
+  * mirroring the batch keyed-dispatch probe's BIG + 10 small keys so
+  * the streaming tail's straggler (max task) is measured the same
+  * way. State is minute-grid-bound (keys × span), so skew moves the
+  * per-batch WORK onto BIG's partition without inflating state — the
+  * straggler story, isolated. */
 object StreamScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val work = args.headOption.getOrElse("/tmp/graft_stream_probe")
-    val keyCounts = args.lift(1).getOrElse("1,10,100")
-      .split(",").map(_.trim.toInt).toSeq
+    val keySpecs = args.lift(1).getOrElse("1,10,100")
+      .split(",").map(_.trim).toSeq
     val spanMin = args.lift(2).map(_.toInt).getOrElse(360)
     val nBatches = args.lift(3).map(_.toInt).getOrElse(6)
     val statePartitions = args.lift(4).map(_.toInt).getOrElse(4)
@@ -57,16 +65,28 @@ object StreamScaleProbe {
     val t0 = Timestamp.valueOf("2024-01-02 09:00:00").getTime
     val delayMin = 5
 
-    keyCounts.foreach { k =>
-      // ---- synthesize + stage the K-symbol feeds
-      val nTicks = k.toLong * spanMin * 6 // one tick / 10 s / sym
+    keySpecs.foreach { spec =>
+      val skewMult = if (spec.startsWith("skew"))
+        spec.drop(4).toInt else 0
+      val k = if (skewMult > 0) 11 else spec.toInt
+      // ---- synthesize + stage the K-symbol feeds. Uniform: one tick
+      // / 10 s / sym. Skew: BIG (sym 0) gets `skewMult` ticks per
+      // 10 s slot, S1..S10 (syms 1-10) one each — same minute grid
+      // per key, so state scales identically and only the per-key
+      // WORK is skewed.
+      val slots = if (skewMult > 0) skewMult + 10 else k
+      val nTicks = slots.toLong * spanMin * 6
+      val symExpr = if (skewMult > 0)
+        when(col("id") % slots < skewMult, lit(0L))
+          .otherwise((col("id") % slots) - skewMult + 1)
+      else col("id") % k
       val ticks = spark.range(nTicks).select(
-        (col("id") % k).as("sym"),
+        symExpr.as("sym"),
         timestamp_millis(lit(t0) +
-          (col("id") / k).cast("long") * 10000L).as("datetime"),
+          (col("id") / slots).cast("long") * 10000L).as("datetime"),
         col("id").as("tick_id"),
         (lit(1.10) + (col("id") % 41) * 0.0001
-          + (col("id") % k) * 0.01).as("mid"))
+          + symExpr * 0.01).as("mid"))
         .withColumn("ask", col("mid") + lit(0.005))
         .withColumn("bid", col("mid") - lit(0.005))
         .drop("mid")
@@ -94,9 +114,9 @@ object StreamScaleProbe {
             new Timestamp(t0 + (b + 1).toLong * perBatch * 60000L))
       } :+ sentinel(df)
       val tDir = StagedReplay.stageFiles(slices(ticks),
-        s"$work/k${k}_ticks")
+        s"$work/k${spec}_ticks")
       val mDir = StagedReplay.stageFiles(slices(m1),
-        s"$work/k${k}_m1")
+        s"$work/k${spec}_m1")
       def stream(p: String) = spark.readStream
         .schema(spark.read.parquet(p).schema)
         .option("maxFilesPerTrigger", "1").parquet(p)
@@ -122,18 +142,21 @@ object StreamScaleProbe {
         bridgeEndMin = Math.floorDiv(mx - 60000L, 60000L))
       val q = result.writeStream
         .outputMode("append").format("memory")
-        .queryName(s"probe_k$k")
+        .queryName(s"probe_k$spec")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val wall = (System.nanoTime() - wall0) / 1e9
-      val outRows = spark.table(s"probe_k$k").count()
+      val outRows = spark.table(s"probe_k$spec").count()
       val maxTask = maxTaskMs.get() / 1e3
       prev.foreach {
         case (c, Some(v)) => spark.conf.set(c, v)
         case (c, None) => spark.conf.unset(c)
       }
 
-      println(s"\n### K=$k symbols, $spanMin min span, " +
+      val label = if (skewMult > 0)
+        s"K=11 DOMINANT-SKEW (BIG ${skewMult}×/slot + 10 small)"
+      else s"K=$k symbols"
+      println(s"\n### $label, $spanMin min span, " +
         s"$nBatches+1 batches, $statePartitions state partitions " +
         f"(wall $wall%.1f s, max task $maxTask%.2f s, $outRows rows)")
       val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)

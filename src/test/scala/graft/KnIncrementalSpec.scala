@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.KneserNey
+
+/** The incremental KN refresh's two load-bearing claims (VERDICT r17
+  * #1): (a) a model derived by MERGING per-batch count partials is
+  * identical to a full retrain on the concatenated raw corpus — while
+  * the earlier batches' raw documents are unrecoverable by
+  * construction (no corpus store exists, only counts); and (b) an
+  * at-least-once redelivery reproduces identical store state. The
+  * hash-identity of the full replayed loop against the naive form's
+  * oracle is the e241 gate's job; this spec pins the mechanism. */
+class KnIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(pairs: (Long, String)*) =
+    pairs.toDF("doc_id", "text")
+
+  test("batch N's model derives from count partials alone: batch 0's " +
+    "raw docs no longer exist anywhere when batch 1 trains, yet the " +
+    "model equals the full-corpus retrain") {
+    // overlapping vocabulary so merged counts differ from either
+    // batch's own (c(a,b) = 2 only after the merge), plus a bigram
+    // type whose continuation sets change across batches
+    val b0 = docsOf(0L -> "a b a b", 1L -> "b c")
+    val b1 = docsOf(2L -> "a b c a")
+    val store = Scratch.fresh("kn_inc_spec", "/root/testdata/sf0.001")
+
+    KneserNey.refreshAndScoreIncremental(spark, b0, 0L, store)
+    // the ONLY persisted trace of batch 0 is its count partial — no
+    // raw document of batch 0 is reachable from the store
+    val stored = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(!stored.contains("corpus"),
+      s"incremental refresh must not persist raw docs, found: $stored")
+    assert(spark.read.parquet(s"$store/counts/batch_0")
+      .columns.toSeq.sorted == Seq("cnt", "w1", "w2"))
+
+    KneserNey.refreshAndScoreIncremental(spark, b1, 1L, store)
+    val incremental = rows(spark.read.parquet(s"$store/model/v1")
+      .orderBy("w1", "w2"))
+    val full = rows(KneserNey.bigramLogProbs(b0.unionByName(b1))
+      .orderBy("w1", "w2"))
+    assert(incremental == full,
+      "merged count partials diverged from the full-corpus retrain")
+    // and the batch's recorded scores come from that same model
+    val out1 = rows(spark.read.parquet(s"$store/out_1").drop("batch")
+      .orderBy("doc_id"))
+    val exp1 = rows(KneserNey.finalizeScores(b1,
+      KneserNey.docScores(b1, KneserNey.bigramLogProbs(
+        b0.unionByName(b1)))).orderBy("doc_id"))
+    assert(out1 == exp1)
+  }
+
+  test("redelivery of a batch recomputes from its first attempt's " +
+    "inputs: identical store state, never doubled counts") {
+    val b0 = docsOf(0L -> "a b a b")
+    val b1 = docsOf(1L -> "a c b c")
+    val store = Scratch.fresh("kn_inc_redeliver",
+      "/root/testdata/sf0.001")
+    KneserNey.refreshAndScoreIncremental(spark, b0, 0L, store)
+    KneserNey.refreshAndScoreIncremental(spark, b1, 1L, store)
+    val model1 = rows(spark.read.parquet(s"$store/model/v1")
+      .orderBy("w1", "w2"))
+    val out1 = rows(spark.read.parquet(s"$store/out_1")
+      .orderBy("doc_id"))
+    // redeliver batch 1 (at-least-once): the prefix listing is
+    // bounded at batchId, the partial is an overwrite — state must
+    // be bit-identical, not doubled
+    KneserNey.refreshAndScoreIncremental(spark, b1, 1L, store)
+    assert(rows(spark.read.parquet(s"$store/model/v1")
+      .orderBy("w1", "w2")) == model1)
+    assert(rows(spark.read.parquet(s"$store/out_1")
+      .orderBy("doc_id")) == out1)
+    assert(StoreFs.batchDirs(spark, s"$store/counts").length == 2)
+  }
+
+  test("prefix listings are numeric with an inclusive bound: " +
+    "batch_10 sorts after batch_2 and upTo excludes later batches") {
+    val store = Scratch.fresh("kn_inc_order", "/root/testdata/sf0.001")
+    // eleven one-doc batches so the string-sort trap (batch_10 <
+    // batch_2) is live
+    val texts = Seq("a b", "b c", "c d", "d e", "e f", "f g", "g h",
+      "h i", "i j", "j k", "k l")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      KneserNey.refreshAndScoreIncremental(spark,
+        docsOf(i.toLong -> t), i.toLong, store)
+    }
+    val dirs = StoreFs.batchDirs(spark, s"$store/counts")
+    assert(dirs.map(_.split("batch_").last.toLong) == (0L to 10L),
+      s"listing must be numeric order, got: $dirs")
+    assert(StoreFs.batchDirs(spark, s"$store/counts", upTo = 4L)
+      .map(_.split("batch_").last.toLong) == (0L to 4L))
+    // model v10 (trained through the numeric listing) equals the
+    // full retrain on all eleven docs
+    val all = docsOf(texts.zipWithIndex.map {
+      case (t, i) => i.toLong -> t }: _*)
+    assert(rows(spark.read.parquet(s"$store/model/v10")
+      .orderBy("w1", "w2")) ==
+      rows(KneserNey.bigramLogProbs(all).orderBy("w1", "w2")))
+  }
+}

@@ -234,6 +234,12 @@ class PipelineSpec extends SparkSpec {
     val df = candles.toDF("sym", "tick_id")
     assert(Pipeline.dispatchRows(df, Seq("sym")) == 15L)
     assert(Pipeline.dispatchRows(df, Nil) == 35L)
+    // an EMPTY keyed frame has zero groups → max(count) is a NULL
+    // scalar: dispatch must degrade to 0 (the global regime), not NPE
+    // (ADVICE r17)
+    val empty = df.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Pipeline.dispatchRows(empty, Seq("sym")) == 0L)
+    assert(Pipeline.dispatchRows(empty, Nil) == 0L)
     // an auto keyed run at fixture scale equals the explicit keyed
     // global run (every key below the 1 M regime boundary)
     val ticks = Seq(

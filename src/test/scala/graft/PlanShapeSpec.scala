@@ -315,10 +315,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("KN scoring joins on the n-gram key: no CartesianProduct, the " +
-    "only nested-loop is the broadcast 1-row totals (incl. the e238 " +
-    "OOV-backoff left joins)") {
+    "only nested-loop is the broadcast 1-row totals (incl. the " +
+    "e238/e242 OOV-backoff left joins)") {
     Seq("e233_kn_bigram_logprob", "e236_kn_trigram_logprob",
-      "e238_kn_oov_serve").foreach {
+      "e238_kn_oov_serve", "e242_kn_trigram_oov_serve").foreach {
       name =>
         val p = plan(name)
         assert(!p.contains("CartesianProduct"),
