@@ -943,6 +943,43 @@ object ExtQueries {
       s.read.parquet(outs.toIndexedSeq: _*)
     }),
 
+    // E244: the incremental refresh WITH in-loop store compaction —
+    // the log-structured maintenance step a stream-lifetime count
+    // store needs (the e58 near-dup delta store's compaction, applied
+    // to model partials): per-batch partials accumulate one directory
+    // per trigger, so e241's merge fan-in grows O(N) with stream age
+    // even though the merged cardinality is vocabulary-bounded. Every
+    // `compactEvery` batches the partials fold into one pre-merged
+    // checkpoint and the covered partials tombstone (checkpoint lands
+    // first, so a crash between the two leaves residue the merged
+    // view provably ignores — KnIncrementalSpec). Same oracle as
+    // e239/e241 verbatim: compaction must be invisible in every
+    // per-batch score.
+    "e244_kn_compacted_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn_refresh_compact", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreCompacting(s, b, id, scratch,
+            compactEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
     // E243: the streaming curation loop with a CORPUS-GLOBAL running
     // quantile cut (VERDICT r17 #5) — same planted-clone corpus,
     // dedup, and quality stages as e240, but batch N is cut at the
@@ -4802,6 +4839,9 @@ object ExtQueries {
     // gate is precisely "merged count partials give the identical
     // per-batch scores a full prefix retrain gives"
     "e241_kn_incremental_refresh_replay" -> knRefreshOracle,
+
+    // compaction must be score-invisible: e239's oracle, verbatim
+    "e244_kn_compacted_refresh_replay" -> knRefreshOracle,
 
     "e240_streaming_curation_replay" -> streamingCurationOracle,
 

@@ -70,4 +70,11 @@ object StoreFs {
     val (fs, p) = fsFor(spark, path)
     fs.create(p, false).close()
   }
+
+  /** Recursively delete `path` on its own filesystem (no-op when
+    * absent) — the tombstone half of store compaction. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 }

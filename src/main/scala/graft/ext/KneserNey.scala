@@ -425,17 +425,85 @@ object KneserNey {
       batch: DataFrame, batchId: Long, store: String): Unit = {
     bigramTypeCounts(batch)
       .write.mode("overwrite").parquet(s"$store/counts/batch_$batchId")
-    val parts = graft.StoreFs.batchDirs(spark, s"$store/counts",
-      upTo = batchId)
-    val merged = spark.read.parquet(parts: _*)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
-    modelFromTypeCounts(merged)
+    modelFromTypeCounts(mergedTypeCounts(spark, store, batchId))
       .write.mode("overwrite").parquet(s"$store/model/v$batchId")
     val newest = spark.read.parquet(s"$store/model/v$batchId")
     finalizeScores(batch, docScores(batch, newest))
       .withColumn("batch", lit(batchId).cast("int"))
       .write.mode("overwrite").parquet(s"$store/out_$batchId")
     ()
+  }
+
+  /** The count store's merged view at horizon `upTo`: the newest
+    * checkpoint at or below the horizon (a pre-merged prefix,
+    * `ckpt_<m>` covering batches 0..m) plus every per-batch partial
+    * STRICTLY ABOVE the checkpoint, summed. A partial the checkpoint
+    * already covers is IGNORED even if still on disk — that is the
+    * crash-between-checkpoint-and-tombstone residue, and ignoring it
+    * (rather than double-counting) is what makes [[compactCounts]]
+    * safe to interrupt at any point. With no checkpoint this
+    * degrades to the plain merge of partials 0..upTo. */
+  def mergedTypeCounts(spark: org.apache.spark.sql.SparkSession,
+                       store: String, upTo: Long): DataFrame = {
+    def idOf(path: String, prefix: String): Long =
+      path.split(prefix).last.toLong
+    val ckpt = graft.StoreFs.batchDirs(spark, s"$store/counts",
+      prefix = "ckpt_", upTo = upTo).lastOption
+    val horizon = ckpt.map(idOf(_, "ckpt_")).getOrElse(-1L)
+    val parts = graft.StoreFs.batchDirs(spark, s"$store/counts",
+      upTo = upTo).filter(idOf(_, "batch_") > horizon)
+    spark.read.parquet((ckpt.toSeq ++ parts): _*)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** COMPACT the count store (the log-structured maintenance step the
+    * incremental refresh needs at stream lifetimes — the near-dup
+    * delta store's compaction, applied to model partials): per-batch
+    * partials accumulate one directory per trigger, so the refresh's
+    * listing + merge fan-in grows O(N) over a stream's life even
+    * though the merged CARDINALITY is vocabulary-bounded. Compaction
+    * folds partials 0..upTo into one pre-merged checkpoint
+    * (`ckpt_<upTo>`), then tombstones the covered partials — the
+    * checkpoint lands BEFORE any delete, so a crash between the two
+    * leaves covered partials that [[mergedTypeCounts]] provably
+    * ignores, and the merged view is identical at every
+    * interruption point (KnIncrementalSpec pins it). Horizon
+    * contract: only compact at or below the last COMMITTED batch —
+    * a redelivery never reaches below the engine's commit log, so
+    * tombstoned partials are never needed again. */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+                    store: String, upTo: Long): Unit = {
+    val covered = graft.StoreFs.batchDirs(spark, s"$store/counts",
+      upTo = upTo)
+    if (covered.nonEmpty) {
+      // a checkpoint at this horizon already folded everything (a
+      // redelivered/repeated compaction): never rewrite it — Spark
+      // cannot overwrite a parquet path it is reading from — just
+      // finish the tombstone half below, which is idempotent
+      if (!graft.StoreFs.exists(spark, s"$store/counts/ckpt_$upTo"))
+        mergedTypeCounts(spark, store, upTo)
+          .write.mode("overwrite").parquet(s"$store/counts/ckpt_$upTo")
+      // tombstone strictly after the checkpoint is durable; also
+      // retire any OLDER checkpoint the new one subsumes
+      covered.foreach(graft.StoreFs.delete(spark, _))
+      graft.StoreFs.batchDirs(spark, s"$store/counts",
+        prefix = "ckpt_", upTo = upTo - 1)
+        .foreach(graft.StoreFs.delete(spark, _))
+    }
+  }
+
+  /** [[refreshAndScoreIncremental]] with in-loop store maintenance:
+    * compact the count partials every `compactEvery` batches, so the
+    * per-trigger merge fan-in stays ≤ compactEvery + 1 sources
+    * forever instead of growing with the stream's age. Same output
+    * contract (the e244 gate shares e239/e241's oracle verbatim). */
+  def refreshAndScoreCompacting(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String,
+      compactEvery: Int = 2): Unit = {
+    refreshAndScoreIncremental(spark, batch, batchId, store)
+    if ((batchId + 1) % compactEvery == 0)
+      compactCounts(spark, store, batchId)
   }
 
   /** The CURATION operator the score exists for: keep documents with

@@ -76,6 +76,48 @@ class KnIncrementalSpec extends SparkSpec {
     assert(StoreFs.batchDirs(spark, s"$store/counts").length == 2)
   }
 
+  test("compaction bounds the store: partials fold into one " +
+    "checkpoint, the model is unchanged, and crash residue between " +
+    "checkpoint and tombstone is ignored, not double-counted") {
+    val batches = Seq("a b a", "b c", "a c a b", "c d b")
+    val store = Scratch.fresh("kn_inc_compact",
+      "/root/testdata/sf0.001")
+    batches.zipWithIndex.foreach { case (t, i) =>
+      KneserNey.refreshAndScoreCompacting(spark,
+        docsOf(i.toLong -> t), i.toLong, store, compactEvery = 2)
+    }
+    // after batches 0..3 with compactEvery=2: ckpt_3 subsumed
+    // everything (and retired ckpt_1) — the listing no longer grows
+    // with stream age
+    assert(StoreFs.batchDirs(spark, s"$store/counts").isEmpty,
+      "covered partials must be tombstoned")
+    assert(StoreFs.batchDirs(spark, s"$store/counts", prefix = "ckpt_")
+      .map(_.split("ckpt_").last.toLong) == Seq(3L))
+    val all = docsOf(batches.zipWithIndex.map {
+      case (t, i) => i.toLong -> t }: _*)
+    assert(rows(spark.read.parquet(s"$store/model/v3")
+      .orderBy("w1", "w2")) ==
+      rows(KneserNey.bigramLogProbs(all).orderBy("w1", "w2")),
+      "compacted model diverged from the full-corpus retrain")
+
+    // crash residue: a covered partial still on disk next to the
+    // checkpoint that subsumes it (the crash-between window) must be
+    // IGNORED by the merged view...
+    KneserNey.bigramTypeCounts(docsOf(1L -> batches(1)))
+      .write.mode("overwrite").parquet(s"$store/counts/batch_1")
+    assert(rows(KneserNey.mergedTypeCounts(spark, store, 3L)
+      .orderBy("w1", "w2")) ==
+      rows(KneserNey.bigramTypeCounts(all).orderBy("w1", "w2")),
+      "crash residue double-counted into the merged view")
+    // ...and a re-run compaction finishes the tombstone half WITHOUT
+    // rewriting the checkpoint it would be reading from
+    KneserNey.compactCounts(spark, store, 3L)
+    assert(StoreFs.batchDirs(spark, s"$store/counts").isEmpty)
+    assert(rows(KneserNey.mergedTypeCounts(spark, store, 3L)
+      .orderBy("w1", "w2")) ==
+      rows(KneserNey.bigramTypeCounts(all).orderBy("w1", "w2")))
+  }
+
   test("prefix listings are numeric with an inclusive bound: " +
     "batch_10 sorts after batch_2 and upTo excludes later batches") {
     val store = Scratch.fresh("kn_inc_order", "/root/testdata/sf0.001")
