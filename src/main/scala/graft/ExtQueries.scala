@@ -827,6 +827,31 @@ object ExtQueries {
           KneserNey.docScores(stream, model)))
     }),
 
+    // E245: the OOV-accounting serve (e238) as a CONTINUOUS
+    // STREAMING query — the deployment shape a production perplexity
+    // filter actually runs (models are static artifacts, traffic
+    // streams): the bigram model and its continuation-unigram backoff
+    // table train once on the even-doc half (batch side), the ODD
+    // half arrives as a stream, and scoring is the same three-way
+    // stream-static LEFT equi-join chain + per-doc agg as the batch
+    // twin (e235's model-as-table pattern, plus the backoff level).
+    // Replay converges to e238's oracle VERBATIM.
+    "e245_kn_streaming_oov_serve_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val model = KneserNey.bigramLogProbs(train)
+      val cont = KneserNey.continuationUnigram(train)
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 =!= 0)
+      KneserNey.finalizeOovScores(d.filter(col("doc_id") % 2 =!= 0),
+        StreamingOhlc.replayToBatch(s,
+          KneserNey.docScoresOov(stream, model, cont)))
+    }),
+
     // E239: streaming KN model REFRESH (VERDICT r16 #5) — the
     // production perplexity-serving loop, composing the e231 storage
     // pattern with e235's model-as-table serving: micro-batch N first
@@ -970,6 +995,40 @@ object ExtQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           KneserNey.refreshAndScoreCompacting(s, b, id, scratch,
             compactEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
+    // E246: the incremental refresh at TRIGRAM order — the model
+    // production perplexity filters actually refresh (e241's
+    // additive-partial pattern, one order up): each micro-batch
+    // writes its PAIR of type-count partials (trigram types for the
+    // top two interpolation levels, bigram types for the
+    // continuation-unigram floor), version v_N merges each family
+    // with one hash agg and applies the identical types→model
+    // expression — bit-identical to a full prefix retrain, O(batch)
+    // raw-doc work per trigger. Per-batch oracle: three unrolled
+    // prefix-trained TRIGRAM CTE families.
+    "e246_kn_trigram_incremental_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn3_refresh_inc", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreTrigramIncremental(s, b, id, scratch)
         }
         .option("checkpointLocation", s"$scratch/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -4612,6 +4671,75 @@ object ExtQueries {
       |${(0 to 2).map(knRefreshBatchSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  /** e246: one batch's TRIGRAM KN CTE family trained on the inclusive
+    * prefix (doc_id % 3 <= k) — the kn3DocCtes expression, suffixed
+    * and prefix-filtered; `t3doc<k>` scores exactly batch k's docs,
+    * mirroring [[graft.ext.KneserNey.refreshAndScoreTrigramIncremental]]. */
+  private def kn3RefreshBatchCtes(k: Int): String =
+    s"""t3w$k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents WHERE doc_id % 3 <= $k),
+      |t3tri$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      |        FROM t3w$k)),
+      |t3big$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM t3w$k)),
+      |t3typ$k AS (SELECT w1, w2, w3, count(*) AS cnt FROM t3tri$k
+      |            GROUP BY 1, 2, 3),
+      |t3hist$k AS (SELECT w1, w2, sum(cnt) AS ctot, count(*) AS n1r
+      |             FROM t3typ$k GROUP BY 1, 2),
+      |t3cont$k AS (SELECT w2, w3, count(*) AS n1l3 FROM t3typ$k
+      |             GROUP BY 1, 2),
+      |t3mid$k AS (SELECT w2, sum(n1l3) AS nmid, count(*) AS n1rctx
+      |            FROM t3cont$k GROUP BY 1),
+      |t3btyp$k AS (SELECT w1, w2, count(*) AS cnt FROM t3big$k
+      |             GROUP BY 1, 2),
+      |t3leftb$k AS (SELECT w2 AS w3, count(*) AS n1lb FROM t3btyp$k
+      |              GROUP BY 1),
+      |t3totb$k AS (SELECT count(*) AS nbtot FROM t3btyp$k),
+      |t3lp$k AS (
+      |  SELECT t.w1, t.w2, t.w3, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (greatest(c.n1l3 - CAST(0.75 AS DOUBLE),
+      |                  CAST(0 AS DOUBLE)) / m.nmid
+      |        + CAST(0.75 AS DOUBLE) * m.n1rctx / m.nmid
+      |        * (CAST(l.n1lb AS DOUBLE) / s.nbtot))), 9) AS lp
+      |  FROM t3typ$k t
+      |  JOIN t3hist$k h ON h.w1 = t.w1 AND h.w2 = t.w2
+      |  JOIN t3cont$k c ON c.w2 = t.w2 AND c.w3 = t.w3
+      |  JOIN t3mid$k m ON m.w2 = t.w2
+      |  JOIN t3leftb$k l ON l.w3 = t.w3
+      |  CROSS JOIN t3totb$k s),
+      |t3doc$k AS (
+      |  SELECT b.doc_id, count(*) AS n_trigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM t3tri$k b JOIN t3lp$k p
+      |    ON p.w1 = b.w1 AND p.w2 = b.w2 AND p.w3 = b.w3
+      |  WHERE b.doc_id % 3 = $k
+      |  GROUP BY 1)""".stripMargin
+
+  private def kn3RefreshBatchSelect(k: Int): String =
+    s"""SELECT $k AS batch, d.doc_id,
+      |  coalesce(x.n_trigrams, 0) AS n_trigrams,
+      |  coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |  CASE WHEN x.n_trigrams IS NOT NULL
+      |       THEN round(exp(-x.doc_lp / x.n_trigrams), 6) END AS ppl
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $k) d
+      |LEFT JOIN t3doc$k x USING (doc_id)""".stripMargin
+
+  /** e246: each batch scored against the TRIGRAM model trained on its
+    * inclusive prefix. */
+  private val kn3RefreshOracle: String =
+    s"""WITH ${(0 to 2).map(kn3RefreshBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(kn3RefreshBatchSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   /** e240/e243: one batch's prefix-trained KN CTE family over the
     * quality-surviving stream (`keptq`), names suffixed with the
     * batch index; `ckndoc<k>` scores exactly batch k's kept docs
@@ -4843,6 +4971,8 @@ object ExtQueries {
     // compaction must be score-invisible: e239's oracle, verbatim
     "e244_kn_compacted_refresh_replay" -> knRefreshOracle,
 
+    "e246_kn_trigram_incremental_refresh_replay" -> kn3RefreshOracle,
+
     "e240_streaming_curation_replay" -> streamingCurationOracle,
 
     "e243_streaming_curation_global_cut" -> streamingCurationGlobalOracle,
@@ -4850,6 +4980,9 @@ object ExtQueries {
     "e238_kn_oov_serve" -> knOovServeOracle,
 
     "e242_kn_trigram_oov_serve" -> knTrigramOovServeOracle,
+
+    // the streaming replay must converge to the batch OOV serve
+    "e245_kn_streaming_oov_serve_replay" -> knOovServeOracle,
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
 

@@ -229,10 +229,23 @@ object KneserNey {
     * trigram tails, and the unigram level over BIGRAM types. Every
     * count is an exact integer aggregation; the probability is one
     * fixed double expression (oracle-mirrored term for term). */
-  def trigramLogProbs(docs: DataFrame,
-                      discount: Double = 0.75): DataFrame = {
-    val typ3 = trigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
+  /** Per-corpus trigram TYPE counts (w1, w2, w3, cnt) — the trigram
+    * model's higher-order sufficient statistic, additive across
+    * corpus shards like [[bigramTypeCounts]] (the full statistic is
+    * the PAIR of trigram + bigram type-count tables). */
+  def trigramTypeCounts(docs: DataFrame): DataFrame =
+    trigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The types→model step at trigram order: derive (w1, w2, w3, lp)
+    * from the two already-aggregated TYPE-count tables — trigram
+    * types for the top two interpolation levels, bigram types for the
+    * continuation-unigram floor. Every downstream quantity is a
+    * function of these counts alone, so a model from MERGED per-batch
+    * partials is bit-identical to a full retrain
+    * ([[refreshAndScoreTrigramIncremental]]). */
+  def trigramModelFromTypeCounts(typ3: DataFrame, typ2: DataFrame,
+                                 discount: Double = 0.75): DataFrame = {
     val hist3 = typ3.groupBy(col("w1"), col("w2")).agg(
       sum(col("cnt")).as("ctot"), count(lit(1)).as("n1r"))
     // continuation counts of the (w2, w3) completion
@@ -241,8 +254,6 @@ object KneserNey {
     val mid = cont.groupBy(col("w2")).agg(
       sum(col("n1l3")).as("nmid"), count(lit(1)).as("n1rctx"))
     // lowest order: bigram-left continuation unigram
-    val typ2 = bigrams(docs).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
     val leftB = typ2.groupBy(col("w2")).agg(count(lit(1)).as("n1lb"))
       .withColumnRenamed("w2", "w3")
     val totB = typ2.agg(count(lit(1)).as("nbtot"))
@@ -258,6 +269,11 @@ object KneserNey {
             * (col("n1lb").cast("double") / col("nbtot")))), 9)
         .as("lp"))
   }
+
+  def trigramLogProbs(docs: DataFrame,
+                      discount: Double = 0.75): DataFrame =
+    trigramModelFromTypeCounts(trigramTypeCounts(docs),
+      bigramTypeCounts(docs), discount)
 
   /** The Chen–Goodman LOWER-ORDER bigram distribution of the trigram
     * model, materialized as its own joinable table (w2, w3, lp2c) with
@@ -342,21 +358,68 @@ object KneserNey {
           Rounding.duckRound(exp(-col("doc_lp") /
             (col("n_trigrams") - col("n_unk"))), 6)).as("ppl"))
 
-  /** Per-doc trigram KN score: docs with < 3 words keep a zero row
-    * (ppl NULL). */
-  def trigramDocLogProb(docs: DataFrame,
-                        discount: Double = 0.75): DataFrame = {
-    val scored = trigrams(docs)
-      .join(trigramLogProbs(docs, discount), Seq("w1", "w2", "w3"))
+  /** Per-doc raw trigram scores against an already-trained model —
+    * the trigram serving half of [[docScores]]: trigram explode,
+    * equi-join on the trigram key, one per-doc aggregation. */
+  def trigramDocScores(docs: DataFrame, model: DataFrame): DataFrame =
+    trigrams(docs)
+      .join(model, Seq("w1", "w2", "w3"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"),
         Rounding.duckRound(sum(col("lp")), 6).as("doc_lp"))
-    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+
+  /** Gate shape over trigram scores: every doc keeps a row (< 3 words
+    * → n_trigrams 0, doc_lp 0, ppl NULL). */
+  def finalizeTrigramScores(allDocs: DataFrame,
+                            scored: DataFrame): DataFrame =
+    allDocs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         coalesce(col("doc_lp"), lit(0.0)).as("doc_lp"),
         when(col("n_trigrams").isNotNull, Rounding.duckRound(
           exp(-col("doc_lp") / col("n_trigrams")), 6)).as("ppl"))
+
+  /** Per-doc trigram KN score: docs with < 3 words keep a zero row
+    * (ppl NULL). */
+  def trigramDocLogProb(docs: DataFrame,
+                        discount: Double = 0.75): DataFrame =
+    finalizeTrigramScores(docs,
+      trigramDocScores(docs, trigramLogProbs(docs, discount)))
+
+  /** [[refreshAndScoreIncremental]] at TRIGRAM order — the model
+    * production filters actually refresh. The per-batch partial is
+    * the PAIR of additive type-count tables (trigram types for the
+    * top two interpolation levels, bigram types for the
+    * continuation-unigram floor), each an overwrite of
+    * `counts3/batch_N` / `counts2/batch_N`; version v_N merges each
+    * family's partials of batches 0..N with one hash aggregation and
+    * applies the identical types→model expression
+    * ([[trigramModelFromTypeCounts]]) — bit-identical to a full
+    * prefix retrain, O(batch) raw-doc work per trigger. Same
+    * idempotence contract as the bigram form (per-batch overwrites,
+    * numerically-bounded listings); scoring uses the plain equi-join
+    * path — under the inclusive protocol every scored trigram is in
+    * the model (the split-corpus OOV story is e242's). */
+  def refreshAndScoreTrigramIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String): Unit = {
+    trigramTypeCounts(batch)
+      .write.mode("overwrite").parquet(s"$store/counts3/batch_$batchId")
+    bigramTypeCounts(batch)
+      .write.mode("overwrite").parquet(s"$store/counts2/batch_$batchId")
+    def merged(sub: String, keys: Seq[String]) =
+      spark.read.parquet(graft.StoreFs.batchDirs(spark,
+          s"$store/$sub", upTo = batchId): _*)
+        .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
+    trigramModelFromTypeCounts(
+        merged("counts3", Seq("w1", "w2", "w3")),
+        merged("counts2", Seq("w1", "w2")))
+      .write.mode("overwrite").parquet(s"$store/model/v$batchId")
+    val newest = spark.read.parquet(s"$store/model/v$batchId")
+    finalizeTrigramScores(batch, trigramDocScores(batch, newest))
+      .withColumn("batch", lit(batchId).cast("int"))
+      .write.mode("overwrite").parquet(s"$store/out_$batchId")
+    ()
   }
 
   /** One micro-batch of the streaming model-REFRESH serving loop

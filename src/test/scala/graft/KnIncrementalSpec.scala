@@ -76,6 +76,34 @@ class KnIncrementalSpec extends SparkSpec {
     assert(StoreFs.batchDirs(spark, s"$store/counts").length == 2)
   }
 
+  test("trigram incremental refresh: the PAIR of merged count-partial " +
+    "families gives the full-corpus trigram model, with no raw-doc " +
+    "store") {
+    // shared trigram types across batches so merged counts differ
+    // from either batch's own at both count families
+    val b0 = docsOf(0L -> "a b c a b c", 1L -> "b c d")
+    val b1 = docsOf(2L -> "a b c d a")
+    val store = Scratch.fresh("kn3_inc_spec", "/root/testdata/sf0.001")
+    KneserNey.refreshAndScoreTrigramIncremental(spark, b0, 0L, store)
+    val stored = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(!stored.contains("corpus"),
+      s"trigram incremental refresh must not persist raw docs: $stored")
+    KneserNey.refreshAndScoreTrigramIncremental(spark, b1, 1L, store)
+    assert(rows(spark.read.parquet(s"$store/model/v1")
+      .orderBy("w1", "w2", "w3")) ==
+      rows(KneserNey.trigramLogProbs(b0.unionByName(b1))
+        .orderBy("w1", "w2", "w3")),
+      "merged trigram+bigram partials diverged from the full retrain")
+    // redelivery reproduces identical state at both count families
+    val out1 = rows(spark.read.parquet(s"$store/out_1")
+      .orderBy("doc_id"))
+    KneserNey.refreshAndScoreTrigramIncremental(spark, b1, 1L, store)
+    assert(rows(spark.read.parquet(s"$store/out_1")
+      .orderBy("doc_id")) == out1)
+    assert(StoreFs.batchDirs(spark, s"$store/counts3").length == 2)
+    assert(StoreFs.batchDirs(spark, s"$store/counts2").length == 2)
+  }
+
   test("compaction bounds the store: partials fold into one " +
     "checkpoint, the model is unchanged, and crash residue between " +
     "checkpoint and tombstone is ignored, not double-counted") {
