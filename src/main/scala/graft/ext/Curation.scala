@@ -167,10 +167,10 @@ object Curation {
     KneserNey.bigramTypeCounts(
         keptStored.select(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$store/counts/batch_$batchId")
-    val parts = graft.StoreFs.batchDirs(spark, s"$store/counts",
-      upTo = batchId)
-    KneserNey.modelFromTypeCounts(spark.read.parquet(parts: _*)
-        .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt")))
+    // checkpoint-aware merge (same store layout as the e241/e244
+    // refresh), so a maintenance job can compactCounts this store too
+    KneserNey.modelFromTypeCounts(
+        KneserNey.mergedTypeCounts(spark, store, upTo = batchId))
       .write.mode("overwrite").parquet(s"$store/model/v$batchId")
     val model = spark.read.parquet(s"$store/model/v$batchId")
     val scored = KneserNey.finalizeScores(
