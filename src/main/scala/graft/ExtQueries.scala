@@ -1076,6 +1076,43 @@ object ExtQueries {
       s.read.parquet(outs.toIndexedSeq: _*)
     }),
 
+    // E247: the streaming curation loop (e240) with in-loop
+    // maintenance of BOTH growing stores — every second batch the
+    // fingerprint sets fold into one DISTINCT checkpoint and the
+    // count partials into one merged checkpoint, covered dirs
+    // tombstoned, so the anti-join and model-merge fan-ins stay
+    // bounded over a stream's life. Horizon asymmetry is the
+    // load-bearing detail (fps at N-1 because its consumer view is
+    // exclusive; counts at N because its view is inclusive —
+    // CurationSpec pins the redelivery consequence). Same oracle as
+    // e240 VERBATIM: compaction must be survivor-invisible.
+    "e247_streaming_curation_compacted_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_compact", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchCompacting(s, b, id, scratch,
+            compactEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outs = new java.io.File(scratch).listFiles()
+        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
+      s.read.parquet(outs.toIndexedSeq: _*)
+    }),
+
     // E242: TRIGRAM KN serving with explicit OOV accounting (VERDICT
     // r17 #4) — e238's train/serve split one order up: the trigram
     // model trains on even doc_ids and scores the odd half, backing
@@ -4976,6 +5013,9 @@ object ExtQueries {
     "e240_streaming_curation_replay" -> streamingCurationOracle,
 
     "e243_streaming_curation_global_cut" -> streamingCurationGlobalOracle,
+
+    // store compaction must be survivor-invisible: e240's oracle
+    "e247_streaming_curation_compacted_replay" -> streamingCurationOracle,
 
     "e238_kn_oov_serve" -> knOovServeOracle,
 

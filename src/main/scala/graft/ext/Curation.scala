@@ -141,8 +141,7 @@ object Curation {
     // ...minus content a STRICTLY EARLIER batch already carried — the
     // bound excludes this batch's own directory, so a redelivery does
     // not see its first attempt's fingerprints and drop everything
-    val prior = graft.StoreFs.batchDirs(spark, s"$store/fps",
-      upTo = batchId - 1)
+    val prior = mergedFingerprintDirs(spark, store, upTo = batchId - 1)
     val fresh =
       if (prior.isEmpty) canon
       else canon.join(spark.read.parquet(prior: _*),
@@ -178,6 +177,79 @@ object Curation {
       KneserNey.docScores(
         keptStored.select(col("doc_id"), col("text")), model))
     (keptStored, scored)
+  }
+
+  /** The fingerprint store's source list at horizon `upTo`: the
+    * newest checkpoint at or below the horizon plus every per-batch
+    * fingerprint set STRICTLY ABOVE it — the
+    * [[graft.ext.KneserNey.mergedTypeCounts]] view applied to the
+    * dedup store (tombstone-crash residue ignored, never
+    * double-read; harmless here regardless, since the consumer is a
+    * distinct-semantics anti-join). Empty before the first batch. */
+  private def mergedFingerprintDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      store: String, upTo: Long): Seq[String] = {
+    def idOf(path: String, prefix: String): Long =
+      path.split(prefix).last.toLong
+    val ckpt = graft.StoreFs.batchDirs(spark, s"$store/fps",
+      prefix = "ckpt_", upTo = upTo).lastOption
+    val horizon = ckpt.map(idOf(_, "ckpt_")).getOrElse(-1L)
+    ckpt.toSeq ++ graft.StoreFs.batchDirs(spark, s"$store/fps",
+      upTo = upTo).filter(idOf(_, "batch_") > horizon)
+  }
+
+  /** COMPACT the fingerprint store (VERDICT r17's log-structured
+    * pattern, applied to the dedup side the way
+    * [[graft.ext.KneserNey.compactCounts]] applies it to the model
+    * side): per-batch fingerprint sets accumulate one directory per
+    * trigger, so the anti-join's source fan-in grows O(N) with
+    * stream age. Fold sets 0..upTo into one DISTINCT checkpoint,
+    * then tombstone what it covers — checkpoint before any delete,
+    * repeated compaction never rewrites the checkpoint it reads
+    * (the self-overwrite guard), and the same horizon contract: only
+    * compact at or below the last committed batch. */
+  def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
+                          store: String, upTo: Long): Unit = {
+    val covered = graft.StoreFs.batchDirs(spark, s"$store/fps",
+      upTo = upTo)
+    if (covered.nonEmpty) {
+      if (!graft.StoreFs.exists(spark, s"$store/fps/ckpt_$upTo"))
+        spark.read.parquet(
+            mergedFingerprintDirs(spark, store, upTo): _*)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$store/fps/ckpt_$upTo")
+      covered.foreach(graft.StoreFs.delete(spark, _))
+      graft.StoreFs.batchDirs(spark, s"$store/fps",
+        prefix = "ckpt_", upTo = upTo - 1)
+        .foreach(graft.StoreFs.delete(spark, _))
+    }
+  }
+
+  /** [[curateBatch]] with in-loop maintenance of BOTH growing stores
+    * (e247): every `compactEvery` batches the fingerprint sets fold
+    * into a distinct checkpoint ([[compactFingerprints]]) and the
+    * count partials into a merged one
+    * ([[graft.ext.KneserNey.compactCounts]]), so the anti-join and
+    * model-merge fan-ins stay bounded forever. Same output contract
+    * — the gate shares e240's oracle verbatim: compaction must be
+    * invisible in every batch's survivors. */
+  def curateBatchCompacting(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, batchId: Long,
+                            store: String, qualityMin: Double = 0.5,
+                            pplQ: Double = 0.5,
+                            compactEvery: Int = 2): Unit = {
+    curateBatch(spark, batch, batchId, store, qualityMin, pplQ)
+    if ((batchId + 1) % compactEvery == 0) {
+      // HORIZON ASYMMETRY, load-bearing: the fps store compacts at
+      // batchId − 1, because its consumer is the EXCLUSIVE "prior"
+      // view (upTo = N − 1) — a checkpoint at N would be invisible to
+      // a redelivered batch N whose own-batch dirs are tombstoned,
+      // resurrecting cross-batch duplicates. The counts store's
+      // consumer bound is INCLUSIVE (upTo = N), so ckpt_N stays
+      // visible on redelivery and folding the current batch is safe.
+      compactFingerprints(spark, store, batchId - 1)
+      KneserNey.compactCounts(spark, store, batchId)
+    }
   }
 
   /** [[curateBatch]] with the CORPUS-GLOBAL running quantile a

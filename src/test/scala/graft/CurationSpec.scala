@@ -80,4 +80,45 @@ class CurationSpec extends SparkSpec {
       b0.withColumn("doc_id", col("doc_id") + 100L), 2L, store)
     assert(spark.read.parquet(s"$store/curated/batch_2").count() == 0)
   }
+
+  test("compacting curation bounds both stores and keeps dedup + " +
+    "redelivery exact across the fold (e247's mechanism)") {
+    val b = Seq(
+      Seq((0L, "the a of and to in the a of and")),
+      Seq((1L, "the the the the the the the the the the")),
+      Seq((2L, "the a of and in it is a the of")),
+      // batch 3 carries a CLONE of batch 0's content: it must drop
+      // even though batch 0's fps dir was tombstoned into a ckpt
+      Seq((3L, "the a of and to in the a of and"),
+        (4L, "it is the a of and the a of and")))
+      .map(_.toDF("doc_id", "text"))
+    val store = Scratch.fresh("curation_compact_spec",
+      "/root/testdata/sf0.001")
+    b.zipWithIndex.foreach { case (df, i) =>
+      Curation.curateBatchCompacting(spark, df, i.toLong, store,
+        compactEvery = 2)
+    }
+    // fan-in bounded: fps = ckpt_2 (horizon 3-1) + batch_3;
+    // counts = ckpt_3 only
+    assert(StoreFs.batchDirs(spark, s"$store/fps", prefix = "ckpt_")
+      .map(_.split("ckpt_").last.toLong) == Seq(2L))
+    assert(StoreFs.batchDirs(spark, s"$store/fps")
+      .map(_.split("batch_").last.toLong) == Seq(3L))
+    assert(StoreFs.batchDirs(spark, s"$store/counts").isEmpty)
+    assert(StoreFs.batchDirs(spark, s"$store/counts",
+      prefix = "ckpt_").map(_.split("ckpt_").last.toLong) == Seq(3L))
+    // the cross-ckpt clone dropped; the fresh doc survived dedup
+    val cur3 = spark.read.parquet(s"$store/curated/batch_3")
+    assert(rows(cur3.select(col("doc_id"))) == Seq(Seq(4L)),
+      "ckpt-folded fingerprints must still dedup later clones")
+    // redelivery of the compacted batch reproduces identical state
+    val out3 = rows(spark.read.parquet(s"$store/out_3")
+      .orderBy("doc_id"))
+    Curation.curateBatchCompacting(spark, b(3), 3L, store,
+      compactEvery = 2)
+    assert(rows(spark.read.parquet(s"$store/out_3")
+      .orderBy("doc_id")) == out3)
+    assert(rows(spark.read.parquet(s"$store/curated/batch_3")
+      .select(col("doc_id"))) == Seq(Seq(4L)))
+  }
 }
