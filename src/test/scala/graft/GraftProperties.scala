@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
-import graft.ext.{Clustering, Dedup, KMeans, Packing}
+import graft.ext.{Clustering, Dedup, KMeans, KneserNey, Packing}
 import graft.ops.{AsofJoin, CleanOps, GridOps, Resample}
 
 /** ScalaCheck property tests for the pipeline invariants the reference
@@ -389,6 +389,45 @@ object GraftProperties extends Properties("graft") {
   // no shrinking: ScalaCheck's default shrinker leaves the
   // generator's support (empty / dim-1 vectors) and reports
   // counterexamples the engine legitimately rejects
+  // ---- incremental KN refresh: random corpus, random batching ----
+  // Words from a 5-symbol vocabulary so bigram types overlap across
+  // batches (the case where additive merging can actually go wrong);
+  // doc lengths 1-6 include zero-bigram docs; batches may be EMPTY.
+  private val knCorpusGen: Gen[List[(Long, String, Int)]] =
+    Gen.nonEmptyListOf(for {
+      nw <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(nw, Gen.oneOf("a", "b", "c", "d", "e"))
+      b <- Gen.choose(0, 2)
+    } yield (ws.mkString(" "), b))
+      .map(_.take(10).zipWithIndex.map {
+        case ((t, b), i) => (i.toLong, t, b)
+      })
+
+  private val knPropRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  property("incremental KN refresh equals the naive prefix retrain " +
+    "at EVERY batch of a random batching (count partials are a " +
+    "sufficient statistic)") =
+    Prop.forAll(knCorpusGen) { docs =>
+      import spark.implicits._
+      val store = Scratch.fresh(
+        s"kn_inc_prop_${knPropRuns.incrementAndGet()}", "prop")
+      (0 until 3).forall { k =>
+        val b = docs.filter(_._3 == k).map(d => (d._1, d._2))
+          .toDF("doc_id", "text")
+        KneserNey.refreshAndScoreIncremental(spark, b, k.toLong, store)
+        val prefix = docs.filter(_._3 <= k).map(d => (d._1, d._2))
+          .toDF("doc_id", "text")
+        val got = spark.read.parquet(s"$store/out_$k").drop("batch")
+          .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+        val exp = KneserNey.finalizeScores(b, KneserNey.docScores(b,
+            KneserNey.bigramLogProbs(prefix)))
+          .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+        got == exp
+      }
+    }
+
   property("kmeans equals an in-memory Lloyd reference") =
     Prop.forAllNoShrink(kmGen)(kmeansMatchesReference)
 
