@@ -852,6 +852,30 @@ object ExtQueries {
           KneserNey.docScoresOov(stream, model, cont)))
     }),
 
+    // E248: e242's TRIGRAM OOV serve as a CONTINUOUS STREAMING query
+    // (completing the {bigram,trigram} × {batch,streaming} serving
+    // matrix): the trigram model and BOTH backoff tables
+    // (continuation-bigram, continuation-unigram) are static
+    // artifacts trained on the even half; the odd half streams
+    // through the four-way stream-static LEFT equi-join chain +
+    // per-doc agg. Replay converges to e242's oracle VERBATIM.
+    "e248_kn_trigram_streaming_oov_serve_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val model3 = KneserNey.trigramLogProbs(train)
+      val cont2 = KneserNey.continuationBigram(train)
+      val cont1 = KneserNey.continuationUnigram(train)
+      val rawSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") % 2 =!= 0)
+      KneserNey.finalizeOov3Scores(d.filter(col("doc_id") % 2 =!= 0),
+        StreamingOhlc.replayToBatch(s,
+          KneserNey.docScoresOov3(stream, model3, cont2, cont1)))
+    }),
+
     // E239: streaming KN model REFRESH (VERDICT r16 #5) — the
     // production perplexity-serving loop, composing the e231 storage
     // pattern with e235's model-as-table serving: micro-batch N first
@@ -5023,6 +5047,9 @@ object ExtQueries {
 
     // the streaming replay must converge to the batch OOV serve
     "e245_kn_streaming_oov_serve_replay" -> knOovServeOracle,
+
+    "e248_kn_trigram_streaming_oov_serve_replay" ->
+      knTrigramOovServeOracle,
 
     "e227_unigram_lm_train" -> unigramTrainOracle,
 
