@@ -179,51 +179,70 @@ object Curation {
     (keptStored, scored)
   }
 
-  /** The fingerprint store's source list at horizon `upTo`: the
-    * newest checkpoint at or below the horizon plus every per-batch
-    * fingerprint set STRICTLY ABOVE it — the
-    * [[graft.ext.KneserNey.mergedTypeCounts]] view applied to the
-    * dedup store (tombstone-crash residue ignored, never
-    * double-read; harmless here regardless, since the consumer is a
-    * distinct-semantics anti-join). Empty before the first batch. */
+  /** SEED the streaming curation stores from an EXISTING corpus
+    * (VERDICT r18 #5 — the e57 bootstrap pattern applied to the whole
+    * loop): a production restart ingests against yesterday's corpus,
+    * not an empty store. The base corpus runs the [[chain]]'s batch
+    * stages once — within-corpus exact dedup (min-doc_id canonical
+    * copy per fingerprint), then the stateless quality cut — and its
+    * state lands as CHECKPOINTS AT HORIZON −1 ("everything before
+    * batch 0"): `fps/ckpt_-1` carries every DISTINCT fingerprint the
+    * base corpus has seen (pre-quality — the stream's fps contract:
+    * even a low-quality base doc suppresses its later clones), and
+    * `counts/ckpt_-1` the bigram type-count statistic of its KEPT
+    * docs (what the per-batch models must train on).
+    *
+    * The horizon −1 trick is what makes seeding a PURE store-state
+    * bootstrap: [[graft.StoreFs.mergedDirs]] resolves a checkpoint id
+    * at or below the horizon, and batch 0's exclusive prior view is
+    * `upTo = −1` — so the seed is visible from the very first
+    * trigger, every real batch id stays ≥ 0, the loop code is
+    * UNCHANGED, and a later [[compactFingerprints]]/compactCounts
+    * folds the seed like any other checkpoint. The e250 gate pins the
+    * composition: the seeded stream's survivors equal the per-batch
+    * oracle over the union corpus with the seed as "batch −1". */
+  def seedCurationStore(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, store: String,
+                        qualityMin: Double = 0.5): Unit = {
+    docs.select(md5(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$store/fps/ckpt_-1")
+    val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+    val kept = deduped.join(
+      TextAnalysis.qualityScore(deduped)
+        .filter(col("quality") >= qualityMin)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    KneserNey.bigramTypeCounts(
+        kept.select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$store/counts/ckpt_-1")
+  }
+
+  /** The fingerprint store's source list at horizon `upTo` — the
+    * generic [[graft.StoreFs.mergedDirs]] view on the dedup store
+    * (tombstone-crash residue ignored, never double-read; harmless
+    * here regardless, since the consumer is a distinct-semantics
+    * anti-join). Empty before the first batch. */
   private def mergedFingerprintDirs(
       spark: org.apache.spark.sql.SparkSession,
-      store: String, upTo: Long): Seq[String] = {
-    def idOf(path: String, prefix: String): Long =
-      path.split(prefix).last.toLong
-    val ckpt = graft.StoreFs.batchDirs(spark, s"$store/fps",
-      prefix = "ckpt_", upTo = upTo).lastOption
-    val horizon = ckpt.map(idOf(_, "ckpt_")).getOrElse(-1L)
-    ckpt.toSeq ++ graft.StoreFs.batchDirs(spark, s"$store/fps",
-      upTo = upTo).filter(idOf(_, "batch_") > horizon)
-  }
+      store: String, upTo: Long): Seq[String] =
+    graft.StoreFs.mergedDirs(spark, s"$store/fps", upTo)
 
   /** COMPACT the fingerprint store (VERDICT r17's log-structured
     * pattern, applied to the dedup side the way
     * [[graft.ext.KneserNey.compactCounts]] applies it to the model
     * side): per-batch fingerprint sets accumulate one directory per
     * trigger, so the anti-join's source fan-in grows O(N) with
-    * stream age. Fold sets 0..upTo into one DISTINCT checkpoint,
-    * then tombstone what it covers — checkpoint before any delete,
-    * repeated compaction never rewrites the checkpoint it reads
-    * (the self-overwrite guard), and the same horizon contract: only
-    * compact at or below the last committed batch. */
+    * stream age. One [[graft.StoreFs.compact]] with a DISTINCT fold —
+    * checkpoint before any delete, repeated compaction never rewrites
+    * the checkpoint it reads, non-monotonic horizons refused, and the
+    * same horizon contract: only compact at or below the last
+    * committed batch. */
   def compactFingerprints(spark: org.apache.spark.sql.SparkSession,
-                          store: String, upTo: Long): Unit = {
-    val covered = graft.StoreFs.batchDirs(spark, s"$store/fps",
-      upTo = upTo)
-    if (covered.nonEmpty) {
-      if (!graft.StoreFs.exists(spark, s"$store/fps/ckpt_$upTo"))
-        spark.read.parquet(
-            mergedFingerprintDirs(spark, store, upTo): _*)
-          .distinct()
-          .write.mode("overwrite").parquet(s"$store/fps/ckpt_$upTo")
-      covered.foreach(graft.StoreFs.delete(spark, _))
-      graft.StoreFs.batchDirs(spark, s"$store/fps",
-        prefix = "ckpt_", upTo = upTo - 1)
-        .foreach(graft.StoreFs.delete(spark, _))
+                          store: String, upTo: Long): Unit =
+    graft.StoreFs.compact(spark, s"$store/fps", upTo) { dirs =>
+      spark.read.parquet(dirs: _*).distinct()
     }
-  }
 
   /** [[curateBatch]] with in-loop maintenance of BOTH growing stores
     * (e247): every `compactEvery` batches the fingerprint sets fold
@@ -252,6 +271,32 @@ object Curation {
     }
   }
 
+  /** The FULL store-maintenance curation loop (VERDICT r18 #4):
+    * [[curateBatchCompacting]] plus retention of the two
+    * forever-growing OUTPUT families — model versions (keep the
+    * newest at or below the committed horizon `batchId − 1` plus
+    * every `keepEvery`-th, the
+    * [[graft.StoreFs.retainVersions]] rollback ladder) and dead
+    * curated batches (`curated/batch_<j>` is only ever re-read by its
+    * OWN batch's redelivery, so every j strictly below this batch
+    * retires). A redelivered batch N rewrites `curated/batch_N` and
+    * `model/v<N>` itself before reading them, so GC below N is
+    * invisible to it (CurationSpec pins it); the e253 gate shares
+    * e240/e247's oracle verbatim — maintenance must be
+    * survivor-invisible. */
+  def curateBatchMaintained(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, batchId: Long,
+                            store: String, qualityMin: Double = 0.5,
+                            pplQ: Double = 0.5, compactEvery: Int = 2,
+                            keepEvery: Int = 4): Unit = {
+    curateBatchCompacting(spark, batch, batchId, store, qualityMin,
+      pplQ, compactEvery)
+    graft.StoreFs.retainVersions(spark, s"$store/model", prefix = "v",
+      committed = batchId - 1, keepEvery = keepEvery)
+    graft.StoreFs.retireBelow(spark, s"$store/curated",
+      prefix = "batch_", below = batchId)
+  }
+
   /** [[curateBatch]] with the CORPUS-GLOBAL running quantile a
     * long-running ingest wants (VERDICT r17 #5): instead of the
     * batch's own median, batch N is cut at quantile `pplQ` of the
@@ -271,39 +316,66 @@ object Curation {
     * Spark exposes no serialized mergeable GK state at the SQL layer
     * to persist per batch directly. Same idempotence contract as
     * [[curateBatch]]: per-batch overwrites, numerically-bounded
-    * prefix listings. */
+    * prefix listings.
+    *
+    * SCALE GUARD (VERDICT r18 #2): scores are ~unique doubles, so
+    * Spark's exact `Percentile` buffer is effectively row-cardinality
+    * at the final merge — over a stream's life that is O(all docs
+    * ever kept) in ONE task's memory, a genuine 100 TB scale-killer.
+    * The exact interpolated quantile is therefore only the OPERATIVE
+    * cut while the merged store holds at most `exactCutMax` scores
+    * (the gate contract at test scale; the default 10⁷ doubles keeps
+    * the Percentile buffer in the low hundreds of MB for one task);
+    * past it the already-computed mergeable GK estimate
+    * (`percentile_approx`, constant memory per task) takes over as
+    * the operative cut, still rank-bound-gated by `cut_within`. The
+    * store-size probe is one count — never an unbounded buffer — so
+    * NO aggregation on the past-threshold path holds more than the
+    * sketch. The score store reads through
+    * [[graft.StoreFs.mergedDirs]], so [[compactScores]] can bound its
+    * fan-in like the fps and counts stores ([[curateBatchGlobalCutCompacting]]). */
   def curateBatchGlobalCut(spark: org.apache.spark.sql.SparkSession,
                            batch: DataFrame, batchId: Long,
                            store: String, qualityMin: Double = 0.5,
-                           pplQ: Double = 0.5): Unit = {
+                           pplQ: Double = 0.5,
+                           exactCutMax: Long = 10000000L): Unit = {
     import graft.TwoPass
     val (keptStored, scored) =
       curateStages(spark, batch, batchId, store, qualityMin)
     scored.select(col("doc_id"), col("ppl")).write.mode("overwrite")
       .parquet(s"$store/scores/batch_$batchId")
-    val pre = spark.read.parquet(graft.StoreFs.batchDirs(spark,
+    val pre = spark.read.parquet(graft.StoreFs.mergedDirs(spark,
       s"$store/scores", upTo = batchId): _*)
-    val cut = TwoPass.scalar(pre.agg(
-      percentile(col("ppl"), lit(pplQ)).as("c"),
+    // pass 1 — runs at EVERY scale: store size + the mergeable GK
+    // estimate, both constant-memory per task
+    val sz = TwoPass.scalar(pre.agg(
+      count(col("ppl")).as("n"),
       percentile_approx(col("ppl"), lit(pplQ), lit(10000)).as("ap")))
-    val low =
-      if (cut.isNullAt(0)) scored.filter(lit(false))
-      else scored.filter(col("ppl") <= lit(cut.getDouble(0)))
+    val n = sz.getLong(0)
+    // the OPERATIVE cut: exact below the threshold, sketch above
+    val cut =
+      if (n == 0L) None
+      else if (n <= exactCutMax) Some(TwoPass.scalar(pre.agg(
+        percentile(col("ppl"), lit(pplQ)).as("c"))).getDouble(0))
+      else Some(sz.getDouble(1))
+    val low = cut match {
+      case None    => scored.filter(lit(false))
+      case Some(c) => scored.filter(col("ppl") <= lit(c))
+    }
     // the GK ε-flag (e23a's rank-space bound over the merged store):
     // the sketch estimate's rank interval must intersect the target
     // rank ± (10× documented relative rank error + 1 discreteness)
     val within =
-      if (cut.isNullAt(1)) 1 // no scored doc anywhere: nothing to bound
+      if (sz.isNullAt(1)) 1 // no scored doc anywhere: nothing to bound
       else {
-        val ap = cut.getDouble(1)
+        val ap = sz.getDouble(1)
         val r = TwoPass.scalar(pre.agg(
-          count(col("ppl")).as("n"),
           sum(when(col("ppl") < ap, 1L).otherwise(0L)).as("lo"),
           sum(when(col("ppl") <= ap, 1L).otherwise(0L)).as("hi")))
-        val n = r.getLong(0); val target = pplQ * n
+        val target = pplQ * n
         val tol = 10.0 * n / 10000 + 1.0
-        if (r.getLong(1) + 1 <= target + tol &&
-          r.getLong(2) >= target - tol) 1 else 0
+        if (r.getLong(0) + 1 <= target + tol &&
+          r.getLong(1) >= target - tol) 1 else 0
       }
     low.join(keptStored.select(col("doc_id"), col("n_words"),
         col("quality")), Seq("doc_id"))
@@ -313,5 +385,41 @@ object Curation {
         lit(within).as("cut_within"))
       .write.mode("overwrite").parquet(s"$store/out_$batchId")
     ()
+  }
+
+  /** COMPACT the global-cut score store (VERDICT r18 #2's second
+    * half): per-batch score vectors accumulate one directory per
+    * trigger, so the prefix quantile's source fan-in grows O(N) with
+    * stream age. The fold is a PLAIN CONCATENATION — score rows are
+    * per-doc facts, not mergeable partials, so the checkpoint is just
+    * the union rewritten as one directory (same
+    * checkpoint-before-tombstone / crash-residue / monotonic-horizon
+    * contract as the other stores via [[graft.StoreFs.compact]]). */
+  def compactScores(spark: org.apache.spark.sql.SparkSession,
+                    store: String, upTo: Long): Unit =
+    graft.StoreFs.compact(spark, s"$store/scores", upTo) { dirs =>
+      spark.read.parquet(dirs: _*)
+    }
+
+  /** [[curateBatchGlobalCut]] with in-loop maintenance of ALL THREE
+    * growing stores (e251): fingerprints fold at batchId − 1 (their
+    * consumer is the exclusive prior view — the e247 horizon
+    * asymmetry), count partials and score vectors at batchId (both
+    * consumers are inclusive-bound, so their checkpoints stay visible
+    * to a redelivered batch). Same output contract — the gate shares
+    * e243's oracle verbatim: compaction must be survivor- AND
+    * cut-invisible. */
+  def curateBatchGlobalCutCompacting(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String,
+      qualityMin: Double = 0.5, pplQ: Double = 0.5,
+      exactCutMax: Long = 10000000L, compactEvery: Int = 2): Unit = {
+    curateBatchGlobalCut(spark, batch, batchId, store, qualityMin,
+      pplQ, exactCutMax)
+    if ((batchId + 1) % compactEvery == 0) {
+      compactFingerprints(spark, store, batchId - 1)
+      KneserNey.compactCounts(spark, store, batchId)
+      compactScores(spark, store, batchId)
+    }
   }
 }

@@ -397,9 +397,12 @@ object KneserNey {
     * ([[trigramModelFromTypeCounts]]) — bit-identical to a full
     * prefix retrain, O(batch) raw-doc work per trigger. Same
     * idempotence contract as the bigram form (per-batch overwrites,
-    * numerically-bounded listings); scoring uses the plain equi-join
-    * path — under the inclusive protocol every scored trigram is in
-    * the model (the split-corpus OOV story is e242's). */
+    * numerically-bounded CHECKPOINT-AWARE listings —
+    * [[mergedCountsAt]], so a maintenance job can
+    * [[compactTrigramCounts]] both families mid-stream); scoring uses
+    * the plain equi-join path — under the inclusive protocol every
+    * scored trigram is in the model (the split-corpus OOV story is
+    * e242's). */
   def refreshAndScoreTrigramIncremental(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, batchId: Long, store: String): Unit = {
@@ -407,13 +410,11 @@ object KneserNey {
       .write.mode("overwrite").parquet(s"$store/counts3/batch_$batchId")
     bigramTypeCounts(batch)
       .write.mode("overwrite").parquet(s"$store/counts2/batch_$batchId")
-    def merged(sub: String, keys: Seq[String]) =
-      spark.read.parquet(graft.StoreFs.batchDirs(spark,
-          s"$store/$sub", upTo = batchId): _*)
-        .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
     trigramModelFromTypeCounts(
-        merged("counts3", Seq("w1", "w2", "w3")),
-        merged("counts2", Seq("w1", "w2")))
+        mergedCountsAt(spark, s"$store/counts3",
+          Seq("w1", "w2", "w3"), upTo = batchId),
+        mergedCountsAt(spark, s"$store/counts2",
+          Seq("w1", "w2"), upTo = batchId))
       .write.mode("overwrite").parquet(s"$store/model/v$batchId")
     val newest = spark.read.parquet(s"$store/model/v$batchId")
     finalizeTrigramScores(batch, trigramDocScores(batch, newest))
@@ -497,62 +498,81 @@ object KneserNey {
     ()
   }
 
-  /** The count store's merged view at horizon `upTo`: the newest
-    * checkpoint at or below the horizon (a pre-merged prefix,
-    * `ckpt_<m>` covering batches 0..m) plus every per-batch partial
-    * STRICTLY ABOVE the checkpoint, summed. A partial the checkpoint
-    * already covers is IGNORED even if still on disk — that is the
-    * crash-between-checkpoint-and-tombstone residue, and ignoring it
-    * (rather than double-counting) is what makes [[compactCounts]]
-    * safe to interrupt at any point. With no checkpoint this
-    * degrades to the plain merge of partials 0..upTo. */
-  def mergedTypeCounts(spark: org.apache.spark.sql.SparkSession,
-                       store: String, upTo: Long): DataFrame = {
-    def idOf(path: String, prefix: String): Long =
-      path.split(prefix).last.toLong
-    val ckpt = graft.StoreFs.batchDirs(spark, s"$store/counts",
-      prefix = "ckpt_", upTo = upTo).lastOption
-    val horizon = ckpt.map(idOf(_, "ckpt_")).getOrElse(-1L)
-    val parts = graft.StoreFs.batchDirs(spark, s"$store/counts",
-      upTo = upTo).filter(idOf(_, "batch_") > horizon)
-    spark.read.parquet((ckpt.toSeq ++ parts): _*)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
-  }
+  /** A type-count store's merged view at horizon `upTo`: the
+    * [[graft.StoreFs.mergedDirs]] sources (newest checkpoint at or
+    * below the horizon + partials strictly above it; tombstone-crash
+    * residue provably ignored), summed per n-gram key — the shared
+    * kernel of the bigram ([[mergedTypeCounts]]) and trigram count
+    * families and of the curation loop's count store (VERDICT r18 #1:
+    * one generic merged-view/compact pair instead of per-layout
+    * copies). Counts are additive, so the merged view is
+    * bit-identical at every compaction state. */
+  def mergedCountsAt(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, keys: Seq[String],
+                     upTo: Long): DataFrame =
+    spark.read.parquet(graft.StoreFs.mergedDirs(spark, dir, upTo): _*)
+      .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
 
-  /** COMPACT the count store (the log-structured maintenance step the
-    * incremental refresh needs at stream lifetimes — the near-dup
+  /** COMPACT a type-count store (the log-structured maintenance step
+    * an incremental refresh needs at stream lifetimes — the near-dup
     * delta store's compaction, applied to model partials): per-batch
     * partials accumulate one directory per trigger, so the refresh's
     * listing + merge fan-in grows O(N) over a stream's life even
-    * though the merged CARDINALITY is vocabulary-bounded. Compaction
-    * folds partials 0..upTo into one pre-merged checkpoint
-    * (`ckpt_<upTo>`), then tombstones the covered partials — the
-    * checkpoint lands BEFORE any delete, so a crash between the two
-    * leaves covered partials that [[mergedTypeCounts]] provably
-    * ignores, and the merged view is identical at every
-    * interruption point (KnIncrementalSpec pins it). Horizon
+    * though the merged CARDINALITY is vocabulary-bounded. One
+    * [[graft.StoreFs.compact]] with the summed-counts fold:
+    * checkpoint-before-tombstone, crash residue ignored, repeated
+    * compaction never rewrites the checkpoint it reads, non-monotonic
+    * horizons refused (KnIncrementalSpec pins each). Horizon
     * contract: only compact at or below the last COMMITTED batch —
     * a redelivery never reaches below the engine's commit log, so
     * tombstoned partials are never needed again. */
-  def compactCounts(spark: org.apache.spark.sql.SparkSession,
-                    store: String, upTo: Long): Unit = {
-    val covered = graft.StoreFs.batchDirs(spark, s"$store/counts",
-      upTo = upTo)
-    if (covered.nonEmpty) {
-      // a checkpoint at this horizon already folded everything (a
-      // redelivered/repeated compaction): never rewrite it — Spark
-      // cannot overwrite a parquet path it is reading from — just
-      // finish the tombstone half below, which is idempotent
-      if (!graft.StoreFs.exists(spark, s"$store/counts/ckpt_$upTo"))
-        mergedTypeCounts(spark, store, upTo)
-          .write.mode("overwrite").parquet(s"$store/counts/ckpt_$upTo")
-      // tombstone strictly after the checkpoint is durable; also
-      // retire any OLDER checkpoint the new one subsumes
-      covered.foreach(graft.StoreFs.delete(spark, _))
-      graft.StoreFs.batchDirs(spark, s"$store/counts",
-        prefix = "ckpt_", upTo = upTo - 1)
-        .foreach(graft.StoreFs.delete(spark, _))
+  def compactCountsAt(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, keys: Seq[String],
+                      upTo: Long): Unit =
+    graft.StoreFs.compact(spark, dir, upTo) { dirs =>
+      spark.read.parquet(dirs: _*)
+        .groupBy(keys.map(col): _*).agg(sum(col("cnt")).as("cnt"))
     }
+
+  /** The bigram count store's merged view at horizon `upTo` —
+    * [[mergedCountsAt]] on the `counts/(w1, w2)` layout. */
+  def mergedTypeCounts(spark: org.apache.spark.sql.SparkSession,
+                       store: String, upTo: Long): DataFrame =
+    mergedCountsAt(spark, s"$store/counts", Seq("w1", "w2"), upTo)
+
+  /** [[compactCountsAt]] on the bigram refresh's `counts/(w1, w2)`
+    * layout. */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+                    store: String, upTo: Long): Unit =
+    compactCountsAt(spark, s"$store/counts", Seq("w1", "w2"), upTo)
+
+  /** COMPACT the trigram refresh's PAIR of count stores (VERDICT r18
+    * #1 — the maintenance [[compactCounts]] gives the bigram side,
+    * applied to both of the trigram model's sufficient-statistic
+    * families), bounding
+    * [[refreshAndScoreTrigramIncremental]]'s per-trigger merge fan-in
+    * the same way e244 bounds the bigram refresh's. */
+  def compactTrigramCounts(spark: org.apache.spark.sql.SparkSession,
+                           store: String, upTo: Long): Unit = {
+    compactCountsAt(spark, s"$store/counts3",
+      Seq("w1", "w2", "w3"), upTo)
+    compactCountsAt(spark, s"$store/counts2", Seq("w1", "w2"), upTo)
+  }
+
+  /** [[refreshAndScoreTrigramIncremental]] with in-loop store
+    * maintenance — the trigram twin of [[refreshAndScoreCompacting]]:
+    * every `compactEvery` batches both count families fold into
+    * pre-merged checkpoints, so the per-trigger fan-in stays
+    * ≤ compactEvery + 1 sources per family forever. Same output
+    * contract (the e249 gate shares e246's oracle verbatim —
+    * compaction must be score-invisible). */
+  def refreshAndScoreTrigramCompacting(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String,
+      compactEvery: Int = 2): Unit = {
+    refreshAndScoreTrigramIncremental(spark, batch, batchId, store)
+    if ((batchId + 1) % compactEvery == 0)
+      compactTrigramCounts(spark, store, batchId)
   }
 
   /** [[refreshAndScoreIncremental]] with in-loop store maintenance:
@@ -567,6 +587,29 @@ object KneserNey {
     refreshAndScoreIncremental(spark, batch, batchId, store)
     if ((batchId + 1) % compactEvery == 0)
       compactCounts(spark, store, batchId)
+  }
+
+  /** The FULL store-maintenance refresh loop (VERDICT r18 #4):
+    * [[refreshAndScoreCompacting]] plus model-version RETENTION.
+    * Compaction bounds the INPUT store, but every trigger still
+    * writes `model/v<N>` forever; retention keeps — among versions at
+    * or below the committed horizon `batchId − 1` (everything below
+    * the one batch the engine could still redeliver) — the newest
+    * (currently serving) plus every `keepEvery`-th (the rollback
+    * ladder), and retires the rest. The loop reads only the version
+    * it writes this trigger, so a redelivered batch still finds
+    * everything it needs (KnIncrementalSpec pins it); the e252 gate
+    * runs e239's prefix-trained oracle family at SIX batches, so the
+    * ladder genuinely deletes mid-stream — maintenance must be
+    * score-invisible. */
+  def refreshAndScoreMaintained(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, store: String,
+      compactEvery: Int = 2, keepEvery: Int = 4): Unit = {
+    refreshAndScoreCompacting(spark, batch, batchId, store,
+      compactEvery)
+    graft.StoreFs.retainVersions(spark, s"$store/model", prefix = "v",
+      committed = batchId - 1, keepEvery = keepEvery)
   }
 
   /** The CURATION operator the score exists for: keep documents with

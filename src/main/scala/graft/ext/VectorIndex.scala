@@ -186,7 +186,16 @@ object VectorIndex {
     val marker = s"$path/applied/batch_$batchId"
     if (!graft.StoreFs.exists(spark, marker)) {
       append(spark, path, batch)
-      graft.StoreFs.touch(spark, marker)
+      // a LOST marker race (two writers both observed "absent" —
+      // both have appended by now) means the batch is already
+      // applied from this writer's perspective: failing the
+      // micro-batch here would only trigger a THIRD append on
+      // redelivery, so the losing writer treats it as done
+      // (ADVICE r18)
+      try graft.StoreFs.touch(spark, marker)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      }
     }
   }
 

@@ -17,6 +17,9 @@ def main() -> None:
     new = json.load(open(sys.argv[2]))["queries"]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     shared = sorted(set(old) & set(new))
+    if not shared:
+        sys.exit("no shared queries between the two artifacts "
+                 "(different metric families?) — nothing to compare")
     so, sn = sum(old[q] for q in shared), sum(new[q] for q in shared)
     print(f"shared queries: {len(shared)}")
     print(f"old total {so:.1f} s, new total {sn:.1f} s, "
