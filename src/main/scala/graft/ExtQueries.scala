@@ -909,9 +909,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E240: the e237 curation chain as a CONTINUOUS STREAMING ingest
@@ -951,9 +950,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E241: the INCREMENTAL KN model refresh (VERDICT r17 #1) — the
@@ -987,9 +985,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E244: the incremental refresh WITH in-loop store compaction —
@@ -1024,9 +1021,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E246: the incremental refresh at TRIGRAM order — the model
@@ -1058,9 +1054,191 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E249: the trigram incremental refresh WITH in-loop maintenance
+    // of BOTH count families (VERDICT r18 #1 — e244's compaction,
+    // applied to the trigram refresh through the generic
+    // StoreFs.compact/mergedDirs pair): every second batch the
+    // trigram and bigram type-count partials each fold into one
+    // pre-merged checkpoint and the covered dirs tombstone, so the
+    // per-trigger merge fan-in stays <= compactEvery + 1 sources per
+    // family forever instead of growing O(N) with stream age.
+    // Same oracle as e246 VERBATIM: compaction must be
+    // score-invisible in every per-batch trigram score.
+    "e249_kn_trigram_compacted_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn3_refresh_compact", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreTrigramCompacting(s, b, id, scratch,
+            compactEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E252: the FULL store-maintenance KN refresh loop (VERDICT r18
+    // #4) — e244's compaction plus model-version RETENTION: every
+    // trigger writes model/v_N forever, so mid-stream GC keeps, among
+    // versions at or below the committed horizon (batchId-1), only
+    // the newest (serving) plus every keepEvery-th (rollback ladder).
+    // The loop reads only the version it writes this trigger, so a
+    // redelivered batch still finds everything it needs
+    // (KnIncrementalSpec). Oracle: e239's per-batch prefix-trained
+    // family at SIX batches — maintenance must be score-invisible.
+    "e252_kn_maintained_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn_refresh_maint", dir)
+      // SIX staged batches so mid-stream GC genuinely deletes (v1 at
+      // batch 3, v3 at batch 5 with keepEvery = 2) before later
+      // batches score
+      graft.streaming.StagedReplay.stageFiles(
+        (0 to 5).map(k => d.filter(col("doc_id") % 6 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreMaintained(s, b, id, scratch,
+            compactEvery = 2, keepEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E253: the FULL store-maintenance curation loop (VERDICT r18
+    // #4) — e247's two-store compaction plus retention of the two
+    // forever-growing OUTPUT families: old model versions (newest +
+    // every keepEvery-th at or below the committed horizon) and dead
+    // curated batches (only a batch's OWN redelivery ever re-reads
+    // curated/batch_N, so everything below this batch retires).
+    // Same oracle as e240/e247 VERBATIM: maintenance must be
+    // survivor-invisible.
+    "e253_streaming_curation_maintained_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_maint", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchMaintained(s, b, id, scratch,
+            compactEvery = 2, keepEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E250: the streaming curation loop SEEDED from an existing
+    // corpus (VERDICT r18 #5 — the e57 bootstrap pattern applied to
+    // the whole loop): the base corpus (doc_id % 10 <> 0) runs the
+    // batch chain's dedup+quality stages ONCE and lands as
+    // checkpoints at horizon -1 (fps/ckpt_-1 = its distinct
+    // fingerprints, counts/ckpt_-1 = its kept docs' bigram counts);
+    // the stream then replays the held-out tenth PLUS planted clones
+    // of base docs (ids +100000, so dedup-against-the-seed provably
+    // executes) through the UNCHANGED curateBatch loop — batch 0's
+    // exclusive prior view (upTo = -1) resolves the seed checkpoint,
+    // and each batch's model trains on seed-kept + kept batches 0..k.
+    // Oracle: the e240 family over the union corpus with the seed as
+    // "batch -1" (never emitted, always trained on).
+    "e250_streaming_curation_seeded_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val seed = d0.filter(col("doc_id") % 10 =!= 0)
+      val stream = d0.filter(col("doc_id") % 10 === 0)
+        .unionByName(seed.filter(col("doc_id") % 5 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_seeded", dir)
+      Curation.seedCurationStore(s, seed, scratch)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => stream.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val st = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = st.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatch(s, b, id, scratch)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E254: the seeded loop under FULL store maintenance — e250's
+    // bootstrap composed with e253's compaction + retention, pinning
+    // the composition claim end-to-end: the seed's horizon -1
+    // checkpoints fold into later checkpoints like any other source
+    // (the batch-1 fingerprint fold retires fps/ckpt_-1 into ckpt_0;
+    // the count fold retires counts/ckpt_-1 into ckpt_1), dead
+    // curated batches and off-ladder model versions retire
+    // mid-stream, and none of it is survivor-visible. Same oracle as
+    // e250 VERBATIM.
+    "e254_streaming_curation_seeded_maintained_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val seed = d0.filter(col("doc_id") % 10 =!= 0)
+      val stream = d0.filter(col("doc_id") % 10 === 0)
+        .unionByName(seed.filter(col("doc_id") % 5 === 1)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_seeded_maint", dir)
+      Curation.seedCurationStore(s, seed, scratch)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => stream.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val st = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = st.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchMaintained(s, b, id, scratch,
+            compactEvery = 2, keepEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E243: the streaming curation loop with a CORPUS-GLOBAL running
@@ -1095,9 +1273,46 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
+    // E251: the global-cut curation loop (e243) with in-loop
+    // maintenance of ALL THREE growing stores (VERDICT r18 #2's
+    // second half): every second batch the fingerprint sets fold at
+    // N-1 (exclusive-consumer horizon), and the count partials AND
+    // score vectors fold at N (inclusive-consumer horizons) — the
+    // score fold is a plain concatenation, since score rows are
+    // per-doc facts, not mergeable partials. The prefix quantile then
+    // reads ckpt + fresh partials instead of an O(N) listing. Same
+    // oracle as e243 VERBATIM: compaction must be survivor- and
+    // cut-invisible (the operative cut stays the exact prefix
+    // quantile at this scale — the GK promotion threshold is the
+    // documented 10^7).
+    "e251_streaming_curation_global_cut_compacted" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_global_compact", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchGlobalCutCompacting(s, b, id, scratch,
+            compactEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E247: the streaming curation loop (e240) with in-loop
@@ -1132,9 +1347,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E242: TRIGRAM KN serving with explicit OOV accounting (VERDICT
@@ -2545,9 +2759,8 @@ object ExtQueries {
       q.awaitTermination()
       // explicit batch dirs, not a glob — FileStreamSink's metadata
       // probe logs a spurious FileNotFound stack trace on glob paths
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E231: streaming ANN serving WITH incremental index append
@@ -2608,9 +2821,8 @@ object ExtQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val outs = new java.io.File(scratch).listFiles()
-        .filter(_.getName.startsWith("out_")).map(_.getPath).sorted
-      s.read.parquet(outs.toIndexedSeq: _*)
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
     }),
 
     // E93: exact all-pairs TF-IDF cosine ≥ 0.3 over 5-shingle features
@@ -4685,11 +4897,11 @@ object ExtQueries {
     * (doc_id % 3 <= k) and `kndoc<k>` scores exactly batch k's docs
     * against it, mirroring
     * [[graft.ext.KneserNey.refreshAndScore]]'s per-batch retrain. */
-  private def knRefreshBatchCtes(k: Int): String =
+  private def knRefreshBatchCtes(k: Int, mod: Int = 3): String =
     s"""knw$k AS (
       |  SELECT doc_id,
       |    list_filter(string_split(text, ' '), x -> x != '') AS ws
-      |  FROM documents WHERE doc_id % 3 <= $k),
+      |  FROM documents WHERE doc_id % $mod <= $k),
       |knbig$k AS (
       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
@@ -4713,23 +4925,33 @@ object ExtQueries {
       |  SELECT b.doc_id, count(*) AS n_bigrams,
       |    round(sum(p.lp), 6) AS doc_lp
       |  FROM knbig$k b JOIN knlp$k p ON p.w1 = b.w1 AND p.w2 = b.w2
-      |  WHERE b.doc_id % 3 = $k
+      |  WHERE b.doc_id % $mod = $k
       |  GROUP BY 1)""".stripMargin
 
-  private def knRefreshBatchSelect(k: Int): String =
+  private def knRefreshBatchSelect(k: Int, mod: Int = 3): String =
     s"""SELECT $k AS batch, d.doc_id,
       |  coalesce(x.n_bigrams, 0) AS n_bigrams,
       |  coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
       |  CASE WHEN x.n_bigrams IS NOT NULL
       |       THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
-      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = $k) d
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % $mod = $k) d
       |LEFT JOIN kndoc$k x USING (doc_id)""".stripMargin
 
   /** e239: each batch scored against the model trained on its
     * inclusive prefix — three unrolled CTE families, one UNION ALL. */
   private val knRefreshOracle: String =
-    s"""WITH ${(0 to 2).map(knRefreshBatchCtes).mkString(",\n")}
-      |${(0 to 2).map(knRefreshBatchSelect).mkString("\nUNION ALL\n")}"""
+    s"""WITH ${(0 to 2).map(knRefreshBatchCtes(_)).mkString(",\n")}
+      |${(0 to 2).map(knRefreshBatchSelect(_)).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
+  /** e252: the maintained refresh runs SIX batches (doc_id % 6) so
+    * the version-retention ladder actually deletes mid-stream (v1 at
+    * batch 3, v3 at batch 5 with keepEvery = 2) — same per-batch
+    * inclusive-prefix family as e239's, six unrolled instances. */
+  private val knMaintainedRefreshOracle: String =
+    s"""WITH ${(0 to 5).map(knRefreshBatchCtes(_, 6)).mkString(",\n")}
+      |${(0 to 5).map(knRefreshBatchSelect(_, 6))
+        .mkString("\nUNION ALL\n")}"""
       .stripMargin
 
   /** e246: one batch's TRIGRAM KN CTE family trained on the inclusive
@@ -4926,6 +5148,94 @@ object ExtQueries {
       |${(0 to 2).map(knCurateGlobalSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  /** e250: one batch's prefix-trained KN CTE family over the SEEDED
+    * quality-surviving stream (`skeptq`, where the seed corpus rides
+    * as batch −1): the model trains on kept batches −1..k, scoring
+    * targets batch k's kept docs BY BATCH MEMBERSHIP (a seed doc may
+    * share doc_id % 3 with the batch, so the e240 family's modulus
+    * filter would be wrong here), and the cut is the batch's own
+    * median. */
+  private def knSeedCurateBatchCtes(k: Int): String =
+    s"""sknw$k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM skeptq WHERE batch <= $k),
+      |sknbig$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM sknw$k)),
+      |skntyp$k AS (SELECT w1, w2, count(*) AS cnt FROM sknbig$k
+      |             GROUP BY 1, 2),
+      |sknhist$k AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |              FROM skntyp$k GROUP BY 1),
+      |sknleft$k AS (SELECT w2, count(*) AS n1l FROM skntyp$k
+      |              GROUP BY 1),
+      |skntot$k AS (SELECT count(*) AS n1tot FROM skntyp$k),
+      |sknlp$k AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM skntyp$k t JOIN sknhist$k h USING (w1)
+      |  JOIN sknleft$k l USING (w2)
+      |  CROSS JOIN skntot$k s),
+      |skndoc$k AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM sknbig$k b JOIN sknlp$k p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  WHERE b.doc_id IN (SELECT doc_id FROM skeptq WHERE batch = $k)
+      |  GROUP BY 1),
+      |scfin$k AS (
+      |  SELECT q.batch, q.doc_id, q.n_words, q.quality,
+      |    coalesce(x.n_bigrams, 0) AS n_bigrams,
+      |    coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |    CASE WHEN x.n_bigrams IS NOT NULL
+      |         THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
+      |  FROM (SELECT * FROM skeptq WHERE batch = $k) q
+      |  LEFT JOIN skndoc$k x USING (doc_id)),
+      |sccut$k AS (SELECT quantile_cont(ppl, CAST(0.5 AS DOUBLE)) AS c
+      |            FROM scfin$k)""".stripMargin
+
+  private def knSeedCurateSelect(k: Int): String =
+    s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
+      |  f.doc_lp, f.ppl
+      |FROM scfin$k f CROSS JOIN sccut$k WHERE f.ppl <= sccut$k.c"""
+      .stripMargin
+
+  /** e250: the seeded streaming-curation oracle — the union corpus
+    * with the base (doc_id % 10 <> 0) as batch −1, first-seen-wins
+    * dedup as ONE row_number window ordered by (batch, doc_id) so the
+    * seed always wins against stream clones, the shared quality CTEs
+    * over the survivor stream, then three per-batch prefix-trained KN
+    * families (prefix INCLUDES the seed) with per-batch median cuts —
+    * the seed itself is trained on but never emitted. */
+  private val streamingCurationSeededOracle: String =
+    s"""WITH seedd AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |salldocs AS (
+      |  SELECT doc_id, text, CAST(-1 AS BIGINT) AS batch FROM seedd
+      |  UNION ALL
+      |  SELECT doc_id, text, doc_id % 3 AS batch FROM documents
+      |  WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, (doc_id + 100000) % 3 AS batch
+      |  FROM seedd WHERE doc_id % 5 = 1),
+      |sfirsts AS (
+      |  SELECT doc_id, text, batch,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |                       ORDER BY batch, doc_id) AS rn
+      |  FROM salldocs),
+      |ssurv AS (SELECT doc_id, text, batch FROM sfirsts WHERE rn = 1),
+      |${qualityCtesFrom("ssurv")},
+      |skeptq AS (
+      |  SELECT s.batch, q.doc_id, q.n_words, q.quality, s.text
+      |  FROM qual q JOIN ssurv s USING (doc_id)
+      |  WHERE q.quality >= CAST(0.5 AS DOUBLE)),
+      |${(0 to 2).map(knSeedCurateBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(knSeedCurateSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   /** e242: the trigram train/serve-split OOV-serving oracle — trains
     * the full trigram KN CTE family on even doc_ids, scores odd
     * doc_ids through the same three-level left-join backoff as
@@ -5034,12 +5344,42 @@ object ExtQueries {
 
     "e246_kn_trigram_incremental_refresh_replay" -> kn3RefreshOracle,
 
+    // trigram-store compaction must be score-invisible: e246's
+    // oracle, verbatim (VERDICT r18 #1)
+    "e249_kn_trigram_compacted_refresh_replay" -> kn3RefreshOracle,
+
+    // compaction + model-version retention must be score-invisible:
+    // e239's per-batch family at six batches, so the ladder deletes
+    // mid-stream (VERDICT r18 #4)
+    "e252_kn_maintained_refresh_replay" -> knMaintainedRefreshOracle,
+
     "e240_streaming_curation_replay" -> streamingCurationOracle,
+
+    // the seeded loop must equal the union-corpus per-batch oracle
+    // with the seed as never-emitted "batch -1" (VERDICT r18 #5)
+    "e250_streaming_curation_seeded_replay" ->
+      streamingCurationSeededOracle,
+
+    // seeding composed with full maintenance must still equal the
+    // union-corpus oracle — e250's, verbatim (the seed checkpoints
+    // fold like any other source)
+    "e254_streaming_curation_seeded_maintained_replay" ->
+      streamingCurationSeededOracle,
 
     "e243_streaming_curation_global_cut" -> streamingCurationGlobalOracle,
 
+    // three-store compaction must be survivor- and cut-invisible:
+    // e243's oracle, verbatim (VERDICT r18 #2)
+    "e251_streaming_curation_global_cut_compacted" ->
+      streamingCurationGlobalOracle,
+
     // store compaction must be survivor-invisible: e240's oracle
     "e247_streaming_curation_compacted_replay" -> streamingCurationOracle,
+
+    // compaction + model/curated retention must be survivor-
+    // invisible: e240's oracle, verbatim (VERDICT r18 #4)
+    "e253_streaming_curation_maintained_replay" ->
+      streamingCurationOracle,
 
     "e238_kn_oov_serve" -> knOovServeOracle,
 

@@ -81,6 +81,49 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(s"$store/curated/batch_2").count() == 0)
   }
 
+  test("maintained curation retires dead curated batches and old " +
+    "model versions, while dedup and redelivery stay exact after GC " +
+    "(VERDICT r18 #4)") {
+    val b = Seq(
+      Seq((0L, "the a of and to in the a of and")),
+      Seq((1L, "the the the the the the the the the the")),
+      Seq((2L, "the a of and in it is a the of")),
+      // batch 3 clones batch 0's content: it must still drop even
+      // though batch 0's curated dir and model are GC'd
+      Seq((3L, "the a of and to in the a of and"),
+        (4L, "it is the a of and the a of and")))
+      .map(_.toDF("doc_id", "text"))
+    val store = Scratch.fresh("curation_maint_spec",
+      "/root/testdata/sf0.001")
+    b.zipWithIndex.foreach { case (df, i) =>
+      Curation.curateBatchMaintained(spark, df, i.toLong, store,
+        compactEvery = 2, keepEvery = 2)
+    }
+    // dead curated batches retired: only this batch's own remains
+    assert(StoreFs.batchDirs(spark, s"$store/curated")
+      .map(_.split("batch_").last.toLong) == Seq(3L))
+    // model ladder at committed horizon 2, keepEvery 2: v0, v2
+    // (newest committed ∧ on-ladder), plus this trigger's v3
+    assert(StoreFs.batchDirs(spark, s"$store/model", prefix = "v")
+      .map(_.split("/v").last.toLong) == Seq(0L, 2L, 3L))
+    // the cross-batch clone dropped despite its original's curated
+    // dir being gone (fingerprints live in the fps store, not the
+    // curated dirs); the fresh doc survived
+    assert(rows(spark.read.parquet(s"$store/curated/batch_3")
+      .select(col("doc_id"))) == Seq(Seq(4L)))
+    // redelivery after GC reproduces identical state — a redelivered
+    // batch rewrites its own curated dir and model before reading them
+    val out3 = rows(spark.read.parquet(s"$store/out_3")
+      .orderBy("doc_id"))
+    Curation.curateBatchMaintained(spark, b(3), 3L, store,
+      compactEvery = 2, keepEvery = 2)
+    assert(rows(spark.read.parquet(s"$store/out_3")
+      .orderBy("doc_id")) == out3,
+      "redelivered batch diverged after store GC")
+    assert(StoreFs.batchDirs(spark, s"$store/curated")
+      .map(_.split("batch_").last.toLong) == Seq(3L))
+  }
+
   test("compacting curation bounds both stores and keeps dedup + " +
     "redelivery exact across the fold (e247's mechanism)") {
     val b = Seq(
@@ -120,5 +163,88 @@ class CurationSpec extends SparkSpec {
       .orderBy("doc_id")) == out3)
     assert(rows(spark.read.parquet(s"$store/curated/batch_3")
       .select(col("doc_id"))) == Seq(Seq(4L)))
+  }
+
+  test("past the exactCutMax threshold the mergeable GK estimate is " +
+    "the OPERATIVE global cut — survivors are exactly the scored docs " +
+    "at or below the sketch value, rank-bound-flagged (VERDICT r18 #2)") {
+    val b = Seq(
+      Seq((0L, "the a of and to in the a of and"),
+        (1L, "the the the the the the the the the the"),
+        (2L, "it is the a of and the a of and")),
+      Seq((3L, "the a of and in it is a the of"),
+        (4L, "a the a the a the a the a the")))
+      .map(_.toDF("doc_id", "text"))
+    val store = Scratch.fresh("curation_gkcut_spec",
+      "/root/testdata/sf0.001")
+    // exactCutMax = 0: EVERY batch takes the sketch path (the store
+    // is never "small enough" for the exact interpolated percentile)
+    b.zipWithIndex.foreach { case (df, i) =>
+      Curation.curateBatchGlobalCut(spark, df, i.toLong, store,
+        exactCutMax = 0L)
+    }
+    (0 to 1).foreach { k =>
+      // the operative cut, recomputed independently: the GK estimate
+      // over the merged score store at this batch's horizon
+      val pre = spark.read.parquet(StoreFs.mergedDirs(spark,
+        s"$store/scores", upTo = k.toLong): _*)
+      val ap = pre.agg(percentile_approx(col("ppl"),
+        lit(0.5), lit(10000)).as("ap")).head().getDouble(0)
+      val expect = spark.read.parquet(s"$store/scores/batch_$k")
+        .filter(col("ppl") <= lit(ap))
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      val out = spark.read.parquet(s"$store/out_$k")
+      assert(out.select(col("doc_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq == expect,
+        s"batch $k: survivors must be cut at the sketch estimate")
+      // the rank-bound honesty flag holds on every emitted row
+      assert(out.select(col("cut_within")).collect()
+        .forall(_.getInt(0) == 1))
+    }
+  }
+
+  test("a seeded fps/counts store folds into later checkpoints like " +
+    "any other source, and still dedups seed clones after the fold " +
+    "(e250 + e253 composition)") {
+    import org.apache.spark.sql.functions.md5
+    val seed = Seq(
+      (10L, "the a of and to in the a of and"),
+      (11L, "it is the a of and the a of and"))
+      .toDF("doc_id", "text")
+    val store = Scratch.fresh("curation_seedfold_spec",
+      "/root/testdata/sf0.001")
+    Curation.seedCurationStore(spark, seed, store)
+    assert(StoreFs.batchDirs(spark, s"$store/fps", prefix = "ckpt_")
+      .map(_.split("ckpt_").last.toLong) == Seq(-1L),
+      "the seed must land as the horizon -1 checkpoint")
+    val b = Seq(
+      Seq((0L, "the the the the the the the the the the")),
+      Seq((1L, "the a of and in it is a the of")),
+      // batch 2 clones a SEED doc: the fold at batch 1 has already
+      // retired ckpt_-1 into ckpt_0/ckpt_1, so the drop proves the
+      // seed's fingerprints survived the fold
+      Seq((2L, "the a of and to in the a of and"),
+        (3L, "a the a the of and it is to in")))
+      .map(_.toDF("doc_id", "text"))
+    b.zipWithIndex.foreach { case (df, i) =>
+      Curation.curateBatchMaintained(spark, df, i.toLong, store,
+        compactEvery = 2, keepEvery = 2)
+    }
+    // the seed checkpoint is gone — folded, not lingering
+    assert(!StoreFs.batchDirs(spark, s"$store/fps", prefix = "ckpt_")
+      .map(_.split("ckpt_").last.toLong).contains(-1L))
+    assert(!StoreFs.batchDirs(spark, s"$store/counts",
+      prefix = "ckpt_").map(_.split("ckpt_").last.toLong)
+      .contains(-1L))
+    // the seed clone dropped through the folded checkpoint; the
+    // fresh doc survived
+    assert(rows(spark.read.parquet(s"$store/curated/batch_2")
+      .select(col("doc_id"))) == Seq(Seq(3L)))
+    // and the folded fps checkpoint still carries the seed prints
+    val fps = spark.read.parquet(StoreFs.mergedDirs(spark,
+      s"$store/fps", upTo = 2L): _*)
+    val seedFp = seed.select(md5(col("text")).as("fp"))
+    assert(seedFp.join(fps, Seq("fp"), "left_anti").count() == 0,
+      "seed fingerprints must survive the checkpoint fold")
   }
 }
