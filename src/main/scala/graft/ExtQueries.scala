@@ -1128,6 +1128,42 @@ object ExtQueries {
         prefix = "out_"): _*)
     }),
 
+    // E255: the KN refresh loop SEEDED from an existing corpus and
+    // run under FULL maintenance — the refresh-side twin of e254:
+    // the base corpus (even doc_ids) reduces once to its bigram
+    // type-count statistic and lands as counts/ckpt_-1; the stream
+    // replays the odd doc_ids in three batches (doc_id % 6 = 1/3/5)
+    // through the UNCHANGED maintained loop, so batch 0's model
+    // already trains on seed + batch 0, the batch-1 compaction folds
+    // the seed checkpoint into ckpt_1, and retention prunes the
+    // version ladder. Oracle: each batch scored against the model
+    // trained on evens + odd batches 0..k.
+    "e255_kn_seeded_refresh_replay" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d = docs(s, dir)
+      val scratch = graft.Scratch.fresh("kn_refresh_seeded", dir)
+      KneserNey.seedCountStore(s, d.filter(col("doc_id") % 2 === 0),
+        scratch)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(1, 3, 5).map(m => d.filter(col("doc_id") % 6 === m)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          KneserNey.refreshAndScoreMaintained(s, b, id, scratch,
+            compactEvery = 2, keepEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
     // E253: the FULL store-maintenance curation loop (VERDICT r18
     // #4) — e247's two-store compaction plus retention of the two
     // forever-growing OUTPUT families: old model versions (newest +
@@ -4954,6 +4990,62 @@ object ExtQueries {
         .mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  /** e255: the seeded refresh's per-batch CTE family — identical
+    * model shape to [[knRefreshBatchCtes]], but batch k trains on the
+    * SEED (even doc_ids) plus odd batches 0..k (doc_id % 6 ≤ 2k+1
+    * picks odd batches 0..k among the odds) and scores exactly odd
+    * batch k (doc_id % 6 = 2k+1). The seed itself is trained on but
+    * never scored — the "batch −1" contract. */
+  private def knSeededRefreshCtes(k: Int): String = {
+    val m = 2 * k + 1
+    s"""srw$k AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS ws
+      |  FROM documents
+      |  WHERE doc_id % 2 = 0 OR doc_id % 6 <= $m),
+      |srbig$k AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |        FROM srw$k)),
+      |srtyp$k AS (SELECT w1, w2, count(*) AS cnt FROM srbig$k
+      |            GROUP BY 1, 2),
+      |srhist$k AS (SELECT w1, sum(cnt) AS ctot, count(*) AS n1r
+      |             FROM srtyp$k GROUP BY 1),
+      |srleft$k AS (SELECT w2, count(*) AS n1l FROM srtyp$k GROUP BY 1),
+      |srtot$k AS (SELECT count(*) AS n1tot FROM srtyp$k),
+      |srlp$k AS (
+      |  SELECT t.w1, t.w2, round(ln(
+      |      greatest(t.cnt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))
+      |        / h.ctot
+      |      + CAST(0.75 AS DOUBLE) * h.n1r / h.ctot
+      |      * (CAST(l.n1l AS DOUBLE) / s.n1tot)), 9) AS lp
+      |  FROM srtyp$k t JOIN srhist$k h USING (w1)
+      |  JOIN srleft$k l USING (w2)
+      |  CROSS JOIN srtot$k s),
+      |srdoc$k AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    round(sum(p.lp), 6) AS doc_lp
+      |  FROM srbig$k b JOIN srlp$k p ON p.w1 = b.w1 AND p.w2 = b.w2
+      |  WHERE b.doc_id % 6 = $m
+      |  GROUP BY 1)""".stripMargin
+  }
+
+  private def knSeededRefreshSelect(k: Int): String = {
+    val m = 2 * k + 1
+    s"""SELECT $k AS batch, d.doc_id,
+      |  coalesce(x.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(x.doc_lp, CAST(0 AS DOUBLE)) AS doc_lp,
+      |  CASE WHEN x.n_bigrams IS NOT NULL
+      |       THEN round(exp(-x.doc_lp / x.n_bigrams), 6) END AS ppl
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 6 = $m) d
+      |LEFT JOIN srdoc$k x USING (doc_id)""".stripMargin
+  }
+
+  private val knSeededRefreshOracle: String =
+    s"""WITH ${(0 to 2).map(knSeededRefreshCtes).mkString(",\n")}
+      |${(0 to 2).map(knSeededRefreshSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   /** e246: one batch's TRIGRAM KN CTE family trained on the inclusive
     * prefix (doc_id % 3 <= k) — the kn3DocCtes expression, suffixed
     * and prefix-filtered; `t3doc<k>` scores exactly batch k's docs,
@@ -5352,6 +5444,11 @@ object ExtQueries {
     // e239's per-batch family at six batches, so the ladder deletes
     // mid-stream (VERDICT r18 #4)
     "e252_kn_maintained_refresh_replay" -> knMaintainedRefreshOracle,
+
+    // the seeded maintained refresh must equal per-batch models
+    // trained on seed + odd batches 0..k, seed never scored
+    // (the refresh-side batch -1 contract)
+    "e255_kn_seeded_refresh_replay" -> knSeededRefreshOracle,
 
     "e240_streaming_curation_replay" -> streamingCurationOracle,
 

@@ -589,6 +589,23 @@ object KneserNey {
       compactCounts(spark, store, batchId)
   }
 
+  /** SEED the refresh loop's count store from an EXISTING corpus —
+    * the [[graft.ext.Curation.seedCurationStore]] bootstrap applied
+    * to the refresh side: a production restart serves scores against
+    * yesterday's corpus from the first trigger, not from an empty
+    * model. The corpus reduces ONCE to its bigram type-count
+    * sufficient statistic and lands as the horizon −1 checkpoint
+    * (`counts/ckpt_-1`, "everything before batch 0"), which
+    * [[graft.StoreFs.mergedDirs]] resolves for every batch's
+    * inclusive view — the loop code is unchanged, batch 0's model
+    * already trains on seed + batch 0, and a later [[compactCounts]]
+    * folds the seed like any other checkpoint (the e255 gate pins the
+    * composition under full maintenance). */
+  def seedCountStore(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, store: String): Unit =
+    bigramTypeCounts(docs)
+      .write.mode("overwrite").parquet(s"$store/counts/ckpt_-1")
+
   /** The FULL store-maintenance refresh loop (VERDICT r18 #4):
     * [[refreshAndScoreCompacting]] plus model-version RETENTION.
     * Compaction bounds the INPUT store, but every trigger still

@@ -89,22 +89,25 @@ object CurationScaleProbe {
       println(s"\n### Curation loop forms, per-batch wall s " +
         s"($nBatches batches x $perBatch docs x $wordsPerDoc words, " +
         s"vocab $vocab, compactEvery $compactEvery; ~10% cross-batch " +
-        "dupes; same-process, in-order)")
+        "dupes; qualityMin 0 so the FULL batch reaches the KN stage; " +
+        "same-process, in-order)")
       println("| batch | naive (prefix retrain) | incremental " +
-        "(e240) | maintained (e247+GC) | maint fps+counts dirs |")
-      println("|---|---|---|---|---|")
+        "(e240) | maintained (e247+GC) | incr dirs | maint dirs |")
+      println("|---|---|---|---|---|---|")
       (0 until nBatches).foreach { b =>
         val d = batchDocs(b)
-        val dirs = fanIn(s"$work/maint", "fps") +
+        val di = fanIn(s"$work/incr", "fps") +
+          fanIn(s"$work/incr", "counts")
+        val dm = fanIn(s"$work/maint", "fps") +
           fanIn(s"$work/maint", "counts")
         val tn = timed(naiveBatch(spark, d, b.toLong, s"$work/naive"))
         val ti = timed(Curation.curateBatch(
-          spark, d, b.toLong, s"$work/incr"))
+          spark, d, b.toLong, s"$work/incr", qualityMin = 0.0))
         val tm = timed(Curation.curateBatchMaintained(
-          spark, d, b.toLong, s"$work/maint",
+          spark, d, b.toLong, s"$work/maint", qualityMin = 0.0,
           compactEvery = compactEvery))
         println(f"| $b%5d | $tn%22.2f | $ti%18.2f | $tm%20.2f | " +
-          f"${dirs + 2}%3d |")
+          f"${di + 2}%3d | ${dm + 2}%3d |")
       }
       val (sn, si, sm) =
         (sig(s"$work/naive"), sig(s"$work/incr"), sig(s"$work/maint"))
@@ -124,9 +127,9 @@ object CurationScaleProbe {
         val d = batchDocs(b)
         val dirs = fanIn(s"$work/gcomp", "scores")
         val tg = timed(Curation.curateBatchGlobalCut(
-          spark, d, b.toLong, s"$work/glob"))
+          spark, d, b.toLong, s"$work/glob", qualityMin = 0.0))
         val tc = timed(Curation.curateBatchGlobalCutCompacting(
-          spark, d, b.toLong, s"$work/gcomp",
+          spark, d, b.toLong, s"$work/gcomp", qualityMin = 0.0,
           compactEvery = compactEvery))
         println(f"| $b%5d | $tg%17.2f | $tc%26.2f | ${dirs + 1}%3d |")
       }
@@ -143,7 +146,8 @@ object CurationScaleProbe {
     * trigger — O(prefix) raw-doc work, the shape whose growth this
     * probe exists to show. */
   private def naiveBatch(spark: SparkSession, batch: DataFrame,
-                         batchId: Long, store: String): Unit = {
+                         batchId: Long, store: String,
+                         qualityMin: Double = 0.0): Unit = {
     val canon = batch
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(struct(col("doc_id"), col("text"))).as("m"))
@@ -159,7 +163,7 @@ object CurationScaleProbe {
       .parquet(s"$store/fps/batch_$batchId")
     val kept = fresh.select(col("doc_id"), col("text"))
       .join(TextAnalysis.qualityScore(fresh)
-          .filter(col("quality") >= 0.5)
+          .filter(col("quality") >= qualityMin)
           .select(col("doc_id"), col("n_words"), col("quality")),
         Seq("doc_id"))
     kept.write.mode("overwrite")

@@ -243,6 +243,39 @@ class KnIncrementalSpec extends SparkSpec {
       .map(_.split("/v").last.toLong) == Seq(0L, 2L, 4L, 5L))
   }
 
+  test("a seeded count store trains batch 0 on seed + batch, the " +
+    "seed checkpoint folds under maintenance, and the serving model " +
+    "equals the retrain on seed + all batches (e255's mechanism)") {
+    val seed = docsOf(10L -> "a b c a b", 11L -> "c a b c")
+    val store = Scratch.fresh("kn_inc_seed", "/root/testdata/sf0.001")
+    KneserNey.seedCountStore(spark, seed, store)
+    assert(StoreFs.batchDirs(spark, s"$store/counts",
+      prefix = "ckpt_").map(_.split("ckpt_").last.toLong) == Seq(-1L))
+    val batches = Seq("b c d b", "a d c a", "d b a d")
+    batches.zipWithIndex.foreach { case (t, i) =>
+      KneserNey.refreshAndScoreMaintained(spark,
+        docsOf(i.toLong -> t), i.toLong, store,
+        compactEvery = 2, keepEvery = 2)
+    }
+    // the batch-1 compaction folded the seed: ckpt_-1 retired into
+    // ckpt_1, and only batch_2 rides above it
+    assert(StoreFs.batchDirs(spark, s"$store/counts",
+      prefix = "ckpt_").map(_.split("ckpt_").last.toLong) == Seq(1L))
+    assert(StoreFs.batchDirs(spark, s"$store/counts")
+      .map(_.split("batch_").last.toLong) == Seq(2L))
+    // the serving model is the retrain on seed + batches 0..2
+    val all = seed.unionByName(docsOf(batches.zipWithIndex.map {
+      case (t, i) => i.toLong -> t }: _*))
+    assert(rows(spark.read.parquet(s"$store/model/v2")
+      .orderBy("w1", "w2")) ==
+      rows(KneserNey.bigramLogProbs(all).orderBy("w1", "w2")),
+      "seeded maintained model diverged from the union retrain")
+    // batch 0's model already trained on the seed: a seed-only
+    // bigram (c,a — absent from batch 0's text) is servable
+    assert(spark.read.parquet(s"$store/model/v0")
+      .filter("w1 = 'c' AND w2 = 'a'").count() == 1)
+  }
+
   test("prefix listings are numeric with an inclusive bound: " +
     "batch_10 sorts after batch_2 and upTo excludes later batches") {
     val store = Scratch.fresh("kn_inc_order", "/root/testdata/sf0.001")
