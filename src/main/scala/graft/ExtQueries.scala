@@ -1351,6 +1351,43 @@ object ExtQueries {
         prefix = "out_"): _*)
     }),
 
+    // E256: the corpus-global quantile cut as a MERGED LOG-SPACED
+    // HISTOGRAM (the 100 TB form of e243/e251): the running
+    // quantile's state is additive per-bin count partials — each
+    // trigger writes the batch's O(bins)-row histogram, the cut is
+    // the smallest bin whose cumulative merged count reaches the
+    // target rank, and survivors sit at or below that bin. The
+    // quantile pass never reads score rows again (O(bins x fan-in)
+    // per trigger vs the GK form's O(all docs ever)), the histogram
+    // store compacts with the same summed fold as the count stores,
+    // and the loop runs under full maintenance. Oracle: the e243
+    // family with the cut re-derived bin-for-bin in SQL.
+    "e256_streaming_curation_hist_cut" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.ansi.enabled", "false")
+      val d0 = docs(s, dir)
+      val d = d0.unionByName(d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      val scratch = graft.Scratch.fresh("curation_hist", dir)
+      graft.streaming.StagedReplay.stageFiles(
+        Seq(0, 1, 2).map(k => d.filter(col("doc_id") % 3 === k)),
+        s"$scratch/stages")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$scratch/stages").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$scratch/stages")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Curation.curateBatchHistCut(s, b, id, scratch,
+            compactEvery = 2, keepEvery = 2)
+        }
+        .option("checkpointLocation", s"$scratch/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(graft.StoreFs.batchDirs(s, scratch,
+        prefix = "out_"): _*)
+    }),
+
     // E247: the streaming curation loop (e240) with in-loop
     // maintenance of BOTH growing stores — every second batch the
     // fingerprint sets fold into one DISTINCT checkpoint and the
@@ -5207,6 +5244,53 @@ object ExtQueries {
       |${(0 to 2).map(knCurateBatchSelect).mkString("\nUNION ALL\n")}"""
       .stripMargin
 
+  /** e256: the core family plus the MERGED-HISTOGRAM cut — per-batch
+    * score vectors of batches 0..k binned at floor(ln(ppl)·20), the
+    * cut bin the smallest whose cumulative count reaches the target
+    * rank, survivors at or below it (the additive running-quantile
+    * state re-derived bin-for-bin). */
+  private def knCurateHistBatchCtes(k: Int): String =
+    s"""${knCurateBatchCoreCtes(k)},
+      |hbin$k AS (
+      |  SELECT CAST(floor(ln(ppl) * 20) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM (${(0 to k).map(j => s"SELECT ppl FROM cfin$j")
+        .mkString(" UNION ALL ")})
+      |  WHERE ppl IS NOT NULL GROUP BY 1),
+      |hcut$k AS (
+      |  SELECT min(bin) AS cb FROM (
+      |    SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+      |      sum(cnt) OVER () AS n FROM hbin$k)
+      |  WHERE cum >= CAST(0.5 AS DOUBLE) * n)""".stripMargin
+
+  private def knCurateHistSelect(k: Int): String =
+    s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
+      |  f.doc_lp, f.ppl
+      |FROM cfin$k f CROSS JOIN hcut$k
+      |WHERE f.ppl IS NOT NULL
+      |  AND CAST(floor(ln(f.ppl) * 20) AS BIGINT) <= hcut$k.cb"""
+      .stripMargin
+
+  private val streamingCurationHistOracle: String =
+    s"""WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+      |firsts AS (
+      |  SELECT doc_id, text, doc_id % 3 AS batch,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |                       ORDER BY doc_id % 3, doc_id) AS rn
+      |  FROM alldocs),
+      |surv AS (SELECT doc_id, text, batch FROM firsts WHERE rn = 1),
+      |${qualityCtesFrom("surv")},
+      |keptq AS (
+      |  SELECT s.batch, q.doc_id, q.n_words, q.quality, s.text
+      |  FROM qual q JOIN surv s USING (doc_id)
+      |  WHERE q.quality >= CAST(0.5 AS DOUBLE)),
+      |${(0 to 2).map(knCurateHistBatchCtes).mkString(",\n")}
+      |${(0 to 2).map(knCurateHistSelect).mkString("\nUNION ALL\n")}"""
+      .stripMargin
+
   private def knCurateGlobalSelect(k: Int): String =
     s"""SELECT f.batch, f.doc_id, f.n_words, f.quality, f.n_bigrams,
       |  f.doc_lp, f.ppl, 1 AS cut_within
@@ -5469,6 +5553,10 @@ object ExtQueries {
     // e243's oracle, verbatim (VERDICT r18 #2)
     "e251_streaming_curation_global_cut_compacted" ->
       streamingCurationGlobalOracle,
+
+    // the additive-histogram running quantile: the cut bin and the
+    // bin membership of every survivor re-derived in SQL
+    "e256_streaming_curation_hist_cut" -> streamingCurationHistOracle,
 
     // store compaction must be survivor-invisible: e240's oracle
     "e247_streaming_curation_compacted_replay" -> streamingCurationOracle,

@@ -138,15 +138,24 @@ object StoreFs {
     * itself (re)writes this trigger, so nothing a redelivered batch
     * needs is ever retired. Like [[compact]], retention is pure store
     * maintenance: gated replays share the unmaintained loops' oracles
-    * verbatim. */
+    * verbatim.
+    *
+    * `maxLadder` bounds the ladder itself: without it the kept rungs
+    * grow O(N / keepEvery) over a stream's life; with it only the
+    * NEWEST `maxLadder` on-ladder versions survive, so the store
+    * holds at most maxLadder + 1 directories forever. */
   def retainVersions(spark: SparkSession, dir: String, prefix: String,
-                     committed: Long, keepEvery: Int): Unit = {
+                     committed: Long, keepEvery: Int,
+                     maxLadder: Int = Int.MaxValue): Unit = {
     val all = batchDirs(spark, dir, prefix = prefix, upTo = committed)
     if (all.nonEmpty) {
       val newest = idOf(all.last, prefix)
+      val ladder = all.map(idOf(_, prefix))
+        .filter(n => n != newest && n % keepEvery == 0)
+        .takeRight(maxLadder).toSet
       all.foreach { p =>
         val n = idOf(p, prefix)
-        if (n != newest && n % keepEvery != 0) delete(spark, p)
+        if (n != newest && !ladder.contains(n)) delete(spark, p)
       }
     }
   }

@@ -422,4 +422,78 @@ object Curation {
       compactScores(spark, store, batchId)
     }
   }
+
+  /** The corpus-global quantile cut a 100 TB stream actually runs
+    * (e256): the running quantile's state is a LOG-SPACED HISTOGRAM
+    * of per-batch partials, not the score rows themselves. The
+    * GK-promoted form ([[curateBatchGlobalCut]]) bounds one task's
+    * MEMORY, but its quantile pass still READS the whole merged score
+    * store every trigger — O(all docs ever kept) rows/trigger over a
+    * stream's life — and [[compactScores]]' fold is an O(total)
+    * rewrite, because raw score rows are facts, not mergeable
+    * partials. Binning ppl at `bin = floor(ln(ppl) · binsPerE)`
+    * (relative width e^(1/binsPerE) − 1 ≈ 5% at the default 20)
+    * makes the state ADDITIVE: each trigger writes the batch's
+    * O(bins)-row histogram partial, the merged view sums partials
+    * per bin (value-bounded cardinality — a few hundred bins for any
+    * natural corpus, INDEPENDENT of document count), the cut is the
+    * smallest bin whose cumulative count reaches the target rank,
+    * and survivors are the docs at or below that bin. Per-trigger
+    * quantile work: O(batch) histogram build + O(bins × fan-in)
+    * merge; compaction folds the same summed-count way as the
+    * type-count stores. Cut error vs the exact quantile is bounded
+    * by one bin (≤ 1/binsPerE relative in ppl), the documented
+    * trade: the cut is a corpus statistic, not an answer — a 5%-wide
+    * band on a CCNet-style keep threshold. Runs under FULL
+    * maintenance (fps/counts/shist compaction + model and curated-dir
+    * retention) — this is the form all three growing inputs of which
+    * stay bounded forever. */
+  def curateBatchHistCut(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, batchId: Long,
+                         store: String, qualityMin: Double = 0.5,
+                         pplQ: Double = 0.5, binsPerE: Int = 20,
+                         compactEvery: Int = 2,
+                         keepEvery: Int = 4): Unit = {
+    import graft.TwoPass
+    val (keptStored, scored) =
+      curateStages(spark, batch, batchId, store, qualityMin)
+    val bin = floor(log(col("ppl")) * binsPerE).cast("long")
+    scored.filter(col("ppl").isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$store/shist/batch_$batchId")
+    val hist = KneserNey.mergedCountsAt(spark, s"$store/shist",
+      Seq("bin"), upTo = batchId)
+    val tot = TwoPass.scalar(hist.agg(sum(col("cnt")).as("n")))
+    val low =
+      if (tot.isNullAt(0)) scored.filter(lit(false))
+      else {
+        // smallest bin whose cumulative count reaches the target
+        // rank — the window runs over the value-bounded histogram,
+        // never over document-cardinality rows
+        val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+        val cb = TwoPass.scalar(hist
+          .withColumn("cum", sum(col("cnt")).over(w))
+          .filter(col("cum") >=
+            lit(pplQ) * lit(tot.getLong(0)).cast("double"))
+          .agg(min(col("bin")).as("cb")))
+        scored.filter(col("ppl").isNotNull &&
+          bin <= lit(cb.getLong(0)))
+      }
+    low.join(keptStored.select(col("doc_id"), col("n_words"),
+        col("quality")), Seq("doc_id"))
+      .select(lit(batchId).cast("int").as("batch"), col("doc_id"),
+        col("n_words"), col("quality"), col("n_bigrams"),
+        col("doc_lp"), col("ppl"))
+      .write.mode("overwrite").parquet(s"$store/out_$batchId")
+    if ((batchId + 1) % compactEvery == 0) {
+      compactFingerprints(spark, store, batchId - 1)
+      KneserNey.compactCounts(spark, store, batchId)
+      KneserNey.compactCountsAt(spark, s"$store/shist",
+        Seq("bin"), batchId)
+    }
+    graft.StoreFs.retainVersions(spark, s"$store/model", prefix = "v",
+      committed = batchId - 1, keepEvery = keepEvery)
+    graft.StoreFs.retireBelow(spark, s"$store/curated",
+      prefix = "batch_", below = batchId)
+  }
 }

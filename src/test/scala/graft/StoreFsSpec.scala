@@ -35,6 +35,25 @@ class StoreFsSpec extends SparkSpec {
       .length == 3)
   }
 
+  test("retainVersions keeps newest + the on-ladder rungs, bounds " +
+    "the ladder at maxLadder, and never touches versions above the " +
+    "committed horizon") {
+    val store = Scratch.fresh("storefs_retain", "/root/testdata/sf0.001")
+    (0L to 13L).foreach(i => StoreFs.touch(spark, uri(s"$store/m/v$i")))
+    // committed 12, keepEvery 3, ladder capped at 2: rungs {0,3,6,9}
+    // minus newest-committed 12 → keep the newest two rungs {6, 9},
+    // the newest committed 12, and untouched v13 above the horizon
+    StoreFs.retainVersions(spark, uri(s"$store/m"), prefix = "v",
+      committed = 12L, keepEvery = 3, maxLadder = 2)
+    assert(StoreFs.batchDirs(spark, uri(s"$store/m"), prefix = "v")
+      .map(_.split("/v").last.toLong) == Seq(6L, 9L, 12L, 13L))
+    // idempotent: a second pass deletes nothing more
+    StoreFs.retainVersions(spark, uri(s"$store/m"), prefix = "v",
+      committed = 12L, keepEvery = 3, maxLadder = 2)
+    assert(StoreFs.batchDirs(spark, uri(s"$store/m"), prefix = "v")
+      .map(_.split("/v").last.toLong) == Seq(6L, 9L, 12L, 13L))
+  }
+
   test("the KN refresh and curation loops run against a scheme-" +
     "qualified store") {
     val b0 = Seq(0L -> "the a of and to in the a of and",
