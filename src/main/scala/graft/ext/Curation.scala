@@ -441,10 +441,18 @@ object Curation {
     * and survivors are the docs at or below that bin. Per-trigger
     * quantile work: O(batch) histogram build + O(bins × fan-in)
     * merge; compaction folds the same summed-count way as the
-    * type-count stores. Cut error vs the exact quantile is bounded
-    * by one bin (≤ 1/binsPerE relative in ppl), the documented
-    * trade: the cut is a corpus statistic, not an answer — a 5%-wide
-    * band on a CCNet-style keep threshold. Runs under FULL
+    * type-count stores. The trade, stated honestly: the cut is
+    * exact in VALUE space to one bin (≤ 1/binsPerE relative in ppl)
+    * but its RANK error is the cut bin's own mass — the whole bin
+    * keeps. A natural corpus spreads ppl over decades (~100+
+    * occupied bins, 1-2% mass each) so the keep rate lands within a
+    * few percent of the target; a distribution CONCENTRATED inside
+    * one bin width (near-identical synthetic docs —
+    * CurationScaleProbe's corpus over-keeps 92% at a 50% target)
+    * degrades toward keep-everything, and the mitigations are a
+    * larger binsPerE or the GK form ([[curateBatchGlobalCut]]),
+    * which is rank-exact but pays the O(corpus) per-trigger read.
+    * Runs under FULL
     * maintenance (fps/counts/shist compaction + model and curated-dir
     * retention) — this is the form all three growing inputs of which
     * stay bounded forever. */
@@ -468,8 +476,9 @@ object Curation {
       if (tot.isNullAt(0)) scored.filter(lit(false))
       else {
         // smallest bin whose cumulative count reaches the target
-        // rank — the window runs over the value-bounded histogram,
-        // never over document-cardinality rows
+        // rank — the single-partition window WindowExec warns about
+        // is the intent: it runs over the value-bounded histogram
+        // (a few hundred rows), never over document-cardinality rows
         val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
         val cb = TwoPass.scalar(hist
           .withColumn("cum", sum(col("cnt")).over(w))

@@ -119,23 +119,33 @@ object CurationScaleProbe {
     if (section == "global" || section == "both") {
       println(s"\n### Global-cut curation loop, per-batch wall s " +
         s"(same corpus; exact cut at this scale, GK past 10^7 — " +
-        "VERDICT r18 #2)")
+        "VERDICT r18 #2; hist = the e256 additive-histogram form, " +
+        "whose quantile reads O(bins) rows, not score rows)")
       println("| batch | global cut (e243) | compacted global cut " +
-        "(e251) | e251 score dirs |")
-      println("|---|---|---|---|")
+        "(e251) | hist cut (e256) | e251 score dirs | e256 hist " +
+        "dirs |")
+      println("|---|---|---|---|---|---|")
       (0 until nBatches).foreach { b =>
         val d = batchDocs(b)
         val dirs = fanIn(s"$work/gcomp", "scores")
+        val hdirs = fanIn(s"$work/hist", "shist")
         val tg = timed(Curation.curateBatchGlobalCut(
           spark, d, b.toLong, s"$work/glob", qualityMin = 0.0))
         val tc = timed(Curation.curateBatchGlobalCutCompacting(
           spark, d, b.toLong, s"$work/gcomp", qualityMin = 0.0,
           compactEvery = compactEvery))
-        println(f"| $b%5d | $tg%17.2f | $tc%26.2f | ${dirs + 1}%3d |")
+        val th = timed(Curation.curateBatchHistCut(
+          spark, d, b.toLong, s"$work/hist", qualityMin = 0.0,
+          compactEvery = compactEvery))
+        println(f"| $b%5d | $tg%17.2f | $tc%26.2f | $th%15.2f | " +
+          f"${dirs + 1}%3d | ${hdirs + 1}%3d |")
       }
       val (sg, sc) = (sig(s"$work/glob"), sig(s"$work/gcomp"))
       println(s"\nsurvivor identity: global=$sg compacted=$sc " +
         (if (sg == sc) "(IDENTICAL)" else "(MISMATCH!)"))
+      val sh = sig(s"$work/hist")
+      println(s"hist-cut survivors (own contract, cut error ≤ one " +
+        s"~5% bin): $sh")
     }
     spark.stop()
   }
