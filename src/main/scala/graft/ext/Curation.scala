@@ -346,37 +346,54 @@ object Curation {
       .parquet(s"$store/scores/batch_$batchId")
     val pre = spark.read.parquet(graft.StoreFs.mergedDirs(spark,
       s"$store/scores", upTo = batchId): _*)
-    // pass 1 — runs at EVERY scale: store size + the mergeable GK
-    // estimate, both constant-memory per task
-    val sz = TwoPass.scalar(pre.agg(
-      count(col("ppl")).as("n"),
-      percentile_approx(col("ppl"), lit(pplQ), lit(10000)).as("ap")))
-    val n = sz.getLong(0)
-    // the OPERATIVE cut: exact below the threshold, sketch above
-    val cut =
-      if (n == 0L) None
-      else if (n <= exactCutMax) Some(TwoPass.scalar(pre.agg(
-        percentile(col("ppl"), lit(pplQ)).as("c"))).getDouble(0))
-      else Some(sz.getDouble(1))
-    val low = cut match {
-      case None    => scored.filter(lit(false))
-      case Some(c) => scored.filter(col("ppl") <= lit(c))
+    // the threshold probe is a ROW count — served from parquet
+    // footer metadata, no column scan — and an upper bound on the
+    // non-null score count, which is all the exact-vs-sketch branch
+    // needs (BENCHNOTES r19: the first guard shape paid a full extra
+    // store scan for this decision at test scale)
+    val rowCount = TwoPass.scalar(
+      pre.agg(count(lit(1)).as("rows"))).getLong(0)
+    // the OPERATIVE cut: exact below the threshold, sketch above —
+    // either branch computes its estimates in ONE scan (the GK
+    // estimate rides along on the exact pass below the threshold;
+    // above it, the sketch is the only aggregation and nothing holds
+    // more than its constant-memory buffer)
+    val est =
+      if (rowCount == 0L) None
+      else if (rowCount <= exactCutMax) {
+        val r = TwoPass.scalar(pre.agg(
+          percentile(col("ppl"), lit(pplQ)).as("c"),
+          percentile_approx(col("ppl"), lit(pplQ), lit(10000)).as("ap")))
+        if (r.isNullAt(0)) None
+        else Some((r.getDouble(0), r.getDouble(1)))
+      } else {
+        val r = TwoPass.scalar(pre.agg(
+          percentile_approx(col("ppl"), lit(pplQ), lit(10000)).as("ap")))
+        if (r.isNullAt(0)) None
+        else Some((r.getDouble(0), r.getDouble(0)))
+      }
+    val low = est match {
+      case None         => scored.filter(lit(false))
+      case Some((c, _)) => scored.filter(col("ppl") <= lit(c))
     }
     // the GK ε-flag (e23a's rank-space bound over the merged store):
     // the sketch estimate's rank interval must intersect the target
-    // rank ± (10× documented relative rank error + 1 discreteness)
-    val within =
-      if (sz.isNullAt(1)) 1 // no scored doc anywhere: nothing to bound
-      else {
-        val ap = sz.getDouble(1)
+    // rank ± (10× documented relative rank error + 1 discreteness);
+    // the non-null score count the target rank needs rides along on
+    // the same scan
+    val within = est match {
+      case None => 1 // no scored doc anywhere: nothing to bound
+      case Some((_, ap)) =>
         val r = TwoPass.scalar(pre.agg(
+          count(col("ppl")).as("n"),
           sum(when(col("ppl") < ap, 1L).otherwise(0L)).as("lo"),
           sum(when(col("ppl") <= ap, 1L).otherwise(0L)).as("hi")))
+        val n = r.getLong(0)
         val target = pplQ * n
         val tol = 10.0 * n / 10000 + 1.0
-        if (r.getLong(0) + 1 <= target + tol &&
-          r.getLong(1) >= target - tol) 1 else 0
-      }
+        if (r.getLong(1) + 1 <= target + tol &&
+          r.getLong(2) >= target - tol) 1 else 0
+    }
     low.join(keptStored.select(col("doc_id"), col("n_words"),
         col("quality")), Seq("doc_id"))
       .select(lit(batchId).cast("int").as("batch"), col("doc_id"),
