@@ -77,13 +77,31 @@ object CurationScaleProbe {
       graft.StoreFs.batchDirs(spark, s"$store/$sub").length +
         graft.StoreFs.batchDirs(spark, s"$store/$sub",
           prefix = "ckpt_").length
-    // order-independent survivor signature (count + summed row
-    // hashes — a float sum would differ in the last ulp per layout)
+    // order-independent survivor signature over the INTEGER stats
+    // (count + summed row hashes of batch/doc_id/n_bigrams).
+    // doc_lp/ppl are excluded deliberately: they are float SUMS, and
+    // across store layouts the join/aggregation accumulation order
+    // differs, so a handful of docs per 10^5 land on a 6-decimal
+    // rounding knife-edge — membership and integer stats must be
+    // identical, float deltas are quantified separately below
     def sig(store: String) = spark.read
       .parquet(graft.StoreFs.batchDirs(spark, store,
         prefix = "out_"): _*)
       .agg(count(lit(1)), sum(xxhash64(col("batch"), col("doc_id"),
-        col("n_bigrams"), col("ppl")))).head()
+        col("n_bigrams")))).head()
+    // the float variance, measured not hidden: max |ppl_a - ppl_b|
+    // over the joined survivor sets (expected ~1e-6: last-ulp sums
+    // crossing the 6dp rounding boundary)
+    def maxPplDelta(a: String, b: String): Double = {
+      def outs(s: String) = spark.read.parquet(
+        graft.StoreFs.batchDirs(spark, s, prefix = "out_"): _*)
+      val d = outs(a).select(col("batch"), col("doc_id"),
+          col("ppl").as("pa"))
+        .join(outs(b).select(col("batch"), col("doc_id"),
+          col("ppl").as("pb")), Seq("batch", "doc_id"))
+        .agg(max(abs(col("pa") - col("pb")))).head()
+      if (d.isNullAt(0)) 0.0 else d.getDouble(0)
+    }
 
     if (section == "median" || section == "both") {
       println(s"\n### Curation loop forms, per-batch wall s " +
@@ -111,9 +129,13 @@ object CurationScaleProbe {
       }
       val (sn, si, sm) =
         (sig(s"$work/naive"), sig(s"$work/incr"), sig(s"$work/maint"))
-      println(s"\nsurvivor identity: naive=$sn incremental=$si " +
-        s"maintained=$sm " +
+      println(s"\nsurvivor identity (membership + integer stats): " +
+        s"naive=$sn incremental=$si maintained=$sm " +
         (if (sn == si && si == sm) "(IDENTICAL)" else "(MISMATCH!)"))
+      println(f"max |ppl delta| naive-vs-incremental " +
+        f"${maxPplDelta(s"$work/naive", s"$work/incr")}%.2e, " +
+        f"incremental-vs-maintained " +
+        f"${maxPplDelta(s"$work/incr", s"$work/maint")}%.2e")
     }
 
     if (section == "global" || section == "both") {
@@ -141,8 +163,11 @@ object CurationScaleProbe {
           f"${dirs + 1}%3d | ${hdirs + 1}%3d |")
       }
       val (sg, sc) = (sig(s"$work/glob"), sig(s"$work/gcomp"))
-      println(s"\nsurvivor identity: global=$sg compacted=$sc " +
+      println(s"\nsurvivor identity (membership + integer stats): " +
+        s"global=$sg compacted=$sc " +
         (if (sg == sc) "(IDENTICAL)" else "(MISMATCH!)"))
+      println(f"max |ppl delta| global-vs-compacted " +
+        f"${maxPplDelta(s"$work/glob", s"$work/gcomp")}%.2e")
       val sh = sig(s"$work/hist")
       println(s"hist-cut survivors (own contract, cut error ≤ one " +
         s"~5% bin): $sh")
