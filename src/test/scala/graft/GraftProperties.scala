@@ -428,6 +428,69 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // ---- log-structured store maintenance (StoreFs.compact): the
+  // merged view must equal the naive prefix sum under ANY valid
+  // interleaving of compactions and crash residue. Same 5-symbol
+  // vocab (overlapping types across batches), doc lengths 2-6,
+  // batches may be empty; the plan decides per batch whether to
+  // compact at the inclusive horizon and whether to plant residue
+  // (an already-covered partial back on disk next to the checkpoint
+  // that subsumes it — the crash-between-checkpoint-and-tombstone
+  // state, which mergedDirs must ignore, never double-count). ----
+  private val maintPropRuns =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val storeMaintGen
+      : Gen[(List[(Long, String, Int)], List[(Boolean, Boolean)])] =
+    for {
+      docs <- Gen.nonEmptyListOf(for {
+        nw <- Gen.choose(2, 6)
+        ws <- Gen.listOfN(nw, Gen.oneOf("a", "b", "c", "d", "e"))
+        b <- Gen.choose(0, 3)
+      } yield (ws.mkString(" "), b))
+        .map(_.take(12).zipWithIndex.map {
+          case ((t, b), i) => (i.toLong, t, b)
+        })
+      plan <- Gen.listOfN(4, for {
+        c <- Gen.oneOf(true, false)
+        r <- Gen.oneOf(true, false)
+      } yield (c, r))
+    } yield (docs, plan)
+
+  property("a count store's merged view equals the naive prefix sum " +
+    "under any interleaving of compaction and crash residue") =
+    Prop.forAll(storeMaintGen) { case (docs, plan) =>
+      import spark.implicits._
+      val store = Scratch.fresh(
+        s"storefs_prop_${maintPropRuns.incrementAndGet()}", "prop")
+      val dir = s"$store/counts"
+      def countsOf(b: Int) = KneserNey.bigramTypeCounts(
+        docs.filter(_._3 == b).map(d => (d._1, d._2))
+          .toDF("doc_id", "text"))
+      var ckpt = -1L
+      (0 until 4).forall { k =>
+        countsOf(k).write.mode("overwrite").parquet(s"$dir/batch_$k")
+        val (doCompact, doResidue) = plan(k)
+        if (doResidue && ckpt >= 0)
+          // the covered partial reappears with its original content
+          countsOf(ckpt.toInt).write.mode("overwrite")
+            .parquet(s"$dir/batch_$ckpt")
+        if (doCompact) {
+          KneserNey.compactCountsAt(spark, dir, Seq("w1", "w2"),
+            k.toLong)
+          ckpt = k.toLong
+        }
+        val got = KneserNey.mergedCountsAt(spark, dir,
+            Seq("w1", "w2"), k.toLong)
+          .orderBy("w1", "w2").collect().toSeq.map(_.toSeq)
+        val exp = KneserNey.bigramTypeCounts(
+            docs.filter(_._3 <= k).map(d => (d._1, d._2))
+              .toDF("doc_id", "text"))
+          .orderBy("w1", "w2").collect().toSeq.map(_.toSeq)
+        got == exp
+      }
+    }
+
   property("kmeans equals an in-memory Lloyd reference") =
     Prop.forAllNoShrink(kmGen)(kmeansMatchesReference)
 
