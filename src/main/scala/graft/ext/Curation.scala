@@ -411,7 +411,14 @@ object Curation {
     * per-doc facts, not mergeable partials, so the checkpoint is just
     * the union rewritten as one directory (same
     * checkpoint-before-tombstone / crash-residue / monotonic-horizon
-    * contract as the other stores via [[graft.StoreFs.compact]]). */
+    * contract as the other stores via [[graft.StoreFs.compact]]).
+    * Because the fold is a concatenation, each fold REWRITES the
+    * whole store — O(total scores) per compaction, amortized but not
+    * bounded. That is inherent to keeping raw score rows at all; the
+    * form whose maintenance cost is independent of stream lifetime
+    * is [[curateBatchHistCut]], which replaces the row store with
+    * additive histogram partials (summed fold, O(bins) per
+    * compaction) at the documented rank-resolution trade. */
   def compactScores(spark: org.apache.spark.sql.SparkSession,
                     store: String, upTo: Long): Unit =
     graft.StoreFs.compact(spark, s"$store/scores", upTo) { dirs =>
