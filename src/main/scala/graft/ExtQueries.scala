@@ -8351,7 +8351,8 @@ object ExtQueries {
     // exactly like the operator's min-merge
     "e127_hop_distance" ->
       s"""WITH RECURSIVE $graphEdgeCtes,
-        |seedv AS (SELECT min(src) AS seed FROM sym),
+        |seedv AS (SELECT min(src) AS seed FROM sym
+        |          HAVING min(src) IS NOT NULL),
         |bfs AS (
         |  SELECT seed AS node, 0 AS d FROM seedv
         |  UNION
@@ -10673,7 +10674,8 @@ object ExtQueries {
       |    greatest(1, 201 - n_shared) AS w FROM egw
       |  UNION ALL
       |  SELECT node_b, node_a, greatest(1, 201 - n_shared) FROM egw),
-      |seedv AS (SELECT min(src) AS seed FROM symw),
+      |seedv AS (SELECT min(src) AS seed FROM symw
+      |          HAVING min(src) IS NOT NULL),
       |d0 AS MATERIALIZED (
       |  SELECT seed AS node, CAST(0 AS BIGINT) AS cost FROM seedv),
       |$stages

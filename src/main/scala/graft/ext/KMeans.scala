@@ -39,8 +39,19 @@ import graft.Rounding
 object KMeans {
 
   /** Squared L2 distance between a double-array column and a literal
-    * centroid — same sequential fold shape as DuckDB's list_sum. */
+    * centroid — the codegen'd [[graft.functions.DoubleL2]], same
+    * sequential fold/accumulation order as DuckDB's list_sum and the
+    * portable `aggregate(zip_with(…))` twin it replaces (r19: this
+    * expression runs once per centroid PER ROW in every assignment
+    * pass, the vector stack's hottest loop; equality property-pinned
+    * in DoubleL2Spec). */
   private def dist2(e: Column, centroid: Seq[Double]): Column =
+    graft.functions.DoubleL2(e, typedlit(centroid))
+
+  /** The built-ins-only fold [[dist2]] replaces (reference semantics
+    * for the equivalence property; not on any query path). */
+  private[graft] def dist2Portable(e: Column,
+                                   centroid: Seq[Double]): Column =
     aggregate(
       zip_with(e, typedlit(centroid), (x, y) => (x - y) * (x - y)),
       lit(0.0),

@@ -638,7 +638,18 @@ object KneserNey {
     * quality. */
   def perplexityFilter(docs: DataFrame, q: Double,
                        discount: Double = 0.75): DataFrame = {
-    val scored = docLogProb(docs, discount)
+    // pinned (r19 optimization, measured 1.46x on e234): the quantile
+    // pass below and the returned filter are SEPARATE ACTIONS over the
+    // same train+score+finalize chain, and exchange reuse does not
+    // span actions — unpinned, the caller's action re-runs the whole
+    // chain. One row per doc; released by the harness cache-clear.
+    // (The wider r19 pinning experiment — fresh/scored/merged-count
+    // pins inside the per-trigger loops — measured SLOWER and was
+    // reverted: within one action ReuseExchange already dedupes the
+    // shuffle-terminated branches, and a cache freezes the pre-AQE
+    // partition count so every exchange-free store write exploded
+    // into one file per core; see OPTIMIZATION_r19.md.)
+    val scored = docLogProb(docs, discount).cache()
     val row = graft.TwoPass.scalar(
       scored.agg(percentile(col("ppl"), lit(q)).as("c")))
     // a corpus with NO scored doc (every doc < 2 words) has no

@@ -206,8 +206,17 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: integer arithmetic
-    * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3. */
+    * identical in any engine — h[j][i] = ((i·31 + j·17) mod 7) − 3.
+    * Backed by the codegen'd [[graft.functions.HyperplaneDot]] (r19:
+    * a bucket evaluates this nBits times per vector; the portable fold
+    * it replaces was interpreted per element and allocated an index
+    * array per row — equality property-pinned in DoubleL2Spec). */
   private[graft] def hyperplaneDot(emb: Column, j: Int): Column =
+    graft.functions.HyperplaneDot(emb, j)
+
+  /** The built-ins-only fold [[hyperplaneDot]] replaces (reference
+    * semantics for the equivalence property; not on any query path). */
+  private[graft] def hyperplaneDotPortable(emb: Column, j: Int): Column =
     aggregate(
       zip_with(emb, sequence(lit(0), size(emb) - 1),
         (v, i) => v.cast("double") *
@@ -427,9 +436,7 @@ object Similarity {
         .join(broadcast(q), Seq("q_id"))
         .join(c, Seq("n_id"))
         .withColumn("dist", Rounding.duckRound(
-          aggregate(
-            zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v), 6))
+          graft.functions.DoubleL2(col("qe"), col("ne")), 6))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("q_id"))
             .orderBy(col("dist"), col("n_id"))).cast("long"))
@@ -664,10 +671,9 @@ object Similarity {
       val cb = typedlit(codebooks(s).map { case (cid, c) => cid -> c }
         .toMap)
       val entry = element_at(cb, col(s"code_$s"))
-      aggregate(
-        zip_with(slice(qe, s * L + 1, L), entry,
-          (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      // codegen'd L2 on (query subvector, codebook entry) — same fold
+      // order as the portable aggregate/zip_with twin (DoubleL2Spec)
+      graft.functions.DoubleL2(slice(qe, s * L + 1, L), entry)
     }.reduce(_ + _)
 
   def pqAdcTopK(queries: DataFrame, emb: DataFrame, k: Int = 3,
@@ -737,9 +743,7 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("dist", Rounding.duckRound(
-        aggregate(
-          zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v), 6))
+        graft.functions.DoubleL2(col("qe"), col("ne")), 6))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("dist"), col("n_id"))).cast("long"))

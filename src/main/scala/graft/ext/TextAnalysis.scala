@@ -226,14 +226,15 @@ object TextAnalysis {
     * (merge_rank, tok_a, tok_b, cnt-at-adoption), stopping early if
     * the corpus runs out of pairs.
     *
-    * Re-segmentation is a codegen'd `aggregate` fold per sequence:
-    * append each symbol unless the accumulator's last element is `a`
-    * and the current is `b`, in which case fuse. The fold equals
-    * lookahead-greedy because a fused emission can never itself match
-    * `a` ("a b" would have to equal its own strict prefix); runs of a
-    * repeated symbol therefore fuse at even offsets exactly like the
-    * oracle's island-parity rule. `try_element_at` keeps the
-    * empty-accumulator probe null (not an ANSI error).
+    * Re-segmentation is the codegen'd O(n) native fold
+    * ([[graft.functions.BpeMergeFold]]) per sequence: append each
+    * symbol unless the last emitted element is `a` and the current is
+    * `b`, in which case fuse. The fold equals lookahead-greedy because
+    * a fused emission can never itself match `a` ("a b" would have to
+    * equal its own strict prefix); runs of a repeated symbol therefore
+    * fuse at even offsets exactly like the oracle's island-parity
+    * rule. An empty accumulator never matches (the portable twin's
+    * `try_element_at` null probe).
     *
     * Scale shape: each merge is ONE corpus scan + one pair-cardinality
     * exchange + one TakeOrdered(1) — the k-means topology: the merge
@@ -244,8 +245,20 @@ object TextAnalysis {
     * a sampled subcorpus (vocab statistics converge long before the
     * full corpus is seen); the loop body is unchanged either way. */
   /** The greedy one-rule re-segmentation fold (see [[bpeTrain]]'s
-    * equivalence argument). */
+    * equivalence argument) — the codegen'd O(n)
+    * [[graft.functions.BpeMergeFold]]. The interpreted `aggregate`
+    * fold it replaces copied the accumulator array per element (both
+    * `concat` branches), i.e. O(n²) per document per rule — the
+    * dominant cost of every BPE gate; the native pass is the same
+    * fold element for element (equality property-pinned against
+    * [[mergeFoldPortable]] in ExtOpsSpec, and every BPE oracle gate
+    * is unchanged). */
   private def mergeFold(a: String, b: String) =
+    graft.functions.BpeMergeFold(col("w"), a, b)
+
+  /** The built-ins-only fold [[mergeFold]] replaces (reference
+    * semantics for the equivalence property; not on any query path). */
+  private[graft] def mergeFoldPortable(a: String, b: String) =
     aggregate(col("w"), array().cast("array<string>"),
       (acc, x) => when(
         try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
@@ -435,26 +448,26 @@ object TextAnalysis {
     * training corpus reproduces the training loop's final state
     * exactly — the oracle reuses the unrolled chain's last stage.
     *
-    * Scale shape: `rules.size` chained map-side folds (no shuffle at
-    * all until the caller aggregates), lineage checkpoint-truncated
-    * every few rules; rules enter the plan as literals. Serving a
-    * 100 TB corpus with a trained table is exactly this — embarrassingly
-    * parallel, one pass per rule, or a fused single-pass automaton if
-    * rule count grows beyond plan-size comfort. */
+    * Scale shape: `rules.size` chained map-side folds fused into ONE
+    * narrow pass (no shuffle at all until the caller aggregates, no
+    * materialization at all): the native [[mergeFold]] expressions
+    * nest one plan node deep per rule and the optimizer collapses the
+    * chained projections, so the whole rule table applies inside one
+    * whole-stage-codegen span — the "fused single-pass automaton"
+    * this doc used to defer to at higher rule counts. (The former
+    * every-3rd-rule localCheckpoint existed to bound the INTERPRETED
+    * fold chain's analyzed-plan blowup; with O(n) native folds it was
+    * 4 full corpus materializations of pure overhead.) Serving a
+    * 100 TB corpus with a trained table is exactly this —
+    * embarrassingly parallel, one pass over the corpus. */
   def bpeApply(docs: DataFrame,
                rules: Seq[(String, String)]): DataFrame = {
     var seqs = docs.select(col("doc_id"),
       size(words(col("text"))).cast("long").as("n_before"),
       words(col("text")).as("w"))
-    rules.zipWithIndex.foreach { case ((a, b), i) =>
-      val folded = seqs.select(col("doc_id"), col("n_before"),
+    rules.foreach { case (a, b) =>
+      seqs = seqs.select(col("doc_id"), col("n_before"),
         mergeFold(a, b).as("w"))
-      // checkpoint every 3rd rule: enough to keep the fold chain's
-      // analyzed plan shallow without paying a materialization per rule
-      seqs =
-        if (i % 3 == 2 || i == rules.size - 1)
-          CachePins.pinCheckpoint(folded)
-        else folded
     }
     seqs.select(col("doc_id"), col("n_before"),
       size(col("w")).cast("long").as("n_after"),
